@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY §2.5).
+  *
+  * Every rollup is a plain `groupBy().agg()` so Spark plans partial (map-side)
+  * + final aggregation automatically — the property that makes these scale:
+  * the shuffle carries one row per (partition × group), not per input row.
+  */
+object Aggregates {
+
+  /** A1-A3: daily rollup — sum a measure by a (possibly wide) key
+    * (`sparkFiles/sparkProcess.py:248-267`). */
+  def rollup(df: DataFrame, keys: Seq[String], measure: String, alias: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(sum(col(measure)).as(alias))
+
+  /** A5: avg-of-aggregates — inner per-day aggregate, outer global average
+    * (`scripts/SQL/avg_daily_orders_sales.sql:2-13`). Two-level aggregation:
+    * the outer input is one row per day, so the second agg is trivially small.
+    */
+  def avgOfAggregates(df: DataFrame, dayCol: String, aggs: Seq[(Column, String)],
+                      outer: Seq[(String, String)]): DataFrame = {
+    val inner = df.groupBy(col(dayCol)).agg(aggs.head._1.as(aggs.head._2),
+      aggs.tail.map { case (c, a) => c.as(a) }: _*)
+    inner.agg(
+      round(avg(col(outer.head._1)), 4).as(outer.head._2),
+      outer.tail.map { case (c, a) => round(avg(col(c)), 4).as(a) }: _*)
+  }
+
+  /** A6/A7 + O2/O3: top-k by aggregated measure. The `orderBy.limit` pair
+    * plans as TakeOrderedAndProject — each partition keeps only k rows, the
+    * driver merges k×partitions rows; no global sort. */
+  def topK(df: DataFrame, keys: Seq[String], measure: Column, alias: String,
+           k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(measure.as(alias))
+      .orderBy(desc(alias) +: keys.map(asc): _*)
+      .limit(k)
+
+  /** A13: pivot aggregate (`pivot_table`, Pandas tutorial nb). Values are
+    * supplied explicitly — with an explicit domain Spark skips the extra
+    * distinct-values job, which matters when the fact side is large. */
+  def pivotSum(df: DataFrame, rowKey: String, pivotCol: String,
+               pivotValues: Seq[String], measure: String): DataFrame =
+    df.groupBy(col(rowKey)).pivot(pivotCol, pivotValues).agg(sum(col(measure)))
+
+  /** A15: global KPI totals (`Python Data Analysis.ipynb` cell 4). */
+  def kpis(df: DataFrame, measures: Seq[(Column, String)]): DataFrame =
+    df.agg(measures.head._1.as(measures.head._2),
+      measures.tail.map { case (c, a) => c.as(a) }: _*)
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY §2.4).
+  *
+  * All reference joins are equi-joins plus one theta residual (the basket
+  * pair join); the scale-relevant decision is WHICH side broadcasts. Dims in
+  * the reference star are tiny (employee/operation/size/colour/style masters),
+  * so every star-join dim is broadcast here — at 100 TB the fact table never
+  * shuffles for these joins.
+  */
+object Joins {
+
+  /** J1: star inner equi-join — fact joined to N small dimensions
+    * (`dags/hanger_lane.py:341-348`, 7-way). Each dim is broadcast so the plan
+    * is a chain of BroadcastHashJoins over a single fact scan: no shuffle,
+    * no sort, survives any fact-side scale-up.
+    */
+  def star(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, cond)) =>
+      acc.join(broadcast(dim), cond, "inner")
+    }
+
+  /** J2: left self-join hierarchy — one table aliased N times to resolve
+    * upper levels, with composite-key conditions allowed
+    * (`dags/ssg_gl_etl.py:321-326`: GL ⟕ Coa3 ⟕ UL_COA ×3 on
+    * `ULID1=ID1 AND ULID2=ID2`). Dimension side broadcasts. */
+  def hierarchy(base: DataFrame, levels: Seq[(DataFrame, Column)]): DataFrame =
+    levels.foldLeft(base) { case (acc, (dim, cond)) =>
+      acc.join(broadcast(dim), cond, "left")
+    }
+
+  /** J3 + A6 + O2: market-basket pair frequency
+    * (`scripts/SQL/Product_Association.sql:5-23`).
+    *
+    * DISTINCT items per basket, self-joined on the basket key with the
+    * `a.item < b.item` theta residual to dedup unordered pairs, then pair
+    * frequency + top-k. Catalyst plans the equi part as a shuffle join on the
+    * basket key and applies the `<` as a residual filter — at scale this
+    * shuffles each side once on the basket key, and the top-k is a
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def basketPairs(items: DataFrame, basketKeys: Seq[String], itemCol: String,
+                  topK: Int): DataFrame = {
+    val distinctItems = items.select((basketKeys :+ itemCol).map(col): _*).distinct()
+    val a = distinctItems.withColumnRenamed(itemCol, "item_a")
+    val b = distinctItems.withColumnRenamed(itemCol, "item_b")
+    a.join(b, basketKeys)
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("item_a"), asc("item_b"))
+      .limit(topK)
+  }
+
+  /** J6: left join + null-test classification
+    * (`scripts/SQL/new_v_return_plus_retention_rate.sql:34-41`). */
+  def classify(left: DataFrame, right: DataFrame, keys: Seq[String],
+               probe: String, label: String, ifMatch: String, ifMiss: String): DataFrame =
+    left.join(right, keys, "left")
+      .withColumn(label, when(col(probe).isNotNull, lit(ifMatch)).otherwise(lit(ifMiss)))
+
+  /** J7/P10: IN-subquery semi filter (`item_valuation_update.py:73`). */
+  def semi(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys, on, "left_semi")
+
+  /** J8/P12: key-level anti join (`ETL Incremental Load` nb cell 20). */
+  def anti(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys, on, "left_anti")
+
+  /** J9: as-of / argmax lookup — the row at max(orderCols) per group
+    * (`scripts/test/item_valuation_update.py:98-120`, correlated subquery
+    * decorrelated into a window). One shuffle on the group keys; at scale
+    * prefer this over a self-join-on-max which would shuffle twice.
+    */
+  def latestPerKey(df: DataFrame, partitionKeys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionKeys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ordered computation operators (SURVEY §2.6, §2.7).
+  *
+  * All partitioned windows shuffle once on their partition keys; the one
+  * global window in the reference (W2) is kept but documented as a
+  * deliberately single-partition operation — callers at scale should prefer
+  * `globalRowNumberScalable`.
+  */
+object Windows {
+
+  /** W1: purchase sequence per key
+    * (`scripts/SQL/new_v_return_plus_retention_rate.sql:7`). */
+  def sequencePerKey(df: DataFrame, partitionKeys: Seq[String], orderCols: Seq[Column],
+                     alias: String = "rn"): DataFrame =
+    df.withColumn(alias,
+      row_number().over(Window.partitionBy(partitionKeys.map(col): _*)
+        .orderBy(orderCols: _*)))
+
+  /** W2: global synthetic entry number (`dags/ssg_erp_op.py:296`,
+    * `ROW_NUMBER() OVER (ORDER BY (SELECT NULL))`). Single-partition sort —
+    * faithful to the reference but NOT scalable; see
+    * [[globalRowNumberScalable]]. */
+  def globalRowNumber(df: DataFrame, alias: String = "entry_no"): DataFrame =
+    df.withColumn(alias, row_number().over(Window.orderBy(monotonically_increasing_id())))
+
+  /** Scale-safe alternative to W2: unique (not consecutive) ids without any
+    * shuffle. Determinism caveat: ids depend on partitioning, like the
+    * reference's `(SELECT NULL)` ordering, which is also nondeterministic. */
+  def globalRowNumberScalable(df: DataFrame, alias: String = "entry_no"): DataFrame =
+    df.withColumn(alias, monotonically_increasing_id())
+
+  /** W5/A14: running cumulative sum with an explicit rows frame
+    * (`Python Data Analysis.ipynb` cell 19). */
+  def cumulativeSum(df: DataFrame, partitionKeys: Seq[String], orderCols: Seq[Column],
+                    measure: Column, alias: String): DataFrame =
+    df.withColumn(alias, sum(measure).over(
+      Window.partitionBy(partitionKeys.map(col): _*).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** W4 (first half): densify a date-keyed series — generate the full daily
+    * spine between min and max and left-join the measures back, filling gaps
+    * with zero (`asfreq('D', fill_value=0)`, `Python Data Analysis.ipynb`
+    * cell 12). `sequence()+explode` is the engine's one Generator use; the
+    * spine is tiny (days, not rows) and broadcasts.
+    */
+  def dateSpine(df: DataFrame, dateCol: String, measures: Seq[String]): DataFrame = {
+    val bounds = df.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
+    val filled = spine.join(df, Seq(dateCol), "left")
+    measures.foldLeft(filled) { (acc, m) =>
+      acc.withColumn(m, coalesce(col(m), lit(0)))
+    }
+  }
+
+  /** W4 (second half): same-period-last-year lag — partition by (month, day),
+    * order by year, lag 1 (`Python Data Analysis.ipynb` cells 12-13). */
+  def samePeriodLastYear(df: DataFrame, dateCol: String, measure: String,
+                         alias: String): DataFrame =
+    df.withColumn(alias, lag(col(measure), 1).over(
+      Window.partitionBy(month(col(dateCol)), dayofmonth(col(dateCol)))
+        .orderBy(year(col(dateCol)))))
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one per JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf: String = TestSpark.sf
+}
+
+/** Every registered query runs at sf0.001 and yields rows (t1 smoke twin). */
+class QueriesSmokeSpec extends SparkSpec {
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0)
+    }
+  }
+  test("every query has an oracle or is documented as rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are allowed but should be a deliberate, small set
+    assert(missing.forall(SparkEntry.rowsOnlyQueries.contains),
+      s"queries missing both oracle and rows-only registration: $missing")
+  }
+  test("every oracle key has a query") {
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
