@@ -1,0 +1,38 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change detection: full-row diff then key-level split into modified vs
+  * inserted (SURVEY §2.8 U3, §2.2 P11/P12; reference:
+  * `ETL Incremental Load….ipynb` cells 18-20).
+  *
+  * The reference does this in driver-memory pandas (`~isin` over row tuples);
+  * here it is one distributed plan: `exceptAll` (null-safe, unlike the pandas
+  * NaN!=NaN quirk — documented drift, SURVEY §7.4) followed by a semi/anti
+  * split on the business keys. Three shuffles on the same key set; Spark
+  * reuses the exchange where plans share the `changes` subtree.
+  */
+object ChangeDetect {
+
+  final case class ChangeSet(changed: DataFrame, modified: DataFrame, inserted: DataFrame)
+
+  /** U3 + P12: changed = source ∖ target (all columns, multiset); modified =
+    * changed rows whose key already exists in target; inserted = the rest. */
+  def split(source: DataFrame, target: DataFrame, keys: Seq[String]): ChangeSet = {
+    val changed = source.exceptAll(target)
+    val targetKeys = target.select(keys.map(col): _*)
+    ChangeSet(
+      changed = changed,
+      modified = changed.join(targetKeys, keys, "left_semi"),
+      inserted = changed.join(targetKeys, keys, "left_anti"))
+  }
+
+  /** The partition property the notebooks rely on: modified ∪ inserted =
+    * changed (tested in ChangeDetectSpec). */
+  def tagged(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
+    val cs = split(source, target, keys)
+    cs.modified.withColumn("change_type", lit("modified"))
+      .unionByName(cs.inserted.withColumn("change_type", lit("inserted")))
+  }
+}

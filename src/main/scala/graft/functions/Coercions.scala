@@ -16,15 +16,16 @@ object Coercions {
     *
     * Faithfully quirky: `isdigit` rejects signs and decimals, so "-5" and
     * "3.2" coerce to the default — observable reference behavior
-    * (`dags/hanger_lane.py:384`), preserved deliberately.
+    * (`dags/hanger_lane.py:384`), preserved deliberately. `try_cast` keeps
+    * the guard total under ANSI mode (Spark 4 default) without a UDF.
     */
   def digitGuardInt(c: Column, default: Int = 0): Column =
-    when(c.cast("string").rlike("^[0-9]+$"), c.cast("string").cast("int"))
+    when(c.cast("string").rlike("^[0-9]+$"), c.cast("string").try_cast("int"))
       .otherwise(lit(default))
 
   /** F17: `float(x) or 0.0` — null/unparsable/zero all collapse to default. */
   def floatOrDefault(c: Column, default: Double = 0.0): Column = {
-    val d = c.cast("double")
+    val d = c.try_cast("double")
     when(d.isNotNull && d =!= 0.0, d).otherwise(lit(default))
   }
 
@@ -36,7 +37,7 @@ object Coercions {
 
   /** F17: `bool(x)` with null → false. */
   def boolOrFalse(c: Column): Column =
-    coalesce(c.cast("boolean"), lit(false))
+    coalesce(c.try_cast("boolean"), lit(false))
 
   /** F16: per-column null replacement (`fillna`,
     * `dags/automate_etl_with_airflow.py:81-93`). */
@@ -46,7 +47,7 @@ object Coercions {
   /** F18: `astype(float).astype(int)` chain
     * (`dags/automate_etl_with_airflow.py:131-132`). */
   def floatThenInt(c: Column): Column =
-    c.cast("double").cast("int")
+    c.try_cast("double").try_cast("int")
 
   /** F19: datetime reformat to the legacy string layout
     * (`scripts/test/replicate_table.py:63-67`). */

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed merge / upsert without a mutable store (SURVEY §2.8 U4-U8).
+  *
+  * The reference upserts via PG staging tables + `ON CONFLICT DO UPDATE`
+  * (`dags/upsert_utils.py:44-89`); the snapshot-rewrite equivalent here is
+  * `target ∖ keys(updates) ∪ updates`. Conflict resolution inside the updates
+  * batch is last-write-wins by an ordering column (matches the watermark
+  * ordering of the reference's extraction, `dags/hanger_lane.py:357`).
+  *
+  * Properties (ScalaCheck-tested): idempotent (re-merging the same batch is a
+  * no-op) and key-unique output when inputs are key-unique.
+  *
+  * Scale: one shuffle of each side on the merge keys (anti join), plus the
+  * window dedup of the (much smaller) updates batch. At 100 TB the target
+  * side should be partitioned/bucketed by the keys so only matching files
+  * rewrite — the operator itself never collects.
+  */
+object Merge {
+
+  /** U4/U5/U8: upsert `updates` into `target` on `keys`. */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             lastWriteOrder: Option[Column] = None): DataFrame = {
+    val deduped = lastWriteOrder match {
+      case Some(ord) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => updates.dropDuplicates(keys)
+    }
+    target.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(deduped)
+  }
+
+  /** U7: plain append branch (insert-only loads). */
+  def append(target: DataFrame, inserts: DataFrame): DataFrame =
+    target.unionByName(inserts)
+}

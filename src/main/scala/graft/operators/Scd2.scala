@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 dimension snapshots (SURVEY §2.8 U9; reference:
+  * `dltproject/sql_product_scd.py:26-31`, dlt `strategy: "scd2"`).
+  *
+  * Two forms:
+  *   - [[fromHistory]]: collapse a change history into validity intervals
+  *     (compress consecutive identical attribute states, then
+  *     valid_from/valid_to via lead()).
+  *   - [[merge]]: incremental — close current versions whose attributes
+  *     changed and append the new versions; the dlt semantics.
+  *
+  * Both are window + union plans: one shuffle on the natural key.
+  */
+object Scd2 {
+
+  /** Build SCD2 intervals from a full change history: one row per attribute
+    * *change* per key, valid until the next change; open-ended current row. */
+  def fromHistory(history: DataFrame, keys: Seq[String], attrs: Seq[String],
+                  tsCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val ordered = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), monotonically_increasing_id())
+    // keep only rows where some attribute differs from the previous state
+    val attrStruct = struct(attrs.map(col): _*)
+    val changedOnly = history
+      .withColumn("__prev", lag(attrStruct, 1).over(ordered))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrStruct))
+      .drop("__prev")
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol))
+    changedOnly
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ attrs).map(col) ++ Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
+  /** Incremental SCD2 merge: `dim` carries (keys, attrs, valid_from,
+    * valid_to, is_current); `incoming` carries (keys, attrs) effective at
+    * `effectiveTs`. Unchanged current rows pass through; changed ones close
+    * with `valid_to = effectiveTs` and a new open version is appended. */
+  def merge(dim: DataFrame, incoming: DataFrame, keys: Seq[String], attrs: Seq[String],
+            effectiveTs: Column): DataFrame = {
+    val in = incoming.select((keys ++ attrs).map(col): _*)
+    val attrState = struct(attrs.map(col): _*)
+    val current = dim.filter(col("is_current"))
+    val historical = dim.filter(!col("is_current"))
+
+    val joined = current.alias("cur")
+      .join(in.withColumn("__inc", lit(true)).alias("inc"), keys, "full_outer")
+    def curAttr(a: String) = col(s"cur.$a")
+    def incAttr(a: String) = col(s"inc.$a")
+    val changed = joined.filter(
+      col("__inc").isNotNull &&
+        !(struct(attrs.map(curAttr): _*) <=> struct(attrs.map(incAttr): _*)))
+
+    // close changed current versions (those that exist in dim)
+    val closed = changed.filter(col("cur.valid_from").isNotNull)
+      .select(keys.map(col) ++ attrs.map(a => curAttr(a).as(a)) ++ Seq(
+        col("cur.valid_from").as("valid_from"),
+        effectiveTs.as("valid_to"),
+        lit(false).as("is_current")): _*)
+    // new versions for changed + brand-new keys
+    val opened = changed
+      .select(keys.map(col) ++ attrs.map(a => incAttr(a).as(a)) ++ Seq(
+        effectiveTs.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    // untouched current rows
+    val untouched = current.join(
+      changed.filter(col("cur.valid_from").isNotNull).select(keys.map(col): _*),
+      keys, "left_anti")
+
+    historical.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
+}
