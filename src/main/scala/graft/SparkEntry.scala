@@ -33,9 +33,22 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
-  // compares to the DuckDB oracle below.
+  // compares to the DuckDB oracle below. Core queries live inline; further
+  // operator families contribute from graft.analytics.*.
   // ---------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++
+      analytics.WindowQueries.queries ++
+      analytics.ShapeQueries.queries ++
+      analytics.EtlQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++
+      analytics.WindowQueries.oracleSql ++
+      analytics.ShapeQueries.oracleSql ++
+      analytics.EtlQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-A3/P7/F7: filtered wide aggregation (pricing summary, reference's
     // daily-rollup shape at TPC-H schema).
@@ -112,7 +125,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -20,7 +20,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+    * truncate to microseconds — the same ns→µs truncation DuckDB applies when
+    * it reads this file, so oracle comparison sees identical instants. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

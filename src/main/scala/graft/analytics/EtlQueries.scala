@@ -1,0 +1,164 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.{ChangeDetect, EtlLog}
+import graft.operators.{Merge, Scd2}
+
+/** ETL-protocol queries (SURVEY §2.8, §2.9): watermark incremental scan,
+  * change-detect split, keyed merge/upsert, SCD2 interval build, and the
+  * multi-source fan-in union with lineage tagging (U1).
+  *
+  * Source/target pairs are derived deterministically from the test tables
+  * (keyed modulo splits) so the DuckDB oracle can reconstruct them exactly.
+  */
+object EtlQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // U1: scatter-gather union with source_connection lineage
+    // (`dags/dynamic_mssql_mssql_etl.py:316-338`, tag at `dags/hanger_lane.py:432`).
+    "q13_union_lineage" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val laneA = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("source_connection", lit("laneA"))
+      val laneB = o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("source_connection", lit("laneB"))
+      Seq(laneA, laneB).reduce(_ unionByName _)
+        .groupBy("source_connection")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("total_price"))
+        .orderBy("source_connection")
+    },
+
+    // §2.9 step 4: strict watermark incremental scan over the events stream.
+    "q17_incremental_scan" -> { (s, dir) =>
+      val wm = Timestamp.valueOf("2024-01-20 00:00:00")
+      EtlLog.incremental(Tables.events(s, dir), "ts", wm, strict = true)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // U3 + P12: full-row change detect against a stale target; the
+    // modified/inserted split tagged and rolled up.
+    "q18_change_detect" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val target = ev.filter(col("event_id") % 10 =!= 0)
+      val source = ev.withColumn("value",
+        when(col("event_id") % 7 === 0, col("value") + 1000).otherwise(col("value")))
+      ChangeDetect.tagged(source, target, Seq("event_id"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+        .orderBy("change_type")
+    },
+
+    // U4/U5/U8: keyed snapshot merge — updates win over target rows.
+    "q19_merge_upsert" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("o_totalprice"))
+      val target = base.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = base.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + lit(10)).cast("decimal(18,2)"))
+      Merge.upsert(target, updates, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).cast("decimal(38,2)").as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // U9: SCD2 validity intervals built from the per-user event-type history.
+    "q20_scd2_history" -> { (s, dir) =>
+      Scd2.fromHistory(Tables.events(s, dir).select("user_id", "event_type", "ts"),
+          Seq("user_id"), Seq("event_type"), "ts")
+        .withColumnRenamed("ts", "valid_from_ts")
+        .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "valid_from")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q13_union_lineage" ->
+      """WITH tagged AS (
+        |  SELECT *, 'laneA' AS source_connection FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT *, 'laneB' AS source_connection FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT source_connection, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |FROM tagged
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q17_incremental_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q18_change_detect" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events),
+        |tgt AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 10 <> 0),
+        |changed AS (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt),
+        |tagged AS (
+        |  SELECT *, CASE WHEN event_id IN (SELECT event_id FROM tgt)
+        |                 THEN 'modified' ELSE 'inserted' END AS change_type
+        |  FROM changed)
+        |SELECT change_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM tagged
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q19_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders),
+        |tgt AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice + 10 AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 2 = 0),
+        |merged AS (
+        |  SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       CAST(SUM(o_totalprice) AS DECIMAL(38,2)) AS total_price
+        |FROM merged
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q20_scd2_history" ->
+      """WITH h AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM h),
+        |changed AS (
+        |  SELECT user_id, event_type, ts FROM marked
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM changed
+        |ORDER BY user_id, valid_from""".stripMargin
+  )
+}

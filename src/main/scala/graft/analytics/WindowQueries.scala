@@ -1,0 +1,153 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Joins, Windows}
+
+/** Window / ordered-computation queries (SURVEY §2.6): retention sequencing
+  * (W1), cumulative sums (W5/A14), date-spine densify + same-period-last-year
+  * lag (W4), hierarchy rollup (J2), and the tumbling-bucket batch twin of the
+  * streaming slice (T1).
+  */
+object WindowQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1 + J6 + F14: purchase sequence per customer → new-vs-repeat by month
+    // (`scripts/SQL/new_v_return_plus_retention_rate.sql`).
+    "q7_retention_new_vs_repeat" -> { (s, dir) =>
+      val seq = Windows.sequencePerKey(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")), "rn")
+      seq
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("buyer_type", when(col("rn") === 1, "new").otherwise("repeat"))
+        .groupBy("order_month", "buyer_type")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("order_month", "buyer_type")
+    },
+
+    // W5/A14: running cumulative sum per segment over a daily rollup.
+    "q9_cumulative_daily_sales" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderdate").cast("date").as("order_day"))
+        .agg(sum(dec(col("o_totalprice"))).as("day_sales"))
+      Windows.cumulativeSum(daily, Seq("c_mktsegment"), Seq(col("order_day")),
+          col("day_sales"), "cum_sales")
+        .select(col("c_mktsegment"), col("order_day"),
+          col("day_sales").cast("decimal(38,2)").as("day_sales"),
+          col("cum_sales").cast("decimal(38,2)").as("cum_sales"))
+        .orderBy("c_mktsegment", "order_day")
+    },
+
+    // W4: densified daily series + same-period-last-year lag
+    // (`Python Data Analysis.ipynb` cells 12-13).
+    "q10_sply_daily_sales" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("order_day"))
+        .agg(sum(dec(col("o_totalprice"))).as("day_sales"))
+      val dense = Windows.dateSpine(daily, "order_day", Seq("day_sales"))
+      Windows.samePeriodLastYear(dense, "order_day", "day_sales", "sply_sales")
+        .select(col("order_day"),
+          col("day_sales").cast("decimal(38,2)").as("day_sales"),
+          col("sply_sales").cast("decimal(38,2)").as("sply_sales"))
+        .orderBy("order_day")
+    },
+
+    // J2: hierarchy left-join rollup (supplier → nation → region standing in
+    // for GL → COA levels, `dags/ssg_gl_etl.py:321-326`).
+    "q21_hierarchy_rollup" -> { (s, dir) =>
+      Joins.hierarchy(Tables.supplier(s, dir), Seq(
+          (Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey")),
+          (Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(dec(col("s_acctbal"))).cast("decimal(38,2)").as("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // T1 batch twin: tumbling 1-hour buckets over the events table — the same
+    // plan Structured Streaming runs incrementally (graft.streaming).
+    "q22_event_hourly_buckets" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+        .select(col("w.start").as("bucket_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q7_retention_new_vs_repeat" ->
+      """WITH seq AS (
+        |  SELECT o_orderdate,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |       CASE WHEN rn = 1 THEN 'new' ELSE 'repeat' END AS buyer_type,
+        |       COUNT(*) AS n_orders
+        |FROM seq
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q9_cumulative_daily_sales" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS order_day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_sales
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, order_day,
+        |       CAST(day_sales AS DECIMAL(38,2)) AS day_sales,
+        |       CAST(SUM(day_sales) OVER (PARTITION BY c_mktsegment ORDER BY order_day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS cum_sales
+        |FROM daily
+        |ORDER BY c_mktsegment, order_day""".stripMargin,
+
+    "q10_sply_daily_sales" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_sales
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT MIN(order_day) AS lo, MAX(order_day) AS hi FROM daily),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                                     CAST(hi AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS order_day
+        |  FROM bounds),
+        |dense AS (
+        |  SELECT s.order_day, COALESCE(d.day_sales, 0) AS day_sales
+        |  FROM spine s LEFT JOIN daily d USING (order_day))
+        |SELECT order_day,
+        |       CAST(day_sales AS DECIMAL(38,2)) AS day_sales,
+        |       CAST(LAG(day_sales, 1) OVER (
+        |         PARTITION BY month(order_day), day(order_day)
+        |         ORDER BY year(order_day)) AS DECIMAL(38,2)) AS sply_sales
+        |FROM dense
+        |ORDER BY order_day""".stripMargin,
+
+    "q21_hierarchy_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |FROM supplier
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q22_event_hourly_buckets" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+  )
+}
