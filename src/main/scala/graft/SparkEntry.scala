@@ -29,7 +29,8 @@ object SparkEntry {
 
   /** Queries that deliberately have no DuckDB oracle (not SQL-expressible
     * there); the driver records a weaker rows-only check for these. */
-  def rowsOnlyQueries: Set[String] = Set()
+  def rowsOnlyQueries: Set[String] =
+    analytics.ValuationQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -40,7 +41,8 @@ object SparkEntry {
     coreQueries ++
       analytics.WindowQueries.queries ++
       analytics.ShapeQueries.queries ++
-      analytics.EtlQueries.queries
+      analytics.EtlQueries.queries ++
+      analytics.ValuationQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++

@@ -1,0 +1,144 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+
+/** Input row of the stock-ledger valuation fold (SURVEY §2.6 W6). Field names
+  * mirror the reference ledger columns
+  * (`scripts/test/item_valuation_update.py:469-506`). */
+final case class StockLedgerRow(
+    item_code: String,
+    warehouse: String,
+    posting_ts: Timestamp,
+    creation: Timestamp,
+    voucher_type: String,
+    actual_qty: Double,
+    qty_after_transaction: Double,
+    incoming_rate: Double,
+    valuation_rate: Double,
+    stock_value: Double,
+    stock_value_difference: Double)
+
+/** Output row: the recomputed qty/value/rate columns the reference writes
+  * back per ledger row (`item_valuation_update.py:185-243`). */
+final case class ValuedStockRow(
+    item_code: String,
+    warehouse: String,
+    posting_ts: Timestamp,
+    creation: Timestamp,
+    voucher_type: String,
+    actual_qty: Double,
+    qty_after_transaction: Double,
+    stock_value: Double,
+    valuation_rate: Double,
+    stock_value_difference: Double,
+    incoming_rate: Double,
+    outgoing_rate: Double)
+
+/** W6: the stateful moving-average valuation fold — the one reference
+  * operator no frame window can express, because each output depends on the
+  * previously COMPUTED state, not previous input rows
+  * (`scripts/test/item_valuation_update.py:161-243`).
+  *
+  * Semantics preserved exactly, quirks included:
+  *   - receipts ('Purchase Receipt'/'Received from Subcontractor'):
+  *     `avg_rate = round((last_value + svd_in)/(bf_qty + qty), 4)` when
+  *     `incoming_rate > 0`, else carry the previous rate; a zero rate falls
+  *     back to the row's valuation_rate; the emitted stock_value advances by
+  *     `round(qty*avg_rate, 4)` but the STATE value advances by
+  *     `round(qty*incoming_rate, 4)` — faithful to the reference's
+  *     asymmetric update (`:205-209` vs `:185-190`).
+  *   - 'Stock Reconciliation' RESETS state from the row's declared
+  *     qty/rate/value and emits `last_value - stock_value` as the difference.
+  *   - everything else consumes at the carried average rate; negative
+  *     quantities value out at `round(qty*avg_rate, 4)`, positive pass the
+  *     row's own difference through.
+  *
+  * Rounding is HALF_EVEN over the exact double (Python `round` behavior).
+  *
+  * Scale: one shuffle on (item_code, warehouse); each group is sorted in
+  * executor memory — group size is bounded by one item's ledger history,
+  * matching the reference's per-item cursor loop. A single hot item is the
+  * skew risk (SURVEY §7.4); mitigation is date-bounded recompute windows
+  * (the reference itself cuts at `posting_date >= start_date`), not salting —
+  * the fold is order-dependent and cannot split a key.
+  */
+object Valuation {
+
+  final case class State(bfQty: Double, lastAvgRate: Double, lastValue: Double)
+  val zeroState: State = State(0.0, 0.0, 0.0)
+
+  private val ReceiptTypes = Set("Purchase Receipt", "Received from Subcontractor")
+
+  def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  /** Sequential fold over one (item, warehouse) group. Input iterator may be
+    * unordered; the fold sorts by (posting_ts, creation) — the reference's
+    * ORDER BY posting_date, posting_time, creation. */
+  def foldGroup(rows: Iterator[StockLedgerRow], init: State): Iterator[ValuedStockRow] = {
+    val ordered = rows.toArray.sortBy(r => (r.posting_ts.getTime, r.creation.getTime))
+    var st = init
+    ordered.iterator.map { r =>
+      if (ReceiptTypes.contains(r.voucher_type)) {
+        val denom = st.bfQty + r.actual_qty
+        var avgRate =
+          if (r.incoming_rate > 0 && denom != 0)
+            round4((st.lastValue + r.stock_value_difference) / denom)
+          else st.lastAvgRate
+        if (avgRate == 0) avgRate = r.valuation_rate
+        val svd = round4(r.actual_qty * avgRate)
+        val cfValue = st.lastValue + svd
+        val cfQty = st.bfQty + r.actual_qty
+        val out = ValuedStockRow(r.item_code, r.warehouse, r.posting_ts, r.creation,
+          r.voucher_type, r.actual_qty,
+          qty_after_transaction = cfQty,
+          stock_value = cfValue,
+          valuation_rate = avgRate,
+          stock_value_difference = round4(r.actual_qty * r.incoming_rate),
+          incoming_rate = r.incoming_rate,
+          outgoing_rate = 0.0)
+        st = State(cfQty, avgRate, st.lastValue + round4(r.actual_qty * r.incoming_rate))
+        out
+      } else if (r.voucher_type == "Stock Reconciliation") {
+        val out = ValuedStockRow(r.item_code, r.warehouse, r.posting_ts, r.creation,
+          r.voucher_type, r.actual_qty,
+          qty_after_transaction = r.qty_after_transaction,
+          stock_value = r.stock_value,
+          valuation_rate = r.valuation_rate,
+          stock_value_difference = st.lastValue - r.stock_value,
+          incoming_rate = r.incoming_rate,
+          outgoing_rate = 0.0)
+        st = State(r.qty_after_transaction, r.valuation_rate, r.stock_value)
+        out
+      } else {
+        var avgRate = st.lastAvgRate
+        if (avgRate == 0) avgRate = r.valuation_rate
+        val svd =
+          if (r.actual_qty < 0) round4(r.actual_qty * avgRate)
+          else r.stock_value_difference
+        val cfValue = st.lastValue + svd
+        val cfQty = st.bfQty + r.actual_qty
+        val out = ValuedStockRow(r.item_code, r.warehouse, r.posting_ts, r.creation,
+          r.voucher_type, r.actual_qty,
+          qty_after_transaction = cfQty,
+          stock_value = cfValue,
+          valuation_rate = avgRate,
+          stock_value_difference = svd,
+          incoming_rate = if (r.actual_qty > 0) r.incoming_rate else 0.0,
+          outgoing_rate = if (r.actual_qty < 0) avgRate else 0.0)
+        st = State(cfQty, avgRate, cfValue)
+        out
+      }
+    }
+  }
+
+  /** Distributed fold: one shuffle on the natural key, then a per-group
+    * in-memory ordered scan (`groupByKey.flatMapGroups`). */
+  def revalue(ds: Dataset[StockLedgerRow], init: State = zeroState): Dataset[ValuedStockRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.item_code, r.warehouse))
+      .flatMapGroups((_, rows) => foldGroup(rows, init))
+  }
+}
