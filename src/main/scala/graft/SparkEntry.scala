@@ -30,7 +30,8 @@ object SparkEntry {
   /** Queries that deliberately have no DuckDB oracle (not SQL-expressible
     * there); the driver records a weaker rows-only check for these. */
   def rowsOnlyQueries: Set[String] =
-    analytics.ValuationQueries.rowsOnly
+    analytics.ValuationQueries.rowsOnly ++
+      analytics.TextQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -42,13 +43,15 @@ object SparkEntry {
       analytics.WindowQueries.queries ++
       analytics.ShapeQueries.queries ++
       analytics.EtlQueries.queries ++
-      analytics.ValuationQueries.queries
+      analytics.ValuationQueries.queries ++
+      analytics.TextQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
       analytics.WindowQueries.oracleSql ++
       analytics.ShapeQueries.oracleSql ++
-      analytics.EtlQueries.oracleSql
+      analytics.EtlQueries.oracleSql ++
+      analytics.TextQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

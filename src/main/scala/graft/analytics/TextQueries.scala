@@ -1,0 +1,173 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication queries over the documents table — the
+  * training-data-pipeline slice: token counting, quality scoring, language
+  * ID, exact dedup, n-gram Jaccard near-dup, MinHash-LSH and SimHash
+  * candidates (the last two rows-only: they hinge on xxhash64, which DuckDB
+  * cannot reproduce; their correctness lives in DedupSpec).
+  */
+object TextQueries {
+
+  /** Stopwords present in the fixture vocabulary. */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Marker sets for the language-ID heuristic (first wins ties). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "table"),
+    "de" -> Seq("scan", "merge", "hash"))
+
+  /** Corpus with deterministic duplicate rows injected: every doc reappears
+    * with doc_id+1000000 — gives exact dedup and the LSH specs known dups. */
+  def corpusWithClones(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting: whitespace + BPE-ish regex tokens, per document.
+    "q24_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: length/punct/stopword heuristics blended.
+    "q25_quality_scores" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(Text.stopwordRatio(col("text"), Stopwords), 4).as("stopword_ratio"),
+          Text.qualityScore(col("text"), Stopwords).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // language-ID heuristic vs the metadata lang column.
+    "q26_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          Text.langId(col("text"), LangMarkers).as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+
+    // exact dedup over the cloned corpus: survivor = min doc_id per hash.
+    "q27_exact_dedup" -> { (s, dir) =>
+      Dedup.exact(corpusWithClones(s, dir), "text", Seq(col("doc_id")))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+
+    // exact pairwise token-set Jaccard (the near-dup verifier).
+    "q28_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 300),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash-LSH candidates over the cloned corpus (rows-only).
+    "q29_minhash_candidates" -> { (s, dir) =>
+      Dedup.minhashLshCandidates(corpusWithClones(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs over the cloned corpus (rows-only).
+    "q30_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(corpusWithClones(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  def rowsOnly: Set[String] = Set("q29_minhash_candidates", "q30_simhash_pairs")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q24_token_stats" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS pr,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |              ELSE 0.0 END AS sr
+        |  FROM t)
+        |SELECT doc_id, n_chars,
+        |       ROUND(pr, 4) AS punct_ratio,
+        |       ROUND(sr, 4) AS stopword_ratio,
+        |       ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |             + (1.0 - pr)*0.4
+        |             + (1.0 - ABS(sr - 0.1))*0.2, 4) AS quality
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(toks, x -> x IN ('the','a','fast','slow'))) AS h_en,
+        |         len(list_filter(toks, x -> x IN ('data','row','table'))) AS h_es,
+        |         len(list_filter(toks, x -> x IN ('scan','merge','hash'))) AS h_de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |       CASE WHEN h_en >= h_es AND h_en >= h_de THEN 'en'
+        |            WHEN h_es >= h_de THEN 'es'
+        |            ELSE 'de' END AS predicted_lang
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM corpus)
+        |SELECT doc_id, fingerprint FROM fp
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q28_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 300),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expressions for large-scale document pipelines: token
+  * counting, quality scoring, language-ID heuristic, fingerprinting. All are
+  * pure `Column` compositions (codegen-friendly, no UDF), designed to run
+  * inside a single projection over a 100 TB documents table.
+  */
+object Text {
+
+  /** Whitespace-collapsed, lower-cased canonical form — the dedup key input. */
+  def normalize(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count (whitespace). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token — the usual cheap proxy for subword
+    * tokenizer cost. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(BpePattern), lit(0)))
+
+  /** Count of punctuation (non-alphanumeric, non-space) characters. */
+  def punctCount(c: Column): Column =
+    length(lower(c)) - length(regexp_replace(lower(c), "[^a-z0-9\\s]", ""))
+
+  /** Punctuation character ratio in [0,1]; empty text → 0. */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len > 0, punctCount(c).cast("double") / len).otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens that are stopwords; empty → 0. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(c)
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length saturation (500 chars → full
+    * marks), low punctuation, moderate stopword share — the standard
+    * cheap-heuristics blend used to pre-filter training corpora. */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - punctRatio(c)
+    val stopScore = lit(1.0) - abs(stopwordRatio(c, stopwords) - 0.1)
+    round(lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2, 4)
+  }
+
+  /** Marker-token language-ID heuristic: count hits from per-language marker
+    * sets; highest count wins, ties break by the order given (first wins).
+    * A real system uses char n-gram profiles; the operator shape — one
+    * projection, argmax over per-language scores — is identical. */
+  def langId(c: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(c)
+    val hits = markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isInCollection(ms)))
+    }
+    // first language whose hit count equals the row-wise maximum
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.reverse.foldLeft(lit(markers.head._1)) { case (acc, (lang, h)) =>
+      when(h === maxHits, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+}

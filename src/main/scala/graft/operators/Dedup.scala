@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators for document corpora — exact (hash groupBy),
+  * exact-pairwise n-gram Jaccard (the verifier), MinHash-LSH (the scale
+  * path), and SimHash (bit-signature near-dup).
+  *
+  * Scale design: exact dedup is one shuffle on the fingerprint; Jaccard
+  * pairs shuffle on token (document-frequency pruning keeps hub tokens from
+  * exploding); MinHash-LSH shuffles once on (band, bucket) so candidate
+  * generation is linear in corpus size, never quadratic — the property that
+  * matters at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row per text fingerprint, ordered by
+    * `keepOrder` (deterministic survivor choice). */
+  def exact(df: DataFrame, textCol: String, keepOrder: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(keepOrder: _*)
+    df.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact pairwise token-set Jaccard via inverted-index self-join.
+    *
+    * `dfMaxFraction` drops tokens present in more than that fraction of
+    * documents before pairing (hub-token pruning): a token in every document
+    * contributes |docs|² candidate pairs but no discrimination. The pruned
+    * join underestimates intersections for dropped tokens, so set sizes are
+    * computed over the SAME pruned token sets — Jaccard stays exact over the
+    * retained vocabulary.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, dfMaxFraction: Double = 1.0): DataFrame = {
+    val nDocs = df.count()
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    val kept =
+      if (dfMaxFraction >= 1.0) toks
+      else {
+        val hubs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(nDocs * dfMaxFraction)).select("tok")
+        toks.join(hubs, Seq("tok"), "left_anti")
+      }
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"), "tok")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Deterministic universal-hash family over 32-bit inputs: results stay
+    * within long range (no ANSI overflow), seeded for reproducibility. */
+  private val HashPrime = 4294967311L // smallest prime > 2^32
+  private def hashFamily(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(1 << 30).toLong + 1L, rnd.nextInt(1 << 30).toLong))
+  }
+
+  /** Word shingles of length `k` as an array column. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = Text.tokens(textCol)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signatures as a DataFrame of (id, sig). Two-step projection:
+    * shingle hashes materialize ONCE into a column, then all `numHashes`
+    * minima read that column — without the split, every hash function would
+    * re-run tokenize→shingle→xxhash64 per row (32× the scan cost). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), k),
+        s => pmod(xxhash64(s), lit(4294967296L))).as("hv")) // 32-bit inputs
+    base.select(col("id"), array(hashFamily(numHashes, seed).map { case (a, b) =>
+      array_min(transform(col("hv"), h => pmod(h * a + b, lit(HashPrime))))
+    }: _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: signatures banded into `bands` groups of
+    * `rowsPerBand`; docs sharing any band bucket pair up. One shuffle on
+    * (band, bucket); candidates are intended for verification by
+    * [[jaccardPairs]] or direct signature comparison.
+    *
+    * `maxBucketSize` drops oversized buckets before pairing — a bucket of B
+    * docs emits B²/2 pairs, so hub buckets (boilerplate-heavy corpora) would
+    * otherwise dominate the output quadratically. Dropped buckets cost
+    * recall only for docs whose EVERY band is a hub, which near-dup pairs
+    * (that agree on many bands) rarely are. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           shingleLen: Int = 3, bands: Int = 8,
+                           rowsPerBand: Int = 4, seed: Long = 42L,
+                           maxBucketSize: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, shingleLen, bands * rowsPerBand, seed)
+    val banded = sig.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .as(Seq("band", "bucket")))
+    val smallBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucketSize))
+      .select("band", "bucket")
+    val kept = banded.join(smallBuckets, Seq("band", "bucket"))
+    kept.as("a").join(kept.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens. The per-bit vote is inherently
+    * scalar-loop-shaped, so it runs as a typed map (one pass, no shuffle);
+    * everything downstream stays relational. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("hashes"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, hashes) =>
+        var sig = 0L
+        var bit = 0
+        while (bit < 64) {
+          var vote = 0
+          hashes.foreach(h => vote += (if (((h >>> bit) & 1L) == 1L) 1 else -1))
+          if (vote > 0) sig |= (1L << bit)
+          bit += 1
+        }
+        (id, sig)
+      }
+      .toDF("id", "simhash")
+  }
+
+  /** Near-dup pairs by SimHash: pigeonhole on 16-bit chunks (hamming ≤ 3
+    * guarantees ≥1 equal chunk of 4), verify with bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val chunked = sigs.select(col("id"), col("simhash"), posexplode(
+        array((0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("chunk_idx", "chunk")))
+    chunked.as("a").join(chunked.as("b"), Seq("chunk_idx", "chunk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.TextQueries
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Text-analysis expressions: token counts, ratios, quality, lang-ID. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount and bpeishTokenCount") {
+    val df = Seq("the fast  join", "ab, cd 12", "x").toDF("t")
+      .select(Text.tokenCount(col("t")).as("w"), Text.bpeishTokenCount(col("t")).as("b"))
+    assert(df.as[(Int, Int)].collect().toSeq === Seq((3, 3), (3, 4), (1, 1)))
+  }
+
+  test("punctRatio and stopwordRatio") {
+    val df = Seq("a, b!").toDF("t").select(Text.punctRatio(col("t")).as("p"))
+    assert(math.abs(df.as[Double].head() - 2.0 / 5.0) < 1e-12)
+    val s = Seq("a b c a").toDF("t")
+      .select(Text.stopwordRatio(col("t"), Seq("a")).as("s")).as[Double].head()
+    assert(math.abs(s - 0.5) < 1e-12)
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val scores = Tables.documents(spark, sf)
+      .select(Text.qualityScore(col("text"), TextQueries.Stopwords).as("q"))
+      .as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("langId: highest marker count wins, first language wins ties") {
+    val df = Seq(
+      "the fast scan",       // en 2, de 1 → en
+      "data row merge hash", // es 2, de 2 → tie → es? no: en=0, es=2, de=2 → first-listed max is es... order in LangMarkers: en, es, de → es wins
+      "scan merge hash"      // de 3 → de
+    ).toDF("t").select(Text.langId(col("t"), TextQueries.LangMarkers).as("l"))
+    assert(df.as[String].collect().toSeq === Seq("en", "es", "de"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  b C", "a b c")).toDF("x", "y")
+      .select((Text.fingerprint(col("x")) === Text.fingerprint(col("y"))).as("eq"))
+    assert(df.as[Boolean].head())
+  }
+}
+
+/** Dedup operators: exact, Jaccard verifier, MinHash-LSH, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = TextQueries.corpusWithClones(spark, sf)
+  private lazy val nDocs = Tables.documents(spark, sf).count()
+
+  test("exact dedup removes all injected clones, keeps min doc_id") {
+    val out = Dedup.exact(corpus, "text", Seq(col("doc_id")))
+    // every clone (doc_id+1M) has its original → survivors all original,
+    // plus originals may collapse among themselves
+    assert(out.count() <= nDocs)
+    assert(out.filter(col("doc_id") >= 1000000L).count() === 0)
+  }
+
+  test("minhash LSH finds every exact-clone pair") {
+    val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // all 500 (id, id+1M) pairs must be candidates: identical text ⇒
+    // identical signature ⇒ all bands collide
+    val missing = (0L until nDocs).map(i => (i, i + 1000000L)).filterNot(cands.contains)
+    assert(missing.isEmpty, s"missing clone pairs: ${missing.take(5)}")
+  }
+
+  test("minhash candidates verified by jaccard contain the clone pairs and nothing below threshold") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val sub = TextQueries.corpusWithClones(spark, sf).filter(
+      col("doc_id") < 100 || (col("doc_id") >= 1000000L && col("doc_id") < 1000100L))
+    val cands = Dedup.minhashLshCandidates(sub, "doc_id", "text")
+    val verified = Dedup.jaccardPairs(sub, "doc_id", "text", threshold = 1.0)
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .as[(Long, Long, Double)].collect().toSet
+    val clonePairs = (0L until 100L).map(i => (i, i + 1000000L, 1.0)).toSet
+    assert(clonePairs.subsetOf(verified))
+    assert(docs.count() === 100)
+  }
+
+  test("simhash pairs include clones at hamming 0") {
+    val sub = corpus.filter((col("doc_id") % 25 === 0))
+    val pairs = Dedup.simhashPairs(sub, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val cloneIds = sub.filter(col("doc_id") < 1000000L).select("doc_id")
+      .as[Long].collect()
+    val found = pairs.filter(p => p._2 === p._1 + 1000000L)
+    assert(found.length === cloneIds.length && found.forall(_._3 === 0))
+  }
+
+  test("shingles produce k-grams; short docs fall back to full text") {
+    val df = Seq("a b c d", "x y").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s"))
+    assert(df.as[Seq[String]].collect().toSeq
+      === Seq(Seq("a b c", "b c d"), Seq("x y")))
+  }
+}
