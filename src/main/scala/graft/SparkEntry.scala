@@ -31,7 +31,8 @@ object SparkEntry {
     * there); the driver records a weaker rows-only check for these. */
   def rowsOnlyQueries: Set[String] =
     analytics.ValuationQueries.rowsOnly ++
-      analytics.TextQueries.rowsOnly
+      analytics.TextQueries.rowsOnly ++
+      analytics.SimilarityQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -44,14 +45,16 @@ object SparkEntry {
       analytics.ShapeQueries.queries ++
       analytics.EtlQueries.queries ++
       analytics.ValuationQueries.queries ++
-      analytics.TextQueries.queries
+      analytics.TextQueries.queries ++
+      analytics.SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
       analytics.WindowQueries.oracleSql ++
       analytics.ShapeQueries.oracleSql ++
       analytics.EtlQueries.oracleSql ++
-      analytics.TextQueries.oracleSql
+      analytics.TextQueries.oracleSql ++
+      analytics.SimilarityQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

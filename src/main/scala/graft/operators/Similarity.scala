@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the baseline and verifier.
+  *     Query side broadcasts; corpus scans once; per-query top-k via
+  *     row_number. Cost O(|queries| × |corpus|) — fine for small query sets,
+  *     the reason the LSH path exists.
+  *   - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign-bit
+  *     bands, candidates only from colliding buckets, exact cosine re-rank.
+  *     Candidate generation is linear in corpus size; recall trades against
+  *     bands/bits (DedupSpec-style recall property in SimilaritySpec).
+  *
+  * All arithmetic is pure Column expressions (zip_with + aggregate in
+  * doubles) — no UDF, stays codegen-friendly.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null/zero-norm inputs yield null. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val denom = norm(a) * norm(b)
+    when(denom > 0, d / denom)
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the `k` nearest corpus
+    * rows (self-matches excluded by id). Scores round to 4dp BEFORE ranking
+    * so ranking is stable across accumulation orders; ties break by corpus
+    * id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "score")
+  }
+
+  /** Deterministic gaussian hyperplanes (seeded). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature per band: each band packs `bitsPerBand` hyperplane
+    * signs into an int bucket key. Returns (id, band, bucket) rows. */
+  private def banded(df: DataFrame, idCol: String, vecCol: String,
+                     bands: Int, bitsPerBand: Int, dim: Int, seed: Long): DataFrame = {
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    val bandCols = (0 until bands).map { b =>
+      val bits = (0 until bitsPerBand).map { i =>
+        val plane = typedlit(planes(b * bitsPerBand + i))
+        when(dot(col(vecCol), plane) > 0, 1 << i).otherwise(0)
+      }
+      bits.reduce(_ + _).as(s"__band$b")
+    }
+    df.select(col(idCol).as("id") +: bandCols: _*)
+      .select(col("id"), posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** LSH ANN: hyperplane-banded candidates, exact cosine re-rank, top-k.
+    * Recall < 1 by construction; verify with [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, bands: Int = 8,
+              bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val cB = banded(corpus, idCol, vecCol, bands, bitsPerBand, dim, seed)
+    val qB = banded(queries, idCol, vecCol, bands, bitsPerBand, dim, seed)
+      .withColumnRenamed("id", "query_id")
+    val cands = qB.join(cB, Seq("band", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"))
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = cands
+      .join(broadcast(q), "query_id")
+      .join(c, "vec_id")
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "score")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.SimilarityQueries
+import graft.operators.Similarity
+
+/** Similarity search: exact cosine math, brute-force ranking, LSH recall. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f))
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k rows per query, self excluded, descending") {
+    val out = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf), SimilarityQueries.queryVectors(spark, sf),
+      "vec_id", "embedding", 10).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length === 10)
+      assert(!rows.exists(_.getAs[Long]("vec_id") == qid))
+      val scores = rows.map(_.getAs[Double]("score")).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("LSH recall@10 vs brute force is usable and candidates stay sub-quadratic") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = SimilarityQueries.queryVectors(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 10, 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall")
+    assert(recall >= 0.3, s"recall $recall below floor")
+    // approx returns at most k per query — never the full cross product
+    assert(approx.size <= exact.size)
+  }
+}
