@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming slice: incremental hourly buckets equal the batch
+  * twin; sessionization closes sessions past the event-time gap; the
+  * foreachBatch upsert sink converges to merge semantics.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming hourly buckets equal the batch aggregation (incremental over memory stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 00:40:00"), 2, "click", 2.5),
+      Event(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 02:05:00"), 3, "click", 4.0))
+
+    val q = EventStream.hourlyBuckets(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    // two micro-batches: the aggregate must update incrementally
+    input.addData(events.take(2): _*)
+    q.processAllAvailable()
+    input.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly")
+      .orderBy("bucket_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStream.hourlyBuckets(events.toDF())
+      .orderBy("bucket_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch && batch.length === 3)
+  }
+
+  test("sessionize closes sessions after the event-time gap and aggregates per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:05:00"), 1, "view", 2.0),
+      Event(3, ts("2024-01-01 00:02:00"), 2, "click", 5.0))
+
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+
+    // push watermark far past the gap to time the sessions out; one more
+    // empty-progress batch lets the timeout fire
+    input.addData(Event(9, ts("2024-01-01 12:00:00"), 9, "late", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(10, ts("2024-01-01 13:00:00"), 9, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions").as[EventStream.Session]
+      .collect().filter(_.user_id < 9).sortBy(_.user_id)
+    assert(out.length === 2)
+    assert(out(0).user_id === 1 && out(0).n_events === 2
+      && out(0).session_start === ts("2024-01-01 00:00:00")
+      && out(0).session_end === ts("2024-01-01 00:05:00")
+      && math.abs(out(0).total_value - 3.0) < 1e-9)
+    assert(out(1).user_id === 2 && out(1).n_events === 1)
+  }
+
+  test("foreachBatch upsert sink converges to merge semantics across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_upsert").toString + "/target"
+    val input = MemoryStream[(Int, String, Int)]
+    val q = input.toDF().toDF("k", "name", "v")
+      .writeStream
+      .foreachBatch(EventStream.upsertBatch(dir, Seq("k")) _)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    input.addData((1, "a", 10), (2, "b", 20))
+    q.processAllAvailable()
+    input.addData((2, "b2", 21), (3, "c", 30))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(dir).as[(Int, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1, "a", 10), (2, "b2", 21), (3, "c", 30)))
+  }
+}
