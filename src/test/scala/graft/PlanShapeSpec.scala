@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan regression guards: the properties that matter at 100 TB —
+  * dims broadcast (no fact shuffle), filters reach the parquet scan, top-k
+  * plans as TakeOrderedAndProject (no global sort), whole-stage codegen
+  * covers the hot paths. A change that silently degrades any of these fails
+  * here, not in production.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2 star join: every dimension joins as BroadcastHashJoin, no SortMergeJoin") {
+    val p = plan("q2_star_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "fact side must not sort-merge against dims")
+  }
+
+  test("q1 pricing summary: shipdate filter pushes into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1 reads only the columns it needs") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"projection must prune unused lineitem columns: $readSchema")
+  }
+
+  test("q3 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q3_topk_parts")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q12 anti join broadcasts the key side") {
+    val p = plan("q12_customers_no_orders")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("aggregates run partial+final (map-side combine before the shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial and final HashAggregate stages")
+  }
+
+  test("whole-stage codegen covers the scan→filter→aggregate hot path") {
+    // AQE materializes the final plan only on execution
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // treeString renders WholeStageCodegen stages as "*(n) " prefixes
+    assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"), p.take(2000))
+    assert(p.contains("*(1) Filter"), "filter must run inside codegen stage 1")
+  }
+}
