@@ -46,7 +46,8 @@ object SparkEntry {
       analytics.EtlQueries.queries ++
       analytics.ValuationQueries.queries ++
       analytics.TextQueries.queries ++
-      analytics.SimilarityQueries.queries
+      analytics.SimilarityQueries.queries ++
+      analytics.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
@@ -54,7 +55,8 @@ object SparkEntry {
       analytics.ShapeQueries.oracleSql ++
       analytics.EtlQueries.oracleSql ++
       analytics.TextQueries.oracleSql ++
-      analytics.SimilarityQueries.oracleSql
+      analytics.SimilarityQueries.oracleSql ++
+      analytics.MiscQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,126 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Decodes
+
+/** Remaining §2 operator bindings: global row_number (W2/O1), ratio-of-sums
+  * (A10/F9), count-distinct scalar + cross join (A11), correlated-subquery
+  * decorrelation (J10), and the SQL entry surface (spark.sql over views).
+  */
+object MiscQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W2/O1: global synthetic entry number. The reference's
+    // `ROW_NUMBER() OVER (ORDER BY (SELECT NULL))` is nondeterministic; we
+    // bind it to the stable cursor order (ssg_erp_op.py:296 + O1's ORDER BY).
+    // Single-partition window — documented cost, scalable variant in
+    // Windows.globalRowNumberScalable.
+    "q33_global_rownum" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("entry_no", row_number().over(Window.orderBy(col("o_orderkey"))))
+        .select(col("entry_no"), col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("entry_no")
+    },
+
+    // A10 + F9: sum + guarded ratio-of-sums per group
+    // (`item_valuation_update.py:361-397`).
+    "q34_ratio_of_sums" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"))
+        .withColumn("avg_rate",
+          Decodes.safeDiv(col("sum_price").cast("double"), col("sum_qty").cast("double")))
+        .orderBy("l_returnflag")
+    },
+
+    // A11: count-distinct scalar denominator cross-joined into a grouped
+    // share (`new_v_return_plus_retention_rate.sql:29-33`).
+    "q35_segment_share" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val total = cust.agg(countDistinct(col("c_custkey")).as("total_customers"))
+      cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .crossJoin(total)
+        .withColumn("share",
+          round(col("n_customers").cast("double") / col("total_customers"), 4))
+        .select("c_mktsegment", "n_customers", "share")
+        .orderBy("c_mktsegment")
+    },
+
+    // J10: correlated scalar subquery, decorrelated by hand into
+    // pre-aggregate + join (`item_valuation_update.py:488-493`); the oracle
+    // keeps the correlated form — same result, Catalyst-friendly plan.
+    "q36_above_brand_avg" -> { (s, dir) =>
+      val part = Tables.part(s, dir)
+      val brandAvg = part.groupBy("p_brand")
+        .agg(avg(col("p_retailprice")).as("brand_avg"))
+      part.join(broadcast(brandAvg), "p_brand")
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // SQL entry surface: the same engine through spark.sql over temp views —
+    // proves the catalog + SQL parser path works end-to-end.
+    "q37_sql_surface" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+          |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus = 'F'
+          |GROUP BY o_orderpriority, c_mktsegment
+          |ORDER BY o_orderpriority, c_mktsegment""".stripMargin)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q33_global_rownum" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS entry_no,
+        |       o_orderkey, o_orderstatus
+        |FROM orders
+        |ORDER BY entry_no""".stripMargin,
+
+    "q34_ratio_of_sums" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+        |             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 4) AS avg_rate
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q35_segment_share" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |             (SELECT COUNT(DISTINCT c_custkey) FROM customer), 4) AS share
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q36_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part b
+        |                       WHERE b.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q37_sql_surface" ->
+      """SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority, c_mktsegment
+        |ORDER BY o_orderpriority, c_mktsegment""".stripMargin
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import graft.sources.{Catalog, Files => FileSrc, Rest, Synthetic}
+
+/** Source surface (§2.1): files, REST payloads, synthetic generator,
+  * catalog-driven loop. (JDBC/Kafka builders are config-only — no server in
+  * this container; their knobs mirror the reference's batch sizes.)
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csvDir round-trips with a bound schema (S5-S7)") {
+    val dir = Files.createTempDirectory("csv").toString + "/out"
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "name", "v")
+    FileSrc.writeCsv(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val back = FileSrc.csvDir(spark, dir, schema)
+      .as[(Int, String, Double)].collect().sortBy(_._1)
+    assert(back.toSeq === Seq((1, "a", 1.5), (2, "b", 2.5)))
+  }
+
+  test("REST JSON payloads flatten to typed columns (S8/F21)") {
+    val payloads = Seq(
+      """{"user":{"name":{"first":"Ada","last":"L"},"location":{"street":{"number":7,"name":"Main"}}},"age":36}""",
+      """{"user":{"name":{"first":"Alan","last":"T"},"location":{"street":{"number":9,"name":"Side"}}},"age":41}""")
+    val df = Rest.fromJsonStrings(spark, payloads)
+      .selectExpr("user.name.first AS first", "user.location.street.number AS street_no", "age")
+    val got = df.as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("Ada", 7L, 36L), ("Alan", 9L, 41L)))
+  }
+
+  test("synthetic transactions are deterministic, distributed, and well-typed (S12)") {
+    val a = Synthetic.transactions(spark, 1000).collect()
+    val b = Synthetic.transactions(spark, 1000).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.length === 1000)
+    val cats = a.map(_.getAs[String]("category")).toSet
+    assert(cats.subsetOf(Set("grocery", "fuel", "apparel", "electronics", "dining")))
+    assert(a.map(_.getAs[String]("txn_uuid")).distinct.length === 1000)
+    // different seed → different stream
+    val c = Synthetic.transactions(spark, 1000, seed = 7).collect()
+    assert(c.map(_.toSeq).toSeq !== a.map(_.toSeq).toSeq)
+  }
+
+  test("catalog-driven table loop sees temp views (S13)") {
+    Tables.orders(spark, sf).createOrReplaceTempView("cat_orders")
+    Tables.customer(spark, sf).createOrReplaceTempView("cat_customer")
+    val found = Catalog.tablesMatching(spark, "default",
+      Set("cat_orders", "cat_customer", "cat_missing"))
+    assert(found.toSet === Set("cat_orders", "cat_customer"))
+  }
+}
