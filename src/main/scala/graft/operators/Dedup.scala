@@ -81,18 +81,43 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signatures as a DataFrame of (id, sig). Two-step projection:
-    * shingle hashes materialize ONCE into a column, then all `numHashes`
-    * minima read that column — without the split, every hash function would
-    * re-run tokenize→shingle→xxhash64 per row (32× the scan cost). */
+  /** MinHash signatures as a DataFrame of (id, sig).
+    *
+    * One typed mapPartitions pass: tokenize → k-shingles → 32-bit base hash →
+    * per-family minima, all in a tight JVM loop. The pure-expression version
+    * re-ran the tokenize→shingle→hash pipeline once PER HASH FUNCTION
+    * (CollapseProject inlines the shared array into all 32 `array_min`
+    * expressions), which made signatures 30× more expensive than this. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), k),
-        s => pmod(xxhash64(s), lit(4294967296L))).as("hv")) // 32-bit inputs
-    base.select(col("id"), array(hashFamily(numHashes, seed).map { case (a, b) =>
-      array_min(transform(col("hv"), h => pmod(h * a + b, lit(HashPrime))))
-    }: _*).as("sig"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fams = hashFamily(numHashes, seed).toArray
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          val sh: Array[String] =
+            if (toks.length >= k) Array.tabulate(toks.length - k + 1)(i =>
+              toks.slice(i, i + k).mkString(" "))
+            else Array(toks.mkString(" "))
+          val hv = sh.map(s =>
+            scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xFFFFFFFFL)
+          val sig = fams.map { case (a, b) =>
+            var mn = Long.MaxValue
+            var i = 0
+            while (i < hv.length) {
+              val v = (hv(i) * a + b) % HashPrime
+              if (v < mn) mn = v
+              i += 1
+            }
+            mn
+          }
+          (id, sig)
+        }
+      }
+      .toDF("id", "sig")
   }
 
   /** MinHash-LSH candidate pairs: signatures banded into `bands` groups of
@@ -114,11 +139,13 @@ object Dedup {
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .as(Seq("band", "bucket")))
-    val smallBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, maxBucketSize))
-      .select("band", "bucket")
-    val kept = banded.join(smallBuckets, Seq("band", "bucket"))
+    // bucket-size gate as a window over the SAME (band,bucket) shuffle the
+    // join needs — no extra shuffle before the self-join
+    val kept = banded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz").between(2, maxBucketSize))
+      .select("id", "band", "bucket")
     kept.as("a").join(kept.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
