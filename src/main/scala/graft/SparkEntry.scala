@@ -32,7 +32,8 @@ object SparkEntry {
   def rowsOnlyQueries: Set[String] =
     analytics.ValuationQueries.rowsOnly ++
       analytics.TextQueries.rowsOnly ++
-      analytics.SimilarityQueries.rowsOnly
+      analytics.SimilarityQueries.rowsOnly ++
+      analytics.SessionQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -47,7 +48,8 @@ object SparkEntry {
       analytics.ValuationQueries.queries ++
       analytics.TextQueries.queries ++
       analytics.SimilarityQueries.queries ++
-      analytics.MiscQueries.queries
+      analytics.MiscQueries.queries ++
+      analytics.SessionQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
@@ -56,7 +58,8 @@ object SparkEntry {
       analytics.EtlQueries.oracleSql ++
       analytics.TextQueries.oracleSql ++
       analytics.SimilarityQueries.oracleSql ++
-      analytics.MiscQueries.oracleSql
+      analytics.MiscQueries.oracleSql ++
+      analytics.SessionQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

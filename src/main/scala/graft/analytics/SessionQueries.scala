@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch sessionization + sketch cardinality over the events table.
+  *
+  * Sessionize-batch is the lag/cumsum formulation (gap > 30 min starts a new
+  * session): two windows over one (user) shuffle — the batch twin of the
+  * streaming flatMapGroupsWithState operator, and exactly reproducible in
+  * SQL for the oracle. The sketch query demonstrates approx_count_distinct
+  * (HLL) — the 100 TB answer to exact countDistinct's shuffle of every
+  * distinct value; sketches differ across engines, so it is rows-only with
+  * a tolerance spec against the exact count.
+  */
+object SessionQueries {
+
+  val GapMinutes = 30
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q38_sessionize_batch" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val gapSec = GapMinutes * 60L
+      val sessions = Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy("user_id", "session_no")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        .orderBy("user_id", "session_no")
+    },
+
+    // HLL sketch cardinalities per event_type next to the exact count —
+    // rows-only (sketch internals are engine-specific); SessionSpec bounds
+    // the relative error.
+    "q39_approx_distinct" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+        .orderBy("event_type")
+    }
+  )
+
+  def rowsOnly: Set[String] = Set("q39_approx_distinct")
+
+  def oracleSql: Map[String, String] = Map(
+    "q38_sessionize_batch" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR date_diff('second', prev_ts, ts) > ${GapMinutes * 60}
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM marked),
+         |numbered AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |  FROM flagged)
+         |SELECT user_id, session_no,
+         |       MIN(ts) AS session_start,
+         |       MAX(ts) AS session_end,
+         |       COUNT(*) AS n_events,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+         |FROM numbered
+         |GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin
+  )
+}

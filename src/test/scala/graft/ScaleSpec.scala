@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.analytics.SessionQueries
+
+/** Scale-mechanics specs: salted aggregation/join equal their direct
+  * counterparts; bucketed tables co-locate the join (no shuffle exchange);
+  * the HLL sketch lands within its error bound.
+  */
+class SkewSpec extends SparkSpec {
+
+  test("saltedSum equals direct groupBy sum") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+    val salted = Skew.saltedSum(li, Seq("l_returnflag"),
+      col("l_quantity").cast("decimal(18,2)"), "s")
+    assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
+  }
+
+  test("saltedJoin equals direct join") {
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, sf).select(
+      col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val direct = ord.join(cust, "o_custkey")
+    val salted = Skew.saltedJoin(ord, cust, "o_custkey", saltBuckets = 8)
+      .select(direct.columns.map(col): _*)
+    assert(direct.count() === salted.count())
+    assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
+  }
+}
+
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val db = "bucketdemo"
+    spark.sql(s"DROP TABLE IF EXISTS ${db}_orders")
+    spark.sql(s"DROP TABLE IF EXISTS ${db}_customer")
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(s"${db}_orders")
+    Tables.customer(spark, sf)
+      .selectExpr("c_custkey AS o_custkey", "c_mktsegment")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(s"${db}_customer")
+
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"${db}_orders")
+        .join(spark.table(s"${db}_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      assert(joined.count() === Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
+
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact at rsd=0.02") {
+    val rows = SessionQueries.queries("q39_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+}
