@@ -67,6 +67,23 @@ object MiscQueries {
         .orderBy("p_partkey")
     },
 
+    // F11/F12/F19: date parse + reformat round-trip and interval arithmetic
+    // (`item_valuation_update.py:104` STR_TO_DATE(CONCAT(date,' ',time));
+    // DATEADD `hanger_lanes_to_pg_etl.py:117`; strftime `replicate_table.py:63`).
+    "q40_date_arithmetic" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d_str"),
+        date_format(col("ts"), "HH:mm:ss").as("t_str"),
+        col("ts"))
+      ev.select(
+          col("event_id"),
+          to_timestamp(concat_ws(" ", col("d_str"), col("t_str"))).as("reparsed_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("ts_plus_10m"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("legacy_str"))
+        .orderBy("event_id")
+    },
+
     // SQL entry surface: the same engine through spark.sql over temp views —
     // proves the catalog + SQL parser path works end-to-end.
     "q37_sql_surface" -> { (s, dir) =>
@@ -114,6 +131,16 @@ object MiscQueries {
         |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part b
         |                       WHERE b.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q40_date_arithmetic" ->
+      """SELECT event_id,
+        |       strptime(concat(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'), ' ',
+        |                       strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S')),
+        |                '%Y-%m-%d %H:%M:%S') AS reparsed_ts,
+        |       CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS ts_plus_10m,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS legacy_str
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q37_sql_surface" ->
       """SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders,
