@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * NaN!=NaN quirk — documented drift, SURVEY §7.4) followed by a semi/anti
   * split on the business keys. Three shuffles on the same key set; Spark
   * reuses the exchange where plans share the `changes` subtree.
+  *
+  * Known Spark 4.1 quirk (GraftProperties works around it): feeding
+  * `dropDuplicates` outputs from the SAME lineage into both sides of
+  * `exceptAll` can hit INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in BindReferences;
+  * dedup upstream of the split (or from independent scans, the normal case)
+  * is unaffected.
   */
 object ChangeDetect {
 

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.etl.ChangeDetect
+import graft.operators.{Merge, StockLedgerRow, Valuation}
+
+/** ScalaCheck properties (SURVEY §5 item 3): the invariants the reference
+  * implicitly relies on, checked over generated inputs.
+  */
+object GraftProperties extends Properties("graft") {
+  import org.apache.spark.sql.functions._
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side multiset equality — avoids exceptAll over self-related
+    * generated lineages (Catalyst attribute-binding issue with
+    * dropDuplicates-derived self-referential exceptAll plans). */
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean = {
+    def ms(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+    ms(a) == ms(b)
+  }
+
+  private val keyGen = Gen.chooseNum(1, 30)
+  private val rowGen = for {
+    k <- keyGen; s <- Gen.alphaLowerStr.map(_.take(4)); v <- Gen.chooseNum(-100, 100)
+  } yield (k, s, v)
+  private val tableGen = Gen.listOfN(40, rowGen)
+
+  property("merge idempotence: upsert(upsert(t,u),u) == upsert(t,u)") =
+    Prop.forAll(tableGen, tableGen) { (t, u) =>
+      val target = t.distinctBy(_._1).toDF("k", "s", "v")
+      val updates = u.distinctBy(_._1).toDF("k", "s", "v")
+      val once = Merge.upsert(target, updates, Seq("k"))
+      val twice = Merge.upsert(once, updates, Seq("k"))
+      sameRows(once, twice)
+    }
+
+  property("merge output keys = target keys ∪ update keys, key-unique") =
+    Prop.forAll(tableGen, tableGen) { (t, u) =>
+      val target = t.distinctBy(_._1).toDF("k", "s", "v")
+      val updates = u.distinctBy(_._1).toDF("k", "s", "v")
+      val out = Merge.upsert(target, updates, Seq("k"))
+      val expected = (t.map(_._1) ++ u.map(_._1)).toSet
+      val got = out.select("k").as[Int].collect()
+      got.toSet == expected && got.length == got.distinct.length
+    }
+
+  property("change detect: modified ∪ inserted == changed, disjoint") =
+    Prop.forAll(tableGen, tableGen) { (s, t) =>
+      val source = s.distinctBy(_._1).toDF("k", "s", "v")
+      val target = t.distinctBy(_._1).toDF("k", "s", "v")
+      val cs = ChangeDetect.split(source, target, Seq("k"))
+      val union = cs.modified.unionByName(cs.inserted)
+      val modKeys = cs.modified.select("k").as[Int].collect().toSet
+      val insKeys = cs.inserted.select("k").as[Int].collect().toSet
+      sameRows(union, cs.changed) && modKeys.intersect(insKeys).isEmpty
+    }
+
+  private val ledgerRowGen = for {
+    item <- Gen.oneOf("I1", "I2")
+    wh <- Gen.oneOf("W1", "W2")
+    t <- Gen.chooseNum(1, 1000)
+    vt <- Gen.frequency(5 -> "Purchase Receipt", 3 -> "Delivery Note",
+      1 -> "Stock Reconciliation", 1 -> "Received from Subcontractor")
+    qty <- Gen.chooseNum(1, 50)
+    rate <- Gen.chooseNum(1, 99)
+  } yield StockLedgerRow(item, wh, new Timestamp(t * 60000L), new Timestamp(t),
+    vt, if (vt == "Delivery Note") -qty.toDouble else qty.toDouble,
+    qty.toDouble, rate / 4.0, rate / 4.0, qty * rate / 4.0, qty * rate / 4.0)
+
+  property("valuation: distributed fold == sequential fold") =
+    Prop.forAll(Gen.listOfN(60, ledgerRowGen)) { rows0 =>
+      // unique (key, ts) so ordering is total
+      val rows = rows0.groupBy(r => (r.item_code, r.warehouse, r.posting_ts))
+        .map(_._2.head).toSeq
+      val ds = spark.createDataset(rows)
+      val dist = Valuation.revalue(ds).collect()
+        .sortBy(r => (r.item_code, r.warehouse, r.posting_ts.getTime))
+      val seqr = rows.groupBy(r => (r.item_code, r.warehouse)).toSeq
+        .flatMap { case (_, rs) => Valuation.foldGroup(rs.iterator, Valuation.zeroState) }
+        .sortBy(r => (r.item_code, r.warehouse, r.posting_ts.getTime))
+      dist.toSeq == seqr
+    }
+
+  property("watermark monotonicity: incremental extraction never re-reads") =
+    Prop.forAll(Gen.listOfN(30, Gen.chooseNum(1L, 1000L))) { times =>
+      val df = times.zipWithIndex
+        .map { case (t, i) => (i, new Timestamp(t * 1000)) }
+        .toDF("id", "created_at")
+      val wm = new Timestamp(times.max * 1000)
+      // after advancing the watermark to the data max, a strict re-extract is empty
+      graft.etl.EtlLog.incremental(df, "created_at", wm, strict = true).isEmpty
+    }
+}
