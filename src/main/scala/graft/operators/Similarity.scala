@@ -29,8 +29,15 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null/zero-norm inputs yield null. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via the native fused Catalyst expression (one
+    * codegen'd loop — the ANN hot path); null on zero norm. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSimilarity.column(a, b)
+
+  /** Composed built-in form — identical semantics to [[cosine]]
+    * (SimilaritySpec asserts bit-equality); kept as the reference
+    * implementation and for float-typed arrays wrapped differently. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val denom = norm(a) * norm(b)
     when(denom > 0, d / denom)

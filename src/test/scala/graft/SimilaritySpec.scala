@@ -20,6 +20,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2) + 1.0) < 1e-12)
   }
 
+  test("native cosine expression is bit-identical to the composed form") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q).select(
+      Similarity.cosine(col("qv"), col("embedding")).as("native"),
+      Similarity.cosineComposed(col("qv"), col("embedding")).as("composed"))
+    assert(both.filter(!(col("native") <=> col("composed"))).isEmpty)
+  }
+
+  test("cosine_similarity registers as a SQL function") {
+    org.apache.spark.sql.graft.CosineSimilarity.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
   test("bruteForceTopK returns k rows per query, self excluded, descending") {
     val out = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sf), SimilarityQueries.queryVectors(spark, sf),
