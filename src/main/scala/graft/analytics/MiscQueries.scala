@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Decodes
+import graft.operators.Joins
 
 /** Remaining §2 operator bindings: global row_number (W2/O1), ratio-of-sums
   * (A10/F9), count-distinct scalar + cross join (A11), correlated-subquery
@@ -65,6 +66,21 @@ object MiscQueries {
         .filter(col("p_retailprice") > col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
+    },
+
+    // J9 generalized: two-table as-of join — each purchase picks the user's
+    // latest click at-or-before it (union-window formulation, one shuffle);
+    // oracle = DuckDB's native ASOF JOIN.
+    "q41_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(18,2)").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").cast("decimal(18,2)").as("click_value"))
+      Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .orderBy("event_id")
     },
 
     // F11/F12/F19: date parse + reformat round-trip and interval arithmetic
@@ -131,6 +147,21 @@ object MiscQueries {
         |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part b
         |                       WHERE b.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q41_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(value AS DECIMAL(18,2)) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+        |         CAST(value AS DECIMAL(18,2)) AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+        |       c.click_ts, c.click_value
+        |FROM purchases p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q40_date_arithmetic" ->
       """SELECT event_id,

@@ -80,4 +80,39 @@ object Joins {
     val w = Window.partitionBy(partitionKeys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Two-table as-of join: each left row picks the latest right row with
+    * `right.ts <= left.ts` on the same keys (J9 generalized — the lookup the
+    * reference fakes with a correlated max subquery).
+    *
+    * Union-window formulation, not a per-row subquery or range join: tag
+    * sides, union, sort each key group by (ts, side) with right rows first
+    * at equal ts (inclusive match), and carry the last non-null right
+    * payload forward. ONE shuffle on the keys regardless of either side's
+    * size — survives a 100× scale-up where a range join's quadratic bucket
+    * pairs would not. Right/left column names must be disjoint apart from
+    * the keys.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Seq("inner", "left").contains(joinType), s"unsupported: $joinType")
+    val payloadCols = right.columns.filterNot(keys.contains)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).cast("timestamp").as("__ts"),
+        lit(0).as("__side"), struct(payloadCols.map(col): _*).as("__r")): _*)
+    val l = left.select(
+      left.columns.map(col) ++ Seq(col(leftTs).cast("timestamp").as("__ts"),
+        lit(1).as("__side")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val base = if (joinType == "inner") matched.filter(col("__m").isNotNull) else matched
+    base.select(left.columns.map(col) ++
+      payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

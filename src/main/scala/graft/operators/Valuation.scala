@@ -74,14 +74,10 @@ object Valuation {
   def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
 
-  /** Sequential fold over one (item, warehouse) group. Input iterator may be
-    * unordered; the fold sorts by (posting_ts, creation) — the reference's
-    * ORDER BY posting_date, posting_time, creation. */
-  def foldGroup(rows: Iterator[StockLedgerRow], init: State): Iterator[ValuedStockRow] = {
-    val ordered = rows.toArray.sortBy(r => (r.posting_ts.getTime, r.creation.getTime))
-    var st = init
-    ordered.iterator.map { r =>
-      if (ReceiptTypes.contains(r.voucher_type)) {
+  /** One transition of the reference state machine: (row, state) →
+    * (output row, next state). */
+  def step(r: StockLedgerRow, st: State): (ValuedStockRow, State) = {
+    if (ReceiptTypes.contains(r.voucher_type)) {
         val denom = st.bfQty + r.actual_qty
         var avgRate =
           if (r.incoming_rate > 0 && denom != 0)
@@ -99,8 +95,7 @@ object Valuation {
           stock_value_difference = round4(r.actual_qty * r.incoming_rate),
           incoming_rate = r.incoming_rate,
           outgoing_rate = 0.0)
-        st = State(cfQty, avgRate, st.lastValue + round4(r.actual_qty * r.incoming_rate))
-        out
+        (out, State(cfQty, avgRate, st.lastValue + round4(r.actual_qty * r.incoming_rate)))
       } else if (r.voucher_type == "Stock Reconciliation") {
         val out = ValuedStockRow(r.item_code, r.warehouse, r.posting_ts, r.creation,
           r.voucher_type, r.actual_qty,
@@ -110,8 +105,7 @@ object Valuation {
           stock_value_difference = st.lastValue - r.stock_value,
           incoming_rate = r.incoming_rate,
           outgoing_rate = 0.0)
-        st = State(r.qty_after_transaction, r.valuation_rate, r.stock_value)
-        out
+        (out, State(r.qty_after_transaction, r.valuation_rate, r.stock_value))
       } else {
         var avgRate = st.lastAvgRate
         if (avgRate == 0) avgRate = r.valuation_rate
@@ -128,17 +122,54 @@ object Valuation {
           stock_value_difference = svd,
           incoming_rate = if (r.actual_qty > 0) r.incoming_rate else 0.0,
           outgoing_rate = if (r.actual_qty < 0) avgRate else 0.0)
-        st = State(cfQty, avgRate, cfValue)
-        out
+        (out, State(cfQty, avgRate, cfValue))
       }
+  }
+
+  /** Sequential fold over one (item, warehouse) group. Input iterator may be
+    * unordered; the fold sorts by (posting_ts, creation) — the reference's
+    * ORDER BY posting_date, posting_time, creation. */
+  def foldGroup(rows: Iterator[StockLedgerRow], init: State): Iterator[ValuedStockRow] = {
+    val ordered = rows.toArray.sortBy(r => (r.posting_ts.getTime, r.creation.getTime))
+    var st = init
+    ordered.iterator.map { r =>
+      val (out, next) = step(r, st)
+      st = next
+      out
     }
   }
 
   /** Distributed fold: one shuffle on the natural key, then a per-group
-    * in-memory ordered scan (`groupByKey.flatMapGroups`). */
+    * in-memory ordered scan (`groupByKey.flatMapGroups`). Group history must
+    * fit one executor's memory — matches the reference's per-item cursor. */
   def revalue(ds: Dataset[StockLedgerRow], init: State = zeroState): Dataset[ValuedStockRow] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(r => (r.item_code, r.warehouse))
       .flatMapGroups((_, rows) => foldGroup(rows, init))
+  }
+
+  /** Secondary-sort variant for HUGE single-key histories: repartition by
+    * key, sortWithinPartitions by (key, ts, creation), then stream each
+    * partition with O(1) state — Spark's sort spills to disk, so a group
+    * larger than executor memory still folds. Same output as [[revalue]]
+    * (ValuationSpec asserts it). */
+  def revalueStreaming(ds: Dataset[StockLedgerRow],
+                       init: State = zeroState): Dataset[ValuedStockRow] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    ds.repartition(col("item_code"), col("warehouse"))
+      .sortWithinPartitions(col("item_code"), col("warehouse"),
+        col("posting_ts"), col("creation"))
+      .mapPartitions { rows =>
+        var curKey: (String, String) = null
+        var st = init
+        rows.map { r =>
+          val k = (r.item_code, r.warehouse)
+          if (k != curKey) { curKey = k; st = init }
+          val (out, next) = step(r, st)
+          st = next
+          out
+        }
+      }
   }
 }

@@ -65,6 +65,16 @@ class ValuationSpec extends SparkSpec {
     assert(out(0).valuation_rate === 7.0 && out(1).valuation_rate === 7.0)
   }
 
+  test("secondary-sort streaming fold equals flatMapGroups fold") {
+    val ledger = ValuationQueries.syntheticLedger(spark, sf)
+    def key(r: graft.operators.ValuedStockRow) =
+      (r.item_code, r.warehouse, r.posting_ts.getTime, r.creation.getTime)
+    val grouped = Valuation.revalue(ledger).collect().sortBy(key)
+    val streamed = Valuation.revalueStreaming(ledger).collect().sortBy(key)
+    assert(grouped.length === streamed.length && grouped.length > 0)
+    assert(grouped.toSeq === streamed.toSeq)
+  }
+
   test("distributed fold equals sequential fold on the synthetic ledger (sf0.001)") {
     val ledger = ValuationQueries.syntheticLedger(spark, sf)
     val distributed = Valuation.revalue(ledger).collect()
