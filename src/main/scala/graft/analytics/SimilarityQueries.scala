@@ -32,10 +32,16 @@ object SimilarityQueries {
       Similarity.lshTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
           "vec_id", "embedding", K, Dim)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+
+    "q42_ann_ivf" -> { (s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
+          "vec_id", "embedding", K)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }
   )
 
-  def rowsOnly: Set[String] = Set("q32_ann_lsh")
+  def rowsOnly: Set[String] = Set("q32_ann_lsh", "q42_ann_ivf")
 
   def oracleSql: Map[String, String] = Map(
     "q31_ann_bruteforce" ->

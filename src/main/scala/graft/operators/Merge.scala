@@ -39,4 +39,39 @@ object Merge {
   /** U7: plain append branch (insert-only loads). */
   def append(target: DataFrame, inserts: DataFrame): DataFrame =
     target.unionByName(inserts)
+
+  /** Partition-pruned snapshot merge — the 100 TB upsert: the target lives
+    * as parquet partitioned by `partitionCol`, and only partitions that
+    * contain updated keys are read and rewritten. With dynamic partition
+    * overwrite, untouched partitions' files are never opened — merge cost
+    * scales with the DELTA's partition footprint, not the snapshot size.
+    *
+    * Requires `partitionCol` functionally determined by the merge keys
+    * (the reference's aggregate tables are keyed by date+dims, so the date
+    * partition is part of the key — `create_target_pg_hl_table.py:75-77`).
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, targetDir: String,
+                        updates: DataFrame, keys: Seq[String],
+                        partitionCol: String): Unit = {
+    val exists = new java.io.File(targetDir).exists()
+    if (!exists) {
+      updates.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
+      return
+    }
+    // driver-side scalar list of touched partitions → pruned scan
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    val target = spark.read.parquet(targetDir)
+      .filter(col(partitionCol).isin(touched: _*))
+    val merged = upsert(target, updates, keys).cache()
+    merged.count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
+    } finally {
+      prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      merged.unpersist()
+    }
+  }
 }

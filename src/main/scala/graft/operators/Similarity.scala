@@ -83,6 +83,53 @@ object Similarity {
         .as(Seq("band", "bucket")))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nList` centroids
+    * (deterministic corpus sample) partitions the corpus into cells; each
+    * query probes its `nProbe` nearest cells and re-ranks exactly inside
+    * them. Complements [[lshTopK]]: IVF adapts to the data distribution
+    * (clustered embeddings → tight cells), LSH is distribution-free.
+    *
+    * Scale: assignment is one broadcast pass (centroids are tiny); the
+    * candidate join shuffles on the cell id — candidates ≈ corpus ×
+    * nProbe/nList, linear in corpus size.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(n / nList, 1L)
+    // deterministic sample: every step-th row by id rank
+    val wAll = Window.orderBy(col(idCol))
+    val centroids = corpus
+      .withColumn("__rn", row_number().over(wAll))
+      .filter((col("__rn") - 1) % step === 0)
+      .limit(nList)
+      .select((col("__rn") / step).cast("int").as("cell"), col(vecCol).as("cvec"))
+
+    def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(outId), col(vecCol))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+      val w = Window.partitionBy(outId).orderBy(col("__sim").desc, col("cell"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .select(col(outId), col("cell"), col(vecCol))
+    }
+
+    val corpusCells = assign(corpus, "vec_id", keep = 1)
+      .withColumnRenamed(vecCol, "cv")
+    val queryCells = assign(queries, "query_id", keep = nProbe)
+      .withColumnRenamed(vecCol, "qv")
+
+    val scored = queryCells.join(corpusCells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "score")
+      .distinct()
+  }
+
   /** LSH ANN: hyperplane-banded candidates, exact cosine re-rank, top-k.
     * Recall < 1 by construction; verify with [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

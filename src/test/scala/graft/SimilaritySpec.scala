@@ -51,6 +51,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF recall@10 vs brute force is usable; k rows max per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = SimilarityQueries.queryVectors(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall")
+    assert(recall >= 0.2, s"recall $recall below floor")
+    assert(ivf.size <= exact.size)
+  }
+
   test("LSH recall@10 vs brute force is usable and candidates stay sub-quadratic") {
     val emb = Tables.embeddings(spark, sf)
     val qs = SimilarityQueries.queryVectors(spark, sf)
