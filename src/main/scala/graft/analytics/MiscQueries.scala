@@ -50,7 +50,7 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_customers"))
         .crossJoin(total)
         .withColumn("share",
-          round(col("n_customers").cast("double") / col("total_customers"), 4))
+          graft.functions.Rounding.roundLikeC(col("n_customers").cast("double") / col("total_customers"), 4))
         .select("c_mktsegment", "n_customers", "share")
         .orderBy("c_mktsegment")
     },

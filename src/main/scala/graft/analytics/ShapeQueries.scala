@@ -98,7 +98,7 @@ object ShapeQueries {
         sum(when(col("l_quantity").isNull, 1).otherwise(0)).cast("bigint").as("null_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        round(avg(col("l_discount")), 4).as("mean_discount"),
+        graft.functions.Rounding.roundLikeC(avg(col("l_discount")), 4).as("mean_discount"),
         countDistinct(col("l_returnflag")).as("n_flags"))
     }
   )

@@ -51,5 +51,5 @@ object Decodes {
   /** F9: COALESCE + guarded divide — null/zero denominators yield null instead
     * of error (`scripts/test/item_valuation_update.py:362-363`). */
   def safeDiv(num: Column, den: Column, scale: Int = 4): Column =
-    round(when(coalesce(den, lit(0)) =!= 0, coalesce(num, lit(0)) / den), scale)
+    Rounding.roundLikeC(when(coalesce(den, lit(0)) =!= 0, coalesce(num, lit(0)) / den), scale)
 }

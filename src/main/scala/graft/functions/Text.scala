@@ -51,7 +51,7 @@ object Text {
     val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
     val punctScore = lit(1.0) - punctRatio(c)
     val stopScore = lit(1.0) - abs(stopwordRatio(c, stopwords) - 0.1)
-    round(lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2, 4)
+    Rounding.roundLikeC(lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2, 4)
   }
 
   /** Marker-token language-ID heuristic: count hits from per-language marker

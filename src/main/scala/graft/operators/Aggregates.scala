@@ -25,8 +25,8 @@ object Aggregates {
     val inner = df.groupBy(col(dayCol)).agg(aggs.head._1.as(aggs.head._2),
       aggs.tail.map { case (c, a) => c.as(a) }: _*)
     inner.agg(
-      round(avg(col(outer.head._1)), 4).as(outer.head._2),
-      outer.tail.map { case (c, a) => round(avg(col(c)), 4).as(a) }: _*)
+      graft.functions.Rounding.roundLikeC(avg(col(outer.head._1)), 4).as(outer.head._2),
+      outer.tail.map { case (c, a) => graft.functions.Rounding.roundLikeC(avg(col(c)), 4).as(a) }: _*)
   }
 
   /** A6/A7 + O2/O3: top-k by aggregated measure. The `orderBy.limit` pair

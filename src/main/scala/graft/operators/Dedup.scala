@@ -58,7 +58,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
+        graft.functions.Rounding.roundLikeC(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

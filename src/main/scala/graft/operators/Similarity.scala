@@ -53,7 +53,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("score", graft.functions.Rounding.roundLikeC(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
