@@ -77,6 +77,19 @@ object EtlQueries {
         .orderBy("o_orderstatus")
     },
 
+    // F23: CDC change_info JSON — the reference's
+    // `jsonb_build_object('old', OLD.amount, 'new', NEW.amount)` diff object
+    // (`scripts/test/scripts.sql` record_changed_columns).
+    "q43_cdc_json_diff" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id"),
+          to_json(struct(
+            dec(col("value")).cast("string").as("old"),
+            dec(col("value") + 1000).cast("string").as("new"))).as("change_info"))
+        .orderBy("event_id")
+    },
+
     // U9: SCD2 validity intervals built from the per-user event-type history.
     "q20_scd2_history" -> { (s, dir) =>
       Scd2.fromHistory(Tables.events(s, dir).select("user_id", "event_type", "ts"),
@@ -145,6 +158,16 @@ object EtlQueries {
         |FROM merged
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q43_cdc_json_diff" ->
+      """SELECT event_id,
+        |       CAST(json_object(
+        |         'old', CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+        |         'new', CAST(CAST(value + 1000 AS DECIMAL(18,2)) AS VARCHAR)
+        |       ) AS VARCHAR) AS change_info
+        |FROM events
+        |WHERE event_id % 7 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q20_scd2_history" ->
       """WITH h AS (

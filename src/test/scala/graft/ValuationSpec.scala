@@ -57,6 +57,16 @@ class ValuationSpec extends SparkSpec {
       && out(4).outgoing_rate === 3.3333)
   }
 
+  test("non-zero opening balance feeds the first receipt's average") {
+    // opening 10 units @ 3.0 (value 30); receive 10 @ 5.0 →
+    // avg = round((30+50)/20, 4) = 4.0
+    val init = Valuation.State(bfQty = 10, lastAvgRate = 3.0, lastValue = 30)
+    val out = Valuation.foldGroup(
+      Iterator(row(1, "Purchase Receipt", 10, inRate = 5.0, valRate = 5.0, svd = 50.0)),
+      init).toArray
+    assert(out(0).valuation_rate === 4.0 && out(0).qty_after_transaction === 20.0)
+  }
+
   test("zero incoming_rate on a receipt carries the previous rate; zero rate falls back to row valuation_rate") {
     val rows = Seq(
       row(1, "Purchase Receipt", 5, inRate = 0.0, valRate = 7.0), // avg 0 → row rate
