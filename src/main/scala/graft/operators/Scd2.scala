@@ -41,9 +41,14 @@ object Scd2 {
   /** Incremental SCD2 merge: `dim` carries (keys, attrs, valid_from,
     * valid_to, is_current); `incoming` carries (keys, attrs) effective at
     * `effectiveTs`. Unchanged current rows pass through; changed ones close
-    * with `valid_to = effectiveTs` and a new open version is appended. */
+    * with `valid_to = effectiveTs` and a new open version is appended.
+    *
+    * `retireMissing = true` (the dlt scd2 default the reference inherits:
+    * each load is a full snapshot, so keys ABSENT from `incoming` get their
+    * current version closed); pass false for incremental (partial) loads
+    * where absence does not mean deletion. */
   def merge(dim: DataFrame, incoming: DataFrame, keys: Seq[String], attrs: Seq[String],
-            effectiveTs: Column): DataFrame = {
+            effectiveTs: Column, retireMissing: Boolean = false): DataFrame = {
     val in = incoming.select((keys ++ attrs).map(col): _*)
     val attrState = struct(attrs.map(col): _*)
     val current = dim.filter(col("is_current"))
@@ -69,11 +74,21 @@ object Scd2 {
         effectiveTs.as("valid_from"),
         lit(null).cast("timestamp").as("valid_to"),
         lit(true).as("is_current")): _*)
-    // untouched current rows
-    val untouched = current.join(
-      changed.filter(col("cur.valid_from").isNotNull).select(keys.map(col): _*),
-      keys, "left_anti")
+    // keys present in dim but absent from the load — retired under full-
+    // snapshot semantics, passed through under incremental semantics
+    val missing = current.join(in.select(keys.map(col): _*), keys, "left_anti")
+    val retired =
+      if (retireMissing)
+        missing.withColumn("valid_to", effectiveTs).withColumn("is_current", lit(false))
+      else missing
 
-    historical.unionByName(untouched).unionByName(closed).unionByName(opened)
+    // untouched current rows (present in the load, attributes unchanged)
+    val untouched = current
+      .join(in.select(keys.map(col): _*), keys, "left_semi")
+      .join(changed.filter(col("cur.valid_from").isNotNull).select(keys.map(col): _*),
+        keys, "left_anti")
+
+    historical.unionByName(untouched).unionByName(retired)
+      .unionByName(closed).unionByName(opened)
   }
 }

@@ -65,6 +65,26 @@ class Scd2Spec extends SparkSpec {
       .filter($"count" > 1).isEmpty)
   }
 
+  test("retireMissing=true closes keys absent from the load (dlt full-snapshot semantics)") {
+    val dim = Seq(
+      (1, "red", ts("2024-01-01 00:00:00"), null.asInstanceOf[Timestamp], true),
+      (2, "green", ts("2024-01-15 00:00:00"), null.asInstanceOf[Timestamp], true)
+    ).toDF("id", "colour", "valid_from", "valid_to", "is_current")
+    val incoming = Seq((1, "red")).toDF("id", "colour") // id=2 gone upstream
+
+    val retired = Scd2.merge(dim, incoming, Seq("id"), Seq("colour"),
+      lit(ts("2024-05-01 00:00:00")), retireMissing = true)
+    val r2 = retired.filter($"id" === 2).head()
+    assert(!r2.getAs[Boolean]("is_current")
+      && r2.getAs[Timestamp]("valid_to") === ts("2024-05-01 00:00:00"))
+    assert(retired.filter($"id" === 1).head().getAs[Boolean]("is_current"))
+
+    // incremental semantics: absence is not deletion
+    val kept = Scd2.merge(dim, incoming, Seq("id"), Seq("colour"),
+      lit(ts("2024-05-01 00:00:00")))
+    assert(kept.filter($"id" === 2).head().getAs[Boolean]("is_current"))
+  }
+
   test("merge is a no-op when incoming equals current state") {
     val dim = Seq((1, "red", ts("2024-01-01 00:00:00"), null.asInstanceOf[Timestamp], true))
       .toDF("id", "colour", "valid_from", "valid_to", "is_current")
