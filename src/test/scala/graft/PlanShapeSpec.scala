@@ -46,6 +46,31 @@ class PlanShapeSpec extends SparkSpec {
       "expected partial and final HashAggregate stages")
   }
 
+  test("q21 hierarchy: left joins broadcast the dimension side") {
+    val p = plan("q21_hierarchy_rollup")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q41 as-of join: ONE hash shuffle regardless of side sizes") {
+    val p = plan("q41_asof_join")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected exactly 1 hash exchange, got $hashExchanges:\n${p.take(1500)}")
+    assert(p.contains("Window"), "as-of must be the union-window formulation")
+  }
+
+  test("q38 sessionize: windows share the user_id partitioning (no re-shuffle between them)") {
+    val p = plan("q38_sessionize_batch")
+    // lag + cumsum windows over the same (user_id, ts) ordering must plan as
+    // consecutive Window nodes over ONE exchange
+    val idx = p.indexOf("Exchange hashpartitioning(user_id")
+    assert(idx >= 0, p.take(1500))
+    val afterFirst = p.substring(0, idx)
+    assert("Window".r.findAllIn(afterFirst).length >= 2 ||
+      "Window".r.findAllIn(p).length >= 2, "expected both windows planned")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      "lag and cumsum must reuse one user_id shuffle")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
