@@ -55,6 +55,28 @@ object Joins {
       .limit(topK)
   }
 
+  /** One-shuffle variant of [[basketPairs]]: collect each basket's distinct
+    * item set (one shuffle, map-side combined), expand ordered pairs from
+    * the sorted set in a projection, count pairs (second, much smaller
+    * shuffle after map-side combine). Same result (JoinsSpec); preferable
+    * at scale because the self-join's basket-key shuffle carried EVERY item
+    * row twice, while this carries each basket once. Baskets are bounded
+    * (items per order), so the per-row expansion is bounded too. */
+  def basketPairsViaSets(items: DataFrame, basketKeys: Seq[String], itemCol: String,
+                         topK: Int): DataFrame = {
+    val sets = items.groupBy(basketKeys.map(col): _*)
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+    val pairs = sets.select(explode(expr(
+      """flatten(transform(__items, (x, i) ->
+        |  transform(slice(__items, i + 2, size(__items)), y -> struct(x AS item_a, y AS item_b))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+    pairs.groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("item_a"), asc("item_b"))
+      .limit(topK)
+  }
+
   /** J6: left join + null-test classification
     * (`scripts/SQL/new_v_return_plus_retention_rate.sql:34-41`). */
   def classify(left: DataFrame, right: DataFrame, keys: Seq[String],
