@@ -19,13 +19,17 @@ import graft.functions.Text
 object Dedup {
 
   /** Exact dedup: keep the first row per text fingerprint, ordered by
-    * `keepOrder` (deterministic survivor choice). */
+    * `keepOrder` (deterministic survivor choice — must totally order rows
+    * within a fingerprint).
+    *
+    * min_by aggregation, not a window: the partial aggregate keeps ONE row
+    * per fingerprint per map task, so the shuffle carries surviving
+    * candidates only — a window would shuffle and sort every duplicate. */
   def exact(df: DataFrame, textCol: String, keepOrder: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(keepOrder: _*)
-    df.withColumn("fingerprint", Text.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val withFp = df.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+    withFp.groupBy(col("fingerprint"))
+      .agg(min_by(struct(df.columns.map(col): _*), struct(keepOrder: _*)).as("__r"))
+      .select(col("__r.*"), col("fingerprint"))
   }
 
   /** Exact pairwise token-set Jaccard via inverted-index self-join.
