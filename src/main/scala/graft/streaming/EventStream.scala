@@ -68,6 +68,16 @@ object EventStream {
         })
   }
 
+  /** Streaming exactly-once-per-key dedup: drops re-deliveries of the same
+    * key arriving within the watermark horizon — state holds one entry per
+    * key seen, evicted as the watermark passes (bounded by the horizon, not
+    * the stream length). The streaming face of Dedup.exact for at-least-once
+    * ingestion paths. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** T3 CDC-consumer sink shape: each micro-batch upserts into a parquet
     * snapshot target via the engine's Merge operator — the Structured
     * Streaming equivalent of the reference's Kafka-topic-to-table apply loop
