@@ -35,11 +35,11 @@ object EtlLog {
       errormessage: String)
 
   /** Step 1: read current watermark — max over successful runs of one source
-    * (`dags/hanger_lane.py:128-133`). */
+    * (`dags/hanger_lane.py:128-133`). Existence goes through the Hadoop FS
+    * API — `java.io.File` answers false for HDFS/S3 paths, which would turn
+    * every run into a full re-extract. */
   def readWatermark(spark: SparkSession, logDir: String, source: String): Option[Timestamp] = {
-    val path = new java.io.File(logDir)
-    if (!path.exists() || path.listFiles().forall(!_.getName.endsWith(".parquet")))
-      return None
+    if (!SnapshotIO.hasParquet(spark, logDir)) return None
     val row = spark.read.parquet(logDir)
       .filter(col("source_connection") === source && col("success"))
       .agg(max(col("lastextractdatetime")))

@@ -41,55 +41,61 @@ object Pipeline {
                      targetDir: String, logDir: String,
                      sourceName: String): RunReport = {
     val start = new Timestamp(System.currentTimeMillis())
+    // never a wall-clock watermark: a skip/failure before any data exists
+    // logs the epoch, which cannot mask rows landed later (ref invariant:
+    // watermark comes from the DATA max, `dags/hanger_lane.py:475-480`)
+    val epoch = new Timestamp(0L)
     val wmBefore = EtlLog.readWatermark(spark, logDir, sourceName)
 
     // bootstrap: first run starts from min(cursor) inclusive (ref `:235`)
-    val (slice, strict) = wmBefore match {
-      case Some(wm) => (EtlLog.incremental(source, cursorCol, wm, strict = true), true)
+    val slice = wmBefore match {
+      case Some(wm) => EtlLog.incremental(source, cursorCol, wm, strict = true)
       case None =>
-        val min = EtlLog.bootstrap(source, cursorCol)
-        (min.map(m => EtlLog.incremental(source, cursorCol, m, strict = false))
-          .getOrElse(source.limit(0)), false)
+        EtlLog.bootstrap(source, cursorCol)
+          .map(m => EtlLog.incremental(source, cursorCol, m, strict = false))
+          .getOrElse(source.limit(0))
     }
 
-    // probe-and-branch (ref `:606-615`): empty slice → skip, but still log
     val extracted = slice.cache()
-    val n = extracted.count()
+    var n = 0L // visible to the failure log even if count() itself fails
     try {
+      // probe-and-branch (ref `:606-615`): empty slice → skip, but still log
+      n = extracted.count()
       if (n == 0) {
         EtlLog.append(spark, logDir, EtlLog.LogEntry(
           java.util.UUID.randomUUID().toString, sourceName, 0, start,
           new Timestamp(System.currentTimeMillis()),
-          wmBefore.getOrElse(start), success = true, "skipped_no_new_data", ""))
+          wmBefore.getOrElse(epoch), success = true, "skipped_no_new_data", ""))
         return RunReport(sourceName, 0, wmBefore, wmBefore, skipped = true)
       }
 
-      // watermark advances to the DATA max, never the wall clock (ref `:475-480`)
+      // watermark advances to the DATA max, never the wall clock
       val wmAfter = Option(extracted.agg(max(col(cursorCol))).head().getTimestamp(0))
 
       val transformed = transform(extracted)
-      val target = scala.util.Try(spark.read.parquet(targetDir)).toOption
-      val merged = target match {
-        case Some(t) => Merge.upsert(t, transformed, keys)
-        case None => transformed
-      }
-      val staged = merged.cache()
-      staged.count()
-      staged.write.mode("overwrite").parquet(targetDir)
-      staged.unpersist()
+      // existence via the Hadoop FS (java.io.File lies on HDFS/S3); a READ
+      // failure of an existing snapshot must raise — swallowing it would
+      // silently truncate the target to this run's delta
+      val merged =
+        if (SnapshotIO.exists(spark, targetDir))
+          Merge.upsert(spark.read.parquet(targetDir), transformed, keys)
+        else transformed
+      // staging + swap, never overwrite the directory the plan reads
+      SnapshotIO.replace(spark, merged, targetDir)
 
       EtlLog.append(spark, logDir, EtlLog.LogEntry(
         java.util.UUID.randomUUID().toString, sourceName, n, start,
         new Timestamp(System.currentTimeMillis()),
-        wmAfter.getOrElse(wmBefore.getOrElse(start)), success = true, "success", ""))
+        wmAfter.getOrElse(wmBefore.getOrElse(epoch)), success = true, "success", ""))
       RunReport(sourceName, n, wmBefore, wmAfter, skipped = false)
     } catch {
       case e: Throwable =>
-        // log written on failure too (ref `:510-537`)
+        // log written on failure too (ref `:510-537`) — including extraction
+        // failures, which is why count() lives inside this try
         EtlLog.append(spark, logDir, EtlLog.LogEntry(
           java.util.UUID.randomUUID().toString, sourceName, n, start,
           new Timestamp(System.currentTimeMillis()),
-          wmBefore.getOrElse(start), success = false, "failed", e.getMessage))
+          wmBefore.getOrElse(epoch), success = false, "failed", e.getMessage))
         throw e
     } finally extracted.unpersist()
   }

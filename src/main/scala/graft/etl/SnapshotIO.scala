@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot filesystem mechanics shared by the merge/pipeline sinks.
+  *
+  * Two invariants the naive patterns break:
+  *   - existence probes must go through the Hadoop FileSystem API —
+  *     `java.io.File` silently answers false on HDFS/S3 paths, which would
+  *     turn every incremental run into a full bootstrap;
+  *   - a plan whose lineage READS the target directory must never overwrite
+  *     that directory in place (cache loss between materialization and write
+  *     would recompute from files the overwrite already deleted). Writes go
+  *     to a staging directory and swap in via rename — atomic per directory
+  *     on HDFS/local; on object stores swap non-atomicity is the documented
+  *     residual (a real deployment fronts it with a manifest commit).
+  */
+object SnapshotIO {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir))
+
+  /** True when the directory exists AND holds at least one parquet file —
+    * an existing-but-empty state dir (fresh checkout, cleaned run) must read
+    * as "no state", not as an unreadable snapshot. */
+  def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
+  }
+
+  /** Replace the whole snapshot: write staging, delete old, rename. */
+  def replace(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    val staging = dir + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("overwrite").parquet(staging)
+    val f = fs(spark, dir)
+    val target = new Path(dir)
+    if (f.exists(target)) f.delete(target, true)
+    if (!f.rename(new Path(staging), target))
+      throw new java.io.IOException(s"rename $staging -> $dir failed")
+  }
+
+  /** Replace ONLY the partitions present in `df` (written partitioned by
+    * `partitionCol`): write staging partitioned, then swap each staged
+    * partition directory into the target. Untouched partitions' files are
+    * never opened or rewritten. */
+  def replacePartitions(spark: SparkSession, df: DataFrame, dir: String,
+                        partitionCol: String): Unit = {
+    val staging = dir + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(staging)
+    val f = fs(spark, dir)
+    try {
+      f.mkdirs(new Path(dir))
+      val parts = f.listStatus(new Path(staging))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      parts.foreach { s =>
+        val dest = new Path(dir, s.getPath.getName)
+        if (f.exists(dest)) f.delete(dest, true)
+        if (!f.rename(s.getPath, dest))
+          throw new java.io.IOException(s"rename ${s.getPath} -> $dest failed")
+      }
+    } finally f.delete(new Path(staging), true)
+  }
+}

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** U4/U5/U8: upsert `updates` into `target` on `keys`. */
+  /** U4/U5/U8: upsert `updates` into `target` on `keys`. Null merge keys are
+    * matched null-safely (a null-keyed target row IS replaced by a
+    * null-keyed update) — a plain equi anti-join would never match them and
+    * the re-merge would duplicate the row each run, breaking idempotence. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
              lastWriteOrder: Option[Column] = None): DataFrame = {
     val deduped = lastWriteOrder match {
@@ -32,7 +35,9 @@ object Merge {
           .filter(col("__rn") === 1).drop("__rn")
       case None => updates.dropDuplicates(keys)
     }
-    target.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+    val updateKeys = deduped.select(keys.map(k => col(k).as(s"__k_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    target.join(updateKeys, cond, "left_anti")
       .unionByName(deduped)
   }
 
@@ -53,8 +58,8 @@ object Merge {
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, targetDir: String,
                         updates: DataFrame, keys: Seq[String],
                         partitionCol: String): Unit = {
-    val exists = new java.io.File(targetDir).exists()
-    if (!exists) {
+    import graft.etl.SnapshotIO
+    if (!SnapshotIO.exists(spark, targetDir)) {
       updates.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
       return
     }
@@ -63,15 +68,9 @@ object Merge {
       .collect().map(_.get(0))
     val target = spark.read.parquet(targetDir)
       .filter(col(partitionCol).isin(touched: _*))
-    val merged = upsert(target, updates, keys).cache()
-    merged.count()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      merged.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
-    } finally {
-      prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
-      merged.unpersist()
-    }
+    val merged = upsert(target, updates, keys)
+    // staging + per-partition swap: the merged plan reads the very files a
+    // direct overwrite would delete mid-job (SnapshotIO scaladoc)
+    SnapshotIO.replacePartitions(spark, merged, targetDir, partitionCol)
   }
 }

@@ -23,14 +23,18 @@ object Scd2 {
   def fromHistory(history: DataFrame, keys: Seq[String], attrs: Seq[String],
                   tsCol: String): DataFrame = {
     val keyCols = keys.map(col)
-    val ordered = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), monotonically_increasing_id())
+    // one materialized tiebreaker shared by BOTH windows — with different
+    // orderings, same-timestamp changes could compress on one ordering and
+    // lead() on another, yielding nondeterministic intervals
+    val seq = history.withColumn("__seq", monotonically_increasing_id())
+    val ordered = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col("__seq"))
     // keep only rows where some attribute differs from the previous state
     val attrStruct = struct(attrs.map(col): _*)
-    val changedOnly = history
+    val changedOnly = seq
       .withColumn("__prev", lag(attrStruct, 1).over(ordered))
       .filter(col("__prev").isNull || !(col("__prev") <=> attrStruct))
       .drop("__prev")
-    val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col("__seq"))
     changedOnly
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
@@ -43,10 +47,10 @@ object Scd2 {
     * `effectiveTs`. Unchanged current rows pass through; changed ones close
     * with `valid_to = effectiveTs` and a new open version is appended.
     *
-    * `retireMissing = true` (the dlt scd2 default the reference inherits:
-    * each load is a full snapshot, so keys ABSENT from `incoming` get their
-    * current version closed); pass false for incremental (partial) loads
-    * where absence does not mean deletion. */
+    * `retireMissing` defaults to FALSE (incremental loads: absence is not
+    * deletion). Pass true for dlt-style full-snapshot loads — the mode the
+    * reference's scd2 pipeline runs in — where keys ABSENT from `incoming`
+    * get their current version closed at `effectiveTs`. */
   def merge(dim: DataFrame, incoming: DataFrame, keys: Seq[String], attrs: Seq[String],
             effectiveTs: Column, retireMissing: Boolean = false): DataFrame = {
     val in = incoming.select((keys ++ attrs).map(col): _*)

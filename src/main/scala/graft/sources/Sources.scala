@@ -107,7 +107,8 @@ object Synthetic {
     * loop: fully distributed, reproducible, any size. */
   def transactions(spark: SparkSession, n: Long, seed: Int = 42): DataFrame = {
     val categories = Seq("grocery", "fuel", "apparel", "electronics", "dining")
-    val h = abs(xxhash64(col("id"), lit(seed)))
+    // pmod, not abs: abs(Long.MinValue) stays negative (two's complement)
+    val h = pmod(xxhash64(col("id"), lit(seed)), lit(Long.MaxValue))
     spark.range(n).select(
       col("id").as("txn_id"),
       md5(concat(col("id").cast("string"), lit(seed))).as("txn_uuid"),

@@ -85,16 +85,11 @@ object EventStream {
     * merges, rewrites — same semantics as `dags/upsert_utils.py`. */
   def upsertBatch(targetDir: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val target = scala.util.Try(spark.read.parquet(targetDir)).toOption
-    val merged = target match {
-      case Some(t) => graft.operators.Merge.upsert(t, batch, keys)
-      case None => batch
-    }
-    // snapshot rewrite: stage then swap would be atomic on a real object
-    // store; local parquet overwrite stands in for it here
-    val staged = merged.cache()
-    staged.count()
-    staged.write.mode("overwrite").parquet(targetDir)
-    staged.unpersist()
+    val merged =
+      if (graft.etl.SnapshotIO.exists(spark, targetDir))
+        graft.operators.Merge.upsert(spark.read.parquet(targetDir), batch, keys)
+      else batch
+    // staging + swap — the merged plan reads the target it replaces
+    graft.etl.SnapshotIO.replace(spark, merged, targetDir)
   }
 }

@@ -44,6 +44,16 @@ class MergeSpec extends SparkSpec {
     assert(out.groupBy("k").count().filter($"count" > 1).isEmpty)
   }
 
+  test("null merge keys match null-safely (idempotent, no duplication)") {
+    val t = Seq((Some(1), "a", 10), (None, "nullkey", 20)).toDF("k", "name", "v")
+    val u = Seq((Option.empty[Int], "nullkey2", 21)).toDF("k", "name", "v")
+    val once = Merge.upsert(t, u, Seq("k"))
+    assert(once.count() === 2)
+    assert(once.filter($"k".isNull).select("name").as[String].head() === "nullkey2")
+    val twice = Merge.upsert(once, u, Seq("k"))
+    assert(twice.count() === 2)
+  }
+
   test("append keeps all rows (insert-only branch)") {
     val ins = Seq((4, "d", 40)).toDF("k", "name", "v")
     assert(Merge.append(tgt, ins).count() === 4)
