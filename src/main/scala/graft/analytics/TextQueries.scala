@@ -47,8 +47,9 @@ object TextQueries {
       Tables.documents(s, dir).select(
           col("doc_id"),
           length(col("text")).as("n_chars"),
-          round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
-          round(Text.stopwordRatio(col("text"), Stopwords), 4).as("stopword_ratio"),
+          graft.functions.Rounding.roundLikeC(Text.punctRatio(col("text")), 4).as("punct_ratio"),
+          graft.functions.Rounding.roundLikeC(
+            Text.stopwordRatio(col("text"), Stopwords), 4).as("stopword_ratio"),
           Text.qualityScore(col("text"), Stopwords).as("quality"))
         .orderBy("doc_id")
     },

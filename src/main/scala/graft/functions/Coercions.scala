@@ -20,8 +20,10 @@ object Coercions {
     * the guard total under ANSI mode (Spark 4 default) without a UDF.
     */
   def digitGuardInt(c: Column, default: Int = 0): Column =
-    when(c.cast("string").rlike("^[0-9]+$"), c.cast("string").try_cast("int"))
-      .otherwise(lit(default))
+    // outer coalesce: an all-digit string beyond int range overflows
+    // try_cast to null — the guard stays total and yields the default
+    coalesce(when(c.cast("string").rlike("^[0-9]+$"), c.cast("string").try_cast("int"))
+      .otherwise(lit(default)), lit(default))
 
   /** F17: `float(x) or 0.0` — null/unparsable/zero all collapse to default. */
   def floatOrDefault(c: Column, default: Double = 0.0): Column = {

@@ -43,12 +43,12 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, dfMaxFraction: Double = 1.0): DataFrame = {
-    val nDocs = df.count()
     val toks = df.select(col(idCol).as("id"),
         explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
     val kept =
       if (dfMaxFraction >= 1.0) toks
       else {
+        val nDocs = df.count() // only the pruning branch pays this pass
         val hubs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") > lit(nDocs * dfMaxFraction)).select("tok")
         toks.join(hubs, Seq("tok"), "left_anti")
@@ -100,7 +100,8 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, text) =>
+        rows.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0 // null-tolerant like Dedup.exact
           val toks = text.trim.split("\\s+")
           val sh: Array[String] =
             if (toks.length >= k) Array.tabulate(toks.length - k + 1)(i =>
@@ -165,7 +166,8 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"),
         transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("hashes"))
       .as[(Long, Seq[Long])]
-      .map { case (id, hashes) =>
+      .map { case (id, hashes0) =>
+        val hashes = if (hashes0 == null) Seq.empty[Long] else hashes0 // null text
         var sig = 0L
         var bit = 0
         while (bit < 64) {

@@ -63,11 +63,18 @@ object Merge {
       updates.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
       return
     }
-    // driver-side scalar list of touched partitions → pruned scan
+    // driver-side scalar list of touched partitions → pruned scan. isin
+    // never matches null, so a touched null partition needs its own
+    // disjunct — without it the existing null-partition rows vanish from
+    // the merge but their directory still gets swapped.
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
-    val target = spark.read.parquet(targetDir)
-      .filter(col(partitionCol).isin(touched: _*))
+    val (nullTouched, nonNull) = touched.partition(_ == null)
+    val partFilter = {
+      val in = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*) else lit(false)
+      if (nullTouched.nonEmpty) in || col(partitionCol).isNull else in
+    }
+    val target = spark.read.parquet(targetDir).filter(partFilter)
     val merged = upsert(target, updates, keys)
     // staging + per-partition swap: the merged plan reads the very files a
     // direct overwrite would delete mid-job (SnapshotIO scaladoc)

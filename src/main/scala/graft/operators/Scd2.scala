@@ -62,9 +62,14 @@ object Scd2 {
       .join(in.withColumn("__inc", lit(true)).alias("inc"), keys, "full_outer")
     def curAttr(a: String) = col(s"cur.$a")
     def incAttr(a: String) = col(s"inc.$a")
+    // brand-new keys (no current version) always open, even when every
+    // incoming attribute is null — the null<=>null struct comparison would
+    // otherwise classify them as "unchanged" and drop them. Keys must be
+    // non-null (dimension PK semantics, as in the reference's ProductID).
     val changed = joined.filter(
       col("__inc").isNotNull &&
-        !(struct(attrs.map(curAttr): _*) <=> struct(attrs.map(incAttr): _*)))
+        (col("cur.valid_from").isNull ||
+          !(struct(attrs.map(curAttr): _*) <=> struct(attrs.map(incAttr): _*))))
 
     // close changed current versions (those that exist in dim)
     val closed = changed.filter(col("cur.valid_from").isNotNull)

@@ -97,13 +97,28 @@ object Similarity {
               vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val n = corpus.count()
     val step = math.max(n / nList, 1L)
-    // deterministic sample: every step-th row by id rank
-    val wAll = Window.orderBy(col(idCol))
-    val centroids = corpus
-      .withColumn("__rn", row_number().over(wAll))
-      .filter((col("__rn") - 1) % step === 0)
+    // deterministic hash sample — no global sort (a single-partition
+    // row_number window would funnel the whole corpus through one task);
+    // the ~nList sampled vectors are tiny and collect to the driver to get
+    // stable cell ids
+    val spark = corpus.sparkSession
+    val sampled = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(step)) === 0)
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)) // deterministic choice among sampled
       .limit(nList)
-      .select((col("__rn") / step).cast("int").as("cell"), col(vecCol).as("cvec"))
+      .collect()
+    require(sampled.nonEmpty, "corpus too small to sample centroids")
+    import scala.jdk.CollectionConverters._
+    val centroids = spark.createDataFrame(
+      sampled.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.get(1))
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          corpus.schema(vecCol).dataType))))
 
     def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(outId), col(vecCol))
@@ -122,7 +137,7 @@ object Similarity {
 
     val scored = queryCells.join(corpusCells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("score", graft.functions.Rounding.roundLikeC(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -147,7 +162,7 @@ object Similarity {
     val scored = cands
       .join(broadcast(q), "query_id")
       .join(c, "vec_id")
-      .withColumn("score", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("score", graft.functions.Rounding.roundLikeC(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

@@ -110,27 +110,38 @@ object Expectations {
     case ColumnExists(_) => Seq.empty
   }
 
+  /** Aggregates over zero rows (or all-null columns) come back null; unboxing
+    * through getAs[Long] would NPE — exactly on the empty/all-null tables a
+    * DQ gate exists to catch. */
+  private def optLong(row: org.apache.spark.sql.Row, name: String): Option[Long] =
+    if (row.isNullAt(row.fieldIndex(name))) None else Some(row.getAs[Long](name))
+  private def optDouble(row: org.apache.spark.sql.Row, name: String): Option[Double] =
+    if (row.isNullAt(row.fieldIndex(name))) None else Some(row.getAs[Double](name))
+
   private def evaluate(e: Expectation, i: Int,
                        row: org.apache.spark.sql.Row, n: Long): Result = e match {
     case x @ RowCountEquals(m) => Result(x.describe, n == m, s"row_count=$n")
     case x @ RowCountBetween(lo, hi) => Result(x.describe, n >= lo && n <= hi, s"row_count=$n")
     case x @ NotNull(_, mostly) =>
-      val nulls = row.getAs[Long](s"__e$i")
+      val nulls = optLong(row, s"__e$i").getOrElse(0L)
       val frac = if (n == 0) 1.0 else (n - nulls).toDouble / n
       Result(x.describe, frac >= mostly, f"non_null_fraction=$frac%.4f")
     case x @ Unique(_) =>
-      val distinct = row.getAs[Long](s"__e$i")
-      val nonNull = row.getAs[Long](s"__e${i}b")
+      val distinct = optLong(row, s"__e$i").getOrElse(0L)
+      val nonNull = optLong(row, s"__e${i}b").getOrElse(0L)
       Result(x.describe, distinct == nonNull, s"distinct=$distinct non_null=$nonNull")
     case x @ ValuesIn(_, _) =>
-      val bad = row.getAs[Long](s"__e$i")
+      val bad = optLong(row, s"__e$i").getOrElse(0L)
       Result(x.describe, bad == 0, s"out_of_set=$bad")
     case x @ MinBetween(_, lo, hi) =>
-      val v = row.getAs[Double](s"__e$i"); Result(x.describe, v >= lo && v <= hi, s"min=$v")
+      val v = optDouble(row, s"__e$i")
+      Result(x.describe, v.exists(d => d >= lo && d <= hi), s"min=${v.orNull}")
     case x @ MaxBetween(_, lo, hi) =>
-      val v = row.getAs[Double](s"__e$i"); Result(x.describe, v >= lo && v <= hi, s"max=$v")
+      val v = optDouble(row, s"__e$i")
+      Result(x.describe, v.exists(d => d >= lo && d <= hi), s"max=${v.orNull}")
     case x @ MeanBetween(_, lo, hi) =>
-      val v = row.getAs[Double](s"__e$i"); Result(x.describe, v >= lo && v <= hi, s"mean=$v")
+      val v = optDouble(row, s"__e$i")
+      Result(x.describe, v.exists(d => d >= lo && d <= hi), s"mean=${v.orNull}")
     case x @ ColumnExists(_) => Result(x.describe, passed = true, "")
   }
 }

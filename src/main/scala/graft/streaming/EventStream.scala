@@ -53,17 +53,31 @@ object EventStream {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.end), s.n, s.total))
           } else {
-            val events = batch.toSeq
-            val lo = events.map(_.ts.getTime).min
-            val hi = events.map(_.ts.getTime).max
-            val merged = state.getOption match {
-              case Some(s) => SessionState(math.min(s.start, lo), math.max(s.end, hi),
-                s.n + events.size, s.total + events.map(_.value).sum)
-              case None => SessionState(lo, hi, events.size, events.map(_.value).sum)
+            // fold events in time order, SPLITTING on the gap — an event can
+            // arrive before the old session's timeout fires and must still
+            // start a new session (and close the old one) if the gap passed
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end > gapMs =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.end + gapMs)
-            Iterator.empty
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
           }
         })
   }
@@ -83,12 +97,19 @@ object EventStream {
     * Streaming equivalent of the reference's Kafka-topic-to-table apply loop
     * (`scripts/test/transform.py:46-83`). Reads the current snapshot,
     * merges, rewrites — same semantics as `dags/upsert_utils.py`. */
-  def upsertBatch(targetDir: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+  /** `orderCol`: within-batch last-write-wins ordering (CDC offset/ts) — a
+    * micro-batch can carry several updates for one key, and without an
+    * ordering the survivor is arbitrary. Single-row-per-key batches may omit
+    * it. */
+  def upsertBatch(targetDir: String, keys: Seq[String],
+                  orderCol: Option[String] = None)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val order = orderCol.map(org.apache.spark.sql.functions.col)
     val merged =
       if (graft.etl.SnapshotIO.exists(spark, targetDir))
-        graft.operators.Merge.upsert(spark.read.parquet(targetDir), batch, keys)
-      else batch
+        graft.operators.Merge.upsert(spark.read.parquet(targetDir), batch, keys, order)
+      else // bootstrap: same within-batch dedup path against an empty target
+        graft.operators.Merge.upsert(batch.limit(0), batch, keys, order)
     // staging + swap — the merged plan reads the target it replaces
     graft.etl.SnapshotIO.replace(spark, merged, targetDir)
   }

@@ -68,8 +68,14 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val out = spark.table("sessions").as[EventStream.Session]
-      .collect().filter(_.user_id < 9).sortBy(_.user_id)
+    val all = spark.table("sessions").as[EventStream.Session].collect()
+    // user 9's 13:00 event arrived before the 12:00 session's timeout fired
+    // but past the gap — it must SPLIT, closing the 12:00 session
+    val u9 = all.filter(_.user_id == 9)
+    assert(u9.length === 1 && u9.head.session_start === ts("2024-01-01 12:00:00")
+      && u9.head.n_events === 1)
+
+    val out = all.filter(_.user_id < 9).sortBy(_.user_id)
     assert(out.length === 2)
     assert(out(0).user_id === 1 && out(0).n_events === 2
       && out(0).session_start === ts("2024-01-01 00:00:00")
