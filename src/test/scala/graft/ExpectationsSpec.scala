@@ -62,6 +62,18 @@ class ExpectationsSpec extends SparkSpec {
     Expectations.validate(df, Seq(RowCountEquals(4))) // no raise
   }
 
+  test("empty table and all-null columns fail gracefully, not with NPE") {
+    val empty = df.filter($"id" < 0)
+    val results = Expectations.run(empty, Seq(
+      RowCountEquals(4), NotNull("cat"), Unique("id"), MeanBetween("v", 0, 100)))
+    assert(results.map(_.passed) === Seq(false, true, true, false))
+
+    val allNull = df.withColumn("v", org.apache.spark.sql.functions.lit(null).cast("double"))
+    val r2 = Expectations.run(allNull, Seq(
+      MinBetween("v", 0, 100), MaxBetween("v", 0, 100), MeanBetween("v", 0, 100)))
+    assert(r2.forall(!_.passed))
+  }
+
   test("GE-suite shape over a real fixture (lineitem contract)") {
     val li = Tables.lineitem(spark, sf)
     val results = Expectations.validate(li, Seq(

@@ -46,6 +46,19 @@ class PartitionedMergeSpec extends SparkSpec {
       (3, "2024-01-02", 30), (4, "2024-01-03", 40), (9, "2024-01-01", 90)))
   }
 
+  test("null-partition rows survive a null-partition upsert") {
+    val dir = Files.createTempDirectory("pmerge3").toString + "/t"
+    val base = Seq((1, Option.empty[String], 10), (2, None, 20), (3, Some("2024-01-01"), 30))
+      .toDF("k", "day", "v")
+    Merge.upsertPartitioned(spark, dir, base, Seq("k"), "day")
+    val updates = Seq((1, Option.empty[String], 99)).toDF("k", "day", "v")
+    Merge.upsertPartitioned(spark, dir, updates, Seq("k"), "day")
+    val got = spark.read.parquet(dir).select("k", "v").as[(Int, Int)]
+      .collect().sortBy(_._1)
+    // k=2 (untouched null-partition row) must survive the swap
+    assert(got.toSeq === Seq((1, 99), (2, 20), (3, 30)))
+  }
+
   test("first write bootstraps the partitioned snapshot") {
     val dir = Files.createTempDirectory("pmerge2").toString + "/t"
     val df = Seq((1, "2024-02-01", 1)).toDF("k", "day", "v")

@@ -93,6 +93,20 @@ class DedupSpec extends SparkSpec {
     assert(found.length === cloneIds.length && found.forall(_._3 === 0))
   }
 
+  test("minhash and simhash tolerate null text like the exact path") {
+    val df = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(df, "doc_id", "text", 3, 8).count() === 2)
+    assert(Dedup.simhash(df, "doc_id", "text").count() === 2)
+  }
+
+  test("digitGuardInt: int-overflowing digit strings yield the default") {
+    import org.apache.spark.sql.functions.col
+    val v = Seq("99999999999").toDF("x")
+      .select(graft.functions.Coercions.digitGuardInt(col("x")).as("v"))
+      .as[Int].head()
+    assert(v === 0)
+  }
+
   test("shingles produce k-grams; short docs fall back to full text") {
     val df = Seq("a b c d", "x y").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("s"))
