@@ -25,10 +25,19 @@ object Tables {
     * truncate to microseconds — the same ns→µs truncation DuckDB applies when
     * it reads this file, so oracle comparison sees identical instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    // scoped: the conf is only needed during eager schema conversion at
+    // read time — leaving it set would silently turn every later
+    // TIMESTAMP(NANOS) column session-wide into LongType
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -77,7 +77,7 @@ object Pipeline {
       // failure of an existing snapshot must raise — swallowing it would
       // silently truncate the target to this run's delta
       val merged =
-        if (SnapshotIO.exists(spark, targetDir))
+        if (SnapshotIO.hasParquet(spark, targetDir))
           Merge.upsert(spark.read.parquet(targetDir), transformed, keys)
         else transformed
       // staging + swap, never overwrite the directory the plan reads

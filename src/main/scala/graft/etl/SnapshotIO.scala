@@ -36,15 +36,30 @@ object SnapshotIO {
     false
   }
 
-  /** Replace the whole snapshot: write staging, delete old, rename. */
+  /** Replace the whole snapshot: write staging, move old aside, swap
+    * staging in, delete the old copy last — there is no window in which the
+    * target is deleted but the new data not yet in place (a crash mid-swap
+    * leaves either the old snapshot or the new one, never neither). Failed
+    * writes clean their staging dir up instead of orphaning a full copy. */
   def replace(spark: SparkSession, df: DataFrame, dir: String): Unit = {
-    val staging = dir + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("overwrite").parquet(staging)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = dir + ".staging-" + token
     val f = fs(spark, dir)
-    val target = new Path(dir)
-    if (f.exists(target)) f.delete(target, true)
-    if (!f.rename(new Path(staging), target))
-      throw new java.io.IOException(s"rename $staging -> $dir failed")
+    var written = false
+    try {
+      df.write.mode("overwrite").parquet(staging)
+      written = true
+      val target = new Path(dir)
+      val old = new Path(dir + ".old-" + token)
+      val hadOld = f.exists(target) && f.rename(target, old)
+      if (!f.rename(new Path(staging), target)) {
+        if (hadOld) f.rename(old, target) // restore
+        throw new java.io.IOException(s"rename $staging -> $dir failed")
+      }
+      if (hadOld) f.delete(old, true)
+    } finally {
+      if (!written || f.exists(new Path(staging))) f.delete(new Path(staging), true)
+    }
   }
 
   /** Replace ONLY the partitions present in `df` (written partitioned by

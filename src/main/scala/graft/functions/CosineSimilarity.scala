@@ -2,7 +2,7 @@
   * `org.apache.spark.sql` because `AbstractDataType` / `ExpressionUtils`
   * are `private[sql]` — the standard placement for third-party native
   * expressions (the alternative, a Scala UDF, would serialize per row and
-  * fall out of codegen). Public API: [[graft.functions.Cosine]].
+  * fall out of codegen). Public API: `graft.operators.Similarity.cosine`.
   */
 package org.apache.spark.sql.graft
 
@@ -35,7 +35,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // null on length mismatch — same as the composed zip_with form, where
+    // the null-padded products null the whole aggregate
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -59,17 +62,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ye = ctx.freshName("ye")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = $a.numElements() < $b.numElements()
-         |    ? $a.numElements() : $b.numElements();
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xe = (double) $a.getFloat($i);
-         |  double $ye = (double) $b.getFloat($i);
-         |  $dot += $xe * $ye; $na += $xe * $xe; $nb += $ye * $ye;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xe = (double) $a.getFloat($i);
+         |    double $ye = (double) $b.getFloat($i);
+         |    $dot += $xe * $ye; $na += $xe * $xe; $nb += $ye * $ye;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom > 0.0) { ${ev.value} = $dot / $denom; }
+         |  else { ${ev.isNull} = true; }
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom > 0.0) { ${ev.value} = $dot / $denom; }
-         |else { ${ev.isNull} = true; }
        """.stripMargin
     })
 
@@ -85,5 +91,13 @@ object CosineSimilarity {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+      "cosine_similarity", { exprs =>
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "cosine_similarity",
+              "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "scala_udf")
 }

@@ -59,7 +59,7 @@ object Merge {
                         updates: DataFrame, keys: Seq[String],
                         partitionCol: String): Unit = {
     import graft.etl.SnapshotIO
-    if (!SnapshotIO.exists(spark, targetDir)) {
+    if (!SnapshotIO.hasParquet(spark, targetDir)) {
       updates.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
       return
     }

@@ -30,7 +30,9 @@ object Jdbc {
                       numPartitions: Int, fetchSize: Int = 1000): DataFrame =
     spark.read.format("jdbc")
       .option("url", url)
-      .option("query", query)
+      // Spark forbids 'query' together with 'partitionColumn'
+      // (JDBCOptions require) — the pushed query rides as a dbtable subquery
+      .option("dbtable", s"($query) __graft_q")
       .option("partitionColumn", partitionColumn)
       .option("lowerBound", lowerBound)
       .option("upperBound", upperBound)
@@ -107,15 +109,18 @@ object Synthetic {
     * loop: fully distributed, reproducible, any size. */
   def transactions(spark: SparkSession, n: Long, seed: Int = 42): DataFrame = {
     val categories = Seq("grocery", "fuel", "apparel", "electronics", "dining")
-    // pmod, not abs: abs(Long.MinValue) stays negative (two's complement)
-    val h = pmod(xxhash64(col("id"), lit(seed)), lit(Long.MaxValue))
+    // independent hash per field — a single shared hash would make category
+    // a deterministic function of the amount's cents (100000 % 5 == 0), and
+    // created_at correlated with both. pmod, not abs: abs(Long.MinValue)
+    // stays negative (two's complement).
+    def h(field: Int) = pmod(xxhash64(col("id"), lit(seed), lit(field)), lit(Long.MaxValue))
     spark.range(n).select(
       col("id").as("txn_id"),
       md5(concat(col("id").cast("string"), lit(seed))).as("txn_uuid"),
-      (h % 100000 / lit(100.0)).as("amount"),
-      element_at(typedlit(categories), (h % categories.size).cast("int") + 1)
+      (h(1) % 100000 / lit(100.0)).as("amount"),
+      element_at(typedlit(categories), (h(2) % categories.size).cast("int") + 1)
         .as("category"),
-      timestamp_micros(lit(1704067200000000L) + (h % 31536000000L) * 1000).as("created_at"))
+      timestamp_micros(lit(1704067200000000L) + (h(3) % 31536000000L) * 1000).as("created_at"))
   }
 }
 

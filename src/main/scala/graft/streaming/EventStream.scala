@@ -106,7 +106,7 @@ object EventStream {
     val spark = batch.sparkSession
     val order = orderCol.map(org.apache.spark.sql.functions.col)
     val merged =
-      if (graft.etl.SnapshotIO.exists(spark, targetDir))
+      if (graft.etl.SnapshotIO.hasParquet(spark, targetDir))
         graft.operators.Merge.upsert(spark.read.parquet(targetDir), batch, keys, order)
       else // bootstrap: same within-batch dedup path against an empty target
         graft.operators.Merge.upsert(batch.limit(0), batch, keys, order)
