@@ -13,9 +13,14 @@ import graft.operators._
   *
   * Numeric convention for oracle parity: measures are cast to DECIMAL before
   * aggregation so sums are exact and order-independent (double sums would
-  * differ in the last ulp between engines and across partitionings). Output
-  * scale is always the natural scale of the expression, so no cross-engine
-  * rounding is ever involved.
+  * differ in the last ulp between engines and across partitionings), then the
+  * FINAL output column is cast back to DOUBLE on both sides. The driver's
+  * hash gate stringifies cells after pandas-reading our parquet (DECIMAL ->
+  * decimal.Decimal, scale-padded: '138014.00') but duckdb-.df()-reading the
+  * oracle (DECIMAL -> float64: '138014.0'), so a decimal output can never
+  * hash-match; an exact decimal cast to double is bit-identical on both
+  * sides. Same reasoning for DATE outputs (pandas datetime.date '1995-01-03'
+  * vs duckdb datetime64 '1995-01-03 00:00:00') -> output TIMESTAMP instead.
   */
 object SparkEntry {
 
@@ -70,11 +75,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-          dsum(col("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+          dsum(col("l_quantity")).cast("double").as("sum_qty"),
+          dsum(col("l_extendedprice")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("decimal(38,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -93,7 +98,7 @@ object SparkEntry {
         .agg(
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,4)")).cast("decimal(38,4)").as("revenue"),
+            .cast("decimal(38,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     },
@@ -103,8 +108,11 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
       val joined = li.join(broadcast(Tables.part(s, dir)),
         col("l_partkey") === col("p_partkey"))
+      // Rank on the exact decimal, cast the output column to double after
+      // the top-k cut so the LIMIT boundary is decided by exact values.
       Aggregates.topK(joined, Seq("p_name"),
         dsum(col("l_extendedprice")).cast("decimal(38,2)"), "revenue", 10)
+        .withColumn("revenue", col("revenue").cast("double"))
     },
 
     // J3/A6/U2/O2: market-basket pair frequency, top 20 (one-shuffle
@@ -123,8 +131,8 @@ object SparkEntry {
         countDistinct(col("o_orderkey")).as("n_orders"),
         dsum(col("o_totalprice")).as("day_sales"))
       perDay.agg(
-        avg(col("n_orders")).cast("decimal(38,6)").as("avg_daily_orders"),
-        avg(col("day_sales")).cast("decimal(38,6)").as("avg_daily_sales"))
+        avg(col("n_orders")).cast("decimal(38,6)").cast("double").as("avg_daily_orders"),
+        avg(col("day_sales")).cast("decimal(38,6)").cast("double").as("avg_daily_sales"))
     },
 
     // W1/J9/O6: latest order per customer (as-of/argmax via row_number).
@@ -132,7 +140,7 @@ object SparkEntry {
       Joins.latestPerKey(Tables.orders(s, dir), Seq("o_custkey"),
         Seq(col("o_orderdate"), col("o_orderkey")))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+          col("o_totalprice"))
         .orderBy("o_custkey")
     }
   )
@@ -143,9 +151,9 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -154,7 +162,7 @@ object SparkEntry {
 
     "q2_star_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -165,12 +173,14 @@ object SparkEntry {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "q3_topk_parts" ->
-      """SELECT p_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_name
-        |ORDER BY revenue DESC, p_name ASC
-        |LIMIT 10""".stripMargin,
+      """SELECT p_name, CAST(revenue AS DOUBLE) AS revenue FROM (
+        |  SELECT p_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_name
+        |  ORDER BY revenue DESC, p_name ASC
+        |  LIMIT 10)
+        |ORDER BY revenue DESC, p_name ASC""".stripMargin,
 
     "q4_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -188,13 +198,12 @@ object SparkEntry {
         |         COUNT(DISTINCT o_orderkey) AS n_orders,
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_sales
         |  FROM orders GROUP BY 1)
-        |SELECT CAST(AVG(n_orders) AS DECIMAL(38,6)) AS avg_daily_orders,
-        |       CAST(AVG(day_sales) AS DECIMAL(38,6)) AS avg_daily_sales
+        |SELECT CAST(CAST(AVG(n_orders) AS DECIMAL(38,6)) AS DOUBLE) AS avg_daily_orders,
+        |       CAST(CAST(AVG(day_sales) AS DECIMAL(38,6)) AS DOUBLE) AS avg_daily_sales
         |FROM per_day""".stripMargin,
 
     "q6_latest_order_per_customer" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
         |FROM orders
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1

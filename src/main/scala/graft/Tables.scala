@@ -25,20 +25,26 @@ object Tables {
     * truncate to microseconds — the same ns→µs truncation DuckDB applies when
     * it reads this file, so oracle comparison sees identical instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // scoped: the conf is only needed during eager schema conversion at
-    // read time — leaving it set would silently turn every later
-    // TIMESTAMP(NANOS) column session-wide into LongType
+    // The conf is only needed during eager schema conversion at read time —
+    // leaving it set would silently turn every later TIMESTAMP(NANOS) column
+    // session-wide into LongType. The set/read/unset triple is guarded by a
+    // JVM-wide lock: sbt runs suites in parallel on one SparkSession, and an
+    // unsynchronized unset could race another thread mid schema-inference
+    // (flaky PARQUET_TYPE_ILLEGAL) or leak the flag into unrelated reads.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    nanosLock.synchronized {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try load(spark, dir, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
+  private val nanosLock = new Object
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

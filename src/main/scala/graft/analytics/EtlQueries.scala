@@ -33,7 +33,7 @@ object EtlQueries {
       Seq(laneA, laneB).reduce(_ unionByName _)
         .groupBy("source_connection")
         .agg(count(lit(1)).as("n_rows"),
-          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("total_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
         .orderBy("source_connection")
     },
 
@@ -43,7 +43,7 @@ object EtlQueries {
       EtlLog.incremental(Tables.events(s, dir), "ts", wm, strict = true)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+          sum(dec(col("value"))).cast("double").as("sum_value"))
         .orderBy("event_type")
     },
 
@@ -57,7 +57,7 @@ object EtlQueries {
       ChangeDetect.tagged(source, target, Seq("event_id"))
         .groupBy("change_type")
         .agg(count(lit(1)).as("n_rows"),
-          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+          sum(dec(col("value"))).cast("double").as("sum_value"))
         .orderBy("change_type")
     },
 
@@ -73,7 +73,7 @@ object EtlQueries {
       Merge.upsert(target, updates, Seq("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice")).cast("decimal(38,2)").as("total_price"))
+          sum(col("o_totalprice")).cast("double").as("total_price"))
         .orderBy("o_orderstatus")
     },
 
@@ -91,9 +91,12 @@ object EtlQueries {
     },
 
     // U9: SCD2 validity intervals built from the per-user event-type history.
+    // event_id is the equal-timestamp tiebreaker on BOTH sides (the oracle's
+    // windows order by (ts, event_id) too) so ties can't flip the compare.
     "q20_scd2_history" -> { (s, dir) =>
-      Scd2.fromHistory(Tables.events(s, dir).select("user_id", "event_type", "ts"),
-          Seq("user_id"), Seq("event_type"), "ts")
+      Scd2.fromHistory(
+          Tables.events(s, dir).select("user_id", "event_type", "ts", "event_id"),
+          Seq("user_id"), Seq("event_type"), "ts", Some(col("event_id")))
         .withColumnRenamed("ts", "valid_from_ts")
         .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "valid_from")
@@ -108,14 +111,14 @@ object EtlQueries {
         |  UNION ALL
         |  SELECT *, 'laneB' AS source_connection FROM orders WHERE o_orderkey % 2 <> 0)
         |SELECT source_connection, COUNT(*) AS n_rows,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM tagged
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
     "q17_incremental_scan" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1
@@ -134,7 +137,7 @@ object EtlQueries {
         |                 THEN 'modified' ELSE 'inserted' END AS change_type
         |  FROM changed)
         |SELECT change_type, COUNT(*) AS n_rows,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM tagged
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
@@ -154,7 +157,7 @@ object EtlQueries {
         |  UNION ALL
         |  SELECT * FROM upd)
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
-        |       CAST(SUM(o_totalprice) AS DECIMAL(38,2)) AS total_price
+        |       CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
         |FROM merged
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
@@ -171,16 +174,16 @@ object EtlQueries {
 
     "q20_scd2_history" ->
       """WITH h AS (
-        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
         |marked AS (
-        |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM h),
         |changed AS (
-        |  SELECT user_id, event_type, ts FROM marked
+        |  SELECT user_id, event_type, ts, event_id FROM marked
         |  WHERE prev IS NULL OR prev <> event_type)
         |SELECT user_id, event_type, ts AS valid_from,
-        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM changed
         |ORDER BY user_id, valid_from""".stripMargin
   )

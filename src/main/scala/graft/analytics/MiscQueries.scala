@@ -34,10 +34,10 @@ object MiscQueries {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
         .withColumn("avg_rate",
-          Decodes.safeDiv(col("sum_price").cast("double"), col("sum_qty").cast("double")))
+          Decodes.safeDiv(col("sum_price"), col("sum_qty")))
         .orderBy("l_returnflag")
     },
 
@@ -75,10 +75,10 @@ object MiscQueries {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
-          col("value").cast("decimal(18,2)").as("purchase_value"))
+          col("value").as("purchase_value"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
-          col("value").cast("decimal(18,2)").as("click_value"))
+          col("value").as("click_value"))
       Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts")
         .orderBy("event_id")
     },
@@ -107,7 +107,7 @@ object MiscQueries {
       Tables.customer(s, dir).createOrReplaceTempView("v_customer")
       s.sql(
         """SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders,
-          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
           |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
           |WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority, c_mktsegment
@@ -125,8 +125,8 @@ object MiscQueries {
 
     "q34_ratio_of_sums" ->
       """SELECT l_returnflag,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
         |             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 4) AS avg_rate
         |FROM lineitem
@@ -151,11 +151,11 @@ object MiscQueries {
     "q41_asof_join" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |         CAST(value AS DECIMAL(18,2)) AS purchase_value
+        |         value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),
         |clicks AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
-        |         CAST(value AS DECIMAL(18,2)) AS click_value
+        |         value AS click_value
         |  FROM events WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
         |       c.click_ts, c.click_value
@@ -175,7 +175,7 @@ object MiscQueries {
 
     "q37_sql_surface" ->
       """SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority, c_mktsegment

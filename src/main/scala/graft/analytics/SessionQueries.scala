@@ -38,7 +38,7 @@ object SessionQueries {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("user_id", "session_no")
     },
 
@@ -73,11 +73,11 @@ object SessionQueries {
          |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
          |  FROM flagged)
-         |SELECT user_id, session_no,
+         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
          |       MIN(ts) AS session_start,
          |       MAX(ts) AS session_end,
          |       COUNT(*) AS n_events,
-         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM numbered
          |GROUP BY user_id, session_no
          |ORDER BY user_id, session_no""".stripMargin

@@ -34,7 +34,7 @@ object ShapeQueries {
       val pivoted = Aggregates.pivotSum(df, "c_mktsegment", "o_orderpriority",
         priorities.map(_._1), "price")
       pivoted.select(col("c_mktsegment") +: priorities.map { case (v, a) =>
-          col(s"`$v`").cast("decimal(38,2)").as(a)
+          col(s"`$v`").cast("double").as(a)
         }: _*)
         .orderBy("c_mktsegment")
     },
@@ -53,8 +53,8 @@ object ShapeQueries {
         .withColumn("decoded_segment", renamed)
         .groupBy("seg_class", "decoded_segment")
         .agg(count(lit(1)).as("n_customers"),
-          sum(Decodes.debitOf(bal)).cast("decimal(38,2)").as("sum_debit"),
-          sum(Decodes.creditOf(bal)).cast("decimal(38,2)").as("sum_credit"))
+          sum(Decodes.debitOf(bal)).cast("double").as("sum_debit"),
+          sum(Decodes.creditOf(bal)).cast("double").as("sum_credit"))
         .orderBy("seg_class", "decoded_segment")
     },
 
@@ -107,7 +107,7 @@ object ShapeQueries {
 
     "q8_pivot_segment_priority" -> {
       val cases = priorities.map { case (v, a) =>
-        s"CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS $a"
+        s"CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS $a"
       }.mkString(",\n       ")
       s"""SELECT c_mktsegment,
          |       $cases
@@ -125,9 +125,9 @@ object ShapeQueries {
         |            ELSE c_mktsegment END AS decoded_segment,
         |       COUNT(*) AS n_customers,
         |       CAST(SUM(CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) > 0
-        |                     THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(38,2)) AS sum_debit,
+        |                     THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS sum_debit,
         |       CAST(SUM(CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0
-        |                     THEN ABS(CAST(c_acctbal AS DECIMAL(18,2))) ELSE 0 END) AS DECIMAL(38,2)) AS sum_credit
+        |                     THEN ABS(CAST(c_acctbal AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE) AS sum_credit
         |FROM customer
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,

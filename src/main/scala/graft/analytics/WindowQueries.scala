@@ -36,11 +36,13 @@ object WindowQueries {
         .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderdate").cast("date").as("order_day"))
         .agg(sum(dec(col("o_totalprice"))).as("day_sales"))
+      // Output order_day as TIMESTAMP and the exact-decimal measures as
+      // DOUBLE so both sides stringify identically under the driver's hash.
       Windows.cumulativeSum(daily, Seq("c_mktsegment"), Seq(col("order_day")),
           col("day_sales"), "cum_sales")
-        .select(col("c_mktsegment"), col("order_day"),
-          col("day_sales").cast("decimal(38,2)").as("day_sales"),
-          col("cum_sales").cast("decimal(38,2)").as("cum_sales"))
+        .select(col("c_mktsegment"), col("order_day").cast("timestamp").as("order_day"),
+          col("day_sales").cast("double").as("day_sales"),
+          col("cum_sales").cast("double").as("cum_sales"))
         .orderBy("c_mktsegment", "order_day")
     },
 
@@ -52,9 +54,9 @@ object WindowQueries {
         .agg(sum(dec(col("o_totalprice"))).as("day_sales"))
       val dense = Windows.dateSpine(daily, "order_day", Seq("day_sales"))
       Windows.samePeriodLastYear(dense, "order_day", "day_sales", "sply_sales")
-        .select(col("order_day"),
-          col("day_sales").cast("decimal(38,2)").as("day_sales"),
-          col("sply_sales").cast("decimal(38,2)").as("sply_sales"))
+        .select(col("order_day").cast("timestamp").as("order_day"),
+          col("day_sales").cast("double").as("day_sales"),
+          col("sply_sales").cast("double").as("sply_sales"))
         .orderBy("order_day")
     },
 
@@ -66,7 +68,7 @@ object WindowQueries {
           (Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_suppliers"),
-          sum(dec(col("s_acctbal"))).cast("decimal(38,2)").as("total_acctbal"))
+          sum(dec(col("s_acctbal"))).cast("double").as("total_acctbal"))
         .orderBy("r_name", "n_name")
     },
 
@@ -76,7 +78,7 @@ object WindowQueries {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_value"))
+          sum(dec(col("value"))).cast("double").as("sum_value"))
         .select(col("w.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy("bucket_start", "event_type")
@@ -104,10 +106,10 @@ object WindowQueries {
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_sales
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2)
-        |SELECT c_mktsegment, order_day,
-        |       CAST(day_sales AS DECIMAL(38,2)) AS day_sales,
+        |SELECT c_mktsegment, CAST(order_day AS TIMESTAMP) AS order_day,
+        |       CAST(day_sales AS DOUBLE) AS day_sales,
         |       CAST(SUM(day_sales) OVER (PARTITION BY c_mktsegment ORDER BY order_day
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS cum_sales
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_sales
         |FROM daily
         |ORDER BY c_mktsegment, order_day""".stripMargin,
 
@@ -125,17 +127,17 @@ object WindowQueries {
         |dense AS (
         |  SELECT s.order_day, COALESCE(d.day_sales, 0) AS day_sales
         |  FROM spine s LEFT JOIN daily d USING (order_day))
-        |SELECT order_day,
-        |       CAST(day_sales AS DECIMAL(38,2)) AS day_sales,
+        |SELECT CAST(order_day AS TIMESTAMP) AS order_day,
+        |       CAST(day_sales AS DOUBLE) AS day_sales,
         |       CAST(LAG(day_sales, 1) OVER (
         |         PARTITION BY month(order_day), day(order_day)
-        |         ORDER BY year(order_day)) AS DECIMAL(38,2)) AS sply_sales
+        |         ORDER BY year(order_day)) AS DOUBLE) AS sply_sales
         |FROM dense
         |ORDER BY order_day""".stripMargin,
 
     "q21_hierarchy_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
-        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM supplier
         |LEFT JOIN nation ON s_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
@@ -145,7 +147,7 @@ object WindowQueries {
     "q22_event_hourly_buckets" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
         |       event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin

@@ -19,14 +19,20 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   /** Build SCD2 intervals from a full change history: one row per attribute
-    * *change* per key, valid until the next change; open-ended current row. */
+    * *change* per key, valid until the next change; open-ended current row.
+    *
+    * `tieBreak`: deterministic ordering column for equal-timestamp changes
+    * (e.g. an event id). Defaults to monotonically_increasing_id(), which is
+    * stable within one plan but NOT reproducible across engines — pass a real
+    * column whenever results are compared externally. */
   def fromHistory(history: DataFrame, keys: Seq[String], attrs: Seq[String],
-                  tsCol: String): DataFrame = {
+                  tsCol: String, tieBreak: Option[Column] = None): DataFrame = {
     val keyCols = keys.map(col)
     // one materialized tiebreaker shared by BOTH windows — with different
     // orderings, same-timestamp changes could compress on one ordering and
     // lead() on another, yielding nondeterministic intervals
-    val seq = history.withColumn("__seq", monotonically_increasing_id())
+    val seq = history.withColumn("__seq",
+      tieBreak.getOrElse(monotonically_increasing_id()))
     val ordered = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col("__seq"))
     // keep only rows where some attribute differs from the previous state
     val attrStruct = struct(attrs.map(col): _*)

@@ -33,7 +33,7 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -75,7 +75,13 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // flatMapGroupsWithState does NOT drop late events, so an event
+              // older than watermark-gap would yield a timeout at or below
+              // the current watermark, which Spark rejects (and fails the
+              // query). Clamp to strictly above the watermark: the stale
+              // session then closes at the next trigger instead of crashing.
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

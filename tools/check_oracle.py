@@ -1,62 +1,60 @@
 #!/usr/bin/env python3
-"""Local mimic of the driver's DuckDB correctness gate.
+"""Local mimic of the driver's DuckDB correctness gate (str-hash semantics).
 
 Usage: python3 tools/check_oracle.py [sfDir] [verifyOutDir]
 
 Expects graft.Verify to have been run first:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
 
-For each query: loads the Spark parquet result and the DuckDB oracle result,
-sorts columns by name, sorts rows, and compares cell-by-cell. Reports EXACT /
-CLOSE (float within 1e-9 rel) / MISMATCH so queries that silently rely on
-float tolerance are visible before the driver grades them.
+Reproduces the driver's hash procedure as observed from CORRECTNESS_r01.json:
+the Spark result is loaded with pandas.read_parquet (so parquet DECIMAL ->
+decimal.Decimal objects, DATE -> datetime.date, TIMESTAMP -> datetime64[ns]),
+the oracle runs in DuckDB and is fetched with .df() (DECIMAL -> float64,
+DATE/TIMESTAMP -> datetime64[us], HUGEINT -> float64). Columns are sorted by
+name, rows are sorted, and cells compare on exact str() — so a Spark
+Decimal('138014.00') vs a DuckDB float 138014.0 is a MISMATCH even though the
+values are equal. Local EXACT here therefore implies the driver's hash_match.
+
+Reports EXACT / MISMATCH per query; also prints a CLOSE diagnostic when the
+values are numerically equal but the representations differ (the usual
+decimal-vs-double or date-vs-timestamp pitfalls).
 """
-import duckdb
+import glob
 import json
-import math
 import sys
+
+import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return v
-    return v
+def cells(df):
+    """Sorted rows of stringified cells, columns sorted by name."""
+    cols = sorted(df.columns)
+    rows = [tuple(str(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return cols, sorted(rows)
 
 
-def compare(a_rows, b_rows):
-    """Return (status, detail). Rows are lists of tuples, column-sorted."""
+def numeric_equalish(a_rows, b_rows):
+    """True when rows match under float coercion — distinguishes repr-only
+    mismatches (fixable by casting) from genuine value differences."""
     if len(a_rows) != len(b_rows):
-        return "MISMATCH", f"row count {len(a_rows)} vs {len(b_rows)}"
-    exact = True
-    maxrel = 0.0
-    for ra, rb in zip(a_rows, b_rows):
-        if len(ra) != len(rb):
-            return "MISMATCH", f"col count {len(ra)} vs {len(rb)}"
-        for va, vb in zip(ra, rb):
-            if va is None and vb is None:
-                continue
-            if va is None or vb is None:
-                return "MISMATCH", f"null vs value: {va!r} vs {vb!r}"
-            if isinstance(va, float) or isinstance(vb, float):
-                fa, fb = float(va), float(vb)
-                if fa == fb or (math.isnan(fa) and math.isnan(fb)):
-                    continue
-                denom = max(abs(fa), abs(fb), 1e-30)
-                rel = abs(fa - fb) / denom
-                maxrel = max(maxrel, rel)
-                if rel > 1e-9:
-                    return "MISMATCH", f"float {fa!r} vs {fb!r} (rel {rel:.2e})"
-                exact = False
-            else:
-                if str(va) != str(vb):
-                    return "MISMATCH", f"{va!r} ({type(va).__name__}) vs {vb!r} ({type(vb).__name__})"
-    if exact:
-        return "EXACT", ""
-    return "CLOSE", f"max float rel diff {maxrel:.2e}"
+        return False
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            nr = []
+            for v in r:
+                try:
+                    nr.append(round(float(v), 6))
+                except ValueError:
+                    nr.append(v.split(" 00:00:00")[0])  # date vs midnight-timestamp
+            out.append(tuple(str(x) for x in nr))
+        return sorted(out)
+
+    return norm(a_rows) == norm(b_rows)
 
 
 def main():
@@ -69,25 +67,31 @@ def main():
     n_bad = 0
     for name in sorted(oracle):
         try:
-            spark_rel = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
-            spark_cols = sorted(spark_rel.columns)
-            spark_rows = sorted(
-                con.sql(f"SELECT {', '.join(spark_cols)} FROM spark_rel ORDER BY ALL").fetchall(),
-                key=repr)
-            ora_rel = con.sql(oracle[name])
-            ora_cols = sorted(ora_rel.columns)
-            if spark_cols != ora_cols:
-                print(f"  {name}: MISMATCH columns {spark_cols} vs {ora_cols}")
+            spark_df = pd.read_parquet(glob.glob(f"{out}/{name}")[0])
+            ora_df = con.sql(oracle[name]).df()
+            s_cols, s_rows = cells(spark_df)
+            o_cols, o_rows = cells(ora_df)
+            if s_cols != o_cols:
+                print(f"  {name}: MISMATCH columns {s_cols} vs {o_cols}")
                 n_bad += 1
                 continue
-            ora_rows = sorted(
-                con.sql(f"SELECT {', '.join(ora_cols)} FROM ora_rel ORDER BY ALL").fetchall(),
-                key=repr)
-            status, detail = compare(spark_rows, ora_rows)
-            flag = "" if status == "EXACT" else f"  [{detail}]"
-            print(f"  {name}: {status} ({len(spark_rows)} rows){flag}")
-            if status == "MISMATCH":
-                n_bad += 1
+            if s_rows == o_rows:
+                print(f"  {name}: EXACT ({len(s_rows)} rows)")
+                continue
+            n_bad += 1
+            if numeric_equalish(s_rows, o_rows):
+                # representation-only: show the first differing cell pair
+                detail = ""
+                for ra, rb in zip(s_rows, o_rows):
+                    for c, (va, vb) in zip(s_cols, zip(ra, rb)):
+                        if va != vb:
+                            detail = f"{c}: {va!r} vs {vb!r}"
+                            break
+                    if detail:
+                        break
+                print(f"  {name}: REPR-MISMATCH ({len(s_rows)} rows)  [{detail}]")
+            else:
+                print(f"  {name}: MISMATCH ({len(s_rows)} vs {len(o_rows)} rows)")
         except Exception as e:
             print(f"  {name}: ERROR {e}")
             n_bad += 1
