@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiler: time one registered query, print its formatted plan and
+  * per-run wall time. Usage: runMain graft.Profile <sfDir> <query> [runs]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .appName("graft-profile")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fn = SparkEntry.queries(name)
+    // warmup
+    fn(spark, sfDir).count()
+    println(s"=== formatted plan for $name ===")
+    println(fn(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"run $i: $sec%.3f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}

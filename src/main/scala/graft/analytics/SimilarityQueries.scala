@@ -20,6 +20,23 @@ object SimilarityQueries {
   def queryVectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
 
+  /** Near-dup threshold for the clone fixture: rescaled clones score 1.0,
+    * the closest natural pair in any fixture scores ≤ 0.61. */
+  val DupThreshold = 0.99
+
+  /** Corpus with deterministic near-duplicates injected: every vector
+    * reappears under vec_id+1000000 scaled by 1.1 — cosine-identical
+    * (score 1.0) without being byte-identical. The scale happens in DOUBLE
+    * on both engines (widening float→double is exact, x*1.1 is one IEEE
+    * op), so the DuckDB oracle rebuilds bit-identical clone vectors. */
+  def embeddingsWithClones(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.unionByName(e.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.1d)).as("embedding")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q31_ann_bruteforce" -> { (s, dir) =>
@@ -38,6 +55,23 @@ object SimilarityQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
           "vec_id", "embedding", K)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+
+    // embedding-cosine near-dup pairs: exact O(n²) verifier.
+    "q44_cosine_dup_exact" -> { (s, dir) =>
+      Similarity.cosineDupPairsExact(embeddingsWithClones(s, dir),
+          "vec_id", "embedding", DupThreshold)
+        .orderBy("id_a", "id_b")
+    },
+
+    // embedding-cosine near-dup pairs: LSH-bucketed scale path. Oracle uses
+    // the SAME exact-pairwise SQL as q44 — rescaled clones share every
+    // hyperplane sign bit, so recall on this fixture is exactly 1.0 and the
+    // candidate path must reproduce the exact answer.
+    "q45_cosine_dup_lsh" -> { (s, dir) =>
+      Similarity.cosineDupPairs(embeddingsWithClones(s, dir),
+          "vec_id", "embedding", DupThreshold, Dim)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -56,6 +90,27 @@ object SimilarityQueries {
          |SELECT query_id, vec_id, score FROM scored
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
          |                           ORDER BY score DESC, vec_id) <= $K
-         |ORDER BY query_id, score DESC, vec_id""".stripMargin
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
+    "q44_cosine_dup_exact" -> cosineDupOracle,
+    "q45_cosine_dup_lsh" -> cosineDupOracle
   )
+
+  /** Shared oracle for q44/q45: exact pairwise cosine over the cloned
+    * corpus. The LSH path must match it exactly (recall 1.0 on rescale
+    * clones — see q45 comment). */
+  private def cosineDupOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.1) FROM base),
+       |scored AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ROUND(list_cosine_similarity(a.v, b.v), 4) AS score
+       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, score FROM scored
+       |WHERE score >= $DupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
 }

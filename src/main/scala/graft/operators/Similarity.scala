@@ -145,6 +145,59 @@ object Similarity {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs — exact pairwise verifier.
+    * Upper-triangle self-join (id_a < id_b), fused-cosine score rounded to
+    * 4dp BEFORE the threshold test so the cut is reproducible across
+    * engines and accumulation orders.
+    *
+    * Cost is O(n²) — this is the verifier, usable when one side fits in a
+    * broadcast (queries-vs-corpus blocks at scale); [[cosineDupPairs]] is
+    * the linear-candidate scale path.
+    */
+  def cosineDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score",
+        graft.functions.Rounding.roundLikeC(cosine(col("va"), col("vb")), 4))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
+  /** Embedding-cosine near-duplicate pairs — LSH-bucketed scale path.
+    * Hyperplane sign bands generate candidate pairs (corpus self-join on
+    * (band, bucket), upper triangle), then the exact cosine filter keeps
+    * pairs at or above `threshold` (score rounded to 4dp first, like the
+    * verifier).
+    *
+    * Recall: a pair colliding in ANY band is a candidate; positively scaled
+    * duplicates (v, c·v) share every sign bit, so pure-rescale clones are
+    * found with recall 1.0. General near-dups have recall < 1 governed by
+    * bands × bitsPerBand (SimilaritySpec asserts ≥ brute-force agreement on
+    * the clone fixture). Candidates are linear in corpus size for
+    * well-spread buckets; precision is restored by the exact re-check, so
+    * false bucket collisions only cost compute, never wrong rows.
+    */
+  def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, dim: Int, bands: Int = 8,
+                     bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val buckets = banded(corpus, idCol, vecCol, bands, bitsPerBand, dim, seed)
+    val cands = buckets.join(
+        buckets.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("score",
+        graft.functions.Rounding.roundLikeC(cosine(col("va"), col("vb")), 4))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
   /** LSH ANN: hyperplane-banded candidates, exact cosine re-rank, top-k.
     * Recall < 1 by construction; verify with [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -77,4 +77,29 @@ class SimilaritySpec extends SparkSpec {
     // approx returns at most k per query — never the full cross product
     assert(approx.size <= exact.size)
   }
+
+  test("cosine near-dup: exact verifier finds every rescaled clone pair, nothing else") {
+    val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    val pairs = Similarity.cosineDupPairsExact(corpus, "vec_id", "embedding",
+      SimilarityQueries.DupThreshold).collect()
+    assert(pairs.length === n.toInt)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_b") === r.getAs[Long]("id_a") + 1000000L)
+      assert(r.getAs[Double]("score") === 1.0)
+    }
+  }
+
+  test("cosine near-dup: LSH scale path reproduces the exact verifier on clones") {
+    val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
+    val exact = Similarity.cosineDupPairsExact(corpus, "vec_id", "embedding",
+        SimilarityQueries.DupThreshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineDupPairs(corpus, "vec_id", "embedding",
+        SimilarityQueries.DupThreshold, SimilarityQueries.Dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // positively scaled clones share every hyperplane sign bit → recall 1.0;
+    // the exact re-check removes every false bucket collision → precision 1.0
+    assert(lsh === exact)
+  }
 }
