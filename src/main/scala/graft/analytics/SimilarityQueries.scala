@@ -53,7 +53,7 @@ object SimilarityQueries {
 
     "q42_ann_ivf" -> { (s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
-          "vec_id", "embedding", K)
+          "vec_id", "embedding", K, refineIters = 2)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 

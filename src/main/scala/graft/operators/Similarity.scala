@@ -83,8 +83,68 @@ object Similarity {
         .as(Seq("band", "bucket")))
   }
 
+  /** Deterministic hash-sampled initial centroids for the IVF coarse
+    * quantizer — no global sort (a single-partition row_number window would
+    * funnel the whole corpus through one task); the ~nList sampled vectors
+    * are tiny and collect to the driver to get stable cell ids. Vectors come
+    * back widened to double (exact). */
+  private[graft] def sampledCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nList: Int): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val step = math.max(n / nList, 1L)
+    val sampled = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(step)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)) // deterministic choice among sampled
+      .limit(nList)
+      .as[(Long, Seq[Double])].collect()
+    require(sampled.nonEmpty, "corpus too small to sample centroids")
+    sampled.toSeq.zipWithIndex.map { case ((_, v), i) => (i, v) }
+  }
+
+  /** Lloyd refinement of IVF centroids (spherical k-means in all but the
+    * final normalization, which cosine makes redundant): assign every corpus
+    * vector to its argmax-cosine centroid, recompute each centroid as the
+    * element-wise mean of its members, repeat. An empty cell keeps its old
+    * centroid.
+    *
+    * Scale: assignment is a broadcast pass; the mean is computed per
+    * (cell, position) via posexplode + partial-aggregated avg — one shuffle
+    * of nList × dim running sums, never the vectors themselves. Only the
+    * k × dim centroid matrix ever reaches the driver (it must: the next
+    * iteration broadcasts it).
+    */
+  private[graft] def refineCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, init: Seq[(Int, Seq[Double])],
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = init
+    for (_ <- 0 until iters) {
+      val centroids = broadcast(cents.toDF("cell", "cvec"))
+      val w = Window.partitionBy("__vid").orderBy(col("__sim").desc, col("cell"))
+      val assigned = corpus.select(col(idCol).as("__vid"), col(vecCol))
+        .crossJoin(centroids)
+        .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") === 1)
+        .select(col("cell"), col(vecCol).cast("array<double>").as("__v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val byCell = means.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nList` centroids
-    * (deterministic corpus sample) partitions the corpus into cells; each
+    * (deterministic corpus sample, optionally Lloyd-refined with
+    * `refineIters` k-means sweeps) partitions the corpus into cells; each
     * query probes its `nProbe` nearest cells and re-ranks exactly inside
     * them. Complements [[lshTopK]]: IVF adapts to the data distribution
     * (clustered embeddings → tight cells), LSH is distribution-free.
@@ -94,31 +154,13 @@ object Similarity {
     * nProbe/nList, linear in corpus size.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    val n = corpus.count()
-    val step = math.max(n / nList, 1L)
-    // deterministic hash sample — no global sort (a single-partition
-    // row_number window would funnel the whole corpus through one task);
-    // the ~nList sampled vectors are tiny and collect to the driver to get
-    // stable cell ids
+              vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
+              refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val sampled = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(step)) === 0)
-      .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)) // deterministic choice among sampled
-      .limit(nList)
-      .collect()
-    require(sampled.nonEmpty, "corpus too small to sample centroids")
-    import scala.jdk.CollectionConverters._
-    val centroids = spark.createDataFrame(
-      sampled.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i, r.get(1))
-      }.toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cvec",
-          corpus.schema(vecCol).dataType))))
+    import spark.implicits._
+    val cents = refineCentroids(corpus, idCol, vecCol,
+      sampledCentroids(corpus, idCol, vecCol, nList), refineIters)
+    val centroids = cents.toDF("cell", "cvec")
 
     def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(outId), col(vecCol))

@@ -78,6 +78,38 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size <= exact.size)
   }
 
+  test("Lloyd refinement tightens IVF cells and keeps recall usable") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = SimilarityQueries.queryVectors(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 10,
+          refineIters = iters)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r2 = recall(2)
+    info(s"IVF recall@10: sampled=$r0 refined(2)=$r2")
+    assert(r2 >= 0.2, s"refined recall $r2 below floor")
+
+    // the k-means objective (mean best-centroid cosine) must not degrade
+    val init = Similarity.sampledCentroids(emb, "vec_id", "embedding", 16)
+    val refined = Similarity.refineCentroids(emb, "vec_id", "embedding", init, 2)
+    def objective(cents: Seq[(Int, Seq[Double])]): Double = {
+      val cdf = cents.toDF("cell", "cvec")
+      emb.crossJoin(broadcast(cdf))
+        .select(Similarity.cosine(col("embedding"), col("cvec")).as("s"),
+          col("vec_id"))
+        .groupBy("vec_id").agg(max(col("s")).as("best"))
+        .agg(avg(col("best"))).as[Double].head()
+    }
+    val oInit = objective(init); val oRef = objective(refined)
+    info(s"k-means objective: init=$oInit refined=$oRef")
+    assert(oRef >= oInit - 1e-9, "Lloyd iterations degraded the objective")
+  }
+
   test("cosine near-dup: exact verifier finds every rescaled clone pair, nothing else") {
     val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
     val n = Tables.embeddings(spark, sf).count()
