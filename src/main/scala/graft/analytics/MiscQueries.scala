@@ -83,6 +83,22 @@ object MiscQueries {
         .orderBy("event_id")
     },
 
+    // q41's twin through the PLANNER-LEVEL as-of operator (custom logical
+    // plan + strategy + one-pass merge exec, SparkSessionExtensions-
+    // registered) — same oracle, so the driver's hash gate proves the
+    // physical operator end-to-end.
+    "q46_asof_native" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      Joins.asOfNative(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .orderBy("event_id")
+    },
+
     // F11/F12/F19: date parse + reformat round-trip and interval arithmetic
     // (`item_valuation_update.py:104` STR_TO_DATE(CONCAT(date,' ',time));
     // DATEADD `hanger_lanes_to_pg_etl.py:117`; strftime `replicate_table.py:63`).
@@ -149,6 +165,23 @@ object MiscQueries {
         |ORDER BY p_partkey""".stripMargin,
 
     "q41_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+        |         value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+        |       c.click_ts, c.click_value
+        |FROM purchases p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // identical oracle: the native exec must reproduce the union-window
+    // (and DuckDB ASOF) answer bit-for-bit
+    "q46_asof_native" ->
       """WITH purchases AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |         value AS purchase_value

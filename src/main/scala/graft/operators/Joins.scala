@@ -115,6 +115,37 @@ object Joins {
     * pairs would not. Right/left column names must be disjoint apart from
     * the keys.
     */
+  /** Planner-level as-of join — same semantics and output shape as
+    * [[asOf]], executed by the dedicated physical operator
+    * (`org.apache.spark.sql.graft.AsOfJoinExec`): both sides hash-shuffle
+    * on the keys, sort (keys, ts) within partitions, and merge in ONE
+    * forward pass with O(1) state — no window frame materialization, no
+    * union of the two sides through a single sort.
+    *
+    * Registered on first use via `spark.experimental.extraStrategies`
+    * (or session-wide with
+    * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`).
+    * JoinsSpec asserts result equality with [[asOf]] and the plan shape
+    * (AsOfJoinExec + one Exchange per side).
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 joinType: String = "inner"): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val joinedAll = org.apache.spark.sql.graft.AsOfJoinNative.asOf(
+      left, right, keys, leftTs, rightTs, joinType)
+    // match asOf's output: left columns + right payload (right keys drop).
+    // Both sides carry the key names, so every column is picked by POSITION
+    // in the join output (left attributes first, then right's).
+    val leftCols = left.columns.indices.map(i =>
+      org.apache.spark.sql.graft.AsOfJoinNative.columnAt(joinedAll, i))
+    val rightPayload = payloadCols.map { c =>
+      val idx = left.columns.length + right.columns.indexOf(c)
+      org.apache.spark.sql.graft.AsOfJoinNative.columnAt(joinedAll, idx).as(c)
+    }
+    joinedAll.select(leftCols ++ rightPayload: _*)
+  }
+
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -35,4 +35,59 @@ class JoinsSpec extends SparkSpec {
     assert(left.count() === 3)
     assert(left.filter(col("k") === 2).head().getAs[Any]("price") == null)
   }
+
+  test("asOfNative (planner-level exec) equals the union-window form on events") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    for (jt <- Seq("inner", "left")) {
+      val window = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts", jt)
+      val native = Joins.asOfNative(purchases, clicks, Seq("user_id"), "ts", "click_ts", jt)
+      assert(native.columns.toSeq === window.columns.toSeq)
+      assert(native.count() === window.count(), s"row count differs for $jt")
+      assert(window.exceptAll(native).isEmpty && native.exceptAll(window).isEmpty,
+        s"result differs for $jt")
+    }
+  }
+
+  test("asOfNative: null keys and null timestamps never match; outer null-pads them") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq(
+      (Option(1), Option(ts("2024-01-01 10:00:00")), "a"),
+      (Option.empty[Int], Option(ts("2024-01-01 10:00:00")), "null-key"),
+      (Option(1), Option.empty[Timestamp], "null-ts")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (Option(1), Option(ts("2024-01-01 09:00:00")), 100.0),
+      (Option.empty[Int], Option(ts("2024-01-01 09:00:00")), 666.0), // never a candidate
+      (Option(1), Option.empty[Timestamp], 777.0) // never a candidate
+    ).toDF("k", "rts", "price")
+
+    val inner = Joins.asOfNative(left, right, Seq("k"), "ts", "rts", "inner")
+    assert(inner.select("tag", "price").as[(String, Double)].collect().toSeq ===
+      Seq(("a", 100.0)))
+
+    val outer = Joins.asOfNative(left, right, Seq("k"), "ts", "rts", "left")
+    assert(outer.count() === 3)
+    assert(outer.filter(col("tag") =!= "a").filter(col("price").isNotNull).isEmpty)
+  }
+
+  test("asOfNative plan: AsOfJoinExec with one exchange per side, no window") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val df = Joins.asOfNative(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+    df.count() // materialize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"missing AsOfJoinExec:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+  }
 }
