@@ -99,6 +99,26 @@ object MiscQueries {
         .orderBy("event_id")
     },
 
+    // Bucketed range join (interval containment): orders landing inside the
+    // 30-day window opened by ANOTHER order of the same customer, counted
+    // per customer. Equi-join on (custkey, time-bucket) + exact filter —
+    // never a per-key nested loop.
+    "q47_range_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val pts = o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+      val iv = o.select(col("o_custkey"),
+        col("o_orderkey").as("prior_orderkey"),
+        col("o_orderdate").cast("timestamp").as("win_start"),
+        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAYS")).as("win_end"))
+      Joins.rangeJoin(pts, iv, Seq("o_custkey"), "ts", "win_start", "win_end",
+          java.time.Duration.ofDays(30))
+        .filter(col("o_orderkey") =!= col("prior_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("o_custkey")
+    },
+
     // F11/F12/F19: date parse + reformat round-trip and interval arithmetic
     // (`item_valuation_update.py:104` STR_TO_DATE(CONCAT(date,' ',time));
     // DATEADD `hanger_lanes_to_pg_etl.py:117`; strftime `replicate_table.py:63`).
@@ -195,6 +215,17 @@ object MiscQueries {
         |FROM purchases p ASOF JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q47_range_join" ->
+      """WITH pts AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts
+        |  FROM orders)
+        |SELECT p.o_custkey, COUNT(*) AS n_pairs
+        |FROM pts p JOIN pts q
+        |  ON p.o_custkey = q.o_custkey AND p.o_orderkey <> q.o_orderkey
+        | AND p.ts >= q.ts AND p.ts < q.ts + INTERVAL 30 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q40_date_arithmetic" ->
       """SELECT event_id,

@@ -168,4 +168,41 @@ object Joins {
     base.select(left.columns.map(col) ++
       payloadCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Range (interval-containment) join: each left "point" row matches the
+    * right rows whose `[startCol, endCol)` interval contains its `pointCol`,
+    * on equal `keys`. Timestamp-typed point/bounds.
+    *
+    * Bucketed formulation, not a theta join: a raw
+    * `l.ts >= r.start AND l.ts < r.end` predicate on top of an equi-join on
+    * the keys degenerates into per-key nested loops wherever keys repeat
+    * (and into BroadcastNestedLoopJoin without keys). Instead, time is cut
+    * into fixed `bucketWidth` buckets: points land in exactly one bucket,
+    * intervals explode into the buckets they overlap, and the join becomes
+    * a plain equi-join on (keys, bucket) — ONE hash shuffle per side,
+    * SMJ/SHJ-eligible, AQE-skew-splittable — followed by the exact
+    * containment filter. A point matches an interval in exactly one bucket
+    * (the point's own), so no dedup pass is needed.
+    *
+    * `bucketWidth` trades replication for selectivity: right-side blow-up
+    * is ceil(intervalLength / bucketWidth) + 1 rows per interval — pick it
+    * near the typical interval length so the explode stays O(1) per
+    * interval while buckets stay selective. Left/right non-key column
+    * names must be disjoint.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: java.time.Duration): DataFrame = {
+    val widthUs = bucketWidth.toNanos / 1000L
+    require(widthUs > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__bucket",
+      floor(unix_micros(col(pointCol).cast("timestamp")) / widthUs))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(
+        floor(unix_micros(col(startCol).cast("timestamp")) / widthUs),
+        floor(unix_micros(col(endCol).cast("timestamp")) / widthUs))))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
 }

@@ -76,6 +76,50 @@ class JoinsSpec extends SparkSpec {
     assert(outer.filter(col("tag") =!= "a").filter(col("price").isNotNull).isEmpty)
   }
 
+  test("rangeJoin equals the theta-join formulation; boundaries are [start, end)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    // intervals deliberately crossing bucket boundaries (width 1 day,
+    // interval 3.5 days) + boundary points
+    val points = Seq(
+      (1, 10L, ts("2024-01-05 00:00:00")), // == start → included
+      (1, 11L, ts("2024-01-08 12:00:00")), // == end → excluded
+      (1, 12L, ts("2024-01-07 23:59:59")), // interior, crosses buckets
+      (2, 20L, ts("2024-01-05 06:00:00")), // other key
+      (1, 13L, ts("2024-01-04 23:59:59"))  // before start
+    ).toDF("k", "pid", "ts")
+    val intervals = Seq(
+      (1, 100L, ts("2024-01-05 00:00:00"), ts("2024-01-08 12:00:00")),
+      (2, 200L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    ).toDF("k", "iid", "s", "e")
+
+    val bucketed = Joins.rangeJoin(points, intervals, Seq("k"), "ts", "s", "e",
+        java.time.Duration.ofDays(1))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(bucketed === Set((10L, 100L), (12L, 100L)))
+
+    // equivalence with the naive theta join on real data
+    val o = Tables.orders(spark, sf)
+    val pts = o.select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    val iv = o.select(col("o_custkey").as("ck2"),
+      col("o_orderkey").as("prior_orderkey"),
+      col("o_orderdate").cast("timestamp").as("win_start"),
+      (col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAYS")).as("win_end"))
+    val viaBuckets = Joins.rangeJoin(pts,
+        iv.withColumnRenamed("ck2", "o_custkey"), Seq("o_custkey"),
+        "ts", "win_start", "win_end", java.time.Duration.ofDays(30))
+      .filter(col("o_orderkey") =!= col("prior_orderkey"))
+      .select("o_orderkey", "prior_orderkey").as[(Long, Long)].collect().toSet
+    val viaTheta = pts.join(iv, col("o_custkey") === col("ck2") &&
+        col("ts") >= col("win_start") && col("ts") < col("win_end") &&
+        col("o_orderkey") =!= col("prior_orderkey"))
+      .select("o_orderkey", "prior_orderkey").as[(Long, Long)].collect().toSet
+    assert(viaBuckets === viaTheta)
+    assert(viaBuckets.nonEmpty)
+  }
+
   test("asOfNative plan: AsOfJoinExec with one exchange per side, no window") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
