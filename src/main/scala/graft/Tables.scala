@@ -10,8 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reader here is the only fixture-specific code.
   */
 object Tables {
+  /** Per-(session, path) plan cache: `spark.read.parquet` re-lists files and
+    * re-reads footers for the schema on every call, and a Verify/Bench pass
+    * issues ~100 loads of the same ten files. The cached value is just the
+    * immutable logical plan — rows are not pinned, every query still scans. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
