@@ -228,8 +228,12 @@ object AsOfJoinNative {
 
 /** `SparkSessionExtensions` entry point (install with
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`):
-  * registers the as-of join planner strategy for every session of the
+  * registers the as-of join planner strategy, the cosine-fusion optimizer
+  * rule, and the `cosine_similarity` SQL function for every session of the
   * builder. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = AsOfJoinNative.inject(e)
+  override def apply(e: SparkSessionExtensions): Unit = {
+    AsOfJoinNative.inject(e)
+    e.injectOptimizerRule(_ => CosineFusionRule)
+  }
 }

@@ -37,6 +37,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("CosineFusionRule rewrites the composed form to the native expression") {
+    org.apache.spark.sql.graft.CosineFusionRule.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val composed = emb.crossJoin(q)
+      .select(col("vec_id"), Similarity.cosineComposed(col("qv"), col("embedding")).as("c"))
+    // the optimizer must collapse the when/aggregate/zip_with pattern into
+    // ONE native cosine_similarity call
+    val optimized = composed.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_similarity"), s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("zip_with"), s"composed form survived:\n$optimized")
+    // and semantics are unchanged (bit-equal to the unfused evaluation)
+    val fused = composed.collect().map(r => r.getLong(0) -> r.getAs[Any](1)).toMap
+    val native = emb.crossJoin(q)
+      .select(col("vec_id"), Similarity.cosine(col("qv"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Any](1)).toMap
+    assert(fused === native)
+  }
+
   test("bruteForceTopK returns k rows per query, self excluded, descending") {
     val out = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sf), SimilarityQueries.queryVectors(spark, sf),
