@@ -93,6 +93,33 @@ object EventStream {
     * key seen, evicted as the watermark passes (bounded by the horizon, not
     * the stream length). The streaming face of Dedup.exact for at-least-once
     * ingestion paths. */
+  /** Stream-stream interval join (click attribution): every purchase joins
+    * the same user's clicks from the preceding `lookback` window. The time
+    * bound is what makes this scale: with both sides watermarked and the
+    * join range-constrained, Spark evicts click state older than
+    * watermark − lookback instead of buffering the whole click stream —
+    * state tracks the lookback window per user, not history.
+    *
+    * Inner-join rows emit as soon as both inputs arrive (no watermark wait);
+    * the watermark only bounds state eviction and late data.
+    */
+  def attributeToClicks(events: DataFrame, lookback: String = "1 hour",
+                        watermarkDelay: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .drop("click_user")
+  }
+
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
                            tsCol: String, horizon: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, horizon)

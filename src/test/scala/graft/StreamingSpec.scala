@@ -84,6 +84,41 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).user_id === 2 && out(1).n_events === 1)
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:50:00"), 1, "purchase", 10.0), // joins click 1 (40 min before)
+      Event(3, ts("2024-01-01 02:30:00"), 1, "purchase", 20.0), // click 1 outside 1h lookback
+      Event(4, ts("2024-01-01 02:00:00"), 2, "click", 2.0),
+      Event(5, ts("2024-01-01 02:20:00"), 2, "click", 3.0),
+      Event(6, ts("2024-01-01 02:40:00"), 2, "purchase", 30.0)) // joins clicks 4 AND 5
+
+    val q = EventStream.attributeToClicks(input.toDF(), lookback = "1 hour")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(events.take(3): _*)
+    q.processAllAvailable()
+    input.addData(events.drop(3): _*) // clicks arriving in a later batch still join
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("attributed")
+      .select("purchase_id", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(streamed === Set(
+      (2L, ts("2024-01-01 00:10:00")),
+      (6L, ts("2024-01-01 02:00:00")),
+      (6L, ts("2024-01-01 02:20:00"))))
+
+    // batch twin over the same plan builder: identical rows
+    val batch = EventStream.attributeToClicks(events.toDF(), lookback = "1 hour")
+      .select("purchase_id", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(batch === streamed)
+  }
+
   test("foreachBatch upsert sink converges to merge semantics across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_upsert").toString + "/target"
