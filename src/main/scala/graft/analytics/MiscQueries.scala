@@ -119,6 +119,24 @@ object MiscQueries {
         .orderBy("o_custkey")
     },
 
+    // Exact percentiles (interpolated, the ordered-statistic the reference
+    // computes pandas-side): per-status median and p95 of order value.
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // rank = p*(n-1) linear-interpolation definition; 4dp rounding on both
+    // sides absorbs last-ulp interpolation differences.
+    "q48_percentiles" -> { (s, dir) =>
+      import graft.functions.Rounding.roundLikeC
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, array(0.5D, 0.95D))").as("__p"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderstatus"),
+          roundLikeC(element_at(col("__p"), 1), 4).as("p50"),
+          roundLikeC(element_at(col("__p"), 2), 4).as("p95"),
+          col("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
     // F11/F12/F19: date parse + reformat round-trip and interval arithmetic
     // (`item_valuation_update.py:104` STR_TO_DATE(CONCAT(date,' ',time));
     // DATEADD `hanger_lanes_to_pg_etl.py:117`; strftime `replicate_table.py:63`).
@@ -215,6 +233,15 @@ object MiscQueries {
         |FROM purchases p ASOF JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q48_percentiles" ->
+      """SELECT o_orderstatus,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q47_range_join" ->
       """WITH pts AS (
