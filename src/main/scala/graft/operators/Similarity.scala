@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns, accumulated in double. */
+  /** Dot product of two array columns, accumulated in double — composed
+    * built-in form (zip_with + aggregate). Kept as the reference
+    * implementation; the hot paths use [[dotNative]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Fused native dot product (one codegen'd loop, literals out of the
+    * generated source) — same semantics as [[dot]] for float/double arrays
+    * (SimilaritySpec asserts bit-equality). */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotProduct.column(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -74,7 +82,9 @@ object Similarity {
     val bandCols = (0 until bands).map { b =>
       val bits = (0 until bitsPerBand).map { i =>
         val plane = typedlit(planes(b * bitsPerBand + i))
-        when(dot(col(vecCol), plane) > 0, 1 << i).otherwise(0)
+        // native dot: bands × bits composed zip_with dots with literal
+        // hyperplanes inflate codegen past JIT limits (q32/q45 hot path)
+        when(dotNative(col(vecCol), plane) > 0, 1 << i).otherwise(0)
       }
       bits.reduce(_ + _).as(s"__band$b")
     }
@@ -224,7 +234,7 @@ object Similarity {
     */
   def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bands: Int = 8,
-                     bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+                     bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
     val buckets = banded(corpus, idCol, vecCol, bands, bitsPerBand, dim, seed)
     val cands = buckets.join(
         buckets.withColumnRenamed("id", "id_b"), Seq("band", "bucket"))

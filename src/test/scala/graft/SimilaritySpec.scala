@@ -29,6 +29,23 @@ class SimilaritySpec extends SparkSpec {
     assert(both.filter(!(col("native") <=> col("composed"))).isEmpty)
   }
 
+  test("native dot product is bit-identical to the composed form; null on length mismatch") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q).select(
+      Similarity.dotNative(col("qv"), col("embedding")).as("native"),
+      Similarity.dot(col("qv"), col("embedding")).as("composed"))
+    assert(both.filter(!(col("native") <=> col("composed"))).isEmpty)
+
+    import spark.implicits._
+    val mismatch = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(Similarity.dotNative(col("a"), col("b")).as("d"))
+    assert(mismatch.head().isNullAt(0))
+    val empty = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+      .select(Similarity.dotNative(col("a"), col("b")).as("d"))
+    assert(empty.head().getDouble(0) === 0.0)
+  }
+
   test("cosine_similarity registers as a SQL function") {
     org.apache.spark.sql.graft.CosineSimilarity.register(spark)
     val got = spark.sql(
