@@ -71,6 +71,24 @@ class PlanShapeSpec extends SparkSpec {
       "lag and cumsum must reuse one user_id shuffle")
   }
 
+  test("q47 range join: bucketed equi-join, never a nested loop") {
+    val p = plan("q47_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated into a nested loop:\n${p.take(2000)}")
+  }
+
+  test("q49 rollup: all grouping levels share ONE shuffle (Expand, not a union of groupBys)") {
+    val df = SparkEntry.queries("q49_grouping_rollup")(spark, sf)
+    df.collect()
+    // AQE's tree string appends the pre-adaptive "Initial Plan" — count
+    // exchanges only in the final section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand"), s"rollup should plan an Expand:\n${p.take(2000)}")
+    assert(!p.contains("Union"), "rollup must not union per-level aggregations")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 aggregation shuffle, got $exchanges")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
