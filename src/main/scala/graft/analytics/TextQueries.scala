@@ -77,6 +77,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Duplicate clusters: connected components over the q28 near-dup pairs
+    // (min-label propagation, one shuffle per round); every doc labeled
+    // with its cluster representative (min reachable doc_id).
+    "q50_dup_clusters" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      Dedup.dupClusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    },
+
     // MinHash-LSH candidates over the cloned corpus (rows-only).
     "q29_minhash_candidates" -> { (s, dir) =>
       Dedup.minhashLshCandidates(corpusWithClones(s, dir), "doc_id", "text")
@@ -169,6 +179,35 @@ object TextQueries {
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
         |WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure via recursive CTE; cluster = min reachable node
+    "q50_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 300),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id
+        |FROM reach
+        |GROUP BY id
+        |ORDER BY doc_id""".stripMargin
   )
 }

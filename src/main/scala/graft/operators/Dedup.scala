@@ -68,6 +68,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair table
+    * (the output of [[jaccardPairs]] / [[minhashLshCandidates]] /
+    * `Similarity.cosineDupPairs`), labeling every node with the minimum id
+    * reachable through dup edges — the canonical "keep one representative
+    * per duplicate cluster" step after candidate generation.
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * least of its own label and its neighbors' labels — ONE shuffle per
+    * round (join on the edge endpoint + min-aggregate), converging in
+    * O(component diameter) rounds. Near-dup components are shallow (dup
+    * clusters are quasi-cliques), so diameters stay small; for adversarial
+    * long-chain graphs the star-contraction variants halve diameters per
+    * round, at the cost of two extra shuffles — not needed here. Each
+    * round `localCheckpoint`s the labels: without it the iterated plan
+    * nests one join deeper per round and analysis time grows
+    * quadratically.
+    *
+    * Returns (idCol, cluster_id); singletons (no incident edge) form their
+    * own cluster.
+    */
+  def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                  idA: String = "id_a", idB: String = "id_b",
+                  maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min(col("label")).as("nlabel"))
+      val joined = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint() // truncate lineage before reuse below
+      converged = joined.filter(col("next") < col("label")).isEmpty
+      labels = joined.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Deterministic universal-hash family over 32-bit inputs: results stay
     * within long range (no ANSI overflow), seeded for reproducibility. */
   private val HashPrime = 4294967311L // smallest prime > 2^32

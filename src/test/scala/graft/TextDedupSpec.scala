@@ -113,4 +113,30 @@ class DedupSpec extends SparkSpec {
     assert(df.as[Seq[String]].collect().toSeq
       === Seq(Seq("a b c", "b c d"), Seq("x y")))
   }
+
+  test("dupClusters chains transitively (A~B, B~C but not A~C) and keeps singletons") {
+    import org.apache.spark.sql.functions.col
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    // 1-2-3-4 is a path (diameter 3, no shortcut edges); 10-11 a pair; 99 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(nodes, "doc_id", pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("dupClusters on the clone corpus: every clone joins its original's cluster") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.analytics.TextQueries.corpusWithClones(spark, sf)
+      .filter(col("doc_id") % 1000000L < 50)
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.99)
+    val clusters = Dedup.dupClusters(corpus.select("doc_id"), "doc_id", pairs)
+    val byId = clusters.as[(Long, Long)].collect().toMap
+    (0L until 50L).filter(byId.contains).foreach { id =>
+      assert(byId(id + 1000000L) === byId(id),
+        s"clone of $id landed in a different cluster")
+    }
+  }
 }
