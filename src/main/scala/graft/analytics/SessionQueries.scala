@@ -42,6 +42,26 @@ object SessionQueries {
         .orderBy("user_id", "session_no")
     },
 
+    // q38's declarative twin through Spark's BUILT-IN session_window: the
+    // whole sessionize collapses to one groupBy — no lag/flag/cumsum
+    // window cascade, and the same operator runs unchanged under
+    // Structured Streaming. Break rule differs from q38 at the exact-gap
+    // boundary (session_window starts a new session when the gap is
+    // REACHED, q38 only when exceeded on truncated seconds), so the
+    // oracle mirrors session_window's >= rule on exact timestamps.
+    "q51_session_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$GapMinutes minutes").as("w"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .drop("w")
+        .orderBy("user_id", "session_start")
+    },
+
     // HLL sketch cardinalities per event_type next to the exact count —
     // rows-only (sketch internals are engine-specific); SessionSpec bounds
     // the relative error.
@@ -80,6 +100,31 @@ object SessionQueries {
          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM numbered
          |GROUP BY user_id, session_no
-         |ORDER BY user_id, session_no""".stripMargin
+         |ORDER BY user_id, session_no""".stripMargin,
+
+    // session_window semantics: a new session when the gap is REACHED
+    // (>=), on exact microsecond timestamps
+    "q51_session_window" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR ts - prev_ts >= INTERVAL $GapMinutes MINUTE
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM marked),
+         |numbered AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |  FROM flagged)
+         |SELECT user_id,
+         |       MIN(ts) AS session_start,
+         |       MAX(ts) AS session_end,
+         |       COUNT(*) AS n_events,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM numbered
+         |GROUP BY user_id, session_no
+         |ORDER BY user_id, session_start""".stripMargin
   )
 }
