@@ -53,6 +53,24 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** Resize shape: deterministic stride-downsample of the payload (every
+    * `factor`-th byte) standing in for image resize / audio resample —
+    * same row count, smaller payload, mime tagged with the factor. A real
+    * deployment swaps the stride loop for the codec's resampler; the
+    * partition-preserving mapPartitions shape is the part that matters. */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, "factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = new Array[Byte]((r.media.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+        MediaRow(r.media_id, s"${r.mime};resize=1/$factor", out)
+      }
+    }
+  }
+
   /** Fixture builder: wrap a text column as binary "media" (UTF-8) so the
     * plumbing is exercisable on the documents table. */
   def fromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {

@@ -93,4 +93,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_._2 % 2 === 0))
     assert(frames.filter(_._2 > 0).forall(_._3.length <= 16))
   }
+
+  test("resize strides the payload, keeps ids, tags the mime, no shuffle") {
+    // filter (pushed to the scan) instead of limit — a global limit plans
+    // its own SinglePartition exchange and would mask resize's shape
+    val src = Multimodal.fromText(
+      Tables.documents(spark, sf).filter(col("doc_id") < 50), "doc_id", "text")
+    val resized = Multimodal.resize(src, factor = 4)
+    val byId = src.collect().map(r => r.media_id -> r).toMap
+    resized.collect().foreach { r =>
+      val orig = byId(r.media_id)
+      assert(r.media.length === (orig.media.length + 3) / 4)
+      assert(r.media.toSeq === (0 until r.media.length).map(i => orig.media(i * 4)))
+      assert(r.mime === "text/plain;resize=1/4")
+    }
+    // partition-preserving: no Exchange in the plan
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
