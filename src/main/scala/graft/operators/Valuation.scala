@@ -148,6 +148,47 @@ object Valuation {
       .flatMapGroups((_, rows) => foldGroup(rows, init))
   }
 
+  /** Closing state of one (item, warehouse) ledger — what the valuation
+    * fold leaves behind after the last row. */
+  final case class ClosingValuation(qty: Double, valuation_rate: Double,
+                                    stock_value: Double)
+
+  /** SQL-callable form of the fold (SURVEY §7.3's optional exposure): a
+    * typed `Aggregator` that buffers the group's rows, orders them by
+    * (posting_ts, creation) in `finish`, and runs the same [[step]] state
+    * machine to its final state.
+    *
+    * An order-dependent fold cannot be a streaming-merge aggregate, so the
+    * buffer holds the group's rows — the same one-group-in-memory bound as
+    * [[revalue]]; `merge` concatenates partial buffers, keeping map-side
+    * partials safe. Register with [[registerUdaf]] and call as
+    * `closing_valuation(item_code, warehouse, ..., stock_value_difference)`
+    * in GROUP BY SQL.
+    */
+  object ClosingValuationAgg
+    extends org.apache.spark.sql.expressions.Aggregator[
+      StockLedgerRow, List[StockLedgerRow], ClosingValuation] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: List[StockLedgerRow] = Nil
+    // prepend, not append: List append is O(n); finish re-sorts anyway
+    override def reduce(b: List[StockLedgerRow], r: StockLedgerRow): List[StockLedgerRow] = r :: b
+    override def merge(a: List[StockLedgerRow], b: List[StockLedgerRow]): List[StockLedgerRow] = a ::: b
+    override def finish(buf: List[StockLedgerRow]): ClosingValuation = {
+      var st = zeroState
+      buf.sortBy(r => (r.posting_ts.getTime, r.creation.getTime))
+        .foreach { r => st = step(r, st)._2 }
+      ClosingValuation(st.bfQty, st.lastAvgRate, st.lastValue)
+    }
+    override def bufferEncoder: Encoder[List[StockLedgerRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[StockLedgerRow]]()
+    override def outputEncoder: Encoder[ClosingValuation] = Encoders.product
+  }
+
+  /** Registers `closing_valuation` as a SQL aggregate on the session. */
+  def registerUdaf(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("closing_valuation",
+      org.apache.spark.sql.functions.udaf(ClosingValuationAgg))
+
   /** Secondary-sort variant for HUGE single-key histories: repartition by
     * key, sortWithinPartitions by (key, ts, creation), then stream each
     * partition with O(1) state — Spark's sort spills to disk, so a group

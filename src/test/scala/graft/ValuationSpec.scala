@@ -102,4 +102,40 @@ class ValuationSpec extends SparkSpec {
       assert(d === e, s"mismatch: $d vs $e")
     }
   }
+
+  test("closing_valuation UDAF (SQL) equals the last fold state per group") {
+    val ledger = ValuationQueries.syntheticLedger(spark, sf)
+    Valuation.registerUdaf(spark)
+    ledger.toDF().createOrReplaceTempView("stock_ledger")
+    val viaSql = spark.sql(
+      """SELECT item_code, warehouse,
+        |       closing_valuation(item_code, warehouse, posting_ts, creation,
+        |         voucher_type, actual_qty, qty_after_transaction, incoming_rate,
+        |         valuation_rate, stock_value, stock_value_difference) AS c
+        |FROM stock_ledger
+        |GROUP BY item_code, warehouse""".stripMargin)
+      .selectExpr("item_code", "warehouse", "c.qty", "c.valuation_rate", "c.stock_value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    // reference: the fold's final STATE per group (NOT the last emitted
+    // row — the reference's receipt update advances the state value by
+    // incoming_rate but the emitted stock_value by avg_rate, and the state
+    // is what seeds the next incremental fold)
+    val expected = ledger.collect()
+      .groupBy(r => (r.item_code, r.warehouse)).map { case (k, rows) =>
+        var st = Valuation.zeroState
+        rows.sortBy(r => (r.posting_ts.getTime, r.creation.getTime))
+          .foreach { r => st = Valuation.step(r, st)._2 }
+        k -> (st.bfQty, st.lastAvgRate, st.lastValue)
+      }
+    assert(viaSql.keySet === expected.keySet)
+    expected.foreach { case (k, (q, vr, sv)) =>
+      val (gq, gvr, gsv) = viaSql(k)
+      assert(gq === q, s"$k qty")
+      assert(gvr === vr, s"$k rate")
+      assert(gsv === sv, s"$k value")
+    }
+  }
 }
