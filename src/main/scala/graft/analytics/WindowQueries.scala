@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
 import graft.operators.{Joins, Windows}
 
@@ -70,6 +72,24 @@ object WindowQueries {
         .agg(count(lit(1)).as("n_suppliers"),
           sum(dec(col("s_acctbal"))).cast("double").as("total_acctbal"))
         .orderBy("r_name", "n_name")
+    },
+
+    // Ranking-window breadth over per-customer spend: quartile (ntile),
+    // percent_rank, and distance to the segment's top spender — one window
+    // partitioning shared by all three functions (single shuffle + sort).
+    "q52_rank_windows" -> { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("spend").desc, col("c_custkey"))
+      spend.select(col("c_mktsegment"), col("c_custkey"),
+          col("spend").cast("double").as("spend"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          graft.functions.Rounding.roundLikeC(percent_rank().over(w), 4).as("pct_rank"),
+          (first(col("spend")).over(w) - col("spend")).cast("double").as("gap_to_top"))
+        .orderBy("c_mktsegment", "c_custkey")
     },
 
     // Multi-level grouping sets: ROLLUP(region, nation) subtotals + grand
@@ -166,6 +186,21 @@ object WindowQueries {
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q52_rank_windows" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_custkey,
+        |       CAST(spend AS DOUBLE) AS spend,
+        |       NTILE(4) OVER w AS quartile,
+        |       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        |       CAST(FIRST_VALUE(spend) OVER w - spend AS DOUBLE) AS gap_to_top
+        |FROM spend
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q49_grouping_rollup" ->
       """SELECT CASE WHEN GROUPING(r_name) = 1 THEN '(all)'
