@@ -54,4 +54,26 @@ class SourcesSpec extends SparkSpec {
       Set("cat_orders", "cat_customer", "cat_missing"))
     assert(found.toSet === Set("cat_orders", "cat_customer"))
   }
+
+  test("DSv2 synthetic source is bit-identical to the expression generator") {
+    val v2 = spark.read.format("graft-synthetic")
+      .option("rows", "1000").option("seed", "7").load()
+    assert(v2.schema === graft.sources.v2.SyntheticV2.Schema)
+    val exprForm = Synthetic.transactions(spark, 1000, seed = 7)
+    assert(v2.exceptAll(exprForm).isEmpty && exprForm.exceptAll(v2).isEmpty)
+    assert(v2.count() === 1000)
+  }
+
+  test("DSv2 synthetic source: partition planning and column pruning reach the reader") {
+    val v2 = spark.read.format("graft-synthetic")
+      .option("rows", "100").option("numPartitions", "5").load()
+    assert(v2.rdd.getNumPartitions === 5)
+
+    val pruned = v2.select("txn_id")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("graft-synthetic")).getOrElse("")
+    // the Scan.description surfaces the column set handed to the reader
+    assert(scanLine.contains("cols=txn_id"), s"pruning did not reach the scan: $scanLine")
+    assert(!scanLine.contains("txn_uuid"), s"uuid column still read: $scanLine")
+  }
 }
