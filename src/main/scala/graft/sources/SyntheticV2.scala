@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -88,24 +88,65 @@ class SyntheticTable(rows: Long, numPartitions: Int, seed: Int)
 }
 
 class SyntheticScanBuilder(rows: Long, numPartitions: Int, seed: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = SyntheticV2.Schema
+  private var lo: Long = 0L // inclusive txn_id bound
+  private var hi: Long = Long.MaxValue // exclusive
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SyntheticScan(rows, numPartitions, seed, required)
+
+  /** txn_id range predicates are absorbed into the GENERATED id range —
+    * the readers produce fewer rows instead of filtering them. Anything
+    * else stays residual (Spark re-evaluates it above the scan). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (push, residual) = filters.partition {
+      case EqualTo("txn_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThan("txn_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("txn_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("txn_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("txn_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }
+    push.foreach {
+      case EqualTo(_, v) => lo = math.max(lo, num(v)); hi = math.min(hi, num(v) + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, num(v) + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
+      case LessThan(_, v) => hi = math.min(hi, num(v))
+      case LessThanOrEqual(_, v) => hi = math.min(hi, num(v) + 1)
+      case _ => ()
+    }
+    accepted = push
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new SyntheticScan(rows, numPartitions, seed, required, lo, hi)
 }
 
 class SyntheticScan(rows: Long, numPartitions: Int, seed: Int,
-                    required: StructType) extends Scan with Batch {
+                    required: StructType, lo: Long, hi: Long)
+  extends Scan with Batch {
+  private val first = math.max(0L, lo)
+  private val last = math.min(rows, hi) // exclusive
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  // surfaced in the physical plan: makes the pruned column set assertable
+  // surfaced in the physical plan: makes pruning and pushdown assertable
   override def description(): String =
-    s"graft-synthetic[rows=$rows, cols=${required.fieldNames.mkString(",")}]"
+    s"graft-synthetic[ids=[$first,$last), cols=${required.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + numPartitions - 1) / numPartitions)
-    (0L until rows by per).map(s =>
-      SyntheticInputPartition(s, math.min(s + per, rows)): InputPartition).toArray
+    val n = math.max(0L, last - first)
+    if (n == 0) return Array.empty
+    val per = math.max(1L, (n + numPartitions - 1) / numPartitions)
+    (first until last by per).map(s =>
+      SyntheticInputPartition(s, math.min(s + per, last)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required.fieldNames, seed)

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.{col, max, min}
 import graft.sources.{Catalog, Files => FileSrc, Rest, Synthetic}
 
 /** Source surface (§2.1): files, REST payloads, synthetic generator,
@@ -75,5 +76,22 @@ class SourcesSpec extends SparkSpec {
     // the Scan.description surfaces the column set handed to the reader
     assert(scanLine.contains("cols=txn_id"), s"pruning did not reach the scan: $scanLine")
     assert(!scanLine.contains("txn_uuid"), s"uuid column still read: $scanLine")
+  }
+
+  test("DSv2 synthetic source: txn_id range filters shrink the GENERATED id range") {
+    val v2 = spark.read.format("graft-synthetic")
+      .option("rows", "1000").option("numPartitions", "4").load()
+    val filtered = v2.filter(col("txn_id") >= 100 && col("txn_id") < 110)
+    val scanLine = filtered.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("graft-synthetic")).getOrElse("")
+    assert(scanLine.contains("ids=[100,110)"),
+      s"pushdown did not reach the scan: $scanLine")
+    // semantics preserved, and the source produced only the 10 matching ids
+    assert(filtered.count() === 10)
+    assert(filtered.agg(min(col("txn_id")), max(col("txn_id")))
+      .head.toSeq === Seq(100L, 109L))
+    // non-range predicates stay residual but still evaluate correctly
+    val res = v2.filter(col("txn_id") < 50 && col("category") === "fuel")
+    assert(res.collect().forall(_.getAs[String]("category") == "fuel"))
   }
 }
