@@ -75,4 +75,24 @@ class SketchSpec extends SparkSpec {
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }
   }
+
+  test("approx_percentile (the q48 scale path) lands within the accuracy rank bound") {
+    import org.apache.spark.sql.functions._
+    // exact percentile sorts the group; approx_percentile keeps a bounded
+    // GK sketch — at accuracy A the rank error is n/A, so with the default
+    // 10000 the value must sit within that rank window of the exact one
+    val o = Tables.orders(spark, sf)
+    val rows = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(o_totalprice, 0.45)").as("lo_rank"),
+        expr("percentile(o_totalprice, 0.55)").as("hi_rank"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("approx_p50")
+      assert(a >= r.getAs[Double]("lo_rank") && a <= r.getAs[Double]("hi_rank"),
+        s"${r.get(0)}: approx $a outside the exact p45-p55 band")
+    }
+  }
 }
