@@ -93,6 +93,25 @@ object EventStream {
     * key seen, evicted as the watermark passes (bounded by the horizon, not
     * the stream length). The streaming face of Dedup.exact for at-least-once
     * ingestion paths. */
+  /** Declarative sessionization via the BUILT-IN session_window — the same
+    * one-groupBy plan as batch query q51, run incrementally: Spark keeps
+    * one merging session state per (user, open session) and emits a row
+    * when the watermark passes the session's close. Complements
+    * [[sessionize]] (the custom flatMapGroupsWithState operator, which
+    * additionally exposes the gap-splitting internals); prefer this form
+    * wherever plain gap sessions suffice — state handling, merging and
+    * eviction are Spark's, not ours. */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes",
+                       watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Stream-stream interval join (click attribution): every purchase joins
     * the same user's clicks from the preceding `lookback` window. The time
     * bound is what makes this scale: with both sides watermarked and the

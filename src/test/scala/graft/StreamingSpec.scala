@@ -84,6 +84,42 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).user_id === 2 && out(1).n_events === 1)
   }
 
+  test("session_window streaming sessionize equals its batch run and closes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0),  // same session (10 min gap)
+      Event(3, ts("2024-01-01 01:00:00"), 1, "click", 4.0), // 50 min > gap → new session
+      Event(4, ts("2024-01-01 00:05:00"), 2, "click", 8.0))
+    // watermark-advancing flush event, far past every session close
+    val flush = Event(99, ts("2024-01-01 12:00:00"), 9, "click", 0.0)
+
+    val q = EventStream.sessionizeNative(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    input.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("native_sessions")
+      .filter(col("user_id") =!= 9)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === Set(
+      Seq(1L, ts("2024-01-01 00:00:00"), 2L, 3.0),
+      Seq(1L, ts("2024-01-01 01:00:00"), 1L, 4.0),
+      Seq(2L, ts("2024-01-01 00:05:00"), 1L, 8.0)))
+
+    // identical rows from the batch run of the same plan builder
+    val batch = EventStream.sessionizeNative(events.toDF())
+      .select("user_id", "session_start", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(batch === streamed)
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
