@@ -115,6 +115,26 @@ object WindowQueries {
         .orderBy("region", "nation")
     },
 
+    // CUBE completes the grouping-sets family: q49's rollup levels PLUS the
+    // per-nation-across-regions marginal — still one Expand + one shuffle.
+    "q53_grouping_cube" -> { (s, dir) =>
+      Joins.hierarchy(Tables.supplier(s, dir), Seq(
+          (Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey")),
+          (Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))))
+        .cube(col("r_name"), col("n_name"))
+        .agg(grouping(col("r_name")).as("__gr"),
+          grouping(col("n_name")).as("__gn"),
+          count(lit(1)).as("n_suppliers"),
+          sum(dec(col("s_acctbal"))).cast("double").as("total_acctbal"))
+        .select(
+          when(col("__gr") === 1, lit("(all)"))
+            .otherwise(coalesce(col("r_name"), lit("(null)"))).as("region"),
+          when(col("__gn") === 1, lit("(all)"))
+            .otherwise(coalesce(col("n_name"), lit("(null)"))).as("nation"),
+          col("n_suppliers"), col("total_acctbal"))
+        .orderBy("region", "nation")
+    },
+
     // T1 batch twin: tumbling 1-hour buckets over the events table — the same
     // plan Structured Streaming runs incrementally (graft.streaming).
     "q22_event_hourly_buckets" -> { (s, dir) =>
@@ -213,6 +233,19 @@ object WindowQueries {
         |LEFT JOIN nation ON s_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q53_grouping_cube" ->
+      """SELECT CASE WHEN GROUPING(r_name) = 1 THEN '(all)'
+        |            ELSE COALESCE(r_name, '(null)') END AS region,
+        |       CASE WHEN GROUPING(n_name) = 1 THEN '(all)'
+        |            ELSE COALESCE(n_name, '(null)') END AS nation,
+        |       COUNT(*) AS n_suppliers,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
         |ORDER BY 1, 2""".stripMargin,
 
     "q22_event_hourly_buckets" ->
