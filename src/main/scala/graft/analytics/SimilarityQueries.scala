@@ -57,6 +57,14 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
+    // PQ/ADC ANN (rows-only: codebooks are engine-internal; recall is
+    // floored against brute force in SimilaritySpec).
+    "q54_ann_pq" -> { (s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
+          "vec_id", "embedding", K)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+
     // embedding-cosine near-dup pairs: exact O(n²) verifier.
     "q44_cosine_dup_exact" -> { (s, dir) =>
       Similarity.cosineDupPairsExact(embeddingsWithClones(s, dir),
@@ -75,7 +83,7 @@ object SimilarityQueries {
     }
   )
 
-  def rowsOnly: Set[String] = Set("q32_ann_lsh", "q42_ann_ivf")
+  def rowsOnly: Set[String] = Set("q32_ann_lsh", "q42_ann_ivf", "q54_ann_pq")
 
   def oracleSql: Map[String, String] = Map(
     "q31_ann_bruteforce" ->

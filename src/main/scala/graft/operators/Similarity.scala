@@ -250,6 +250,153 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** Product-Quantization ANN (asymmetric distance computation): the
+    * compressed-domain scan for corpora where raw vectors don't fit the
+    * cluster's memory budget.
+    *
+    *  - TRAIN (driver, on a deterministic hash sample — codebooks are
+    *    small-data): the vector splits into `m` subvectors; each subspace
+    *    gets a `codebookSize`-centroid k-means codebook (a few Lloyd
+    *    sweeps).
+    *  - ENCODE (executors, one broadcast pass): every corpus vector →
+    *    `m` bytes (nearest codebook entry per subspace) — dim 64 floats
+    *    (256 B) become 8 B, a 32× compression, so a 100 TB embedding
+    *    corpus scans from ~3 TB of codes.
+    *  - SCAN (executors): each query precomputes an m × codebookSize
+    *    table of subspace inner products; a candidate's approximate score
+    *    is `m` table lookups instead of `dim` multiplies.
+    *  - RE-RANK: the top `k × rerankFactor` candidates per query rejoin
+    *    their exact vectors for the exact-cosine cut (same 4dp rounding
+    *    as [[bruteForceTopK]]), restoring precision that quantization
+    *    loses.
+    *
+    * Recall < 1 by construction (SimilaritySpec floors it against brute
+    * force); raise `m`/`codebookSize`/`rerankFactor` for recall, lower
+    * them for speed/size. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 16,
+             rerankFactor: Int = 4, sampleN: Int = 512,
+             trainIters: Int = 5, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // --- train: driver-side k-means per subspace on a deterministic
+    // hash-ordered sample (codebook training is small-data by design; at
+    // scale the sample, not the corpus, comes to the driver) ---
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(pmod(xxhash64(col(idCol), lit(seed)), lit(1 << 20)), col(idCol))
+      .limit(sampleN)
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    require(sample.nonEmpty, "corpus too small to train PQ codebooks")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    def l2(a: Array[Double], off: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = a(off + i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    // codebooks(m)(codebookSize)(sub): deterministic init from the sample,
+    // refined with Lloyd sweeps per subspace
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val off = s * sub
+      var cents = Array.tabulate(math.min(codebookSize, sample.length)) { j =>
+        java.util.Arrays.copyOfRange(sample(j * sample.length / math.min(codebookSize, sample.length)), off, off + sub)
+      }
+      for (_ <- 0 until trainIters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Int](cents.length)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < cents.length) {
+            val d = l2(v, off, cents(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (c, j) =>
+          if (counts(j) == 0) c else sums(j).map(_ / counts(j))
+        }
+      }
+      cents
+    }
+    val bcCodebooks = spark.sparkContext.broadcast(codebooks)
+
+    // --- encode: corpus → m byte codes (one broadcast pass, no shuffle) ---
+    val codes = corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val cb = bcCodebooks.value
+        rows.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val code = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            val off = s * sub
+            var best = 0; var bestD = Double.MaxValue; var j = 0
+            while (j < cb(s).length) {
+              val d = l2(v, off, cb(s)(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+            }
+            code(s) = best.toByte
+            s += 1
+          }
+          (id, code)
+        }
+      }.toDF("vec_id", "code")
+
+    // --- scan: ADC lookup tables per query, m lookups per candidate ---
+    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Seq[Double])].collect()
+    val qTables: Array[(Long, Array[Array[Double]])] = qRows.map { case (qid, qSeq) =>
+      val q = qSeq.toArray
+      val table = Array.tabulate(m) { s =>
+        val off = s * sub
+        codebooks(s).map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += q(off + i) * c(i); i += 1 }
+          d
+        }
+      }
+      (qid, table)
+    }
+    val bcTables = spark.sparkContext.broadcast(qTables)
+
+    val approx = codes.as[(Long, Array[Byte])].mapPartitions { rows =>
+      val tables = bcTables.value
+      rows.flatMap { case (vid, code) =>
+        tables.iterator.collect { case (qid, table) if qid != vid =>
+          var s = 0.0; var i = 0
+          while (i < m) { s += table(i)((code(i) & 0xFF)); i += 1 }
+          (qid, vid, s)
+        }
+      }
+    }.toDF("query_id", "vec_id", "approx_score")
+
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_score").desc, col("vec_id"))
+    val candidates = approx.withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= k * rerankFactor)
+      .select("query_id", "vec_id")
+
+    // --- re-rank: exact cosine over the candidate pool only ---
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"))
+    val scored = candidates
+      .join(broadcast(q), "query_id")
+      .join(c, "vec_id")
+      .withColumn("score",
+        graft.functions.Rounding.roundLikeC(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "score")
+  }
+
   /** LSH ANN: hyperplane-banded candidates, exact cosine re-rank, top-k.
     * Recall < 1 by construction; verify with [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

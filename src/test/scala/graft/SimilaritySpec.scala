@@ -146,6 +146,23 @@ class SimilaritySpec extends SparkSpec {
     assert(oRef >= oInit - 1e-9, "Lloyd iterations degraded the objective")
   }
 
+  test("PQ (ADC) recall@10 vs brute force is usable; codes compress 32x") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = SimilarityQueries.queryVectors(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.3, s"recall $recall below floor")
+    assert(pq.size <= exact.size)
+    // determinism: same seed, same answer
+    val again = Similarity.pqTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === pq)
+  }
+
   test("cosine near-dup: exact verifier finds every rescaled clone pair, nothing else") {
     val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
     val n = Tables.embeddings(spark, sf).count()
