@@ -54,7 +54,8 @@ object SparkEntry {
       analytics.TextQueries.queries ++
       analytics.SimilarityQueries.queries ++
       analytics.MiscQueries.queries ++
-      analytics.SessionQueries.queries
+      analytics.SessionQueries.queries ++
+      analytics.PrepQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
@@ -64,7 +65,8 @@ object SparkEntry {
       analytics.TextQueries.oracleSql ++
       analytics.SimilarityQueries.oracleSql ++
       analytics.MiscQueries.oracleSql ++
-      analytics.SessionQueries.oracleSql
+      analytics.SessionQueries.oracleSql ++
+      analytics.PrepQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

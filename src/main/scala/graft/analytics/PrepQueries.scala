@@ -1,0 +1,136 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Pii, Rounding, Text}
+import graft.operators.Packing
+
+/** Training-data preparation queries: repetition/quality statistics, PII
+  * redaction, sequence packing, deterministic sharding. These extend the
+  * reference's ordered/windowed family (SURVEY §2.6) with the batch-prep
+  * shapes an LLM corpus pipeline runs ahead of training; all four are
+  * DuckDB-oracle-checked.
+  */
+object PrepQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition stats: type-token ratio + top-bigram mass per
+    // document. Bigram counting explodes per-doc n-grams and aggregates by
+    // (doc, bigram) — both shuffles are keyed on doc_id and map-side
+    // combinable, so the op scales with corpus size, not vocabulary.
+    "q55_repetition_stats" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+        .withColumn("n_words", size(col("w")))
+      val top = base.filter(col("n_words") >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(w)-1), i -> concat(element_at(w,i), ' ', element_at(w,i+1)))"))
+            .as("bg"))
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id").agg(max("count").as("top_c"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          Rounding.roundLikeC(
+            size(array_distinct(col("w"))).cast("double") / col("n_words"), 6)
+            .as("distinct_ratio"),
+          when(col("n_words") >= 2,
+            Rounding.roundLikeC(
+              col("top_c").cast("double") / (col("n_words") - 1), 6))
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction audit: digit masking with tail preservation (the
+    // "****1234" convention) + email-shaped-substring count. One projection,
+    // RE2-safe regexes (see functions/Pii.scala), fully codegen.
+    "q56_pii_mask" -> { (s, dir) =>
+      Tables.customer(s, dir).select(
+          col("c_custkey"),
+          Pii.maskDigits(col("c_name"), 3).as("masked_name"),
+          Pii.emailCount(col("c_name")).as("email_hits"))
+        .orderBy("c_custkey")
+    },
+
+    // Sequence packing (concat-and-chunk): documents laid out in doc_id
+    // order, token stream cut every 2048 tokens, each doc assigned the chunk
+    // its first token lands in. Global cumsum is bucketed (operators/
+    // Packing.bucketedCumSum) — no single-partition window at scale.
+    "q57_pack_sequences" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir).select(
+        col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packSequences(toks, col("doc_id"), col("n_tokens"),
+          capacity = 2048L, idBucketSize = 64L)
+        .select("doc_id", "n_tokens", "start_tok", "pack_id")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic shard assignment: LCG permutation of doc_id picks the
+    // shard and the within-shard order — re-runnable training shuffles with
+    // no RNG state.
+    "q58_shard_assign" -> { (s, dir) =>
+      Packing.shardAssign(
+          Tables.documents(s, dir).select("doc_id"), col("doc_id"), numShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q55_repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |base AS (SELECT doc_id, w, len(w) AS n_words FROM w),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM base WHERE n_words >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY 1)
+        |SELECT b.doc_id, b.n_words,
+        |       round(len(list_distinct(b.w))::DOUBLE / b.n_words, 6) AS distinct_ratio,
+        |       CASE WHEN b.n_words >= 2
+        |            THEN round(top_c::DOUBLE / (b.n_words - 1), 6) END AS top_bigram_frac
+        |FROM base b LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q56_pii_mask" ->
+      """SELECT c_custkey,
+        |       CASE WHEN length(c_name) <= 3 THEN c_name
+        |            ELSE regexp_replace(substr(c_name, 1, length(c_name) - 3),
+        |                                '[0-9]', 'X', 'g')
+        |                 || substr(c_name, length(c_name) - 2, 3) END AS masked_name,
+        |       len(regexp_extract_all(c_name,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_hits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q57_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         (sum(n_tokens) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens)::BIGINT AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_tok, (start_tok // 2048)::BIGINT AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q58_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM documents)
+        |SELECT doc_id, (h % 8)::INT AS shard,
+        |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+}

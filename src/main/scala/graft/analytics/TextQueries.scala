@@ -97,10 +97,43 @@ object TextQueries {
     "q30_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(corpusWithClones(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")
+    },
+
+    // Winnowing (MOSS) document fingerprints: word-3-gram rolling hashes,
+    // window-of-4 minima, distinct per doc. Engine-portable hash — the
+    // oracle reproduces it bit-for-bit in DuckDB.
+    "q59_winnow_fingerprints" -> { (s, dir) =>
+      Dedup.winnowFingerprints(
+          Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy("doc_id", "fp")
     }
   )
 
   def rowsOnly: Set[String] = Set("q29_minhash_candidates", "q30_simhash_pairs")
+
+  private val winnowOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 200),
+      |kg AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(w) - 1),
+      |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS kg
+      |  FROM w WHERE len(w) >= 3),
+      |h AS (
+      |  SELECT doc_id,
+      |         list_transform(kg, g -> list_reduce(
+      |           list_prepend(0::BIGINT,
+      |             list_transform(range(1, length(g) + 1),
+      |                            i -> ascii(substr(g, i, 1))::BIGINT)),
+      |           (acc, x) -> (acc * 31 + x) % 1000000007)) AS h
+      |  FROM kg),
+      |m AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(h) - 2),
+      |                                      j -> list_min(h[j:j+3]))) AS fps
+      |  FROM h WHERE len(h) >= 4)
+      |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -208,6 +241,8 @@ object TextQueries {
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach
         |GROUP BY id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q59_winnow_fingerprints" -> winnowOracle
   )
 }

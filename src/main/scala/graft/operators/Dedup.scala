@@ -241,4 +241,37 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): polynomial rolling hash over every word `k`-gram, slide a
+    * window of `w` hashes, keep each window's minimum, emit the distinct
+    * selected hashes per document. Any shared run of ≥ `w + k - 1` words
+    * between two documents is guaranteed to share a fingerprint — the
+    * standard substring-level near-dup/plagiarism signature.
+    *
+    * Entirely higher-order array functions in one projection (codegen, no
+    * UDF, no shuffle before the final explode); cost is linear in document
+    * length. The hash is plain positional polynomial mod 1e9+7 — engine-
+    * portable (the DuckDB oracle reproduces it), and documents shorter than
+    * `w + k - 1` words emit no rows, mirroring MOSS.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val prime = 1000000007L
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__w"))
+      .withColumn("__kg",
+        when(size(col("__w")) >= k,
+          expr(s"transform(sequence(1, size(__w) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(__w, i, $k)))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("__h",
+        expr(s"transform(__kg, g -> aggregate(sequence(1, length(g)), 0L, " +
+          s"(acc, i) -> (acc * 31 + ascii(substring(g, i, 1))) % $prime))"))
+      .withColumn("__m",
+        when(size(col("__h")) >= w,
+          expr(s"transform(sequence(1, size(__h) - ${w - 1}), " +
+            s"j -> array_min(slice(__h, j, $w)))"))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col(idCol), explode(array_distinct(col("__m"))).as("fp"))
+  }
 }

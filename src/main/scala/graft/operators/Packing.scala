@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data batch-prep operators: scalable global cumulative sums,
+  * sequence packing (concat-and-chunk), and deterministic shard assignment.
+  *
+  * These extend the reference's ordered-computation family (SURVEY §2.6 —
+  * its global `ROW_NUMBER() OVER (ORDER BY (SELECT NULL))`,
+  * `dags/ssg_erp_op.py:296`) with the shapes an LLM-corpus pipeline needs:
+  * "concatenate the corpus in a stable order and cut it into fixed-size
+  * context windows" and "deterministically permute documents into shards".
+  *
+  * Scale design: a naive global cumsum is a single-partition window. Here the
+  * order key is bucketed; per-bucket totals (one map-side-combinable shuffle
+  * over ~thousands of buckets) produce prefix offsets on the driver-sized
+  * bucket list, which broadcast-join back; the running sum inside each bucket
+  * is an ordinary partitioned window. No stage ever sees more than one
+  * bucket's rows in a single task.
+  */
+object Packing {
+
+  /** Globally-ordered running sum of `measure` by `orderCol` (ascending),
+    * bucketed for scale. `bucket` MUST be a monotone non-decreasing function
+    * of `orderCol` (e.g. `floor(orderCol / B)`). Emits `alias` = inclusive
+    * running sum as LONG.
+    */
+  def bucketedCumSum(df: DataFrame, orderCol: Column, bucket: Column,
+                     measure: Column, alias: String): DataFrame = {
+    val b = df.withColumn("__bucket", bucket)
+    val totals = b.groupBy("__bucket").agg(sum(measure).as("__bsum"))
+    // prefix offsets over the (small) bucket list: sum of all earlier buckets
+    val offsets = totals
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__bsum")).over(
+            Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__bsum")
+    b.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(alias,
+        (col("__offset") +
+          sum(measure).over(
+            Window.partitionBy("__bucket").orderBy(orderCol)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("long"))
+      .drop("__bucket", "__offset")
+  }
+
+  /** Sequence packing, concat-and-chunk style: documents are laid out in
+    * `idCol` order and the token stream is cut every `capacity` tokens; each
+    * document is assigned the chunk its FIRST token lands in. Emits
+    * `start_tok` (0-based global token offset) and `pack_id`.
+    */
+  def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
+                    capacity: Long, idBucketSize: Long = 65536L): DataFrame = {
+    val cum = bucketedCumSum(
+      df, idCol, floor(idCol / lit(idBucketSize)).cast("long"),
+      tokensCol.cast("long"), "__cum")
+    cum
+      .withColumn("start_tok", col("__cum") - tokensCol.cast("long"))
+      .withColumn("pack_id", expr(s"start_tok div ${capacity}L"))
+      .drop("__cum")
+  }
+
+  /** Deterministic pseudo-random shard assignment: an LCG over the id column
+    * (mod 2^31, overflow-free in 64-bit for any id) permutes documents; the
+    * permuted value picks the shard and orders documents inside it. The same
+    * ids always land in the same shard at the same position — re-runnable
+    * shuffles for training-data sharding, no RNG state.
+    *
+    * Emits `shard` and `pos` (1-based within-shard rank). The rank window
+    * partitions by shard — at 100 TB each shard is still one task's sort; for
+    * very large shards raise `numShards` (position only needs per-shard
+    * order, so shard count is the parallelism knob).
+    */
+  def shardAssign(df: DataFrame, idCol: Column, numShards: Int): DataFrame = {
+    val m = 2147483648L // 2^31
+    val h = (pmod(idCol.cast("long"), lit(m)) * lit(1103515245L) + lit(12345L)) % lit(m)
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy(col("__h"), idCol)))
+      .drop("__h")
+  }
+}

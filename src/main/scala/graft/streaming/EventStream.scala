@@ -144,6 +144,24 @@ object EventStream {
     events.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Composed incremental pipeline — the full ingestion shape in ONE
+    * streaming query: at-least-once dedup (state bounded by the watermark
+    * horizon) → stream-static broadcast enrich against a dimension (no
+    * shuffle, no state: the dim ships with the tasks) → tumbling hourly
+    * aggregate per enriched category. Exercises Spark's chained-stateful-
+    * operator support: the dedup's event-time watermark carries through the
+    * join into the aggregation.
+    */
+  def dedupEnrichHourly(events: DataFrame, dim: DataFrame,
+                        horizon: String = "2 hours"): DataFrame =
+    dedupWithinWatermark(events, Seq("event_id"), "ts", horizon)
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("category"),
+        col("n_events"), col("sum_value"))
+
   /** T3 CDC-consumer sink shape: each micro-batch upserts into a parquet
     * snapshot target via the engine's Merge operator — the Structured
     * Streaming equivalent of the reference's Kafka-topic-to-table apply loop

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Pii
+import graft.operators.Packing
+
+/** Sequence packing, bucketed cumsum, shard assignment, PII redaction. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketedCumSum equals the single-window cumulative sum") {
+    val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "v")
+    val expected = df.withColumn("cum",
+        sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val got = Packing.bucketedCumSum(
+        df, col("id"), floor(col("id") / 10).cast("long"), col("v"), "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("packSequences: chunk of the first token; boundary-spanning doc keeps its start chunk") {
+    val df = Seq((1L, 1000L), (2L, 1000L), (3L, 500L), (4L, 2048L), (5L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(df, col("doc_id"), col("n_tokens"),
+        capacity = 2048L, idBucketSize = 2L)
+      .select("doc_id", "start_tok", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // starts: 0, 1000, 2000, 2500, 4548 → packs: 0, 0, 0, 1, 2
+    assert(got === Seq((1L, 0L, 0L), (2L, 1000L, 0L), (3L, 2000L, 0L),
+      (4L, 2500L, 1L), (5L, 4548L, 2L)))
+  }
+
+  test("shardAssign: deterministic, dense 1-based positions per shard") {
+    val df = (0L until 200L).toDF("doc_id")
+    val a = Packing.shardAssign(df, col("doc_id"), 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val b = Packing.shardAssign(df, col("doc_id"), 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(a === b) // re-runnable: no RNG state
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.size).toSeq)
+    }
+    // the LCG actually permutes: within-shard order differs from id order
+    val oneShard = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(oneShard !== oneShard.sorted)
+  }
+
+  test("maskDigits keeps the tail and non-digits") {
+    val got = Seq("Customer#000000042", "ab", "12345")
+      .toDF("s").select(Pii.maskDigits(col("s"), 3)).as[String].collect().toSeq
+    assert(got === Seq("Customer#XXXXXX042", "ab", "XX345"))
+  }
+
+  test("email and phone redaction") {
+    val got = Seq("mail bob.smith+x@corp.example.com or 555-867-5309 now")
+      .toDF("s")
+      .select(Pii.redactPhones(Pii.redactEmails(col("s"))).as("r"),
+        Pii.emailCount(col("s")).as("n"))
+      .as[(String, Int)].head()
+    assert(got === ("mail <EMAIL> or <PHONE> now", 1))
+  }
+}

@@ -120,6 +120,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch === streamed)
   }
 
+  test("composed pipeline: dedup -> stream-static enrich -> hourly agg in one query, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 00:20:00"), 2, "purchase", 10.0),
+      Event(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 01:30:00"), 3, "click", 2.0))
+
+    val q = EventStream.dedupEnrichHourly(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1 carries a duplicate of event 1; batch 2 redelivers events 1
+    // and 2 again within the horizon — all must count exactly once
+    input.addData(events(0), events(0), events(1))
+    q.processAllAvailable()
+    input.addData(events(0), events(1), events(2), events(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("enriched")
+      .orderBy("bucket_start", "category").collect().map(_.toSeq).toSeq
+    val batch = events.toDF().dropDuplicates("event_id")
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("category"),
+        col("n_events"), col("sum_value"))
+      .orderBy("bucket_start", "category").collect().map(_.toSeq).toSeq
+    assert(streamed === batch && batch.length === 3)
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

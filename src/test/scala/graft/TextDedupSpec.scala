@@ -139,4 +139,25 @@ class DedupSpec extends SparkSpec {
         s"clone of $id landed in a different cluster")
     }
   }
+
+  test("winnowFingerprints: shared run >= w+k-1 words guarantees a shared fingerprint") {
+    import org.apache.spark.sql.functions.col
+    // k=3, w=4 → any common run of 6+ words must share a selected min-hash
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"five six seven $shared eight"),
+      (3L, "totally different words everywhere all over the place now"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    val byDoc = fps.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run produced no common fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs should not collide")
+    assert(!byDoc.contains(4L), "docs shorter than w+k-1 words emit no fingerprints")
+    // deterministic: same input, same fingerprints
+    val again = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    assert(again.toSet === fps.toSet)
+  }
 }
