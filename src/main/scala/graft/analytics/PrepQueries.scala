@@ -78,6 +78,15 @@ object PrepQueries {
           Tables.documents(s, dir).select("doc_id"), col("doc_id"), numShards = 8)
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
+    },
+
+    // Deterministic 90/5/5 train-val-test split: hash-bucket assignment, no
+    // RNG — a document's split never changes as the corpus grows.
+    "q60_train_split" -> { (s, dir) =>
+      Packing.splitAssign(
+          Tables.documents(s, dir).select("doc_id"), col("doc_id"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
     }
   )
 
@@ -129,8 +138,25 @@ object PrepQueries {
         |  SELECT doc_id,
         |         ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
         |  FROM documents)
-        |SELECT doc_id, (h % 8)::INT AS shard,
-        |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
-        |FROM h ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, ((h * 8) // 2147483648)::INT AS shard,
+        |       row_number() OVER (PARTITION BY (h * 8) // 2147483648
+        |                          ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q60_train_split" ->
+      """WITH h1 AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648 AS h1
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         (((h1 * 1103515245 + 12345) % 2147483648) * 100) // 2147483648
+        |           AS bucket
+        |  FROM h1)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
   )
 }

@@ -79,10 +79,41 @@ object Packing {
   def shardAssign(df: DataFrame, idCol: Column, numShards: Int): DataFrame = {
     val m = 2147483648L // 2^31
     val h = (pmod(idCol.cast("long"), lit(m)) * lit(1103515245L) + lit(12345L)) % lit(m)
+    // bucket on the HIGH bits (h * n / 2^31): an LCG's low-order bits cycle
+    // with tiny periods (bit k has period 2^(k+1)), so `h % n` over
+    // sequential ids visits only a few residues — high bits are the
+    // well-mixed ones
     df.withColumn("__h", h)
-      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("shard", expr(s"(__h * $numShards) div $m").cast("int"))
       .withColumn("pos",
         row_number().over(Window.partitionBy("shard").orderBy(col("__h"), idCol)))
       .drop("__h")
+  }
+
+  /** Deterministic train/val/test split: a second LCG (independent constants
+    * from [[shardAssign]]'s) maps each id to a percentile bucket 0-99;
+    * `cuts` are cumulative percentage thresholds, e.g. 90/95 → 90% train,
+    * 5% val, 5% test. Pure projection — no shuffle, no RNG state, stable
+    * under re-runs and incremental appends (a document's split never changes
+    * when new documents arrive — the property sampling by `rand()` lacks).
+    */
+  def splitAssign(df: DataFrame, idCol: Column,
+                  trainPct: Int = 90, valPct: Int = 5,
+                  alias: String = "split"): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val m = 2147483648L // 2^31
+    // TWO LCG rounds, then the high bits as the percentile bucket: one round
+    // over sequential ids sweeps the high bits too slowly (dense id blocks
+    // land in one split), and low bits (`% 100`) cycle — see shardAssign.
+    // Round 2 decorrelates consecutive h1 values; empirically 0..499 →
+    // 449/25/26 at 90/5/5.
+    val h1 = (pmod(idCol.cast("long"), lit(m)) * lit(1664525L) + lit(1013904223L)) % lit(m)
+    val h2 = (h1 * lit(1103515245L) + lit(12345L)) % lit(m)
+    // floor((h2*100)/2^31): h2*100 < 2^38, exact in double, ≡ integer division
+    val bucket = floor((h2 * 100) / lit(m)).cast("long")
+    df.withColumn(alias,
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
   }
 }

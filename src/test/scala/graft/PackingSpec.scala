@@ -50,6 +50,20 @@ class PackingSpec extends SparkSpec {
     assert(oneShard !== oneShard.sorted)
   }
 
+  test("splitAssign: stable under corpus growth, roughly proportional") {
+    val small = (0L until 500L).toDF("doc_id")
+    val grown = (0L until 2000L).toDF("doc_id")
+    val sm = Packing.splitAssign(small, col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    val gr = Packing.splitAssign(grown, col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    // appending documents never reassigns an existing one
+    assert(sm.forall { case (id, s) => gr(id) == s })
+    val counts = gr.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1600 && counts("train") < 2000 * 0.95)
+    assert(counts("val") > 0 && counts("test") > 0)
+  }
+
   test("maskDigits keeps the tail and non-digits") {
     val got = Seq("Customer#000000042", "ab", "12345")
       .toDF("s").select(Pii.maskDigits(col("s"), 3)).as[String].collect().toSeq

@@ -89,6 +89,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 aggregation shuffle, got $exchanges")
   }
 
+  test("q57 packing: bucket offsets broadcast; the big window partitions by bucket") {
+    val p = plan("q57_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast-join, not shuffle the corpus:\n${p.take(2000)}")
+    assert(p.contains("windowspecdefinition(__bucket"),
+      "corpus-side running sum must partition by __bucket (never a global window)")
+  }
+
+  test("q59 winnowing: pure projection pipeline, no hash shuffle before the sort") {
+    val p = plan("q59_winnow_fingerprints")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"winnowing must stay shuffle-free (HOF projection + explode only):\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
