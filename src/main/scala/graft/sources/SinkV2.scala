@@ -1,0 +1,238 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 SINK (`format("graft-sink")`) with a real two-phase commit
+  * protocol — the write-side twin of the `graft-synthetic` reader and the
+  * engine form of the reference's declared-target loads (ORM tables created
+  * ahead of load, `dags/create_target_pg_hl_table.py:134-136`; bulk insert
+  * `dags/hanger_lane.py:483-504`).
+  *
+  * Protocol (the miniature of every table-format commit design):
+  *  - tasks write JSON-lines files into `_staging/<queryId>/`, one file per
+  *    task ATTEMPT (attempt id in the name → speculative/retried attempts
+  *    never collide);
+  *  - `DataWriter.commit()` seals a file and reports it to the driver;
+  *  - `BatchWrite.commit()` — and ONLY it — moves reported files into
+  *    `data/` and atomically swaps `_MANIFEST.txt` (append merges with the
+  *    previous manifest; truncate replaces it);
+  *  - `BatchWrite.abort()` deletes the staging area; uncommitted files are
+  *    invisible because readers resolve the MANIFEST, never the directory.
+  * A crash between task-commit and job-commit therefore leaves garbage
+  * bytes, not wrong rows — exactly the property FileOutputCommitter /
+  * manifest-based table formats provide.
+  *
+  * The target is declared first ([[GraftSink.create]] writes `_SCHEMA.ddl`),
+  * so appends validate by-name against the declared schema, like the
+  * reference's pre-created ORM targets. Local-filesystem paths (java.nio);
+  * a cluster deployment swaps in the Hadoop FileSystem API — the protocol
+  * does not change.
+  *
+  * Supported field types: long/int/double/boolean/string.
+  */
+class GraftSinkProvider extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-sink"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSink.readSchema(GraftSink.root(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftSinkTable(
+      GraftSink.root(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+object GraftSink {
+  def root(options: CaseInsensitiveStringMap): Path = {
+    val p = options.get("path")
+    require(p != null, "graft-sink requires .option(\"path\", dir)")
+    Paths.get(p)
+  }
+
+  /** Declare the target (the CREATE TABLE step): records the schema the
+    * sink validates every append against. */
+  def create(path: String, schema: StructType): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("_SCHEMA.ddl"),
+      schema.toDDL.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readSchema(dir: Path): StructType = {
+    val f = dir.resolve("_SCHEMA.ddl")
+    require(Files.exists(f),
+      s"graft-sink target $dir not declared — call GraftSink.create(path, schema) first")
+    StructType.fromDDL(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+  }
+
+  /** Committed files per the manifest (name -> rows); empty before any commit. */
+  def manifest(path: String): Seq[(String, Long)] = {
+    val f = Paths.get(path).resolve("_MANIFEST.txt")
+    if (!Files.exists(f)) Seq.empty
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(name, rows) = l.split("\t"); (name, rows.toLong)
+      }.toSeq
+  }
+
+  /** Read ONLY manifest-listed files — orphaned staging/partial files are
+    * invisible by construction. */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val schema = readSchema(Paths.get(path))
+    val files = manifest(path).map(f => Paths.get(path, "data", f._1).toString)
+    if (files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(files: _*)
+  }
+}
+
+class GraftSinkTable(dir: Path, declared: StructType)
+  extends Table with SupportsWrite {
+  override def name(): String = s"graft_sink($dir)"
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir, info.schema(), info.queryId(), truncate = false)
+}
+
+class GraftWriteBuilder(dir: Path, schema: StructType, queryId: String,
+                        truncate: Boolean)
+  extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(dir, schema, queryId, truncate = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(dir, schema, queryId, truncate)
+  }
+}
+
+case class GraftCommitMessage(fileName: String, rows: Long)
+  extends WriterCommitMessage
+
+class GraftBatchWrite(dir: Path, schema: StructType, queryId: String,
+                      truncate: Boolean) extends BatchWrite {
+  private def staging = dir.resolve("_staging").resolve(queryId)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(staging)
+    new GraftWriterFactory(staging.toString, schema)
+  }
+
+  /** The ONLY place files become visible: move task-committed files into
+    * data/ and swap the manifest atomically. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dataDir = dir.resolve("data")
+    Files.createDirectories(dataDir)
+    val committed = messages.collect {
+      case GraftCommitMessage(name, rows) if name != null => (name, rows)
+    }
+    committed.foreach { case (name, _) =>
+      Files.move(staging.resolve(name), dataDir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val previous = if (truncate) {
+      // truncate = replace: previous generation's files leave the manifest
+      // (and are removed — no reader can hold them via the old manifest
+      // once the swap lands)
+      GraftSink.manifest(dir.toString).foreach { case (name, _) =>
+        Files.deleteIfExists(dataDir.resolve(name))
+      }
+      Seq.empty
+    } else GraftSink.manifest(dir.toString)
+    val content = (previous ++ committed)
+      .map { case (n, r) => s"$n\t$r" }.mkString("\n")
+    val tmp = dir.resolve("_MANIFEST.txt.tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("_MANIFEST.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  private def cleanupStaging(): Unit =
+    if (Files.exists(staging)) {
+      Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staging)
+      // best-effort: drop _staging/ itself when no other query is active
+      val parent = staging.getParent
+      if (Files.exists(parent) && !Files.list(parent).iterator().hasNext)
+        Files.deleteIfExists(parent)
+    }
+}
+
+class GraftWriterFactory(stagingDir: String, schema: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** JSON-lines task writer. The file carries the task ATTEMPT id — two
+  * attempts of one partition write two distinct files, and only the one
+  * whose commit message reaches the driver is published. Files are created
+  * lazily so empty partitions publish nothing. */
+class GraftDataWriter(stagingDir: String, schema: StructType,
+                      partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$taskId.jsonl"
+  private var out: java.io.BufferedWriter = _
+  private var rows = 0L
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null)
+      out = Files.newBufferedWriter(Paths.get(stagingDir, fileName),
+        StandardCharsets.UTF_8)
+    val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case StringType => "\"" + esc(row.getUTF8String(i).toString) + "\""
+          case dt => throw new UnsupportedOperationException(
+            s"graft-sink does not support $dt (field ${f.name})")
+        }
+      s""""${f.name}":$v"""
+    }
+    out.write(cells.mkString("{", ",", "}"))
+    out.newLine()
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    GraftCommitMessage(if (rows > 0) fileName else null, rows)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    Files.deleteIfExists(Paths.get(stagingDir, fileName))
+  }
+
+  override def close(): Unit = ()
+}

@@ -5,6 +5,7 @@ import graft.operators.Joins
 
 /** Join operator equivalences not covered by the oracle queries. */
 class JoinsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("basketPairsViaSets equals the self-join formulation (full pair table)") {
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
@@ -118,6 +119,38 @@ class JoinsSpec extends SparkSpec {
       .select("o_orderkey", "prior_orderkey").as[(Long, Long)].collect().toSet
     assert(viaBuckets === viaTheta)
     assert(viaBuckets.nonEmpty)
+  }
+
+  test("asOfNative under aggressive AQE coalescing still co-partitions both sides") {
+    // AQE must coalesce the two exchanges feeding AsOfJoinExec IDENTICALLY,
+    // or rows with equal keys land in different partitions and silently
+    // drop/mismatch. Force heavy coalescing and compare against the
+    // window-based form at sf0.01 (large enough for multiple stages).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      val window = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("event_id"), col("click_ts").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      val native = Joins.asOfNative(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("event_id"), col("click_ts").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(native === window)
+      assert(native.size > 100)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("asOfNative plan: AsOfJoinExec with one exchange per side, no window") {

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.v2.GraftSink
+
+/** DSv2 sink: manifest-based two-phase commit — appends merge, truncate
+  * replaces, failed jobs publish nothing, orphan files are invisible. */
+class SinkV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTarget(): String = {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    GraftSink.create(dir, new StructType()
+      .add("id", LongType).add("name", StringType))
+    dir
+  }
+
+  test("append twice: both batches visible, manifest tracks each file's rows") {
+    val dir = newTarget()
+    (1L to 10L).map(i => (i, s"row$i")).toDF("id", "name")
+      .repartition(2)
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    (11L to 15L).map(i => (i, s"row$i")).toDF("id", "name")
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+
+    val got = GraftSink.readCommitted(spark, dir)
+    assert(got.count() === 15)
+    assert(got.agg(sum("id")).as[Long].head() === (1L to 15L).sum)
+    assert(GraftSink.manifest(dir).map(_._2).sum === 15)
+    // no staging leftovers after a clean commit
+    assert(!Files.exists(Paths.get(dir, "_staging")))
+  }
+
+  test("overwrite truncates: only the new generation is visible, old files gone") {
+    val dir = newTarget()
+    (1L to 10L).map(i => (i, s"a$i")).toDF("id", "name")
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    (100L to 102L).map(i => (i, s"b$i")).toDF("id", "name")
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+
+    val got = GraftSink.readCommitted(spark, dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(100L, 101L, 102L))
+    // replaced generation's bytes are actually removed, not just unlisted
+    val dataFiles = Files.list(Paths.get(dir, "data")).iterator()
+    val names = GraftSink.manifest(dir).map(_._1).toSet
+    while (dataFiles.hasNext) {
+      val f = dataFiles.next().getFileName.toString
+      assert(names.contains(f), s"unmanaged file $f survived truncate")
+    }
+  }
+
+  test("failed job publishes nothing: manifest and data unchanged, staging cleaned") {
+    val dir = newTarget()
+    (1L to 5L).map(i => (i, s"keep$i")).toDF("id", "name")
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+
+    // id div (id - 3) throws at id=3 (ANSI divide-by-zero) mid-write
+    val failing = (1L to 100L).toDF("id")
+      .withColumn("id", expr("id div (id - 3)"))
+      .withColumn("name", lit("boom"))
+    intercept[Exception] {
+      failing.write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    assert(GraftSink.readCommitted(spark, dir).count() === 5,
+      "aborted job must not publish rows")
+    assert(GraftSink.manifest(dir).map(_._2).sum === 5)
+    assert(!Files.exists(Paths.get(dir, "_staging")),
+      "abort must clean the staging area")
+  }
+
+  test("readers resolve the manifest, so orphaned data files are invisible") {
+    val dir = newTarget()
+    (1L to 3L).map(i => (i, s"x$i")).toDF("id", "name")
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    // simulate a crashed job that moved a file but died before the
+    // manifest swap
+    Files.write(Paths.get(dir, "data", "part-99999-0.jsonl"),
+      """{"id":999,"name":"ghost"}""".getBytes("UTF-8"))
+    assert(GraftSink.readCommitted(spark, dir).count() === 3)
+    assert(!GraftSink.readCommitted(spark, dir)
+      .filter(col("id") === 999).as[(Long, String)].collect().nonEmpty)
+  }
+
+  test("appends validate by name against the declared schema") {
+    val dir = newTarget()
+    intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "wrong_name")
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    assert(GraftSink.manifest(dir).isEmpty)
+  }
+
+  test("undeclared target fails fast with the create() hint") {
+    val dir = Files.createTempDirectory("graft-sink-undeclared").toString
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "name")
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("create") || e.getCause != null)
+  }
+}
