@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -76,14 +77,40 @@ object GraftSink {
     StructType.fromDDL(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
   }
 
-  /** Committed files per the manifest (name -> rows); empty before any commit. */
-  def manifest(path: String): Seq[(String, Long)] = {
+  private def manifestLines(path: String): Seq[String] = {
     val f = Paths.get(path).resolve("_MANIFEST.txt")
     if (!Files.exists(f)) Seq.empty
     else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(name, rows) = l.split("\t"); (name, rows.toLong)
-      }.toSeq
+      .linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Committed files per the manifest (name -> rows); empty before any commit. */
+  def manifest(path: String): Seq[(String, Long)] =
+    manifestLines(path).filterNot(_.startsWith("#")).map { l =>
+      val Array(name, rows) = l.split("\t"); (name, rows.toLong)
+    }
+
+  /** Epochs already committed by streaming queries — `#epoch` marker lines.
+    * The streaming commit consults this set to make epoch re-commits (post-
+    * recovery replays) no-ops: the manifest is the exactly-once ledger. */
+  def committedEpochs(path: String): Set[(String, Long)] =
+    manifestLines(path).collect {
+      case l if l.startsWith("#epoch\t") =>
+        val Array(_, qid, eid) = l.split("\t"); (qid, eid.toLong)
+    }.toSet
+
+  /** Atomic manifest swap: append `entries` (and an optional marker line)
+    * to the current manifest — or replace it when `truncate`. */
+  private[v2] def swapManifest(dir: Path, entries: Seq[(String, Long)],
+                               marker: Option[String], truncate: Boolean): Unit = {
+    val previous = if (truncate) Seq.empty else manifestLines(dir.toString)
+    val content =
+      (previous ++ entries.map { case (n, r) => s"$n\t$r" } ++ marker)
+        .mkString("\n")
+    val tmp = dir.resolve("_MANIFEST.txt.tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("_MANIFEST.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Read ONLY manifest-listed files — orphaned staging/partial files are
@@ -102,7 +129,8 @@ class GraftSinkTable(dir: Path, declared: StructType)
   override def name(): String = s"graft_sink($dir)"
   override def schema(): StructType = declared
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir, info.schema(), info.queryId(), truncate = false)
 }
@@ -115,6 +143,8 @@ class GraftWriteBuilder(dir: Path, schema: StructType, queryId: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(dir, schema, queryId, truncate)
+    override def toStreaming: StreamingWrite =
+      new GraftStreamingWrite(dir, schema, queryId)
   }
 }
 
@@ -142,21 +172,15 @@ class GraftBatchWrite(dir: Path, schema: StructType, queryId: String,
       Files.move(staging.resolve(name), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    val previous = if (truncate) {
+    if (truncate) {
       // truncate = replace: previous generation's files leave the manifest
       // (and are removed — no reader can hold them via the old manifest
       // once the swap lands)
       GraftSink.manifest(dir.toString).foreach { case (name, _) =>
         Files.deleteIfExists(dataDir.resolve(name))
       }
-      Seq.empty
-    } else GraftSink.manifest(dir.toString)
-    val content = (previous ++ committed)
-      .map { case (n, r) => s"$n\t$r" }.mkString("\n")
-    val tmp = dir.resolve("_MANIFEST.txt.tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve("_MANIFEST.txt"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    GraftSink.swapManifest(dir, committed.toSeq, marker = None, truncate = truncate)
     cleanupStaging()
   }
 
@@ -180,14 +204,71 @@ class GraftWriterFactory(stagingDir: String, schema: StructType)
     new GraftDataWriter(stagingDir, schema, partitionId, taskId)
 }
 
+/** Streaming face of the sink: per-epoch staging + the manifest as an
+  * exactly-once ledger. Spark can re-commit an epoch after a driver
+  * recovery; `commit` consults the `#epoch` markers and turns replays into
+  * no-ops, so each micro-batch's rows publish exactly once. */
+class GraftStreamingWrite(dir: Path, schema: StructType, queryId: String)
+  extends StreamingWrite {
+  private def staging(epochId: Long) =
+    dir.resolve("_staging").resolve(queryId).resolve(epochId.toString)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(dir.toString, queryId, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    if (GraftSink.committedEpochs(dir.toString).contains((queryId, epochId))) {
+      cleanup(epochId) // replayed commit: publish nothing twice
+      return
+    }
+    val dataDir = dir.resolve("data")
+    Files.createDirectories(dataDir)
+    val committed = messages.collect {
+      case GraftCommitMessage(name, rows) if name != null => (name, rows)
+    }
+    committed.foreach { case (name, _) =>
+      Files.move(staging(epochId).resolve(name), dataDir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    GraftSink.swapManifest(dir, committed.toSeq,
+      marker = Some(s"#epoch\t$queryId\t$epochId"), truncate = false)
+    cleanup(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanup(epochId)
+
+  private def cleanup(epochId: Long): Unit = {
+    val s = staging(epochId)
+    if (Files.exists(s)) {
+      Files.list(s).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(s)
+    }
+  }
+}
+
+class GraftStreamingWriterFactory(root: String, queryId: String,
+                                  schema: StructType)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val staging = Paths.get(root, "_staging", queryId, epochId.toString)
+    Files.createDirectories(staging)
+    // epoch in the file name: task ids can repeat across epochs
+    new GraftDataWriter(staging.toString, schema, partitionId, taskId,
+      prefix = f"epoch$epochId%05d-part")
+  }
+}
+
 /** JSON-lines task writer. The file carries the task ATTEMPT id — two
   * attempts of one partition write two distinct files, and only the one
   * whose commit message reaches the driver is published. Files are created
   * lazily so empty partitions publish nothing. */
 class GraftDataWriter(stagingDir: String, schema: StructType,
-                      partitionId: Int, taskId: Long)
+                      partitionId: Int, taskId: Long, prefix: String = "part")
   extends DataWriter[InternalRow] {
-  private val fileName = f"part-$partitionId%05d-$taskId.jsonl"
+  private val fileName = f"$prefix-$partitionId%05d-$taskId.jsonl"
   private var out: java.io.BufferedWriter = _
   private var rows = 0L
 

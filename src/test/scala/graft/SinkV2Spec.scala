@@ -94,6 +94,48 @@ class SinkV2Spec extends SparkSpec {
     assert(GraftSink.manifest(dir).isEmpty)
   }
 
+  test("streaming sink: micro-batches append through epoch commits") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = newTarget()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "name")
+      .writeStream.format("graft-sink")
+      .option("path", dir)
+      .option("checkpointLocation", Files.createTempDirectory("graft-sink-ckpt").toString)
+      .outputMode("append").start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = GraftSink.readCommitted(spark, dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(graft.sources.v2.GraftSink.committedEpochs(dir).size >= 2,
+      "each micro-batch must leave an epoch marker")
+  }
+
+  test("epoch re-commit after recovery is a no-op (exactly-once ledger)") {
+    val dir = newTarget()
+    val schema = GraftSink.readSchema(Paths.get(dir))
+    val sw = new graft.sources.v2.GraftStreamingWrite(
+      Paths.get(dir), schema, "recovery-test-query")
+    // stage one task file for epoch 7, as a task commit would leave it
+    val staging = Paths.get(dir, "_staging", "recovery-test-query", "7")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("epoch00007-part-00000-1.jsonl"),
+      """{"id":1,"name":"once"}""".getBytes("UTF-8"))
+    val msg = graft.sources.v2.GraftCommitMessage("epoch00007-part-00000-1.jsonl", 1L)
+
+    sw.commit(7L, Array(msg))
+    assert(GraftSink.readCommitted(spark, dir).count() === 1)
+    // driver recovery replays the epoch commit: nothing publishes twice,
+    // nothing throws on the already-moved file
+    sw.commit(7L, Array(msg))
+    assert(GraftSink.readCommitted(spark, dir).count() === 1)
+    assert(GraftSink.manifest(dir).size === 1)
+  }
+
   test("undeclared target fails fast with the create() hint") {
     val dir = Files.createTempDirectory("graft-sink-undeclared").toString
     val e = intercept[Exception] {
