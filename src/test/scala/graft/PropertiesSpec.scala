@@ -97,4 +97,40 @@ object GraftProperties extends Properties("graft") {
       // after advancing the watermark to the data max, a strict re-extract is empty
       graft.etl.EtlLog.incremental(df, "created_at", wm, strict = true).isEmpty
     }
+
+  property("bucketedCumSum == single-window cumsum for arbitrary ids/values/bucket sizes") =
+    Prop.forAll(
+      Gen.listOfN(50, Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(1L, 100L))),
+      Gen.chooseNum(1L, 500L)) { (pairs, bucketSize) =>
+      val rows = pairs.distinctBy(_._1) // unique order keys → total order
+      rows.isEmpty || {
+        val df = rows.toDF("id", "v")
+        val got = graft.operators.Packing.bucketedCumSum(
+            df, col("id"), floor(col("id") / bucketSize.toDouble).cast("long"),
+            col("v"), "cum")
+          .select("id", "cum").as[(Long, Long)].collect().toMap
+        val expected = rows.sortBy(_._1)
+          .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+          .drop(1).toMap
+        got == expected
+      }
+    }
+
+  property("winnowing: a shared w+k-1-word run always yields a shared fingerprint") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.identifier.map(_.take(6))),
+      Gen.listOfN(8, Gen.identifier.map(_.take(6))),
+      Gen.listOfN(8, Gen.identifier.map(_.take(6)))) { (shared, pre, post) =>
+      // vacuously true when the generator produced blank words
+      (shared.size != 6 || shared.exists(_.isEmpty)) || {
+        val run = shared.mkString(" ")
+        val df = Seq(
+          (1L, (pre.filter(_.nonEmpty) :+ run).mkString(" ")),
+          (2L, (run +: post.filter(_.nonEmpty)).mkString(" "))).toDF("doc_id", "text")
+        val fps = graft.operators.Dedup.winnowFingerprints(df, "doc_id", "text")
+          .as[(Long, Long)].collect()
+        val byDoc = fps.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+        (byDoc.getOrElse(1L, Set.empty) & byDoc.getOrElse(2L, Set.empty)).nonEmpty
+      }
+    }
 }
