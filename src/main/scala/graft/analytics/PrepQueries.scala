@@ -87,6 +87,25 @@ object PrepQueries {
           Tables.documents(s, dir).select("doc_id"), col("doc_id"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))
         .orderBy("split")
+    },
+
+    // Top-3 orders per customer via the bounded typed Aggregator — partial
+    // aggregation prunes to ≤k per mapper BEFORE the shuffle (the window
+    // row_number form would shuffle+sort every order row).
+    "q61_topk_per_group" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.TopK
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+      orders.groupByKey(_._1)
+        .mapValues(r => TopK.Entry(r._2, r._3))
+        .agg(TopK.aggregator(3).toColumn.name("top"))
+        .flatMap { case (cust, top) =>
+          top.zipWithIndex.map { case (e, i) => (cust, i + 1, e.id, e.ord) }
+        }
+        .toDF("o_custkey", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rank")
     }
   )
 
@@ -157,6 +176,16 @@ object PrepQueries {
         |            WHEN bucket < 95 THEN 'val'
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs
-        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q61_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |SELECT o_custkey, rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin
   )
 }

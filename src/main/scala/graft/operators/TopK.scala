@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k-per-group aggregation (O2/O3/J9 family at scale).
+  *
+  * The window formulation (`row_number() <= k`) shuffles and sorts EVERY row
+  * of every group; this typed `Aggregator` keeps at most ~4k candidates per
+  * group per map task, so partial aggregation prunes before the shuffle —
+  * the exchange carries ≤ k survivors per (group, mapper) instead of the
+  * whole table, and no per-group sort of the full data ever happens. For a
+  * 100 TB fact table with k=3 that is the difference between shuffling
+  * 100 TB and shuffling megabytes.
+  *
+  * Ordering: descending by `ord`, ties broken by ascending `id` — a total
+  * order, so results are deterministic and oracle-comparable (q61 matches
+  * DuckDB's `row_number() OVER (ORDER BY ord DESC, id)` filter).
+  */
+object TopK {
+
+  /** One ranked candidate: ordering value + tiebreaking id. */
+  final case class Entry(ord: Double, id: Long)
+
+  private def better(a: Entry, b: Entry): Boolean =
+    a.ord > b.ord || (a.ord == b.ord && a.id < b.id)
+
+  /** Keep the k best entries under (ord DESC, id ASC). The buffer grows to
+    * 4k before compacting — amortized O(log k) per row, and compaction only
+    * ever drops entries provably outside the top k. */
+  final class TopKAggregator(k: Int)
+    extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
+    require(k > 0)
+    override def zero: Seq[Entry] = Vector.empty
+    private def compact(s: Seq[Entry]): Seq[Entry] =
+      if (s.length <= 4 * k) s else s.sortWith(better).take(k)
+    override def reduce(buf: Seq[Entry], in: Entry): Seq[Entry] =
+      compact(buf :+ in)
+    override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] =
+      compact(a ++ b)
+    override def finish(r: Seq[Entry]): Seq[Entry] =
+      r.sortWith(better).take(k)
+    override def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder()
+  }
+
+  def aggregator(k: Int): TopKAggregator = new TopKAggregator(k)
+}
