@@ -115,6 +115,40 @@ class SinkV2Spec extends SparkSpec {
       "each micro-batch must leave an epoch marker")
   }
 
+  test("end-to-end: streaming sessionize lands closed sessions in the exactly-once sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val dir = Files.createTempDirectory("graft-sink-sessions").toString
+    GraftSink.create(dir, new StructType()
+      .add("user_id", LongType).add("n_events", LongType))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+      .select(col("user_id"), col("n_events"))
+      .writeStream.format("graft-sink")
+      .option("path", dir)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt2").toString)
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:05:00"), 1, "view", 2.0))
+    q.processAllAvailable()
+    // watermark far past the gap: user 1's session must close and publish
+    input.addData(Event(3, ts("2024-01-01 03:00:00"), 2, "click", 5.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01 06:00:00"), 3, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = GraftSink.readCommitted(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(sessions.get(1L) === Some(2L),
+      s"user 1's closed 2-event session must be in the sink, got $sessions")
+  }
+
   test("epoch re-commit after recovery is a no-op (exactly-once ledger)") {
     val dir = newTarget()
     val schema = GraftSink.readSchema(Paths.get(dir))
