@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -132,15 +134,34 @@ class GraftSinkTable(dir: Path, declared: StructType)
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(dir, info.schema(), info.queryId(), truncate = false)
+    new GraftWriteBuilder(dir, info.schema(), info.queryId(),
+      clusterBy = Option(info.options.get("clusterby"))
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      sortBy = Option(info.options.get("sortby"))
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      truncate = false)
 }
 
+/** Write-side distribution and ordering: `.option("clusterBy", "col")`
+  * makes the Write REQUIRE a clustered distribution — Spark plans the
+  * exchange, so every cluster key's rows land in exactly one task (one
+  * file); `.option("sortBy", "col")` additionally requests a within-
+  * partition sort. Clustered + sorted shards are the layout a training-data
+  * reader wants: one sequential scan per shard, no cross-file merges. */
 class GraftWriteBuilder(dir: Path, schema: StructType, queryId: String,
+                        clusterBy: Seq[String], sortBy: Seq[String],
                         truncate: Boolean)
   extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftWriteBuilder(dir, schema, queryId, truncate = true)
-  override def build(): Write = new Write {
+    new GraftWriteBuilder(dir, schema, queryId, clusterBy, sortBy, truncate = true)
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      if (clusterBy.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(
+        clusterBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    override def requiredOrdering(): Array[SortOrder] =
+      sortBy.map(c => Expressions.sort(
+        Expressions.identity(c), SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new GraftBatchWrite(dir, schema, queryId, truncate)
     override def toStreaming: StreamingWrite =

@@ -170,6 +170,38 @@ class SinkV2Spec extends SparkSpec {
     assert(GraftSink.manifest(dir).size === 1)
   }
 
+  test("clusterBy: every cluster key lands in exactly one committed file, sorted within") {
+    val dir = Files.createTempDirectory("graft-sink-clustered").toString
+    GraftSink.create(dir, new StructType()
+      .add("shard", LongType).add("pos", LongType))
+    // unsorted, shards interleaved across input partitions
+    val rows = for (p <- 0L until 40L) yield (p % 4, 40L - p)
+    rows.toDF("shard", "pos").repartition(8)
+      .write.format("graft-sink").option("path", dir)
+      .option("clusterBy", "shard").option("sortBy", "shard,pos")
+      .mode("append").save()
+
+    // which files contain which shards — read each committed file alone
+    val files = GraftSink.manifest(dir).map(_._1)
+    val byFile = files.map { f =>
+      val content = new String(Files.readAllBytes(Paths.get(dir, "data", f)), "UTF-8")
+      f -> content.linesIterator.map { l =>
+        val m = """"shard":(\d+),"pos":(\d+)""".r.findFirstMatchIn(l).get
+        (m.group(1).toLong, m.group(2).toLong)
+      }.toSeq
+    }.toMap
+    val fileOfShard = byFile.toSeq
+      .flatMap { case (f, rs) => rs.map(_._1).distinct.map(_ -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    (0L until 4L).foreach { s =>
+      assert(fileOfShard(s).size === 1,
+        s"shard $s split across files: ${fileOfShard(s)}")
+    }
+    // sortBy: rows inside each file arrive in (shard, pos) order
+    byFile.values.foreach { rs => assert(rs === rs.sortBy(identity)) }
+    assert(GraftSink.readCommitted(spark, dir).count() === 40)
+  }
+
   test("undeclared target fails fast with the create() hint") {
     val dir = Files.createTempDirectory("graft-sink-undeclared").toString
     val e = intercept[Exception] {
