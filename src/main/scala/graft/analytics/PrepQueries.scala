@@ -109,6 +109,18 @@ object PrepQueries {
         .orderBy("source")
     },
 
+    // Exact heavy hitters over the corpus vocabulary: tokens above 1% of
+    // all occurrences. The Misra-Gries one-pass sketch (operators/Sketches,
+    // SketchesSpec) is the bounded-memory scale path whose guarantee this
+    // exact form verifies.
+    "q64_heavy_hitters" -> { (s, dir) =>
+      graft.operators.Sketches.heavyHitters(
+          Tables.documents(s, dir)
+            .select(graft.functions.Text.tokens(col("text")).as("toks")),
+          "toks", support = 0.01)
+        .orderBy("token")
+    },
+
     // Skew-safe aggregation surfaced as a query: the salted two-phase sum
     // must equal the plain GROUP BY (decimal sums are order-independent) —
     // the DuckDB oracle IS the plain form.
@@ -143,6 +155,17 @@ object PrepQueries {
   def rowsOnly: Set[String] = Set("q62_multimodal_features")
 
   def oracleSql: Map[String, String] = Map(
+
+    "q64_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |total AS (SELECT count(*) AS n_total FROM t)
+        |SELECT token, count(*) AS n
+        |FROM t, total
+        |GROUP BY token, n_total
+        |HAVING count(*) > n_total * 0.01
+        |ORDER BY token""".stripMargin,
 
     "q63_salted_agg" ->
       """SELECT l_returnflag,
