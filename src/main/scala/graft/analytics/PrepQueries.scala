@@ -109,6 +109,29 @@ object PrepQueries {
         .orderBy("source")
     },
 
+    // Deterministic stratified sample: exactly 20 docs per language, chosen
+    // by the two-round LCG order — balanced subsampling for training mixes,
+    // stable across re-runs and as the corpus grows.
+    "q65_stratified_sample" -> { (s, dir) =>
+      Packing.stratifiedSample(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          col("doc_id"), col("lang"), n = 20)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
+    },
+
+    // Incremental exact dedup: the new batch (clones of every doc) anti-
+    // joins the seen corpus's fingerprint set (docs < 250) — only clones of
+    // unseen docs survive. The continuous-ingestion dedup shape.
+    "q66_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      val seen = docs.filter(col("doc_id") < 250)
+      graft.operators.Dedup.incremental(batch, seen, "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+
     // Exact heavy hitters over the corpus vocabulary: tokens above 1% of
     // all occurrences. The Misra-Gries one-pass sketch (operators/Sketches,
     // SketchesSpec) is the bounded-memory scale path whose guarantee this
@@ -155,6 +178,31 @@ object PrepQueries {
   def rowsOnly: Set[String] = Set("q62_multimodal_features")
 
   def oracleSql: Map[String, String] = Map(
+
+    "q65_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM documents)
+        |SELECT lang,
+        |       row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS sample_rank,
+        |       doc_id
+        |FROM h
+        |QUALIFY sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q66_incremental_dedup" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint FROM batch
+        |WHERE fingerprint NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin,
 
     "q64_heavy_hitters" ->
       """WITH t AS (

@@ -32,6 +32,18 @@ object Dedup {
       .select(col("__r.*"), col("fingerprint"))
   }
 
+  /** Incremental exact dedup: keep only batch rows whose fingerprint is NOT
+    * already in the seen corpus — the production shape for continuous
+    * ingestion (dedup the new slice against the fingerprint index, never
+    * re-dedup the whole corpus). One anti-join on the fingerprint; at scale
+    * the seen side is the pre-aggregated fingerprint set, orders of
+    * magnitude smaller than the corpus itself. */
+  def incremental(batch: DataFrame, seen: DataFrame, textCol: String): DataFrame = {
+    val seenFp = seen.select(Text.fingerprint(col(textCol)).as("fingerprint")).distinct()
+    batch.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .join(seenFp, Seq("fingerprint"), "left_anti")
+  }
+
   /** Exact pairwise token-set Jaccard via inverted-index self-join.
     *
     * `dfMaxFraction` drops tokens present in more than that fraction of

@@ -90,6 +90,30 @@ object Packing {
       .drop("__h")
   }
 
+  /** TWO LCG rounds over an id, result in [0, 2^31): one round over
+    * sequential ids sweeps the high bits too slowly (dense id blocks land
+    * together), and low bits of any LCG cycle (bit k has period 2^(k+1)) —
+    * so mix twice and consume the HIGH bits only. Engine-portable integer
+    * arithmetic (the DuckDB oracles reproduce it exactly); empirically
+    * 0..499 → 449/25/26 at a 90/5/5 cut. */
+  def mix2(idCol: Column): Column = {
+    val m = 2147483648L // 2^31
+    val h1 = (pmod(idCol.cast("long"), lit(m)) * lit(1664525L) + lit(1013904223L)) % lit(m)
+    (h1 * lit(1103515245L) + lit(12345L)) % lit(m)
+  }
+
+  /** Deterministic per-stratum sample: exactly `n` rows per stratum (fewer
+    * if the stratum is smaller), chosen by the [[mix2]] pseudo-random order
+    * — balanced subsampling for training mixes, stable across re-runs. One
+    * shuffle on the stratum key; each stratum sorts only its own rows. */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
+                       n: Int): DataFrame =
+    df.withColumn("__h", mix2(idCol))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(stratumCol).orderBy(col("__h"), idCol)))
+      .filter(col("sample_rank") <= n)
+      .drop("__h")
+
   /** Deterministic train/val/test split: a second LCG (independent constants
     * from [[shardAssign]]'s) maps each id to a percentile bucket 0-99;
     * `cuts` are cumulative percentage thresholds, e.g. 90/95 → 90% train,
@@ -102,15 +126,8 @@ object Packing {
                   alias: String = "split"): DataFrame = {
     require(trainPct + valPct < 100, "train + val must leave room for test")
     val m = 2147483648L // 2^31
-    // TWO LCG rounds, then the high bits as the percentile bucket: one round
-    // over sequential ids sweeps the high bits too slowly (dense id blocks
-    // land in one split), and low bits (`% 100`) cycle — see shardAssign.
-    // Round 2 decorrelates consecutive h1 values; empirically 0..499 →
-    // 449/25/26 at 90/5/5.
-    val h1 = (pmod(idCol.cast("long"), lit(m)) * lit(1664525L) + lit(1013904223L)) % lit(m)
-    val h2 = (h1 * lit(1103515245L) + lit(12345L)) % lit(m)
-    // floor((h2*100)/2^31): h2*100 < 2^38, exact in double, ≡ integer division
-    val bucket = floor((h2 * 100) / lit(m)).cast("long")
+    // floor((h*100)/2^31): h*100 < 2^38, exact in double, ≡ integer division
+    val bucket = floor((mix2(idCol) * 100) / lit(m)).cast("long")
     df.withColumn(alias,
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")

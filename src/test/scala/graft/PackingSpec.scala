@@ -64,6 +64,29 @@ class PackingSpec extends SparkSpec {
     assert(counts("val") > 0 && counts("test") > 0)
   }
 
+  test("stratifiedSample: exactly n per stratum, deterministic, not id-prefix biased") {
+    val df = (0L until 300L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val a = Packing.stratifiedSample(df, col("doc_id"), col("lang"), 10)
+      .select("lang", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    val b = Packing.stratifiedSample(df, col("doc_id"), col("lang"), 10)
+      .select("lang", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    assert(a === b)
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+    // pseudo-random, not "first n ids": the sample must not be 0..29
+    assert(a.map(_._2).max > 30L)
+  }
+
+  test("incremental dedup drops exactly the already-seen fingerprints") {
+    import graft.operators.Dedup
+    val seen = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "ALPHA  beta"), (11L, "epsilon zeta"), (12L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // 10 normalizes to seen "alpha beta"; 12 matches exactly; 11 survives
+    assert(out === Set(11L))
+  }
+
   test("maskDigits keeps the tail and non-digits") {
     val got = Seq("Customer#000000042", "ab", "12345")
       .toDF("s").select(Pii.maskDigits(col("s"), 3)).as[String].collect().toSeq
