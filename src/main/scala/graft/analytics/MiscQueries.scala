@@ -166,10 +166,38 @@ object MiscQueries {
           |WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority, c_mktsegment
           |ORDER BY o_orderpriority, c_mktsegment""".stripMargin)
+    },
+
+    // A6/J3 extension: market-basket LIFT (pair support over independence)
+    // for product pairs co-bought in an order — integer-ratio form, see
+    // Joins.basketLift on why not log-PMI.
+    "q67_basket_lift" -> { (s, dir) =>
+      graft.operators.Joins.basketLift(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        Seq("l_orderkey"), "l_partkey", minPairCount = 3, topK = 20)
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q67_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+        |ic AS (SELECT l_partkey, count(*) AS n_i FROM items GROUP BY 1),
+        |pc AS (
+        |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_ab
+        |  FROM items a
+        |  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab,
+        |       round((n_ab * n_baskets)::DOUBLE / (ia.n_i * ib.n_i), 6) AS lift
+        |FROM pc
+        |CROSS JOIN n
+        |JOIN ic ia ON ia.l_partkey = item_a
+        |JOIN ic ib ON ib.l_partkey = item_b
+        |WHERE n_ab >= 3
+        |ORDER BY lift DESC, item_a, item_b
+        |LIMIT 20""".stripMargin,
 
     "q33_global_rownum" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS entry_no,

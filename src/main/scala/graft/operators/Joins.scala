@@ -77,6 +77,43 @@ object Joins {
       .limit(topK)
   }
 
+  /** Market-basket LIFT — the statistical extension of the reference's
+    * pair-frequency analysis (`scripts/SQL/Product_Association.sql`):
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b). Computed as a
+    * single division of exact integer products (all < 2^53), so the double
+    * is bit-identical across engines — log-PMI would hinge on libm `ln`
+    * ulps and never hash-match an oracle.
+    *
+    * Shuffles: one basket-set aggregation (as [[basketPairsViaSets]]), one
+    * pair count, one item count; item counts are dimension-sized and
+    * broadcast. N arrives as a broadcast scalar, never a driver collect. */
+  def basketLift(items: DataFrame, basketKeys: Seq[String], itemCol: String,
+                 minPairCount: Long, topK: Int): DataFrame = {
+    val distinctItems = items.select((basketKeys :+ itemCol).map(col): _*).distinct()
+    val sets = distinctItems.groupBy(basketKeys.map(col): _*)
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+    val pairCounts = sets.select(explode(expr(
+        """flatten(transform(__items, (x, i) ->
+          |  transform(slice(__items, i + 2, size(__items)), y -> struct(x AS item_a, y AS item_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val itemCounts = distinctItems.groupBy(col(itemCol)).agg(count(lit(1)).as("n_i"))
+    val total = distinctItems.select(basketKeys.map(col): _*).distinct()
+      .agg(count(lit(1)).as("__n"))
+    pairCounts
+      .join(broadcast(itemCounts.select(col(itemCol).as("item_a"), col("n_i").as("__na"))), "item_a")
+      .join(broadcast(itemCounts.select(col(itemCol).as("item_b"), col("n_i").as("__nb"))), "item_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", graft.functions.Rounding.roundLikeC(
+        (col("n_ab") * col("__n")).cast("double") / (col("__na") * col("__nb")), 6))
+      .select("item_a", "item_b", "n_ab", "lift")
+      .orderBy(desc("lift"), asc("item_a"), asc("item_b"))
+      .limit(topK)
+  }
+
   /** J6: left join + null-test classification
     * (`scripts/SQL/new_v_return_plus_retention_rate.sql:34-41`). */
   def classify(left: DataFrame, right: DataFrame, keys: Seq[String],
