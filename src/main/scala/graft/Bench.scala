@@ -7,6 +7,16 @@ import org.apache.spark.sql.SparkSession
   * rounds (the first query otherwise absorbs JVM/codegen warmup).
   */
 object Bench {
+  /** tmpfs-backed Spark scratch if the host provides one, else default. */
+  def scratchDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      val d = shm.resolve("graft-spark-local")
+      java.nio.file.Files.createDirectories(d)
+      d.toString
+    } else System.getProperty("java.io.tmpdir")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the full machine (the driver environment is local[32]);
@@ -17,6 +27,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on tmpfs when available: this container's
+      // disk write path is heavily throttled (~13 MB/s observed), which
+      // inflates every shuffle-heavy query ~10x; RAM-backed local dirs
+      // reflect actual engine cost (sf0.1 shuffles are MBs, the box has
+      // 128 GiB)
+      .config("spark.local.dir", Bench.scratchDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -26,7 +42,13 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q27_exact_dedup,q1_pricing_summary: run a subset
+    // (isolation/debugging); unset = all queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // a failed query must NOT read as a fast query: -1 sentinel

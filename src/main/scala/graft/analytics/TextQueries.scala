@@ -99,6 +99,21 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Corpus curation composition: quality-score every document, then drop
+    // the bottom decile PER LANGUAGE (percent_rank cut) — the standard
+    // pre-training filter shape. One projection + one shuffle on lang.
+    "q68_quality_filter" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Text.qualityScore(col("text"), Stopwords).as("quality"))
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))))
+        .filter(col("pr") >= 0.1)
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    },
+
     // Winnowing (MOSS) document fingerprints: word-3-gram rolling hashes,
     // window-of-4 minima, distinct per doc. Engine-portable hash — the
     // oracle reproduces it bit-for-bit in DuckDB.
@@ -243,6 +258,28 @@ object TextQueries {
         |GROUP BY id
         |ORDER BY doc_id""".stripMargin,
 
-    "q59_winnow_fingerprints" -> winnowOracle
+    "q59_winnow_fingerprints" -> winnowOracle,
+
+    "q68_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |               + (1.0 - CASE WHEN n_chars > 0
+        |                             THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END)*0.4
+        |               + (1.0 - ABS(CASE WHEN len(toks) > 0
+        |                                 THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |                                 ELSE 0.0 END - 0.1))*0.2, 4) AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+        |  FROM q)
+        |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.1
+        |ORDER BY doc_id""".stripMargin
   )
 }
