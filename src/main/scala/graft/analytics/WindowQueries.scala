@@ -145,6 +145,20 @@ object WindowQueries {
         .select(col("w.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy("bucket_start", "event_type")
+    },
+
+    // Hopping (sliding) windows — the third window type next to tumbling
+    // (q22) and session (q38/q51): 2-hour windows advancing hourly, so each
+    // event counts in exactly two overlapping buckets. Spark's window()
+    // generator expands the buckets before ONE aggregation shuffle.
+    "q69_hopping_windows" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("bucket_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
     }
   )
 
@@ -253,6 +267,21 @@ object WindowQueries {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q69_hopping_windows" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS tb,
+        |         event_type, value
+        |  FROM events),
+        |x AS (
+        |  SELECT unnest([tb, tb - INTERVAL '1 hour']) AS bucket_start,
+        |         event_type, value
+        |  FROM e)
+        |SELECT bucket_start, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin
   )
