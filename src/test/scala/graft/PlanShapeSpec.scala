@@ -103,6 +103,28 @@ class PlanShapeSpec extends SparkSpec {
       s"winnowing must stay shuffle-free (HOF projection + explode only):\n${p.take(2000)}")
   }
 
+  test("q69 hopping windows: bucket expansion feeds ONE aggregation shuffle") {
+    val df = SparkEntry.queries("q69_hopping_windows")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand") || p.contains("Generate"),
+      s"hopping windows should expand buckets in-plan:\n${p.take(1500)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"expected 1 aggregation shuffle, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("q67 basket lift: dimension counts broadcast, top-k without global sort") {
+    val df = SparkEntry.queries("q67_basket_lift")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"item-count joins must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge in the lift join tree")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrderedAndProject")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
