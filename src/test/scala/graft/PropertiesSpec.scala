@@ -116,6 +116,33 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("topK aggregator == sort-take for random feeds and merge splits") =
+    Prop.forAll(
+      Gen.listOfN(60, Gen.zip(Gen.chooseNum(0.0, 20.0), Gen.chooseNum(0L, 1000L))),
+      Gen.chooseNum(1, 8), Gen.chooseNum(0, 60)) { (pairs, k, cut) =>
+      val entries = pairs.distinctBy(_._2).map { case (o, i) => graft.operators.TopK.Entry(o, i) }
+      val agg = graft.operators.TopK.aggregator(k)
+      val (l, r) = entries.splitAt(math.min(cut, entries.size))
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      val expected = entries.sortBy(e => (-e.ord, e.id)).take(k)
+      merged == expected
+    }
+
+  property("Misra-Gries guarantee holds for arbitrary token streams and splits") =
+    Prop.forAll(
+      Gen.listOfN(200, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")),
+      Gen.chooseNum(2, 6), Gen.chooseNum(0, 200)) { (tokens, k, cut) =>
+      val agg = graft.operators.Sketches.misraGries(k)
+      val (l, r) = tokens.splitAt(math.min(cut, tokens.size))
+      val summary = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      val counts = tokens.groupBy(identity).view.mapValues(_.size.toLong)
+      val threshold = tokens.size.toDouble / (k + 1)
+      counts.forall { case (t, c) => c <= threshold || summary.contains(t) } &&
+        summary.size <= k
+    }
+
   property("winnowing: a shared w+k-1-word run always yields a shared fingerprint") =
     Prop.forAll(
       Gen.listOfN(6, Gen.identifier.map(_.take(6))),
