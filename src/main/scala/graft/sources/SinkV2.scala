@@ -43,6 +43,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a cluster deployment swaps in the Hadoop FileSystem API — the protocol
   * does not change.
   *
+  * Concurrency model: SINGLE WRITER per target (like every manifest-swap
+  * table format without a lock service) — concurrent jobs committing to one
+  * target can lose one job's manifest entries to the other's swap. Readers
+  * are always safe: they see the pre- or post-swap manifest, never a
+  * partial state.
+  *
   * Supported field types: long/int/double/boolean/string.
   */
 class GraftSinkProvider extends TableProvider
