@@ -100,10 +100,42 @@ object EtlQueries {
         .withColumnRenamed("ts", "valid_from_ts")
         .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "valid_from")
+    },
+
+    // Delete propagation ("forget these subjects everywhere"): every 97th
+    // customer files a deletion request; orders and events shed their rows
+    // via broadcast anti-joins and the audit reports per-table counts.
+    "q70_forget_subjects" -> { (s, dir) =>
+      val subjects = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      graft.etl.ChangeDetect.forget(subjects, "c_custkey", Seq(
+          ("orders", Tables.orders(s, dir), "o_custkey"),
+          ("events", Tables.events(s, dir), "user_id")))
+        .orderBy("table_name")
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q70_forget_subjects" ->
+      """WITH f AS (
+        |  SELECT DISTINCT c_custkey AS id FROM customer WHERE c_custkey % 97 = 0),
+        |o AS (
+        |  SELECT 'orders' AS table_name,
+        |         count(*) AS rows_before,
+        |         sum(CASE WHEN o_custkey NOT IN (SELECT id FROM f)
+        |                  THEN 1 ELSE 0 END)::BIGINT AS rows_after
+        |  FROM orders),
+        |e AS (
+        |  SELECT 'events' AS table_name,
+        |         count(*) AS rows_before,
+        |         sum(CASE WHEN user_id NOT IN (SELECT id FROM f)
+        |                  THEN 1 ELSE 0 END)::BIGINT AS rows_after
+        |  FROM events)
+        |SELECT table_name, rows_before, rows_after,
+        |       rows_before - rows_after AS rows_deleted
+        |FROM (SELECT * FROM e UNION ALL SELECT * FROM o)
+        |ORDER BY table_name""".stripMargin,
 
     "q13_union_lineage" ->
       """WITH tagged AS (

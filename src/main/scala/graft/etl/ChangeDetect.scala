@@ -1,3 +1,5 @@
+// (Forget lives in this file with ChangeDetect: both are the anti-join
+// family over keyed snapshots.)
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
@@ -40,5 +42,26 @@ object ChangeDetect {
     val cs = split(source, target, keys)
     cs.modified.withColumn("change_type", lit("modified"))
       .unionByName(cs.inserted.withColumn("change_type", lit("inserted")))
+  }
+
+  /** Delete propagation ("forget these subjects everywhere"): remove every
+    * row keyed to an id in `subjects` from each named table via one
+    * broadcast anti-join per table, and emit the audit the governance log
+    * wants — (table_name, rows_before, rows_after, rows_deleted). The
+    * deletion-request set is tiny next to the tables, so no fact table
+    * shuffles; the rewrite itself composes with SnapshotIO.replace for the
+    * snapshot-store targets. */
+  def forget(subjects: DataFrame, subjectKey: String,
+             tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    val keys = broadcast(subjects.select(col(subjectKey).as("__forget_id")).distinct())
+    val audits = tables.map { case (name, df, keyCol) =>
+      val kept = df.join(keys, df(keyCol) === col("__forget_id"), "left_anti")
+      val before = df.agg(count(lit(1)).as("rows_before"))
+      val after = kept.agg(count(lit(1)).as("rows_after"))
+      before.crossJoin(after)
+        .select(lit(name).as("table_name"), col("rows_before"), col("rows_after"),
+          (col("rows_before") - col("rows_after")).as("rows_deleted"))
+    }
+    audits.reduce(_ unionByName _)
   }
 }
