@@ -60,6 +60,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
+      analytics.ValuationQueries.oracleSql ++
       analytics.WindowQueries.oracleSql ++
       analytics.ShapeQueries.oracleSql ++
       analytics.EtlQueries.oracleSql ++

@@ -126,11 +126,17 @@ object Valuation {
       }
   }
 
+  /** Full-precision sort key: getTime alone truncates to milliseconds, so two
+    * creation stamps differing only in microseconds would tie and break by
+    * (nondeterministic) shuffle arrival order. (getTime, getNanos) is a total
+    * order at nanosecond precision. */
+  private def tsKey(t: Timestamp): (Long, Int) = (t.getTime, t.getNanos)
+
   /** Sequential fold over one (item, warehouse) group. Input iterator may be
     * unordered; the fold sorts by (posting_ts, creation) — the reference's
     * ORDER BY posting_date, posting_time, creation. */
   def foldGroup(rows: Iterator[StockLedgerRow], init: State): Iterator[ValuedStockRow] = {
-    val ordered = rows.toArray.sortBy(r => (r.posting_ts.getTime, r.creation.getTime))
+    val ordered = rows.toArray.sortBy(r => (tsKey(r.posting_ts), tsKey(r.creation)))
     var st = init
     ordered.iterator.map { r =>
       val (out, next) = step(r, st)
@@ -175,7 +181,7 @@ object Valuation {
     override def merge(a: List[StockLedgerRow], b: List[StockLedgerRow]): List[StockLedgerRow] = a ::: b
     override def finish(buf: List[StockLedgerRow]): ClosingValuation = {
       var st = zeroState
-      buf.sortBy(r => (r.posting_ts.getTime, r.creation.getTime))
+      buf.sortBy(r => (tsKey(r.posting_ts), tsKey(r.creation)))
         .foreach { r => st = step(r, st)._2 }
       ClosingValuation(st.bfQty, st.lastAvgRate, st.lastValue)
     }
