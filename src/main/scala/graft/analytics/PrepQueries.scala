@@ -175,9 +175,27 @@ object PrepQueries {
     }
   )
 
-  def rowsOnly: Set[String] = Set("q62_multimodal_features")
+  def rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
+
+    // q62's stub decode kernel is deterministic byte arithmetic over the
+    // UTF-8 payload, so the PIPELINE is oracle-checkable even though the
+    // kernel is a codec stand-in: features[0] = (float) count(bytes<0x10) /
+    // max(len,1) — control chars are the only sub-0x10 bytes UTF-8 text can
+    // carry, and each is exactly one byte, so a codepoint regex counts them.
+    // CAST ... AS FLOAT reproduces the Array[Float] float32 quotient;
+    // SUM(BIGINT) casts back from DuckDB's HUGEINT for the int64 hash match.
+    "q62_multimodal_features" ->
+      """WITH t AS (
+        |  SELECT source, strlen(text) AS n_bytes,
+        |         len(regexp_extract_all(text, '[\x01-\x0f]')) AS c0
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_media,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |       ROUND(AVG(CAST(CAST(c0 AS FLOAT) / CAST(GREATEST(n_bytes, 1) AS FLOAT)
+        |                      AS DOUBLE)), 4) AS avg_bin0
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q65_stratified_sample" ->
       """WITH h AS (
