@@ -13,13 +13,27 @@ object Tables {
   /** Per-(session, path) plan cache: `spark.read.parquet` re-lists files and
     * re-reads footers for the schema on every call, and a Verify/Bench pass
     * issues ~100 loads of the same ten files. The cached value is just the
-    * immutable logical plan — rows are not pinned, every query still scans. */
+    * immutable logical plan — rows are not pinned, every query still scans.
+    *
+    * ASSUMES IMMUTABLE PATHS: the cached plan keeps its first file listing,
+    * so a path that is rewritten/appended in the same session would read
+    * stale files through `load`. That is the right trade for the read-only
+    * test fixtures this object binds; a writer-then-reader flow must call
+    * [[invalidate]] after the write (or read via `spark.read` directly, as
+    * the etl/SnapshotIO paths do — nothing in graft writes under these
+    * fixture dirs). */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
+
+  /** Drop cached plans for `path` (every session), re-listing on next load —
+    * for the rare rewrite-then-reload flow. Also the session-leak valve: the
+    * map retains SparkSession keys until invalidated. */
+  def invalidate(path: String): Unit =
+    cache.keySet.removeIf(_._2.startsWith(path))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -26,9 +26,15 @@ object Packing {
     * bucketed for scale. `bucket` MUST be a monotone non-decreasing function
     * of `orderCol` (e.g. `floor(orderCol / B)`). Emits `alias` = inclusive
     * running sum as LONG.
+    *
+    * DETERMINISM: `orderCol` extended by `tieBreak` must be a total order —
+    * rows that compare equal would get shuffle-order-dependent running sums
+    * across runs. Callers with a unique key (packSequences orders by doc_id)
+    * pass nothing; otherwise supply a tie-breaking column.
     */
   def bucketedCumSum(df: DataFrame, orderCol: Column, bucket: Column,
-                     measure: Column, alias: String): DataFrame = {
+                     measure: Column, alias: String,
+                     tieBreak: Seq[Column] = Nil): DataFrame = {
     val b = df.withColumn("__bucket", bucket)
     val totals = b.groupBy("__bucket").agg(sum(measure).as("__bsum"))
     // prefix offsets over the (small) bucket list: sum of all earlier buckets
@@ -43,7 +49,7 @@ object Packing {
       .withColumn(alias,
         (col("__offset") +
           sum(measure).over(
-            Window.partitionBy("__bucket").orderBy(orderCol)
+            Window.partitionBy("__bucket").orderBy(orderCol +: tieBreak: _*)
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .cast("long"))
       .drop("__bucket", "__offset")

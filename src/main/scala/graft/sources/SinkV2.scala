@@ -184,7 +184,10 @@ class GraftBatchWrite(dir: Path, schema: StructType, queryId: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(staging)
-    new GraftWriterFactory(staging.toString, schema)
+    // queryId in the data file name: task ids restart per APPLICATION, so a
+    // second JVM appending to this target would otherwise mint a name the
+    // manifest already holds and fail mid-commit on the ATOMIC_MOVE
+    new GraftWriterFactory(staging.toString, schema, prefix = s"$queryId-part")
   }
 
   /** The ONLY place files become visible: move task-committed files into
@@ -225,10 +228,10 @@ class GraftBatchWrite(dir: Path, schema: StructType, queryId: String,
     }
 }
 
-class GraftWriterFactory(stagingDir: String, schema: StructType)
+class GraftWriterFactory(stagingDir: String, schema: StructType, prefix: String)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(stagingDir, schema, partitionId, taskId)
+    new GraftDataWriter(stagingDir, schema, partitionId, taskId, prefix)
 }
 
 /** Streaming face of the sink: per-epoch staging + the manifest as an
@@ -282,9 +285,10 @@ class GraftStreamingWriterFactory(root: String, queryId: String,
                             epochId: Long): DataWriter[InternalRow] = {
     val staging = Paths.get(root, "_staging", queryId, epochId.toString)
     Files.createDirectories(staging)
-    // epoch in the file name: task ids can repeat across epochs
+    // epoch AND queryId in the file name: task ids repeat across epochs and
+    // restart per application — the pair makes names globally unique
     new GraftDataWriter(staging.toString, schema, partitionId, taskId,
-      prefix = f"epoch$epochId%05d-part")
+      prefix = f"$queryId%s-epoch$epochId%05d-part")
   }
 }
 
@@ -306,6 +310,10 @@ class GraftDataWriter(stagingDir: String, schema: StructType,
       case '\n' => "\\n"
       case '\t' => "\\t"
       case '\r' => "\\r"
+      // every remaining control char must escape too: a raw \b or \f is
+      // invalid JSON, and Spark's PERMISSIVE reader would null the whole
+      // row — silent corruption under the sink's exactly-once contract
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
 

@@ -40,12 +40,14 @@ class SyntheticTableProvider extends TableProvider with DataSourceRegister {
     SyntheticV2.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val opts = properties.asScala
+    // getTable receives the raw (case-sensitive) map; DSv2 option convention
+    // is case-insensitive, so normalize — .option("Rows", …) must configure,
+    // not silently fall back to the default row count
+    val opts = new CaseInsensitiveStringMap(properties)
     new SyntheticTable(
-      rows = opts.getOrElse("rows", "1000").toLong,
-      numPartitions = opts.getOrElse("numpartitions",
-        opts.getOrElse("numPartitions", "8")).toInt,
-      seed = opts.getOrElse("seed", "42").toInt)
+      rows = Option(opts.get("rows")).getOrElse("1000").toLong,
+      numPartitions = Option(opts.get("numpartitions")).getOrElse("8").toInt,
+      seed = Option(opts.get("seed")).getOrElse("42").toInt)
   }
 }
 
