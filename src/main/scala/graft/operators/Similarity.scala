@@ -51,13 +51,33 @@ object Similarity {
     when(denom > 0, d / denom)
   }
 
+  /** Default ceiling for the O(n²)/broadcast verifier paths. Generous for a
+    * verification sample, far below where the broadcast (8 GB Spark cap) or
+    * the quadratic compare would die at cluster scale. */
+  val MaxExactRows: Long = 200000L
+
+  /** Guard rail for the exact verifiers: they broadcast a whole side and do
+    * quadratic work BY DESIGN, so an accidental 100×-scale invocation must
+    * fail fast with advice, not OOM the driver two hours in. The count is one
+    * cheap aggregate over the (pruned) side being broadcast. */
+  private def requireExactScale(df: DataFrame, what: String, max: Long,
+                                alternative: String): Unit = {
+    val n = df.count()
+    require(n <= max,
+      s"$what has $n rows > $max: this is the exact/quadratic verifier — " +
+        s"use $alternative at scale, or raise maxRows explicitly for a bounded sample")
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest corpus
     * rows (self-matches excluded by id). Scores round to 4dp BEFORE ranking
     * so ranking is stable across accumulation orders; ties break by corpus
-    * id. */
+    * id. Cost O(|queries| × |corpus|) with `queries` broadcast — the guard
+    * trips on an unboundedly large query side. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     maxRows: Long = MaxExactRows): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    requireExactScale(q, "query set", maxRows, "lshTopK/ivfTopK/pqTopK")
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
@@ -161,10 +181,13 @@ object Similarity {
     *
     * Scale: assignment is one broadcast pass (centroids are tiny); the
     * candidate join shuffles on the cell id — candidates ≈ corpus ×
-    * nProbe/nList, linear in corpus size.
+    * nProbe/nList, linear in corpus size. The default 5/8 probe fraction
+    * buys recall@10 ≥ 0.9 on the weakly-clustered synthetic fixture; a
+    * genuinely clustered embedding corpus (the 100 TB case IVF exists for)
+    * runs nList in the thousands with nProbe/nList ≪ 1.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
+              vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 5,
               refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -207,9 +230,11 @@ object Similarity {
     * the linear-candidate scale path.
     */
   def cosineDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          maxRows: Long = MaxExactRows): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    requireExactScale(b, "corpus", maxRows, "cosineDupPairs")
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score",
@@ -274,9 +299,10 @@ object Similarity {
     * force); raise `m`/`codebookSize`/`rerankFactor` for recall, lower
     * them for speed/size. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 16,
-             rerankFactor: Int = 4, sampleN: Int = 512,
-             trainIters: Int = 5, seed: Long = 42L): DataFrame = {
+             vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 32,
+             rerankFactor: Int = 16, sampleN: Int = 512,
+             trainIters: Int = 5, seed: Long = 42L,
+             maxQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -348,22 +374,42 @@ object Similarity {
         }
       }.toDF("vec_id", "code")
 
-    // --- scan: ADC lookup tables per query, m lookups per candidate ---
-    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .as[(Long, Seq[Double])].collect()
-    val qTables: Array[(Long, Array[Array[Double]])] = qRows.map { case (qid, qSeq) =>
-      val q = qSeq.toArray
-      val table = Array.tabulate(m) { s =>
-        val off = s * sub
-        codebooks(s).map { c =>
-          var d = 0.0; var i = 0
-          while (i < sub) { d += q(off + i) * c(i); i += 1 }
-          d
+    // --- scan: ADC lookup tables per query, m lookups per candidate.
+    // Tables are built DISTRIBUTED (each query partition dots its vectors
+    // against the broadcast codebooks); only the finished tables — m ×
+    // codebookSize doubles each, ~1 KB at the defaults, never the raw
+    // vectors — come back for the scan broadcast. Every candidate×query
+    // scan needs every table, so the query-set size is the broadcast bound:
+    // maxQueries × 1 KB of driver/executor memory, require'd rather than
+    // discovered as an OOM (this operator is the ANN-serving shape — a
+    // corpus-sized "query set" belongs in cosineDupPairs instead). ---
+    val qTableRows: Array[(Long, Seq[Seq[Double]])] = {
+      val ds = queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qv"))
+        .as[(Long, Seq[Double])]
+        .mapPartitions { rows =>
+          val cb = bcCodebooks.value
+          rows.map { case (qid, qSeq) =>
+            val q = qSeq.toArray
+            val table: Seq[Seq[Double]] = (0 until m).map { s =>
+              val off = s * sub
+              cb(s).toSeq.map { c =>
+                var d = 0.0; var i = 0
+                while (i < sub) { d += q(off + i) * c(i); i += 1 }
+                d
+              }
+            }
+            (qid, table)
+          }
         }
-      }
-      (qid, table)
+      val collected = ds.take(maxQueries + 1)
+      require(collected.length <= maxQueries,
+        s"query set exceeds maxQueries=$maxQueries: pqTopK broadcasts one ADC " +
+          "table per query; batch the query set or raise maxQueries deliberately")
+      collected
     }
+    val qTables: Array[(Long, Array[Array[Double]])] =
+      qTableRows.map { case (qid, t) => (qid, t.map(_.toArray).toArray) }
     val bcTables = spark.sparkContext.broadcast(qTables)
 
     val approx = codes.as[(Long, Array[Byte])].mapPartitions { rows =>
@@ -398,10 +444,17 @@ object Similarity {
   }
 
   /** LSH ANN: hyperplane-banded candidates, exact cosine re-rank, top-k.
-    * Recall < 1 by construction; verify with [[bruteForceTopK]]. */
+    * Recall < 1 by construction; verify with [[bruteForceTopK]].
+    *
+    * Defaults (16 bands × 3 bits, like [[ivfTopK]]'s and [[pqTopK]]'s) are
+    * tuned to recall@10 ≥ 0.9 on the weakly-clustered synthetic fixture —
+    * the adversarial case for a bucketing index (SimilaritySpec floors
+    * them). Candidate volume ∝ corpus × bands / 2^bits per query; a corpus
+    * with real cluster structure can drop bands or raise bits for the same
+    * recall at a fraction of the cost. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int, bands: Int = 8,
-              bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, dim: Int, bands: Int = 16,
+              bitsPerBand: Int = 3, seed: Long = 42L): DataFrame = {
     val cB = banded(corpus, idCol, vecCol, bands, bitsPerBand, dim, seed)
     val qB = banded(queries, idCol, vecCol, bands, bitsPerBand, dim, seed)
       .withColumnRenamed("id", "query_id")
