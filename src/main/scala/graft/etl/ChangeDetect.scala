@@ -55,12 +55,15 @@ object ChangeDetect {
              tables: Seq[(String, DataFrame, String)]): DataFrame = {
     val keys = broadcast(subjects.select(col(subjectKey).as("__forget_id")).distinct())
     val audits = tables.map { case (name, df, keyCol) =>
-      val kept = df.join(keys, df(keyCol) === col("__forget_id"), "left_anti")
-      val before = df.agg(count(lit(1)).as("rows_before"))
-      val after = kept.agg(count(lit(1)).as("rows_after"))
-      before.crossJoin(after)
-        .select(lit(name).as("table_name"), col("rows_before"), col("rows_after"),
-          (col("rows_before") - col("rows_after")).as("rows_deleted"))
+      // ONE scan per table: a broadcast LEFT join tags deleted rows (the
+      // key set is distinct, so no fan-out), and both audit counts fall out
+      // of the same aggregate — before/after-count plans would scan twice
+      df.join(keys, df(keyCol) === col("__forget_id"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          count(col("__forget_id")).as("rows_deleted"))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"),
+          col("rows_deleted"))
     }
     audits.reduce(_ unionByName _)
   }
