@@ -35,11 +35,20 @@ object Pipeline {
     * @param targetDir  parquet snapshot dir (created on first run)
     * @param logDir     EtlLog dir (watermark state)
     * @param sourceName lineage tag (`source_connection`)
+    * @param retry      transient-failure policy for the probe and the
+    *                   snapshot write (ref `retry_on_exception`,
+    *                   `dags/hanger_lane.py:81-109`); default = no retry
+    * @param skipOnProbeFailure the reference's probe branch
+    *                   (`hanger_lane.py:624-644`): when the extraction probe
+    *                   still fails after retries, log-and-skip this source
+    *                   (multi-source loops keep going) instead of raising
     */
   def runIncremental(spark: SparkSession, source: DataFrame, cursorCol: String,
                      transform: DataFrame => DataFrame, keys: Seq[String],
                      targetDir: String, logDir: String,
-                     sourceName: String): RunReport = {
+                     sourceName: String,
+                     retry: Retry.Policy = Retry.none,
+                     skipOnProbeFailure: Boolean = false): RunReport = {
     val start = new Timestamp(System.currentTimeMillis())
     // never a wall-clock watermark: a skip/failure before any data exists
     // logs the epoch, which cannot mask rows landed later (ref invariant:
@@ -47,20 +56,39 @@ object Pipeline {
     val epoch = new Timestamp(0L)
     val wmBefore = EtlLog.readWatermark(spark, logDir, sourceName)
 
-    // bootstrap: first run starts from min(cursor) inclusive (ref `:235`)
-    val slice = wmBefore match {
-      case Some(wm) => EtlLog.incremental(source, cursorCol, wm, strict = true)
-      case None =>
-        EtlLog.bootstrap(source, cursorCol)
-          .map(m => EtlLog.incremental(source, cursorCol, m, strict = false))
-          .getOrElse(source.limit(0))
-    }
-
-    val extracted = slice.cache()
-    var n = 0L // visible to the failure log even if count() itself fails
+    var extracted: DataFrame = null
+    var n = 0L // visible to the failure log even if the probe itself fails
     try {
-      // probe-and-branch (ref `:606-615`): empty slice → skip, but still log
-      n = extracted.count()
+      // Extraction probe (ref `:606-615`): bootstrap → incremental slice →
+      // count, retried AS A UNIT — a transient source failure during the
+      // bootstrap min() retries the same as one during the count. If it
+      // still fails and the caller chose skip-vs-abort (ref `:624-644`),
+      // log the failure row and skip this source.
+      val probed =
+        try Right(Retry.withRetry(retry) {
+          // bootstrap: first run starts from min(cursor) inclusive (ref `:235`)
+          val slice = wmBefore match {
+            case Some(wm) => EtlLog.incremental(source, cursorCol, wm, strict = true)
+            case None =>
+              EtlLog.bootstrap(source, cursorCol)
+                .map(m => EtlLog.incremental(source, cursorCol, m, strict = false))
+                .getOrElse(source.limit(0))
+          }
+          if (extracted != null) extracted.unpersist() // prior failed attempt
+          extracted = slice.cache()
+          extracted.count()
+        }._1)
+        catch { case e: Throwable if skipOnProbeFailure => Left(e) }
+      probed match {
+        case Left(e) =>
+          EtlLog.append(spark, logDir, EtlLog.LogEntry(
+            java.util.UUID.randomUUID().toString, sourceName, 0, start,
+            new Timestamp(System.currentTimeMillis()),
+            wmBefore.getOrElse(epoch), success = false, "skipped_probe_failed",
+            String.valueOf(e.getMessage)))
+          return RunReport(sourceName, 0, wmBefore, wmBefore, skipped = true)
+        case Right(c) => n = c
+      }
       if (n == 0) {
         EtlLog.append(spark, logDir, EtlLog.LogEntry(
           java.util.UUID.randomUUID().toString, sourceName, 0, start,
@@ -80,8 +108,9 @@ object Pipeline {
         if (SnapshotIO.hasParquet(spark, targetDir))
           Merge.upsert(spark.read.parquet(targetDir), transformed, keys)
         else transformed
-      // staging + swap, never overwrite the directory the plan reads
-      SnapshotIO.replace(spark, merged, targetDir)
+      // staging + swap, never overwrite the directory the plan reads;
+      // the write retries transient failures under the same policy
+      Retry.withRetry(retry)(SnapshotIO.replace(spark, merged, targetDir))
 
       EtlLog.append(spark, logDir, EtlLog.LogEntry(
         java.util.UUID.randomUUID().toString, sourceName, n, start,
@@ -97,6 +126,6 @@ object Pipeline {
           new Timestamp(System.currentTimeMillis()),
           wmBefore.getOrElse(epoch), success = false, "failed", e.getMessage))
         throw e
-    } finally extracted.unpersist()
+    } finally if (extracted != null) extracted.unpersist()
   }
 }
