@@ -31,8 +31,10 @@ object Jdbc {
     spark.read.format("jdbc")
       .option("url", url)
       // Spark forbids 'query' together with 'partitionColumn'
-      // (JDBCOptions require) — the pushed query rides as a dbtable subquery
-      .option("dbtable", s"($query) __graft_q")
+      // (JDBCOptions require) — the pushed query rides as a dbtable
+      // subquery. No leading underscore in the alias: Derby (and the ANSI
+      // grammar) reject identifiers that start with '_'
+      .option("dbtable", s"($query) graft_q")
       .option("partitionColumn", partitionColumn)
       .option("lowerBound", lowerBound)
       .option("upperBound", upperBound)
@@ -54,13 +56,19 @@ object Jdbc {
 
 object Files {
 
-  /** S6: directory of delimited files with explicit schema (the Excel
-    * reference-data load, `etl_load_reference_data.py:22-34`; fixtures are
-    * CSV — Spark has no xlsx reader and the semantics under test are
-    * directory-scan + schema-bound parse). */
+  /** S6 (CSV flavor): directory of delimited files with explicit schema —
+    * the delimited twin of the Excel reference-data load
+    * (`etl_load_reference_data.py:22-34`). */
   def csvDir(spark: SparkSession, dir: String, schema: StructType,
              header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header).csv(dir)
+
+  /** S6 (native .xlsx flavor): real workbook parse — zip + StAX on the bare
+    * JDK, one task per file (see [[Excel]]); same schema-bound positional
+    * contract as [[csvDir]]. */
+  def excelDir(spark: SparkSession, dir: String, schema: StructType,
+               header: Boolean = true): DataFrame =
+    Excel.readDir(spark, dir, schema, header)
 
   /** S5/S7 write side. */
   def writeCsv(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit =
