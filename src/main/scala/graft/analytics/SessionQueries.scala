@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,23 +62,43 @@ object SessionQueries {
         .orderBy("user_id", "session_start")
     },
 
-    // HLL sketch cardinalities per event_type next to the exact count —
-    // rows-only (sketch internals are engine-specific); SessionSpec bounds
-    // the relative error.
+    // HLL sketch cardinalities per event_type next to the exact counts.
+    // The raw estimate can never hash-match another engine's sketch, so the
+    // query OUTPUTS the sketch's accuracy contract instead: the exact counts
+    // plus "estimate within 5% of exact" flags (rsd=0.02 → 5% ≈ 2.5σ). The
+    // oracle recomputes the exact counts and asserts the flags TRUE — a
+    // Spark HLL drifting out of tolerance fails the hash gate.
     "q39_approx_distinct" -> { (s, dir) =>
+      def withinPct(approx: Column, exact: Column, pct: Double): Column =
+        (abs(approx.cast("double") - exact.cast("double")) <=
+          exact.cast("double") * pct).as("ok")
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+          countDistinct(col("event_id")).as("exact_events"),
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          approx_count_distinct(col("event_id"), 0.02).as("ae"))
+        .select(col("event_type"), col("exact_users"), col("exact_events"),
+          withinPct(col("au"), col("exact_users"), 0.05).as("users_within_5pct"),
+          withinPct(col("ae"), col("exact_events"), 0.05).as("events_within_5pct"))
         .orderBy("event_type")
     }
   )
 
-  def rowsOnly: Set[String] = Set("q39_approx_distinct")
+  def rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
+    "q39_approx_distinct" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       COUNT(DISTINCT event_id) AS exact_events,
+        |       TRUE AS users_within_5pct,
+        |       TRUE AS events_within_5pct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q38_sessionize_batch" ->
       s"""WITH marked AS (
          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -51,9 +51,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
+    // IVF with the deterministic sampled quantizer (refineIters = 0): every
+    // step — top-nList-by-mix2 centroid selection, 4dp-quantized argmax
+    // assignment, probe, exact re-rank — is engine-portable, so the whole
+    // index build + search is DuckDB-oracle-checked. The Lloyd-refined path stays spec-covered
+    // (SimilaritySpec: objective monotone, recall floored) but k-means means
+    // over shuffled partitions are not bit-reproducible cross-engine.
     "q42_ann_ivf" -> { (s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
-          "vec_id", "embedding", K, refineIters = 2)
+          "vec_id", "embedding", K)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
@@ -83,9 +89,51 @@ object SimilarityQueries {
     }
   )
 
-  def rowsOnly: Set[String] = Set("q32_ann_lsh", "q42_ann_ivf", "q54_ann_pq")
+  def rowsOnly: Set[String] = Set("q32_ann_lsh", "q54_ann_pq")
 
   def oracleSql: Map[String, String] = Map(
+
+    // q42: the full IVF pipeline in SQL. Centroids = the nList corpus
+    // vectors FIRST IN mix2-HASH ORDER (a uniform sample — the same LCG the
+    // q58/q60/q65 oracles replicate), cell id = hash-order rank; assignment
+    // = argmax of the 4dp-rounded cosine, ties to the lowest cell; queries
+    // probe nProbe cells; exact re-rank inside probed cells.
+    "q42_ann_ivf" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hashed AS (
+         |  SELECT vec_id, v,
+         |         (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+         |          * 1103515245 + 12345) % 2147483648 AS h
+         |  FROM emb),
+         |cents AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+         |  FROM hashed
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+         |cassign AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, c.cell, e.v,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+         |    FROM emb e CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |qassign AS (
+         |  SELECT query_id, cell, qv FROM (
+         |    SELECT e.vec_id AS query_id, c.cell, e.v AS qv,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+         |    FROM emb e CROSS JOIN cents c
+         |    WHERE e.vec_id % 100 = 0)
+         |  WHERE r <= 6),
+         |scored AS (
+         |  SELECT q.query_id, ca.vec_id,
+         |         ROUND(list_cosine_similarity(q.qv, ca.v), 4) AS score
+         |  FROM qassign q JOIN cassign ca USING (cell)
+         |  WHERE ca.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, score FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, vec_id) <= $K
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
     "q31_ann_bruteforce" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -117,17 +117,18 @@ object Similarity {
     * quantizer — no global sort (a single-partition row_number window would
     * funnel the whole corpus through one task); the ~nList sampled vectors
     * are tiny and collect to the driver to get stable cell ids. Vectors come
-    * back widened to double (exact). */
+    * back widened to double (exact). Selection uses the engine-portable
+    * [[Packing.mix2]] LCG (pure integer arithmetic) so an external oracle
+    * can reproduce the exact centroid choice. */
   private[graft] def sampledCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nList: Int): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
-    val step = math.max(n / nList, 1L)
     val sampled = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(step)) === 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)) // deterministic choice among sampled
+      // top-nList by hash order = uniform sample via TakeOrderedAndProject
+      // (no global sort materializes); id tiebreak keeps it total
+      .orderBy(Packing.mix2(col(idCol)), col(idCol))
       .limit(nList)
       .as[(Long, Seq[Double])].collect()
     require(sampled.nonEmpty, "corpus too small to sample centroids")
@@ -181,13 +182,13 @@ object Similarity {
     *
     * Scale: assignment is one broadcast pass (centroids are tiny); the
     * candidate join shuffles on the cell id — candidates ≈ corpus ×
-    * nProbe/nList, linear in corpus size. The default 5/8 probe fraction
+    * nProbe/nList, linear in corpus size. The default 6/8 probe fraction
     * buys recall@10 ≥ 0.9 on the weakly-clustered synthetic fixture; a
     * genuinely clustered embedding corpus (the 100 TB case IVF exists for)
     * runs nList in the thousands with nProbe/nList ≪ 1.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 5,
+              vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 6,
               refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -196,9 +197,14 @@ object Similarity {
     val centroids = cents.toDF("cell", "cvec")
 
     def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
+      // 4dp-rounded assignment similarity: raw doubles one ULP apart across
+      // engines could flip an argmax, so the cell choice quantizes first and
+      // breaks the (now common) ties by cell id — deterministic everywhere,
+      // and a 1e-4 quantization of the COARSE quantizer costs no recall
       val scored = df.select(col(idCol).as(outId), col(vecCol))
         .crossJoin(broadcast(centroids))
-        .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+        .withColumn("__sim",
+          graft.functions.Rounding.roundLikeC(cosine(col(vecCol), col("cvec")), 4))
       val w = Window.partitionBy(outId).orderBy(col("__sim").desc, col("cell"))
       scored.withColumn("__cr", row_number().over(w))
         .filter(col("__cr") <= keep)
@@ -217,7 +223,6 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("query_id", "vec_id", "score")
-      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs — exact pairwise verifier.

@@ -66,13 +66,14 @@ class BucketedJoinSpec extends SparkSpec {
 class SketchSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of exact at rsd=0.02") {
+    // q39 emits the tolerance verdicts directly (so the oracle can assert
+    // them); the spec checks every flag is true for both id columns
     val rows = SessionQueries.queries("q39_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
-      val approx = r.getAs[Long]("approx_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("users_within_5pct") &&
+        r.getAs[Boolean]("events_within_5pct"),
+        s"${r.getAs[String]("event_type")}: HLL estimate drifted past 5%")
     }
   }
 
