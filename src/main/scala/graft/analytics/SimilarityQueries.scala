@@ -7,10 +7,10 @@ import graft.Tables
 import graft.operators.Similarity
 
 /** Embedding similarity-search queries. Query set = every 100th vector.
-  * The brute-force path has a DuckDB oracle (list_cosine_similarity over
-  * DOUBLE lists, scores ranked after 4dp rounding on both sides); the LSH
-  * path is rows-only (hyperplane literals live Spark-side) and its recall
-  * is asserted against brute force in SimilaritySpec.
+  * Every ANN path — brute force, sign-LSH, IVF, PQ — is DuckDB-oracle-
+  * checked end to end: index construction is engine-portable integer
+  * arithmetic (see PortableHash) and scores rank after 4dp rounding on
+  * both sides. Recall floors against brute force live in SimilaritySpec.
   */
 object SimilarityQueries {
 
@@ -45,6 +45,9 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
+    // Sign-LSH with portable Rademacher planes over integer-quantized
+    // vectors: bucket bits are exact integer comparisons, so the oracle
+    // rebuilds banding, candidate join, and exact re-rank in SQL.
     "q32_ann_lsh" -> { (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
           "vec_id", "embedding", K, Dim)
@@ -63,8 +66,10 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
-    // PQ/ADC ANN (rows-only: codebooks are engine-internal; recall is
-    // floored against brute force in SimilaritySpec).
+    // PQ/ADC ANN with the deterministic integer-quantized codebooks
+    // (trainIters = 0 default): stride-sampled codewords in mix2-hash
+    // order, integer L2 encode, integer ADC tables — the oracle rebuilds
+    // train/encode/scan/re-rank end to end.
     "q54_ann_pq" -> { (s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
           "vec_id", "embedding", K)
@@ -89,9 +94,109 @@ object SimilarityQueries {
     }
   )
 
-  def rowsOnly: Set[String] = Set("q32_ann_lsh", "q54_ann_pq")
+  def rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
+
+    // q32: full sign-LSH pipeline in SQL. Planes = ±1 by parity of the
+    // mixp xorshift-multiply mixer at input 42*16777619 + p*64 + d (seed
+    // offset matches Similarity.hyperplanes); vectors quantize to
+    // round(x*1e4) BIGINT; a bucket bit is sign(Σ s·q) — exact integers —
+    // packed little-endian per 3-bit band; candidates join on
+    // (band, bucket) and re-rank by 4dp-rounded exact cosine.
+    "q32_ann_lsh" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qx AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM emb),
+         |pd AS (
+         |  SELECT p.p, d.d, 704659998 + p.p*64 + d.d AS x
+         |  FROM (SELECT unnest(range(48)) AS p) p, (SELECT unnest(range(64)) AS d) d),
+         |m1 AS (SELECT p, d, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM pd),
+         |m2 AS (SELECT p, d, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
+         |planes AS (
+         |  SELECT p, d, CASE WHEN xor(h, h >> 16) % 2 = 0 THEN 1::BIGINT ELSE -1::BIGINT END AS s
+         |  FROM m2),
+         |bits AS (
+         |  SELECT qx.vec_id, pl.p // 3 AS band,
+         |         CASE WHEN SUM(pl.s * qx.q[pl.d + 1]) > 0
+         |              THEN 1::BIGINT << (pl.p % 3) ELSE 0 END AS bv
+         |  FROM qx, planes pl
+         |  GROUP BY qx.vec_id, pl.p),
+         |buckets AS (
+         |  SELECT vec_id, band, SUM(bv) AS bucket FROM bits GROUP BY vec_id, band),
+         |cands AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+         |  FROM buckets qb JOIN buckets cb USING (band, bucket)
+         |  WHERE qb.vec_id % 100 = 0 AND cb.vec_id <> qb.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ROUND(list_cosine_similarity(q.v, e.v), 4) AS score
+         |  FROM cands c
+         |  JOIN emb q ON q.vec_id = c.query_id
+         |  JOIN emb e ON e.vec_id = c.vec_id)
+         |SELECT query_id, vec_id, score FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, vec_id) <= $K
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
+    // q54: full PQ/ADC pipeline in SQL. Sample = first LEAST(n, 512)
+    // corpus vectors in mix2-hash order, integer-quantized; codebook j of
+    // subspace s = sample[(j*n)//64] subvector; encode = integer-L2
+    // argmin (ties to lowest code); ADC tables and approximate scores are
+    // exact integer sums; top 160 per query re-rank by exact cosine.
+    "q54_ann_pq" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qx AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM emb),
+         |ordered AS (
+         |  SELECT vec_id, q,
+         |         ROW_NUMBER() OVER (ORDER BY
+         |           (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+         |            * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS r
+         |  FROM qx),
+         |n AS (SELECT LEAST(COUNT(*), 512) AS n FROM emb),
+         |cb AS (
+         |  SELECT s.s, j.j, o.q AS cvec
+         |  FROM (SELECT unnest(range(8)) AS s) s,
+         |       (SELECT unnest(range(64)) AS j) j,
+         |       ordered o, n
+         |  WHERE o.r = (j.j * n.n) // 64),
+         |cbx AS (
+         |  SELECT s, j, i.i, cvec[s*8 + i.i + 1] AS cv
+         |  FROM cb, (SELECT unnest(range(8)) AS i) i),
+         |vx AS (
+         |  SELECT vec_id, s.s, i.i, q[s.s*8 + i.i + 1] AS xv
+         |  FROM qx, (SELECT unnest(range(8)) AS s) s, (SELECT unnest(range(8)) AS i) i),
+         |dists AS (
+         |  SELECT v.vec_id, v.s, c.j, SUM((v.xv - c.cv)*(v.xv - c.cv)) AS d
+         |  FROM vx v JOIN cbx c ON v.s = c.s AND v.i = c.i
+         |  GROUP BY v.vec_id, v.s, c.j),
+         |codes AS (
+         |  SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |adc AS (
+         |  SELECT v.vec_id AS query_id, v.s, c.j, SUM(v.xv * c.cv) AS t
+         |  FROM vx v JOIN cbx c ON v.s = c.s AND v.i = c.i
+         |  WHERE v.vec_id % 100 = 0
+         |  GROUP BY v.vec_id, v.s, c.j),
+         |approx AS (
+         |  SELECT a.query_id, co.vec_id, SUM(a.t) AS ascore
+         |  FROM codes co JOIN adc a ON a.s = co.s AND a.j = co.code
+         |  WHERE co.vec_id <> a.query_id
+         |  GROUP BY a.query_id, co.vec_id),
+         |cands AS (
+         |  SELECT query_id, vec_id FROM approx
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY ascore DESC, vec_id) <= 160),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ROUND(list_cosine_similarity(q.v, e.v), 4) AS score
+         |  FROM cands c
+         |  JOIN emb q ON q.vec_id = c.query_id
+         |  JOIN emb e ON e.vec_id = c.vec_id)
+         |SELECT query_id, vec_id, score FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, vec_id) <= $K
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
 
     // q42: the full IVF pipeline in SQL. Centroids = the nList corpus
     // vectors FIRST IN mix2-HASH ORDER (a uniform sample — the same LCG the

