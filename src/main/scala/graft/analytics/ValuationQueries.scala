@@ -53,14 +53,31 @@ object ValuationQueries {
     roundSql(e, s, "WHEN d_ >= 0 THEN m_+1 ELSE m_")
 
   /** lineitem → stock-ledger shape: ~250 (item, warehouse) groups; shipdate
-    * orders the fold, (orderkey, linenumber) breaks date ties totally. */
+    * orders the fold, a UNIQUE `creation` breaks date ties totally — the
+    * reference's invariant (ERPNext `creation` is a unique DB timestamp),
+    * which the synthetic fixture does NOT give us for free: lineitem here
+    * is not TPC-H-keyed ((orderkey, linenumber) repeats ~118k times at
+    * sf0.1, and one pair lands in the same (item, warehouse, shipdate) —
+    * without this rank the fold order of that tie is engine-arbitrary and
+    * q23 vs the oracle becomes a coin flip). `__dup` ranks duplicates by
+    * full row content in both engines; rows tied on EVERYTHING are
+    * byte-identical, and swapping identical rows through the fold emits
+    * identical output, so the order is total where it matters. */
   def syntheticLedger(s: SparkSession, dir: String): Dataset[StockLedgerRow] = {
     import s.implicits._
-    Tables.lineitem(s, dir).select(
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    Tables.lineitem(s, dir)
+      .withColumn("__dup", row_number().over(dupW) - 1)
+      .select(
         concat(lit("I"), col("l_partkey") % 50).as("item_code"),
         concat(lit("W"), col("l_suppkey") % 5).as("warehouse"),
         col("l_shipdate").as("posting_ts"),
-        timestamp_micros(col("l_orderkey") * 100 + col("l_linenumber")).as("creation"),
+        timestamp_micros((col("l_orderkey") * 100 + col("l_linenumber")) * 100
+          + col("__dup")).as("creation"),
         when(col("l_orderkey") % 13 === 0, "Stock Reconciliation")
           .when(col("l_returnflag") === "R", "Delivery Note")
           .otherwise("Purchase Receipt").as("voucher_type"),
@@ -92,11 +109,18 @@ object ValuationQueries {
     * bit-identical (verified EXACT on all 60000 rows at sf0.01). */
   def oracleSql: Map[String, String] = Map(
     "q23_valuation_fold" ->
-      s"""WITH RECURSIVE src AS (
+      s"""WITH RECURSIVE li AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |           PARTITION BY l_orderkey, l_linenumber
+         |           ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+         |                    l_discount, l_tax, l_returnflag, l_linestatus,
+         |                    l_shipdate) - 1 AS dup
+         |  FROM lineitem),
+         |src AS (
          |  SELECT 'I' || CAST(l_partkey % 50 AS VARCHAR) AS item_code,
          |         'W' || CAST(l_suppkey % 5 AS VARCHAR) AS warehouse,
          |         l_shipdate AS posting_ts,
-         |         make_timestamp(l_orderkey * 100 + l_linenumber) AS creation,
+         |         make_timestamp((l_orderkey * 100 + l_linenumber) * 100 + dup) AS creation,
          |         CASE WHEN l_orderkey % 13 = 0 THEN 'Stock Reconciliation'
          |              WHEN l_returnflag = 'R' THEN 'Delivery Note'
          |              ELSE 'Purchase Receipt' END AS voucher_type,
@@ -106,7 +130,7 @@ object ValuationQueries {
          |         ${rhu("l_extendedprice / l_quantity", 4)} AS valuation_rate,
          |         ${rhu("l_extendedprice", 2)} AS stock_value,
          |         ${rhu("l_extendedprice", 4)} AS stock_value_difference
-         |  FROM lineitem),
+         |  FROM li),
          |ledger AS MATERIALIZED (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item_code, warehouse
          |                               ORDER BY posting_ts, creation) AS rn

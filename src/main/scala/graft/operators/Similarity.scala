@@ -76,12 +76,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      maxRows: Long = MaxExactRows): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__nq"))
     requireExactScale(q, "query set", maxRows, "lshTopK/ivfTopK/pqTopK")
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__nc"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", graft.functions.Rounding.roundLikeC(cosine(col("qv"), col("cv")), 4))
+      .withColumn("score", graft.functions.Rounding.roundLikeC(
+        hoistedCosine(dotNative(col("qv"), col("cv")), col("__nq"), col("__nc")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -172,14 +175,15 @@ object Similarity {
     import spark.implicits._
     var cents = init
     for (_ <- 0 until iters) {
-      val centroids = broadcast(cents.toDF("cell", "cvec"))
-      val w = Window.partitionBy("__vid").orderBy(col("__sim").desc, col("cell"))
-      val assigned = corpus.select(col(idCol).as("__vid"), col(vecCol))
-        .crossJoin(centroids)
-        .withColumn("__sim", cosine(col(vecCol), col("cvec")))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") === 1)
-        .select(col("cell"), col(vecCol).cast("array<double>").as("__v"))
+      // argmax as a single projection over the literal centroid array (see
+      // ivfTopK.assign — the crossJoin + window form shuffles corpus×nList)
+      val centArr = typedlit(cents.map { case (cell, v) => (v, cell) })
+      val pick = array_min(transform(centArr, c =>
+        struct(coalesce(-cosine(col(vecCol), c.getField("_1")), lit(Double.MaxValue)).as("negsim"),
+          c.getField("_2").as("cell"))))
+      val assigned = corpus
+        .select(pick.getField("cell").as("cell"),
+          col(vecCol).cast("array<double>").as("__v"))
       val means = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -212,26 +216,38 @@ object Similarity {
     import spark.implicits._
     val cents = refineCentroids(corpus, idCol, vecCol,
       sampledCentroids(corpus, idCol, vecCol, nList), refineIters)
-    val centroids = cents.toDF("cell", "cvec")
 
     def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
-      // 4dp-rounded assignment similarity: raw doubles one ULP apart across
-      // engines could flip an argmax, so the cell choice quantizes first and
-      // breaks the (now common) ties by cell id — deterministic everywhere,
-      // and a 1e-4 quantization of the COARSE quantizer costs no recall
-      val scored = df.select(col(idCol).as(outId), col(vecCol))
-        .crossJoin(broadcast(centroids))
-        .withColumn("__sim",
-          graft.functions.Rounding.roundLikeC(cosine(col(vecCol), col("cvec")), 4))
-      val w = Window.partitionBy(outId).orderBy(col("__sim").desc, col("cell"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .select(col(outId), col("cell"), col(vecCol))
+      // Cell choice is ONE projection: transform over the literal centroid
+      // array → (negated 4dp-rounded sim, cell) structs → array_sort →
+      // slice(keep) → explode. No crossJoin, no shuffle — the previous
+      // crossJoin + row_number window shuffled corpus × nList rows, which
+      // at a production nList (thousands of cells) multiplies the corpus
+      // thousands-fold before the window cuts it back down. (The centroid
+      // matrix rides the plan as a literal — nList × dim doubles, ~2 MB at
+      // nList=4096/dim=64 — well under task-binary limits.)
+      //
+      // 4dp rounding before the argmax: raw doubles one ULP apart across
+      // engines could flip it; ties break by cell id (ascending struct
+      // order on (negsim, cell)) — deterministic everywhere, and a 1e-4
+      // quantization of the COARSE quantizer costs no recall. Zero-norm
+      // vectors (null cosine) coalesce past every real score, keeping the
+      // old nulls-last order.
+      val centArr = typedlit(cents.map { case (cell, v) => (v, cell) })
+      val scored = transform(centArr, c =>
+        struct(
+          coalesce(-graft.functions.Rounding.roundLikeC(
+            cosine(col(vecCol), c.getField("_1")), 4), lit(Double.MaxValue))
+            .as("negsim"),
+          c.getField("_2").as("cell")))
+      df.select(col(outId), col(vecCol),
+          explode(slice(array_sort(scored), 1, keep)).as("__t"))
+        .select(col(outId), col("__t.cell").as("cell"), col(vecCol))
     }
 
-    val corpusCells = assign(corpus, "vec_id", keep = 1)
+    val corpusCells = assign(corpus.withColumnRenamed(idCol, "vec_id"), "vec_id", keep = 1)
       .withColumnRenamed(vecCol, "cv")
-    val queryCells = assign(queries, "query_id", keep = nProbe)
+    val queryCells = assign(queries.withColumnRenamed(idCol, "query_id"), "query_id", keep = nProbe)
       .withColumnRenamed(vecCol, "qv")
 
     val scored = queryCells.join(corpusCells, "cell")
@@ -252,16 +268,29 @@ object Similarity {
     * broadcast (queries-vs-corpus blocks at scale); [[cosineDupPairs]] is
     * the linear-candidate scale path.
     */
+  /** Per-pair cosine with the norms HOISTED to one sqrt per row: the native
+    * kernel's denominator is `sqrt(na)*sqrt(nb)` (CosineSimilarity.scala:57),
+    * so `dot/(normA*normB)` with precomputed norms is bit-identical — same
+    * values through the same IEEE ops — at a third of the per-pair flops
+    * (64 mults vs 192 + two sqrts). Null on zero norm, like the kernel. */
+  private def hoistedCosine(dotAB: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom > 0, dotAB / denom)
+  }
+
   def cosineDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String,
                           threshold: Double,
                           maxRows: Long = MaxExactRows): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__nb"))
     requireExactScale(b, "corpus", maxRows, "cosineDupPairs")
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score",
-        graft.functions.Rounding.roundLikeC(cosine(col("va"), col("vb")), 4))
+        graft.functions.Rounding.roundLikeC(
+          hoistedCosine(dotNative(col("va"), col("vb")), col("__na"), col("__nb")), 4))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
@@ -291,11 +320,14 @@ object Similarity {
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__nb"))
     cands.join(a, "id_a").join(b, "id_b")
       .withColumn("score",
-        graft.functions.Rounding.roundLikeC(cosine(col("va"), col("vb")), 4))
+        graft.functions.Rounding.roundLikeC(
+          hoistedCosine(dotNative(col("va"), col("vb")), col("__na"), col("__nb")), 4))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.ByteArrayInputStream
-import java.util.zip.ZipInputStream
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 import scala.collection.mutable
 
@@ -9,7 +9,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** Minimal native .xlsx reader (S6, `etl_load_reference_data.py:22-34`) on
   * nothing but the JDK: an xlsx is a zip of XML parts, so `java.util.zip` +
@@ -157,5 +157,129 @@ object Excel {
       }
     spark.createDataFrame(rows, asStrings)
       .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** One workbook (S7, the `df.to_excel(...)` twin) streamed to `file` on
+    * the driver via `toLocalIterator` — one partition in memory at a time,
+    * never the whole frame. Single-file Excel output is inherently a
+    * single-writer format; this is the pandas-parity path for SMALL frames
+    * (reference/config tables), which is exactly what the reference writes
+    * to Excel. `maxRows` guards the contract: a million-row frame belongs
+    * in [[writeDir]] or parquet, and xlsx itself caps sheets at 2^20 rows.
+    */
+  def writeWorkbook(df: DataFrame, file: String, header: Boolean = true,
+                    maxRows: Long = 1 << 20): Unit = {
+    val schema = df.schema
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(file)))
+    try {
+      val it = df.toLocalIterator()
+      var n = 0L
+      writeArchive(out, schema, header, new Iterator[Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          n += 1
+          require(n <= maxRows,
+            s"more than $maxRows rows: single-workbook Excel output is for " +
+              "small reference frames — use writeDir or a columnar sink")
+          it.next()
+        }
+      })
+    } finally out.close()
+  }
+
+  /** Scale path: one workbook PER PARTITION under `dir` (`part-NNNNN.xlsx`),
+    * written executor-side — the inverse of [[readDir]], which reads the
+    * directory back with one task per file. No driver funnel; partition
+    * sizing controls workbook sizes. */
+  def writeDir(df: DataFrame, dir: String, header: Boolean = true): Unit = {
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.toDF().foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(f"$dir/part-$pid%05d.xlsx")))
+        try writeArchive(out, schema, header, rows) finally out.close()
+      }
+    }
+  }
+
+  /** The OOXML package: content types, package + workbook rels, workbook,
+    * one sheet. Inline strings (no sharedStrings part — one pass, no string
+    * table in memory); numeric/boolean cells use native cell types, null
+    * cells are omitted. Interoperates with [[parseWorkbook]] and any
+    * spreadsheet app. */
+  private def writeArchive(os: java.io.OutputStream, schema: StructType,
+                           header: Boolean, rows: Iterator[Row]): Unit = {
+    val z = new ZipOutputStream(os)
+    def part(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    val w = new java.io.OutputStreamWriter(z, "UTF-8")
+    w.write("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>\n" +
+      "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
+    def xmlEsc(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      s.foreach {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => () // illegal in XML 1.0
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    def strCell(s: String): String = s"""<c t="inlineStr"><is><t xml:space="preserve">${xmlEsc(s)}</t></is></c>"""
+    def writeRow(cells: Seq[String]): Unit = {
+      w.write("<row>")
+      cells.foreach(w.write)
+      w.write("</row>")
+    }
+    if (header) writeRow(schema.map(f => strCell(f.name)))
+    val types = schema.fields.map(_.dataType)
+    rows.foreach { row =>
+      writeRow(types.indices.map { i =>
+        if (row.isNullAt(i)) "<c/>"
+        else types(i) match {
+          case BooleanType => s"""<c t="b"><v>${if (row.getBoolean(i)) 1 else 0}</v></c>"""
+          case _: NumericType => s"<c><v>${row.get(i)}</v></c>"
+          case _ => strCell(String.valueOf(row.get(i)))
+        }
+      })
+    }
+    w.write("</sheetData></worksheet>")
+    w.flush()
+    z.closeEntry()
+    z.finish()
   }
 }

@@ -73,6 +73,13 @@ object Files {
   /** S5/S7 write side. */
   def writeCsv(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.option("header", true).mode(mode).csv(dir)
+
+  /** S7 (native .xlsx flavor): single workbook, the `df.to_excel(...)`
+    * twin — driver-streamed, small-frame contract (see
+    * [[Excel.writeWorkbook]]); one-workbook-per-partition via
+    * [[Excel.writeDir]] is the scale path. */
+  def writeExcel(df: DataFrame, file: String, header: Boolean = true): Unit =
+    Excel.writeWorkbook(df, file, header)
 }
 
 object Rest {
@@ -85,6 +92,60 @@ object Rest {
     import spark.implicits._
     val ds: Dataset[String] = spark.createDataset(payloads)
     schema.map(s => spark.read.schema(s).json(ds)).getOrElse(spark.read.json(ds))
+  }
+
+  /** Default transport: plain GET, body as UTF-8. Kept tiny — auth headers,
+    * throttling etc. belong in a caller-supplied `get`. */
+  def httpGet(url: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  /** The driver-side GET loop the reference runs inside its DAG
+    * (`dags/get_data_api.py:17-22` — `requests.get` under Airflow's
+    * `retries`/`retry_delay`): page-numbered pagination with per-request
+    * retry/backoff via [[graft.etl.Retry]]. Fetches `urlForPage(0..)` until
+    * `hasMore(page, body)` says stop or `maxPages` is reached (a hard cap —
+    * an API that never drains must not spin the driver forever). Transport
+    * is injectable for tests and for auth/throttle decoration; the result
+    * feeds [[fromJsonStrings]].
+    *
+    * Driver-side BY DESIGN: the fetch is edge I/O bounded by `maxPages`,
+    * not data-scale work — the engine parallelizes the parsed payloads,
+    * never the HTTP calls. */
+  def fetchPaginated(urlForPage: Int => String,
+                     hasMore: (Int, String) => Boolean,
+                     maxPages: Int = 1000,
+                     policy: graft.etl.Retry.Policy = graft.etl.Retry.Policy(),
+                     get: String => String = httpGet): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var page = 0
+    var more = true
+    while (more && page < maxPages) {
+      val (body, _) = graft.etl.Retry.withRetry(policy)(get(urlForPage(page)))
+      out += body
+      more = hasMore(page, body)
+      page += 1
+    }
+    out.toSeq
+  }
+
+  /** Cursor-style twin of [[fetchPaginated]]: follow `nextUrl(body)` links
+    * from `firstUrl` until the API stops supplying one (or `maxPages`). */
+  def fetchCursor(firstUrl: String,
+                  nextUrl: String => Option[String],
+                  maxPages: Int = 1000,
+                  policy: graft.etl.Retry.Policy = graft.etl.Retry.Policy(),
+                  get: String => String = httpGet): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var url = Option(firstUrl)
+    while (url.isDefined && out.length < maxPages) {
+      val (body, _) = graft.etl.Retry.withRetry(policy)(get(url.get))
+      out += body
+      url = nextUrl(body)
+    }
+    out.toSeq
   }
 }
 

@@ -107,4 +107,45 @@ class ExcelSpec extends SparkSpec {
     assert(Excel.refToCol("AA12") === 26)
     assert(Excel.refToCol("BC23") === 54)
   }
+
+  test("S7: single-workbook write round-trips through the reader") {
+    import spark.implicits._
+    val df = Seq(
+      ("A-100", 7L, 19.99, true),
+      ("B&<200>", 12L, 0.25, false), // XML metachars must escape
+      ("C 300", 3L, 5.5, true))
+      .toDF("sku", "qty", "price", "active")
+    val dir = JFiles.createTempDirectory("xlsx-write")
+    val file = dir.resolve("out.xlsx").toString
+    Files.writeExcel(df, file)
+    val back = Files.excelDir(spark, dir.toString, schema)
+    assert(back.orderBy("sku").collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq
+      === Seq(("A-100", 7L, 19.99, true), ("B&<200>", 12L, 0.25, false), ("C 300", 3L, 5.5, true)))
+  }
+
+  test("S7: null cells and the maxRows guard") {
+    import spark.implicits._
+    val df = Seq(("x", Some(1L)), ("y", None)).toDF("sku", "qty")
+    val dir = JFiles.createTempDirectory("xlsx-null")
+    Files.writeExcel(df, dir.resolve("n.xlsx").toString)
+    val s2 = new StructType().add("sku", StringType).add("qty", LongType)
+    val back = Files.excelDir(spark, dir.toString, s2).orderBy("sku").collect()
+    assert(back.map(r => (r.get(0), r.get(1))).toSeq === Seq(("x", 1L), ("y", null)))
+    val e = intercept[IllegalArgumentException] {
+      Excel.writeWorkbook(df, dir.resolve("cap.xlsx").toString, maxRows = 1)
+    }
+    assert(e.getMessage.contains("small reference frames"))
+  }
+
+  test("S7 scale path: one workbook per partition, read back as a union") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (f"P$i%02d", i.toLong)).toDF("sku", "qty")
+      .repartition(4)
+    val dir = JFiles.createTempDirectory("xlsx-dir")
+    Excel.writeDir(df, dir.toString)
+    val files = dir.toFile.listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(files.length > 1 && files.length <= 4)
+    val s2 = new StructType().add("sku", StringType).add("qty", LongType)
+    assert(Files.excelDir(spark, dir.toString, s2).count() === 20)
+  }
 }

@@ -125,6 +125,43 @@ class PlanShapeSpec extends SparkSpec {
       "top-20 must plan as TakeOrderedAndProject")
   }
 
+  test("q32 LSH: banding is a pure projection (no shuffle before the bucket join)") {
+    val df = SparkEntry.queries("q32_ann_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the 48 sign-bit dots + posexplode must NOT introduce their own
+    // exchange — the first shuffle in the tree is the (band,bucket)
+    // candidate join / distinct, then the per-query top-k window
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"bucket join should not degrade to a plain sort-merge over unbanded data:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "banding must posexplode in-plan (projection, not shuffle)")
+  }
+
+  test("q54 PQ: encode and ADC scan are broadcast passes (no corpus shuffle before top-k)") {
+    val df = SparkEntry.queries("q54_ann_pq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // codebooks + ADC tables travel as broadcast vars inside typed map
+    // passes (encode + scan): the plan must show the object maps and no
+    // sort-merge join anywhere — the only shuffles PQ needs are the
+    // approx-top-k window and the broadcast-side rerank joins
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"PQ encode/scan must run as typed map passes:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"rerank joins must broadcast, not sort-merge:\n${p.take(1500)}")
+  }
+
+  test("q29 minhash: ONE (band,bucket) shuffle serves the size gate AND the pair join") {
+    val df = SparkEntry.queries("q29_minhash_candidates")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the bucket-size window and the self-join both key on (band,bucket):
+    // the join must reuse the window's exchange, not re-shuffle
+    assert(p.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(band".r.findAllIn(p).length <= 1,
+      s"(band,bucket) partitioning must be shared between gate and join:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)

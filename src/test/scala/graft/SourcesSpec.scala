@@ -35,6 +35,45 @@ class SourcesSpec extends SparkSpec {
     assert(got.toSeq === Seq(("Ada", 7L, 36L), ("Alan", 9L, 41L)))
   }
 
+  test("paginated fetch: drains pages, retries transient failures, feeds the JSON source") {
+    // fake API: 3 pages; page 1's first GET fails with a connection reset
+    var failOnce = true
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fakeGet(url: String): String = {
+      calls += url
+      if (url.endsWith("page=1") && failOnce) {
+        failOnce = false
+        throw new java.net.ConnectException("Connection refused: fake")
+      }
+      val p = url.split("page=")(1).toInt
+      s"""{"page":$p,"rows":[{"v":${p * 10}}],"last":${p == 2}}"""
+    }
+    val policy = graft.etl.Retry.Policy(maxAttempts = 3, sleep = _ => ())
+    val pages = Rest.fetchPaginated(
+      p => s"http://api.test/items?page=$p",
+      hasMore = (_, body) => !body.contains("\"last\":true"),
+      policy = policy, get = fakeGet)
+    assert(pages.length === 3)
+    assert(calls.length === 4, "one retry for the transient failure")
+    val rows = Rest.fromJsonStrings(spark, pages)
+      .selectExpr("page", "explode(rows.v) AS v").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((0L, 0L), (1L, 10L), (2L, 20L)))
+  }
+
+  test("cursor fetch follows next links and honors the page cap") {
+    def fakeGet(url: String): String = url match {
+      case "u0" => """{"v":0,"next":"u1"}"""
+      case "u1" => """{"v":1,"next":"u2"}"""
+      case _ => """{"v":2}"""
+    }
+    def next(body: String): Option[String] =
+      "\"next\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+    val all = Rest.fetchCursor("u0", next, get = fakeGet)
+    assert(all.length === 3)
+    val capped = Rest.fetchCursor("u0", next, maxPages = 2, get = fakeGet)
+    assert(capped.length === 2)
+  }
+
   test("synthetic transactions are deterministic, distributed, and well-typed (S12)") {
     val a = Synthetic.transactions(spark, 1000).collect()
     val b = Synthetic.transactions(spark, 1000).collect()
