@@ -132,6 +132,18 @@ object PrepQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-prefiltered incremental dedup: definitely-new rows skip the
+    // anti-join shuffle entirely; only Bloom "maybe"s pay it. Output is
+    // bit-identical to q66 — the oracle is shared to pin that equivalence.
+    "q71_incremental_dedup_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      val seen = docs.filter(col("doc_id") < 250)
+      graft.operators.Dedup.incrementalBloom(batch, seen, "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+
     // Exact heavy hitters over the corpus vocabulary: tokens above 1% of
     // all occurrences. The Misra-Gries one-pass sketch (operators/Sketches,
     // SketchesSpec) is the bounded-memory scale path whose guarantee this
@@ -177,6 +189,18 @@ object PrepQueries {
 
   def rowsOnly: Set[String] = Set.empty
 
+  private val incrementalDedupOracle: String =
+    """WITH seen AS (
+      |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents WHERE doc_id < 250),
+      |batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint FROM batch
+      |WHERE fingerprint NOT IN (SELECT fp FROM seen)
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // q62's stub decode kernel is deterministic byte arithmetic over the
@@ -210,17 +234,11 @@ object PrepQueries {
         |QUALIFY sample_rank <= 20
         |ORDER BY lang, sample_rank""".stripMargin,
 
-    "q66_incremental_dedup" ->
-      """WITH seen AS (
-        |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM documents WHERE doc_id < 250),
-        |batch AS (
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
-        |  FROM documents)
-        |SELECT doc_id, fingerprint FROM batch
-        |WHERE fingerprint NOT IN (SELECT fp FROM seen)
-        |ORDER BY doc_id""".stripMargin,
+    "q66_incremental_dedup" -> incrementalDedupOracle,
+
+    // q71 is the Bloom-prefiltered plan of the SAME computation — one
+    // oracle pins both to identical output.
+    "q71_incremental_dedup_bloom" -> incrementalDedupOracle,
 
     "q64_heavy_hitters" ->
       """WITH t AS (

@@ -44,6 +44,50 @@ object Dedup {
       .join(seenFp, Seq("fingerprint"), "left_anti")
   }
 
+  /** Incremental exact dedup with a Bloom prefilter — the continuous-
+    * ingestion shape at real scale. [[incremental]] anti-joins the ENTIRE
+    * batch against the fingerprint index; here a Bloom filter built over
+    * the seen fingerprints (one partial-merged aggregate) splits the batch
+    * first:
+    *
+    *  - `might_contain = false` → definitely new (Bloom has no false
+    *    negatives): kept immediately, NEVER shuffled against the index.
+    *  - `might_contain = true` → possible duplicate: only these rows —
+    *    true dups + the `fpp` sliver of false positives — pay the exact
+    *    anti-join.
+    *
+    * For the typical ingestion mix (most rows new), the expensive shuffle
+    * shrinks from |batch| to ~|dups| + fpp·|batch|, and the result is
+    * BIT-IDENTICAL to [[incremental]] (the anti-join confirms every Bloom
+    * "maybe"; q71 shares q66's oracle to pin that). The filter itself is
+    * one `numBits/8`-byte value shipped as a literal — size it for the
+    * index cardinality (10 bits/key ≈ 1% fpp); an index too big for one
+    * Bloom partitions by fingerprint range, one filter per range, same
+    * algebra. */
+  def incrementalBloom(batch: DataFrame, seen: DataFrame, textCol: String,
+                       expectedSeen: Long = 1000000L,
+                       numBits: Long = 8388608L): DataFrame = {
+    val seenFp = seen.select(Text.fingerprint(col(textCol)).as("fingerprint")).distinct()
+    // the filter itself comes to the driver: ONE value, bounded by numBits/8
+    // bytes regardless of index size (might_contain requires a constant /
+    // scalar-subquery filter — this is the same data movement Spark's own
+    // InjectRuntimeFilter performs, made explicit)
+    val bfBytes = seenFp
+      .agg(org.apache.spark.sql.graft.Bloom
+        .agg(xxhash64(col("fingerprint")), expectedSeen, numBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val withFp = batch.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+    if (bfBytes == null) withFp // empty index: every batch row is new
+    else {
+      val tagged = withFp.withColumn("__maybe", org.apache.spark.sql.graft.Bloom
+        .mightContain(lit(bfBytes), xxhash64(col("fingerprint"))))
+      val definiteNew = tagged.filter(!col("__maybe")).drop("__maybe")
+      val confirmed = tagged.filter(col("__maybe")).drop("__maybe")
+        .join(seenFp, Seq("fingerprint"), "left_anti")
+      definiteNew.unionByName(confirmed)
+    }
+  }
+
   /** Exact pairwise token-set Jaccard via inverted-index self-join.
     *
     * `dfMaxFraction` drops tokens present in more than that fraction of

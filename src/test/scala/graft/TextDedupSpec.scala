@@ -61,6 +61,20 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("doc_id") >= 1000000L).count() === 0)
   }
 
+  test("Bloom-prefiltered incremental dedup is bit-identical to the anti-join form") {
+    val docs = graft.Tables.documents(spark, sf)
+    val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val seen = docs.filter(col("doc_id") < 250)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "fingerprint").collect().map(_.toSeq).toSet
+    val exact = rows(Dedup.incremental(batch, seen, "text"))
+    assert(rows(Dedup.incrementalBloom(batch, seen, "text")) === exact)
+    // degenerate 64-bit filter: everything collides to "maybe", the exact
+    // anti-join confirms every row — correctness never depends on sizing
+    assert(rows(Dedup.incrementalBloom(batch, seen, "text",
+      expectedSeen = 10L, numBits = 64L)) === exact)
+  }
+
   test("minhash LSH finds every exact-clone pair") {
     val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
