@@ -105,6 +105,18 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental MinHash-LSH: a batch of clones banded against the SEEN
+    // corpus's persisted signature index — candidates are (batch, seen)
+    // pairs only; the corpus is never re-shingled. Portable arithmetic →
+    // full-pipeline oracle.
+    "q72_minhash_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.bandedSignatures(docs, "doc_id", "text")
+      val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashIncrementalCandidates(batch, index, "doc_id", "text")
+        .orderBy("batch_id", "seen_id")
+    },
+
     // Corpus curation composition: quality-score every document, then drop
     // the bottom decile PER LANGUAGE (percent_rank cut) — the standard
     // pre-training filter shape. One projection + one shuffle on lang.
@@ -203,6 +215,48 @@ object TextQueries {
         |FROM kept a JOIN kept b USING (band, bucket)
         |WHERE a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q72: the batch is a clone of the corpus, so signatures compute once;
+    // seen-side hub cap (inert here: no bucket exceeds 1000) applies to the
+    // index side only, exactly as the operator does.
+    "q72_minhash_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t),
+        |hv AS (
+        |  SELECT id, list_transform(sh, g -> list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(1, length(g)+1), i -> ascii(substr(g,i,1))::BIGINT)),
+        |      (acc,x) -> (acc*31+x) % 1000000007)) AS hv
+        |  FROM sh),
+        |fams AS (
+        |  SELECT j,
+        |    ((((42*131 + 2*j) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 + 1 AS a,
+        |    ((((42*131 + 2*j + 1) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 AS b
+        |  FROM (SELECT unnest(range(32)) AS j)),
+        |mins AS (
+        |  SELECT hv.id, f.j, MIN((f.a * h.h + f.b) % 4294967311) AS mn
+        |  FROM hv, unnest(hv.hv) AS h(h), fams f
+        |  GROUP BY hv.id, f.j),
+        |sigs AS (
+        |  SELECT id, list(mn ORDER BY j) AS sig FROM mins GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |         array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bucket
+        |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
+        |seen AS (
+        |  SELECT id AS seen_id, band, bucket FROM (
+        |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded)
+        |  WHERE bsz <= 1000),
+        |batchb AS (
+        |  SELECT id + 1000000 AS batch_id, band, bucket FROM banded)
+        |SELECT DISTINCT batch_id, seen_id
+        |FROM batchb JOIN seen USING (band, bucket)
+        |ORDER BY batch_id, seen_id""".stripMargin,
 
     // Full SimHash pipeline in SQL: 60-bit token hash (four 15-bit poly
     // hashes, bases 31/131/137/139), per-bit integer votes, 15-bit

@@ -242,18 +242,53 @@ object Dedup {
     * otherwise dominate the output quadratically. Dropped buckets cost
     * recall only for docs whose EVERY band is a hub, which near-dup pairs
     * (that agree on many bands) rarely are. */
+  /** Banded MinHash signatures as (id, band, bucket) rows — the LSH index
+    * shape. Bucket key = the signature slice itself, joined as a string —
+    * exact (no collision) and engine-portable; hashing it back to a
+    * fixed-width long is a shuffle-key-size optimization to take at real
+    * scale. Persist this as the maintained index for
+    * [[minhashIncrementalCandidates]]. */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, shingleLen, bands * rowsPerBand, seed)
+    sig.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .as(Seq("band", "bucket")))
+  }
+
+  /** Incremental MinHash-LSH: near-dup candidates of an ingestion `batch`
+    * against an EXISTING banded index ([[bandedSignatures]] of the seen
+    * corpus, maintained incrementally) — the continuous-ingestion shape:
+    * band only the new slice, never re-shingle the corpus. One shuffle on
+    * (band, bucket) joining batch bands to index bands; `maxBucketSize`
+    * caps the SEEN side's hub buckets (computable once at index-maintenance
+    * time), the same quadratic-fan-out guard as the batch form. Returns
+    * distinct (batch_id, seen_id) candidate pairs for downstream exact
+    * verification ([[jaccardPairs]] on the candidates, or direct signature
+    * comparison). */
+  def minhashIncrementalCandidates(batch: DataFrame, seenBanded: DataFrame,
+                                   idCol: String, textCol: String,
+                                   shingleLen: Int = 3, bands: Int = 8,
+                                   rowsPerBand: Int = 4, seed: Long = 42L,
+                                   maxBucketSize: Int = 1000): DataFrame = {
+    val batchBanded = bandedSignatures(batch, idCol, textCol, shingleLen, bands, rowsPerBand, seed)
+    val keptSeen = seenBanded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("id").as("seen_id"), col("band"), col("bucket"))
+    batchBanded.join(keptSeen, Seq("band", "bucket"))
+      .select(col("id").as("batch_id"), col("seen_id"))
+      .distinct()
+  }
+
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            shingleLen: Int = 3, bands: Int = 8,
                            rowsPerBand: Int = 4, seed: Long = 42L,
                            maxBucketSize: Int = 1000): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, shingleLen, bands * rowsPerBand, seed)
-    // bucket key = the signature slice itself, joined as a string — exact
-    // (no collision) and engine-portable; hashing it back to a fixed-width
-    // long is a shuffle-key-size optimization to take at real scale
-    val banded = sig.select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .as(Seq("band", "bucket")))
+    val banded = bandedSignatures(df, idCol, textCol, shingleLen, bands, rowsPerBand, seed)
     // bucket-size gate as a window over the SAME (band,bucket) shuffle the
     // join needs — no extra shuffle before the self-join
     val kept = banded

@@ -160,4 +160,40 @@ object GraftProperties extends Properties("graft") {
         (byDoc.getOrElse(1L, Set.empty) & byDoc.getOrElse(2L, Set.empty)).nonEmpty
       }
     }
+
+  // --- PortableHash: the integer primitives every oracle-checked hash
+  // pipeline (q29/q30/q32/q54/q59) rests on ---
+
+  property("mixp stays in [0, 2^31) and is non-constant on any input window") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2)) { x =>
+      val h = graft.functions.PortableHash.mixp(x)
+      h >= 0L && h < 2147483648L &&
+        (0 until 8).map(i => graft.functions.PortableHash.mixp(x + i)).distinct.length > 1
+    }
+
+  property("mixp low bit is balanced on sequential inputs (the property the affine mix2 lacks)") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L)) { start =>
+      val n = 512
+      val ones = (0 until n).count(i =>
+        graft.functions.PortableHash.mixp(start + i) % 2L == 0L)
+      // binomial(512, .5): |ones - 256| > 96 is a ~1e-17 event
+      math.abs(ones - n / 2) < 96
+    }
+
+  property("poly is sensitive to transpositions and stays in [0, PolyMod)") =
+    Prop.forAll(Gen.alphaNumStr.suchThat(s => s.length >= 2 && s.toSet.size >= 2)) { s =>
+      val swapped = {
+        val i = s.indices.find(i => i + 1 < s.length && s(i) != s(i + 1))
+        i.fold(s)(i => s.updated(i, s(i + 1)).updated(i + 1, s(i)))
+      }
+      val h = graft.functions.PortableHash.poly(s, 31L)
+      h >= 0L && h < graft.functions.PortableHash.PolyMod &&
+        (swapped == s || graft.functions.PortableHash.poly(swapped, 31L) != h)
+    }
+
+  property("tokenHash60 fits in 60 bits (packing 64 would overflow the oracle's int64)") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      val h = graft.functions.PortableHash.tokenHash60(s)
+      h >= 0L && h < (1L << 60)
+    }
 }

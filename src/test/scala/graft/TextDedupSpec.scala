@@ -75,6 +75,20 @@ class DedupSpec extends SparkSpec {
       expectedSeen = 10L, numBits = 64L)) === exact)
   }
 
+  test("incremental minhash candidates find every clone against the seen index") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val index = Dedup.bandedSignatures(docs, "doc_id", "text")
+    val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val cands = Dedup.minhashIncrementalCandidates(batch, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = docs.select("doc_id").as[Long].collect()
+    // identical text → identical signature → collision in EVERY band
+    assert(ids.forall(id => cands.contains((id + 1000000L, id))))
+    // candidates only pair batch against seen — never seen-seen or batch-batch
+    assert(cands.forall { case (b, s) => b >= 1000000L && s < 1000000L })
+  }
+
   test("minhash LSH finds every exact-clone pair") {
     val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
