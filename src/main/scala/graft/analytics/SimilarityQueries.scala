@@ -91,6 +91,17 @@ object SimilarityQueries {
       Similarity.cosineDupPairs(embeddingsWithClones(s, dir),
           "vec_id", "embedding", DupThreshold, Dim)
         .orderBy("id_a", "id_b")
+    },
+
+    // SemDeDup over the cloned corpus: IVF-cell clustering (deterministic
+    // sampled quantizer, like q42) then within-cell cosine; every clone is
+    // dropped by its lower-id original, naturals (≤0.61) all survive. The
+    // oracle rebuilds centroid sampling, 4dp-argmax assignment, and the
+    // in-cell lower-id sweep in SQL.
+    "q73_semdedup" -> { (s, dir) =>
+      Similarity.semDedup(embeddingsWithClones(s, dir),
+          "vec_id", "embedding", DupThreshold)
+        .orderBy("vec_id")
     }
   )
 
@@ -254,8 +265,43 @@ object SimilarityQueries {
          |ORDER BY query_id, score DESC, vec_id""".stripMargin,
 
     "q44_cosine_dup_exact" -> cosineDupOracle,
-    "q45_cosine_dup_lsh" -> cosineDupOracle
+    "q45_cosine_dup_lsh" -> cosineDupOracle,
+
+    "q73_semdedup" -> semDedupOracle
   )
+
+  /** q73 oracle: cloned corpus → mix2-hash-ordered centroid sample (same
+    * CTE shape as q42) → 4dp-rounded argmax cell assignment → within-cell
+    * lower-id dedup sweep. */
+  private def semDedupOracle: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.1) FROM base),
+       |hashed AS (
+       |  SELECT vec_id, v,
+       |         (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+       |          * 1103515245 + 12345) % 2147483648 AS h
+       |  FROM corpus),
+       |cents AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+       |  FROM hashed
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+       |cassign AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT e.vec_id, c.cell, e.v,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+       |    FROM corpus e CROSS JOIN cents c)
+       |  WHERE r = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cassign a JOIN cassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= $DupThreshold)
+       |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, d.vec_id IS NULL AS kept
+       |FROM cassign c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
 
   /** Shared oracle for q44/q45: exact pairwise cosine over the cloned
     * corpus. The LSH path must match it exactly (recall 1.0 on rescale

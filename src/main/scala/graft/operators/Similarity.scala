@@ -209,45 +209,45 @@ object Similarity {
     * genuinely clustered embedding corpus (the 100 TB case IVF exists for)
     * runs nList in the thousands with nProbe/nList ≪ 1.
     */
+  /** `keep`-nearest-centroid cell assignment as ONE projection: transform
+    * over the literal centroid array → (negated 4dp-rounded sim, cell)
+    * structs → array_sort → slice(keep) → explode. No crossJoin, no shuffle
+    * — the crossJoin + row_number window form shuffled corpus × nList rows,
+    * which at a production nList (thousands of cells) multiplies the corpus
+    * thousands-fold before the window cuts it back down. (The centroid
+    * matrix rides the plan as a literal — nList × dim doubles, ~2 MB at
+    * nList=4096/dim=64 — well under task-binary limits.)
+    *
+    * 4dp rounding before the argmax: raw doubles one ULP apart across
+    * engines could flip it; ties break by cell id (ascending struct order
+    * on (negsim, cell)) — deterministic everywhere, and a 1e-4 quantization
+    * of the COARSE quantizer costs no recall. Zero-norm vectors (null
+    * cosine) coalesce past every real score, keeping the nulls-last order. */
+  private[graft] def assignCells(df: DataFrame, cents: Seq[(Int, Seq[Double])],
+      idOut: String, vecCol: String, keep: Int): DataFrame = {
+    val centArr = typedlit(cents.map { case (cell, v) => (v, cell) })
+    val scored = transform(centArr, c =>
+      struct(
+        coalesce(-graft.functions.Rounding.roundLikeC(
+          cosine(col(vecCol), c.getField("_1")), 4), lit(Double.MaxValue))
+          .as("negsim"),
+        c.getField("_2").as("cell")))
+    df.select(col(idOut), col(vecCol),
+        explode(slice(array_sort(scored), 1, keep)).as("__t"))
+      .select(col(idOut), col("__t.cell").as("cell"), col(vecCol))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 6,
               refineIters: Int = 0): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = refineCentroids(corpus, idCol, vecCol,
       sampledCentroids(corpus, idCol, vecCol, nList), refineIters)
 
-    def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
-      // Cell choice is ONE projection: transform over the literal centroid
-      // array → (negated 4dp-rounded sim, cell) structs → array_sort →
-      // slice(keep) → explode. No crossJoin, no shuffle — the previous
-      // crossJoin + row_number window shuffled corpus × nList rows, which
-      // at a production nList (thousands of cells) multiplies the corpus
-      // thousands-fold before the window cuts it back down. (The centroid
-      // matrix rides the plan as a literal — nList × dim doubles, ~2 MB at
-      // nList=4096/dim=64 — well under task-binary limits.)
-      //
-      // 4dp rounding before the argmax: raw doubles one ULP apart across
-      // engines could flip it; ties break by cell id (ascending struct
-      // order on (negsim, cell)) — deterministic everywhere, and a 1e-4
-      // quantization of the COARSE quantizer costs no recall. Zero-norm
-      // vectors (null cosine) coalesce past every real score, keeping the
-      // old nulls-last order.
-      val centArr = typedlit(cents.map { case (cell, v) => (v, cell) })
-      val scored = transform(centArr, c =>
-        struct(
-          coalesce(-graft.functions.Rounding.roundLikeC(
-            cosine(col(vecCol), c.getField("_1")), 4), lit(Double.MaxValue))
-            .as("negsim"),
-          c.getField("_2").as("cell")))
-      df.select(col(outId), col(vecCol),
-          explode(slice(array_sort(scored), 1, keep)).as("__t"))
-        .select(col(outId), col("__t.cell").as("cell"), col(vecCol))
-    }
-
-    val corpusCells = assign(corpus.withColumnRenamed(idCol, "vec_id"), "vec_id", keep = 1)
+    val corpusCells = assignCells(corpus.withColumnRenamed(idCol, "vec_id"),
+        cents, "vec_id", vecCol, keep = 1)
       .withColumnRenamed(vecCol, "cv")
-    val queryCells = assign(queries.withColumnRenamed(idCol, "query_id"), "query_id", keep = nProbe)
+    val queryCells = assignCells(queries.withColumnRenamed(idCol, "query_id"),
+        cents, "query_id", vecCol, keep = nProbe)
       .withColumnRenamed(vecCol, "qv")
 
     val scored = queryCells.join(corpusCells, "cell")
@@ -257,6 +257,52 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("query_id", "vec_id", "score")
+  }
+
+  /** SemDeDup — semantic deduplication by cluster-then-compare (Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the embedding corpus with the IVF
+    * coarse quantizer, compare cosine only WITHIN each cluster, and drop
+    * every vector that has a lower-id in-cluster neighbor at or above
+    * `threshold` (keep-lowest-id is the deterministic stand-in for the
+    * paper's keep-farthest-from-centroid — the dedup set is the same, the
+    * chosen representative differs). Returns every corpus row as
+    * (vec_id, cell, kept).
+    *
+    * Scale: the whole point of clustering first is that pairwise work is
+    * quadratic only per cell, linear overall when `nList` grows with the
+    * corpus (paper uses ~100k clusters for LAION — cells of a few thousand
+    * rows). Assignment is one broadcast projection pass ([[assignCells]]);
+    * the compare is a self-join on the cell id — ONE shuffle keyed by cell.
+    * Norms are hoisted (one sqrt per row, not per pair). A pathological
+    * cell (every row identical → one giant cell) degrades to jaccard-style
+    * skew; mitigate upstream with exact dedup first, or raise `nList`.
+    *
+    * Dropped-if-lower-id-neighbor is evaluated on the FULL cell membership
+    * (not only against kept rows): a chain a~b, b~c with cos(a,c) below
+    * threshold drops BOTH b and c. This transitive-reach-free rule needs no
+    * iteration (connected components would — that is [[Dedup.dupClusters]]'
+    * job) and matches the paper's ε-ball sweep. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nList: Int = 8,
+               refineIters: Int = 0): DataFrame = {
+    val cents = refineCentroids(corpus, idCol, vecCol,
+      sampledCentroids(corpus, idCol, vecCol, nList), refineIters)
+    val cells = assignCells(
+        corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__v")),
+        cents, "vec_id", "__v", keep = 1)
+      .withColumn("__n", sqrt(dotNative(col("__v"), col("__v"))))
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("__v").as("va"), col("__n").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.Rounding.roundLikeC(
+        hoistedCosine(dotNative(col("va"), col("vb")), col("na"), col("nb")), 4)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    cells.join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__dup").isNull.as("kept"))
   }
 
   /** Embedding-cosine near-duplicate pairs — exact pairwise verifier.

@@ -192,6 +192,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ePq.getMessage.contains("maxQueries"))
   }
 
+  test("semDedup drops exactly the clones, labels every row, one cell each") {
+    val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+      SimilarityQueries.DupThreshold).collect()
+    assert(out.length === 2 * n.toInt) // every corpus row labeled exactly once
+    val (kept, droppedRows) = out.partition(_.getAs[Boolean]("kept"))
+    // each clone (vec_id+1000000, cosine 1.0 with its original, same argmax
+    // cell) is dropped by its lower-id original; naturals (≤0.61) survive
+    assert(droppedRows.map(_.getAs[Long]("vec_id")).sorted.toSeq ===
+      (0L until n).map(_ + 1000000L))
+    assert(kept.map(_.getAs[Long]("vec_id")).sorted.toSeq === (0L until n))
+  }
+
+  test("semDedup at threshold above 1.0 keeps everything") {
+    val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding", 1.5)
+    assert(out.filter(!col("kept")).isEmpty)
+  }
+
   test("cosine near-dup: LSH scale path reproduces the exact verifier on clones") {
     val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
     val exact = Similarity.cosineDupPairsExact(corpus, "vec_id", "embedding",
