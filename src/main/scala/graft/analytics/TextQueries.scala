@@ -139,6 +139,26 @@ object TextQueries {
       Dedup.winnowFingerprints(
           Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text")
         .orderBy("doc_id", "fp")
+    },
+
+    // Benchmark decontamination: training docs (doc_id % 50 != 0) sharing
+    // any distinct word 3-gram with the held-out eval slice (% 50 == 0);
+    // bipartite inverted-index join, eval side broadcast.
+    "q74_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminationPairs(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text")
+        .orderBy("train_id", "eval_id")
+    },
+
+    // Boilerplate mining: top-50 word-3-grams by document frequency (>= 3
+    // docs); ties at the cut break by gram asc on both engines.
+    "q75_repeated_ngrams" -> { (s, dir) =>
+      Dedup.frequentNgrams(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minDf = 3L, topN = 50)
+        .orderBy(col("doc_freq").desc, col("gram"))
     }
   )
 
@@ -424,6 +444,40 @@ object TextQueries {
         |  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
         |  FROM q)
         |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // distinct word-3-grams per doc (q72's shingle CTE), bipartite
+    // train×eval join on the gram, shared-gram count per pair
+    "q74_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS grams
+        |  FROM t),
+        |g AS (SELECT id, unnest(grams) AS gram FROM sh)
+        |SELECT tr.id AS train_id, ev.id AS eval_id, COUNT(*) AS n_shared
+        |FROM g tr JOIN g ev ON tr.gram = ev.gram
+        |WHERE tr.id % 50 <> 0 AND ev.id % 50 = 0
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 1
+        |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q75_repeated_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS grams
+        |  FROM t),
+        |g AS (SELECT id, unnest(grams) AS gram FROM sh)
+        |SELECT gram, COUNT(*) AS doc_freq
+        |FROM g
+        |GROUP BY gram
+        |HAVING COUNT(*) >= 3
+        |ORDER BY doc_freq DESC, gram
+        |LIMIT 50""".stripMargin
   )
 }

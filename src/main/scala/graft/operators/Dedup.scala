@@ -124,6 +124,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: flag every training document that shares at
+    * least `minShared` DISTINCT word `k`-grams with any eval-set document
+    * (the overlap rule of GPT-3 appendix C / Dodge et al. 2021, which the
+    * training-data pipeline runs before every pretraining mix). Returns
+    * (train_id, eval_id, n_shared) for each contaminated pair — callers
+    * drop/mask via a semi-join on train_id.
+    *
+    * Shape: bipartite inverted-index join on the gram, NOT all-pairs. The
+    * eval side is a benchmark suite — thousands of documents, millions of
+    * grams at most — so it broadcasts (`broadcastEval`, default true): the
+    * 100 TB train side never shuffles; only matched (train, eval) hits move
+    * into the count aggregate. With `broadcastEval = false` both sides
+    * shuffle on the gram — the fallback when the eval side is itself a
+    * corpus. No hub pruning here (unlike [[jaccardPairs]]): exactness of
+    * the contamination verdict matters more than the skew, and the eval
+    * gram set is small enough that hot grams stay bounded by it. */
+  def decontaminationPairs(train: DataFrame, eval: DataFrame, idCol: String,
+                           textCol: String, k: Int = 3, minShared: Long = 1L,
+                           broadcastEval: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+        explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+    val ev = grams(eval, "eval_id")
+    val tr = grams(train, "train_id")
+    tr.join(if (broadcastEval) broadcast(ev) else ev, "gram")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus-frequent n-grams: document frequency of every distinct word
+    * `k`-gram, kept when it appears in at least `minDf` documents, top
+    * `topN` by (doc_freq desc, gram asc) — the boilerplate/template
+    * detector (headers, footers, license blurbs) run before n-gram-level
+    * dedup of a pretraining corpus.
+    *
+    * Scale: one projection (tokenize → shingle → distinct-per-doc →
+    * explode) and ONE shuffle on the gram with map-side partial counts;
+    * the top-N is Catalyst's TakeOrderedAndProject (no global sort
+    * materializes). Gram cardinality, not corpus size, bounds the shuffle. */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, minDf: Long = 2L, topN: Int = 100): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(topN)
+
   /** Duplicate clustering: connected components over a near-dup pair table
     * (the output of [[jaccardPairs]] / [[minhashLshCandidates]] /
     * `Similarity.cosineDupPairs`), labeling every node with the minimum id

@@ -188,4 +188,40 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(again.toSet === fps.toSet)
   }
+
+  test("decontamination flags exactly the train docs sharing eval k-grams") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), // shares "alpha beta gamma"
+      (2L, "unrelated words entirely here"),
+      (3L, "beta gamma qq alpha beta gamma")) // shares both eval grams
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma qq")).toDF("doc_id", "text")
+    val got = Dedup.decontaminationPairs(train, eval, "doc_id", "text")
+      .orderBy("train_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 100L, 1L), (3L, 100L, 2L)))
+    // distinct grams: doc 3 repeats "alpha beta gamma" but counts it once
+    val strict = Dedup.decontaminationPairs(train, eval, "doc_id", "text",
+      minShared = 2L).as[(Long, Long, Long)].collect().toSeq
+    assert(strict === Seq((3L, 100L, 2L)))
+    // shuffle fallback path is result-identical to the broadcast path
+    val noBc = Dedup.decontaminationPairs(train, eval, "doc_id", "text",
+      broadcastEval = false).as[(Long, Long, Long)].collect().toSet
+    assert(noBc === got.toSet)
+  }
+
+  test("frequentNgrams counts document frequency once per doc, orders by (df, gram)") {
+    val df = Seq(
+      (1L, "foo bar baz foo bar baz"), // "foo bar baz" twice -> counts once
+      (2L, "foo bar baz something else here"),
+      (3L, "aaa bbb ccc ddd"),
+      (4L, "aaa bbb ccc")).toDF("doc_id", "text")
+    val got = Dedup.frequentNgrams(df, "doc_id", "text", k = 3, minDf = 2L)
+      .as[(String, Long)].collect().toSeq
+    // both df=2; tie broken by gram ascending
+    assert(got === Seq(("aaa bbb ccc", 2L), ("foo bar baz", 2L)))
+    val top1 = Dedup.frequentNgrams(df, "doc_id", "text", k = 3, minDf = 2L,
+      topN = 1).as[(String, Long)].collect().toSeq
+    assert(top1 === Seq(("aaa bbb ccc", 2L)))
+  }
 }
