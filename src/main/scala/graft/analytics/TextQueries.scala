@@ -159,6 +159,13 @@ object TextQueries {
       Dedup.frequentNgrams(Tables.documents(s, dir), "doc_id", "text",
           k = 3, minDf = 3L, topN = 50)
         .orderBy(col("doc_freq").desc, col("gram"))
+    },
+
+    // Content-defined chunk dedup over the cloned corpus: poly-31 boundary
+    // rule, repeated chunk texts with doc counts and keeper ids.
+    "q76_cdc_chunk_dedup" -> { (s, dir) =>
+      Dedup.chunkDedup(corpusWithClones(s, dir), "doc_id", "text")
+        .orderBy("chunk")
     }
   )
 
@@ -478,6 +485,36 @@ object TextQueries {
         |GROUP BY gram
         |HAVING COUNT(*) >= 3
         |ORDER BY doc_freq DESC, gram
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    // CDC chunking as a window: a token ends its chunk when its poly-31
+    // hash is 0 mod 8; chunk_id = boundaries strictly before the position.
+    "q76_cdc_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |corpus AS (SELECT id, toks FROM t UNION ALL SELECT id + 1000000, toks FROM t),
+        |tok AS (
+        |  SELECT id, pos, tok,
+        |         CASE WHEN list_reduce(
+        |             list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1),
+        |                                                    i -> ascii(substr(tok,i,1))::BIGINT)),
+        |             (acc, x) -> (acc*31 + x) % 1000000007) % 8 = 0
+        |           THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        |        FROM corpus)),
+        |ch AS (
+        |  SELECT id, pos, tok,
+        |         COALESCE(SUM(b) OVER (PARTITION BY id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM tok),
+        |chunks AS (
+        |  SELECT id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |  FROM ch GROUP BY id, chunk_id)
+        |SELECT chunk, COUNT(DISTINCT id) AS n_docs, MIN(id) AS keeper
+        |FROM chunks
+        |WHERE chunk <> ''
+        |GROUP BY chunk
+        |HAVING COUNT(DISTINCT id) >= 2
+        |ORDER BY chunk""".stripMargin
   )
 }

@@ -210,6 +210,32 @@ class DedupSpec extends SparkSpec {
     assert(noBc === got.toSet)
   }
 
+  test("cdcChunks partition the token stream; an inserted token only reshapes its chunk") {
+    import org.apache.spark.sql.functions.col
+    val base = "key agg row scan slow fast table value part hash merge batch spark line sort window"
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(df, "doc_id", "text")
+      .orderBy("pos").as[(Long, Int, String)].collect().map(_._3).toSeq
+    // reconstruction: chunks in pos order rebuild the tokenized text
+    assert(chunks.mkString(" ") === base)
+    assert(chunks.size > 1, "boundary rule never fired — pick a longer fixture")
+    // content-defined: prepending a token shifts positions but the chunking
+    // resynchronizes at the first boundary — the tail chunks are unchanged
+    val shifted = Dedup.cdcChunks(Seq((1L, s"zzz $base")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("pos").as[(Long, Int, String)].collect().map(_._3).toSeq
+    assert(shifted.mkString(" ") === s"zzz $base")
+    assert(chunks.tail.toSet.subsetOf(shifted.toSet),
+      "chunks after the first boundary must survive a prefix insertion")
+    // dedup: a cloned doc shares every chunk; keeper is the lower id
+    val dup = Dedup.chunkDedup(
+      Seq((1L, base), (1000001L, base), (2L, "totally different words here")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val rows = dup.as[(String, Long, Long)].collect()
+    assert(rows.length === chunks.size)
+    rows.foreach { case (_, n, keeper) => assert(n === 2L && keeper === 1L) }
+  }
+
   test("frequentNgrams counts document frequency once per doc, orders by (df, gram)") {
     val df = Seq(
       (1L, "foo bar baz foo bar baz"), // "foo bar baz" twice -> counts once
