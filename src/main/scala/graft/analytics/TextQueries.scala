@@ -166,8 +166,18 @@ object TextQueries {
     "q76_cdc_chunk_dedup" -> { (s, dir) =>
       Dedup.chunkDedup(corpusWithClones(s, dir), "doc_id", "text")
         .orderBy("chunk")
+    },
+
+    // BM25 top-20 for a fixed keyword query: one stats pass broadcast back
+    // over the corpus, pure-projection score, TakeOrderedAndProject cut.
+    "q77_bm25_topk" -> { (s, dir) =>
+      graft.operators.Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms, k = 20)
     }
   )
+
+  /** q77 query terms (present in the fixture vocabulary). */
+  val Bm25Terms: Seq[String] = Seq("table", "merge", "spark")
 
   def rowsOnly: Set[String] = Set.empty
 
@@ -515,6 +525,44 @@ object TextQueries {
         |WHERE chunk <> ''
         |GROUP BY chunk
         |HAVING COUNT(DISTINCT id) >= 2
-        |ORDER BY chunk""".stripMargin
+        |ORDER BY chunk""".stripMargin,
+
+    // identical IEEE op order to Bm25.score: ((idf * tf) * (k1+1)) /
+    // (tf + k1*((1-b) + b*len/avglen)); all literals exact doubles
+    "q77_bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, len(toks) AS dlen,
+        |         len(list_filter(toks, x -> x = 'table')) AS tf0,
+        |         len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |         len(list_filter(toks, x -> x = 'spark')) AS tf2
+        |  FROM t),
+        |s AS (
+        |  SELECT COUNT(*) AS n, SUM(dlen) AS sumlen,
+        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id,
+        |         CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE)
+        |             / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))) AS nrm,
+        |         CAST(tf0 AS DOUBLE) AS d0, CAST(tf1 AS DOUBLE) AS d1, CAST(tf2 AS DOUBLE) AS d2,
+        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) AS idf0,
+        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) AS idf1,
+        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) AS idf2
+        |  FROM w CROSS JOIN s),
+        |sc AS (
+        |  SELECT doc_id,
+        |         ROUND(idf0 * d0 * CAST(2.2 AS DOUBLE) / (d0 + nrm)
+        |             + idf1 * d1 * CAST(2.2 AS DOUBLE) / (d1 + nrm)
+        |             + idf2 * d2 * CAST(2.2 AS DOUBLE) / (d2 + nrm), 4) AS score
+        |  FROM p)
+        |SELECT doc_id, score FROM sc
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a tokenized text column (Robertson &
+  * Zaragoza 2009) — the lexical ranking a training-data pipeline uses for
+  * targeted corpus slicing ("pull the docs about X") next to the embedding
+  * ANN path, and the reference-shaped "scored SELECT" a search user expects.
+  *
+  * Shape: ONE aggregate pass computes every corpus statistic (N, total
+  * token count, per-term document frequencies — a single row), which then
+  * broadcast-cross-joins back onto the corpus for a pure-projection score:
+  * no per-term shuffle, no inverted index materialized, cost = two corpus
+  * scans (the stats pass must finish before scoring can start) + one
+  * single-row broadcast + TakeOrderedAndProject for the top-k. An
+  * inverted-index variant only wins when |terms| ≪ matching docs and the
+  * index already exists; for ad-hoc scoring of a 100 TB corpus the scan IS
+  * the plan, and the second scan reads only (id, text) thanks to pruning.
+  *
+  * idf uses the BM25+ always-positive form ln(1 + (N - df + .5)/(df + .5));
+  * the final score rounds 4dp (`roundLikeC`) so ranking is reproducible
+  * across engines — ln() may differ in the last ulp between libm and the
+  * JVM, 12 orders below the rounding grain.
+  */
+object Bm25 {
+
+  /** Per-document BM25 scores for `terms` (exact token match); rows with
+    * score 0 (no term present) are dropped. Output: (idCol, score). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val toks = docs.select(col(idCol),
+      graft.functions.Text.tokens(col(textCol)).as("__w"))
+    def tf(t: String): Column =
+      size(filter(col("__w"), x => x === lit(t)))
+    val withTf = toks.select(
+      col(idCol) +: size(col("__w")).as("__len") +:
+        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
+
+    // one row of corpus stats: N, Σlen, df per term
+    val aggs = count(lit(1)).as("__n") +: sum(col("__len")).as("__sumlen") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("__avglen",
+        col("__sumlen").cast("double") / col("__n").cast("double"))
+      .withColumn("__norm",
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / col("__avglen")))
+    val termScore = terms.indices.map { i =>
+      val tfd = col(s"__tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      idf * tfd * lit(k1 + 1.0) / (tfd + col("__norm"))
+    }.reduce(_ + _)
+    scored
+      .select(col(idCol),
+        graft.functions.Rounding.roundLikeC(termScore, 4).as("score"))
+      .filter(col("score") > 0)
+  }
+
+  /** Top-`k` documents for the query, ranked (score desc, id asc) —
+    * Catalyst plans the cut as TakeOrderedAndProject. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    score(docs, idCol, textCol, terms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

@@ -44,6 +44,30 @@ class TextSpec extends SparkSpec {
       .select((Text.fingerprint(col("x")) === Text.fingerprint(col("y"))).as("eq"))
     assert(df.as[Boolean].head())
   }
+
+  test("BM25: more matching terms rank higher, saturation caps tf, zero scores drop") {
+    import graft.operators.Bm25
+    val docs = Seq(
+      (1L, "table merge spark"),            // all three terms
+      (2L, "table merge other words here"), // two terms
+      (3L, "table alone with filler text"), // one term
+      (4L, "table table table table table table table table"), // tf saturates
+      (5L, "nothing relevant at all"))      // zero -> dropped
+      .toDF("doc_id", "text")
+    val terms = Seq("table", "merge", "spark")
+    val got = Bm25.topK(docs, "doc_id", "text", terms, k = 10)
+      .as[(Long, Double)].collect()
+    assert(!got.map(_._1).contains(5L))
+    val rank = got.map(_._1).toSeq
+    // doc1 covers all terms and is shortest -> top; term coverage beats
+    // repeating one term (BM25's tf saturation): doc4's 8x "table" cannot
+    // outrank doc2's two distinct terms
+    assert(rank.head === 1L)
+    assert(rank.indexOf(2L) < rank.indexOf(4L))
+    assert(rank.indexOf(4L) < rank.indexOf(3L) || got.length === 4)
+    // scores strictly ordered desc with doc_id tiebreak
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq === got.toSeq)
+  }
 }
 
 /** Dedup operators: exact, Jaccard verifier, MinHash-LSH, SimHash. */
