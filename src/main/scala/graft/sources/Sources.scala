@@ -202,3 +202,27 @@ object Catalog {
     spark.catalog.listTables(database).collect()
       .map(_.name).filter(wanted.contains).toSeq
 }
+
+/** Bucketed-table layout — the storage-level answer to "this fact table is
+  * joined/aggregated on the same key every day". Writing pays ONE shuffle
+  * into `buckets` hash buckets (optionally sorted within each); every later
+  * equi-join between tables bucketed the same way, and every aggregation on
+  * the bucket key, then runs with NO Exchange — at 100 TB that converts the
+  * nightly star join from a corpus-sized shuffle into a co-located zip
+  * (BucketedJoinSpec proves the Exchange-free plans). Catalyst only uses
+  * bucketing through the catalog, so these are `saveAsTable`/`table` rather
+  * than path reads; both sides of a join must agree on bucket count.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed catalog table (overwrite). */
+  def write(df: DataFrame, table: String, key: String, buckets: Int,
+            sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -37,13 +37,11 @@ class BucketedJoinSpec extends SparkSpec {
     val db = "bucketdemo"
     spark.sql(s"DROP TABLE IF EXISTS ${db}_orders")
     spark.sql(s"DROP TABLE IF EXISTS ${db}_customer")
-    Tables.orders(spark, sf)
-      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable(s"${db}_orders")
-    Tables.customer(spark, sf)
-      .selectExpr("c_custkey AS o_custkey", "c_mktsegment")
-      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable(s"${db}_customer")
+    graft.sources.Bucketed.write(Tables.orders(spark, sf),
+      s"${db}_orders", "o_custkey", 8, sortCols = Seq("o_custkey"))
+    graft.sources.Bucketed.write(
+      Tables.customer(spark, sf).selectExpr("c_custkey AS o_custkey", "c_mktsegment"),
+      s"${db}_customer", "o_custkey", 8, sortCols = Seq("o_custkey"))
 
     // disable broadcast so the join would otherwise shuffle both sides
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -60,6 +58,20 @@ class BucketedJoinSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
+  }
+
+  test("aggregation on the bucket key runs without a shuffle exchange") {
+    graft.sources.Bucketed.write(Tables.lineitem(spark, sf),
+      "bucketdemo_li", "l_orderkey", 8)
+    val agg = graft.sources.Bucketed.table(spark, "bucketdemo_li")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed aggregation must not shuffle:\n${p.take(1500)}")
+    assert(agg.count() ===
+      Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
   }
 }
 
