@@ -173,6 +173,13 @@ object TextQueries {
     "q77_bm25_topk" -> { (s, dir) =>
       graft.operators.Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Terms, k = 20)
+    },
+
+    // Unigram-LM quality scoring: mean token NLL per document, summed with
+    // an ORDERED fold so the float total is engine-reproducible.
+    "q78_unigram_nll" -> { (s, dir) =>
+      graft.operators.LmScore.unigramNll(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -563,6 +570,27 @@ object TextQueries {
         |SELECT doc_id, score FROM sc
         |WHERE score > 0
         |ORDER BY score DESC, doc_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // same ordered fold as LmScore.unigramNll: nll list in pos order,
+    // list_reduce left fold seeded with 0.0, divide by n, round 4dp
+    "q78_unigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+        |  FROM t),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS total FROM tok),
+        |j AS (
+        |  SELECT doc_id, pos,
+        |         -LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS nll
+        |  FROM tok JOIN c USING (tok) CROSS JOIN tot),
+        |a AS (SELECT doc_id, list(nll ORDER BY pos) AS arr FROM j GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(arr) AS INT) AS n_tokens,
+        |       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+        |                         (acc, x) -> acc + x) / CAST(len(arr) AS DOUBLE), 4) AS avg_nll
+        |FROM a
+        |ORDER BY doc_id""".stripMargin
   )
 }

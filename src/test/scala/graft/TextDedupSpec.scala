@@ -45,6 +45,21 @@ class TextSpec extends SparkSpec {
     assert(df.as[Boolean].head())
   }
 
+  test("unigram NLL: uniform corpus scores ln(2); rare tokens score higher") {
+    import graft.operators.LmScore
+    val uniform = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = LmScore.unigramNll(uniform, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Double)].collect().toSeq
+    // counts: a=2, b=2, total=4 -> every token p=0.5, nll=ln 2
+    val ln2 = math.round(math.log(2.0) * 1e4) / 1e4
+    assert(got === Seq((1L, 3, ln2), (2L, 1, ln2)))
+
+    val skewed = Seq((1L, "a a a a"), (2L, "a z")).toDF("doc_id", "text")
+    val s = LmScore.unigramNll(skewed, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Double)].collect()
+    assert(s(1)._3 > s(0)._3, "the rare-token doc must score higher NLL")
+  }
+
   test("BM25: more matching terms rank higher, saturation caps tf, zero scores drop") {
     import graft.operators.Bm25
     val docs = Seq(
