@@ -70,3 +70,45 @@ object Bm25 {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 }
+
+/** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to merge
+  * a lexical (BM25) and a semantic (embedding-ANN) ranking into one hybrid
+  * result without score calibration: fused = Σ_lists 1/(k + rank). Rank
+  * lists are short (top-k results, not corpora), so every step here is
+  * bounded small-data; the heavy lifting happened in the rankers.
+  */
+object Rrf {
+
+  /** Attach 1-based `rank` to a scored list — (id, rank). `byDesc` is the
+    * score column; ties break by id. The single-partition window is fine
+    * BECAUSE the input is an already-cut top-k list, never a corpus. */
+  def ranked(scored: DataFrame, idCol: String, byDesc: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(byDesc).desc, col(idCol))
+    scored.select(col(idCol).as("id"), row_number().over(w).as("rank"))
+  }
+
+  /** Fuse rank lists: top `topN` ids by Σ 1/(k + rank), 6dp-rounded
+    * (`roundLikeC` — cross-engine boundary), ties by id. Absent-from-a-list
+    * contributes 0. The per-list terms sum in LIST ORDER (a fixed-width
+    * conditional-min pivot, not an unordered float SUM), so the fused score
+    * is bit-reproducible across engines and partitionings. */
+  def fuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60,
+           topN: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col("id"), col("rank").cast("long").as("rank"), lit(i).as("src"))
+    }.reduce(_ unionByName _)
+    val pivotCols = rankings.indices.map(i =>
+      min(when(col("src") === i, col("rank"))).as(s"__r$i"))
+    val pivoted = tagged.groupBy("id").agg(pivotCols.head, pivotCols.tail: _*)
+    val score = rankings.indices.map(i =>
+      coalesce(lit(1.0) / (lit(k.toDouble) + col(s"__r$i").cast("double")), lit(0.0)))
+      .reduce(_ + _)
+    pivoted
+      .select(col("id").as(idCol),
+        graft.functions.Rounding.roundLikeC(score, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
+}

@@ -45,6 +45,24 @@ class TextSpec extends SparkSpec {
     assert(df.as[Boolean].head())
   }
 
+  test("RRF fusion: both-lists beats one-list; absent contributes zero; exact terms") {
+    import graft.operators.Rrf
+    val lex = Seq((10L, 3.0), (11L, 2.0), (12L, 1.0)).toDF("doc_id", "score")
+    val sem = Seq((10L, 0.9), (13L, 0.8)).toDF("doc_id", "score")
+    val fused = Rrf.fuse(Seq(
+        Rrf.ranked(lex, "doc_id", "score"),
+        Rrf.ranked(sem, "doc_id", "score")), "doc_id", k = 60, topN = 10)
+      .as[(Long, Double)].collect().toSeq
+    def t(r: Int) = 1.0 / (60.0 + r)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc 10: rank 1 in both; doc 11: lex rank 2 only; doc 13: sem rank 2 only
+    assert(fused.head === ((10L, r6(t(1) + t(1)))))
+    assert(fused.toMap.apply(11L) === r6(t(2) + 0.0))
+    assert(fused.toMap.apply(13L) === r6(0.0 + t(2)))
+    // both-lists presence dominates any single-list rank here
+    assert(fused.map(_._1).head === 10L && fused.length === 4)
+  }
+
   test("unigram NLL: uniform corpus scores ln(2); rare tokens score higher") {
     import graft.operators.LmScore
     val uniform = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
