@@ -423,36 +423,42 @@ object Dedup {
     * partial-aggregates map-side. Hash is the engine-portable poly-31 mod
     * 1e9+7 ([[graft.functions.PortableHash.poly]]), so the oracle rebuilds
     * chunk boundaries bit-for-bit. */
-  /** The CDC chunker itself: (id, pos, chunk) rows, `pos` = 0-based chunk
-    * index within the document (chunks concatenated in pos order rebuild
-    * the tokenized text — ChunkSpec's reconstruction property). */
-  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-                avgChunk: Int = 8): DataFrame = {
+  /** The chunking fold: token array `__w` → array of chunk strings. */
+  private def chunkFold(avgChunk: Int): String = {
     val prime = 1000000007L
     val grow = "CASE WHEN st.cur = '' THEN t ELSE concat(st.cur, ' ', t) END"
-    val fold =
-      s"""aggregate(
-         |  __w,
-         |  named_struct('done', cast(array() as array<string>), 'cur', ''),
-         |  (st, t) -> CASE WHEN aggregate(sequence(1, length(t)), 0L,
-         |                    (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $prime)
-         |                  % $avgChunk = 0
-         |    THEN named_struct('done', array_append(st.done, $grow), 'cur', '')
-         |    ELSE named_struct('done', st.done, 'cur', $grow)
-         |  END,
-         |  st -> CASE WHEN st.cur = '' THEN st.done
-         |             ELSE array_append(st.done, st.cur) END
-         |)""".stripMargin
-    df.select(col(idCol).as("id"), graft.functions.Text.tokens(col(textCol)).as("__w"))
-      .select(col("id"), posexplode(expr(fold)).as(Seq("pos", "chunk")))
+    s"""aggregate(
+       |  __w,
+       |  named_struct('done', cast(array() as array<string>), 'cur', ''),
+       |  (st, t) -> CASE WHEN aggregate(sequence(1, length(t)), 0L,
+       |                    (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $prime)
+       |                  % $avgChunk = 0
+       |    THEN named_struct('done', array_append(st.done, $grow), 'cur', '')
+       |    ELSE named_struct('done', st.done, 'cur', $grow)
+       |  END,
+       |  st -> CASE WHEN st.cur = '' THEN st.done
+       |             ELSE array_append(st.done, st.cur) END
+       |)""".stripMargin
   }
+
+  /** The CDC chunker itself: (id, pos, chunk) rows, `pos` = 0-based chunk
+    * index within the document (chunks concatenated in pos order rebuild
+    * the tokenized text — the DedupSpec reconstruction property). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                avgChunk: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"), graft.functions.Text.tokens(col(textCol)).as("__w"))
+      .select(col("id"), posexplode(expr(chunkFold(avgChunk))).as(Seq("pos", "chunk")))
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  avgChunk: Int = 8, minDocs: Long = 2L): DataFrame =
-    cdcChunks(df, idCol, textCol, avgChunk)
+    df.select(col(idCol).as("id"), graft.functions.Text.tokens(col(textCol)).as("__w"))
+      // array_distinct BEFORE the explode: (id, chunk) rows are then unique,
+      // so count(1) = distinct docs — one corpus shuffle instead of the
+      // two-phase distinct aggregate (PlanShapeSpec pins it)
+      .select(col("id"), explode(array_distinct(expr(chunkFold(avgChunk)))).as("chunk"))
       .filter(col("chunk") =!= "")
       .groupBy("chunk")
-      .agg(countDistinct(col("id")).as("n_docs"), min(col("id")).as("keeper"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keeper"))
       .filter(col("n_docs") >= minDocs)
 
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.

@@ -162,6 +162,45 @@ class PlanShapeSpec extends SparkSpec {
       s"(band,bucket) partitioning must be shared between gate and join:\n${p.take(2000)}")
   }
 
+  test("q74 decontamination: eval side broadcasts — the train side never pre-shuffles") {
+    val df = SparkEntry.queries("q74_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram join must broadcast the eval grams:\n${p.take(1500)}")
+    // only the pair-count aggregate and the output sort may shuffle
+    assert(!p.contains("SortMergeJoin"), "train grams must not sort-merge")
+  }
+
+  test("q75/q77 corpus rankers cut with TakeOrderedAndProject, no global sort") {
+    Seq("q75_repeated_ngrams", "q77_bm25_topk").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k must plan as TakeOrderedAndProject:\n${p.take(1500)}")
+    }
+  }
+
+  test("q76 CDC chunking: the chunker is ONE projection — no shuffle before the chunk agg") {
+    val df = SparkEntry.queries("q76_cdc_chunk_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // exactly: chunk-text aggregation exchange + the output sort's range
+    // exchange; the fold itself must not move data
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"expected only the chunk aggregation to hash-shuffle, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("q73 semDedup: assignment is a projection; the sweep shuffles on the cell only") {
+    val df = SparkEntry.queries("q73_semdedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup must never plan an unbucketed pairwise product:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
