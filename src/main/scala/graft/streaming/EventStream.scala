@@ -183,4 +183,36 @@ object EventStream {
     // staging + swap — the merged plan reads the target it replaces
     graft.etl.SnapshotIO.replace(spark, merged, targetDir)
   }
+
+  /** T3 + U9 composition: a CDC stream maintains a Type-2 dimension. Each
+    * micro-batch keeps the LAST change per key (by `tsCol`), then runs the
+    * engine's SCD2 merge at BATCH grain: every version opened/closed by a
+    * batch stamps the batch's max event time as its validity boundary —
+    * dlt's snapshot-grain scd2 semantics (the reference's mode), where
+    * within-batch intermediate states collapse rather than become versions.
+    * Deterministic given (batch partitioning, tsCol ordering); the
+    * StreamingSpec twin proves stream ≡ the same batches applied
+    * sequentially, with the SCD2 invariants (one current row per key,
+    * chained intervals) on top. */
+  def scd2Batch(targetDir: String, keys: Seq[String], attrs: Seq[String],
+                tsCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val latest = graft.operators.Merge.upsert(
+      batch.limit(0), batch, keys, Some(col(tsCol)))
+    val effectiveTs = latest.agg(max(col(tsCol))).head.get(0)
+    val dim =
+      if (graft.etl.SnapshotIO.hasParquet(spark, targetDir))
+        spark.read.parquet(targetDir)
+      else
+        latest.limit(0)
+          .select((keys ++ attrs).map(col): _*)
+          .withColumn("valid_from", lit(null).cast("timestamp"))
+          .withColumn("valid_to", lit(null).cast("timestamp"))
+          .withColumn("is_current", lit(true))
+    val merged = graft.operators.Scd2.merge(
+      dim, latest.select((keys ++ attrs).map(col): _*), keys, attrs,
+      lit(effectiveTs).cast("timestamp"))
+    graft.etl.SnapshotIO.replace(spark, merged, targetDir)
+  }
 }

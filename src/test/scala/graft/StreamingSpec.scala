@@ -210,4 +210,50 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(dir).as[(Int, String, Int)].collect().sortBy(_._1)
     assert(got.toSeq === Seq((1, "a", 10), (2, "b2", 21), (3, "c", 30)))
   }
+
+  test("foreachBatch SCD2 sink maintains a Type-2 dimension, equal to sequential merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_scd2").toString + "/dim"
+    val b1 = Seq(
+      (1, "alpha", ts("2024-01-01 10:00:00")),
+      (1, "alpha2", ts("2024-01-01 11:00:00")), // same key twice: last wins
+      (2, "beta", ts("2024-01-01 10:30:00")))
+    val b2 = Seq(
+      (1, "alpha3", ts("2024-01-02 09:00:00")), // changed -> new version
+      (2, "beta", ts("2024-01-02 09:00:00")),   // unchanged -> no new version
+      (3, "gamma", ts("2024-01-02 10:00:00")))  // new key
+
+    val input = MemoryStream[(Int, String, Timestamp)]
+    val q = input.toDF().toDF("k", "name", "ts")
+      .writeStream
+      .foreachBatch(EventStream.scd2Batch(dir, Seq("k"), Seq("name"), "ts") _)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val dim = spark.read.parquet(dir)
+      .as[(Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    // one current row per key; intervals chain at the batch watermark
+    assert(dim.count(_._5) === 3)
+    assert(dim === Seq(
+      (1, "alpha2", ts("2024-01-01 11:00:00"), Some(ts("2024-01-02 10:00:00")), false),
+      (1, "alpha3", ts("2024-01-02 10:00:00"), None, true),
+      (2, "beta", ts("2024-01-01 11:00:00"), None, true),
+      (3, "gamma", ts("2024-01-02 10:00:00"), None, true)))
+
+    // streaming == the same batches applied sequentially through the sink fn
+    val dir2 = Files.createTempDirectory("stream_scd2_twin").toString + "/dim"
+    EventStream.scd2Batch(dir2, Seq("k"), Seq("name"), "ts")(
+      b1.toDF("k", "name", "ts"), 0L)
+    EventStream.scd2Batch(dir2, Seq("k"), Seq("name"), "ts")(
+      b2.toDF("k", "name", "ts"), 1L)
+    val twin = spark.read.parquet(dir2)
+      .as[(Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(twin === dim)
+  }
 }
