@@ -60,6 +60,21 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    val events = Tables.events(spark, sf).withColumn("d", to_date(col("ts")))
+    events.write.partitionBy("d").parquet(dir)
+    val day = events.select(max(col("d"))).head.getDate(0)
+    val q = spark.read.parquet(dir).filter(col("d") === lit(day))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(d") || p.contains(s"PartitionFilters: [(d"),
+      s"date filter must prune partitions, not scan-and-filter:\n${p.take(1500)}")
+    assert(q.count() === events.filter(col("d") === lit(day))
+      .select("event_type").distinct().count())
+  }
+
   test("aggregation on the bucket key runs without a shuffle exchange") {
     graft.sources.Bucketed.write(Tables.lineitem(spark, sf),
       "bucketdemo_li", "l_orderkey", 8)
