@@ -60,6 +60,36 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      import spark.implicits._
+      // 200k rows on ONE key vs a trickle on the rest: the hot partition
+      // dwarfs the others and AQE must split it
+      val fact = spark.range(200000).select(
+        when(col("id") % 100 =!= 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE should have split the hot key's partition:\n${p.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     val events = Tables.events(spark, sf).withColumn("d", to_date(col("ts")))
