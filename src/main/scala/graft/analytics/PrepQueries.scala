@@ -15,6 +15,10 @@ import graft.operators.Packing
   */
 object PrepQueries {
 
+  /** q80 mixture: quotas 20/15/10/5 of total=50. */
+  val MixWeights: Map[String, Double] =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gopher-style repetition stats: type-token ratio + top-bigram mass per
@@ -118,6 +122,16 @@ object PrepQueries {
           col("doc_id"), col("lang"), n = 20)
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")
+    },
+
+    // Weighted pretraining mixture: 40/30/20/10 over four sources, other
+    // sources excluded; deterministic member set (mix2 order).
+    "q80_domain_mix" -> { (s, dir) =>
+      Packing.weightedMix(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          col("doc_id"), col("source"), MixWeights, total = 50)
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
     },
 
     // Incremental exact dedup: the new batch (clones of every doc) anti-
@@ -233,6 +247,25 @@ object PrepQueries {
         |FROM h
         |QUALIFY sample_rank <= 20
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    // quotas = round(weight * 50): src0 20, src1 15, src2 10, src3 5
+    "q80_domain_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, CASE source WHEN 'src0' THEN 20 WHEN 'src1' THEN 15
+        |                             WHEN 'src2' THEN 10 WHEN 'src3' THEN 5
+        |                             ELSE 0 END AS quota,
+        |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS sample_rank,
+        |         doc_id
+        |  FROM h)
+        |SELECT source, sample_rank, doc_id
+        |FROM q
+        |WHERE sample_rank <= quota
+        |ORDER BY source, sample_rank""".stripMargin,
 
     "q66_incremental_dedup" -> incrementalDedupOracle,
 

@@ -120,6 +120,25 @@ object Packing {
       .filter(col("sample_rank") <= n)
       .drop("__h")
 
+  /** Weighted domain mixture — the pretraining-mix sampler ("40% src0, 30%
+    * src1, …"): per stratum, keep the first `round(weight × total)` rows of
+    * the [[mix2]] pseudo-random order (fewer if the stratum runs out).
+    * Strata absent from `weights` contribute nothing. Same determinism and
+    * shuffle shape as [[stratifiedSample]] (ONE shuffle on the stratum key);
+    * re-runs and engine twins reproduce the exact member set, so the mix is
+    * auditable — the property `rand()`-weighted sampling lacks. */
+  def weightedMix(df: DataFrame, idCol: Column, stratumCol: Column,
+                  weights: Map[String, Double], total: Int): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    val quota = typedlit(weights.map { case (k, w) =>
+      k -> math.round(w * total).toInt })
+    df.withColumn("__h", mix2(idCol))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(stratumCol).orderBy(col("__h"), idCol)))
+      .filter(col("sample_rank") <= coalesce(element_at(quota, stratumCol), lit(0)))
+      .drop("__h")
+  }
+
   /** Deterministic train/val/test split: a second LCG (independent constants
     * from [[shardAssign]]'s) maps each id to a percentile bucket 0-99;
     * `cuts` are cumulative percentage thresholds, e.g. 90/95 → 90% train,

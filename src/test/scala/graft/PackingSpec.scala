@@ -76,6 +76,25 @@ class PackingSpec extends SparkSpec {
     assert(a.map(_._2).max > 30L)
   }
 
+  test("weightedMix: per-stratum quotas, zero-weight strata excluded, consistent with stratifiedSample") {
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val w = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2) // src3 absent
+    val got = Packing.weightedMix(df, col("doc_id"), col("source"), w, total = 40)
+      .select("source", "doc_id").as[(String, Long)].collect().toSeq
+    val bySrc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc === Map("src0" -> 20, "src1" -> 12, "src2" -> 8))
+    // the members are exactly the first quota of the SAME mix2 order
+    // stratifiedSample uses — one sampling notion across the module
+    val strat = Packing.stratifiedSample(df, col("doc_id"), col("source"), 20)
+      .filter(col("source") === "src1" && col("sample_rank") <= 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._1 == "src1").map(_._2).toSet === strat)
+    // quota larger than the stratum: returns the whole stratum, no error
+    val all = Packing.weightedMix(df, col("doc_id"), col("source"),
+      Map("src0" -> 2.0), total = 100)
+    assert(all.count() === 100) // src0 has 100 rows < quota 200
+  }
+
   test("incremental dedup drops exactly the already-seen fingerprints") {
     import graft.operators.Dedup
     val seen = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
