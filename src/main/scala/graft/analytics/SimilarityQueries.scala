@@ -285,57 +285,29 @@ object SimilarityQueries {
 
     "q73_semdedup" -> semDedupOracle,
 
-    // lex CTE chain = q77's BM25 verbatim; sem = exact cosine around vec 0;
-    // RRF terms and their sum in the same IEEE op order as Rrf.fuse
+    // lexical leg = the SHARED BM25 CTE chain (TextQueries.Bm25OracleCtes);
+    // sem = exact cosine around vec 0; RRF terms and their sum in the same
+    // IEEE op order as Rrf.fuse
     "q79_hybrid_rrf" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |w AS (
-        |  SELECT doc_id, len(toks) AS dlen,
-        |         len(list_filter(toks, x -> x = 'table')) AS tf0,
-        |         len(list_filter(toks, x -> x = 'merge')) AS tf1,
-        |         len(list_filter(toks, x -> x = 'spark')) AS tf2
-        |  FROM t),
-        |s AS (
-        |  SELECT COUNT(*) AS n, SUM(dlen) AS sumlen,
-        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-        |  FROM w),
-        |p AS (
-        |  SELECT doc_id,
-        |         CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE)
-        |             / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))) AS nrm,
-        |         CAST(tf0 AS DOUBLE) AS d0, CAST(tf1 AS DOUBLE) AS d1, CAST(tf2 AS DOUBLE) AS d2,
-        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) AS idf0,
-        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) AS idf1,
-        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) AS idf2
-        |  FROM w CROSS JOIN s),
-        |sc AS (
-        |  SELECT doc_id,
-        |         ROUND(idf0 * d0 * CAST(2.2 AS DOUBLE) / (d0 + nrm)
-        |             + idf1 * d1 * CAST(2.2 AS DOUBLE) / (d1 + nrm)
-        |             + idf2 * d2 * CAST(2.2 AS DOUBLE) / (d2 + nrm), 4) AS score
-        |  FROM p),
-        |lex AS (
-        |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
-        |  FROM (SELECT doc_id AS id, score FROM sc WHERE score > 0
-        |        ORDER BY score DESC, doc_id LIMIT 50)),
-        |semscore AS (
-        |  SELECT c.vec_id AS id, ROUND(list_cosine_similarity(q.v, c.v), 4) AS score
-        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0) q,
-        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
-        |  WHERE c.vec_id <> 0),
-        |sem AS (
-        |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
-        |  FROM (SELECT id, score FROM semscore ORDER BY score DESC, id LIMIT 50))
-        |SELECT COALESCE(l.id, m.id) AS doc_id,
-        |       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(l.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
-        |           + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(m.r AS DOUBLE)), CAST(0.0 AS DOUBLE)), 6) AS rrf
-        |FROM lex l FULL OUTER JOIN sem m ON l.id = m.id
-        |ORDER BY rrf DESC, doc_id
-        |LIMIT 20""".stripMargin
+      s"""${TextQueries.Bm25OracleCtes},
+         |lex AS (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
+         |  FROM (SELECT doc_id AS id, ROUND(raw, 4) AS score FROM sc WHERE raw > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50)),
+         |semscore AS (
+         |  SELECT c.vec_id AS id, ROUND(list_cosine_similarity(q.v, c.v), 4) AS score
+         |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0) q,
+         |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+         |  WHERE c.vec_id <> 0),
+         |sem AS (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
+         |  FROM (SELECT id, score FROM semscore ORDER BY score DESC, id LIMIT 50))
+         |SELECT COALESCE(l.id, m.id) AS doc_id,
+         |       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(l.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
+         |           + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(m.r AS DOUBLE)), CAST(0.0 AS DOUBLE)), 6) AS rrf
+         |FROM lex l FULL OUTER JOIN sem m ON l.id = m.id
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 20""".stripMargin
   )
 
   /** q73 oracle: cloned corpus → mix2-hash-ordered centroid sample (same

@@ -186,6 +186,44 @@ object TextQueries {
   /** q77 query terms (present in the fixture vocabulary). */
   val Bm25Terms: Seq[String] = Seq("table", "merge", "spark")
 
+  /** The BM25 pipeline as DuckDB CTEs, ending in `sc(doc_id, raw)` — ONE
+    * definition shared by the q77 oracle and q79's lexical leg (a change to
+    * `Bm25.score`'s op order or constants is mirrored in exactly one
+    * place). Identical IEEE op order to Bm25.score: ((idf * tf) * (k1+1)) /
+    * (tf + k1*((1-b) + b*len/avglen)); all literals exact doubles; raw
+    * (unrounded) score so callers replicate the raw-positivity filter. */
+  private[analytics] val Bm25OracleCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |w AS (
+      |  SELECT doc_id, len(toks) AS dlen,
+      |         len(list_filter(toks, x -> x = 'table')) AS tf0,
+      |         len(list_filter(toks, x -> x = 'merge')) AS tf1,
+      |         len(list_filter(toks, x -> x = 'spark')) AS tf2
+      |  FROM t),
+      |s AS (
+      |  SELECT COUNT(*) AS n, SUM(dlen) AS sumlen,
+      |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM w),
+      |p AS (
+      |  SELECT doc_id,
+      |         CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |           + CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE)
+      |             / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))) AS nrm,
+      |         CAST(tf0 AS DOUBLE) AS d0, CAST(tf1 AS DOUBLE) AS d1, CAST(tf2 AS DOUBLE) AS d2,
+      |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) AS idf0,
+      |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) AS idf1,
+      |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) AS idf2
+      |  FROM w CROSS JOIN s),
+      |sc AS (
+      |  SELECT doc_id,
+      |         idf0 * d0 * CAST(2.2 AS DOUBLE) / (d0 + nrm)
+      |             + idf1 * d1 * CAST(2.2 AS DOUBLE) / (d1 + nrm)
+      |             + idf2 * d2 * CAST(2.2 AS DOUBLE) / (d2 + nrm) AS raw
+      |  FROM p)""".stripMargin
+
   def rowsOnly: Set[String] = Set.empty
 
   private val winnowOracle: String =
@@ -534,43 +572,13 @@ object TextQueries {
         |HAVING COUNT(DISTINCT id) >= 2
         |ORDER BY chunk""".stripMargin,
 
-    // identical IEEE op order to Bm25.score: ((idf * tf) * (k1+1)) /
-    // (tf + k1*((1-b) + b*len/avglen)); all literals exact doubles
+    // identical IEEE op order to Bm25.score (see Bm25OracleCtes)
     "q77_bm25_topk" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |w AS (
-        |  SELECT doc_id, len(toks) AS dlen,
-        |         len(list_filter(toks, x -> x = 'table')) AS tf0,
-        |         len(list_filter(toks, x -> x = 'merge')) AS tf1,
-        |         len(list_filter(toks, x -> x = 'spark')) AS tf2
-        |  FROM t),
-        |s AS (
-        |  SELECT COUNT(*) AS n, SUM(dlen) AS sumlen,
-        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-        |  FROM w),
-        |p AS (
-        |  SELECT doc_id,
-        |         CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE)
-        |             / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))) AS nrm,
-        |         CAST(tf0 AS DOUBLE) AS d0, CAST(tf1 AS DOUBLE) AS d1, CAST(tf2 AS DOUBLE) AS d2,
-        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) AS idf0,
-        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) AS idf1,
-        |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) AS idf2
-        |  FROM w CROSS JOIN s),
-        |sc AS (
-        |  SELECT doc_id,
-        |         ROUND(idf0 * d0 * CAST(2.2 AS DOUBLE) / (d0 + nrm)
-        |             + idf1 * d1 * CAST(2.2 AS DOUBLE) / (d1 + nrm)
-        |             + idf2 * d2 * CAST(2.2 AS DOUBLE) / (d2 + nrm), 4) AS score
-        |  FROM p)
-        |SELECT doc_id, score FROM sc
-        |WHERE score > 0
-        |ORDER BY score DESC, doc_id
-        |LIMIT 20""".stripMargin,
+      s"""$Bm25OracleCtes
+         |SELECT doc_id, ROUND(raw, 4) AS score FROM sc
+         |WHERE raw > 0
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
 
     // same ordered fold as LmScore.unigramNll: nll list in pos order,
     // list_reduce left fold seeded with 0.0, divide by n, round 4dp

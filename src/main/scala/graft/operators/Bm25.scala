@@ -55,10 +55,15 @@ object Bm25 {
         (col("__n").cast("double") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
       idf * tfd * lit(k1 + 1.0) / (tfd + col("__norm"))
     }.reduce(_ + _)
+    // positivity tests the RAW score, not the rounded one: the BM25+ idf is
+    // strictly positive, so raw > 0 ⇔ some query term is present — whereas
+    // a ubiquitous term's idf (~ln(1 + 0.5/N)) rounds to 0.0000 at corpus
+    // scale and a rounded-score filter would silently drop true matches
     scored
+      .withColumn("__raw", termScore)
+      .filter(col("__raw") > 0)
       .select(col(idCol),
-        graft.functions.Rounding.roundLikeC(termScore, 4).as("score"))
-      .filter(col("score") > 0)
+        graft.functions.Rounding.roundLikeC(col("__raw"), 4).as("score"))
   }
 
   /** Top-`k` documents for the query, ranked (score desc, id asc) —

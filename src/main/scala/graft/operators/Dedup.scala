@@ -423,16 +423,21 @@ object Dedup {
     * partial-aggregates map-side. Hash is the engine-portable poly-31 mod
     * 1e9+7 ([[graft.functions.PortableHash.poly]]), so the oracle rebuilds
     * chunk boundaries bit-for-bit. */
+  /** SQL-expression form of [[graft.functions.PortableHash.poly]] (base 31)
+    * over the string bound to `v` — the ONE definition both the winnowing
+    * k-gram hash and the CDC chunk-boundary hash compile from, so the two
+    * operators can never drift apart from each other or their oracles. */
+  private def polyHashSql(v: String): String =
+    s"aggregate(sequence(1, length($v)), 0L, " +
+      s"(acc, i) -> (acc * 31 + ascii(substring($v, i, 1))) % 1000000007)"
+
   /** The chunking fold: token array `__w` → array of chunk strings. */
   private def chunkFold(avgChunk: Int): String = {
-    val prime = 1000000007L
     val grow = "CASE WHEN st.cur = '' THEN t ELSE concat(st.cur, ' ', t) END"
     s"""aggregate(
        |  __w,
        |  named_struct('done', cast(array() as array<string>), 'cur', ''),
-       |  (st, t) -> CASE WHEN aggregate(sequence(1, length(t)), 0L,
-       |                    (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % $prime)
-       |                  % $avgChunk = 0
+       |  (st, t) -> CASE WHEN ${polyHashSql("t")} % $avgChunk = 0
        |    THEN named_struct('done', array_append(st.done, $grow), 'cur', '')
        |    ELSE named_struct('done', st.done, 'cur', $grow)
        |  END,
@@ -476,16 +481,13 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
-    val prime = 1000000007L
     df.select(col(idCol), Text.tokens(col(textCol)).as("__w"))
       .withColumn("__kg",
         when(size(col("__w")) >= k,
           expr(s"transform(sequence(1, size(__w) - ${k - 1}), " +
             s"i -> concat_ws(' ', slice(__w, i, $k)))"))
           .otherwise(expr("cast(array() as array<string>)")))
-      .withColumn("__h",
-        expr(s"transform(__kg, g -> aggregate(sequence(1, length(g)), 0L, " +
-          s"(acc, i) -> (acc * 31 + ascii(substring(g, i, 1))) % $prime))"))
+      .withColumn("__h", expr(s"transform(__kg, g -> ${polyHashSql("g")})"))
       .withColumn("__m",
         when(size(col("__h")) >= w,
           expr(s"transform(sequence(1, size(__h) - ${w - 1}), " +

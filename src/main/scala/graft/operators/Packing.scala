@@ -121,22 +121,42 @@ object Packing {
       .drop("__h")
 
   /** Weighted domain mixture — the pretraining-mix sampler ("40% src0, 30%
-    * src1, …"): per stratum, keep the first `round(weight × total)` rows of
-    * the [[mix2]] pseudo-random order (fewer if the stratum runs out).
-    * Strata absent from `weights` contribute nothing. Same determinism and
-    * shuffle shape as [[stratifiedSample]] (ONE shuffle on the stratum key);
-    * re-runs and engine twins reproduce the exact member set, so the mix is
-    * auditable — the property `rand()`-weighted sampling lacks. */
+    * src1, …"): per stratum, keep the first `quota(stratum)` rows of the
+    * [[mix2]] pseudo-random order (fewer if the stratum runs out). Strata
+    * absent from `weights` contribute nothing. Same determinism and shuffle
+    * shape as [[stratifiedSample]] (ONE shuffle on the stratum key); re-runs
+    * and engine twins reproduce the exact member set, so the mix is
+    * auditable — the property `rand()`-weighted sampling lacks.
+    *
+    * Quotas are apportioned by largest remainder (floor every exact share,
+    * then hand the leftover units to the largest fractional parts, ties by
+    * key), so they sum EXACTLY to `total` whenever the weights sum to 1 —
+    * independent per-stratum rounding can drift by one per stratum (e.g.
+    * 1/3,1/3,1/3 × 50 → 17+17+17 = 51). */
   def weightedMix(df: DataFrame, idCol: Column, stratumCol: Column,
                   weights: Map[String, Double], total: Int): DataFrame = {
-    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
-    val quota = typedlit(weights.map { case (k, w) =>
-      k -> math.round(w * total).toInt })
+    val quota = typedlit(apportion(weights, total))
     df.withColumn("__h", mix2(idCol))
       .withColumn("sample_rank",
         row_number().over(Window.partitionBy(stratumCol).orderBy(col("__h"), idCol)))
       .filter(col("sample_rank") <= coalesce(element_at(quota, stratumCol), lit(0)))
       .drop("__h")
+  }
+
+  /** Largest-remainder apportionment of `total × weight/Σweights` units. */
+  private[graft] def apportion(weights: Map[String, Double],
+                                   total: Int): Map[String, Int] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0, "weights must be non-negative, not all zero")
+    val wSum = weights.values.sum
+    val exact = weights.view.mapValues(w => w / wSum * total).toMap
+    val floored = exact.view.mapValues(_.toInt).toMap
+    val leftover = total - floored.values.sum
+    val byRemainder = exact.toSeq
+      .map { case (k, e) => (k, e - math.floor(e)) }
+      .sortBy { case (k, r) => (-r, k) }
+      .take(leftover).map(_._1).toSet
+    floored.map { case (k, n) => k -> (if (byRemainder(k)) n + 1 else n) }
   }
 
   /** Deterministic train/val/test split: a second LCG (independent constants

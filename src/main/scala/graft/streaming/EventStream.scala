@@ -185,34 +185,53 @@ object EventStream {
   }
 
   /** T3 + U9 composition: a CDC stream maintains a Type-2 dimension. Each
-    * micro-batch keeps the LAST change per key (by `tsCol`), then runs the
+    * micro-batch keeps the LAST change per key (by `tsCol`, ties broken by
+    * the attribute values so the survivor is deterministic under re-runs —
+    * same hazard `Scd2.fromHistory`'s tieBreak exists for), then runs the
     * engine's SCD2 merge at BATCH grain: every version opened/closed by a
-    * batch stamps the batch's max event time as its validity boundary —
+    * batch stamps the batch's effective time as its validity boundary —
     * dlt's snapshot-grain scd2 semantics (the reference's mode), where
     * within-batch intermediate states collapse rather than become versions.
-    * Deterministic given (batch partitioning, tsCol ordering); the
-    * StreamingSpec twin proves stream ≡ the same batches applied
-    * sequentially, with the SCD2 invariants (one current row per key,
-    * chained intervals) on top. */
+    *
+    * The effective time is the batch's max event time CLAMPED to never run
+    * backwards past the dimension's newest `valid_from`: a late-arriving
+    * batch otherwise closes a version at a `valid_to` BEFORE its
+    * `valid_from` (inverted interval → point-in-time lookups return 0 or 2
+    * rows). Under the clamp a late batch applies as of dimension time —
+    * batch-grain SCD2 is ordered by arrival, documented here.
+    *
+    * The deduped per-key slice is persisted for the batch: `Scd2.merge`
+    * references it from four join branches, and without the cache each
+    * branch would re-read the source (foreachBatch inputs are not
+    * materialized). StreamingSpec proves stream ≡ the same batches applied
+    * sequentially, plus the invariants (one current row per key, chained
+    * intervals, late-batch clamp). */
   def scd2Batch(targetDir: String, keys: Seq[String], attrs: Seq[String],
                 tsCol: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    val order = struct(col(tsCol) +: attrs.map(col): _*)
     val latest = graft.operators.Merge.upsert(
-      batch.limit(0), batch, keys, Some(col(tsCol)))
-    val effectiveTs = latest.agg(max(col(tsCol))).head.get(0)
-    val dim =
-      if (graft.etl.SnapshotIO.hasParquet(spark, targetDir))
-        spark.read.parquet(targetDir)
-      else
-        latest.limit(0)
-          .select((keys ++ attrs).map(col): _*)
-          .withColumn("valid_from", lit(null).cast("timestamp"))
-          .withColumn("valid_to", lit(null).cast("timestamp"))
-          .withColumn("is_current", lit(true))
-    val merged = graft.operators.Scd2.merge(
-      dim, latest.select((keys ++ attrs).map(col): _*), keys, attrs,
-      lit(effectiveTs).cast("timestamp"))
-    graft.etl.SnapshotIO.replace(spark, merged, targetDir)
+      batch.limit(0), batch, keys, Some(order)).persist()
+    try {
+      val dimExists = graft.etl.SnapshotIO.hasParquet(spark, targetDir)
+      val dim =
+        if (dimExists) spark.read.parquet(targetDir)
+        else
+          latest.limit(0)
+            .select((keys ++ attrs).map(col): _*)
+            .withColumn("valid_from", lit(null).cast("timestamp"))
+            .withColumn("valid_to", lit(null).cast("timestamp"))
+            .withColumn("is_current", lit(true))
+      val batchTs = latest.agg(max(col(tsCol))).head.getTimestamp(0)
+      val dimTs =
+        if (dimExists) Option(dim.agg(max(col("valid_from"))).head.getTimestamp(0))
+        else None
+      val effectiveTs = dimTs.filter(_.after(batchTs)).getOrElse(batchTs)
+      val merged = graft.operators.Scd2.merge(
+        dim, latest.select((keys ++ attrs).map(col): _*), keys, attrs,
+        lit(effectiveTs).cast("timestamp"))
+      graft.etl.SnapshotIO.replace(spark, merged, targetDir)
+    } finally latest.unpersist()
   }
 }

@@ -92,7 +92,13 @@ class PackingSpec extends SparkSpec {
     // quota larger than the stratum: returns the whole stratum, no error
     val all = Packing.weightedMix(df, col("doc_id"), col("source"),
       Map("src0" -> 2.0), total = 100)
-    assert(all.count() === 100) // src0 has 100 rows < quota 200
+    assert(all.count() === 100) // src0 only has 100 rows
+    // largest-remainder apportionment: quotas sum EXACTLY to total even
+    // when per-stratum rounding would drift (1/3 x 3 at 50 -> 51)
+    assert(Packing.apportion(Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3), 50)
+      === Map("a" -> 17, "b" -> 17, "c" -> 16))
+    assert(Packing.apportion(Map("a" -> 0.45, "b" -> 0.35, "c" -> 0.1, "d" -> 0.1), 50)
+      .values.sum === 50)
   }
 
   test("incremental dedup drops exactly the already-seen fingerprints") {

@@ -256,4 +256,19 @@ class StreamingSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
     assert(twin === dim)
   }
+
+  test("scd2Batch clamps a late batch's effective time — no inverted intervals") {
+    val dir = Files.createTempDirectory("stream_scd2_late").toString + "/dim"
+    val sink = EventStream.scd2Batch(dir, Seq("k"), Seq("name"), "ts") _
+    sink(Seq((1, "a", ts("2024-01-02 12:00:00"))).toDF("k", "name", "ts"), 0L)
+    // late batch: event time BEFORE the dimension's newest valid_from
+    sink(Seq((1, "b", ts("2024-01-02 11:00:00"))).toDF("k", "name", "ts"), 1L)
+    val dim = spark.read.parquet(dir)
+      .as[(Int, String, Timestamp, Option[Timestamp], Boolean)].collect()
+    // without the clamp: 'a' closes at 11:00 < its valid_from 12:00
+    dim.foreach { case (_, _, from, to, _) =>
+      to.foreach(t => assert(!t.before(from),
+        s"inverted interval: valid_to $t < valid_from $from")) }
+    assert(dim.count(_._5) === 1 && dim.find(_._5).get._2 === "b")
+  }
 }
