@@ -196,4 +196,46 @@ object GraftProperties extends Properties("graft") {
       val h = graft.functions.PortableHash.tokenHash60(s)
       h >= 0L && h < (1L << 60)
     }
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+  private val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(40).mkString(" "))
+
+  property("cdcChunks reconstruct the tokenized document for arbitrary texts") =
+    Prop.forAll(Gen.nonEmptyListOf(docGen).map(_.take(8))) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val rebuilt = graft.operators.Dedup.cdcChunks(df, "id", "text")
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).mkString(" ")).toMap
+      docs.indices.forall(i =>
+        rebuilt(i.toLong) == docs(i).trim.split("\\s+").mkString(" "))
+    }
+
+  property("apportion: quotas sum to total, each within 1 of its exact share") =
+    Prop.forAll(
+      Gen.nonEmptyMap(Gen.zip(Gen.identifier.map(_.take(6)), Gen.chooseNum(0.01, 10.0)))
+        .map(_.take(8)),
+      Gen.chooseNum(0, 1000)) { (w, total) =>
+      val q = graft.operators.Packing.apportion(w, total)
+      val wSum = w.values.sum
+      q.values.sum == total && w.forall { case (k, v) =>
+        math.abs(q(k) - v / wSum * total) < 1.0 + 1e-9
+      }
+    }
+
+  property("decontamination n_shared == |distinct k-gram intersection| (brute force)") =
+    Prop.forAll(Gen.listOfN(4, docGen), Gen.listOfN(2, docGen)) { (train, eval) =>
+      def grams(t: String) =
+        t.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+      val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val evalDf = eval.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("id", "text")
+      val got = graft.operators.Dedup.decontaminationPairs(trainDf, evalDf, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = (for {
+        (t, i) <- train.zipWithIndex
+        (e, j) <- eval.zipWithIndex
+        // sliding(3) on a <3-token doc yields the whole doc, like shingles()
+        n = (grams(t) & grams(e)).size if n > 0
+      } yield (i.toLong, 100L + j) -> n.toLong).toMap
+      got == expected
+    }
 }
