@@ -102,6 +102,27 @@ object EtlQueries {
         .orderBy("user_id", "valid_from")
     },
 
+    // Point-in-time (temporal) join: every 10th event probes the q20 SCD2
+    // dimension for the version valid AT its timestamp — the daily
+    // warehouse lookup an interval dimension exists for. Zero-width
+    // versions (two changes at one timestamp) collapse first so the as-of
+    // pick is unique; then the one-shuffle as-of join does the PIT lookup
+    // (versions chain, so "latest valid_from <= ts" IS the valid row).
+    "q81_scd2_pit_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val dim = Scd2.fromHistory(
+          ev.select("user_id", "event_type", "ts", "event_id"),
+          Seq("user_id"), Seq("event_type"), "ts", Some(col("event_id")))
+        .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+        .select(col("user_id"), col("event_type").as("type_at_ts"),
+          col("valid_from"), col("is_current"))
+      val probes = ev.filter(col("event_id") % 10 === 0)
+        .select("event_id", "user_id", "ts")
+      graft.operators.Joins.asOf(probes, dim, Seq("user_id"), "ts", "valid_from")
+        .select("event_id", "user_id", "ts", "type_at_ts", "is_current")
+        .orderBy("event_id")
+    },
+
     // Delete propagation ("forget these subjects everywhere"): every 97th
     // customer files a deletion request; orders and events shed their rows
     // via broadcast anti-joins and the audit reports per-table counts.
@@ -217,6 +238,30 @@ object EtlQueries {
         |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM changed
-        |ORDER BY user_id, valid_from""".stripMargin
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    // q20's version chain, zero-width versions dropped, argmax valid_from
+    // per probe — the correlated form of the engine's as-of PIT lookup
+    "q81_scd2_pit_join" ->
+      """WITH h AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |marked AS (
+        |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM h),
+        |changed AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |versions AS (
+        |  SELECT user_id, event_type AS type_at_ts, ts AS valid_from,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM changed),
+        |live AS (
+        |  SELECT user_id, type_at_ts, valid_from, valid_to IS NULL AS is_current
+        |  FROM versions WHERE valid_to IS NULL OR valid_to > valid_from),
+        |probes AS (SELECT event_id, user_id, ts FROM h WHERE event_id % 10 = 0)
+        |SELECT p.event_id, p.user_id, p.ts, v.type_at_ts, v.is_current
+        |FROM probes p JOIN live v ON p.user_id = v.user_id AND v.valid_from <= p.ts
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY v.valid_from DESC) = 1
+        |ORDER BY p.event_id""".stripMargin
   )
 }
