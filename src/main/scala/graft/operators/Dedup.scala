@@ -214,6 +214,13 @@ object Dedup {
       labels = joined.select(col("id"), col("next").as("label"))
       iter += 1
     }
+    // a label set that stopped moving IS the fixpoint; one that hit the
+    // iteration cap mid-flight would silently split true components into
+    // several clusters — fail loudly instead (diameter > maxIter means a
+    // chain-shaped component; raise maxIter, don't trust partial labels)
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within maxIter=$maxIter rounds — a " +
+        "component's diameter exceeds the cap; raise maxIter")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
@@ -390,9 +397,18 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash: pigeonhole on 15-bit chunks (hamming ≤ 3
-    * guarantees ≥1 equal chunk of 4), verify with bit_count(xor). */
+    * guarantees ≥1 equal chunk of 4), verify with bit_count(xor).
+    *
+    * The 4-chunk pigeonhole is only COMPLETE for hamming ≤ 3: at 4+ bit
+    * flips every chunk can differ, the pair never becomes a candidate, and
+    * the final hamming filter silently loses it — so a larger `maxHamming`
+    * is rejected rather than quietly under-recalling (more chunks, not a
+    * looser filter, is the correct scale-up). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (<= 3); " +
+        "re-chunk the 60-bit signature into maxHamming+1 pieces instead")
     val sigs = simhash(df, idCol, textCol)
     val chunked = sigs.select(col("id"), col("simhash"), posexplode(
         array((0 until 4).map(i =>

@@ -62,14 +62,18 @@ object Joins {
     * at scale because the self-join's basket-key shuffle carried EVERY item
     * row twice, while this carries each basket once. Baskets are bounded
     * (items per order), so the per-row expansion is bounded too. */
+  /** Upper-triangle pair expansion of a sorted `__items` array — the ONE
+    * definition [[basketPairsViaSets]] and [[basketLift]] both explode. */
+  private def orderedPairsExpr: String =
+    """flatten(transform(__items, (x, i) ->
+      |  transform(slice(__items, i + 2, size(__items)), y -> struct(x AS item_a, y AS item_b))))"""
+      .stripMargin
+
   def basketPairsViaSets(items: DataFrame, basketKeys: Seq[String], itemCol: String,
                          topK: Int): DataFrame = {
     val sets = items.groupBy(basketKeys.map(col): _*)
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
-    val pairs = sets.select(explode(expr(
-      """flatten(transform(__items, (x, i) ->
-        |  transform(slice(__items, i + 2, size(__items)), y -> struct(x AS item_a, y AS item_b))))"""
-        .stripMargin)).as("p"))
+    val pairs = sets.select(explode(expr(orderedPairsExpr)).as("p"))
       .select(col("p.item_a"), col("p.item_b"))
     pairs.groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_count"))
@@ -92,10 +96,7 @@ object Joins {
     val distinctItems = items.select((basketKeys :+ itemCol).map(col): _*).distinct()
     val sets = distinctItems.groupBy(basketKeys.map(col): _*)
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
-    val pairCounts = sets.select(explode(expr(
-        """flatten(transform(__items, (x, i) ->
-          |  transform(slice(__items, i + 2, size(__items)), y -> struct(x AS item_a, y AS item_b))))"""
-          .stripMargin)).as("p"))
+    val pairCounts = sets.select(explode(expr(orderedPairsExpr)).as("p"))
       .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))
@@ -183,20 +184,31 @@ object Joins {
     joinedAll.select(leftCols ++ rightPayload: _*)
   }
 
+  /** `rightTieBreak`: deterministic ordering among right rows sharing the
+    * same (keys, rightTs) — without it the matched payload for such ties is
+    * whichever row the shuffle delivered last (same hazard
+    * `Scd2.fromHistory`'s tieBreak exists for). Pass a sequence/offset
+    * column when the right side can carry same-timestamp duplicates; the
+    * LARGEST tie-break value wins (last write). [[asOfNative]] has no such
+    * knob — it requires (keys, rightTs)-unique input. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, joinType: String = "inner"): DataFrame = {
+           leftTs: String, rightTs: String, joinType: String = "inner",
+           rightTieBreak: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(Seq("inner", "left").contains(joinType), s"unsupported: $joinType")
     val payloadCols = right.columns.filterNot(keys.contains)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTs).cast("timestamp").as("__ts"),
-        lit(0).as("__side"), struct(payloadCols.map(col): _*).as("__r")): _*)
+        lit(0).as("__side"), rightTieBreak.getOrElse(lit(0L)).as("__tb"),
+        struct(payloadCols.map(col): _*).as("__r")): _*)
     val l = left.select(
       left.columns.map(col) ++ Seq(col(leftTs).cast("timestamp").as("__ts"),
         lit(1).as("__side")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // left rows order AFTER right at equal ts via __side before __tb is
+    // consulted, so their null __tb never matters
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -29,8 +29,12 @@ object LmScore {
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(graft.functions.Text.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+    // the scalar total sums the vocab-sized count table rather than
+    // re-exploding the corpus: both branches then hang off ONE
+    // hashpartitioning(tok) exchange (ReusedExchange), one corpus scan
+    val grouped = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val counts = grouped
+      .crossJoin(broadcast(grouped.agg(sum(col("cnt")).as("total"))))
       .withColumn("nll", -log(col("cnt").cast("double") / col("total").cast("double")))
       .select("tok", "nll")
     toks.join(counts, "tok")

@@ -60,7 +60,11 @@ object Merge {
                         partitionCol: String): Unit = {
     import graft.etl.SnapshotIO
     if (!SnapshotIO.hasParquet(spark, targetDir)) {
-      updates.write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
+      // bootstrap through the SAME key-dedup as every later load: a first
+      // batch with duplicate keys written verbatim would key-duplicate the
+      // snapshot and break re-run idempotence across the first-load boundary
+      upsert(updates.limit(0), updates, keys)
+        .write.partitionBy(partitionCol).mode("overwrite").parquet(targetDir)
       return
     }
     // driver-side scalar list of touched partitions → pruned scan. isin

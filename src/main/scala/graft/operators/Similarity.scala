@@ -409,18 +409,36 @@ object Similarity {
     *
     * Recall < 1 by construction (SimilaritySpec floors it against brute
     * force); raise `m`/`codebookSize`/`rerankFactor` for recall, lower
-    * them for speed/size. */
+    * them for speed/size.
+    *
+    * METRIC CAVEAT: the ADC scan ranks candidates by raw INNER PRODUCT
+    * while the final re-rank is cosine — on a corpus with heterogeneous
+    * vector norms, large-norm vectors crowd the candidate cut and a
+    * small-norm true neighbor can never reach the re-rank. Set
+    * `normalize = true` to scale every vector to unit norm before
+    * quantization (IP then IS cosine, SimilaritySpec proves the recovery);
+    * it stays off by default because the division makes the pipeline
+    * non-integer and therefore not oracle-portable (q54's fixture norms
+    * are homogeneous, where raw IP ranks identically). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, codebookSize: Int = 64,
              rerankFactor: Int = 16, sampleN: Int = 512,
              trainIters: Int = 0,
-             maxQueries: Int = 100000): DataFrame = {
+             maxQueries: Int = 100000,
+             normalize: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // integer quantization at 1e-4: exact in double, exact in the oracle's
     // int64 — and 1e-4 is far below PQ's own quantization error
-    def quantize(v: Array[Double]): Array[Double] =
+    def quantize(v0: Array[Double]): Array[Double] = {
+      val v = if (!normalize) v0 else {
+        var s = 0.0; var i = 0
+        while (i < v0.length) { s += v0(i) * v0(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) v0.map(_ / n) else v0
+      }
       v.map(x => math.round(x * 10000.0).toDouble)
+    }
 
     // --- train: driver-side codebooks per subspace on a deterministic
     // hash-ordered sample (codebook training is small-data by design; at

@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Exact heavy hitters: tokens appearing in more than `support` fraction
-    * of all token occurrences. Two map-side-combinable shuffles (token
-    * counts, then a scalar total broadcast back). */
+    * of all token occurrences. ONE corpus scan: the scalar total sums the
+    * vocabulary-sized counts table (identical value) instead of
+    * re-exploding the corpus a second time. */
   def heavyHitters(df: DataFrame, tokensCol: String,
                    support: Double): DataFrame = {
     val tokens = df.select(explode(col(tokensCol)).as("token"))
     val counts = tokens.groupBy("token").agg(count(lit(1)).as("n"))
-    val total = tokens.agg(count(lit(1)).as("__total"))
+    val total = counts.agg(sum(col("n")).as("__total"))
     counts.crossJoin(broadcast(total))
       .filter(col("n") > col("__total") * support)
       .drop("__total")

@@ -23,8 +23,19 @@ object TopK {
   /** One ranked candidate: ordering value + tiebreaking id. */
   final case class Entry(ord: Double, id: Long)
 
-  private def better(a: Entry, b: Entry): Boolean =
-    a.ord > b.ord || (a.ord == b.ord && a.id < b.id)
+  /** Strict weak ordering even under NaN: `>`/`==` make NaN incomparable to
+    * everything (better(NaN,x) and better(x,NaN) both false, but real values
+    * still compare) — TimSort then throws "Comparison method violates its
+    * general contract" on buffers past the compaction threshold, or
+    * mis-sorts silently below it. Mapping NaN to -∞ ranks an undefined
+    * score WORST deterministically (ties, incl. NaN-vs-NaN, fall to the id)
+    * while keeping -0.0 == 0.0 tie semantics aligned with the SQL oracles. */
+  private def orderKey(x: Double): Double =
+    if (x.isNaN) Double.NegativeInfinity else x
+  private def better(a: Entry, b: Entry): Boolean = {
+    val (ka, kb) = (orderKey(a.ord), orderKey(b.ord))
+    ka > kb || (ka == kb && a.id < b.id)
+  }
 
   /** Keep the k best entries under (ord DESC, id ASC). The buffer grows to
     * 4k before compacting — amortized O(log k) per row, and compaction only

@@ -45,8 +45,13 @@ object Windows {
   /** W4 (first half): densify a date-keyed series — generate the full daily
     * spine between min and max and left-join the measures back, filling gaps
     * with zero (`asfreq('D', fill_value=0)`, `Python Data Analysis.ipynb`
-    * cell 12). `sequence()+explode` is the engine's one Generator use; the
-    * spine is tiny (days, not rows) and broadcasts.
+    * cell 12). `sequence()+explode` is the engine's one Generator use.
+    *
+    * The spine is tiny (days, not rows) but it is the LEFT side of a left
+    * join, and a left-outer BroadcastHashJoin can only build RIGHT — so the
+    * plan either broadcasts `df` or shuffles both sides on the date. Pass
+    * PRE-AGGREGATED (per-date) measures, which is also what the densify
+    * semantics assume: per-date rows are small and broadcast fine.
     */
   def dateSpine(df: DataFrame, dateCol: String, measures: Seq[String]): DataFrame = {
     val bounds = df.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))

@@ -37,6 +37,21 @@ class JoinsSpec extends SparkSpec {
     assert(left.filter(col("k") === 2).head().getAs[Any]("price") == null)
   }
 
+  test("asOf rightTieBreak resolves same-timestamp right duplicates deterministically") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two quotes in the same second: without a tie-break the survivor is
+    // shuffle-order-dependent; the larger seq must win (last write)
+    val trades = Seq((1, ts("2024-01-01 11:00:00"), 1.0)).toDF("k", "ts", "qty")
+    val quotes = Seq(
+      (1, ts("2024-01-01 10:00:00"), 100.0, 1L),
+      (1, ts("2024-01-01 10:00:00"), 200.0, 2L)).toDF("k", "quote_ts", "price", "seq")
+    val got = Joins.asOf(trades, quotes, Seq("k"), "ts", "quote_ts",
+      rightTieBreak = Some(col("seq")))
+    assert(got.select("price").as[Double].collect().toSeq === Seq(200.0))
+  }
+
   test("asOfNative (planner-level exec) equals the union-window form on events") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -65,4 +65,18 @@ class PartitionedMergeSpec extends SparkSpec {
     Merge.upsertPartitioned(spark, dir, df, Seq("k"), "day")
     assert(spark.read.parquet(dir).count() === 1)
   }
+
+  test("first load dedups keys like every later load (idempotent across the bootstrap)") {
+    val dir = Files.createTempDirectory("pmerge3").toString + "/t"
+    // duplicate key in the very first batch: written verbatim it would
+    // key-duplicate the snapshot and make a re-run non-idempotent
+    val batch = Seq((1, "2024-02-01", 10), (1, "2024-02-01", 11), (2, "2024-02-01", 20))
+      .toDF("k", "day", "v")
+    Merge.upsertPartitioned(spark, dir, batch, Seq("k"), "day")
+    val first = spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(first.length === 2)
+    Merge.upsertPartitioned(spark, dir, batch, Seq("k"), "day")
+    val again = spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(again.length === 2)
+  }
 }

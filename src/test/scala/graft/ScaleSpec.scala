@@ -19,6 +19,18 @@ class SkewSpec extends SparkSpec {
     assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
   }
 
+  test("saltCol override keeps results equal while spreading duplicate rows") {
+    import spark.implicits._
+    // bit-identical rows of one hot key: the default whole-row salt sends
+    // them all to one bucket; a unique-id salt spreads them — results equal
+    val hot = spark.range(1000).select(lit("hot").as("k"), lit(1L).as("v"),
+      col("id"))
+    val direct = hot.groupBy("k").agg(sum(col("v")).as("s"))
+    val salted = Skew.saltedSum(hot, Seq("k"), col("v"), "s",
+      saltCol = Some(xxhash64(col("id"))))
+    assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
+  }
+
   test("saltedJoin equals direct join") {
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val cust = Tables.customer(spark, sf).select(

@@ -192,6 +192,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ePq.getMessage.contains("maxQueries"))
   }
 
+  test("pqTopK normalize recovers a small-norm cosine neighbor raw IP buries") {
+    import spark.implicits._
+    val dim = 8
+    def pad(v: Seq[Double]) = v ++ Seq.fill(dim - v.size)(0.0)
+    // vec 0: tiny norm, nearly parallel to the query (cos ~ 0.99)
+    // vecs 1..30: huge norm, cos ~ 0.70 — they dominate every raw
+    // inner-product ranking, so with rerankFactor=1 the true neighbor
+    // never reaches the exact re-rank unless vectors are normalized
+    val corpus = ((0L, pad(Seq(0.0099, 0.0014))) +:
+      (1L to 30L).map(i => (i, pad(Seq(70.0, 71.4))))).toDF("vec_id", "embedding")
+    val q = Seq((100L, pad(Seq(1.0, 0.0)))).toDF("vec_id", "embedding")
+    def top1(normalize: Boolean) =
+      Similarity.pqTopK(corpus, q, "vec_id", "embedding", k = 1, m = 4,
+          codebookSize = 16, rerankFactor = 1, normalize = normalize)
+        .select("vec_id").as[Long].head()
+    assert(top1(normalize = false) !== 0L, "raw IP should bury the tiny-norm vector")
+    assert(top1(normalize = true) === 0L, "normalized ADC must rank by cosine")
+  }
+
   test("semDedup drops exactly the clones, labels every row, one cell each") {
     val corpus = SimilarityQueries.embeddingsWithClones(spark, sf)
     val n = Tables.embeddings(spark, sf).count()

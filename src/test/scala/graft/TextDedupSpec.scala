@@ -246,6 +246,28 @@ class DedupSpec extends SparkSpec {
     assert(again.toSet === fps.toSet)
   }
 
+  test("simhashPairs rejects maxHamming beyond the pigeonhole guarantee") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 4).collect()
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
+  test("dupClusters fails loudly when a component's diameter exceeds maxIter") {
+    // a 6-node chain needs ~5 propagation rounds; cap at 2 and expect the
+    // loud failure instead of silently split clusters
+    val nodes = (1L to 6L).toDF("doc_id")
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(nodes, "doc_id", chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // with room to converge the same chain is one cluster
+    val ok = Dedup.dupClusters(nodes, "doc_id", chain, maxIter = 10)
+    assert(ok.select("cluster_id").distinct().count() === 1)
+  }
+
   test("decontamination flags exactly the train docs sharing eval k-grams") {
     val train = Seq(
       (1L, "alpha beta gamma delta"), // shares "alpha beta gamma"

@@ -22,6 +22,23 @@ class TopKSpec extends SparkSpec {
     assert(viaWindow.nonEmpty)
   }
 
+  test("NaN scores rank worst and never break the comparator's contract") {
+    // > 4k entries force a compaction sort; NaN-vs-value incomparability
+    // under the old sortWith predicate hit TimSort's contract check
+    val agg = TopK.aggregator(8)
+    val entries = (1L to 200L).map(i =>
+      TopK.Entry(if (i % 3 == 0) Double.NaN else i.toDouble, i))
+    val folded = entries.foldLeft(agg.zero)(agg.reduce)
+    val top = agg.finish(folded)
+    assert(top.length === 8)
+    assert(top.forall(!_.ord.isNaN), "NaN must rank below every real score")
+    assert(top.map(_.ord) === top.map(_.ord).sorted.reverse)
+    // all-NaN input: deterministic id-ordered output, no crash
+    val allNaN = (1L to 50L).map(i => TopK.Entry(Double.NaN, i))
+    val nanTop = agg.finish(allNaN.foldLeft(agg.zero)(agg.reduce))
+    assert(nanTop.map(_.id) === (1L to 8L))
+  }
+
   test("compaction never loses a top-k element (adversarial ascending feed)") {
     val agg = TopK.aggregator(3)
     // ascending feed: every new element is the current best-so-far's better
