@@ -132,6 +132,7 @@ object EtlQueries {
       graft.etl.ChangeDetect.forget(subjects, "c_custkey", Seq(
           ("orders", Tables.orders(s, dir), "o_custkey"),
           ("events", Tables.events(s, dir), "user_id")))
+        .audit
         .orderBy("table_name")
     }
   )

@@ -44,20 +44,24 @@ object ChangeDetect {
       .unionByName(cs.inserted.withColumn("change_type", lit("inserted")))
   }
 
-  /** Delete propagation ("forget these subjects everywhere"): remove every
-    * row keyed to an id in `subjects` from each named table via one
-    * broadcast anti-join per table, and emit the audit the governance log
-    * wants — (table_name, rows_before, rows_after, rows_deleted). The
+  /** What [[forget]] hands back: the CLEANED table plans (write each via
+    * `SnapshotIO.replace` to actually apply the deletion) plus the audit
+    * rows the governance log wants. */
+  final case class ForgetResult(cleaned: Map[String, DataFrame], audit: DataFrame)
+
+  /** Delete propagation ("forget these subjects everywhere"): for each
+    * named table, a broadcast anti-join plan with every row keyed to an id
+    * in `subjects` removed (`cleaned` — the caller persists it; an audit
+    * alone deletes nothing), and the audit —
+    * (table_name, rows_before, rows_after, rows_deleted). The
     * deletion-request set is tiny next to the tables, so no fact table
-    * shuffles; the rewrite itself composes with SnapshotIO.replace for the
-    * snapshot-store targets. */
+    * shuffles. The audit costs ONE scan per table (a broadcast LEFT join
+    * tags deleted rows and both counts fall out of one aggregate); each
+    * cleaned plan pays its own scan only when actually written. */
   def forget(subjects: DataFrame, subjectKey: String,
-             tables: Seq[(String, DataFrame, String)]): DataFrame = {
+             tables: Seq[(String, DataFrame, String)]): ForgetResult = {
     val keys = broadcast(subjects.select(col(subjectKey).as("__forget_id")).distinct())
     val audits = tables.map { case (name, df, keyCol) =>
-      // ONE scan per table: a broadcast LEFT join tags deleted rows (the
-      // key set is distinct, so no fan-out), and both audit counts fall out
-      // of the same aggregate — before/after-count plans would scan twice
       df.join(keys, df(keyCol) === col("__forget_id"), "left")
         .agg(count(lit(1)).as("rows_before"),
           count(col("__forget_id")).as("rows_deleted"))
@@ -65,6 +69,9 @@ object ChangeDetect {
           (col("rows_before") - col("rows_deleted")).as("rows_after"),
           col("rows_deleted"))
     }
-    audits.reduce(_ unionByName _)
+    val cleaned = tables.map { case (name, df, keyCol) =>
+      name -> df.join(keys, df(keyCol) === col("__forget_id"), "left_anti")
+    }.toMap
+    ForgetResult(cleaned, audits.reduce(_ unionByName _))
   }
 }

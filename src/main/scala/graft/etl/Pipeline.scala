@@ -42,13 +42,22 @@ object Pipeline {
     *                   (`hanger_lane.py:624-644`): when the extraction probe
     *                   still fails after retries, log-and-skip this source
     *                   (multi-source loops keep going) instead of raising
+    * @param mergeOrder last-write-wins ordering for the merge when one
+    *                   slice carries several rows per key (a key updated
+    *                   twice between runs): without it the survivor is an
+    *                   arbitrary dropDuplicates pick — possibly the STALE
+    *                   row. Pass `Some(col(cursorCol))` whenever the
+    *                   transform keeps the cursor column (the reference's
+    *                   batches are cursor-ordered for the same reason,
+    *                   `dags/hanger_lane.py:352-357`)
     */
   def runIncremental(spark: SparkSession, source: DataFrame, cursorCol: String,
                      transform: DataFrame => DataFrame, keys: Seq[String],
                      targetDir: String, logDir: String,
                      sourceName: String,
                      retry: Retry.Policy = Retry.none,
-                     skipOnProbeFailure: Boolean = false): RunReport = {
+                     skipOnProbeFailure: Boolean = false,
+                     mergeOrder: Option[Column] = None): RunReport = {
     val start = new Timestamp(System.currentTimeMillis())
     // never a wall-clock watermark: a skip/failure before any data exists
     // logs the epoch, which cannot mask rows landed later (ref invariant:
@@ -104,10 +113,13 @@ object Pipeline {
       // existence via the Hadoop FS (java.io.File lies on HDFS/S3); a READ
       // failure of an existing snapshot must raise — swallowing it would
       // silently truncate the target to this run's delta
+      // first run routes through the SAME per-key dedup as every later one
+      // (a duplicate-key bootstrap batch written verbatim would break
+      // re-run idempotence — same reasoning as Merge.upsertPartitioned)
       val merged =
         if (SnapshotIO.hasParquet(spark, targetDir))
-          Merge.upsert(spark.read.parquet(targetDir), transformed, keys)
-        else transformed
+          Merge.upsert(spark.read.parquet(targetDir), transformed, keys, mergeOrder)
+        else Merge.upsert(transformed.limit(0), transformed, keys, mergeOrder)
       // staging + swap, never overwrite the directory the plan reads;
       // the write retries transient failures under the same policy
       Retry.withRetry(retry)(SnapshotIO.replace(spark, merged, targetDir))

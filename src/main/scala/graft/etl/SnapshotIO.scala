@@ -65,22 +65,41 @@ object SnapshotIO {
   /** Replace ONLY the partitions present in `df` (written partitioned by
     * `partitionCol`): write staging partitioned, then swap each staged
     * partition directory into the target. Untouched partitions' files are
-    * never opened or rewritten. */
+    * never opened or rewritten.
+    *
+    * Swap order per partition mirrors [[replace]]: the old partition moves
+    * ASIDE (rename), the staged one renames in, the set-aside copies delete
+    * only after every swap landed — old data is never deleted before its
+    * replacement is in place, and a mid-loop crash leaves each partition
+    * either old, new, or recoverable from its `.old-…` sibling (a
+    * delete-then-rename loop would leave crashed partitions simply gone). */
   def replacePartitions(spark: SparkSession, df: DataFrame, dir: String,
                         partitionCol: String): Unit = {
-    val staging = dir + ".staging-" + java.util.UUID.randomUUID().toString.take(8)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = dir + ".staging-" + token
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(staging)
     val f = fs(spark, dir)
+    // set-aside lives in a SIBLING dir, not inside the target: a dir named
+    // `day=X.old-…` under the target would parse as a phantom partition
+    // value during discovery
+    val aside = new Path(dir + ".old-" + token)
     try {
       f.mkdirs(new Path(dir))
       val parts = f.listStatus(new Path(staging))
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      if (parts.nonEmpty) f.mkdirs(aside)
       parts.foreach { s =>
         val dest = new Path(dir, s.getPath.getName)
-        if (f.exists(dest)) f.delete(dest, true)
-        if (!f.rename(s.getPath, dest))
+        val old = new Path(aside, s.getPath.getName)
+        val hadOld = f.exists(dest) && f.rename(dest, old)
+        if (!f.rename(s.getPath, dest)) {
+          if (hadOld) f.rename(old, dest) // restore this partition
           throw new java.io.IOException(s"rename ${s.getPath} -> $dest failed")
+        }
       }
-    } finally f.delete(new Path(staging), true)
+    } finally {
+      f.delete(new Path(staging), true)
+      f.delete(aside, true)
+    }
   }
 }

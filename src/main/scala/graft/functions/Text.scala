@@ -15,7 +15,12 @@ object Text {
     regexp_replace(trim(lower(c)), "\\s+", " ")
 
   /** Whitespace tokenization. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  // the empty-string filter matters: split(trim(''), '\s+') is [""] — one
+  // phantom token — so empty/whitespace-only documents would count 1 token,
+  // divide quality ratios by 1, and vote in langId. Non-empty text never
+  // produces empty parts under \s+, so this only changes the degenerate case.
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
 
   /** Token count (whitespace). */
   def tokenCount(c: Column): Column = size(tokens(c))

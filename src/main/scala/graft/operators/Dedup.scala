@@ -274,7 +274,9 @@ object Dedup {
       .mapPartitions { rows =>
         rows.map { case (id, text0) =>
           val text = if (text0 == null) "" else text0 // null-tolerant like Dedup.exact
-          val toks = text.trim.split("\\s+")
+          // drop the phantom "" token of empty text — the scalar twin of
+          // Text.tokens' filter (split of "" yields [""])
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
           val sh: Array[String] =
             if (toks.length >= k) Array.tabulate(toks.length - k + 1)(i =>
               toks.slice(i, i + k).mkString(" "))

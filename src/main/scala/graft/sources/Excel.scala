@@ -29,24 +29,74 @@ import org.apache.spark.sql.types._
   */
 object Excel {
 
-  /** Parse one workbook: rows of the first worksheet as string cells
-    * (null = missing cell), padded/truncated to `width` columns. */
+  /** Parse one workbook: rows of the FIRST worksheet — first in the
+    * workbook-defined tab order (xl/workbook.xml + its rels), which is what
+    * pandas' `read_excel` reads; part names alone lie after tab reorders or
+    * deletions (a workbook whose first tab is stored as sheet2.xml is
+    * common). Cells come back as strings (null = missing), padded/truncated
+    * to `width` columns. Falls back to the lexicographically first part
+    * when the workbook/rels parts are absent (non-standard producers). */
   def parseWorkbook(bytes: Array[Byte], width: Int): Seq[Array[String]] = {
     var shared: IndexedSeq[String] = IndexedSeq.empty
     var sheets = mutable.SortedMap.empty[String, Array[Byte]]
+    var workbookXml: Array[Byte] = null
+    var relsXml: Array[Byte] = null
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
         val name = e.getName
         if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(zin.readAllBytes())
+        else if (name == "xl/workbook.xml") workbookXml = zin.readAllBytes()
+        else if (name == "xl/_rels/workbook.xml.rels") relsXml = zin.readAllBytes()
         else if (name.startsWith("xl/worksheets/") && name.endsWith(".xml"))
           sheets += name -> zin.readAllBytes()
         e = zin.getNextEntry
       }
     } finally zin.close()
     require(sheets.nonEmpty, "not an xlsx workbook: no xl/worksheets/*.xml part")
-    parseSheet(sheets.head._2, shared, width)
+    val first = firstSheetPart(workbookXml, relsXml).flatMap(sheets.get)
+    parseSheet(first.getOrElse(sheets.head._2), shared, width)
+  }
+
+  /** Resolve the first tab's worksheet part: first <sheet> of
+    * xl/workbook.xml → its r:id → the rels Target, normalized to the
+    * package path. None when either part is missing or unresolvable. */
+  private def firstSheetPart(workbookXml: Array[Byte],
+                             relsXml: Array[Byte]): Option[String] = {
+    if (workbookXml == null || relsXml == null) return None
+    var firstRid: String = null
+    val r = newReader(workbookXml)
+    while (r.hasNext && firstRid == null) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+        var i = 0
+        while (i < r.getAttributeCount && firstRid == null) {
+          if (r.getAttributeLocalName(i) == "id") firstRid = r.getAttributeValue(i)
+          i += 1
+        }
+      }
+    }
+    if (firstRid == null) return None
+    val rels = newReader(relsXml)
+    while (rels.hasNext) {
+      if (rels.next() == XMLStreamConstants.START_ELEMENT &&
+        rels.getLocalName == "Relationship") {
+        var id: String = null; var target: String = null
+        var i = 0
+        while (i < rels.getAttributeCount) {
+          rels.getAttributeLocalName(i) match {
+            case "Id" => id = rels.getAttributeValue(i)
+            case "Target" => target = rels.getAttributeValue(i)
+            case _ => ()
+          }
+          i += 1
+        }
+        if (id == firstRid && target != null)
+          return Some(if (target.startsWith("/")) target.drop(1)
+          else "xl/" + target.stripPrefix("./"))
+      }
+    }
+    None
   }
 
   /** sharedStrings.xml: one entry per <si>, rich-text <r><t> runs concatenated. */
@@ -193,16 +243,31 @@ object Excel {
   /** Scale path: one workbook PER PARTITION under `dir` (`part-NNNNN.xlsx`),
     * written executor-side — the inverse of [[readDir]], which reads the
     * directory back with one task per file. No driver funnel; partition
-    * sizing controls workbook sizes. */
+    * sizing controls workbook sizes.
+    *
+    * `dir` must be on a filesystem every executor shares (local mode, NFS,
+    * a fuse mount) — java.nio cannot target HDFS/S3; use the DSv2
+    * `graft-sink` for object-store-scale output. Each task writes a
+    * temp file and ATOMIC_MOVEs it into place, so a retried or speculative
+    * duplicate attempt replaces the file whole rather than interleaving
+    * with a half-written original; the directory is created task-side
+    * (driver-side mkdir would not exist on other machines). */
   def writeDir(df: DataFrame, dir: String, header: Boolean = true): Unit = {
     val schema = df.schema
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.toDF().foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(
-          java.nio.file.Paths.get(f"$dir/part-$pid%05d.xlsx")))
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val dirPath = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(dirPath)
+        val tmp = dirPath.resolve(f".part-$pid%05d.xlsx.${tc.taskAttemptId()}%d.tmp")
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(tmp))
         try writeArchive(out, schema, header, rows) finally out.close()
+        java.nio.file.Files.move(tmp, dirPath.resolve(f"part-$pid%05d.xlsx"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
     }
   }

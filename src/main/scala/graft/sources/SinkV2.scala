@@ -69,6 +69,14 @@ object GraftSink {
     Paths.get(p)
   }
 
+  /** `Files.list` with a guaranteed close — the raw stream holds an open
+    * directory descriptor until GC; one leak per epoch commit starves the
+    * driver of FDs on a long-running streaming query. */
+  private[v2] def listAnd[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Declare the target (the CREATE TABLE step): records the schema the
     * sink validates every append against. */
   def create(path: String, schema: StructType): Unit = {
@@ -108,10 +116,15 @@ object GraftSink {
     }.toSet
 
   /** Atomic manifest swap: append `entries` (and an optional marker line)
-    * to the current manifest — or replace it when `truncate`. */
+    * to the current manifest — or replace the FILE entries when `truncate`.
+    * Truncation preserves `#epoch` marker lines: they are the streaming
+    * exactly-once ledger, and dropping them on a Complete-mode epoch swap
+    * would let a post-recovery replay of an older epoch re-publish. */
   private[v2] def swapManifest(dir: Path, entries: Seq[(String, Long)],
                                marker: Option[String], truncate: Boolean): Unit = {
-    val previous = if (truncate) Seq.empty else manifestLines(dir.toString)
+    val previous =
+      if (truncate) manifestLines(dir.toString).filter(_.startsWith("#epoch\t"))
+      else manifestLines(dir.toString)
     val content =
       (previous ++ entries.map { case (n, r) => s"$n\t$r" } ++ marker)
         .mkString("\n")
@@ -171,7 +184,7 @@ class GraftWriteBuilder(dir: Path, schema: StructType, queryId: String,
     override def toBatch: BatchWrite =
       new GraftBatchWrite(dir, schema, queryId, truncate)
     override def toStreaming: StreamingWrite =
-      new GraftStreamingWrite(dir, schema, queryId)
+      new GraftStreamingWrite(dir, schema, queryId, truncate)
   }
 }
 
@@ -202,15 +215,16 @@ class GraftBatchWrite(dir: Path, schema: StructType, queryId: String,
       Files.move(staging.resolve(name), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    if (truncate) {
-      // truncate = replace: previous generation's files leave the manifest
-      // (and are removed — no reader can hold them via the old manifest
-      // once the swap lands)
-      GraftSink.manifest(dir.toString).foreach { case (name, _) =>
-        Files.deleteIfExists(dataDir.resolve(name))
-      }
-    }
+    // truncate = replace: SWAP FIRST, delete after. Deleting the previous
+    // generation before the swap would leave a crash (or a concurrent
+    // reader that just resolved the old manifest) pointing at vanished
+    // files; swapping first means a crash mid-delete only strands orphans
+    // no manifest references — invisible to readers, reclaimable later.
+    val previousGen = if (truncate) GraftSink.manifest(dir.toString) else Seq.empty
     GraftSink.swapManifest(dir, committed.toSeq, marker = None, truncate = truncate)
+    previousGen.foreach { case (name, _) =>
+      Files.deleteIfExists(dataDir.resolve(name))
+    }
     cleanupStaging()
   }
 
@@ -219,11 +233,11 @@ class GraftBatchWrite(dir: Path, schema: StructType, queryId: String,
 
   private def cleanupStaging(): Unit =
     if (Files.exists(staging)) {
-      Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+      GraftSink.listAnd(staging)(_.foreach(Files.deleteIfExists(_)))
       Files.deleteIfExists(staging)
       // best-effort: drop _staging/ itself when no other query is active
       val parent = staging.getParent
-      if (Files.exists(parent) && !Files.list(parent).iterator().hasNext)
+      if (Files.exists(parent) && GraftSink.listAnd(parent)(_.isEmpty))
         Files.deleteIfExists(parent)
     }
 }
@@ -237,8 +251,13 @@ class GraftWriterFactory(stagingDir: String, schema: StructType, prefix: String)
 /** Streaming face of the sink: per-epoch staging + the manifest as an
   * exactly-once ledger. Spark can re-commit an epoch after a driver
   * recovery; `commit` consults the `#epoch` markers and turns replays into
-  * no-ops, so each micro-batch's rows publish exactly once. */
-class GraftStreamingWrite(dir: Path, schema: StructType, queryId: String)
+  * no-ops, so each micro-batch's rows publish exactly once. `truncate`
+  * (OutputMode.Complete) replaces the published file set each epoch —
+  * epoch markers survive the swap, so replay detection still works —
+  * where dropping the flag would silently union every epoch's full
+  * aggregate snapshot. */
+class GraftStreamingWrite(dir: Path, schema: StructType, queryId: String,
+                          truncate: Boolean = false)
   extends StreamingWrite {
   private def staging(epochId: Long) =
     dir.resolve("_staging").resolve(queryId).resolve(epochId.toString)
@@ -261,8 +280,14 @@ class GraftStreamingWrite(dir: Path, schema: StructType, queryId: String)
       Files.move(staging(epochId).resolve(name), dataDir.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
     }
+    // Complete mode: swap first, delete the superseded generation after
+    // (same ordering rationale as the batch path)
+    val previousGen = if (truncate) GraftSink.manifest(dir.toString) else Seq.empty
     GraftSink.swapManifest(dir, committed.toSeq,
-      marker = Some(s"#epoch\t$queryId\t$epochId"), truncate = false)
+      marker = Some(s"#epoch\t$queryId\t$epochId"), truncate = truncate)
+    previousGen.foreach { case (name, _) =>
+      Files.deleteIfExists(dataDir.resolve(name))
+    }
     cleanup(epochId)
   }
 
@@ -272,7 +297,7 @@ class GraftStreamingWrite(dir: Path, schema: StructType, queryId: String)
   private def cleanup(epochId: Long): Unit = {
     val s = staging(epochId)
     if (Files.exists(s)) {
-      Files.list(s).iterator().asScala.foreach(Files.deleteIfExists(_))
+      GraftSink.listAnd(s)(_.foreach(Files.deleteIfExists(_)))
       Files.deleteIfExists(s)
     }
   }

@@ -196,11 +196,18 @@ object Synthetic {
 object Catalog {
 
   /** S13: table-name-driven dynamic ETL loop
-    * (`build_etl_pipeline_python.py:23-30`): the catalog is the work list. */
+    * (`build_etl_pipeline_python.py:23-30`): the catalog is the work list.
+    * Matching is case-insensitive — the analyzer lower-cases catalog
+    * identifiers, so a wanted set carrying the source DB's native casing
+    * ("ORDERS") would otherwise silently select nothing. */
   def tablesMatching(spark: SparkSession, database: String,
-                     wanted: Set[String]): Seq[String] =
+                     wanted: Set[String]): Seq[String] = {
+    val wantedLower = wanted.map(_.toLowerCase(java.util.Locale.ROOT))
     spark.catalog.listTables(database).collect()
-      .map(_.name).filter(wanted.contains).toSeq
+      .map(_.name)
+      .filter(n => wantedLower.contains(n.toLowerCase(java.util.Locale.ROOT)))
+      .toSeq
+  }
 }
 
 /** Bucketed-table layout — the storage-level answer to "this fact table is

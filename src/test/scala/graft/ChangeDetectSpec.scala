@@ -37,4 +37,19 @@ class ChangeDetectSpec extends SparkSpec {
       .select("k", "change_type").as[(Int, String)].collect().toSet
     assert(tags === Set((2, "modified"), (4, "inserted")))
   }
+
+  test("forget returns the CLEANED tables (an audit alone deletes nothing) and both agree") {
+    val subjects = Seq(1, 3).toDF("id")
+    val orders = Seq((1, "a"), (2, "b"), (3, "c"), (3, "d")).toDF("cust", "o")
+    val events = Seq((2, "x"), (5, "y")).toDF("user", "e")
+    val r = ChangeDetect.forget(subjects, "id",
+      Seq(("orders", orders, "cust"), ("events", events, "user")))
+    // cleaned plans actually shed the subjects' rows
+    assert(r.cleaned("orders").select("cust").as[Int].collect().sorted.toSeq === Seq(2))
+    assert(r.cleaned("events").count() === 2)
+    // audit counts match what the cleaned tables show
+    val audit = r.audit.orderBy("table_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(audit === Seq(("events", 2L, 2L, 0L), ("orders", 4L, 1L, 3L)))
+  }
 }

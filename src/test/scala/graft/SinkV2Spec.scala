@@ -115,6 +115,37 @@ class SinkV2Spec extends SparkSpec {
       "each micro-batch must leave an epoch marker")
   }
 
+  test("Complete-mode streaming truncates per epoch: latest aggregate only, ledger intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sink-complete").toString
+    GraftSink.create(dir, new StructType()
+      .add("name", StringType).add("n", LongType))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "name")
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-sink")
+      .option("path", dir)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-c").toString)
+      .outputMode("complete").start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    // append semantics would union both epochs' FULL snapshots ((a,1) AND
+    // (a,2)); Complete mode must leave only the latest generation
+    val got = GraftSink.readCommitted(spark, dir)
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("a", 2L), ("b", 1L)))
+    // the epoch ledger survives the truncating swaps (replay protection)
+    assert(GraftSink.committedEpochs(dir).size >= 2)
+    // superseded generations' files are physically gone
+    val dataFiles = new java.io.File(dir, "data").list().toSeq
+    assert(dataFiles.forall(f => GraftSink.manifest(dir).exists(_._1 == f)),
+      s"unreferenced files left behind: $dataFiles")
+  }
+
   test("end-to-end: streaming sessionize lands closed sessions in the exactly-once sink") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.EventStream

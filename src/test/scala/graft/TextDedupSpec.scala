@@ -15,6 +15,19 @@ class TextSpec extends SparkSpec {
     assert(df.as[(Int, Int)].collect().toSeq === Seq((3, 3), (3, 4), (1, 1)))
   }
 
+  test("empty and whitespace-only text has ZERO tokens, not one phantom") {
+    val counts = Seq("", "   ", "\t\n", "a").toDF("t")
+      .select(Text.tokenCount(col("t")).as("n")).as[Int].collect().toSeq
+    assert(counts === Seq(0, 0, 0, 1))
+    // quality metrics on blank rows: no divide-by-phantom, no lang vote
+    val s = Seq("").toDF("t")
+      .select(Text.stopwordRatio(col("t"), Seq("a")).as("s")).as[Double].head()
+    assert(s === 0.0)
+    val l = Seq("").toDF("t")
+      .select(Text.langId(col("t"), TextQueries.LangMarkers).as("l")).as[String].head()
+    assert(l === TextQueries.LangMarkers.head._1) // zero votes everywhere -> first
+  }
+
   test("punctRatio and stopwordRatio") {
     val df = Seq("a, b!").toDF("t").select(Text.punctRatio(col("t")).as("p"))
     assert(math.abs(df.as[Double].head() - 2.0 / 5.0) < 1e-12)
