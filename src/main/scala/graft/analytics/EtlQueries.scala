@@ -134,10 +134,39 @@ object EtlQueries {
           ("events", Tables.events(s, dir), "user_id")))
         .audit
         .orderBy("table_name")
+    },
+
+    // Schema-drift reconciliation: a source whose orderkey got stringified
+    // and upper-cased, whose status column vanished, and which grew an
+    // extra ingest column, aligned back to the target contract — retyped /
+    // null-filled / dropped without failing the dynamic load.
+    "q85_schema_align" -> { (s, dir) =>
+      val drifted = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("O_ORDERKEY"),
+        col("o_totalprice"),
+        lit("web").as("ingest_channel"))
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.etl.SchemaAlign.align(drifted, target)
+        .data
+        .orderBy("o_orderkey")
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // The drift round-trip in SQL: stringified key cast back to BIGINT,
+    // vanished column as typed NULL, extra column absent.
+    "q85_schema_align" ->
+      """SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS o_orderkey,
+        |       CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |       o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q70_forget_subjects" ->
       """WITH f AS (

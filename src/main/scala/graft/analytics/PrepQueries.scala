@@ -198,6 +198,30 @@ object PrepQueries {
         }
         .toDF("o_custkey", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rank")
+    },
+
+    // Count-min frequency estimates for every user over the event stream:
+    // the sketch is one d×w array per mapper (linear merge), estimates read
+    // min-of-4-cells lazily in-plan against the broadcast one-row sketch —
+    // n_true rides along so the overestimate contract is visible in the
+    // output (cms_est >= n_true on every row, both engines).
+    "q84_cms_user_counts" -> { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id").cast("string").as("k"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Sketches.countMinEstimates(counts, d = 4, w = 256)
+        .select(col("k").as("user_key"), col("n").cast("long").as("n_true"),
+          col("cms_est"))
+        .orderBy("user_key")
+    },
+
+    // RAG/context-window chunking: 128-token windows every 96 tokens per
+    // document (32-token overlap). Pure projection + generator — the chunk
+    // table scales as a constant multiple of the corpus with zero shuffles.
+    "q82_chunk_windows" -> { (s, dir) =>
+      Packing.slidingChunks(Tables.documents(s, dir),
+          col("doc_id"), col("text"), chunkSize = 128, stride = 96)
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 
@@ -216,6 +240,52 @@ object PrepQueries {
       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // The identical d=4 × w=256 sketch rebuilt in SQL: per-key buckets from
+    // the shared poly fold (bases 31/131/137/139), per-(row,bucket) cell
+    // mass, estimate = least of the key's four cells.
+    "q84_cms_user_counts" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n FROM events GROUP BY 1),
+        |ch AS (
+        |  SELECT k, n,
+        |         list_prepend(0::BIGINT, list_transform(range(1, length(k)+1),
+        |                       i -> ascii(substr(k, i, 1))::BIGINT)) AS cs
+        |  FROM c),
+        |b AS (
+        |  SELECT k, n,
+        |         list_reduce(cs, (acc, x) -> (acc * 31  + x) % 1000000007) % 256 AS b0,
+        |         list_reduce(cs, (acc, x) -> (acc * 131 + x) % 1000000007) % 256 AS b1,
+        |         list_reduce(cs, (acc, x) -> (acc * 137 + x) % 1000000007) % 256 AS b2,
+        |         list_reduce(cs, (acc, x) -> (acc * 139 + x) % 1000000007) % 256 AS b3
+        |  FROM ch),
+        |cells AS (
+        |  SELECT r, bkt, sum(n) AS cell FROM (
+        |    SELECT 0 AS r, b0 AS bkt, n FROM b
+        |    UNION ALL SELECT 1, b1, n FROM b
+        |    UNION ALL SELECT 2, b2, n FROM b
+        |    UNION ALL SELECT 3, b3, n FROM b)
+        |  GROUP BY r, bkt)
+        |SELECT b.k AS user_key, b.n::BIGINT AS n_true,
+        |       least(c0.cell, c1.cell, c2.cell, c3.cell)::BIGINT AS cms_est
+        |FROM b
+        |JOIN cells c0 ON c0.r = 0 AND c0.bkt = b.b0
+        |JOIN cells c1 ON c1.r = 1 AND c1.bkt = b.b1
+        |JOIN cells c2 ON c2.r = 2 AND c2.bkt = b.b2
+        |JOIN cells c3 ON c3.r = 3 AND c3.bkt = b.b3
+        |ORDER BY user_key""".stripMargin,
+
+    // DuckDB list slices are 1-based inclusive and clamp at the list end —
+    // exactly Spark's slice(arr, start, length) behavior for the tail chunk.
+    "q82_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |c AS (SELECT doc_id, w, unnest(range(0, ((n-1)//96)+1)) AS chunk_idx FROM s)
+        |SELECT doc_id, chunk_idx::INT AS chunk_idx, (chunk_idx*96)::INT AS start_tok,
+        |       len(w[chunk_idx*96+1 : chunk_idx*96+128])::INT AS n_tokens,
+        |       md5(array_to_string(w[chunk_idx*96+1 : chunk_idx*96+128], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q62's stub decode kernel is deterministic byte arithmetic over the
     // UTF-8 payload, so the PIPELINE is oracle-checkable even though the

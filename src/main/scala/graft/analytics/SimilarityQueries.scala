@@ -118,12 +118,46 @@ object SimilarityQueries {
           .select(col("vec_id"), col("score")), "vec_id", "score")
       graft.operators.Rrf.fuse(Seq(lex, sem), "doc_id")
         .orderBy(col("rrf").desc, col("doc_id"))
+    },
+
+    // JL random projection 64 → 16 dims with the q32 plane family: every
+    // component is an exact integer dot scaled once and rounded 4dp, so the
+    // reduced embedding table is hash-checked cross-engine.
+    "q86_random_projection" -> { (s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = Dim, outDim = 16)
+        .orderBy("vec_id", "component_idx")
     }
   )
 
   def rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
+
+    // q86: the q32 plane CTE restricted to 16 planes; component =
+    // round(Σ s·q / (1e4·sqrt(16)), 4) — integer sum, one division, one
+    // round, all order-independent. The trailing `+ 0.0` normalizes the
+    // NEGATIVE ZERO DuckDB's C-style round emits for tiny negative dots
+    // (std::round keeps the sign of zero; Spark's BigDecimal zero is
+    // unsigned, so without it the two engines' "0.0" hash differently).
+    "q86_random_projection" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qx AS (SELECT vec_id, list_transform(v, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM emb),
+        |pd AS (
+        |  SELECT p.p, d.d, 704659998 + p.p*64 + d.d AS x
+        |  FROM (SELECT unnest(range(16)) AS p) p, (SELECT unnest(range(64)) AS d) d),
+        |m1 AS (SELECT p, d, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM pd),
+        |m2 AS (SELECT p, d, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
+        |planes AS (
+        |  SELECT p, d, CASE WHEN xor(h, h >> 16) % 2 = 0 THEN 1::BIGINT ELSE -1::BIGINT END AS s
+        |  FROM m2),
+        |comp AS (
+        |  SELECT qx.vec_id, pl.p AS component_idx,
+        |         round(SUM(pl.s * qx.q[pl.d + 1]) / (10000.0 * sqrt(16.0)), 4) + 0.0 AS component
+        |  FROM qx, planes pl
+        |  GROUP BY qx.vec_id, pl.p)
+        |SELECT vec_id, component_idx::INT AS component_idx, component
+        |FROM comp ORDER BY vec_id, component_idx""".stripMargin,
 
     // q32: full sign-LSH pipeline in SQL. Planes = ±1 by parity of the
     // mixp xorshift-multiply mixer at input 42*16777619 + p*64 + d (seed

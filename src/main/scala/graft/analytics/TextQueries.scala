@@ -32,6 +32,18 @@ object TextQueries {
     docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** Partial-duplication fixture: every even doc gets a twin holding only its
+    * first 40 tokens — substring-level duplication with no whole-doc clone,
+    * the case span-fraction scoring exists for (token re-join + re-split is
+    * identity on \s+-split text, so the twin's spans hash equal). */
+  def corpusWithPrefixClones(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(Text.tokens(col("text")), 1, 40), " ").as("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting: whitespace + BPE-ish regex tokens, per document.
@@ -166,6 +178,16 @@ object TextQueries {
     "q76_cdc_chunk_dedup" -> { (s, dir) =>
       Dedup.chunkDedup(corpusWithClones(s, dir), "doc_id", "text")
         .orderBy("chunk")
+    },
+
+    // Per-doc duplicate-span fraction over the prefix-cloned corpus: even
+    // docs' first two 20-token spans exist in their truncated twins, so the
+    // score separates partial copies from clean docs without any whole-doc
+    // fingerprint match.
+    "q83_dup_span_frac" -> { (s, dir) =>
+      Dedup.dupSpanFraction(corpusWithPrefixClones(s, dir), "doc_id", "text",
+          spanTokens = 20, flagAt = 0.5)
+        .orderBy("doc_id")
     },
 
     // BM25 top-20 for a fixed keyword query: one stats pass broadcast back
@@ -424,6 +446,31 @@ object TextQueries {
         |            ELSE 'de' END AS predicted_lang
         |FROM h
         |ORDER BY doc_id""".stripMargin,
+
+    // Span fingerprints mirror the q82 chunking oracle (20-token windows,
+    // stride = size); the prefix-clone corpus mirrors corpusWithPrefixClones.
+    "q83_dup_span_frac" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string((string_split_regex(trim(text), '\s+'))[1:40], ' ')
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+        |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |sp AS (
+        |  SELECT doc_id, md5(array_to_string(w[ci*20+1 : ci*20+20], ' ')) AS fp
+        |  FROM (SELECT doc_id, w, unnest(range(0, ((n-1)//20)+1)) AS ci FROM s)),
+        |d AS (SELECT DISTINCT doc_id, fp FROM sp),
+        |f AS (SELECT fp, count(*) AS ndocs FROM d GROUP BY fp),
+        |agg AS (
+        |  SELECT d.doc_id, count(*) AS n_spans,
+        |         sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        |  FROM d JOIN f USING (fp) GROUP BY d.doc_id)
+        |SELECT doc_id, n_spans::BIGINT AS n_spans, n_dup_spans::BIGINT AS n_dup_spans,
+        |       round(n_dup_spans::DOUBLE / n_spans, 6) AS dup_frac,
+        |       n_dup_spans::DOUBLE / n_spans >= 0.5 AS is_dup
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q27_exact_dedup" ->
       """WITH corpus AS (

@@ -41,6 +41,14 @@ object PortableHash {
     h
   }
 
+  /** SQL-expression twin of [[poly]] over the string bound to `v` — the ONE
+    * Spark-side definition every poly-hashing operator (winnowing k-grams,
+    * CDC chunk boundaries, count-min rows) compiles from, so they cannot
+    * drift from each other or from the DuckDB `list_reduce` twin. */
+  def polySql(v: String, base: Long = 31L): String =
+    s"aggregate(sequence(1, length($v)), 0L, " +
+      s"(acc, i) -> (acc * $base + ascii(substring($v, i, 1))) % $PolyMod)"
+
   /** Polynomial rolling hash mod [[PolyMod]] — the same recurrence the
     * winnowing fingerprints use Spark-side (`(acc*base + codepoint) % p`),
     * which DuckDB replicates with `list_reduce` over `ascii(substr(...))`.

@@ -441,13 +441,11 @@ object Dedup {
     * partial-aggregates map-side. Hash is the engine-portable poly-31 mod
     * 1e9+7 ([[graft.functions.PortableHash.poly]]), so the oracle rebuilds
     * chunk boundaries bit-for-bit. */
-  /** SQL-expression form of [[graft.functions.PortableHash.poly]] (base 31)
-    * over the string bound to `v` — the ONE definition both the winnowing
-    * k-gram hash and the CDC chunk-boundary hash compile from, so the two
-    * operators can never drift apart from each other or their oracles. */
+  /** Base-31 instance of the shared poly-hash SQL definition
+    * ([[graft.functions.PortableHash.polySql]]) — winnowing k-gram hash and
+    * CDC chunk-boundary hash both compile from it. */
   private def polyHashSql(v: String): String =
-    s"aggregate(sequence(1, length($v)), 0L, " +
-      s"(acc, i) -> (acc * 31 + ascii(substring($v, i, 1))) % 1000000007)"
+    graft.functions.PortableHash.polySql(v, 31L)
 
   /** The chunking fold: token array `__w` → array of chunk strings. */
   private def chunkFold(avgChunk: Int): String = {
@@ -512,5 +510,41 @@ object Dedup {
             s"j -> array_min(slice(__h, j, $w)))"))
           .otherwise(expr("cast(array() as array<bigint>)")))
       .select(col(idCol), explode(array_distinct(col("__m"))).as("fp"))
+  }
+
+  /** Per-document duplicate-span fraction — the "how much of this document
+    * exists elsewhere in the corpus" score that corpus-cleaning pipelines
+    * threshold on (a whole-doc fingerprint misses partial copies; this
+    * catches a page whose first half is boilerplate shared by thousands).
+    *
+    * Each document is cut into consecutive non-overlapping `spanTokens`-token
+    * spans ([[Packing.slidingChunks]] with stride = chunkSize); a span counts
+    * as duplicated when it appears in >= 2 DISTINCT documents (a span
+    * repeated only inside one doc is self-repetition, q55's metric, not
+    * duplication). The fraction is over a doc's DISTINCT spans.
+    *
+    * Scale shape: spans are a constant multiple of the corpus; the pipeline
+    * is distinct → span doc-frequency (map-side-combinable count) → join
+    * back on the fingerprint (same key as the count, exchange reused) →
+    * per-doc aggregate. No all-pairs anything; every shuffle is keyed.
+    *
+    * Emits (id, n_spans, n_dup_spans, dup_frac, is_dup) with
+    * `is_dup = dup_frac >= flagAt`.
+    */
+  def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
+                      spanTokens: Int = 20, flagAt: Double = 0.5): DataFrame = {
+    val pairs = graft.operators.Packing
+      .slidingChunks(df, col(idCol), col(textCol), spanTokens, spanTokens)
+      .select(col(idCol), col("chunk_md5").as("fp"))
+      .distinct()
+    val docFreq = pairs.groupBy("fp").agg(count(lit(1)).as("__ndocs"))
+    pairs.join(docFreq, "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", graft.functions.Rounding.roundLikeC(
+        col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      .withColumn("is_dup",
+        col("n_dup_spans").cast("double") / col("n_spans") >= flagAt)
   }
 }

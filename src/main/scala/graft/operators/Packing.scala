@@ -71,6 +71,40 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Per-document sliding token-window chunking — the RAG / context-window
+    * prep shape: each document's token stream is cut into windows of
+    * `chunkSize` tokens starting every `stride` tokens. Windows never start
+    * at-or-past the end, the final window may be short, and empty documents
+    * yield no chunks, so a doc with n tokens yields `(n-1)/stride + 1`
+    * chunks. `stride <= chunkSize` is required — a larger stride would skip
+    * tokens between windows.
+    *
+    * Scale shape: pure per-row projection + generator — no shuffle, no
+    * state; parallelism is the scan's. Emits the id column unchanged plus
+    * `chunk_idx` (0-based), `start_tok` (0-based token offset), `n_tokens`,
+    * and `chunk_md5`, an md5 fingerprint of the space-joined window — the
+    * downstream dedup/lookup key. (Carrying the chunk TEXT would multiply
+    * corpus bytes by ~chunkSize/stride; callers that need it re-slice from
+    * the source row instead.)
+    */
+  def slidingChunks(df: DataFrame, idCol: Column, textCol: Column,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize]: stride=$stride chunkSize=$chunkSize")
+    val chunk = slice(col("__w"), col("start_tok") + lit(1), lit(chunkSize))
+    df.select(idCol, graft.functions.Text.tokens(textCol).as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), floor((col("__n") - 1) / lit(stride)).cast("int"))))
+      .withColumn("start_tok", col("chunk_idx") * lit(stride))
+      .withColumn("__c", chunk)
+      .withColumn("n_tokens", size(col("__c")))
+      .withColumn("chunk_md5", md5(array_join(col("__c"), " ")))
+      .drop("__w", "__n", "__c")
+  }
+
   /** Deterministic pseudo-random shard assignment: an LCG over the id column
     * (mod 2^31, overflow-free in 64-bit for any id) permutes documents; the
     * permuted value picks the shard and orders documents inside it. The same

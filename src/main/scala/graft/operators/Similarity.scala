@@ -607,4 +607,30 @@ object Similarity {
       .filter(col("__rn") <= k)
       .select("query_id", "vec_id", "score")
   }
+
+  /** Rademacher random projection — Johnson-Lindenstrauss dimensionality
+    * reduction of an embedding column: component j of the output is the
+    * input's dot product with ±1 plane j (the same [[hyperplanes]] family
+    * the sign-LSH buckets use), scaled by 1/(sqrt(outDim)·10^4) to undo the
+    * integer quantization and preserve expected inner products. JL gives
+    * pairwise-distance distortion ~1/sqrt(outDim) — the standard cheap
+    * pre-step before clustering or coarse ANN when the raw dim is large.
+    *
+    * Engine-portable by the LSH argument: quantized inputs make every dot an
+    * exact integer, so both engines agree bit-for-bit after one division and
+    * a 4dp round. Pure projection (no shuffle); emits one
+    * (id, component_idx, component) row per output dimension.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(outDim, dim, seed)
+    val qx = transform(col(vecCol).cast("array<double>"), x => round(x * lit(10000.0d)))
+    val scale = lit(10000.0d * math.sqrt(outDim.toDouble))
+    val comps = planes.map { p =>
+      graft.functions.Rounding.roundLikeC(dotNative(col("__qx"), typedlit(p)) / scale, 4)
+    }
+    df.select(col(idCol), qx.as("__qx"))
+      .select(col(idCol),
+        posexplode(array(comps: _*)).as(Seq("component_idx", "component")))
+  }
 }

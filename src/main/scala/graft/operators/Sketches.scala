@@ -65,4 +65,75 @@ object Sketches {
   }
 
   def misraGries(k: Int): MisraGries = new MisraGries(k)
+
+  /** Count-min sketch rows use these polynomial bases — the same four the
+    * 60-bit token hash packs, and the DuckDB oracle rebuilds the identical
+    * sketch from them (hashing is [[graft.functions.PortableHash.poly]], so
+    * bucket assignment is engine-portable, bit for bit). */
+  val CmsBases: Seq[Long] = Seq(31L, 131L, 137L, 139L)
+
+  /** Count-min sketch over weighted keys: a `d` (= CmsBases.take(d)) by `w`
+    * counter grid; each (key, n) adds n to one bucket per row, an estimate
+    * reads the MINIMUM of a key's d cells — never an underestimate, over by
+    * at most the colliding mass in its emptiest row.
+    *
+    * The aggregator is LINEAR (merge = elementwise sum), so partial
+    * aggregation ships one d×w array per mapper regardless of key
+    * cardinality — the bounded-memory frequency path when even the distinct
+    * key set is too big to shuffle (CDN logs, token streams). Feed it the
+    * pre-aggregated (key, count) table when one exists; feeding raw
+    * occurrences with n=1 builds the identical sketch.
+    */
+  final class CountMin(d: Int, w: Int)
+    extends Aggregator[(String, Long), Array[Long], Array[Long]] {
+    require(d >= 1 && d <= CmsBases.length, s"d must be in [1, ${CmsBases.length}]")
+    require(w >= 1)
+    override def zero: Array[Long] = Array.ofDim[Long](d * w)
+
+    override def reduce(buf: Array[Long], x: (String, Long)): Array[Long] = {
+      var r = 0
+      while (r < d) {
+        val b = (graft.functions.PortableHash.poly(x._1, CmsBases(r)) % w).toInt
+        buf(r * w + b) += x._2
+        r += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  def countMin(d: Int, w: Int): CountMin = new CountMin(d, w)
+
+  /** Count-min estimates for every key of `keyed` (columns: key string `k`,
+    * weight `n`): builds the sketch with [[CountMin]] (one array per mapper
+    * into a single-row reduce), broadcasts that one row back, and reads each
+    * key's d cells lazily in-plan — `element_at` at `r*w + poly_r(k) % w + 1`
+    * with the shared [[graft.functions.PortableHash.polySql]] bucket
+    * expression. No driver collect; the probe side stays distributed.
+    * Emits (k, n, cms_est). */
+  def countMinEstimates(keyed: DataFrame, d: Int, w: Int): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val sketch = keyed.select(col("k"), col("n").cast("long"))
+      .as[(String, Long)]
+      .select(countMin(d, w).toColumn.name("sketch"))
+      .toDF("sketch")
+    val cells = (0 until d).map { r =>
+      val bucket = (expr(graft.functions.PortableHash.polySql("k", CmsBases(r)))
+        % w).cast("int")
+      element_at(col("sketch"), bucket + lit(r * w + 1))
+    }
+    keyed.crossJoin(broadcast(sketch))
+      .withColumn("cms_est", if (cells.length == 1) cells.head else least(cells: _*))
+      .drop("sketch")
+  }
 }

@@ -38,6 +38,28 @@ class ChangeDetectSpec extends SparkSpec {
     assert(tags === Set((2, "modified"), (4, "inserted")))
   }
 
+  test("SchemaAlign: kept/retyped/null_filled/dropped, case-insensitive match, report complete") {
+    import org.apache.spark.sql.types._
+    val drifted = Seq(("7", 1.5, "x")).toDF("K", "v", "extra")
+    val target = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("missing", StringType)))
+    val r = graft.etl.SchemaAlign.align(drifted, target)
+    assert(r.data.columns.toSeq === Seq("k", "v", "missing"))
+    assert(r.data.schema.map(_.dataType) === Seq(LongType, DoubleType, StringType))
+    assert(r.data.as[(Long, Double, Option[String])].collect().toSeq ===
+      Seq((7L, 1.5, None)))
+    val rep = r.report.as[(String, String, Option[String], Option[String])]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(rep === Map("k" -> "retyped", "v" -> "kept",
+      "missing" -> "null_filled", "extra" -> "dropped"))
+    // ambiguous source casing must refuse, not bind arbitrarily
+    val dup = Seq((1, 2)).toDF("a", "A")
+    intercept[IllegalArgumentException] {
+      graft.etl.SchemaAlign.align(dup, StructType(Seq(StructField("a", IntegerType))))
+    }
+  }
+
   test("forget returns the CLEANED tables (an audit alone deletes nothing) and both agree") {
     val subjects = Seq(1, 3).toDF("id")
     val orders = Seq((1, "a"), (2, "b"), (3, "c"), (3, "d")).toDF("cust", "o")

@@ -34,6 +34,31 @@ class PackingSpec extends SparkSpec {
       (4L, 2500L, 1L), (5L, 4548L, 2L)))
   }
 
+  test("slidingChunks: coverage, overlap, short tail, empty doc yields nothing") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, ""), (4L, "   ")                           // no chunks at all
+    ).toDF("doc_id", "text")
+    val got = Packing.slidingChunks(df, col("doc_id"), col("text"),
+        chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens")
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: starts 0,3,6,9 → sizes 4,4,4,1 (short tail); doc 2: one short chunk
+    assert(got === Seq(
+      (1L, 0, 0, 4), (1L, 1, 3, 4), (1L, 2, 6, 4), (1L, 3, 9, 1),
+      (2L, 0, 0, 3)))
+    // every token position is covered: starts tile [0, n) with stride <= chunkSize
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered === (0 until 10).toSet)
+    // fingerprint is over the window CONTENT: same text, same hash
+    val twice = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val fps = Packing.slidingChunks(twice, col("doc_id"), col("text"), 4, 3)
+      .select("chunk_md5").as[String].collect().toSeq
+    assert(fps.distinct.size === 1)
+  }
+
   test("shardAssign: deterministic, dense 1-based positions per shard") {
     val df = (0L until 200L).toDF("doc_id")
     val a = Packing.shardAssign(df, col("doc_id"), 8)

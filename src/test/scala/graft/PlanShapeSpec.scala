@@ -201,6 +201,41 @@ class PlanShapeSpec extends SparkSpec {
       s"semDedup must never plan an unbucketed pairwise product:\n${p.take(1500)}")
   }
 
+  test("q82/q86 chunking and projection: zero hash shuffles — pure generator pipelines") {
+    Seq("q82_chunk_windows", "q86_random_projection").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle (projection + explode only); plan:\n${p.take(1500)}")
+    }
+  }
+
+  test("q83 span fraction: doc-frequency join reuses the fingerprint exchange") {
+    val df = SparkEntry.queries("q83_dup_span_frac")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // pairs-distinct and doc-frequency both partition by fp: the join back
+    // must reuse that exchange, leaving fp + the final per-doc aggregate
+    assert(p.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(fp".r.findAllIn(p).length <= 2,
+      s"fp partitioning must be shared, not rebuilt:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
+      "span join stays keyed — never pairwise")
+  }
+
+  test("q84 count-min: ONE tiny sketch broadcast, probes never re-shuffle for the estimate") {
+    val df = SparkEntry.queries("q84_cms_user_counts")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row sketch must broadcast to the probe side:\n${p.take(1500)}")
+    // the key-count aggregate is the only hash shuffle the estimates need
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"estimate pass must not add shuffles beyond the count + sketch agg, got $exchanges:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)

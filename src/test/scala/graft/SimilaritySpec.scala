@@ -20,6 +20,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2) + 1.0) < 1e-12)
   }
 
+  test("randomProject: 16 components per vector, JL distortion bounded on the fixture") {
+    val emb = Tables.embeddings(spark, sf)
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", dim = 64, outDim = 16)
+    val byId = proj.as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    assert(byId.values.forall(_.length === 16))
+    val orig = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap.map { case (k, v) => k -> v.toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // pairwise angle preservation vs vec 0: 16 Rademacher dims give
+    // ~1/sqrt(16) typical distortion (individual pairs can deviate well
+    // past it — that is JL working as specified, not a bug); the fixture is
+    // deterministic so these bounds are stable, not statistical
+    val ids = orig.keys.toSeq.sorted.take(101)
+    def devs(proj: Map[Long, Array[Double]]) = ids.tail.map { i =>
+      math.abs(cos(proj(ids.head), proj(i)) - cos(orig(ids.head), orig(i)))
+    }
+    val d16 = devs(byId.map { case (k, v) => k -> v.toArray })
+    assert(d16.sum / d16.size < 0.2, s"mean distortion ${d16.sum / d16.size}")
+    // and the JL knob works: 4x the output dims tightens the distortion
+    val by64 = Similarity.randomProject(emb, "vec_id", "embedding", dim = 64, outDim = 64)
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toArray }
+    val d64 = devs(by64)
+    assert(d64.sum / d64.size < d16.sum / d16.size,
+      s"64-dim mean ${d64.sum / d64.size} not below 16-dim mean ${d16.sum / d16.size}")
+  }
+
   test("native cosine expression is bit-identical to the composed form") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

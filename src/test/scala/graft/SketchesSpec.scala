@@ -24,6 +24,53 @@ class SketchesSpec extends SparkSpec {
     assert(summary("hot") >= 100L && summary("hot") <= 200L)
   }
 
+  test("count-min never underestimates, is linear under merge, and goes exact without collisions") {
+    import graft.functions.PortableHash
+    val agg = Sketches.countMin(4, 64)
+    val items = Seq("alpha" -> 5L, "beta" -> 3L, "gamma" -> 7L, "delta" -> 1L,
+      "epsilon" -> 11L, "zeta" -> 2L)
+    // linearity: sketch(A ++ B) == sketch(A) + sketch(B) elementwise
+    val (a, b) = items.splitAt(3)
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq === merged.toSeq)
+    // estimates: min over rows, never below truth
+    def est(sk: Array[Long], k: String): Long =
+      (0 until 4).map(r => sk(r * 64 + (PortableHash.poly(k, Sketches.CmsBases(r)) % 64).toInt)).min
+    items.foreach { case (k, n) => assert(est(whole, k) >= n) }
+    // this fixture is collision-free in at least one row per key (verified
+    // here, not assumed), so every estimate is exact
+    items.foreach { case (k, n) =>
+      val exactRow = (0 until 4).exists { r =>
+        val bkt = PortableHash.poly(k, Sketches.CmsBases(r)) % 64
+        items.forall { case (o, _) =>
+          o == k || PortableHash.poly(o, Sketches.CmsBases(r)) % 64 != bkt }
+      }
+      assert(exactRow, s"fixture has no collision-free row for $k — change keys")
+      assert(est(whole, k) === n)
+    }
+  }
+
+  test("countMinEstimates: distributed plan matches the scalar sketch, overestimate on every row") {
+    val counts = Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val got = Sketches.countMinEstimates(counts, d = 4, w = 256)
+      .select("k", "n", "cms_est").as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, n, e) => e >= n }, "CMS must never underestimate")
+    // scalar replay of the same sketch agrees cell-for-cell with the plan
+    val agg = Sketches.countMin(4, 256)
+    val sk = got.map { case (k, n, _) => (k, n) }
+      .foldLeft(agg.zero)(agg.reduce)
+    got.foreach { case (k, _, e) =>
+      val scalar = (0 until 4).map(r =>
+        sk(r * 256 + (graft.functions.PortableHash.poly(k, Sketches.CmsBases(r)) % 256).toInt)).min
+      assert(scalar === e, s"plan/scalar drift for $k")
+    }
+  }
+
   test("Misra-Gries via groupByKey on the documents table agrees with exact hitters") {
     val docs = Tables.documents(spark, sf)
       .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))

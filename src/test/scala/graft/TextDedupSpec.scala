@@ -131,6 +131,25 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("doc_id") >= 1000000L).count() === 0)
   }
 
+  test("dupSpanFraction scores partial copies; self-repetition is not duplication") {
+    // doc 1: 8 tokens = 2 spans of 4; doc 2 copies doc 1's first span only;
+    // doc 3 is clean; doc 4 repeats ITS OWN span twice (self-repetition)
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x1 x2 x3 x4"),
+      (3L, "p q r s t u v w"),
+      (4L, "m n o p m n o p")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanFraction(df, "doc_id", "text", spanTokens = 4, flagAt = 0.5)
+      .select("doc_id", "n_spans", "n_dup_spans", "dup_frac", "is_dup")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 0.5, true),   // half of doc 1 lives in doc 2
+      (2L, 2L, 1L, 0.5, true),
+      (3L, 2L, 0L, 0.0, false),
+      (4L, 1L, 0L, 0.0, false))) // distinct spans: own repeat collapses, no other doc has it
+  }
+
   test("Bloom-prefiltered incremental dedup is bit-identical to the anti-join form") {
     val docs = graft.Tables.documents(spark, sf)
     val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
