@@ -200,6 +200,16 @@ object PrepQueries {
         .orderBy("o_custkey", "rank")
     },
 
+    // Vocabulary build + dictionary encoding: corpus tokens ranked
+    // (freq DESC, token) into dense ids, every document re-emitted as
+    // (doc_id, pos, token_id) against the broadcast vocab.
+    "q87_vocab_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Vocab.build(docs, "text")
+      graft.operators.Vocab.encode(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id", "pos")
+    },
+
     // Count-min frequency estimates for every user over the event stream:
     // the sketch is one d×w array per mapper (linear merge), estimates read
     // min-of-4-cells lazily in-plan against the broadcast one-row sketch —
@@ -240,6 +250,22 @@ object PrepQueries {
       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q87_vocab_encode" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |vocab AS (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(w) AS token FROM t) GROUP BY token),
+        |ranked AS (
+        |  SELECT token, (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS token_id
+        |  FROM vocab),
+        |pos AS (
+        |  SELECT doc_id, (i - 1)::INT AS pos, w[i] AS token
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t))
+        |SELECT p.doc_id, p.pos, r.token_id
+        |FROM pos p JOIN ranked r USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // The identical d=4 × w=256 sketch rebuilt in SQL: per-key buckets from
     // the shared poly fold (bases 31/131/137/139), per-(row,bucket) cell

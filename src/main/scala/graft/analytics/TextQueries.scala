@@ -180,6 +180,22 @@ object TextQueries {
         .orderBy("chunk")
     },
 
+    // Unicode NFC ahead of fingerprinting: every doc gets a DECOMPOSED
+    // accent suffix (e + combining acute, 2 codepoints); NFC composes it,
+    // so the char count drops by one and the md5 is the composed form's —
+    // the native UnicodeNormalize expression, proven cross-engine.
+    "q88_unicode_nfc" -> { (s, dir) =>
+      // explicit escape: "e" + U+0301 combining acute — the source file must
+      // carry the DECOMPOSED sequence regardless of editor normalization
+      val suffixed = concat(col("text"), lit(" cafe\u0301"))
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(suffixed).as("len_raw"),
+          length(Text.normalizeUnicode(suffixed)).as("len_nfc"),
+          md5(Text.normalizeUnicode(suffixed)).as("fp_nfc"))
+        .orderBy("doc_id")
+    },
+
     // Per-doc duplicate-span fraction over the prefix-cloned corpus: even
     // docs' first two 20-token spans exist in their truncated twins, so the
     // score separates partial copies from clean docs without any whole-doc
@@ -446,6 +462,13 @@ object TextQueries {
         |            ELSE 'de' END AS predicted_lang
         |FROM h
         |ORDER BY doc_id""".stripMargin,
+
+    "q88_unicode_nfc" ->
+      """SELECT doc_id,
+        |       length(text || ' cafe' || chr(769))::INT AS len_raw,
+        |       length(nfc_normalize(text || ' cafe' || chr(769)))::INT AS len_nfc,
+        |       md5(nfc_normalize(text || ' cafe' || chr(769))) AS fp_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Span fingerprints mirror the q82 chunking oracle (20-token windows,
     // stride = size); the prefix-clone corpus mirrors corpusWithPrefixClones.

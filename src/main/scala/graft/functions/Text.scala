@@ -25,6 +25,13 @@ object Text {
   /** Token count (whitespace). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Unicode normalization (default NFC) — run it BEFORE fingerprinting or
+    * dedup: composed vs decomposed text hashes differently while rendering
+    * identically. Native expression (codegen), zero-dependency JDK
+    * normalizer. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.UnicodeNormalize.column(c, form)
+
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token — the usual cheap proxy for subword
     * tokenizer cost. */

@@ -34,6 +34,20 @@ class PackingSpec extends SparkSpec {
       (4L, 2500L, 1L), (5L, 4548L, 2L)))
   }
 
+  test("Vocab: dense freq-ranked ids; OOV encodes in place instead of shifting positions") {
+    import graft.operators.Vocab
+    val docs = Seq((1L, "b a a c a b"), (2L, "a b")).toDF("doc_id", "text")
+    // freqs: a=4 b=3 c=1 → ids 0, 1, 2
+    val vocab = Vocab.build(docs, "text")
+    assert(vocab.select("token", "token_id").as[(String, Long)].collect().toMap ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // unknown token 'z' gets oovId at ITS position; 'a' stays at pos 2
+    val enc = Vocab.encode(Seq((9L, "c z a")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .orderBy("pos").as[(Long, Int, Long)].collect().toSeq
+    assert(enc === Seq((9L, 0, 2L), (9L, 1, -1L), (9L, 2, 0L)))
+  }
+
   test("slidingChunks: coverage, overlap, short tail, empty doc yields nothing") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens

@@ -236,6 +236,17 @@ class PlanShapeSpec extends SparkSpec {
       s"estimate pass must not add shuffles beyond the count + sketch agg, got $exchanges:\n${p.take(2000)}")
   }
 
+  test("q87 vocab encode: dictionary broadcasts; only the vocab count hash-shuffles") {
+    val df = SparkEntry.queries("q87_vocab_encode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab must broadcast to the exploded corpus:\n${p.take(1500)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"corpus-side work is one count shuffle (vocab rank is vocab-sized), got $exchanges:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)

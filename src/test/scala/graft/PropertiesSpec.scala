@@ -222,6 +222,53 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("slidingChunks: windows tile [0,n) exactly, sizes capped, reassembly = tokens") =
+    Prop.forAll(Gen.listOfN(4, docGen),
+      Gen.chooseNum(2, 12), Gen.chooseNum(1, 12)) { (docs, chunkSize, stride0) =>
+      val stride = math.min(stride0, chunkSize)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val rows = graft.operators.Packing
+        .slidingChunks(df, col("id"), col("text"), chunkSize, stride)
+        .select("id", "chunk_idx", "start_tok", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      docs.indices.forall { i =>
+        val n = docs(i).trim.split("\\s+").count(_.nonEmpty)
+        val mine = rows.filter(_._1 == i.toLong).sortBy(_._2)
+        val covered = mine.flatMap(r => r._3 until (r._3 + r._4)).toSet
+        mine.forall(r => r._4 <= chunkSize && r._3 == r._2 * stride) &&
+          covered == (0 until n).toSet &&
+          mine.length == (if (n == 0) 0 else (n - 1) / stride + 1)
+      }
+    }
+
+  property("vocab encode/decode round-trips every document's token sequence") =
+    Prop.forAll(Gen.nonEmptyListOf(docGen).map(_.take(6))) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val vocab = graft.operators.Vocab.build(df, "text")
+      val idToTok = vocab.collect().map(r => r.getLong(2) -> r.getString(0)).toMap
+      val enc = graft.operators.Vocab.encode(df, "doc_id", "text", vocab)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(1)).map(r => idToTok(r.getLong(2)))).toMap
+      // dense ids 0..V-1, and decoding reproduces the exact token stream
+      idToTok.keys.toSeq.sorted == (0L until idToTok.size.toLong) &&
+        docs.indices.forall(i =>
+          enc(i.toLong).toSeq == docs(i).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    }
+
+  property("count-min never underestimates for arbitrary weighted keys and merge splits") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.identifier.map(_.take(5)), Gen.chooseNum(1L, 50L))).map(_.take(20)),
+      Gen.chooseNum(1, 19)) { (items, cut) =>
+      val agg = graft.operators.Sketches.countMin(3, 32)
+      val (a, b) = items.splitAt(math.min(cut, items.length))
+      val sk = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      val truth = items.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      truth.forall { case (k, n) =>
+        (0 until 3).map(r => sk(r * 32 +
+          (graft.functions.PortableHash.poly(k, graft.operators.Sketches.CmsBases(r)) % 32).toInt)).min >= n
+      }
+    }
+
   property("decontamination n_shared == |distinct k-gram intersection| (brute force)") =
     Prop.forAll(Gen.listOfN(4, docGen), Gen.listOfN(2, docGen)) { (train, eval) =>
       def grams(t: String) =

@@ -19,6 +19,35 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("Trigger.AvailableNow drains a file backlog across micro-batches then stops (T1 catch-up)") {
+    // the reference's scheduled 30-min DAG loop is "process whatever landed,
+    // then exit" — AvailableNow is that contract on a streaming source
+    val srcDir = Files.createTempDirectory("graft-backfill-src").toString
+    val events = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    events.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val nFiles = new java.io.File(srcDir).list().count(_.endsWith(".parquet"))
+    assert(nFiles > 1, "fixture must span several files to prove multi-batch drain")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1) // force one micro-batch per file
+      .parquet(srcDir)
+      .groupBy("event_type").agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("backfill")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-backfill-ck").toString)
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate by itself")
+
+    val got = spark.table("backfill").as[(String, Double, Long)]
+      .collect().map(t => t._1 -> ((math.rint(t._2 * 100) / 100), t._3)).toMap
+    val want = events.groupBy("event_type")
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)]
+      .collect().map(t => t._1 -> ((math.rint(t._2 * 100) / 100), t._3)).toMap
+    assert(got === want, "backlog drain must equal the batch aggregate")
+  }
+
   test("streaming hourly buckets equal the batch aggregation (incremental over memory stream)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -15,6 +15,30 @@ class TextSpec extends SparkSpec {
     assert(df.as[(Int, Int)].collect().toSeq === Seq((3, 3), (3, 4), (1, 1)))
   }
 
+  test("normalizeUnicode: NFC composes, NFD decomposes, dedup fingerprints converge") {
+    val decomposed = "cafe\u0301"  // e + combining acute, 5 codepoints
+    val composed = "caf\u00e9"     // é, 4 codepoints
+    val df = Seq((decomposed, composed)).toDF("d", "c")
+    val row = df.select(
+      Text.normalizeUnicode(col("d")).as("nfc_d"),
+      Text.normalizeUnicode(col("c")).as("nfc_c"),
+      Text.normalizeUnicode(col("c"), "NFD").as("nfd_c"),
+      length(col("d")).as("lr"),
+      length(Text.normalizeUnicode(col("d"))).as("ln"))
+      .as[(String, String, String, Int, Int)].head()
+    assert(row._1 === composed && row._2 === composed, "NFC must compose both spellings")
+    assert(row._3 === decomposed, "NFD must decompose")
+    assert(row._4 === 5 && row._5 === 4)
+    // the dedup motivation: same visible text, one fingerprint after NFC
+    val fps = Seq((1L, decomposed), (2L, composed)).toDF("doc_id", "text")
+      .select(Text.fingerprint(Text.normalizeUnicode(col("text"))).as("fp"))
+      .as[String].collect()
+    assert(fps.distinct.length === 1, "NFC must unify composed/decomposed fingerprints")
+    // null passthrough + bad form fails at construction
+    assert(df.select(Text.normalizeUnicode(lit(null).cast("string"))).head().isNullAt(0))
+    intercept[IllegalArgumentException] { Text.normalizeUnicode(col("d"), "NFX") }
+  }
+
   test("empty and whitespace-only text has ZERO tokens, not one phantom") {
     val counts = Seq("", "   ", "\t\n", "a").toDF("t")
       .select(Text.tokenCount(col("t")).as("n")).as[Int].collect().toSeq
