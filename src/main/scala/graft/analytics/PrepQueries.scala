@@ -200,6 +200,31 @@ object PrepQueries {
         .orderBy("o_custkey", "rank")
     },
 
+    // REAL multimodal decode round-trip: per doc, an 8-bit grayscale BMP
+    // (6x5 — width chosen so the 4-byte row padding path actually runs)
+    // and a PCM16 WAV are SYNTHESIZED as bytes, parsed back by the real
+    // bare-JDK decoders, and reduced to stats. The oracle reproduces the
+    // generator arithmetic only — any parser defect (padding, bottom-up
+    // rows, chunk walk, sign handling) breaks the hash.
+    "q89_media_decode" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val (w, h, px) = Multimodal.decodeBmpGray8(
+              Multimodal.syntheticBmpGray8(id, 6, 5))
+            val smp = Multimodal.decodeWavPcm16(
+              Multimodal.syntheticWavPcm16(id, 64))
+            (id, w, h, px.map(_.toLong).sum, px.min, px.max,
+              smp.length, smp.map(v => v.toLong * v).sum)
+          }
+        }
+        .toDF("media_id", "width", "height", "px_sum", "px_min", "px_max",
+          "n_samples", "amp_sum_sq")
+        .orderBy("media_id")
+    },
+
     // Vocabulary build + dictionary encoding: corpus tokens ranked
     // (freq DESC, token) into dense ids, every document re-emitted as
     // (doc_id, pos, token_id) against the broadcast vocab.
@@ -250,6 +275,29 @@ object PrepQueries {
       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // Only the generator formulas — pixel ((id*31 + y*6 + x)*17) % 256 and
+    // sample ((id*7 + t*13) % 65536) - 32768 — never the bytes: the binary
+    // round trip is the Spark side's burden.
+    "q89_media_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+        |px AS (
+        |  SELECT media_id, ((media_id*31 + y.y*6 + x.x) * 17) % 256 AS p
+        |  FROM ids, (SELECT unnest(range(6)) AS x) x, (SELECT unnest(range(5)) AS y) y),
+        |istats AS (
+        |  SELECT media_id, sum(p)::BIGINT AS px_sum,
+        |         min(p)::INT AS px_min, max(p)::INT AS px_max
+        |  FROM px GROUP BY media_id),
+        |smp AS (
+        |  SELECT media_id, ((media_id*7 + t.t*13) % 65536) - 32768 AS v
+        |  FROM ids, (SELECT unnest(range(64)) AS t) t),
+        |astats AS (
+        |  SELECT media_id, count(*)::INT AS n_samples, sum(v*v)::BIGINT AS amp_sum_sq
+        |  FROM smp GROUP BY media_id)
+        |SELECT i.media_id, 6 AS width, 5 AS height, i.px_sum, i.px_min, i.px_max,
+        |       a.n_samples, a.amp_sum_sq
+        |FROM istats i JOIN astats a USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     "q87_vocab_encode" ->
       """WITH t AS (
@@ -303,9 +351,13 @@ object PrepQueries {
 
     // DuckDB list slices are 1-based inclusive and clamp at the list end —
     // exactly Spark's slice(arr, start, length) behavior for the tail chunk.
+    // list_filter drops the [''] phantom that string_split_regex('') yields,
+    // matching Text.tokens' zero-tokens-for-blank convention.
     "q82_chunk_windows" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
         |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
         |c AS (SELECT doc_id, w, unnest(range(0, ((n-1)//96)+1)) AS chunk_idx FROM s)
         |SELECT doc_id, chunk_idx::INT AS chunk_idx, (chunk_idx*96)::INT AS start_tok,

@@ -479,7 +479,9 @@ object TextQueries {
         |  SELECT doc_id + 1000000,
         |         array_to_string((string_split_regex(trim(text), '\s+'))[1:40], ' ')
         |  FROM documents WHERE doc_id % 2 = 0),
-        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+        |t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |      FROM corpus),
         |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
         |sp AS (
         |  SELECT doc_id, md5(array_to_string(w[ci*20+1 : ci*20+20], ' ')) AS fp

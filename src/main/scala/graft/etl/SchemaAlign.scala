@@ -36,6 +36,9 @@ object SchemaAlign {
     val src = df.schema.fields.map(f => key(f.name) -> f).toMap
     require(src.size == df.schema.size,
       "source has columns identical up to case — alignment would be ambiguous")
+    require(target.fields.map(f => key(f.name)).distinct.length == target.size,
+      "target has columns identical up to case — two target fields would bind " +
+        "the same source column and the output could not be resolved downstream")
     val cols = target.fields.map { tf =>
       src.get(key(tf.name)) match {
         case Some(sf) if sf.dataType == tf.dataType => col(sf.name).as(tf.name)

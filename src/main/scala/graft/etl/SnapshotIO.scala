@@ -62,6 +62,32 @@ object SnapshotIO {
     }
   }
 
+  /** Small-file compaction: rewrite the snapshot into ~`targetRowsPerFile`
+    * rows per file and swap it in via [[replace]] (same crash-safety). An
+    * incrementally-merged snapshot accretes one file set per run; at scale
+    * the scan's task count — and the NameNode/listing pressure — grows with
+    * file count, not data size, until a compaction pass resets it. Content
+    * is untouched: same rows, fewer files.
+    *
+    * Uses repartition (round-robin shuffle) for uniformly-sized output
+    * files; pass `byCols` to cluster by those columns instead (hash
+    * shuffle) so later filters on them skip whole files via min/max stats.
+    * One count() to size the output — a metadata-cheap aggregate against
+    * one full rewrite is noise. */
+  def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
+              byCols: Seq[String] = Nil): Long = {
+    require(targetRowsPerFile > 0)
+    val snap = spark.read.parquet(dir)
+    val rows = snap.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val laidOut =
+      if (byCols.isEmpty) snap.repartition(nFiles)
+      else snap.repartition(nFiles, byCols.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(byCols.map(org.apache.spark.sql.functions.col): _*)
+    replace(spark, laidOut, dir)
+    nFiles.toLong
+  }
+
   /** Replace ONLY the partitions present in `df` (written partitioned by
     * `partitionCol`): write staging partitioned, then swap each staged
     * partition directory into the target. Untouched partitions' files are

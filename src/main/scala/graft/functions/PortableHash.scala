@@ -52,14 +52,20 @@ object PortableHash {
   /** Polynomial rolling hash mod [[PolyMod]] — the same recurrence the
     * winnowing fingerprints use Spark-side (`(acc*base + codepoint) % p`),
     * which DuckDB replicates with `list_reduce` over `ascii(substr(...))`.
-    * ASCII-safe; for non-ASCII text both sides hash UTF-16/codepoint units
-    * the same way only within the BMP. */
+    *
+    * Iterates CODEPOINTS, not UTF-16 units: [[polySql]] compiles to Spark's
+    * `length`/`substring`/`ascii`, which are codepoint-based (as are
+    * DuckDB's), so a char-unit fold here would make the scalar and
+    * expression forms of the SAME hash disagree on any non-BMP character —
+    * e.g. a count-min sketch built by the scalar (Aggregator) and probed by
+    * the expression would read the wrong cell and underestimate. */
   def poly(s: String, base: Long): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * base + s.charAt(i).toLong) % PolyMod
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * base + cp.toLong) % PolyMod
+      i += Character.charCount(cp)
     }
     acc
   }

@@ -7,11 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed batch-wise per partition.
   *
   * The Spark-side mechanics here are real and tested — schema, partition
-  * iteration, batch shape, feature-column output. The DECODE itself is a
-  * STUB: this container ships no image/audio codecs, so [[decodeFeatures]]
-  * computes a deterministic fake (byte histogram + length) where a real
-  * deployment would call the codec. Swap `stubDecode` for the real kernel;
-  * nothing else changes.
+  * iteration, batch shape, feature-column output. Decode comes in two
+  * tiers:
+  *
+  *  - UNCOMPRESSED containers decode for real on the bare JDK:
+  *    [[decodeBmpGray8]] (8-bit grayscale BMP — header validation, palette
+  *    skip, bottom-up rows, 4-byte row padding) and [[decodeWavPcm16]]
+  *    (RIFF chunk walk, PCM16 little-endian). q89 round-trips synthesized
+  *    files through these parsers and hash-checks the decoded statistics.
+  *  - CODEC formats (JPEG/PNG/MP3/H.264) remain a STUB: this container
+  *    ships no codec libraries, so [[decodeFeatures]] computes a
+  *    deterministic fake (byte histogram + length) where a real deployment
+  *    would call the codec. Swap `stubDecode` for the real kernel; nothing
+  *    else changes.
   */
 object Multimodal {
 
@@ -69,6 +77,123 @@ object Multimodal {
         MediaRow(r.media_id, s"${r.mime};resize=1/$factor", out)
       }
     }
+  }
+
+  // ---- real decoders for uncompressed containers (bare-JDK, no codecs) ----
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+  }
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+  }
+
+  /** Deterministic 8-bit grayscale BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    * + 256-entry gray palette + bottom-up, 4-byte-padded rows. Pixel (x,y)
+    * of media `id` is `((id*31 + y*width + x) * 17) mod 256` — pure integer
+    * arithmetic an external oracle reproduces without parsing a byte. */
+  def syntheticBmpGray8(id: Long, width: Int, height: Int): Array[Byte] = {
+    val rowSize = (width + 3) / 4 * 4
+    val dataOffset = 14 + 40 + 256 * 4
+    val out = new Array[Byte](dataOffset + rowSize * height)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length); putLe32(out, 10, dataOffset)
+    putLe32(out, 14, 40); putLe32(out, 18, width); putLe32(out, 22, height)
+    putLe16(out, 26, 1); putLe16(out, 28, 8) // planes, bpp
+    putLe32(out, 30, 0) // BI_RGB
+    (0 until 256).foreach { k =>
+      val o = 54 + k * 4
+      out(o) = k.toByte; out(o + 1) = k.toByte; out(o + 2) = k.toByte
+    }
+    var y = 0
+    while (y < height) {
+      val rowStart = dataOffset + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        out(rowStart + x) = (((id * 31 + y.toLong * width + x) * 17) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL 8-bit grayscale BMP parse: magic, offsets, bpp/compression
+    * checks, bottom-up row order, row padding. Returns (width, height,
+    * pixels row-major top-down, values 0-255). */
+  def decodeBmpGray8(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    val dataOffset = le32(b, 10)
+    val width = le32(b, 18)
+    val height = le32(b, 22)
+    require(le16(b, 28) == 8, s"not 8bpp: ${le16(b, 28)}")
+    require(le32(b, 30) == 0, "compressed BMP unsupported")
+    require(width > 0 && height > 0, "top-down/degenerate BMP unsupported")
+    val rowSize = (width + 3) / 4 * 4
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val rowStart = dataOffset + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) { px(y * width + x) = b(rowStart + x) & 0xFF; x += 1 }
+      y += 1
+    }
+    (width, height, px)
+  }
+
+  /** Deterministic PCM16 mono WAV: RIFF/WAVE with fmt + data chunks.
+    * Sample t of media `id` is `((id*7 + t*13) mod 65536) - 32768`. */
+  def syntheticWavPcm16(id: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val out = new Array[Byte](44 + dataBytes)
+    "RIFF".getBytes.copyToArray(out, 0); putLe32(out, 4, 36 + dataBytes)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12); putLe32(out, 16, 16)
+    putLe16(out, 20, 1); putLe16(out, 22, 1) // PCM, mono
+    putLe32(out, 24, sampleRate); putLe32(out, 28, sampleRate * 2)
+    putLe16(out, 32, 2); putLe16(out, 34, 16) // block align, bits
+    "data".getBytes.copyToArray(out, 36); putLe32(out, 40, dataBytes)
+    var t = 0
+    while (t < nSamples) {
+      putLe16(out, 44 + t * 2, (((id * 7 + t.toLong * 13) % 65536) - 32768).toInt & 0xFFFF)
+      t += 1
+    }
+    out
+  }
+
+  /** REAL PCM16 WAV parse: RIFF/WAVE magic, then a proper chunk WALK to
+    * `data` (fmt validated on the way; extra chunks skipped, odd sizes
+    * padded per spec). Returns signed samples. */
+  def decodeWavPcm16(b: Array[Byte]): Array[Int] = {
+    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+    var o = 12
+    var samples: Array[Int] = null
+    while (o + 8 <= b.length && samples == null) {
+      val cid = new String(b, o, 4, "US-ASCII")
+      val size = le32(b, o + 4)
+      cid match {
+        case "fmt " =>
+          require(le16(b, o + 8) == 1, "non-PCM WAV unsupported")
+          require(le16(b, o + 10) == 1, "stereo unsupported")
+          require(le16(b, o + 22) == 16, "not 16-bit")
+        case "data" =>
+          samples = Array.tabulate(size / 2) { t =>
+            val u = le16(b, o + 8 + t * 2)
+            if (u >= 32768) u - 65536 else u
+          }
+        case _ => () // skip unknown chunk
+      }
+      o += 8 + size + (size & 1) // chunks pad to even length
+    }
+    require(samples != null, "no data chunk")
+    samples
   }
 
   /** Fixture builder: wrap a text column as binary "media" (UTF-8) so the

@@ -123,7 +123,15 @@ object Sketches {
   def countMinEstimates(keyed: DataFrame, d: Int, w: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    val sketch = keyed.select(col("k"), col("n").cast("long"))
+    // `keyed` feeds BOTH the sketch aggregate and the probe side, and the
+    // typed-Aggregator subplan does not canonicalize equal to the probe
+    // subplan (no ReusedExchange) — persist it so an expensive upstream
+    // lineage (the whole point of a sketch is a corpus-sized input) runs
+    // once, not twice. The key table is the deduped key set, orders of
+    // magnitude smaller than the stream it summarizes; LRU eviction owns
+    // its lifetime after this plan is consumed.
+    val k = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = k.select(col("k"), col("n").cast("long"))
       .as[(String, Long)]
       .select(countMin(d, w).toColumn.name("sketch"))
       .toDF("sketch")
@@ -132,7 +140,7 @@ object Sketches {
         % w).cast("int")
       element_at(col("sketch"), bucket + lit(r * w + 1))
     }
-    keyed.crossJoin(broadcast(sketch))
+    k.crossJoin(broadcast(sketch))
       .withColumn("cms_est", if (cells.length == 1) cells.head else least(cells: _*))
       .drop("sketch")
   }

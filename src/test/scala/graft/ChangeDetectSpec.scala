@@ -58,6 +58,11 @@ class ChangeDetectSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.etl.SchemaAlign.align(dup, StructType(Seq(StructField("a", IntegerType))))
     }
+    // ...and so must an ambiguous TARGET (two fields binding one source col)
+    intercept[IllegalArgumentException] {
+      graft.etl.SchemaAlign.align(Seq(1).toDF("a"), StructType(Seq(
+        StructField("a", IntegerType), StructField("A", StringType))))
+    }
   }
 
   test("forget returns the CLEANED tables (an audit alone deletes nothing) and both agree") {

@@ -67,12 +67,81 @@ class PipelineSpec extends SparkSpec {
   }
 }
 
+/** Snapshot maintenance: compaction resets file counts without touching rows. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact: fewer files, identical rows; clustered mode isolates keys per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/snap"
+    val rows = (1L to 4000L).map(i => (i, (i % 8).toString, i * 1.5))
+    rows.toDF("id", "k", "v").repartition(16).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = files
+    assert(before >= 8, s"fixture must be fragmented, got $before files")
+
+    val n = graft.etl.SnapshotIO.compact(spark, dir, targetRowsPerFile = 2000L)
+    assert(n === 2L && files === 2, s"expected 2 files, got $files")
+    assert(spark.read.parquet(dir).as[(Long, String, Double)].collect().sorted.toSeq
+      === rows.sorted.toSeq, "compaction must not change content")
+
+    // clustered compaction: every distinct k lives in exactly ONE file, so
+    // a filter on k can skip whole files via min/max stats
+    graft.etl.SnapshotIO.compact(spark, dir, targetRowsPerFile = 1000L,
+      byCols = Seq("k"))
+    val fileOfK = spark.read.parquet(dir)
+      .select(col("k"), org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(fileOfK.values.forall(_ === 1),
+      s"clustered keys must not straddle files: $fileOfK")
+    assert(spark.read.parquet(dir).count() === 4000L)
+  }
+}
+
 /** Multimodal plumbing: deterministic stub decode, batch shape, frames. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val media = Multimodal.fromText(
     Tables.documents(spark, sf).limit(50), "doc_id", "text")
+
+  test("BMP gray8 round-trip: padded rows, bottom-up order, exact pixels; malformed refused") {
+    // width 6 -> rowSize 8: two pad bytes per row actually exercised
+    val bmp = Multimodal.syntheticBmpGray8(3L, 6, 5)
+    val (w, h, px) = Multimodal.decodeBmpGray8(bmp)
+    assert(w === 6 && h === 5 && px.length === 30)
+    for (y <- 0 until 5; x <- 0 until 6)
+      assert(px(y * 6 + x) === (((3L * 31 + y * 6 + x) * 17) % 256).toInt,
+        s"pixel ($x,$y) wrong — padding or row-order bug")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmpGray8("notabitmap".getBytes)
+    }
+  }
+
+  test("WAV PCM16 round-trip: chunk walk skips extras, signs preserved; non-PCM refused") {
+    val wav = Multimodal.syntheticWavPcm16(5L, 64)
+    val smp = Multimodal.decodeWavPcm16(wav)
+    assert(smp.length === 64)
+    (0 until 64).foreach { t =>
+      assert(smp(t) === (((5L * 7 + t * 13) % 65536) - 32768).toInt)
+    }
+    assert(smp.exists(_ < 0), "fixture must include negative samples to test sign decode")
+    // insert a foreign chunk ('LIST', odd size -> pad byte) before data:
+    // a real file walker must skip it, not mis-read data
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+    putRiffSize(spliced)
+    assert(Multimodal.decodeWavPcm16(spliced).toSeq === smp.toSeq,
+      "chunk walk must skip unknown chunks (with odd-size padding)")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("RIFFxxxxNOPE".getBytes)
+    }
+  }
+
+  private def putRiffSize(b: Array[Byte]): Unit = {
+    val v = b.length - 8
+    b(4) = v.toByte; b(5) = (v >> 8).toByte; b(6) = (v >> 16).toByte; b(7) = (v >> 24).toByte
+  }
 
   test("decodeFeatures: 16-dim normalized histogram + byte length, deterministic") {
     val out = Multimodal.decodeFeatures(media).collect()

@@ -216,11 +216,12 @@ class PlanShapeSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     // pairs-distinct and doc-frequency both partition by fp: the join back
-    // must reuse that exchange, leaving fp + the final per-doc aggregate
+    // must reuse that exchange rather than rebuild it (count every exchange
+    // that carries fp anywhere in its key list)
     assert(p.contains("ReusedExchange") ||
-      "Exchange hashpartitioning\\(fp".r.findAllIn(p).length <= 2,
+      "Exchange hashpartitioning\\([^)]*fp".r.findAllIn(p).length <= 2,
       s"fp partitioning must be shared, not rebuilt:\n${p.take(2000)}")
-    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"),
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "span join stays keyed — never pairwise")
   }
 

@@ -52,6 +52,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("scalar poly == polySql expression beyond the BMP (sketch build/probe consistency)") {
+    import graft.functions.PortableHash
+    // emoji (non-BMP, 2 UTF-16 units, 1 codepoint), accent, plain ascii
+    val keys = Seq("😀", "café", "plain", "mix😀ed")
+    val exprVals = keys.toDF("k")
+      .select(expr(PortableHash.polySql("k", 31L)).as("h")).as[Long].collect()
+    keys.zip(exprVals).foreach { case (k, e) =>
+      assert(PortableHash.poly(k, 31L) === e,
+        s"scalar/expression poly drift on '$k' — CMS would probe the wrong cell")
+    }
+  }
+
   test("countMinEstimates: distributed plan matches the scalar sketch, overestimate on every row") {
     val counts = Tables.events(spark, sf)
       .groupBy(col("user_id").cast("string").as("k"))

@@ -39,13 +39,20 @@ class StreamingSpec extends SparkSpec {
       .start()
     assert(q.awaitTermination(120000), "AvailableNow must terminate by itself")
 
+    // epsilon compare, not 2dp rounding: the incremental and batch plans
+    // accumulate doubles in different orders, and a sum near an x.xx5
+    // boundary would round the two a cent apart — a cliff, not a tolerance
     val got = spark.table("backfill").as[(String, Double, Long)]
-      .collect().map(t => t._1 -> ((math.rint(t._2 * 100) / 100), t._3)).toMap
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
     val want = events.groupBy("event_type")
       .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
       .as[(String, Double, Long)]
-      .collect().map(t => t._1 -> ((math.rint(t._2 * 100) / 100), t._3)).toMap
-    assert(got === want, "backlog drain must equal the batch aggregate")
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (s, n)) =>
+      assert(n === want(k)._2, s"count drift for $k")
+      assert(math.abs(s - want(k)._1) < 1e-6, s"sum drift for $k: $s vs ${want(k)._1}")
+    }
   }
 
   test("streaming hourly buckets equal the batch aggregation (incremental over memory stream)") {
