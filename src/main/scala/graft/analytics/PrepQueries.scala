@@ -301,7 +301,7 @@ object PrepQueries {
 
     "q87_vocab_encode" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
         |vocab AS (
         |  SELECT token, count(*) AS n
         |  FROM (SELECT unnest(w) AS token FROM t) GROUP BY token),
@@ -423,7 +423,7 @@ object PrepQueries {
 
     "q64_heavy_hitters" ->
       """WITH t AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
         |  FROM documents),
         |total AS (SELECT count(*) AS n_total FROM t)
         |SELECT token, count(*) AS n
@@ -439,7 +439,7 @@ object PrepQueries {
 
     "q55_repetition_stats" ->
       """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM documents),
         |base AS (SELECT doc_id, w, len(w) AS n_words FROM w),
         |bg AS (
         |  SELECT doc_id,
@@ -467,7 +467,7 @@ object PrepQueries {
     "q57_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,

@@ -232,7 +232,7 @@ object TextQueries {
     * (unrounded) score so callers replicate the raw-positivity filter. */
   private[analytics] val Bm25OracleCtes: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
       |w AS (
       |  SELECT doc_id, len(toks) AS dlen,
       |         len(list_filter(toks, x -> x = 'table')) AS tf0,
@@ -266,7 +266,7 @@ object TextQueries {
 
   private val winnowOracle: String =
     """WITH w AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
       |  FROM documents WHERE doc_id < 200),
       |kg AS (
       |  SELECT doc_id,
@@ -300,7 +300,7 @@ object TextQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents),
         |t AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
         |sh AS (
         |  SELECT id, CASE WHEN len(toks) >= 3
         |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -341,7 +341,7 @@ object TextQueries {
     // index side only, exactly as the operator does.
     "q72_minhash_incremental" ->
       """WITH t AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |sh AS (
         |  SELECT id, CASE WHEN len(toks) >= 3
         |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -387,7 +387,7 @@ object TextQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents),
         |t AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
         |th AS (SELECT id, unnest(toks) AS tok FROM t),
         |hh AS (
         |  SELECT id, tok,
@@ -418,7 +418,7 @@ object TextQueries {
 
     "q24_token_stats" ->
       """SELECT doc_id,
-        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
@@ -428,7 +428,7 @@ object TextQueries {
         |  SELECT doc_id,
         |         length(text) AS n_chars,
         |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
-        |         string_split_regex(trim(text), '\s+') AS toks
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, n_chars,
@@ -448,7 +448,7 @@ object TextQueries {
 
     "q26_lang_id" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, lang,
@@ -477,7 +477,7 @@ object TextQueries {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
-        |         array_to_string((string_split_regex(trim(text), '\s+'))[1:40], ' ')
+        |         array_to_string((list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))[1:40], ' ')
         |  FROM documents WHERE doc_id % 2 = 0),
         |t AS (SELECT doc_id,
         |             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
@@ -512,7 +512,7 @@ object TextQueries {
 
     "q28_jaccard_pairs" ->
       """WITH toks AS (
-        |  SELECT DISTINCT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  SELECT DISTINCT doc_id AS id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
         |  FROM documents WHERE doc_id < 300),
         |sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
         |inter AS (
@@ -530,7 +530,7 @@ object TextQueries {
     // transitive closure via recursive CTE; cluster = min reachable node
     "q50_dup_clusters" ->
       """WITH RECURSIVE toks AS (
-        |  SELECT DISTINCT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  SELECT DISTINCT doc_id AS id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
         |  FROM documents WHERE doc_id < 300),
         |sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
         |inter AS (
@@ -563,7 +563,7 @@ object TextQueries {
         |  SELECT doc_id, lang,
         |         length(text) AS n_chars,
         |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
-        |         string_split_regex(trim(text), '\s+') AS toks
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |q AS (
         |  SELECT doc_id, lang,
@@ -584,7 +584,7 @@ object TextQueries {
     // train×eval join on the gram, shared-gram count per pair
     "q74_decontaminate" ->
       """WITH t AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |sh AS (
         |  SELECT id, list_distinct(CASE WHEN len(toks) >= 3
         |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -600,7 +600,7 @@ object TextQueries {
 
     "q75_repeated_ngrams" ->
       """WITH t AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |sh AS (
         |  SELECT id, list_distinct(CASE WHEN len(toks) >= 3
         |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
@@ -618,7 +618,7 @@ object TextQueries {
     // hash is 0 mod 8; chunk_id = boundaries strictly before the position.
     "q76_cdc_chunk_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |corpus AS (SELECT id, toks FROM t UNION ALL SELECT id + 1000000, toks FROM t),
         |tok AS (
         |  SELECT id, pos, tok,
@@ -656,7 +656,7 @@ object TextQueries {
     // list_reduce left fold seeded with 0.0, divide by n, round 4dp
     "q78_unigram_nll" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |tok AS (
         |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
         |  FROM t),

@@ -73,19 +73,61 @@ object SnapshotIO {
     * files; pass `byCols` to cluster by those columns instead (hash
     * shuffle) so later filters on them skip whole files via min/max stats.
     * One count() to size the output — a metadata-cheap aggregate against
-    * one full rewrite is noise. */
+    * one full rewrite is noise.
+    *
+    * A snapshot maintained by [[replacePartitions]] keeps its Hive-style
+    * layout: the partition column is re-discovered from the directory
+    * names and the rewrite goes through `partitionBy` — flattening it
+    * would make the NEXT replacePartitions call rename partition dirs
+    * into a directory that also holds root-level files covering every
+    * partition (conflicting structures / duplicated rows on read). */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
               byCols: Seq[String] = Nil): Long = {
     require(targetRowsPerFile > 0)
+    val partCols = partitionColumnsOf(spark, dir)
+    require(partCols.length <= 1,
+      s"multi-level partitioned snapshots unsupported by compact: $partCols")
     val snap = spark.read.parquet(dir)
     val rows = snap.count()
-    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+      .min(Int.MaxValue.toLong).toInt
     val laidOut =
       if (byCols.isEmpty) snap.repartition(nFiles)
       else snap.repartition(nFiles, byCols.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(byCols.map(org.apache.spark.sql.functions.col): _*)
-    replace(spark, laidOut, dir)
+    partCols match {
+      case Seq(pc) =>
+        // same staged-swap discipline as replace(), keeping the layout
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val staging = dir + ".staging-" + token
+        val f = fs(spark, dir)
+        try {
+          laidOut.write.partitionBy(pc).mode("overwrite").parquet(staging)
+          val target = new Path(dir)
+          val old = new Path(dir + ".old-" + token)
+          val hadOld = f.exists(target) && f.rename(target, old)
+          if (!f.rename(new Path(staging), target)) {
+            if (hadOld) f.rename(old, target)
+            throw new java.io.IOException(s"rename $staging -> $dir failed")
+          }
+          if (hadOld) f.delete(old, true)
+        } finally f.delete(new Path(staging), true)
+      case _ => replace(spark, laidOut, dir)
+    }
     nFiles.toLong
+  }
+
+  /** Hive-style partition columns of a snapshot directory, discovered from
+    * first-level `col=value` subdirectory names (the layout
+    * [[replacePartitions]] maintains). Empty for flat snapshots. */
+  private def partitionColumnsOf(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName.takeWhile(_ != '='))
+      .distinct
   }
 
   /** Replace ONLY the partitions present in `df` (written partitioned by

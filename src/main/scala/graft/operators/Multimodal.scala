@@ -126,7 +126,13 @@ object Multimodal {
 
   /** REAL 8-bit grayscale BMP parse: magic, offsets, bpp/compression
     * checks, bottom-up row order, row padding. Returns (width, height,
-    * pixels row-major top-down, values 0-255). */
+    * pixels row-major top-down, values 0-255).
+    *
+    * Every header field is validated against the BUFFER, not trusted: a
+    * media column is opaque bytes from the wild, and a header-lying or
+    * truncated file must refuse with IllegalArgumentException — never
+    * AIOOBE/negative-allocation crashes inside a task (or a giant
+    * pre-allocation an attacker sizes for an executor OOM). */
   def decodeBmpGray8(b: Array[Byte]): (Int, Int, Array[Int]) = {
     require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
     val dataOffset = le32(b, 10)
@@ -135,7 +141,12 @@ object Multimodal {
     require(le16(b, 28) == 8, s"not 8bpp: ${le16(b, 28)}")
     require(le32(b, 30) == 0, "compressed BMP unsupported")
     require(width > 0 && height > 0, "top-down/degenerate BMP unsupported")
+    require(width <= (1 << 20) && height <= (1 << 20) &&
+      width.toLong * height <= (1L << 28), s"implausible dimensions ${width}x$height")
     val rowSize = (width + 3) / 4 * 4
+    require(dataOffset >= 54 &&
+      dataOffset.toLong + rowSize.toLong * height <= b.length,
+      s"pixel array out of bounds: offset=$dataOffset rows=$height rowSize=$rowSize len=${b.length}")
     val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
@@ -169,7 +180,12 @@ object Multimodal {
 
   /** REAL PCM16 WAV parse: RIFF/WAVE magic, then a proper chunk WALK to
     * `data` (fmt validated on the way; extra chunks skipped, odd sizes
-    * padded per spec). Returns signed samples. */
+    * padded per spec). Returns signed samples.
+    *
+    * Chunk sizes are SIGNED 32-bit fields read from untrusted bytes: a
+    * negative or buffer-exceeding size must refuse, not loop forever (a
+    * size of -8 makes the naive advance zero — one hostile row would spin
+    * an executor task for good) or crash on allocation. */
   def decodeWavPcm16(b: Array[Byte]): Array[Int] = {
     require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
@@ -178,8 +194,11 @@ object Multimodal {
     while (o + 8 <= b.length && samples == null) {
       val cid = new String(b, o, 4, "US-ASCII")
       val size = le32(b, o + 4)
+      require(size >= 0 && o + 8 + size.toLong <= b.length,
+        s"chunk '$cid' size $size exceeds buffer (${b.length} bytes, offset $o)")
       cid match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
           require(le16(b, o + 8) == 1, "non-PCM WAV unsupported")
           require(le16(b, o + 10) == 1, "stereo unsupported")
           require(le16(b, o + 22) == 16, "not 16-bit")
@@ -190,7 +209,7 @@ object Multimodal {
           }
         case _ => () // skip unknown chunk
       }
-      o += 8 + size + (size & 1) // chunks pad to even length
+      o += 8 + size + (size & 1) // chunks pad to even length; size >= 0 ⇒ progress
     }
     require(samples != null, "no data chunk")
     samples

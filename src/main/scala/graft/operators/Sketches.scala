@@ -125,12 +125,13 @@ object Sketches {
     import spark.implicits._
     // `keyed` feeds BOTH the sketch aggregate and the probe side, and the
     // typed-Aggregator subplan does not canonicalize equal to the probe
-    // subplan (no ReusedExchange) — persist it so an expensive upstream
-    // lineage (the whole point of a sketch is a corpus-sized input) runs
-    // once, not twice. The key table is the deduped key set, orders of
-    // magnitude smaller than the stream it summarizes; LRU eviction owns
-    // its lifetime after this plan is consumed.
-    val k = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // subplan (no ReusedExchange) — the input's lineage therefore runs
+    // TWICE. When that lineage is expensive (the corpus-sized stream a
+    // sketch exists for), the CALLER persists `keyed` and unpersists after
+    // consuming the result; persisting here would register a CacheManager
+    // entry nobody can release (cached plans are strong references — LRU
+    // only demotes the memory tier, disk blocks survive to app exit).
+    val k = keyed
     val sketch = k.select(col("k"), col("n").cast("long"))
       .as[(String, Long)]
       .select(countMin(d, w).toColumn.name("sketch"))

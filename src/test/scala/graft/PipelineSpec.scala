@@ -96,6 +96,30 @@ class CompactionSpec extends SparkSpec {
       s"clustered keys must not straddle files: $fileOfK")
     assert(spark.read.parquet(dir).count() === 4000L)
   }
+
+  test("compact preserves a Hive-partitioned layout (flattening would corrupt the next partition swap)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/snap"
+    val rows = (1L to 1000L).map(i => (i, s"d${i % 3}"))
+    rows.toDF("id", "day").repartition(8)
+      .write.partitionBy("day").parquet(dir)
+    graft.etl.SnapshotIO.compact(spark, dir, targetRowsPerFile = 500L)
+    // layout survives: still day=* dirs, no root-level data files
+    val root = new java.io.File(dir).listFiles
+    assert(root.exists(f => f.isDirectory && f.getName.startsWith("day=")),
+      "partition directories must survive compaction")
+    assert(!root.exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "no flattened root-level files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000L)
+    assert(back.select("day").distinct().count() === 3L)
+    // ...and the next partition swap still works against the compacted dir
+    val delta = Seq((2000L, "d0")).toDF("id", "day")
+    graft.etl.SnapshotIO.replacePartitions(spark, delta, dir, "day")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("day") === "d0").count() === 1L, "d0 replaced whole")
+    assert(after.filter(col("day") =!= "d0").count() ===
+      rows.count(r => r._2 != "d0").toLong, "other partitions untouched")
+  }
 }
 
 /** Multimodal plumbing: deterministic stub decode, batch shape, frames. */
@@ -136,6 +160,25 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWavPcm16("RIFFxxxxNOPE".getBytes)
     }
+  }
+
+  test("hostile media refuses instead of hanging, crashing, or huge-allocating") {
+    // negative chunk size: the naive advance 8 + (-8) + 0 = 0 spins forever
+    val wav = Multimodal.syntheticWavPcm16(1L, 4)
+    val negChunk = wav.take(36) ++
+      Array[Byte]('J', 'U', 'N', 'K', -8, -1, -1, -1) ++ wav.drop(36)
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(negChunk) }
+    // data size lying past the buffer
+    val lying = wav.clone()
+    lying(40) = 0x7F.toByte; lying(41) = 0x7F.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(lying) }
+    // truncated BMP: header promises pixels the buffer doesn't hold
+    val bmp = Multimodal.syntheticBmpGray8(1L, 6, 5)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmpGray8(bmp.take(60)) }
+    // header-lying BMP: absurd dimensions must refuse before allocating
+    val absurd = bmp.clone()
+    absurd(18) = -1; absurd(19) = -1; absurd(20) = -1; absurd(21) = 0x7F.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeBmpGray8(absurd) }
   }
 
   private def putRiffSize(b: Array[Byte]): Unit = {
