@@ -165,4 +165,33 @@ class SketchSpec extends SparkSpec {
         s"${r.get(0)}: approx $a outside the exact p45-p55 band")
     }
   }
+
+  test("2M-row synthetic smoke: core aggregates and dedup stay distributed and finish") {
+    // 50x the sf0.1 fixture via the DSv2 generator — the partition-planned
+    // reader gives every core 1/32nd of the stream, no driver funnel
+    val big = spark.read.format("graft-synthetic")
+      .option("rows", 2000000L).option("numPartitions", 32).load()
+    assert(big.rdd.getNumPartitions === 32, "generator must honor partition planning")
+
+    // map-side-combinable rollup: category cardinality is tiny, so the
+    // shuffle carries ~categories x mappers rows, not 2M
+    val agg = big.groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("amount").as("total"))
+      .collect()
+    assert(agg.map(_.getLong(1)).sum === 2000000L)
+
+    // exact dedup at 2M: min_by keeps the shuffle at surviving candidates
+    val dups = graft.operators.Dedup.exact(
+      big.select(col("txn_id"), col("txn_uuid").as("text")), "text",
+      Seq(col("txn_id")))
+    assert(dups.count() === 2000000L, "uuids are unique - dedup must keep all")
+
+    // bucketed global cumsum (the q57 shape) at 2M ids without a
+    // single-partition window
+    val packed = graft.operators.Packing.bucketedCumSum(
+      big.select(col("txn_id")).withColumn("one", lit(1L)),
+      col("txn_id"), floor(col("txn_id") / 65536L).cast("long"), col("one"), "cum")
+    val last = packed.agg(max("cum")).head().getLong(0)
+    assert(last === 2000000L, "cumsum must cover every row exactly once")
+  }
 }

@@ -31,6 +31,20 @@ class ValidateSpec extends SparkSpec {
     assert(s.valid.columns.toSeq === df.columns.toSeq)
   }
 
+  test("observed metrics ride the consuming action: counts per rule, zero extra scans") {
+    val df = Seq((1, 10.0), (2, -5.0), (3, 2.0e13), (4, 1.0)).toDF("k", "v")
+    val rules = Seq(
+      "non_negative" -> (col("v") >= 0),
+      "plausible" -> Validate.plausibleMagnitude(col("v")))
+    val (out, obs) = Validate.observed(df, rules)
+    // the ONE action both produces the result and yields the metrics
+    assert(out.count() === 4)
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("bad_non_negative") === 1L) // the -5.0 row
+    assert(m("bad_plausible") === 1L)    // the 2e13 row
+  }
+
   test("streaming dedup drops same-key re-deliveries within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
