@@ -39,30 +39,29 @@ object SchemaAlign {
     require(target.fields.map(f => key(f.name)).distinct.length == target.size,
       "target has columns identical up to case — two target fields would bind " +
         "the same source column and the output could not be resolved downstream")
-    val cols = target.fields.map { tf =>
+    // one resolution pass decides BOTH the projection and its report row —
+    // a second match over the same fields could silently drift from the
+    // columns actually selected
+    val resolved = target.fields.map { tf =>
       src.get(key(tf.name)) match {
-        case Some(sf) if sf.dataType == tf.dataType => col(sf.name).as(tf.name)
-        case Some(sf) => col(sf.name).cast(tf.dataType).as(tf.name)
-        case None => lit(null).cast(tf.dataType).as(tf.name)
+        case Some(sf) if sf.dataType == tf.dataType =>
+          (col(sf.name).as(tf.name),
+            (tf.name, "kept", sf.dataType.simpleString, tf.dataType.simpleString))
+        case Some(sf) =>
+          (col(sf.name).cast(tf.dataType).as(tf.name),
+            (tf.name, "retyped", sf.dataType.simpleString, tf.dataType.simpleString))
+        case None =>
+          (lit(null).cast(tf.dataType).as(tf.name),
+            (tf.name, "null_filled", null: String, tf.dataType.simpleString))
       }
     }
     val targetKeys = target.fields.map(f => key(f.name)).toSet
-    val rows =
-      target.fields.map { tf =>
-        src.get(key(tf.name)) match {
-          case Some(sf) if sf.dataType == tf.dataType =>
-            (tf.name, "kept", sf.dataType.simpleString, tf.dataType.simpleString)
-          case Some(sf) =>
-            (tf.name, "retyped", sf.dataType.simpleString, tf.dataType.simpleString)
-          case None =>
-            (tf.name, "null_filled", null: String, tf.dataType.simpleString)
-        }
-      }.toSeq ++
-        df.schema.fields.filterNot(f => targetKeys.contains(key(f.name)))
-          .map(f => (f.name, "dropped", f.dataType.simpleString, null: String))
+    val rows = resolved.map(_._2).toSeq ++
+      df.schema.fields.filterNot(f => targetKeys.contains(key(f.name)))
+        .map(f => (f.name, "dropped", f.dataType.simpleString, null: String))
     val spark = df.sparkSession
     import spark.implicits._
-    Aligned(df.select(cols.toSeq: _*),
+    Aligned(df.select(resolved.map(_._1).toSeq: _*),
       rows.toDF("column", "status", "source_type", "target_type"))
   }
 }

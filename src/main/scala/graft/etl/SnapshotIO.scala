@@ -41,13 +41,23 @@ object SnapshotIO {
     * target is deleted but the new data not yet in place (a crash mid-swap
     * leaves either the old snapshot or the new one, never neither). Failed
     * writes clean their staging dir up instead of orphaning a full copy. */
-  def replace(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+  def replace(spark: SparkSession, df: DataFrame, dir: String): Unit =
+    stagedSwap(spark, dir)(staging => df.write.mode("overwrite").parquet(staging))
+
+  /** The ONE staged-swap discipline every whole-directory rewrite goes
+    * through ([[replace]], [[compact]]'s layout-preserving branch): run
+    * `write` against a tokened staging path, move the old target aside,
+    * rename staging in, delete the old copy last; on rename failure the old
+    * target is restored, and failed writes clean their staging instead of
+    * orphaning a full copy. */
+  private def stagedSwap(spark: SparkSession, dir: String)
+                        (write: String => Unit): Unit = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = dir + ".staging-" + token
     val f = fs(spark, dir)
     var written = false
     try {
-      df.write.mode("overwrite").parquet(staging)
+      write(staging)
       written = true
       val target = new Path(dir)
       val old = new Path(dir + ".old-" + token)
@@ -91,28 +101,13 @@ object SnapshotIO {
     val rows = snap.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
       .min(Int.MaxValue.toLong).toInt
+    val byExprs = byCols.map(org.apache.spark.sql.functions.col)
     val laidOut =
       if (byCols.isEmpty) snap.repartition(nFiles)
-      else snap.repartition(nFiles, byCols.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(byCols.map(org.apache.spark.sql.functions.col): _*)
-    partCols match {
-      case Seq(pc) =>
-        // same staged-swap discipline as replace(), keeping the layout
-        val token = java.util.UUID.randomUUID().toString.take(8)
-        val staging = dir + ".staging-" + token
-        val f = fs(spark, dir)
-        try {
-          laidOut.write.partitionBy(pc).mode("overwrite").parquet(staging)
-          val target = new Path(dir)
-          val old = new Path(dir + ".old-" + token)
-          val hadOld = f.exists(target) && f.rename(target, old)
-          if (!f.rename(new Path(staging), target)) {
-            if (hadOld) f.rename(old, target)
-            throw new java.io.IOException(s"rename $staging -> $dir failed")
-          }
-          if (hadOld) f.delete(old, true)
-        } finally f.delete(new Path(staging), true)
-      case _ => replace(spark, laidOut, dir)
+      else snap.repartition(nFiles, byExprs: _*).sortWithinPartitions(byExprs: _*)
+    stagedSwap(spark, dir) { staging =>
+      val w = laidOut.write.mode("overwrite")
+      partCols.headOption.fold(w)(pc => w.partitionBy(pc)).parquet(staging)
     }
     nFiles.toLong
   }

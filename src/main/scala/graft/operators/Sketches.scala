@@ -131,8 +131,7 @@ object Sketches {
     // consuming the result; persisting here would register a CacheManager
     // entry nobody can release (cached plans are strong references — LRU
     // only demotes the memory tier, disk blocks survive to app exit).
-    val k = keyed
-    val sketch = k.select(col("k"), col("n").cast("long"))
+    val sketch = keyed.select(col("k"), col("n").cast("long"))
       .as[(String, Long)]
       .select(countMin(d, w).toColumn.name("sketch"))
       .toDF("sketch")
@@ -141,7 +140,7 @@ object Sketches {
         % w).cast("int")
       element_at(col("sketch"), bucket + lit(r * w + 1))
     }
-    k.crossJoin(broadcast(sketch))
+    keyed.crossJoin(broadcast(sketch))
       .withColumn("cms_est", if (cells.length == 1) cells.head else least(cells: _*))
       .drop("sketch")
   }
