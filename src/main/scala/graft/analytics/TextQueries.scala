@@ -44,7 +44,32 @@ object TextQueries {
           array_join(slice(Text.tokens(col("text")), 1, 40), " ").as("text")))
   }
 
+  /** Curation-funnel fixture: the corpus plus full clones (caught by exact
+    * dedup) plus 40-token prefix twins of even docs (caught by the span
+    * filter), all keeping their language. */
+  def corpusForCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    docs
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), col("lang")))
+      .unionByName(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(Text.tokens(col("text")), 1, 40), " ").as("text"),
+          col("lang")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The whole cleaning DAG as ONE verified funnel: exact dedup kills the
+    // full clones, the span filter kills the prefix twins, the per-language
+    // percentile cut and benchmark decontamination run on exactly the
+    // populations that survive to them. Five hash-checked stage counts.
+    "q90_curation_funnel" -> { (s, dir) =>
+      graft.operators.Curate.funnel(corpusForCuration(s, dir),
+          "doc_id", "text", "lang", Stopwords,
+          evalPred = col("doc_id") % 50 === 0)
+        .counts.orderBy("stage")
+    },
 
     // token counting: whitespace + BPE-ish regex tokens, per document.
     "q24_token_stats" -> { (s, dir) =>
@@ -289,6 +314,84 @@ object TextQueries {
       |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // The full funnel in SQL, each stage assembled from the proven oracle
+    // fragments: q27's fingerprint dedup, q83's span fractions, q68's
+    // quality percentile cut, q74's shingle decontamination.
+    "q90_curation_funnel" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text, lang FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text, lang FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         array_to_string((list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))[1:40], ' '),
+        |         lang
+        |  FROM base WHERE doc_id % 2 = 0),
+        |fp AS (
+        |  SELECT doc_id, text, lang,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+        |  FROM corpus),
+        |s1 AS (
+        |  SELECT doc_id, text, lang FROM fp
+        |  QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+        |tw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM s1),
+        |sp AS (
+        |  SELECT doc_id, md5(array_to_string(w[ci*20+1 : ci*20+20], ' ')) AS sfp
+        |  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//20)+1)) AS ci
+        |        FROM tw WHERE len(w) > 0)),
+        |d AS (SELECT DISTINCT doc_id, sfp FROM sp),
+        |ndf AS (SELECT sfp, count(*) AS ndocs FROM d GROUP BY sfp),
+        |fracs AS (
+        |  SELECT d.doc_id,
+        |         sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS frac
+        |  FROM d JOIN ndf USING (sfp) GROUP BY d.doc_id),
+        |s2 AS (SELECT s1.* FROM s1 JOIN fracs USING (doc_id) WHERE frac < 0.5),
+        |t AS (
+        |  SELECT doc_id, text, lang,
+        |         length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM s2),
+        |q AS (
+        |  SELECT doc_id, text, lang,
+        |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |               + (1.0 - CASE WHEN n_chars > 0
+        |                             THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END)*0.4
+        |               + (1.0 - ABS(CASE WHEN len(toks) > 0
+        |                                 THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |                                 ELSE 0.0 END - 0.1))*0.2, 4) AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+        |  FROM q),
+        |s3 AS (SELECT doc_id, text, lang FROM r WHERE pr >= 0.1),
+        |evt AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM corpus WHERE doc_id % 50 = 0),
+        |trt AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM s3 WHERE doc_id % 50 <> 0),
+        |evg AS (
+        |  SELECT DISTINCT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+        |  FROM evt),
+        |trg AS (
+        |  SELECT DISTINCT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+        |  FROM trt),
+        |bad AS (SELECT DISTINCT t.id FROM trg t JOIN evg e USING (gram)),
+        |s4 AS (
+        |  SELECT * FROM s3
+        |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT id FROM bad))
+        |SELECT 's0_input' AS stage, count(*)::BIGINT AS n_docs FROM corpus
+        |UNION ALL SELECT 's1_exact_dedup', count(*)::BIGINT FROM s1
+        |UNION ALL SELECT 's2_span_dedup', count(*)::BIGINT FROM s2
+        |UNION ALL SELECT 's3_quality', count(*)::BIGINT FROM s3
+        |UNION ALL SELECT 's4_decontaminated', count(*)::BIGINT FROM s4
+        |ORDER BY stage""".stripMargin,
 
     // Full MinHash-LSH pipeline in SQL: word 3-shingles → poly-31 base hash
     // → 32 universal-hash minima (family (a,b) from the mix2 LCG, exactly

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** The corpus-curation funnel — the canonical cleaning DAG a pretraining
+  * pipeline runs, composed from this library's operators in the order a
+  * real run uses (cheapest filter first, population-dependent cuts on the
+  * population that survives to them):
+  *
+  *   1. exact dedup       — identical texts collapse to the lowest id
+  *                          ([[Dedup.exact]]; one fingerprint shuffle)
+  *   2. span near-dup     — documents whose distinct 20-token spans mostly
+  *                          exist elsewhere are dropped
+  *                          ([[Dedup.dupSpanFraction]], `>= flagAt` cut)
+  *   3. quality cut       — bottom `qualityCut` fraction PER LANGUAGE by
+  *                          [[Text.qualityScore]] (percent_rank — the cut
+  *                          adapts to each language's distribution, and to
+  *                          the population that survived dedup)
+  *   4. decontamination   — documents sharing any distinct word 3-gram
+  *                          with the held-out eval slice are dropped, as
+  *                          are the eval documents themselves
+  *                          ([[Dedup.decontaminationPairs]])
+  *
+  * Returns the funnel: one (stage, n_docs) row per stage including the
+  * input. Stages CHAIN — each filter sees only prior survivors, so the
+  * percentile cut and span doc-frequencies are computed on the right
+  * population (tag-in-one-pass shortcuts would break exactly that).
+  * The single returned plan recomputes shared prefixes per stage count;
+  * callers running the funnel over a large corpus persist the final
+  * survivor stage and read counts from [[survivors]] instead.
+  */
+object Curate {
+
+  final case class Funnel(stages: Seq[(String, DataFrame)]) {
+    /** The cleaned corpus: survivors of the last stage. */
+    def survivors: DataFrame = stages.last._2
+    /** (stage, n_docs) funnel counts as one plan. */
+    def counts: DataFrame =
+      stages.map { case (name, df) =>
+        df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"))
+      }.reduce(_ unionByName _)
+  }
+
+  def funnel(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+             stopwords: Seq[String], evalPred: Column,
+             spanTokens: Int = 20, dupFlagAt: Double = 0.5,
+             qualityCut: Double = 0.1): Funnel = {
+    val s0 = docs.select(col(idCol), col(textCol), col(langCol))
+
+    val s1 = Dedup.exact(s0, textCol, Seq(col(idCol)))
+      .select(col(idCol), col(textCol), col(langCol))
+
+    val spanScores = Dedup.dupSpanFraction(s1, idCol, textCol, spanTokens, dupFlagAt)
+    val s2 = s1.join(spanScores.filter(!col("is_dup")).select(col(idCol)), idCol)
+
+    val w = Window.partitionBy(langCol).orderBy(col("__q"), col(idCol))
+    val s3 = s2.withColumn("__q", Text.qualityScore(col(textCol), stopwords))
+      .withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= qualityCut)
+      .select(col(idCol), col(textCol), col(langCol))
+
+    val evalDocs = docs.filter(evalPred).select(col(idCol), col(textCol))
+    val contaminated = Dedup.decontaminationPairs(
+        s3.filter(!evalPred), evalDocs, idCol, textCol)
+      .select(col("train_id").as(idCol)).distinct()
+    val s4 = s3.filter(!evalPred).join(contaminated, Seq(idCol), "left_anti")
+
+    Funnel(Seq(
+      "s0_input" -> s0, "s1_exact_dedup" -> s1, "s2_span_dedup" -> s2,
+      "s3_quality" -> s3, "s4_decontaminated" -> s4))
+  }
+}

@@ -155,6 +155,30 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("doc_id") >= 1000000L).count() === 0)
   }
 
+  test("curation funnel: each stage catches its designed victim, order matters") {
+    import graft.operators.Curate
+    val good = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
+    val docs = Seq(
+      (1L, good, "en"),                                   // survives everything
+      (2L, good, "en"),                                   // exact clone -> dies s1
+      (3L, (1 to 10).map(i => s"w$i").mkString(" "), "en"), // 10-token prefix copy -> dies s2 (both spans shared with doc 1)
+      (4L, "x1 x2 x3", "en"),                             // short+unique -> lowest quality -> dies s3
+      (50L, "e1 e2 e3 e4 e5 e6", "en"),                   // eval doc (50 % 50 == 0) -> excluded at s4
+      (5L, "e2 e3 e4 zz yy xx qq rr ss tt uu vv ww aa bb cc dd ee ff gg", "en") // shares eval 3-gram -> dies s4
+    ).toDF("doc_id", "text", "lang")
+    val f = Curate.funnel(docs, "doc_id", "text", "lang", Seq("the", "a"),
+      evalPred = col("doc_id") % 50 === 0, spanTokens = 5, qualityCut = 0.2)
+    val counts = f.counts.as[(String, Long)].collect().toMap
+    assert(counts("s0_input") === 6L)
+    assert(counts("s1_exact_dedup") === 5L, "clone must die at exact dedup")
+    val survivors = f.survivors.select("doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(2L) && !survivors.contains(3L),
+      "clone and prefix copy must not survive")
+    assert(!survivors.contains(50L), "eval docs never enter the training set")
+    assert(!survivors.contains(5L), "contaminated doc must die at s4")
+    assert(survivors.contains(1L), "the clean doc survives the whole funnel")
+  }
+
   test("dupSpanFraction scores partial copies; self-repetition is not duplication") {
     // doc 1: 8 tokens = 2 spans of 4; doc 2 copies doc 1's first span only;
     // doc 3 is clean; doc 4 repeats ITS OWN span twice (self-repetition)
