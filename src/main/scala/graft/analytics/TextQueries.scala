@@ -32,16 +32,21 @@ object TextQueries {
     docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** The ONE prefix-twin construction (first 40 tokens re-joined; token
+    * re-join + re-split is identity on \s+-split text, so twin spans hash
+    * equal) — q83's and q90's fixtures and their oracles' shared corpus CTE
+    * all assume this exact shape, so it must not fork. */
+  private def prefixTwins(docs: DataFrame, offset: Long): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + offset)
+      .withColumn("text", array_join(slice(Text.tokens(col("text")), 1, 40), " "))
+
   /** Partial-duplication fixture: every even doc gets a twin holding only its
     * first 40 tokens — substring-level duplication with no whole-doc clone,
-    * the case span-fraction scoring exists for (token re-join + re-split is
-    * identity on \s+-split text, so the twin's spans hash equal). */
+    * the case span-fraction scoring exists for. */
   def corpusWithPrefixClones(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    docs.unionByName(
-      docs.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          array_join(slice(Text.tokens(col("text")), 1, 40), " ").as("text")))
+    docs.unionByName(prefixTwins(docs, 1000000L))
   }
 
   /** Curation-funnel fixture: the corpus plus full clones (caught by exact
@@ -50,12 +55,8 @@ object TextQueries {
   def corpusForCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
     docs
-      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        col("text"), col("lang")))
-      .unionByName(docs.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(Text.tokens(col("text")), 1, 40), " ").as("text"),
-          col("lang")))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(prefixTwins(docs, 2000000L))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -73,7 +73,8 @@ object SnapshotIO {
   }
 
   /** Small-file compaction: rewrite the snapshot into ~`targetRowsPerFile`
-    * rows per file and swap it in via [[replace]] (same crash-safety). An
+    * rows per file and swap it in via [[stagedSwap]] (same crash-safety as
+    * every whole-directory rewrite). An
     * incrementally-merged snapshot accretes one file set per run; at scale
     * the scan's task count — and the NameNode/listing pressure — grows with
     * file count, not data size, until a compaction pass resets it. Content
