@@ -8,10 +8,11 @@ import graft.functions.{Pii, Rounding, Text}
 import graft.operators.Packing
 
 /** Training-data preparation queries: repetition/quality statistics, PII
-  * redaction, sequence packing, deterministic sharding. These extend the
-  * reference's ordered/windowed family (SURVEY §2.6) with the batch-prep
-  * shapes an LLM corpus pipeline runs ahead of training; all four are
-  * DuckDB-oracle-checked.
+  * redaction, sequence packing, sliding chunking, deterministic sharding,
+  * sketches, vocab encoding, and the real-decoder media round trip. These
+  * extend the reference's ordered/windowed family (SURVEY §2.6) with the
+  * batch-prep shapes an LLM corpus pipeline runs ahead of training; every
+  * query here is DuckDB-oracle-checked.
   */
 object PrepQueries {
 
