@@ -88,11 +88,17 @@ case class AsOfJoinExec(
     val lTs = leftTs; val rTs = rightTs
     val outer = isLeftOuter
 
+    val outAttrs = output
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, leftOutput)
       val rKeyProj = UnsafeProjection.create(rKeys, rightOutput)
       val lTsProj = UnsafeProjection.create(Seq(lTs), leftOutput)
       val rTsProj = UnsafeProjection.create(Seq(rTs), rightOutput)
+      // final UnsafeProjection, same discipline as SortMergeJoinExec: a raw
+      // JoinedRow handed upward crashes any parent that requires UnsafeRow
+      // (sorts, exchanges, getByteArrayRdd on a bare collect)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
 
@@ -154,7 +160,7 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           if (nextRow == null) computeNext()
           if (nextRow == null) throw new NoSuchElementException("empty iterator")
-          val r = nextRow
+          val r = outProj(nextRow)
           nextRow = null
           r
         }
@@ -205,6 +211,10 @@ object AsOfJoinNative {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, joinType: String): DataFrame = {
     require(Seq("inner", "left").contains(joinType), s"unsupported: $joinType")
+    require(keys.nonEmpty,
+      "as-of needs at least one equi-key (a global un-keyed as-of would be " +
+        "a single ordered merge — sort both sides and use the union-window " +
+        "Joins.asOf instead)")
     val spark = left.sparkSession.asInstanceOf[ClassicSession]
     register(spark)
     val lplan = left.queryExecution.analyzed
@@ -213,10 +223,18 @@ object AsOfJoinNative {
       if (lplan.outputSet.intersect(rplan0.outputSet).isEmpty) rplan0
       else Project(rplan0.output.map(a => Alias(a, a.name)()), rplan0)
 
-    def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
+    // the session's own resolver, so name matching follows
+    // spark.sql.caseSensitive exactly like every other column lookup
+    val resolver = spark.sessionState.conf.resolver
+    def attr(plan: LogicalPlan, name: String): Attribute = {
+      val hits = plan.output.filter(a => resolver(a.name, name))
+      require(hits.length <= 1,
+        s"column $name is ambiguous under the session resolver: " +
+          hits.map(_.name).mkString(", "))
+      hits.headOption.getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+    }
 
     val node = AsOfJoinPlan(lplan, rplan,
       keys.map(attr(lplan, _)), keys.map(attr(rplan, _)),
@@ -235,5 +253,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     AsOfJoinNative.inject(e)
     e.injectOptimizerRule(_ => CosineFusionRule)
+    // the class doc promises the SQL function comes with the extension —
+    // keep that true for builder-installed sessions, not only for callers
+    // of CosineSimilarity.register
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
   }
 }

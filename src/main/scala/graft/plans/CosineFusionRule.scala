@@ -20,24 +20,31 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 object CosineFusionRule extends Rule[LogicalPlan] {
 
-  /** A lambda variable, possibly widened: `v` or `cast(v as double)`. */
-  private def lambdaVar(e: Expression): Boolean = e match {
-    case _: NamedLambdaVariable => true
-    case Cast(_: NamedLambdaVariable, DoubleType, _, _) => true
+  /** `e` IS the specific bound variable `v` (possibly double-widened) — not
+    * merely "some lambda variable": shape-only matching would fuse
+    * `(x, y) -> x * x` (a squared-norm, not a dot) or a captured OUTER
+    * lambda's variable into a cosine and silently change results. */
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case Cast(nv: NamedLambdaVariable, DoubleType, _, _) => nv.exprId == v.exprId
     case _ => false
   }
 
-  /** Matches `aggregate(zip_with(x, y, (p, q) => p * q), 0.0, _ + _)` with
-    * an identity finish — the composed dot product — yielding (x, y). */
+  /** Matches `aggregate(zip_with(x, y, (p, q) => p * q), 0.0,
+    * (acc, el) -> acc + el)` with an identity finish — the composed dot
+    * product — yielding (x, y). Each lambda body must use exactly ITS OWN
+    * two bound variables (in either order; * and + commute). */
   private object DotProduct {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-          ZipWith(x, y, LambdaFunction(Multiply(mx, my, _), _, _)),
+          ZipWith(x, y, LambdaFunction(Multiply(mx, my, _),
+            Seq(p: NamedLambdaVariable, q: NamedLambdaVariable), _)),
           Literal(0.0, DoubleType),
-          LambdaFunction(Add(ax, ay, _), _, _),
+          LambdaFunction(Add(ax, ay, _),
+            Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
-        if lambdaVar(mx) && lambdaVar(my) &&
-          ax.isInstanceOf[NamedLambdaVariable] && ay.isInstanceOf[NamedLambdaVariable] &&
+        if ((isVar(mx, p) && isVar(my, q)) || (isVar(mx, q) && isVar(my, p))) &&
+          ((isVar(ax, acc) && isVar(ay, el)) || (isVar(ax, el) && isVar(ay, acc))) &&
           fin.exprId == finArg.exprId =>
         Some((x, y))
       case _ => None

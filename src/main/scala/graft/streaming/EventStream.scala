@@ -59,7 +59,35 @@ object EventStream {
             val events = batch.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[Session]
             var cur = state.getOption
-            events.foreach { e =>
+            // out-of-order events more than a gap BEFORE the open session
+            // must NOT merge into it (that would manufacture a session with
+            // an internal gap > gapMs, diverging from batch semantics);
+            // they session among THEMSELVES and emit closed — already
+            // bounded by the open session's start. The open session's own
+            // constituent timestamps are gone from state, so events landing
+            // INSIDE it still merge: the documented bounded-state residual.
+            val lateLimit = cur.map(_.start - gapMs)
+            val (late, current) =
+              events.partition(e => lateLimit.exists(e.ts.getTime < _))
+            var lateCur: Option[SessionState] = None
+            def closeLate(): Unit = lateCur.foreach { s =>
+              closed ::= Session(userId, new Timestamp(s.start),
+                new Timestamp(s.end), s.n, s.total)
+              lateCur = None
+            }
+            late.foreach { e =>
+              val t = e.ts.getTime
+              lateCur match {
+                case Some(s) if t - s.end > gapMs =>
+                  closeLate(); lateCur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  lateCur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case None => lateCur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            closeLate()
+            current.foreach { e =>
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end > gapMs =>
@@ -88,11 +116,6 @@ object EventStream {
         })
   }
 
-  /** Streaming exactly-once-per-key dedup: drops re-deliveries of the same
-    * key arriving within the watermark horizon — state holds one entry per
-    * key seen, evicted as the watermark passes (bounded by the horizon, not
-    * the stream length). The streaming face of Dedup.exact for at-least-once
-    * ingestion paths. */
   /** Declarative sessionization via the BUILT-IN session_window — the same
     * one-groupBy plan as batch query q51, run incrementally: Spark keeps
     * one merging session state per (user, open session) and emits a row
@@ -139,6 +162,11 @@ object EventStream {
       .drop("click_user")
   }
 
+  /** Streaming exactly-once-per-key dedup: drops re-deliveries of the same
+    * key arriving within the watermark horizon — state holds one entry per
+    * key seen, evicted as the watermark passes (bounded by the horizon, not
+    * the stream length). The streaming face of Dedup.exact for at-least-once
+    * ingestion paths. */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
                            tsCol: String, horizon: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, horizon)
@@ -166,22 +194,29 @@ object EventStream {
     * snapshot target via the engine's Merge operator — the Structured
     * Streaming equivalent of the reference's Kafka-topic-to-table apply loop
     * (`scripts/test/transform.py:46-83`). Reads the current snapshot,
-    * merges, rewrites — same semantics as `dags/upsert_utils.py`. */
-  /** `orderCol`: within-batch last-write-wins ordering (CDC offset/ts) — a
+    * merges, rewrites — same semantics as `dags/upsert_utils.py`.
+    *
+    * `orderCol`: within-batch last-write-wins ordering (CDC offset/ts) — a
     * micro-batch can carry several updates for one key, and without an
     * ordering the survivor is arbitrary. Single-row-per-key batches may omit
-    * it. */
+    * it. The batch is persisted for the merge: its deduped slice feeds both
+    * the anti-join key set and the union, and foreachBatch inputs are not
+    * materialized — without the cache the source is re-read per branch
+    * (same discipline as [[scd2Batch]]). */
   def upsertBatch(targetDir: String, keys: Seq[String],
                   orderCol: Option[String] = None)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val order = orderCol.map(org.apache.spark.sql.functions.col)
-    val merged =
-      if (graft.etl.SnapshotIO.hasParquet(spark, targetDir))
-        graft.operators.Merge.upsert(spark.read.parquet(targetDir), batch, keys, order)
-      else // bootstrap: same within-batch dedup path against an empty target
-        graft.operators.Merge.upsert(batch.limit(0), batch, keys, order)
-    // staging + swap — the merged plan reads the target it replaces
-    graft.etl.SnapshotIO.replace(spark, merged, targetDir)
+    val b = batch.persist()
+    try {
+      val merged =
+        if (graft.etl.SnapshotIO.hasParquet(spark, targetDir))
+          graft.operators.Merge.upsert(spark.read.parquet(targetDir), b, keys, order)
+        else // bootstrap: same within-batch dedup path against an empty target
+          graft.operators.Merge.upsert(b.limit(0), b, keys, order)
+      // staging + swap — the merged plan reads the target it replaces
+      graft.etl.SnapshotIO.replace(spark, merged, targetDir)
+    } finally b.unpersist()
   }
 
   /** T3 + U9 composition: a CDC stream maintains a Type-2 dimension. Each
@@ -209,10 +244,15 @@ object EventStream {
   def scd2Batch(targetDir: String, keys: Seq[String], attrs: Seq[String],
                 tsCol: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
+    // rows with no event time cannot stamp a validity boundary — dropped
+    // here (a production consumer diverts them to the invalid-row channel,
+    // quality/Validate). Without the filter an all-null-ts batch computes
+    // batchTs = null and NPEs inside the clamp.
+    val timed = batch.filter(col(tsCol).isNotNull)
+    if (timed.isEmpty) return
     val order = struct(col(tsCol) +: attrs.map(col): _*)
     val latest = graft.operators.Merge.upsert(
-      batch.limit(0), batch, keys, Some(order)).persist()
+      timed.limit(0), timed, keys, Some(order)).persist()
     try {
       val dimExists = graft.etl.SnapshotIO.hasParquet(spark, targetDir)
       val dim =

@@ -92,6 +92,39 @@ class JoinsSpec extends SparkSpec {
     assert(outer.filter(col("tag") =!= "a").filter(col("price").isNotNull).isEmpty)
   }
 
+  test("asOfNative raw builder collects without a projection on top (UnsafeRow contract)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq((1, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq((1, ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "rts", "v")
+    // no select/orderBy above the exec node: getByteArrayRdd requires the
+    // operator itself to emit UnsafeRow
+    val raw = org.apache.spark.sql.graft.AsOfJoinNative
+      .asOf(left, right, Seq("k"), "ts", "rts", "inner")
+    assert(raw.collect().length === 1)
+    // ...and a sort directly above it works too (by the right-only column —
+    // the raw join output carries BOTH sides' key columns)
+    assert(raw.sort("v").collect().length === 1)
+  }
+
+  test("asOfNative resolves columns with the session resolver (case-insensitive by default)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val left = Seq((1, ts("2024-01-01 10:00:00"))).toDF("K", "TS")
+    val right = Seq((1, ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "rts", "v")
+    val got = Joins.asOfNative(left, right, Seq("k"), "ts", "RTS".toLowerCase, "inner")
+    assert(got.count() === 1)
+    intercept[IllegalArgumentException] {
+      Joins.asOfNative(left, right, Seq("missing"), "ts", "rts", "inner").count()
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.AsOfJoinNative
+        .asOf(left, right, Seq.empty, "ts", "rts", "inner")
+    }
+  }
+
   test("rangeJoin equals the theta-join formulation; boundaries are [start, end)") {
     import spark.implicits._
     import java.sql.Timestamp

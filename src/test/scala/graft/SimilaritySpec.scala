@@ -106,6 +106,21 @@ class SimilaritySpec extends SparkSpec {
     assert(fused === native)
   }
 
+  test("CosineFusionRule does NOT fuse lookalike lambdas (x*x, v+v) — identity matters") {
+    org.apache.spark.sql.graft.CosineFusionRule.register(spark)
+    val df = Seq((Seq(3.0, 4.0), Seq(1.0, 0.0))).toDF("a", "b")
+    // numerator lambda is (x, y) -> x * x — a squared-norm, NOT a dot; the
+    // full expression is otherwise cosine-shaped and must stay unfused
+    val sq = "aggregate(zip_with(a, b, (x, y) -> x * x), 0.0D, (s, v) -> s + v)"
+    val norm = "sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0.0D, (s, v) -> s + v)) * " +
+      "sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0.0D, (s, v) -> s + v))"
+    val out = df.select(expr(s"CASE WHEN $norm > 0.0D THEN $sq / ($norm) END").as("c"))
+    assert(!out.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+      "x*x lambda must not fuse into a cosine")
+    // value check: sum(a_i^2)/(|a||b|) = 25/5 = 5.0, NOT cosine 0.6
+    assert(math.abs(out.as[Double].head() - 5.0) < 1e-12)
+  }
+
   test("bruteForceTopK returns k rows per query, self excluded, descending") {
     val out = Similarity.bruteForceTopK(
       Tables.embeddings(spark, sf), SimilarityQueries.queryVectors(spark, sf),

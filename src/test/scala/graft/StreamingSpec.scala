@@ -83,6 +83,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && batch.length === 3)
   }
 
+  test("sessionize: an out-of-order event past the gap BEFORE a session splits backward too") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // open a session at 12:00, then deliver an event from 11:52 — above the
+    // watermark (11:50, 10-min delay) so Spark does not drop it, but more
+    // than the 5-min gap BEFORE the session start. Merging it would
+    // manufacture a session holding an 8-min internal gap; it must close as
+    // its own session instead (batch semantics).
+    input.addData(Event(1, ts("2024-01-01 12:00:00"), 7, "click", 1.0))
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions_backsplit")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(Event(2, ts("2024-01-01 11:52:00"), 7, "late", 5.0))
+    q.processAllAvailable()
+    // push the watermark far forward so the 12:00 session times out too
+    input.addData(Event(3, ts("2024-01-02 00:00:00"), 8, "tick", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-02 01:00:00"), 8, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("sessions_backsplit").as[EventStream.Session]
+      .collect().filter(_.user_id == 7).sortBy(_.session_start.getTime)
+    assert(u7.length === 2, s"expected backward split, got ${u7.toSeq}")
+    assert(u7(0).session_start === ts("2024-01-01 11:52:00") && u7(0).n_events === 1)
+    assert(u7(1).session_start === ts("2024-01-01 12:00:00") && u7(1).n_events === 1)
+  }
+
   test("sessionize closes sessions after the event-time gap and aggregates per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -291,6 +319,19 @@ class StreamingSpec extends SparkSpec {
       .as[(Int, String, Timestamp, Option[Timestamp], Boolean)]
       .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
     assert(twin === dim)
+  }
+
+  test("scd2Batch: null-event-time rows cannot stamp validity — dropped, never an NPE") {
+    val dir = Files.createTempDirectory("stream_scd2_nullts").toString + "/dim"
+    val sink = EventStream.scd2Batch(dir, Seq("k"), Seq("name"), "ts") _
+    // an all-null-ts batch is a no-op (previously NPE'd in the clamp)
+    sink(Seq((1, "a", Option.empty[Timestamp])).toDF("k", "name", "ts"), 0L)
+    assert(!graft.etl.SnapshotIO.hasParquet(spark, dir))
+    // a mixed batch applies only its timed rows
+    sink(Seq((1, "a", Option(ts("2024-01-02 12:00:00"))),
+      (2, "b", Option.empty[Timestamp])).toDF("k", "name", "ts"), 1L)
+    val dim = spark.read.parquet(dir)
+    assert(dim.select("k").as[Int].collect().toSeq === Seq(1))
   }
 
   test("scd2Batch clamps a late batch's effective time — no inverted intervals") {
