@@ -78,11 +78,21 @@ object Bench {
           })
         }
       }
-    // millisecond precision keeps the single JSON line short enough for the
-    // driver's tail capture (r2 lost 12 queries to full-double formatting)
+    // The driver captures only a ~2 KiB stdout TAIL: r3's single JSON line
+    // with 90 full-name entries (~2.7 KiB) overflowed it, losing q1-q27 and
+    // breaking the parse. Emit full-name per-query lines first (complete in
+    // the local log), then ONE compact totals line LAST — short "qNN" keys
+    // (the numeric prefix is unique per query) keep it ~1.3 KiB so the tail
+    // always contains it whole.
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":${ms(v)}}""")
+    }
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val collides = results.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (collides) k else shortKey(k)) + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

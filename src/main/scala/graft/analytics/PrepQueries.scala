@@ -226,6 +226,33 @@ object PrepQueries {
         .orderBy("media_id")
     },
 
+    // REAL compressed-image decode round-trip: per doc, an 8-bit grayscale
+    // PNG (7x5) is synthesized executor-side, decoded back through the
+    // JDK's javax.imageio reader, and reduced to integer pixel stats. PNG
+    // is lossless, so the oracle replays the generator arithmetic only —
+    // any defect in the encode, the header-validated decode, or the
+    // row-major sample order breaks px_wsum (position-weighted, so a
+    // row-swap or transpose cannot cancel out).
+    "q91_imageio_decode" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val (w, h, px) = Multimodal.decodeImageGray(
+              Multimodal.syntheticPngGray8(id, 7, 5))
+            val wsum = {
+              var acc = 0L; var i = 0
+              while (i < px.length) { acc += px(i).toLong * (i + 1); i += 1 }
+              acc
+            }
+            (id, w, h, px.map(_.toLong).sum, px.min, px.max, wsum)
+          }
+        }
+        .toDF("media_id", "width", "height", "px_sum", "px_min", "px_max", "px_wsum")
+        .orderBy("media_id")
+    },
+
     // Vocabulary build + dictionary encoding: corpus tokens ranked
     // (freq DESC, token) into dense ids, every document re-emitted as
     // (doc_id, pos, token_id) against the broadcast vocab.
@@ -298,6 +325,23 @@ object PrepQueries {
         |SELECT i.media_id, 6 AS width, 5 AS height, i.px_sum, i.px_min, i.px_max,
         |       a.n_samples, a.amp_sum_sq
         |FROM istats i JOIN astats a USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // Same contract as q89: only the generator formula
+    // ((id*31 + y*7 + x) * 17) % 256 — the PNG encode/decode round trip is
+    // the Spark side's burden. px_wsum weights pixel (x,y) by its 1-based
+    // row-major position, pinning the decoded sample ORDER, not just the
+    // multiset.
+    "q91_imageio_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+        |px AS (
+        |  SELECT media_id, ((media_id*31 + y.y*7 + x.x) * 17) % 256 AS p,
+        |         y.y*7 + x.x + 1 AS pos
+        |  FROM ids, (SELECT unnest(range(7)) AS x) x, (SELECT unnest(range(5)) AS y) y)
+        |SELECT media_id, 7 AS width, 5 AS height,
+        |       sum(p)::BIGINT AS px_sum, min(p)::INT AS px_min, max(p)::INT AS px_max,
+        |       sum(p * pos)::BIGINT AS px_wsum
+        |FROM px GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
 
     "q87_vocab_encode" ->

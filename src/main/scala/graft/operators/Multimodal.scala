@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   *    skip, bottom-up rows, 4-byte row padding) and [[decodeWavPcm16]]
   *    (RIFF chunk walk, PCM16 little-endian). q89 round-trips synthesized
   *    files through these parsers and hash-checks the decoded statistics.
-  *  - CODEC formats (JPEG/PNG/MP3/H.264) remain a STUB: this container
-  *    ships no codec libraries, so [[decodeFeatures]] computes a
-  *    deterministic fake (byte histogram + length) where a real deployment
-  *    would call the codec. Swap `stubDecode` for the real kernel; nothing
-  *    else changes.
+  *  - COMPRESSED images decode for real via the JDK's `javax.imageio`
+  *    (PNG/JPEG/GIF/TIFF/BMP readers ship with the JRE): [[decodeImageGray]]
+  *    validates declared dimensions from the header BEFORE allocating or
+  *    decoding, then reads band-0 samples (1-band rasters) or integer
+  *    BT.601 luma (RGB). q91 round-trips synthesized PNGs (lossless, so an
+  *    external oracle replays the pixel arithmetic exactly); JPEG is lossy
+  *    and gets a tolerance-bounded spec instead of a hash oracle.
+  *  - Remaining CODEC formats (MP3/H.264 — genuinely absent from the JRE)
+  *    stay a STUB: [[decodeFeatures]] computes a deterministic fake (byte
+  *    histogram + length) for unknown mimes where a real deployment would
+  *    call the codec. Swap `stubDecode` for the real kernel; nothing else
+  *    changes.
   */
 object Multimodal {
 
@@ -36,15 +43,35 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** 16-bin L1-normalized histogram over decoded gray pixels (0-255). */
+  def grayHistogram(px: Array[Int]): Array[Float] = {
+    val hist = new Array[Float](16)
+    px.foreach(p => hist(p >> 4) += 1f)
+    val n = math.max(px.length, 1)
+    hist.map(_ / n)
+  }
+
   /** Per-partition batch decode: one iterator pass per partition (the
-    * mapInPandas batch shape), no shuffle, preserves partitioning. */
+    * mapInPandas batch shape), no shuffle, preserves partitioning. The
+    * kernel dispatches on mime: image mimes run the REAL javax.imageio
+    * decode ([[decodeImageGray]]) and histograms actual pixels;
+    * `audio/wav` runs the real PCM16 parse and histograms amplitude;
+    * anything else (codec-less formats in this env) gets the labeled stub. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real codecs amortize per-partition init (decoder handles, model
       // weights) here — exactly why this is mapPartitions, not map
       rows.map { r =>
-        MediaFeatures(r.media_id, r.mime, r.media.length, stubDecode(r.media))
+        val feats = r.mime match {
+          case m if m.startsWith("image/") =>
+            grayHistogram(decodeImageGray(r.media)._3)
+          case "audio/wav" =>
+            // shift signed PCM16 to 0-65535, bin by the high nibble's twin
+            grayHistogram(decodeWavPcm16(r.media).map(v => (v + 32768) >> 8))
+          case _ => stubDecode(r.media)
+        }
+        MediaFeatures(r.media_id, r.mime, r.media.length, feats)
       }
     }
   }
@@ -158,6 +185,90 @@ object Multimodal {
     (width, height, px)
   }
 
+  /** Deterministic 8-bit grayscale PNG via the JDK's ImageIO writer. Pixel
+    * (x,y) of media `id` is `((id*31 + y*width + x) * 17) mod 256` — the
+    * same generator arithmetic as [[syntheticBmpGray8]], so an external
+    * oracle reproduces the decoded statistics without parsing a byte. PNG
+    * is lossless: encode→decode round-trips samples exactly. */
+  def syntheticPngGray8(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, (((id * 31 + y.toLong * width + x) * 17) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodeImage(img, "png")
+  }
+
+  /** ImageIO encode to bytes through a memory-cached stream — never the
+    * default disk-backed cache (a per-row temp file inside an executor task
+    * is an I/O tax and a /tmp-exhaustion hazard at scale). */
+  def encodeImage(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try require(javax.imageio.ImageIO.write(img, format, ios), s"no ImageIO writer for $format")
+    finally { ios.flush(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** REAL image decode on the JDK's javax.imageio (PNG/JPEG/GIF/TIFF/BMP
+    * readers ship with the JRE). Returns (width, height, gray pixels
+    * row-major top-down, 0-255): band-0 samples verbatim for 1-band
+    * rasters (gray PNG round-trips exactly), integer BT.601 luma
+    * ((299r+587g+114b+500)/1000) for color images.
+    *
+    * Untrusted-bytes discipline, same as [[decodeBmpGray8]]: declared
+    * dimensions are validated from the HEADER before any pixel allocation
+    * or decode runs — a hostile file sizing its header for an executor OOM
+    * refuses with IllegalArgumentException instead. Streams are
+    * memory-cached, not ImageIO's default disk cache. */
+  def decodeImageGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader recognizes these bytes")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val width = reader.getWidth(0)
+        val height = reader.getHeight(0)
+        require(width > 0 && height > 0, s"degenerate dimensions ${width}x$height")
+        require(width <= (1 << 20) && height <= (1 << 20) &&
+          width.toLong * height <= (1L << 28), s"implausible dimensions ${width}x$height")
+        val img =
+          try reader.read(0)
+          catch { // truncated/corrupt payload past the header
+            case e: java.io.IOException =>
+              throw new IllegalArgumentException(s"image decode failed: ${e.getMessage}", e)
+          }
+        val px = new Array[Int](width * height)
+        if (img.getRaster.getNumBands == 1) {
+          img.getRaster.getSamples(0, 0, width, height, 0, px) // row-major
+        } else {
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val bl = rgb & 0xFF
+              px(y * width + x) = (r * 299 + g * 587 + bl * 114 + 500) / 1000
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (width, height, px)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** Deterministic PCM16 mono WAV: RIFF/WAVE with fmt + data chunks.
     * Sample t of media `id` is `((id*7 + t*13) mod 65536) - 32768`. */
   def syntheticWavPcm16(id: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
@@ -190,6 +301,7 @@ object Multimodal {
     require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
     var o = 12
+    var fmtValidated = false
     var samples: Array[Int] = null
     while (o + 8 <= b.length && samples == null) {
       val cid = new String(b, o, 4, "US-ASCII")
@@ -202,7 +314,11 @@ object Multimodal {
           require(le16(b, o + 8) == 1, "non-PCM WAV unsupported")
           require(le16(b, o + 10) == 1, "stereo unsupported")
           require(le16(b, o + 22) == 16, "not 16-bit")
+          fmtValidated = true
         case "data" =>
+          // a data chunk before fmt would be decoded with the PCM/mono/16-bit
+          // checks never having run — refuse instead of misreading the bytes
+          require(fmtValidated, "data chunk before validated fmt chunk")
           samples = Array.tabulate(size / 2) { t =>
             val u = le16(b, o + 8 + t * 2)
             if (u >= 32768) u - 65536 else u

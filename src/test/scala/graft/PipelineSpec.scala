@@ -186,6 +186,91 @@ class MultimodalSpec extends SparkSpec {
     b(4) = v.toByte; b(5) = (v >> 8).toByte; b(6) = (v >> 16).toByte; b(7) = (v >> 24).toByte
   }
 
+  test("WAV data chunk before validated fmt chunk is refused") {
+    // splice the data chunk ahead of fmt: the PCM/mono/16-bit checks would
+    // never have run when the samples were read
+    val wav = Multimodal.syntheticWavPcm16(2L, 4)
+    val fmtChunk = wav.slice(12, 36)
+    val dataChunk = wav.drop(36)
+    val swapped = wav.take(12) ++ dataChunk ++ fmtChunk
+    putRiffSize(swapped)
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(swapped) }
+  }
+
+  test("PNG gray8 ImageIO round-trip: exact pixels in row-major top-down order") {
+    val png = Multimodal.syntheticPngGray8(3L, 7, 5)
+    // it really is a PNG container, not a re-labeled raw dump
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P' && png(2) === 'N' && png(3) === 'G')
+    val (w, h, px) = Multimodal.decodeImageGray(png)
+    assert(w === 7 && h === 5 && px.length === 35)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(px(y * 7 + x) === (((3L * 31 + y * 7 + x) * 17) % 256).toInt,
+        s"pixel ($x,$y) wrong — encode, decode, or sample-order bug")
+  }
+
+  test("JPEG ImageIO decode: lossy codec within tolerance on smooth content") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, 128)
+    val jpg = Multimodal.encodeImage(img, "jpg")
+    assert((jpg(0) & 0xFF) === 0xFF && (jpg(1) & 0xFF) === 0xD8, "not a JPEG SOI")
+    val (w, h, px) = Multimodal.decodeImageGray(jpg)
+    assert(w === 16 && h === 16)
+    // constant image is DC-only: decode error stays within a few counts
+    px.foreach(p => assert(math.abs(p - 128) <= 3, s"JPEG decode drifted: $p"))
+  }
+
+  test("color image decodes to integer BT.601 luma") {
+    val img = new java.awt.image.BufferedImage(
+      3, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00); img.setRGB(2, 0, 0x0000FF)
+    val (_, _, px) = Multimodal.decodeImageGray(Multimodal.encodeImage(img, "png"))
+    assert(px.toSeq === Seq((255 * 299 + 500) / 1000, (255 * 587 + 500) / 1000,
+      (255 * 114 + 500) / 1000))
+  }
+
+  test("hostile image bytes refuse before allocating or decoding") {
+    // unrecognized bytes: no reader claims them
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImageGray("notanimage-at-all".getBytes)
+    }
+    // truncated past the header: reader recognized, decode must refuse as
+    // IllegalArgumentException (not leak an IOException out of the task)
+    val png = Multimodal.syntheticPngGray8(1L, 7, 5)
+    intercept[IllegalArgumentException] { Multimodal.decodeImageGray(png.take(50)) }
+    // header-lying PNG: absurd declared dimensions refuse BEFORE reader.read
+    // (patch IHDR width/height to 2^20 each — 2^40 pixels — and fix the CRC
+    // so the refusal is provably ours, not the reader tripping on a bad CRC)
+    val absurd = png.clone()
+    def putBe32(o: Int, v: Int): Unit = {
+      absurd(o) = (v >> 24).toByte; absurd(o + 1) = (v >> 16).toByte
+      absurd(o + 2) = (v >> 8).toByte; absurd(o + 3) = v.toByte
+    }
+    putBe32(16, 1 << 20); putBe32(20, 1 << 20)
+    val crc = new java.util.zip.CRC32()
+    crc.update(absurd, 12, 17) // "IHDR" + 13 data bytes
+    putBe32(29, crc.getValue.toInt)
+    intercept[IllegalArgumentException] { Multimodal.decodeImageGray(absurd) }
+  }
+
+  test("decodeFeatures dispatches real kernels by mime: image/png and audio/wav") {
+    val png = Multimodal.syntheticPngGray8(4L, 7, 5)
+    val wav = Multimodal.syntheticWavPcm16(4L, 64)
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "audio/wav", wav)).toDS()
+    val out = Multimodal.decodeFeatures(ds).collect().map(f => f.media_id -> f).toMap
+    // image features come from REAL decoded pixels, not the byte stub
+    val expectPx = (0 until 35).map(i => (((4L * 31 + i) * 17) % 256).toInt)
+    assert(out(1L).features.toSeq ===
+      Multimodal.grayHistogram(expectPx.toArray).toSeq)
+    // audio features come from REAL decoded samples
+    val expectSmp = (0 until 64).map(t => ((4L * 7 + t * 13) % 65536 - 32768).toInt)
+    assert(out(2L).features.toSeq ===
+      Multimodal.grayHistogram(expectSmp.map(v => (v + 32768) >> 8).toArray).toSeq)
+    assert(out(1L).n_bytes === png.length && out(2L).n_bytes === wav.length)
+  }
+
   test("decodeFeatures: 16-dim normalized histogram + byte length, deterministic") {
     val out = Multimodal.decodeFeatures(media).collect()
     assert(out.length === 50)
