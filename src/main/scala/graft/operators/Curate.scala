@@ -48,26 +48,54 @@ object Curate {
   def funnel(docs: DataFrame, idCol: String, textCol: String, langCol: String,
              stopwords: Seq[String], evalPred: Column,
              spanTokens: Int = 20, dupFlagAt: Double = 0.5,
-             qualityCut: Double = 0.1): Funnel = {
+             qualityCut: Double = 0.1): Funnel =
+    build(docs, idCol, textCol, langCol, stopwords, evalPred,
+      spanTokens, dupFlagAt, qualityCut, identity)
+
+  /** [[funnel]] with every COMPUTED stage materialized via eager
+    * `localCheckpoint`: `counts` and each downstream stage read the
+    * materialized frame instead of re-deriving the shared prefix — the
+    * lazy form pays roughly the final stage's cost once per stage row
+    * (~4x at five stages; the multiple is a real cluster bill at scale).
+    * s0 stays lazy on purpose: it is the raw input projection, and
+    * checkpointing it would rewrite the whole corpus to executor storage
+    * when its count is a column-pruned scan away. Results are
+    * bit-identical to [[funnel]] — the benched/verified q90 entry runs
+    * this form. */
+  def funnelPersisted(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+                      stopwords: Seq[String], evalPred: Column,
+                      spanTokens: Int = 20, dupFlagAt: Double = 0.5,
+                      qualityCut: Double = 0.1): Funnel =
+    build(docs, idCol, textCol, langCol, stopwords, evalPred,
+      spanTokens, dupFlagAt, qualityCut, _.localCheckpoint())
+
+  /** The funnel DAG with a `materialize` hook applied to each computed
+    * stage (s1..s4) as it is built, so persisted and lazy forms share one
+    * definition. */
+  private def build(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+                    stopwords: Seq[String], evalPred: Column,
+                    spanTokens: Int, dupFlagAt: Double, qualityCut: Double,
+                    materialize: DataFrame => DataFrame): Funnel = {
     val s0 = docs.select(col(idCol), col(textCol), col(langCol))
 
-    val s1 = Dedup.exact(s0, textCol, Seq(col(idCol)))
-      .select(col(idCol), col(textCol), col(langCol))
+    val s1 = materialize(Dedup.exact(s0, textCol, Seq(col(idCol)))
+      .select(col(idCol), col(textCol), col(langCol)))
 
     val spanScores = Dedup.dupSpanFraction(s1, idCol, textCol, spanTokens, dupFlagAt)
-    val s2 = s1.join(spanScores.filter(!col("is_dup")).select(col(idCol)), idCol)
+    val s2 = materialize(
+      s1.join(spanScores.filter(!col("is_dup")).select(col(idCol)), idCol))
 
     val w = Window.partitionBy(langCol).orderBy(col("__q"), col(idCol))
-    val s3 = s2.withColumn("__q", Text.qualityScore(col(textCol), stopwords))
+    val s3 = materialize(s2.withColumn("__q", Text.qualityScore(col(textCol), stopwords))
       .withColumn("__pr", percent_rank().over(w))
       .filter(col("__pr") >= qualityCut)
-      .select(col(idCol), col(textCol), col(langCol))
+      .select(col(idCol), col(textCol), col(langCol)))
 
     val evalDocs = docs.filter(evalPred).select(col(idCol), col(textCol))
     val contaminated = Dedup.decontaminationPairs(
         s3.filter(!evalPred), evalDocs, idCol, textCol)
       .select(col("train_id").as(idCol)).distinct()
-    val s4 = s3.filter(!evalPred).join(contaminated, Seq(idCol), "left_anti")
+    val s4 = materialize(s3.filter(!evalPred).join(contaminated, Seq(idCol), "left_anti"))
 
     Funnel(Seq(
       "s0_input" -> s0, "s1_exact_dedup" -> s1, "s2_span_dedup" -> s2,

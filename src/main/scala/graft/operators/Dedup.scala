@@ -179,16 +179,18 @@ object Dedup {
     * reachable through dup edges — the canonical "keep one representative
     * per duplicate cluster" step after candidate generation.
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * least of its own label and its neighbors' labels — ONE shuffle per
-    * round (join on the edge endpoint + min-aggregate), converging in
-    * O(component diameter) rounds. Near-dup components are shallow (dup
-    * clusters are quasi-cliques), so diameters stay small; for adversarial
-    * long-chain graphs the star-contraction variants halve diameters per
-    * round, at the cost of two extra shuffles — not needed here. Each
-    * round `localCheckpoint`s the labels: without it the iterated plan
-    * nests one join deeper per round and analysis time grows
-    * quadratically.
+    * Iterative min-label propagation WITH pointer doubling: each round,
+    * every node takes the least of its own label and its neighbors' labels
+    * (one shuffle: join on the edge endpoint + min-aggregate), then
+    * follows its label's label (one more self-join shuffle). The shortcut
+    * composes the label map with itself, so the distance a minimum travels
+    * DOUBLES per round — O(log diameter) rounds instead of O(diameter)
+    * (DedupSpec pins a 64-chain to ≤ ⌈log₂ 64⌉+1 rounds). Near-dup
+    * components are usually quasi-cliques where either form converges in
+    * 2-3 rounds; the doubling is what keeps adversarial chain-shaped
+    * components from stalling the job. Each round `localCheckpoint`s:
+    * without it the iterated plan nests one join deeper per round and
+    * analysis time grows quadratically.
     *
     * Returns (idCol, cluster_id); singletons (no incident edge) form their
     * own cluster.
@@ -206,9 +208,18 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min(col("label")).as("nlabel"))
-      val joined = labels.join(neighborMin, col("id") === col("src"), "left")
+      val propagated = labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint() // materialized: the shortcut joins it with itself
+      // pointer doubling: next ← next(next). Labels are node ids and every
+      // node has a row, so the lookup is a self-join; l(l_v) ≤ l_v ≤ v is
+      // invariant (min with self each round), so the result only decreases.
+      val joined = propagated
+        .join(propagated.select(col("id").as("__jid"), col("next").as("__jnext")),
+          col("next") === col("__jid"), "left")
+        .select(col("id"), col("label"),
+          coalesce(col("__jnext"), col("next")).as("next"))
         .localCheckpoint() // truncate lineage before reuse below
       converged = joined.filter(col("next") < col("label")).isEmpty
       labels = joined.select(col("id"), col("next").as("label"))

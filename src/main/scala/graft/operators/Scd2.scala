@@ -106,4 +106,57 @@ object Scd2 {
     historical.unionByName(untouched).unionByName(retired)
       .unionByName(closed).unionByName(opened)
   }
+
+  /** EVENT-grain application of a change set onto an SCD2 dimension: every
+    * distinct (key, event time) change becomes its own chained version —
+    * unlike [[merge]], which collapses a load to at most one version per key
+    * at a single effective time. A micro-batch carrying two versions of one
+    * key therefore yields two SCD2 rows.
+    *
+    * Mechanics: the dimension's CURRENT rows for touched keys re-enter the
+    * change stream as the state at their `valid_from` (tie-broken to sort
+    * before same-timestamp incoming changes), and [[fromHistory]] rebuilds
+    * the interval chain — consecutive attribute-identical states compress,
+    * so an incoming change equal to the current state opens nothing and
+    * re-application is idempotent. Closed history rows never recompute.
+    * Change times below the current version's `valid_from` clamp up to it
+    * (the same arrival-order boundary rule as the batch-grain clamp in
+    * `EventStream.scd2Batch`): an event-time insert BEFORE the current
+    * version would overlap the already-closed predecessor interval. Equal
+    * clamped timestamps order deterministically by attribute value and emit
+    * zero-width intermediate versions rather than dropping states.
+    *
+    * `changes` must carry one row per (key, ts) — dedupe upstream
+    * (`Merge.upsert` on keys :+ tsCol) if the feed can repeat. */
+  def applyChanges(dim: Option[DataFrame], changes: DataFrame, keys: Seq[String],
+                   attrs: Seq[String], tsCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val chg = changes.select((keys :+ tsCol).map(col) ++ attrs.map(col): _*)
+      .withColumn("__src", lit(1))
+    // dim state first at equal ts, then attribute order for clamp collisions
+    val tieBreak = struct(col("__src") +: attrs.map(col): _*)
+    dim match {
+      case None =>
+        fromHistory(chg, keys, attrs, tsCol, Some(tieBreak))
+      case Some(d) =>
+        val current = d.filter(col("is_current"))
+        val historical = d.filter(!col("is_current"))
+        val batchKeys = chg.select(keyCols: _*).distinct()
+        val touched = current.join(batchKeys, keys, "left_semi")
+        val untouched = current.join(batchKeys, keys, "left_anti")
+        val clamped = chg.join(
+            touched.select(keyCols :+ col("valid_from").as("__cur_from"): _*),
+            keys, "left")
+          .withColumn(tsCol,
+            when(col("__cur_from").isNotNull && col(tsCol) < col("__cur_from"),
+              col("__cur_from")).otherwise(col(tsCol)))
+          .drop("__cur_from")
+        val miniIn = touched
+          .select(keyCols ++ attrs.map(col) :+ col("valid_from").as(tsCol): _*)
+          .withColumn("__src", lit(0))
+          .unionByName(clamped)
+        historical.unionByName(untouched)
+          .unionByName(fromHistory(miniIn, keys, attrs, tsCol, Some(tieBreak)))
+    }
+  }
 }

@@ -34,6 +34,57 @@ object Windows {
   def globalRowNumberScalable(df: DataFrame, alias: String = "entry_no"): DataFrame =
     df.withColumn(alias, monotonically_increasing_id())
 
+  /** CONSECUTIVE global row number in `keyCol` order WITHOUT the
+    * single-partition sort [[globalRowNumber]] pays: bucket + offset
+    * composition.
+    *
+    *  1. Deterministic range bucketing, monotonic in the key: bucket =
+    *     floor((key - min) * B / span), clamped — computed from a one-row
+    *     min/max aggregate, so equal keys always share a bucket and bucket
+    *     order IS key order (no sampled RangePartitioner boundaries, which
+    *     would be nondeterministic across the two reads below).
+    *  2. Per-bucket local row_number: ONE bounded hash shuffle on the
+    *     bucket id, B-way parallel — never a SinglePartition exchange
+    *     (WindowShapeSpec proves it on the physical plan).
+    *  3. Per-bucket counts (tiny: B rows) collected and prefix-summed
+    *     driver-side — the same genuinely-tiny-artifact exception as IVF
+    *     centroids — then broadcast-joined back as offsets.
+    *
+    * entry_no = offset(bucket) + local_rn, matching
+    * `ROW_NUMBER() OVER (ORDER BY key)` exactly when `keyCol` is unique
+    * (with duplicate keys, peers order arbitrarily — same as any
+    * row_number). Bucketing arithmetic is double-based: exact while
+    * (key - min) * B stays within 2^53, i.e. any realistic key span.
+    * Skewed key distributions unbalance buckets (perf, never correctness);
+    * raise `buckets` or pre-transform the key if one bucket dominates. */
+  def globalRowNumberComposed(df: DataFrame, keyCol: String,
+                              alias: String = "entry_no",
+                              buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val bounds = df.agg(min(col(keyCol)).cast("double").as("lo"),
+      max(col(keyCol)).cast("double").as("hi")).collect()(0)
+    if (bounds.isNullAt(0)) // empty input (or all-null keys): nothing to number
+      return df.withColumn(alias, lit(null).cast("int"))
+    val lo = bounds.getDouble(0)
+    val span = bounds.getDouble(1) - lo + 1.0
+    val bucketed = df.withColumn("__bkt",
+      least(floor((col(keyCol).cast("double") - lit(lo)) * buckets / span).cast("int"),
+        lit(buckets - 1)))
+    val counts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets)
+      .scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = (0 until buckets).map(b => (b, offsets(b))).toDF("__bkt", "__off")
+    bucketed
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy("__bkt").orderBy(col(keyCol))))
+      .join(broadcast(offDf), "__bkt")
+      .withColumn(alias, (col("__off") + col("__lrn")).cast("int"))
+      .drop("__bkt", "__off", "__lrn")
+  }
+
   /** W5/A14: running cumulative sum with an explicit rows frame
     * (`Python Data Analysis.ipynb` cell 19). */
   def cumulativeSum(df: DataFrame, partitionKeys: Seq[String], orderCols: Seq[Column],

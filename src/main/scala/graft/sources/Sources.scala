@@ -52,6 +52,37 @@ object Jdbc {
       .option("batchsize", batchSize)
       .mode(mode)
       .save()
+
+  /** S1–S3 upgraded to DataSource V2: register a JDBC *table catalog* under
+    * `name`, so `spark.read.table("<name>.<schema>.<table>")` plans through
+    * the V2 scan builder — which pushes AGGREGATES (partial aggregation
+    * with group-by columns), limits and offsets down into the database, on
+    * top of the filter/column pruning the V1 `format("jdbc")` path already
+    * does. This is the Spark-native analog of the reference pushing its
+    * whole 7-way join+aggregate into MSSQL as one SQL string
+    * (`dags/hanger_lane.py:287-357`): the database does the reduction, the
+    * cluster receives pre-aggregated rows. JdbcRoundTripSpec proves the
+    * plan (`PushedAggregates`/`PushedGroupByExpressions`/`PushedFilters`)
+    * against embedded Derby and cross-checks results vs the in-engine
+    * aggregation.
+    *
+    * At 100 TB this is the difference between shipping a fact table
+    * through the network to aggregate it and shipping its GROUP BY result:
+    * push the reduction to where the data lives whenever the source can
+    * run it. */
+  def registerCatalog(spark: SparkSession, name: String, url: String,
+                      options: Map[String, String] = Map.empty): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    // explicit, not default-trusting: these are the point of the V2 path
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownOffset", "true")
+    options.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v)
+    }
+  }
 }
 
 object Files {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,52 +53,34 @@ object EventStream {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.end), s.n, s.total))
           } else {
-            // fold events in time order, SPLITTING on the gap — an event can
-            // arrive before the old session's timeout fires and must still
-            // start a new session (and close the old one) if the gap passed
-            val events = batch.toSeq.sortBy(_.ts.getTime)
+            // ONE fold over the batch's events AND the open session, all in
+            // ascending start order, splitting only on true adjacent gaps
+            // > gapMs — exactly batch gap-sessionization over {points} ∪
+            // {the open session as an already-merged run}. The earlier
+            // late/current split tested events against the session's
+            // ORIGINAL start, so a backward 'bridge' event in
+            // (start-gap, start) — which extends the session backward —
+            // could not chain-merge a still-earlier event within gap of the
+            // bridge, where batch semantics would. Events landing INSIDE
+            // the open session still merge without splitting it (its
+            // constituent timestamps are gone from state): the documented
+            // bounded-state residual.
+            val items = (batch.map(e =>
+                SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)) ++
+                state.getOption.iterator).toSeq
+              .sortBy(s => (s.start, s.end))
             var closed = List.empty[Session]
-            var cur = state.getOption
-            // out-of-order events more than a gap BEFORE the open session
-            // must NOT merge into it (that would manufacture a session with
-            // an internal gap > gapMs, diverging from batch semantics);
-            // they session among THEMSELVES and emit closed — already
-            // bounded by the open session's start. The open session's own
-            // constituent timestamps are gone from state, so events landing
-            // INSIDE it still merge: the documented bounded-state residual.
-            val lateLimit = cur.map(_.start - gapMs)
-            val (late, current) =
-              events.partition(e => lateLimit.exists(e.ts.getTime < _))
-            var lateCur: Option[SessionState] = None
-            def closeLate(): Unit = lateCur.foreach { s =>
-              closed ::= Session(userId, new Timestamp(s.start),
-                new Timestamp(s.end), s.n, s.total)
-              lateCur = None
-            }
-            late.foreach { e =>
-              val t = e.ts.getTime
-              lateCur match {
-                case Some(s) if t - s.end > gapMs =>
-                  closeLate(); lateCur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) =>
-                  lateCur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case None => lateCur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            closeLate()
-            current.foreach { e =>
-              val t = e.ts.getTime
+            var cur: Option[SessionState] = None
+            items.foreach { it =>
               cur match {
-                case Some(s) if t - s.end > gapMs =>
+                case Some(s) if it.start - s.end > gapMs =>
                   closed ::= Session(userId, new Timestamp(s.start),
                     new Timestamp(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(it)
                 case Some(s) =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(s.start, math.max(s.end, it.end),
+                    s.n + it.n, s.total + it.total))
+                case None => cur = Some(it)
               }
             }
             cur.foreach { s =>
@@ -248,8 +230,47 @@ object EventStream {
     // here (a production consumer diverts them to the invalid-row channel,
     // quality/Validate). Without the filter an all-null-ts batch computes
     // batchTs = null and NPEs inside the clamp.
-    val timed = batch.filter(col(tsCol).isNotNull)
-    if (timed.isEmpty) return
+    // persisted BEFORE the isEmpty probe: foreachBatch inputs are not
+    // materialized, so an unpersisted probe re-reads the source once more
+    // per micro-batch on top of the merge's own reads
+    val timed = batch.filter(col(tsCol).isNotNull).persist()
+    try {
+      if (timed.isEmpty) return
+      scd2Apply(spark, timed, targetDir, keys, attrs, tsCol)
+    } finally timed.unpersist()
+  }
+
+  /** [[scd2Batch]]'s EVENT-grain sibling: a micro-batch carrying several
+    * versions of one key produces several chained SCD2 rows — one per
+    * distinct event time — instead of collapsing to the batch's final
+    * state. `Scd2.applyChanges` does the splice (clamp rule, compression,
+    * closed-history pass-through documented there); this wires the
+    * snapshot read/replace and the per-(key, ts) deterministic dedupe
+    * around it. */
+  def scd2BatchEventGrain(targetDir: String, keys: Seq[String], attrs: Seq[String],
+                          tsCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val timed = batch.filter(col(tsCol).isNotNull).persist()
+    try {
+      if (timed.isEmpty) return
+      // one row per (key, event time); survivor deterministic by attrs
+      val changes = graft.operators.Merge.upsert(
+        timed.limit(0), timed, keys :+ tsCol,
+        Some(struct(attrs.map(col): _*))).persist()
+      try {
+        val dim =
+          if (graft.etl.SnapshotIO.hasParquet(spark, targetDir))
+            Some(spark.read.parquet(targetDir))
+          else None
+        graft.etl.SnapshotIO.replace(spark,
+          graft.operators.Scd2.applyChanges(dim, changes, keys, attrs, tsCol),
+          targetDir)
+      } finally changes.unpersist()
+    } finally timed.unpersist()
+  }
+
+  private def scd2Apply(spark: SparkSession, timed: DataFrame, targetDir: String,
+                        keys: Seq[String], attrs: Seq[String], tsCol: String): Unit = {
     val order = struct(col(tsCol) +: attrs.map(col): _*)
     val latest = graft.operators.Merge.upsert(
       timed.limit(0), timed, keys, Some(order)).persist()

@@ -58,6 +58,32 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(part.agg(sum("ID")).as[Long].head() === (0L until 1000L).sum)
   }
 
+  test("DSv2 catalog: aggregates and filters push down into Derby; results match in-engine") {
+    // uppercase identifiers: the quoting writer makes them case-sensitive
+    val rows = spark.range(0, 500).select(
+      (col("id") % 5).cast("long").as("K"),
+      (col("id") % 11).cast("double").as("V"))
+    Jdbc.write(rows, url, "T_PUSH", SaveMode.Overwrite)
+    Jdbc.registerCatalog(spark, "derbycat", url)
+    val t = spark.read.table("derbycat.APP.T_PUSH")
+
+    // aggregate + group-by pushdown: the DB computes the partial SUM/COUNT
+    val agg = t.filter(col("V") >= 2.0).groupBy(col("K"))
+      .agg(sum(col("V")).as("SV"), count(lit(1)).as("N"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregate must reach the JDBC scan:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters") && plan.contains("V"),
+      s"filter must reach the JDBC scan:\n${plan.take(2000)}")
+
+    // and the pushed plan computes the same answer as the in-engine one
+    val viaV2 = agg.orderBy("K").as[(Long, Double, Long)].collect().toSeq
+    val inEngine = rows.filter(col("V") >= 2.0).groupBy(col("K"))
+      .agg(sum(col("V")).as("SV"), count(lit(1)).as("N"))
+      .orderBy("K").as[(Long, Double, Long)].collect().toSeq
+    assert(viaV2 === inEngine)
+  }
+
   test("timestamps and decimals round-trip through the dialect") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-02-29 23:59:59"), BigDecimal("1234.56")),

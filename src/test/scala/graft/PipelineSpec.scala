@@ -112,6 +112,13 @@ class CompactionSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() === 1000L)
     assert(back.select("day").distinct().count() === 3L)
+    // and it actually COMPACTED: each ~333-row partition fits the 500-row
+    // target in ONE file (the round-robin + partitionBy shape this guards
+    // against wrote up to nFiles × nPartitions — file growth)
+    root.filter(f => f.isDirectory && f.getName.startsWith("day=")).foreach { d =>
+      val n = d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName}: expected 1 compacted file, found $n")
+    }
     // ...and the next partition swap still works against the compacted dir
     val delta = Seq((2000L, "d0")).toDF("id", "day")
     graft.etl.SnapshotIO.replacePartitions(spark, delta, dir, "day")

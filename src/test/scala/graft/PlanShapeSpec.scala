@@ -248,6 +248,18 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-side work is one count shuffle (vocab rank is vocab-sized), got $exchanges:\n${p.take(2000)}")
   }
 
+  test("q92 composed row number: B-way window shuffle, never a SinglePartition exchange") {
+    val df = SparkEntry.queries("q92_global_rownum_composed")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Exchange hashpartitioning(__bkt"),
+      s"local row_number must shuffle on the bucket id:\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the composed form exists to avoid the single-partition sort q33 pays:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-bucket offsets must broadcast, not shuffle-join:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the scan→filter→aggregate hot path") {
     // AQE materializes the final plan only on execution
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)

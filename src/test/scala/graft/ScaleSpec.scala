@@ -193,5 +193,14 @@ class SketchSpec extends SparkSpec {
       col("txn_id"), floor(col("txn_id") / 65536L).cast("long"), col("one"), "cum")
     val last = packed.agg(max("cum")).head().getLong(0)
     assert(last === 2000000L, "cumsum must cover every row exactly once")
+
+    // consecutive global row number at 2M without a single-partition sort:
+    // sum 1..2M pins both completeness and consecutiveness in one aggregate
+    val numbered = graft.operators.Windows.globalRowNumberComposed(
+      big.select(col("txn_id")), "txn_id")
+    val s = numbered.agg(sum(col("entry_no")), count(lit(1))).head()
+    assert(s.getLong(1) === 2000000L)
+    assert(s.getLong(0) === 2000000L * 2000001L / 2L,
+      "entry numbers must be exactly 1..2M")
   }
 }

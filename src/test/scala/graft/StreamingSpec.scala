@@ -111,6 +111,37 @@ class StreamingSpec extends SparkSpec {
     assert(u7(1).session_start === ts("2024-01-01 12:00:00") && u7(1).n_events === 1)
   }
 
+  test("sessionize: a backward bridge event chain-merges still-earlier events (batch semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // open a session at 12:00; then ONE batch carries 11:56 (a 'bridge',
+    // within the 5-min gap of the session start) and 11:52 (past the gap
+    // from 12:00 but within it of the bridge). Batch sessionization chains
+    // 11:52—11:56—12:00 into ONE session; the old original-start split
+    // emitted 11:52 as its own closed session.
+    input.addData(Event(1, ts("2024-01-01 12:00:00"), 7, "click", 1.0))
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions_bridge")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    input.addData(
+      Event(2, ts("2024-01-01 11:56:00"), 7, "bridge", 2.0),
+      Event(3, ts("2024-01-01 11:52:00"), 7, "early", 4.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-02 00:00:00"), 8, "tick", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(5, ts("2024-01-02 01:00:00"), 8, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("sessions_bridge").as[EventStream.Session]
+      .collect().filter(_.user_id == 7)
+    assert(u7.length === 1, s"bridge chain must merge into one session, got ${u7.toSeq}")
+    assert(u7.head.session_start === ts("2024-01-01 11:52:00")
+      && u7.head.session_end === ts("2024-01-01 12:00:00")
+      && u7.head.n_events === 3
+      && math.abs(u7.head.total_value - 7.0) < 1e-9)
+  }
+
   test("sessionize closes sessions after the event-time gap and aggregates per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -332,6 +363,54 @@ class StreamingSpec extends SparkSpec {
       (2, "b", Option.empty[Timestamp])).toDF("k", "name", "ts"), 1L)
     val dim = spark.read.parquet(dir)
     assert(dim.select("k").as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("scd2BatchEventGrain: two versions of one key in ONE batch become two chained rows") {
+    val dir = Files.createTempDirectory("stream_scd2_event").toString + "/dim"
+    val sink = EventStream.scd2BatchEventGrain(dir, Seq("k"), Seq("name"), "ts") _
+    sink(Seq(
+      (1, "a", ts("2024-01-01 10:00:00")),
+      (1, "b", ts("2024-01-01 11:00:00")), // same key, same batch: a VERSION, not a collapse
+      (2, "x", ts("2024-01-01 10:30:00"))).toDF("k", "name", "ts"), 0L)
+    val dim = spark.read.parquet(dir)
+      .as[(Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(dim === Seq(
+      (1, "a", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 11:00:00")), false),
+      (1, "b", ts("2024-01-01 11:00:00"), None, true),
+      (2, "x", ts("2024-01-01 10:30:00"), None, true)))
+
+    // next batch: unchanged state compresses onto the current version
+    // (keeping ITS valid_from); a changed one opens at its event time
+    sink(Seq(
+      (1, "b", ts("2024-01-01 12:00:00")),
+      (2, "y", ts("2024-01-01 13:00:00"))).toDF("k", "name", "ts"), 1L)
+    val dim2 = spark.read.parquet(dir)
+      .as[(Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(dim2 === Seq(
+      (1, "a", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 11:00:00")), false),
+      (1, "b", ts("2024-01-01 11:00:00"), None, true),
+      (2, "x", ts("2024-01-01 10:30:00"), Some(ts("2024-01-01 13:00:00")), false),
+      (2, "y", ts("2024-01-01 13:00:00"), None, true)))
+  }
+
+  test("scd2BatchEventGrain clamps below-current event times — closed history never overlapped") {
+    val dir = Files.createTempDirectory("stream_scd2_event_late").toString + "/dim"
+    val sink = EventStream.scd2BatchEventGrain(dir, Seq("k"), Seq("name"), "ts") _
+    sink(Seq((1, "a", ts("2024-01-02 12:00:00"))).toDF("k", "name", "ts"), 0L)
+    // late change: 11:00 < current valid_from 12:00 — clamps up to 12:00
+    sink(Seq((1, "b", ts("2024-01-02 11:00:00"))).toDF("k", "name", "ts"), 1L)
+    val dim = spark.read.parquet(dir)
+      .as[(Int, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getTime, r._2)).toSeq
+    dim.foreach { case (_, _, from, to, _) =>
+      to.foreach(t => assert(!t.before(from),
+        s"inverted interval: valid_to $t < valid_from $from")) }
+    assert(dim.count(_._5) === 1 && dim.find(_._5).get._2 === "b")
+    // 'a' closed zero-width at the clamp boundary, not dropped
+    assert(dim.exists(r => r._2 == "a" && !r._5
+      && r._4.contains(ts("2024-01-02 12:00:00"))))
   }
 
   test("scd2Batch clamps a late batch's effective time — no inverted intervals") {

@@ -179,6 +179,22 @@ class DedupSpec extends SparkSpec {
     assert(survivors.contains(1L), "the clean doc survives the whole funnel")
   }
 
+  test("funnelPersisted is bit-identical to the lazy funnel") {
+    import graft.operators.Curate
+    val docs = corpus.limit(200)
+      .withColumn("lang", concat(lit("l"), col("doc_id") % 3))
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, String, Seq[String],
+                org.apache.spark.sql.Column, Int, Double, Double) => Curate.Funnel) = {
+      val fn = f(docs, "doc_id", "text", "lang", Seq("the", "a"),
+        col("doc_id") % 50 === 0, 5, 0.5, 0.2)
+      (fn.counts.as[(String, Long)].collect().sortBy(_._1).toSeq,
+        fn.survivors.select("doc_id").as[Long].collect().sorted.toSeq)
+    }
+    val lazyRes = run(Curate.funnel(_, _, _, _, _, _, _, _, _))
+    val persisted = run(Curate.funnelPersisted(_, _, _, _, _, _, _, _, _))
+    assert(persisted === lazyRes)
+  }
+
   test("dupSpanFraction scores partial copies; self-repetition is not duplication") {
     // doc 1: 8 tokens = 2 spans of 4; doc 2 copies doc 1's first span only;
     // doc 3 is clean; doc 4 repeats ITS OWN span twice (self-repetition)
@@ -346,6 +362,21 @@ class DedupSpec extends SparkSpec {
     // with room to converge the same chain is one cluster
     val ok = Dedup.dupClusters(nodes, "doc_id", chain, maxIter = 10)
     assert(ok.select("cluster_id").distinct().count() === 1)
+  }
+
+  test("dupClusters pointer doubling: a 64-chain converges within ceil(log2 64)+1 rounds") {
+    // worst-case component shape for label propagation. Plain min-diffusion
+    // needs ~63 rounds; the label(label) shortcut doubles reach per round,
+    // so the cap at ceil(log2 64)+1 = 7 (6 changing rounds + 1 confirming)
+    // must suffice — if the doubling regresses, this throws the maxIter
+    // IllegalStateException
+    val n = 64L
+    val nodes = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(nodes, "doc_id", chain, maxIter = 7)
+      .as[(Long, Long)].collect()
+    assert(clusters.length === 64 && clusters.forall(_._2 === 1L),
+      "the whole chain must collapse to cluster 1")
   }
 
   test("decontamination flags exactly the train docs sharing eval k-grams") {
