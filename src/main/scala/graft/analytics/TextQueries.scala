@@ -81,6 +81,29 @@ object TextQueries {
         .counts.orderBy("stage")
     },
 
+    // C4-style line-level boilerplate removal: the corpus has no newlines,
+    // so the fixture folds each document into 8-token lines and appends a
+    // shared footer line to every even doc — the footer's doc-frequency
+    // (~250) crosses the threshold and must vanish from every document
+    // while genuine content lines survive in order. Both engines build
+    // the identical fixture (q82's list-slice conventions).
+    "q93_boilerplate_lines" -> { (s, dir) =>
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"),
+          concat_ws("\n", transform(
+            sequence(lit(0), floor((size(col("__w")) - 1) / 8).cast("int")),
+            i => concat_ws(" ", slice(col("__w"), i * 8 + 1, lit(8))))).as("text"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit("\nshared boilerplate footer line")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.dropBoilerplateLines(lined, "doc_id", "text",
+          minDocFreq = 3L)
+        .orderBy("doc_id")
+    },
+
     // token counting: whitespace + BPE-ish regex tokens, per document.
     "q24_token_stats" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -324,6 +347,42 @@ object TextQueries {
       |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // Identical fixture (8-token lines via the q82 slice conventions +
+    // even-doc footer), then the same global pipeline: line doc-frequency,
+    // df >= 3 lines dropped, survivors re-joined in position order.
+    // string_agg over zero kept rows is NULL where Spark's concat_ws over
+    // an empty array is '' — coalesce pins the all-boilerplate-doc case.
+    "q93_boilerplate_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |lined AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(range(0, ((n-1)//8)+1),
+        |           i -> array_to_string(w[i*8+1 : i*8+8], ' ')), chr(10))
+        |         || CASE WHEN doc_id % 2 = 0
+        |                 THEN chr(10) || 'shared boilerplate footer line'
+        |                 ELSE '' END AS text
+        |  FROM s),
+        |l AS (
+        |  SELECT doc_id, (i - 1)::INT AS pos, ls[i] AS line
+        |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined))),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |keepl AS (SELECT l.doc_id, l.pos, l.line
+        |          FROM l JOIN freq USING (line) WHERE freq.df < 3),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |               count(*) AS n_kept
+        |        FROM keepl GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS nt FROM l GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text, '') AS text,
+        |       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |       (t.nt - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // The full funnel in SQL, each stage assembled from the proven oracle
     // fragments: q27's fingerprint dedup, q83's span fractions, q68's

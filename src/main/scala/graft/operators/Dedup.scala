@@ -235,6 +235,42 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** C4-style line-level boilerplate removal: a LINE occurring in at least
+    * `minDocFreq` distinct documents is corpus boilerplate (nav bars,
+    * cookie banners, license footers) and is dropped from every document;
+    * the survivors re-join in original order. Returns one row per input
+    * document — (idCol, text, n_kept, n_dropped) — including documents
+    * whose every line was boilerplate (empty text), so downstream length
+    * filters see them rather than silently losing rows.
+    *
+    * Scale: explode to (doc, pos, line) → line-keyed distinct-doc count
+    * (partial aggregation shrinks the shuffle to distinct lines per
+    * mapper) → anti-join on the line — boilerplate is detected globally,
+    * never per-pair. The reassembly groupBy shuffles surviving lines on
+    * the doc id once. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocFreq: Long = 3L): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq < 2 would drop every line: $minDocFreq")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("__n_total"))
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("__text"),
+        count(lit(1)).as("__n_kept"))
+    totals.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Deterministic universal-hash family over 32-bit inputs: results stay
     * within long range (no ANSI overflow), seeded for reproducibility.
     * Parameters derive from the engine-portable mix2 LCG so an external SQL

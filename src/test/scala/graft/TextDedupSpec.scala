@@ -364,6 +364,24 @@ class DedupSpec extends SparkSpec {
     assert(ok.select("cluster_id").distinct().count() === 1)
   }
 
+  test("dropBoilerplateLines removes corpus-frequent lines, keeps order, keeps emptied docs") {
+    val df = Seq(
+      (1L, "keep one\nFOOTER\nkeep two"),
+      (2L, "FOOTER\nunique a"),
+      (3L, "unique b\nFOOTER"),
+      (4L, "FOOTER")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocFreq = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "keep one\nkeep two", 2L, 1L), // order preserved around the cut
+      (2L, "unique a", 1L, 1L),
+      (3L, "unique b", 1L, 1L),
+      (4L, "", 0L, 1L))) // fully-boilerplate doc stays visible, empty
+    intercept[IllegalArgumentException] {
+      Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocFreq = 1)
+    }
+  }
+
   test("dupClusters pointer doubling: a 64-chain converges within ceil(log2 64)+1 rounds") {
     // worst-case component shape for label propagation. Plain min-diffusion
     // needs ~63 rounds; the label(label) shortcut doubles reach per round,
