@@ -42,11 +42,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * truncate to microseconds — the same ns→µs truncation DuckDB applies when
-    * it reads this file, so oracle comparison sees identical instants. */
+  /** The events fixture's `ts` physical type has varied across driver
+    * generations: parquet TIMESTAMP(MICROS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ) in current data, TIMESTAMP(NANOS) (which Spark 4 refuses
+    * by default, PARQUET_TYPE_ILLEGAL) in earlier ones. Adapt by the type
+    * actually read, normalizing to session-TZ TIMESTAMP either way — the
+    * session runs UTC, so the NTZ→TZ cast is value-identity and downstream
+    * plans (windows, watermarks, parquet output read back by the oracle
+    * comparison) behave identically across fixture generations. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df =
+      try load(spark, dir, "events")
+      catch {
+        case e: Exception
+            if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+          loadEventsNanos(spark, dir)
+      }
+    df.schema("ts").dataType match {
+      case LongType => // nanos read as long: truncate to micros, as DuckDB does
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  /** Legacy TIMESTAMP(NANOS) read path (nanos surfaced as LongType). */
+  private def loadEventsNanos(spark: SparkSession, dir: String): DataFrame = {
     // The conf is only needed during eager schema conversion at read time —
     // leaving it set would silently turn every later TIMESTAMP(NANOS) column
     // session-wide into LongType. The set/read/unset triple is guarded by a
@@ -58,8 +82,6 @@ object Tables {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try load(spark, dir, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
