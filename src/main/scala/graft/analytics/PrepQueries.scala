@@ -285,6 +285,84 @@ object PrepQueries {
       Packing.slidingChunks(Tables.documents(s, dir),
           col("doc_id"), col("text"), chunkSize = 128, stride = 96)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // REAL image resize round trip: synthesize an 8x6 gray PNG per doc,
+    // ImageIO-decode -> exact 2x2 box downsample -> PNG re-encode ->
+    // decode AGAIN, reduce pixel stats of the 4x3 result. The oracle
+    // replays generator + box arithmetic only (q89/q91 contract: the
+    // binary round trips are the Spark side's burden); px_wsum pins the
+    // resized sample ORDER.
+    "q94_image_resize" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val resized = Multimodal.resizePngGray(
+              Multimodal.syntheticPngGray8(id, 8, 6))
+            val (w, h, px) = Multimodal.decodeImageGray(resized)
+            val wsum = {
+              var acc = 0L; var i = 0
+              while (i < px.length) { acc += px(i).toLong * (i + 1); i += 1 }
+              acc
+            }
+            (id, w, h, px.map(_.toLong).sum, px.min, px.max, wsum)
+          }
+        }
+        .toDF("media_id", "width", "height", "px_sum", "px_min", "px_max", "px_wsum")
+        .orderBy("media_id")
+    },
+
+    // Token-budget corpus selection: rank by quality, spend half the
+    // corpus's total tokens down the ranking. Selection is a FLAG over
+    // every row (rejects are auditable); the cumsum is bucketed (no
+    // single-partition window) and the budget scalar is a 1-row broadcast.
+    "q95_token_budget" -> { (s, dir) =>
+      Packing.tokenBudgetSelect(Tables.documents(s, dir),
+          col("doc_id"), col("text"), TextQueries.Stopwords,
+          budgetNum = 1L, budgetDen = 2L)
+        .withColumn("selected", col("selected").cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization + dedup: a deterministic fixture synthesizes
+    // messy URLs (case-varied scheme/host, default and nondefault ports,
+    // utm params, swapped param order, trailing slash, fragments) from
+    // doc_id in BOTH engines; canonicalization is one codegen'd
+    // projection and the dedup is an exact groupBy on the canonical form.
+    "q96_url_canon" -> { (s, dir) =>
+      val id = col("doc_id")
+      val scheme = when(id % 2 === 0, "HTTP").otherwise("https")
+      val host = when(id % 3 === 0, "Example.COM")
+        .when(id % 3 === 1, "www.Example.com")
+        .otherwise("CDN.example.com")
+      val port = when(id % 5 === 0, when(id % 2 === 0, ":80").otherwise(":443"))
+        .when(id % 7 === 0, ":8080").otherwise("")
+      val path = concat(lit("/docs/"), (id % 10).cast("string"),
+        when(id % 4 === 0, "/").otherwise(""))
+      val utm = when(id % 2 === 0, "utm_source=feed&").otherwise("")
+      val pair = when(id % 3 === 0, "b=2&a=1").otherwise("a=1&b=2")
+      val qid = concat(lit("&id="), (id % 25).cast("string"))
+      val frag = when(id % 6 === 0, concat(lit("#sec"), (id % 3).cast("string")))
+        .otherwise("")
+      val url = concat(scheme, lit("://"), host, port, path, lit("?"),
+        utm, pair, qid, frag)
+      Tables.documents(s, dir).select(id.as("doc_id"), url.as("url"))
+        .withColumn("canon_url", graft.functions.Url.canonicalize(col("url")))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_id"))
+        .orderBy("canon_url")
+    },
+
+    // DSIR importance weights: hashed-bigram log-ratio of the target
+    // distribution (every 10th doc) over the raw corpus distribution,
+    // folded per document in position order. One bucket-keyed shuffle
+    // builds both histograms; the 64-row bucket table broadcasts back.
+    "q97_dsir_weights" -> { (s, dir) =>
+      graft.operators.Dsir.importanceWeights(Tables.documents(s, dir),
+          "doc_id", "text", targetPred = col("doc_id") % 10 === 0, buckets = 64)
+        .orderBy("doc_id")
     }
   )
 
@@ -557,6 +635,158 @@ object PrepQueries {
         |  FROM orders)
         |SELECT o_custkey, rank, o_orderkey, o_totalprice
         |FROM r WHERE rank <= 3
-        |ORDER BY o_custkey, rank""".stripMargin
+        |ORDER BY o_custkey, rank""".stripMargin,
+
+    // q89/q91 contract: only the generator ((id*31 + y*8 + x)*17) % 256 and
+    // the exact box arithmetic (sum+2)//4 — the two PNG round trips are the
+    // Spark side's burden.
+    "q94_image_resize" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+        |src AS (
+        |  SELECT media_id, x.x AS x, y.y AS y,
+        |         ((media_id*31 + y.y*8 + x.x) * 17) % 256 AS p
+        |  FROM ids, (SELECT unnest(range(8)) AS x) x, (SELECT unnest(range(6)) AS y) y),
+        |dst AS (
+        |  SELECT media_id, x//2 AS dx, y//2 AS dy, (sum(p)+2)//4 AS q
+        |  FROM src GROUP BY media_id, x//2, y//2)
+        |SELECT media_id, 4 AS width, 3 AS height,
+        |       sum(q)::BIGINT AS px_sum, min(q)::INT AS px_min, max(q)::INT AS px_max,
+        |       sum(q * (dy*4 + dx + 1))::BIGINT AS px_wsum
+        |FROM dst GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Shares q25's quality formula verbatim; the global cumsum is a window
+    // here (oracle scale), a bucketed cumsum Spark-side.
+    "q95_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, n_chars,
+        |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS pr,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |              ELSE 0.0 END AS sr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |               + (1.0 - pr)*0.4 + (1.0 - ABS(sr - 0.1))*0.2, 4) AS quality
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |         SUM(n_tokens) OVER () AS total
+        |  FROM q)
+        |SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       CASE WHEN cum_tokens * 2 <= total THEN 1 ELSE 0 END AS selected
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The fixture builds the SAME messy URLs from doc_id, then replays
+    // Url.canonicalize step by step (fragment, scheme/host case, www,
+    // default ports, trailing slash, utm filter + param sort).
+    "q96_url_canon" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |         || '://'
+        |         || (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+        |                  WHEN doc_id % 3 = 1 THEN 'www.Example.com'
+        |                  ELSE 'CDN.example.com' END)
+        |         || (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |                  WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+        |         || '/docs/' || CAST(doc_id % 10 AS VARCHAR)
+        |         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |         || '?'
+        |         || (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END)
+        |         || (CASE WHEN doc_id % 3 = 0 THEN 'b=2&a=1' ELSE 'a=1&b=2' END)
+        |         || '&id=' || CAST(doc_id % 25 AS VARCHAR)
+        |         || (CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+        |         AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u1 FROM f),
+        |q AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM p),
+        |h AS (SELECT doc_id, scheme, rest, regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM q),
+        |i AS (
+        |  SELECT doc_id, scheme,
+        |         regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+        |         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |         substr(rest, length(hostport)+1) AS pathquery
+        |  FROM h),
+        |j AS (
+        |  SELECT doc_id, scheme, host,
+        |         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |                   OR (scheme = 'https' AND port = '443')
+        |              THEN '' ELSE ':' || port END AS portpart,
+        |         regexp_extract(pathquery, '^([^?]*)', 1) AS rawpath,
+        |         regexp_extract(pathquery, '\?(.*)$', 1) AS rawq
+        |  FROM i),
+        |k AS (
+        |  SELECT doc_id, scheme, host, portpart,
+        |         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |         list_sort(list_filter(string_split(rawq, '&'),
+        |                               x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
+        |  FROM j),
+        |c AS (
+        |  SELECT doc_id,
+        |         scheme || '://' || host || portpart || path ||
+        |         (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon_url
+        |  FROM k)
+        |SELECT canon_url, count(*) AS n_docs, min(doc_id) AS first_id
+        |FROM c GROUP BY canon_url
+        |ORDER BY canon_url""".stripMargin,
+
+    // Bucket hash = the shared polynomial fold (PortableHash.polySql twin);
+    // smoothing and IEEE op order mirror Dsir.importanceWeights exactly;
+    // the per-doc fold is position-ordered (q78 discipline). The trailing
+    // `+ 0.0` normalizes DuckDB's ROUND(-epsilon) = -0.0 to the +0.0 Spark
+    // emits (q86 convention) — they stringify differently in the hash gate.
+    "q97_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 10 = 0) AS tgt,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tgt,
+        |         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
+        |  FROM t WHERE len(w) >= 2),
+        |b AS (
+        |  SELECT doc_id, tgt, generate_subscripts(bgs, 1) - 1 AS pos, unnest(bgs) AS bg
+        |  FROM g),
+        |hh AS (
+        |  SELECT doc_id, tgt, pos,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(range(1, length(bg)+1), i -> ascii(substr(bg,i,1))::BIGINT)),
+        |           (acc, x) -> (acc*31 + x) % 1000000007) % 64 AS hb
+        |  FROM b),
+        |s AS (
+        |  SELECT hb, count(*) AS n_raw,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM hh GROUP BY hb),
+        |tot AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM s),
+        |lam AS (
+        |  SELECT hb, LN(CAST(n_tgt + 1 AS DOUBLE) / CAST(tot_tgt + 64 AS DOUBLE))
+        |           - LN(CAST(n_raw + 1 AS DOUBLE) / CAST(tot_raw + 64 AS DOUBLE)) AS lam
+        |  FROM s CROSS JOIN tot),
+        |a AS (
+        |  SELECT doc_id, list(lam ORDER BY pos) AS arr
+        |  FROM hh JOIN lam USING (hb) GROUP BY doc_id),
+        |pd AS (
+        |  SELECT doc_id, CAST(len(arr) AS INT) AS n_bigrams,
+        |         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+        |                           (acc, x) -> acc + x) / CAST(len(arr) AS DOUBLE), 4) + 0.0 AS avg_logratio
+        |  FROM a)
+        |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(pd.avg_logratio, 0.0) AS avg_logratio
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -106,6 +106,55 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: exact 2×2 box downsample over decoded gray pixels.
+    * Output pixel (x,y) is the rounded mean of the four source pixels
+    * (2x,2y),(2x+1,2y),(2x,2y+1),(2x+1,2y+1) — pure integer arithmetic
+    * `(sum + 2) / 4`, so an external oracle replays the result exactly
+    * (no float resampling kernels whose rounding differs per platform).
+    * Requires even dimensions: production resizers pad or crop the last
+    * row/column; refusing keeps the arithmetic contract unambiguous. */
+  def boxDownsample2(width: Int, height: Int, px: Array[Int]): (Int, Int, Array[Int]) = {
+    require(width % 2 == 0 && height % 2 == 0,
+      s"boxDownsample2 requires even dimensions, got ${width}x$height")
+    require(px.length == width * height,
+      s"pixel buffer ${px.length} != ${width}x$height")
+    val w2 = width / 2; val h2 = height / 2
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val o = 2 * y * width + 2 * x
+        out(y * w2 + x) =
+          (px(o) + px(o + 1) + px(o + width) + px(o + width + 1) + 2) / 4
+        x += 1
+      }
+      y += 1
+    }
+    (w2, h2, out)
+  }
+
+  /** Full real resize pipeline for one image payload: ImageIO decode →
+    * [[boxDownsample2]] → gray-PNG re-encode. PNG is lossless on both
+    * ends, so decode(resizePngGray(bytes)) returns exactly the box-averaged
+    * pixels — q94 round-trips synthesized PNGs through this and
+    * hash-checks the resized statistics against an oracle that replays the
+    * generator + box arithmetic without touching a byte. */
+  def resizePngGray(bytes: Array[Byte]): Array[Byte] = {
+    val (w, h, px) = decodeImageGray(bytes)
+    val (w2, h2, out) = boxDownsample2(w, h, px)
+    val img = new java.awt.image.BufferedImage(
+      w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) { raster.setSample(x, y, 0, out(y * w2 + x)); x += 1 }
+      y += 1
+    }
+    encodeImage(img, "png")
+  }
+
   // ---- real decoders for uncompressed containers (bare-JDK, no codecs) ----
 
   private def le16(b: Array[Byte], o: Int): Int =

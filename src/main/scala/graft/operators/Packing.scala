@@ -71,6 +71,41 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Token-budget corpus selection — the "best docs until the budget is
+    * spent" step of data curation: rank documents by quality (descending,
+    * doc id breaking ties), run a global token cumsum down the ranking, and
+    * mark every document whose running total fits the budget. The budget is
+    * a FRACTION of the corpus's total tokens (integer `total * num / den`),
+    * so the query means the same thing at every scale factor.
+    *
+    * Scale shape: the ranking cumsum is [[bucketedCumSum]] over quality
+    * buckets (`floor((1-q)*bucketsPerUnit)` is monotone in descending
+    * quality) — no single-partition window; the total-token scalar is a
+    * 1-row broadcast. Emits every input row (selection is a flag, not a
+    * filter — callers audit what was REJECTED as often as what was kept)
+    * with `n_tokens`, `quality`, `cum_tokens`, `selected`.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: Column, textCol: Column,
+                        stopwords: Seq[String],
+                        budgetNum: Long, budgetDen: Long,
+                        bucketsPerUnit: Int = 50): DataFrame = {
+    require(budgetDen > 0 && budgetNum >= 0, s"bad budget $budgetNum/$budgetDen")
+    val scored = df.select(idCol.as("__id"), textCol.as("__t"))
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("__t"))).cast("long"))
+      .withColumn("quality", graft.functions.Text.qualityScore(col("__t"), stopwords))
+      .withColumn("__ord", -col("quality"))
+    val cum = bucketedCumSum(
+      scored, col("__ord"),
+      floor(col("__ord") * lit(bucketsPerUnit)).cast("long"),
+      col("n_tokens"), "cum_tokens", tieBreak = Seq(col("__id")))
+    val total = scored.agg(sum(col("n_tokens")).as("__total"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("selected",
+        col("cum_tokens") * lit(budgetDen) <= col("__total") * lit(budgetNum))
+      .select(col("__id").as("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"), col("selected"))
+  }
+
   /** Per-document sliding token-window chunking — the RAG / context-window
     * prep shape: each document's token stream is cut into windows of
     * `chunkSize` tokens starting every `stride` tokens. Windows never start

@@ -86,3 +86,79 @@ class DecodesSpec extends SparkSpec {
     assert(df.as[Option[Double]].collect().toSeq === Seq(Some(0.25), None))
   }
 }
+
+/** URL canonicalization — the web-corpus dedup key (q96). */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(graft.functions.Url.canonicalize(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("case, default ports, www, fragments, trailing slash") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/Docs/1/?a=1#frag",
+      "https://example.com:443/Docs/1?a=1",
+      "http://example.com:8080/x/"
+    ) === Seq(
+      "http://example.com/Docs/1?a=1",   // scheme+host lowered, path case KEPT
+      "https://example.com/Docs/1?a=1",  // :443 dropped on https only
+      "http://example.com:8080/x"        // non-default port kept
+    ))
+  }
+
+  test("query params: utm_* dropped, survivors sorted, bare ? dropped, empty path is /") {
+    assert(canon(
+      "https://a.com/p?b=2&utm_source=x&a=1",
+      "https://a.com/p?utm_campaign=y",
+      "https://a.com?a=1",
+      "https://a.com/"
+    ) === Seq(
+      "https://a.com/p?a=1&b=2",
+      "https://a.com/p",
+      "https://a.com/?a=1",
+      "https://a.com/"
+    ))
+  }
+
+  test("equivalent messy URLs collapse to one canonical key") {
+    val variants = Seq(
+      "http://www.site.com:80/a/b/?y=2&x=1&utm_medium=m#top",
+      "HTTP://SITE.com/a/b?x=1&y=2",
+      "http://site.com/a/b/?utm_source=s&y=2&x=1")
+    assert(canon(variants: _*).distinct.size === 1)
+  }
+}
+
+/** DSIR hashed-bigram importance weights (q97). */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("target-like docs score higher; short docs come back with weight 0") {
+    // target style: "spark merge" bigrams; raw style: "disk scan" bigrams
+    val docs = ((1L to 20L).map(i => (i, "spark merge spark merge spark merge")) ++
+      (21L to 60L).map(i => (i, "disk scan disk scan disk scan")) ++
+      Seq((61L, "solo"), (62L, ""))).toDF("doc_id", "text")
+    val got = graft.operators.Dsir.importanceWeights(
+        docs, "doc_id", "text", targetPred = col("doc_id") <= 20, buckets = 32)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.size === 62, "every input doc must come back")
+    assert(got(61L) === ((0, 0.0)) && got(62L) === ((0, 0.0)),
+      "docs with < 2 tokens have no bigrams")
+    val targetScore = got(1L)._2
+    val rawScore = got(30L)._2
+    assert(targetScore > rawScore,
+      s"target-distribution docs must outscore raw-only docs ($targetScore vs $rawScore)")
+    assert(targetScore > 0 && rawScore < 0,
+      "log-ratio sign separates target-like from raw-only text")
+  }
+
+  test("weights are deterministic across repartitionings") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val a = graft.operators.Dsir.importanceWeights(
+      docs, "doc_id", "text", col("doc_id") % 10 === 0).collect().toSet
+    val b = graft.operators.Dsir.importanceWeights(
+      docs.repartition(13), "doc_id", "text", col("doc_id") % 10 === 0).collect().toSet
+    assert(a === b)
+  }
+}

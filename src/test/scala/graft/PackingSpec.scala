@@ -22,6 +22,31 @@ class PackingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("tokenBudgetSelect: selection is the top-quality prefix of the ranking") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val got = Packing.tokenBudgetSelect(docs, col("doc_id"), col("text"),
+      Seq("the", "a"), budgetNum = 1L, budgetDen = 2L)
+    assert(got.count() === 200, "selection is a flag, not a filter")
+    val ranked = got.orderBy(desc("quality"), col("doc_id"))
+      .select("cum_tokens", "selected", "n_tokens")
+      .collect()
+    // cum_tokens strictly increases down the ranking by exactly n_tokens
+    ranked.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(0) === a.getLong(0) + b.getLong(2), "cumsum must follow the ranking")
+    }
+    // selected rows form a prefix: once false, never true again
+    val flags = ranked.map(_.getBoolean(1)).toSeq
+    assert(flags === flags.sortBy(!_), s"selected must be a prefix of the ranking")
+    val total = ranked.map(_.getLong(2)).sum
+    val spent = ranked.filter(_.getBoolean(1)).map(_.getLong(2)).sum
+    assert(spent * 2 <= total, "budget must not be exceeded")
+    // full budget selects everything; zero budget selects nothing
+    assert(Packing.tokenBudgetSelect(docs, col("doc_id"), col("text"), Seq("the"),
+      budgetNum = 1L, budgetDen = 1L).filter(!col("selected")).count() === 0)
+    assert(Packing.tokenBudgetSelect(docs, col("doc_id"), col("text"), Seq("the"),
+      budgetNum = 0L, budgetDen = 1L).filter(col("selected")).count() === 0)
+  }
+
   test("packSequences: chunk of the first token; boundary-spanning doc keeps its start chunk") {
     val df = Seq((1L, 1000L), (2L, 1000L), (3L, 500L), (4L, 2048L), (5L, 1L))
       .toDF("doc_id", "n_tokens")

@@ -188,6 +188,26 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodeBmpGray8(absurd) }
   }
 
+  test("boxDownsample2: exact integer box means; odd dimensions refused") {
+    // 4x2 source, hand-computed: out(x,y) = (sum of 2x2 block + 2) / 4
+    val px = Array(10, 20, 30, 40,
+                   50, 60, 70, 81)
+    val (w2, h2, out) = Multimodal.boxDownsample2(4, 2, px)
+    assert(w2 === 2 && h2 === 1)
+    assert(out.toSeq === Seq((10 + 20 + 50 + 60 + 2) / 4, (30 + 40 + 70 + 81 + 2) / 4))
+    intercept[IllegalArgumentException] { Multimodal.boxDownsample2(3, 2, new Array[Int](6)) }
+    intercept[IllegalArgumentException] { Multimodal.boxDownsample2(4, 2, new Array[Int](7)) }
+  }
+
+  test("resizePngGray: decode(resize(png)) equals box-averaging the decoded source") {
+    val src = Multimodal.syntheticPngGray8(9L, 8, 6)
+    val (sw, sh, spx) = Multimodal.decodeImageGray(src)
+    val (ew, eh, expected) = Multimodal.boxDownsample2(sw, sh, spx)
+    val (gw, gh, got) = Multimodal.decodeImageGray(Multimodal.resizePngGray(src))
+    assert((gw, gh) === (ew, eh))
+    assert(got.toSeq === expected.toSeq, "PNG re-encode must be lossless on the box means")
+  }
+
   private def putRiffSize(b: Array[Byte]): Unit = {
     val v = b.length - 8
     b(4) = v.toByte; b(5) = (v >> 8).toByte; b(6) = (v >> 16).toByte; b(7) = (v >> 24).toByte

@@ -269,4 +269,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"), p.take(2000))
     assert(p.contains("*(1) Filter"), "filter must run inside codegen stage 1")
   }
+
+  test("q95 token budget: cumsum partitions by bucket; budget scalar broadcasts") {
+    val p = plan("q95_token_budget")
+    assert(p.contains("windowspecdefinition(__bucket"),
+      "corpus-side running sum must partition by __bucket (never a global window)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast, not shuffle:\n${p.take(2000)}")
+  }
+
+  test("q96 url canonicalization: one projection into one aggregation shuffle") {
+    val p = plan("q96_url_canon")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "canonicalization must be join-free")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"expected exactly 1 hash exchange (the canon-key groupBy), got $hashExchanges")
+  }
+
+  test("q97 DSIR: bucket table broadcasts back onto the bigram stream") {
+    val p = plan("q97_dsir_weights")
+    // (the final doc-keyed LEFT JOIN back to the corpus is allowed to
+    // shuffle — it is doc-keyed, not pair-space; the guard is that the
+    // per-bucket lambda table never shuffles the bigram stream)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row lambda table must broadcast onto the bigram stream:\n${p.take(2000)}")
+  }
 }
