@@ -113,6 +113,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // character entropy (compression-ratio proxy): the histogram is built
+    // INSIDE the row (sorted char array -> run lengths), so the whole
+    // query is a zero-shuffle projection; the float fold runs in
+    // sorted-char order on both engines.
+    "q98_char_entropy" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          Text.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // quality scoring: length/punct/stopword heuristics blended.
     "q25_quality_scores" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -616,6 +628,30 @@ object TextQueries {
         |             + (1.0 - pr)*0.4
         |             + (1.0 - ABS(sr - 0.1))*0.2, 4) AS quality
         |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    // The oracle builds the char histogram relationally (unnest + GROUP BY)
+    // but accumulates the SAME k·ln(k) terms in the SAME sorted-char order
+    // as the in-row Spark fold, then applies the same
+    // (ln n − S/n)/ln 2 op sequence; ln(2) is the pinned literal, `+ 0.0`
+    // normalizes the single-run -0.0 on both sides.
+    "q98_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+        |arr AS (SELECT doc_id,
+        |               list(CAST(k AS DOUBLE) * LN(CAST(k AS DOUBLE)) ORDER BY c) AS terms
+        |        FROM cnt GROUP BY doc_id),
+        |e AS (
+        |  SELECT a.doc_id,
+        |         ROUND((LN(CAST(t.n AS DOUBLE))
+        |                - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a.terms),
+        |                              (acc, x) -> acc + x) / CAST(t.n AS DOUBLE))
+        |               / 0.6931471805599453, 4) + 0.0 AS entropy
+        |  FROM arr a JOIN tot t USING (doc_id))
+        |SELECT d.doc_id, length(d.text)::INT AS n_chars, COALESCE(e.entropy, 0.0) AS entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q26_lang_id" ->

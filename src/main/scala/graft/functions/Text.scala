@@ -56,6 +56,51 @@ object Text {
     when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
   }
 
+  /** Shannon character entropy in bits/char, 4dp — the cheap
+    * compression-ratio proxy: near-0 flags repeated-character spam,
+    * near-log₂(alphabet) is normal prose; pair with [[qualityScore]] as a
+    * pre-filter signal. Empty text → 0.0.
+    *
+    * Zero-shuffle by construction: the histogram is built IN THE ROW as a
+    * single left fold over the sorted char array — state (prev, run, Σk·lnk,
+    * n) — using H = (ln n − Σk·ln k / n) / ln 2. The sorted array appears
+    * ONLY as the fold's input: Spark re-evaluates non-trivial expressions at
+    * every reference site inside a lambda body (no CSE across lambda
+    * boundaries), so the earlier index-probing formulation re-ran the
+    * regexp+sort PER ELEMENT — O(n²) per row, a multi-hour hang on real
+    * documents. Run terms accumulate in sorted-char order (deterministic
+    * float order across partitionings and engines; the q98 oracle replays
+    * the same fold over `list(k ORDER BY c)`), and ln(2) is pinned as a
+    * literal so both engines divide by the same double.
+    */
+  def charEntropy(c: Column): Column = {
+    val s = sort_array(regexp_extract_all(c, lit("."), lit(0)))
+    val ln2 = 0.6931471805599453 // Math.log(2.0), bit-exact in both engines
+    def runTerm(run: Column): Column =
+      when(run > 0, run.cast("double") * log(run.cast("double"))).otherwise(lit(0.0))
+    val h = aggregate(
+      s,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("sum"), lit(0L).as("cnt")),
+      (st, ch) => {
+        val same = ch === st.getField("prev")
+        struct(
+          ch.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st.getField("sum"))
+            .otherwise(st.getField("sum") + runTerm(st.getField("run"))).as("sum"),
+          (st.getField("cnt") + 1L).as("cnt"))
+      },
+      st => {
+        val n = st.getField("cnt").cast("double")
+        val total = st.getField("sum") + runTerm(st.getField("run"))
+        when(st.getField("cnt") === 0L, lit(0.0))
+          .otherwise((log(n) - total / n) / lit(ln2))
+      })
+    // `+ 0.0` normalizes the single-run case (-0.0) on BOTH sides (the
+    // oracle mirrors it): -0.0 and 0.0 stringify differently in the gate
+    Rounding.roundLikeC(h, 4) + lit(0.0)
+  }
+
   /** Composite quality score in [0,1]: length saturation (500 chars → full
     * marks), low punctuation, moderate stopword share — the standard
     * cheap-heuristics blend used to pre-filter training corpora. */

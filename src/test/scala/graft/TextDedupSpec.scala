@@ -15,6 +15,24 @@ class TextSpec extends SparkSpec {
     assert(df.as[(Int, Int)].collect().toSeq === Seq((3, 3), (3, 4), (1, 1)))
   }
 
+  test("charEntropy: 0 for one repeated char, log2(k) for uniform k chars, 0 for empty") {
+    val df = Seq("aaaa", "abab", "abcdabcd", "", "aab").toDF("t")
+      .select(Text.charEntropy(col("t")).as("e"))
+    val got = df.as[Double].collect().toSeq
+    // uniform over k chars -> log2(k) exactly at these sizes
+    assert(got(0) === 0.0 && got(1) === 1.0 && got(2) === 2.0 && got(3) === 0.0)
+    // 2/3,1/3 mix: -(2/3·log2(2/3) + 1/3·log2(1/3)) ≈ 0.9183
+    assert(got(4) === 0.9183)
+    assert(!got.exists(e => e.toString.startsWith("-")), "never -0.0")
+  }
+
+  test("charEntropy query is a zero-shuffle projection") {
+    val p = Tables.documents(spark, sf)
+      .select(col("doc_id"), Text.charEntropy(col("text")).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n${p.take(1500)}")
+  }
+
   test("normalizeUnicode: NFC composes, NFD decomposes, dedup fingerprints converge") {
     val decomposed = "cafe\u0301"  // e + combining acute, 5 codepoints
     val composed = "caf\u00e9"     // é, 4 codepoints
