@@ -113,6 +113,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus data-card report: per-source composition stats — the summary
+    // table published alongside every training corpus. One aggregation
+    // shuffle; the mean is an exact DECIMAL sum divided once (order-
+    // independent, vs an avg() of doubles whose value depends on partition
+    // order); the median is Spark's exact percentile ↔ DuckDB quantile_cont
+    // (q48 parity convention).
+    "q100_corpus_report" -> { (s, dir) =>
+      import graft.functions.Rounding.roundLikeC
+      val base = Tables.documents(s, dir).select(
+        col("source"), col("lang"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.qualityScore(col("text"), Stopwords).as("q"))
+      base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          expr("percentile(n_tokens, 0.5D)").as("__p50"),
+          sum(col("q").cast("decimal(18,4)")).as("__qsum"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          roundLikeC(col("__p50"), 4).as("p50_tokens"),
+          roundLikeC(col("__qsum").cast("double") / col("n_docs").cast("double"), 4)
+            .as("mean_quality"),
+          roundLikeC(col("__en").cast("double") / col("n_docs").cast("double"), 4)
+            .as("pct_en"))
+        .orderBy("source")
+    },
+
+    // HTML-to-text extraction: a deterministic fixture wraps each document
+    // in a full page (title, style+script payloads containing < > &&, an
+    // entity-laden footer incl. the double-encoded &amp;copy;) in BOTH
+    // engines; extraction is a zero-shuffle projection. The script strip
+    // must precede the tag strip — the payload's bare < > would otherwise
+    // corrupt tag boundaries — and &amp; decodes LAST (single decode).
+    "q99_html_extract" -> { (s, dir) =>
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>Doc "), id.cast("string"),
+        lit("</title><style type=\"text/css\">p { margin: 0; }</style>"),
+        lit("<script>var n = 1 < 2 && 3 > 2;</script></head><body><h1>Doc "),
+        id.cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><p>Footer &amp;copy; example &lt;inc&gt; &quot;quoted&quot; &#39;q&#39;</p></body></html>"))
+      Tables.documents(s, dir)
+        .select(id.as("doc_id"), graft.functions.Html.toText(html).as("text"))
+        .withColumn("n_chars", length(col("text")))
+        .orderBy("doc_id")
+    },
+
     // character entropy (compression-ratio proxy): the histogram is built
     // INSIDE the row (sorted char array -> run lengths), so the whole
     // query is a zero-shuffle projection; the float fold runs in
@@ -635,6 +682,57 @@ object TextQueries {
     // as the in-row Spark fold, then applies the same
     // (ln n − S/n)/ln 2 op sequence; ln(2) is the pinned literal, `+ 0.0`
     // normalizes the single-run -0.0 on both sides.
+    // Shares q25's quality formula; mean via exact DECIMAL sum / count
+    // (one division on both sides), median via quantile_cont (q48 parity).
+    "q100_corpus_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS pr,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |              ELSE 0.0 END AS sr,
+        |         n_chars
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |               + (1.0 - pr)*0.4 + (1.0 - ABS(sr - 0.1))*0.2, 4) AS quality
+        |  FROM r)
+        |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens,
+        |       ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+        |       ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_quality,
+        |       ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS pct_en
+        |FROM q GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // Replays Html.toText step by step on the same synthesized page; DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark's is always
+    // global); the '-quote replacement uses CHR(39) to dodge SQL escaping.
+    "q99_html_extract" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |         '</title><style type="text/css">p { margin: 0; }</style>' ||
+        |         '<script>var n = 1 < 2 && 3 > 2;</script></head><body><h1>Doc ' ||
+        |         CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |         '</p><p>Footer &amp;copy; example &lt;inc&gt; &quot;quoted&quot; &#39;q&#39;</p></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM f),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(x,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&') AS x
+        |       FROM s3),
+        |s5 AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text FROM s4)
+        |SELECT doc_id, text, length(text)::INT AS n_chars
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+
     "q98_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),

@@ -15,6 +15,21 @@ class TextSpec extends SparkSpec {
     assert(df.as[(Int, Int)].collect().toSeq === Seq((3, 3), (3, 4), (1, 1)))
   }
 
+  test("Html.toText: script/style payloads dropped whole, entities decode once, whitespace collapses") {
+    val cases = Seq(
+      // script body with bare < > && must vanish BEFORE tag stripping
+      "<p>a</p><script>if (1 < 2 && 3 > 2) x();</script><p>b</p>" -> "a b",
+      "<STYLE>p > em { color: red }</STYLE>hello" -> "hello",
+      // &amp; decodes LAST: &amp;lt; -> &lt; (one decode, not <)
+      "x &amp;lt; y &lt; z" -> "x &lt; y < z",
+      "&quot;q&quot; &#39;s&#39; a&amp;b" -> "\"q\" 's' a&b",
+      "  <div> spaced \n out </div>  " -> "spaced out",
+      "no markup at all" -> "no markup at all")
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.functions.Html.toText(col("h")).as("t")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("charEntropy: 0 for one repeated char, log2(k) for uniform k chars, 0 for empty") {
     val df = Seq("aaaa", "abab", "abcdabcd", "", "aab").toDF("t")
       .select(Text.charEntropy(col("t")).as("e"))
