@@ -285,4 +285,41 @@ object GraftProperties extends Properties("graft") {
       } yield (i.toLong, 100L + j) -> n.toLong).toMap
       got == expected
     }
+
+  /** Generated messy URLs: random case, optional default/nondefault port,
+    * utm and real params in random order, optional fragment + trailing
+    * slash. */
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.oneOf("example.com", "Example.COM", "cdn.site.org")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/a", "/a/b", "/a/b/")
+    params <- Gen.someOf(Seq("a=1", "b=2", "utm_source=x", "utm_b=y", "id=7"))
+    reversed <- Gen.oneOf(true, false)
+    frag <- Gen.oneOf("", "#top", "#s1")
+  } yield {
+    val ordered = if (reversed) params.toList.reverse else params.toList
+    val q = if (ordered.isEmpty) "" else "?" + ordered.mkString("&")
+    s"$scheme://$www$host$port$path$q$frag"
+  }
+
+  property("url canonicalization is idempotent (stable dedup keys)") =
+    Prop.forAll(Gen.listOfN(30, urlGen)) { urls =>
+      val df = urls.toDF("u")
+        .select(graft.functions.Url.canonicalize(col("u")).as("c1"))
+        .select(col("c1"), graft.functions.Url.canonicalize(col("c1")).as("c2"))
+      df.filter(col("c1") =!= col("c2")).isEmpty
+    }
+
+  property("url canonicalization is invariant to param order, case, fragments, default ports") =
+    Prop.forAll(Gen.oneOf("http", "HTTP"), Gen.oneOf("", "www."),
+        Gen.oneOf("", ":80"), Gen.oneOf("", "#f")) { (sch, www, port, frag) =>
+      val base = "http://example.com/p?a=1&b=2"
+      val messy = s"$sch://${www}Example.COM$port/p?b=2&utm_x=1&a=1$frag"
+      val got = Seq(messy, base).toDF("u")
+        .select(graft.functions.Url.canonicalize(col("u")).as("c"))
+        .as[String].collect()
+      got(0) == got(1)
+    }
 }
