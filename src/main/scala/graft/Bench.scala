@@ -3,8 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries run in sorted name
-  * order after a small warmup so per-query numbers are comparable across
-  * rounds (the first query otherwise absorbs JVM/codegen warmup).
+  * order; one untimed warm-up of the WHOLE suite precedes timing so every
+  * query's codegen/plan/scan caches are hot, then each query is timed across
+  * repeated passes and reported as the per-query MEDIAN (with min alongside).
+  * Single-shot timings on this host swing ±50% with JIT/GC/scheduler luck —
+  * the r4 bench flagged five phantom regressions on untouched code; medians
+  * are the fix.
   */
 object Bench {
   /** tmpfs-backed Spark scratch if the host provides one, else default. */
@@ -36,65 +40,69 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: exercise scan + shuffle + codegen paths once. Guarded — a
-    // regressed flagship query must not kill the whole benchmark line (the
-    // per-query -1 sentinel below still reports it as failed).
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-
     // SPARK_GRAFT_ONLY=q27_exact_dedup,q1_pricing_summary: run a subset
     // (isolation/debugging); unset = all queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
+    val ordered = selected.toSeq.sortBy(_._1)
 
     def onePass(): Seq[(String, Double)] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         // a failed query must NOT read as a fast query: -1 sentinel
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
 
-    // Two passes, min per query, unless pass 1 already ran long (a degraded
-    // host — this container's I/O and page-allocation throughput oscillate
-    // minute-to-minute up to 10x). Pass 2 hits warm codegen/plan caches, so
-    // the min approximates steady-state engine cost instead of sampling the
-    // host's worst moment. SPARK_GRAFT_RUNS=1 forces single-pass.
-    val pass1 = onePass()
-    val pass1Total = pass1.map(_._2).filter(_ >= 0).sum
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results =
-      if (runs <= 1 || pass1Total > 120.0) pass1
-      else {
-        val pass2 = onePass().toMap
-        pass1.map { case (name, v1) =>
-          val v2 = pass2.getOrElse(name, -1.0)
-          // min of successful runs; failure only if both failed
-          name -> ((v1, v2) match {
-            case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
-            case (a, b) => math.max(a, b)
-          })
-        }
-      }
+    // Untimed warm-up of the whole suite (JIT, codegen cache, FS cache),
+    // guarded so a regressed query can't kill the benchmark line — its timed
+    // passes still report the -1 sentinel.
+    val warmup = onePass()
+    val warmupTotal = warmup.map(_._2).filter(_ >= 0).sum
+
+    // 3 timed passes by default (SPARK_GRAFT_RUNS overrides). If the warm-up
+    // already ran pathologically long the host is degraded (this container's
+    // I/O and page-allocation throughput oscillate minute-to-minute up to
+    // 10x) — fall back to a single timed pass and let the warm-up stand in
+    // as a second sample.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val effRuns = if (warmupTotal > 240.0) 1 else math.max(1, runs)
+    val passes: Seq[Map[String, Double]] =
+      (1 to effRuns).map(_ => onePass().toMap)
+
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n == 0) -1.0
+      else if (n % 2 == 1) s(n / 2)
+      else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    // median/min over successful samples only; -1 only if every pass failed
+    val results: Seq[(String, (Double, Double))] = ordered.map { case (name, _) =>
+      val samples = passes.flatMap(_.get(name)).filter(_ >= 0)
+      name -> (if (samples.isEmpty) (-1.0, -1.0)
+               else (medianOf(samples), samples.min))
+    }
+
     // The driver captures only a ~2 KiB stdout TAIL: r3's single JSON line
     // with 90 full-name entries (~2.7 KiB) overflowed it, losing q1-q27 and
     // breaking the parse. Emit full-name per-query lines first (complete in
     // the local log), then ONE compact totals line LAST — short "qNN" keys
     // (the numeric prefix is unique per query) keep it ~1.3 KiB so the tail
-    // always contains it whole.
+    // always contains it whole. The compact map carries the MEDIAN.
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    results.foreach { case (k, v) =>
-      println(s"""{"query":"$k","sec":${ms(v)}}""")
+    results.foreach { case (k, (med, mn)) =>
+      println(s"""{"query":"$k","sec_median":${ms(med)},"sec_min":${ms(mn)}}""")
     }
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val collides = results.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
-    val qs = results.map { case (k, v) =>
-      "\"" + (if (collides) k else shortKey(k)) + "\":" + ms(v)
+    val qs = results.map { case (k, (med, _)) =>
+      "\"" + (if (collides) k else shortKey(k)) + "\":" + ms(med)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$effRuns,"stat":"median"}""")
     spark.stop()
   }
 }

@@ -201,6 +201,7 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+    val sc = nodes.sparkSession.sparkContext
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint()
     var iter = 0
@@ -220,9 +221,21 @@ object Dedup {
           col("next") === col("__jid"), "left")
         .select(col("id"), col("label"),
           coalesce(col("__jnext"), col("next")).as("next"))
+      // Convergence tally FUSED into the materialization: an accumulator
+      // incremented inside the same mapPartitions pass the localCheckpoint
+      // materializes, so the round's labels and its changed-count come out
+      // of ONE action. The previous form ran a separate
+      // `filter(next < label).isEmpty` job per round, and on the final
+      // (converged) round that job scans the whole frame to find nothing.
+      val changed = sc.longAccumulator(s"dupClusters_changed_r$iter")
+      val flagged = joined.withColumn("__chg", col("next") < col("label"))
+      val chgIdx = flagged.schema.fieldIndex("__chg")
+      val counted = flagged.mapPartitions { rows =>
+        rows.map { r => if (r.getBoolean(chgIdx)) changed.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(flagged.schema))
         .localCheckpoint() // truncate lineage before reuse below
-      converged = joined.filter(col("next") < col("label")).isEmpty
-      labels = joined.select(col("id"), col("next").as("label"))
+      converged = changed.value == 0L
+      labels = counted.select(col("id"), col("next").as("label"))
       iter += 1
     }
     // a label set that stopped moving IS the fixpoint; one that hit the
