@@ -132,6 +132,79 @@ class BucketedJoinSpec extends SparkSpec {
   }
 }
 
+/** Adversarial skew for the valuation fold (SURVEY §7.4's top risk): one
+  * (item, warehouse) group holding 50% of a 2M-row ledger. The fold is
+  * order-dependent and cannot split a key, so the hot group must complete
+  * inside ONE task on each path:
+  *   - `revalue` (groupByKey.flatMapGroups) buffers and sorts the 1M-row
+  *     group in executor memory — the bound the scaladoc documents;
+  *   - `revalueStreaming` (repartition + sortWithinPartitions) leans on
+  *     Spark's spill-capable external sort and folds with O(1) state, so a
+  *     group LARGER than executor memory still finishes — the 100 TB path.
+  * Both must agree exactly (same doubles) with a driver-side brute-force
+  * re-fold of the hot group.
+  */
+object ValuationSkewFixture extends Serializable {
+  import java.sql.Timestamp
+  import graft.operators.StockLedgerRow
+
+  def mkRow(item: String, seq: Long): StockLedgerRow = {
+    val vt =
+      if (seq % 13 == 0) "Stock Reconciliation"
+      else if (seq % 3 == 0) "Purchase Receipt"
+      else "Delivery Note"
+    val qty =
+      if (vt == "Purchase Receipt") (seq % 7 + 1).toDouble
+      else if (vt == "Stock Reconciliation") (seq % 5 + 10).toDouble
+      else -((seq % 3) + 1).toDouble
+    StockLedgerRow(
+      item_code = item, warehouse = "W1",
+      posting_ts = new Timestamp(1600000000000L + seq * 1000L),
+      creation = new Timestamp(1600000000000L + seq * 1000L),
+      voucher_type = vt,
+      actual_qty = qty,
+      qty_after_transaction = if (vt == "Stock Reconciliation") qty else 0.0,
+      incoming_rate = if (vt == "Purchase Receipt") (seq % 11 + 1) * 0.25 else 0.0,
+      valuation_rate = (seq % 9 + 1) * 0.5,
+      stock_value = if (vt == "Stock Reconciliation") qty * ((seq % 9 + 1) * 0.5) else 0.0,
+      stock_value_difference =
+        if (vt == "Purchase Receipt") qty * ((seq % 11 + 1) * 0.25) else -qty * 0.75)
+  }
+}
+
+class ValuationSkewScaleSpec extends SparkSpec {
+  import graft.operators.Valuation
+
+  test("2M-row ledger with one group holding 50%: both fold paths finish and match brute force") {
+    import spark.implicits._
+    val n = 2000000L
+    val hotN = n / 2
+    // rows 0..1M-1: the hot group; rows 1M..2M-1: 1000 cold keys x 1000 rows
+    val ledger = spark.range(n).map { i =>
+      if (i < hotN) ValuationSkewFixture.mkRow("I_HOT", i)
+      else ValuationSkewFixture.mkRow(s"I_${i % 1000}", (i - hotN) / 1000)
+    }
+
+    // driver-side brute force over the hot group's input (the oracle)
+    val hotInput = ledger.filter(_.item_code == "I_HOT").collect()
+    assert(hotInput.length === hotN)
+    val expected = Valuation.foldGroup(hotInput.iterator, Valuation.zeroState).toArray
+
+    def hotSorted(out: org.apache.spark.sql.Dataset[graft.operators.ValuedStockRow]) =
+      out.filter(_.item_code == "I_HOT").collect().sortBy(_.posting_ts.getTime)
+
+    val inMem = Valuation.revalue(ledger)
+    assert(inMem.count() === n, "flatMapGroups fold must cover every row")
+    assert(hotSorted(inMem) === expected,
+      "flatMapGroups fold diverged from brute force on the hot group")
+
+    val streamed = Valuation.revalueStreaming(ledger)
+    assert(streamed.count() === n, "streaming fold must cover every row")
+    assert(hotSorted(streamed) === expected,
+      "secondary-sort streaming fold diverged from brute force on the hot group")
+  }
+}
+
 class SketchSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of exact at rsd=0.02") {
