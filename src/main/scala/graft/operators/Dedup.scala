@@ -589,25 +589,40 @@ object Dedup {
     * repeated only inside one doc is self-repetition, q55's metric, not
     * duplication). The fraction is over a doc's DISTINCT spans.
     *
-    * Scale shape: spans are a constant multiple of the corpus; the pipeline
-    * is distinct → span doc-frequency (map-side-combinable count) → join
-    * back on the fingerprint (same key as the count, exchange reused) →
-    * per-doc aggregate. No all-pairs anything; every shuffle is keyed.
+    * Scale shape — hot-fingerprint (viral span) resilient BY CONSTRUCTION,
+    * no join on the fingerprint anywhere. An earlier form joined the span
+    * doc-frequency back onto the span rows; a span shared by every document
+    * then funneled the whole corpus's rows into one sort-merge partition,
+    * and AQE could NOT split it because the (fp) exchange was reused by the
+    * frequency aggregate (OptimizeSkewedJoin skips reused stages — found by
+    * DedupSkewSpec's 20000×-skew fixture). This form uses the unique-span
+    * identity instead: a span is duplicated iff its doc-frequency ≥ 2, so
+    *   n_dup_spans(doc) = n_spans(doc) − #{spans of doc with df == 1},
+    * and a df==1 span's single owner is recoverable IN the frequency
+    * aggregate as `min(id)`. Every shuffle is then either two-phase
+    * countDistinct (the viral fingerprint spreads across reducers keyed by
+    * (fp, doc); phase 2 merges bounded per-partition partials) or keyed by
+    * doc (bounded by one document's span count). DedupSkewSpec pins the
+    * plan shape and exactness on the viral fixture.
     *
     * Emits (id, n_spans, n_dup_spans, dup_frac, is_dup) with
     * `is_dup = dup_frac >= flagAt`.
     */
   def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
                       spanTokens: Int = 20, flagAt: Double = 0.5): DataFrame = {
-    val pairs = graft.operators.Packing
+    val raw = graft.operators.Packing
       .slidingChunks(df, col(idCol), col(textCol), spanTokens, spanTokens)
       .select(col(idCol), col("chunk_md5").as("fp"))
-      .distinct()
-    val docFreq = pairs.groupBy("fp").agg(count(lit(1)).as("__ndocs"))
-    pairs.join(docFreq, "fp")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    val spanStats = raw.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__ndocs"), min(col(idCol)).as("__anydoc"))
+    val uniqPerDoc = spanStats.filter(col("__ndocs") === 1)
+      .groupBy(col("__anydoc").as(idCol))
+      .agg(count(lit(1)).as("__nuniq"))
+    val totals = raw.groupBy(col(idCol))
+      .agg(countDistinct(col("fp")).as("n_spans"))
+    totals.join(uniqPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        (col("n_spans") - coalesce(col("__nuniq"), lit(0L))).as("n_dup_spans"))
       .withColumn("dup_frac", graft.functions.Rounding.roundLikeC(
         col("n_dup_spans").cast("double") / col("n_spans"), 6))
       .withColumn("is_dup",

@@ -144,6 +144,83 @@ class BucketedJoinSpec extends SparkSpec {
   * Both must agree exactly (same doubles) with a driver-side brute-force
   * re-fold of the hot group.
   */
+/** Hot-key resilience for the corpus-dedup doc-frequency shuffles (r4
+  * verdict item 6): a single viral span/line shared by EVERY document is the
+  * adversarial input. Fixtures `repartition` round-robin first — a
+  * Range-derived id is otherwise already clustered, which silently satisfies
+  * the aggregates' distribution requirements and hides every exchange this
+  * spec exists to inspect.
+  *
+  * History: `dupSpanFraction` originally joined doc-frequency back on the
+  * fingerprint; this spec's fixture proved AQE does NOT split that join's
+  * viral partition (the fp exchange is reused by the frequency aggregate,
+  * and OptimizeSkewedJoin skips reused stages), so the operator was
+  * restructured to need no fingerprint join at all — these tests pin the
+  * skew-safe shapes both operators now share: two-phase countDistinct
+  * (viral key spread by (key, doc) in phase 1, bounded partials merged in
+  * phase 2) and doc-keyed aggregates.
+  */
+class DedupSkewSpec extends SparkSpec {
+
+  private val viral5 = "viral0 viral1 viral2 viral3 viral4"
+
+  test("dupSpanFraction: viral fingerprint never funnels into one partition — no fp join, (fp,doc) spread, exact fractions") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // model 100 TB: per-key frames are corpus-sized there, forbid broadcast
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 20k docs, each = the shared viral 5-token span + a unique 5-token
+      // span: the viral fingerprint occurs 20000x any other key
+      val docs = spark.range(20000).select(col("id").as("doc_id"),
+        concat(lit(viral5 + " "),
+          concat_ws(" ", (0 until 5).map(j => concat(lit(s"u${j}_"), col("id"))): _*))
+          .as("text"))
+        .repartition(8) // arbitrary layout, as on a real cluster
+      val scored = graft.operators.Dedup.dupSpanFraction(docs, "doc_id", "text",
+        spanTokens = 5, flagAt = 0.5)
+      val rows = scored.collect()
+      val plan = scored.queryExecution.executedPlan.toString
+      // the hot key must never be a join key: the only join is doc-keyed
+      assert(!"Join \\[fp".r.findFirstIn(plan).isDefined,
+        s"no join may key on the fingerprint:\n${plan.take(2000)}")
+      // phase-1 spread of the doc-frequency: an exchange keyed (fp, doc)
+      assert("hashpartitioning\\(fp#\\d+, doc_id#\\d+".r.findFirstIn(plan).isDefined,
+        s"doc-frequency must spread the viral fingerprint by (fp, doc) first:\n${plan.take(2000)}")
+      // every doc: 2 distinct spans, 1 duplicated -> dup_frac exactly 0.5
+      assert(rows.length === 20000)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_spans") === 2L && r.getAs[Long]("n_dup_spans") === 1L
+          && r.getAs[Double]("dup_frac") === 0.5 && r.getAs[Boolean]("is_dup"),
+          s"wrong span accounting for doc ${r.get(0)}: $r")
+      }
+    } finally saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
+  test("dropBoilerplateLines: viral-line doc frequency is two-phase (spread on (line, doc) first), results exact") {
+    // one cookie-banner line in all 20k docs + a unique line per doc
+    val docs = spark.range(20000).select(col("id").as("doc_id"),
+      concat(lit("ACCEPT ALL COOKIES\n"), concat(lit("unique line "), col("id")))
+        .as("text"))
+      .repartition(8)
+    val cleaned = graft.operators.Dedup.dropBoilerplateLines(docs, "doc_id", "text")
+    val rows = cleaned.collect()
+    val plan = cleaned.queryExecution.executedPlan.toString
+    // phase-1 exchange must partition on (line, doc) — the viral line spreads
+    // over every reducer instead of landing on one; phase 2 then merges
+    // bounded per-partition partial counts on line alone
+    assert("hashpartitioning\\(line#\\d+L?, doc_id#\\d+".r.findFirstIn(plan).isDefined,
+      s"countDistinct must spread the hot line by (line, doc) first:\n${plan.take(2000)}")
+    assert(rows.length === 20000)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === 1L && r.getAs[Long]("n_dropped") === 1L,
+        s"boilerplate accounting wrong for doc ${r.get(0)}: $r")
+      assert(r.getAs[String]("text").startsWith("unique line "))
+    }
+  }
+}
+
 object ValuationSkewFixture extends Serializable {
   import java.sql.Timestamp
   import graft.operators.StockLedgerRow
