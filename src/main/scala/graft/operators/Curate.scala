@@ -35,13 +35,20 @@ import graft.functions.Text
   */
 object Curate {
 
-  final case class Funnel(stages: Seq[(String, DataFrame)]) {
+  final case class Funnel(stages: Seq[(String, DataFrame)],
+                          knownCounts: Map[String, Long] = Map.empty) {
     /** The cleaned corpus: survivors of the last stage. */
     def survivors: DataFrame = stages.last._2
-    /** (stage, n_docs) funnel counts as one plan. */
+    /** (stage, n_docs) funnel counts as one plan. Stages whose count was
+      * already tallied during materialization ([[funnelPersisted]]) emit a
+      * literal — their count job already ran; everything else aggregates. */
     def counts: DataFrame =
       stages.map { case (name, df) =>
-        df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"))
+        knownCounts.get(name) match {
+          case Some(n) => df.sparkSession.range(1)
+            .select(lit(name).as("stage"), lit(n).as("n_docs"))
+          case None => df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"))
+        }
       }.reduce(_ unionByName _)
   }
 
@@ -50,13 +57,16 @@ object Curate {
              spanTokens: Int = 20, dupFlagAt: Double = 0.5,
              qualityCut: Double = 0.1): Funnel =
     build(docs, idCol, textCol, langCol, stopwords, evalPred,
-      spanTokens, dupFlagAt, qualityCut, identity)
+      spanTokens, dupFlagAt, qualityCut, (_, df) => df)
 
   /** [[funnel]] with every COMPUTED stage materialized via eager
     * `localCheckpoint`: `counts` and each downstream stage read the
     * materialized frame instead of re-deriving the shared prefix — the
     * lazy form pays roughly the final stage's cost once per stage row
     * (~4x at five stages; the multiple is a real cluster bill at scale).
+    * The stage COUNT rides the materialization job itself (an accumulator
+    * in the same mapPartitions pass the checkpoint runs — the dupClusters
+    * idiom), so `counts` costs zero extra actions for s1..s4.
     * s0 stays lazy on purpose: it is the raw input projection, and
     * checkpointing it would rewrite the whole corpus to executor storage
     * when its count is a column-pruned scan away. Results are
@@ -65,9 +75,20 @@ object Curate {
   def funnelPersisted(docs: DataFrame, idCol: String, textCol: String, langCol: String,
                       stopwords: Seq[String], evalPred: Column,
                       spanTokens: Int = 20, dupFlagAt: Double = 0.5,
-                      qualityCut: Double = 0.1): Funnel =
-    build(docs, idCol, textCol, langCol, stopwords, evalPred,
-      spanTokens, dupFlagAt, qualityCut, _.localCheckpoint())
+                      qualityCut: Double = 0.1): Funnel = {
+    val tallied = scala.collection.mutable.Map.empty[String, Long]
+    val f = build(docs, idCol, textCol, langCol, stopwords, evalPred,
+      spanTokens, dupFlagAt, qualityCut, (name, df) => {
+        val acc = df.sparkSession.sparkContext.longAccumulator(s"curate_$name")
+        val counted = df.mapPartitions { rows =>
+          rows.map { r => acc.add(1L); r }
+        }(org.apache.spark.sql.Encoders.row(df.schema))
+          .localCheckpoint() // eager: the accumulator is final right after
+        tallied(name) = acc.value
+        counted
+      })
+    f.copy(knownCounts = tallied.toMap)
+  }
 
   /** The funnel DAG with a `materialize` hook applied to each computed
     * stage (s1..s4) as it is built, so persisted and lazy forms share one
@@ -75,27 +96,29 @@ object Curate {
   private def build(docs: DataFrame, idCol: String, textCol: String, langCol: String,
                     stopwords: Seq[String], evalPred: Column,
                     spanTokens: Int, dupFlagAt: Double, qualityCut: Double,
-                    materialize: DataFrame => DataFrame): Funnel = {
+                    materialize: (String, DataFrame) => DataFrame): Funnel = {
     val s0 = docs.select(col(idCol), col(textCol), col(langCol))
 
-    val s1 = materialize(Dedup.exact(s0, textCol, Seq(col(idCol)))
+    val s1 = materialize("s1_exact_dedup", Dedup.exact(s0, textCol, Seq(col(idCol)))
       .select(col(idCol), col(textCol), col(langCol)))
 
     val spanScores = Dedup.dupSpanFraction(s1, idCol, textCol, spanTokens, dupFlagAt)
-    val s2 = materialize(
+    val s2 = materialize("s2_span_dedup",
       s1.join(spanScores.filter(!col("is_dup")).select(col(idCol)), idCol))
 
     val w = Window.partitionBy(langCol).orderBy(col("__q"), col(idCol))
-    val s3 = materialize(s2.withColumn("__q", Text.qualityScore(col(textCol), stopwords))
-      .withColumn("__pr", percent_rank().over(w))
-      .filter(col("__pr") >= qualityCut)
-      .select(col(idCol), col(textCol), col(langCol)))
+    val s3 = materialize("s3_quality",
+      s2.withColumn("__q", Text.qualityScore(col(textCol), stopwords))
+        .withColumn("__pr", percent_rank().over(w))
+        .filter(col("__pr") >= qualityCut)
+        .select(col(idCol), col(textCol), col(langCol)))
 
     val evalDocs = docs.filter(evalPred).select(col(idCol), col(textCol))
     val contaminated = Dedup.decontaminationPairs(
         s3.filter(!evalPred), evalDocs, idCol, textCol)
       .select(col("train_id").as(idCol)).distinct()
-    val s4 = materialize(s3.filter(!evalPred).join(contaminated, Seq(idCol), "left_anti"))
+    val s4 = materialize("s4_decontaminated",
+      s3.filter(!evalPred).join(contaminated, Seq(idCol), "left_anti"))
 
     Funnel(Seq(
       "s0_input" -> s0, "s1_exact_dedup" -> s1, "s2_span_dedup" -> s2,
