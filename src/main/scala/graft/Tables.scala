@@ -50,14 +50,28 @@ object Tables {
     * session runs UTC, so the NTZ→TZ cast is value-identity and downstream
     * plans (windows, watermarks, parquet output read back by the oracle
     * comparison) behave identically across fixture generations. */
+  /** True when `PARQUET_TYPE_ILLEGAL` appears anywhere in the failure —
+    * message OR cause chain: Spark 4 sometimes surfaces the error class only
+    * on a nested cause (e.g. wrapped in a file-reader or execution
+    * exception), so a top-level-message test silently misses it. The visited
+    * set guards against pathological cause cycles. */
+  private[graft] def isNanosTypeRefusal(t: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    var cur = t
+    while (cur != null && seen.add(cur)) {
+      if (String.valueOf(cur.getMessage).contains("PARQUET_TYPE_ILLEGAL")) return true
+      cur = cur.getCause
+    }
+    false
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df =
       try load(spark, dir, "events")
       catch {
-        case e: Exception
-            if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
-          loadEventsNanos(spark, dir)
+        case e: Exception if isNanosTypeRefusal(e) => loadEventsNanos(spark, dir)
       }
     df.schema("ts").dataType match {
       case LongType => // nanos read as long: truncate to micros, as DuckDB does

@@ -732,13 +732,13 @@ object TextQueries {
         |         replace(replace(replace(replace(replace(x,
         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&') AS x
         |       FROM s3),
-        |s5 AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text FROM s4)
+        |s5 AS (SELECT doc_id, trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text FROM s4)
         |SELECT doc_id, text, length(text)::INT AS n_chars
         |FROM s5 ORDER BY doc_id""".stripMargin,
 
     "q98_char_entropy" ->
       """WITH ch AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS c FROM documents),
         |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
         |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
         |arr AS (SELECT doc_id,

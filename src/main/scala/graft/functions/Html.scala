@@ -32,6 +32,8 @@ object Html {
           lit("&quot;"), lit("\"")),
         lit("&#39;"), lit("'")),
       lit("&amp;"), lit("&"))
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java \s includes \x0B (vertical tab), RE2's
+    // does not — the spelled-out set means the same thing in both engines
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 }

@@ -74,7 +74,11 @@ object Text {
     * literal so both engines divide by the same double.
     */
   def charEntropy(c: Column): Column = {
-    val s = sort_array(regexp_extract_all(c, lit("."), lit(0)))
+    // '[^\n]', not '.': Java-regex '.' excludes \r, U+0085, U+2028, U+2029,
+    // while RE2 (the oracle engine) excludes only \\n - a CRLF document would
+    // histogram differently in the two engines. The explicit negated class
+    // means the same thing in both: every char except newline.
+    val s = sort_array(regexp_extract_all(c, lit("[^\\n]"), lit(0)))
     val ln2 = 0.6931471805599453 // Math.log(2.0), bit-exact in both engines
     def runTerm(run: Column): Column =
       when(run > 0, run.cast("double") * log(run.cast("double"))).otherwise(lit(0.0))

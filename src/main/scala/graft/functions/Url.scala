@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
 object Url {
 
   /** Canonicalize a URL column (`scheme://host[:port][/path][?query][#frag]`).
-    * Input without a scheme is passed through lowercase-host rules only as
-    * far as the regexes match; garbage stays garbage (canonicalization is a
-    * dedup key, not a validator). */
+    * Input without a `scheme://` prefix is returned UNCHANGED: an earlier
+    * form reassembled `://host/...` around whatever it could parse, so
+    * re-canonicalizing an already-processed corpus turned `example.com/p`
+    * into `://example.com/p` and split dedup keys — pass-through keeps the
+    * operator idempotent on every input (the property test generates both
+    * schemed and schemeless cases). Garbage stays garbage (canonicalization
+    * is a dedup key, not a validator). */
   def canonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -49,6 +53,7 @@ object Url {
       p => p =!= "" && !p.startsWith("utm_")))
     val queryPart = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
-    concat(scheme, lit("://"), host, portPart, path, queryPart)
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }
 }

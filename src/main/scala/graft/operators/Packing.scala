@@ -90,6 +90,10 @@ object Packing {
                         budgetNum: Long, budgetDen: Long,
                         bucketsPerUnit: Int = 50): DataFrame = {
     require(budgetDen > 0 && budgetNum >= 0, s"bad budget $budgetNum/$budgetDen")
+    // the id goes out under the CALLER'S column name (an earlier form
+    // hardcoded "doc_id", silently renaming any other id — inconsistent
+    // with bucketedCumSum, which preserves input columns)
+    val outIdName = df.select(idCol).columns.head
     val scored = df.select(idCol.as("__id"), textCol.as("__t"))
       .withColumn("n_tokens", size(graft.functions.Text.tokens(col("__t"))).cast("long"))
       .withColumn("quality", graft.functions.Text.qualityScore(col("__t"), stopwords))
@@ -102,7 +106,7 @@ object Packing {
     cum.crossJoin(broadcast(total))
       .withColumn("selected",
         col("cum_tokens") * lit(budgetDen) <= col("__total") * lit(budgetNum))
-      .select(col("__id").as("doc_id"), col("n_tokens"), col("quality"),
+      .select(col("__id").as(outIdName), col("n_tokens"), col("quality"),
         col("cum_tokens"), col("selected"))
   }
 

@@ -128,6 +128,13 @@ class UrlSpec extends SparkSpec {
       "http://site.com/a/b/?utm_source=s&y=2&x=1")
     assert(canon(variants: _*).distinct.size === 1)
   }
+
+  test("schemeless input passes through unchanged (idempotence on processed corpora)") {
+    // the earlier reassembly turned these into '://example.com/p' — a second
+    // canonicalization pass then split dedup keys
+    val inputs = Seq("example.com/p", "www.Example.com/p?b=2&a=1", "", "not a url")
+    assert(canon(inputs: _*) === inputs)
+  }
 }
 
 /** DSIR hashed-bigram importance weights (q97). */

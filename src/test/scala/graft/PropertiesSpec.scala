@@ -288,9 +288,11 @@ object GraftProperties extends Properties("graft") {
 
   /** Generated messy URLs: random case, optional default/nondefault port,
     * utm and real params in random order, optional fragment + trailing
-    * slash. */
+    * slash — plus SCHEMELESS variants (empty scheme → no `://`), which must
+    * pass through unchanged: the idempotence property broke on them before
+    * canonicalize learned to skip the scheme://host reassembly. */
   private val urlGen: Gen[String] = for {
-    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "")
     www <- Gen.oneOf("", "www.", "WWW.")
     host <- Gen.oneOf("example.com", "Example.COM", "cdn.site.org")
     port <- Gen.oneOf("", ":80", ":443", ":8080")
@@ -301,7 +303,8 @@ object GraftProperties extends Properties("graft") {
   } yield {
     val ordered = if (reversed) params.toList.reverse else params.toList
     val q = if (ordered.isEmpty) "" else "?" + ordered.mkString("&")
-    s"$scheme://$www$host$port$path$q$frag"
+    val prefix = if (scheme.isEmpty) "" else s"$scheme://"
+    s"$prefix$www$host$port$path$q$frag"
   }
 
   property("url canonicalization is idempotent (stable dedup keys)") =

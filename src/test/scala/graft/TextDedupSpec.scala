@@ -41,6 +41,27 @@ class TextSpec extends SparkSpec {
     assert(!got.exists(e => e.toString.startsWith("-")), "never -0.0")
   }
 
+  test("charEntropy counts every char except \\n — CR and U+2028 included (RE2 parity)") {
+    // '[^\n]' (not '.') is the contract both engines share: Java '.' would
+    // skip \r and U+2028 while DuckDB's RE2 '.' keeps them — the chars must
+    // COUNT here or CRLF documents break q98's oracle parity
+    val df = Seq("a\r\nb", "a" + 0x2028.toChar + "b").toDF("t")
+      .select(Text.charEntropy(col("t")).as("e"))
+    val got = df.as[Double].collect().toSeq
+    // "a\r\nb": histogram {a, \r, b} uniform over 3 -> log2(3) ≈ 1.585
+    assert(got(0) === 1.585, s"CR must be histogrammed: ${got(0)}")
+    // "a\\u2028b": {a, U+2028, b} -> log2(3) too
+    assert(got(1) === 1.585, s"U+2028 must be histogrammed: ${got(1)}")
+  }
+
+  test("Html.toText collapses vertical tab like the oracle's explicit class") {
+    // Java \s includes \x0B, RE2's does not; the spelled-out class means
+    // both engines collapse it
+    val got = Seq("a" + 0x0B.toChar + "b").toDF("h")
+      .select(graft.functions.Html.toText(col("h")).as("t")).as[String].collect()
+    assert(got.head === "a b")
+  }
+
   test("charEntropy query is a zero-shuffle projection") {
     val p = Tables.documents(spark, sf)
       .select(col("doc_id"), Text.charEntropy(col("text")).as("e"))
