@@ -22,6 +22,14 @@ object PrepQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Deterministic training-order shuffle: seeded mix2 permutation +
+    // composed global row number (no single-partition sort).
+    "q103_corpus_shuffle" -> { (s, dir) =>
+      graft.operators.Packing.deterministicShuffle(
+          Tables.documents(s, dir), col("doc_id"), seed = 7L)
+        .orderBy("shuffle_pos")
+    },
+
     // Gopher-style repetition stats: type-token ratio + top-bigram mass per
     // document. Bigram counting explodes per-doc n-grams and aggregates by
     // (doc, bigram) — both shuffles are keyed on doc_id and map-side
@@ -381,6 +389,20 @@ object PrepQueries {
       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // q103: shuffle key = mix2(id*131 + 7) (the two-LCG-round chain the
+    // split/sample oracles already replicate) packed with the id as a
+    // tie-break; position = ROW_NUMBER over the total key order.
+    "q103_corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         ((((doc_id * 131 + 7) % 2147483648) * 1664525 + 1013904223)
+        |           % 2147483648 * 1103515245 + 12345) % 2147483648
+        |           * 2147483648 + doc_id AS key
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) AS shuffle_pos
+        |FROM k ORDER BY shuffle_pos""".stripMargin,
 
     // Only the generator formulas — pixel ((id*31 + y*6 + x)*17) % 256 and
     // sample ((id*7 + t*13) % 65536) - 32768 — never the bytes: the binary

@@ -39,6 +39,14 @@ object SimilarityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // per-dimension z-score standardization (ANN preprocessing): quantized
+    // exact integer sums -> broadcast 64-row stats -> pure projection.
+    "q101_embed_standardize" -> { (s, dir) =>
+      graft.operators.Features.standardize(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id", "dim_idx")
+    },
+
     "q31_ann_bruteforce" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir),
           queryVectors(s, dir), "vec_id", "embedding", K)
@@ -133,6 +141,30 @@ object SimilarityQueries {
   def rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
+
+    // q101: the q86 quantization (round(x·1e4) -> integral doubles) makes
+    // per-dim SUM and SUM-of-squares exact BIGINTs; mean/std derive with a
+    // fixed IEEE op sequence; z rounds C-like at 4dp with the -0.0 guard.
+    "q101_embed_standardize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 10000.0)) AS qx
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, (i - 1)::INT AS dim_idx, CAST(qx[i] AS BIGINT) AS v
+        |  FROM q, (SELECT unnest(range(1, 65)) AS i) d),
+        |st AS (
+        |  SELECT dim_idx,
+        |         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+        |         sqrt(CAST(SUM(v*v) AS DOUBLE) / COUNT(*)
+        |              - (CAST(SUM(v) AS DOUBLE) / COUNT(*)) * (CAST(SUM(v) AS DOUBLE) / COUNT(*))) AS std
+        |  FROM e GROUP BY dim_idx)
+        |SELECT e.vec_id, e.dim_idx,
+        |       CASE WHEN st.std > 0
+        |            THEN ROUND((CAST(e.v AS DOUBLE) - st.mean) / st.std, 4) + 0.0
+        |            ELSE 0.0 END AS z
+        |FROM e JOIN st USING (dim_idx)
+        |ORDER BY vec_id, dim_idx""".stripMargin,
 
     // q86: the q32 plane CTE restricted to 16 planes; component =
     // round(Σ s·q / (1e4·sqrt(16)), 4) — integer sum, one division, one

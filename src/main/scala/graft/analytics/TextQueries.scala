@@ -226,6 +226,34 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Dedup-pipeline quality report: MinHash-LSH candidates measured
+    // against the DESIGNED ground truth (every doc's +1000000 clone is a
+    // true duplicate pair). One row: counts + precision/recall — the
+    // regression gate to run whenever LSH knobs change.
+    "q102_dedup_quality" -> { (s, dir) =>
+      val cands = Dedup.minhashLshCandidates(corpusWithClones(s, dir), "doc_id", "text")
+      val truth = Tables.documents(s, dir).select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      graft.operators.Features.candidateQuality(cands, truth, "id_a", "id_b")
+    },
+
+    // Paragraph-grain global exact dedup: every repeated paragraph keeps
+    // exactly its FIRST (doc, pos) occurrence corpus-wide; docs re-assemble
+    // from survivors. Fixture synthesizes 3-paragraph docs (12-token head,
+    // a shared viral paragraph, the remainder) in both engines.
+    "q104_paragraph_dedup" -> { (s, dir) =>
+      val paraDocs = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("__w"))
+        .filter(size(col("__w")) > 0)
+        .select(col("doc_id"),
+          concat_ws("\n\n",
+            concat_ws(" ", slice(col("__w"), 1, 12)),
+            lit("subscribe to our newsletter for updates"),
+            concat_ws(" ", slice(col("__w"), 13, 1000000))).as("text"))
+      Dedup.dropDuplicateParagraphs(paraDocs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs over the cloned corpus. The 60-bit fingerprint
     // is four 15-bit polynomial hashes with integer bit votes — the oracle
     // recomputes fingerprints, pigeonhole chunks, and hamming verification.
@@ -568,6 +596,105 @@ object TextQueries {
         |FROM kept a JOIN kept b USING (band, bucket)
         |WHERE a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q102: the q29 candidate pipeline verbatim, measured against the
+    // designed truth (each doc ↔ its +1000000 clone) with INTERSECT/EXCEPT
+    // set algebra and 6dp C-rounded ratios.
+    "q102_dedup_quality" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents),
+        |t AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t),
+        |hv AS (
+        |  SELECT id, list_transform(sh, g -> list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(1, length(g)+1), i -> ascii(substr(g,i,1))::BIGINT)),
+        |      (acc,x) -> (acc*31+x) % 1000000007)) AS hv
+        |  FROM sh),
+        |fams AS (
+        |  SELECT j,
+        |    ((((42*131 + 2*j) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 + 1 AS a,
+        |    ((((42*131 + 2*j + 1) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 AS b
+        |  FROM (SELECT unnest(range(32)) AS j)),
+        |mins AS (
+        |  SELECT hv.id, f.j, MIN((f.a * h.h + f.b) % 4294967311) AS mn
+        |  FROM hv, unnest(hv.hv) AS h(h), fams f
+        |  GROUP BY hv.id, f.j),
+        |sigs AS (
+        |  SELECT id, list(mn ORDER BY j) AS sig FROM mins GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |         list_reduce(list_prepend(0::BIGINT, sig[b.band*4+1 : b.band*4+4]),
+        |                     (acc,x) -> (acc*31+x) % 1000000007) AS bucket
+        |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
+        |kept AS (
+        |  SELECT id, band, bucket FROM (
+        |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded)
+        |  WHERE bsz BETWEEN 2 AND 1000),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS pa, b.id AS pb
+        |  FROM kept a JOIN kept b USING (band, bucket)
+        |  WHERE a.id < b.id),
+        |truth AS (SELECT doc_id AS pa, doc_id + 1000000 AS pb FROM documents),
+        |tp AS (SELECT pa, pb FROM cands INTERSECT SELECT pa, pb FROM truth),
+        |c AS (
+        |  SELECT (SELECT COUNT(*) FROM cands) AS n_candidates,
+        |         (SELECT COUNT(*) FROM truth) AS n_truth,
+        |         (SELECT COUNT(*) FROM tp) AS tp)
+        |SELECT n_candidates, n_truth, tp,
+        |       n_candidates - tp AS fp,
+        |       n_truth - tp AS fn,
+        |       CASE WHEN n_candidates > 0
+        |            THEN ROUND(CAST(tp AS DOUBLE) / n_candidates, 6) + 0.0 ELSE 0.0 END AS precision,
+        |       CASE WHEN n_truth > 0
+        |            THEN ROUND(CAST(tp AS DOUBLE) / n_truth, 6) + 0.0 ELSE 0.0 END AS recall
+        |FROM c""".stripMargin,
+
+    // q104: paragraph explode with the q93 position idiom; survivor =
+    // lexicographic-min (doc, pos) per paragraph, realized as min-doc then
+    // min-pos within it; survivors re-join by their own coordinates.
+    "q104_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |f AS (
+        |  -- coalesce matters: DuckDB array_to_string([]) is NULL, and a
+        |  -- NULL tail would null the whole concat, silently dropping every
+        |  -- <=12-token document (Spark concat_ws is ''-safe)
+        |  SELECT doc_id,
+        |         coalesce(array_to_string(w[1:12], ' '), '')
+        |         || chr(10) || chr(10) || 'subscribe to our newsletter for updates'
+        |         || chr(10) || chr(10) || coalesce(array_to_string(w[13:], ' '), '') AS text
+        |  FROM t WHERE len(w) > 0),
+        |p AS (
+        |  SELECT doc_id, (i - 1)::INT AS pos, ps[i] AS para
+        |  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM f))),
+        |sd AS (SELECT para, min(doc_id) AS sdoc FROM p GROUP BY para),
+        |surv AS (
+        |  SELECT p.para, p.doc_id, min(p.pos) AS spos
+        |  FROM p JOIN sd ON p.para = sd.para AND p.doc_id = sd.sdoc
+        |  GROUP BY p.para, p.doc_id),
+        |keep AS (
+        |  SELECT p.doc_id, p.pos, p.para
+        |  FROM p JOIN (SELECT doc_id, spos AS pos FROM surv) s USING (doc_id, pos)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+        |         count(*) AS n_kept
+        |  FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS nt FROM p GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text, '') AS text,
+        |       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |       (t.nt - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q72: the batch is a clone of the corpus, so signatures compute once;
     // seen-side hub cap (inert here: no bucket exceeds 1000) applies to the

@@ -284,6 +284,48 @@ object Dedup {
         (col("__n_total") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Global paragraph-level exact dedup (the Dolma/RedPajama paragraph
+    * pass): every paragraph that occurs anywhere else in the corpus keeps
+    * exactly ONE copy — its first occurrence in (doc_id, position) order —
+    * and every other occurrence is dropped; survivors reassemble in
+    * original order. Differs from [[dropBoilerplateLines]], which drops ALL
+    * copies of frequent lines: here one canonical copy always survives, so
+    * no content is lost corpus-wide.
+    *
+    * Skew-safe shape (same discipline as [[dupSpanFraction]]): the survivor
+    * election `min(struct(doc_id, pos)) per md5(paragraph)` is a
+    * partial-aggregated groupBy — a viral paragraph collapses to one row
+    * per mapper before the shuffle. The election result is then joined back
+    * by (doc_id, pos) — the survivor's OWN coordinates, unique per
+    * fingerprint — so no join ever keys on the paragraph fingerprint and no
+    * viral paragraph can funnel raw rows into one partition. Reassembly
+    * groups by doc. Emits one row per input doc: (idCol, textCol, n_kept,
+    * n_dropped), empty text when every paragraph was a non-first duplicate.
+    */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .withColumn("__fp", md5(col("para")))
+    val survivors = paras.groupBy("__fp")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__first").getField(idCol).as(idCol),
+        col("__first").getField("pos").as("pos"))
+    val kept = paras.join(survivors, Seq(idCol, "pos"), "left_semi")
+    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("__n_total"))
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(concat_ws(sep,
+          transform(sort_array(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para"))).as("__text"),
+        count(lit(1)).as("__n_kept"))
+    totals.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Deterministic universal-hash family over 32-bit inputs: results stay
     * within long range (no ANSI overflow), seeded for reproducibility.
     * Parameters derive from the engine-portable mix2 LCG so an external SQL

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding feature conditioning for similarity/ANN pipelines.
+  *
+  * Standardizing (per-dimension z-score) before LSH/IVF/PQ matters at
+  * corpus scale: dimensions with large variance otherwise dominate every
+  * distance, and quantizer cells collapse along them. This is the classic
+  * preprocessing step the reference-adjacent ANN stack assumes
+  * (`scripts/test/transform.py`-era pipelines do it in pandas;
+  * `sparkFiles/sparkProcess.py:248-267` is the same aggregate→broadcast
+  * shape on business columns).
+  */
+object Features {
+
+  /** Per-dimension z-score standardization of a vector column, emitted in
+    * exploded (id, dim_idx, z) form.
+    *
+    * Engine-portable exactness (the q86 idiom): vectors are quantized to
+    * integral doubles (`round(x·10⁴)`), so the per-dimension sum and
+    * sum-of-squares are EXACT LONGS — order-independent across partitions
+    * and engines (a raw float sum would drift in the last ulp per
+    * accumulation order). Mean/std then derive from those two longs with a
+    * fixed IEEE op sequence, and the z-value rounds C-like at 4dp with the
+    * `+ 0.0` negative-zero normalization.
+    *
+    * Scale shape: one posexplode → 64-key aggregate (map-side partials
+    * collapse every partition to ≤ dim rows) → the dim-row stats frame
+    * BROADCAST back over a pure projection. No corpus-sized shuffle at all:
+    * the join key is `dim_idx`, a ≤ dim-value key whose build side is tiny
+    * by construction. Zero-variance dimensions emit z = 0 (the constant
+    * carries no signal; NaN would poison downstream folds).
+    */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qx = transform(col(vecCol).cast("array<double>"),
+      x => round(x * lit(10000.0d)))
+    val exploded = df
+      .select(col(idCol), posexplode(qx).as(Seq("dim_idx", "__v")))
+      .withColumn("__v", col("__v").cast("long"))
+    val stats = exploded.groupBy("dim_idx")
+      .agg(sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"),
+        count(lit(1)).as("__n"))
+      .select(col("dim_idx"),
+        (col("__s").cast("double") / col("__n")).as("__mean"),
+        sqrt(col("__s2").cast("double") / col("__n") -
+          (col("__s").cast("double") / col("__n")) *
+            (col("__s").cast("double") / col("__n"))).as("__std"))
+    exploded.join(broadcast(stats), "dim_idx")
+      .select(col(idCol), col("dim_idx"),
+        (when(col("__std") > 0.0,
+          graft.functions.Rounding.roundLikeC(
+            (col("__v").cast("double") - col("__mean")) / col("__std"), 4))
+          .otherwise(lit(0.0)) + lit(0.0)).as("z"))
+  }
+
+  /** Candidate-set quality report — the measurement half of approximate
+    * dedup: given CANDIDATE pairs (e.g. MinHash-LSH) and GROUND-TRUTH pairs
+    * (exact Jaccard ≥ τ on the same corpus), emit one row of
+    * (n_candidates, n_truth, tp, fp, fn, precision, recall). Run it on a
+    * labeled slice whenever LSH knobs (bands/rows/shingle) change — recall
+    * silently collapsing is THE classic dedup-pipeline failure, and a
+    * fenced report query is cheaper than a bad training run.
+    *
+    * Both inputs are normalized to unordered pairs (least, greatest) before
+    * set algebra, so either orientation matches. Scale: two pair-keyed
+    * joins (semi + anti) over frames that are candidate-sized, not
+    * corpus-sized; ratios round C-like at 6dp (the q83 parity pattern).
+    */
+  def candidateQuality(candidates: DataFrame, truth: DataFrame,
+                       idA: String, idB: String): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df.select(
+      least(col(idA), col(idB)).as("__a"),
+      greatest(col(idA), col(idB)).as("__b")).distinct()
+    val c = norm(candidates)
+    val t = norm(truth)
+    val tp = c.join(t, Seq("__a", "__b"), "left_semi")
+    val fp = c.join(t, Seq("__a", "__b"), "left_anti")
+    val fn = t.join(c, Seq("__a", "__b"), "left_anti")
+    val counts = c.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(t.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
+      .crossJoin(broadcast(fp.agg(count(lit(1)).as("fp"))))
+      .crossJoin(broadcast(fn.agg(count(lit(1)).as("fn"))))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, graft.functions.Rounding.roundLikeC(
+        num.cast("double") / den.cast("double"), 6) + lit(0.0))
+        .otherwise(lit(0.0))
+    counts.select(col("n_candidates"), col("n_truth"), col("tp"), col("fp"),
+      col("fn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"))
+  }
+}

@@ -181,6 +181,31 @@ object Packing {
     (h1 * lit(1103515245L) + lit(12345L)) % lit(m)
   }
 
+  /** Deterministic corpus shuffle — the seeded training-order permutation
+    * every pretraining run needs: consecutive crawl/source rows must not
+    * land consecutively in the token stream, and the order must be exactly
+    * reproducible (resume-from-checkpoint, ablation reruns, multi-worker
+    * sharding all read the same permutation). `rand()` cannot do this — it
+    * reseeds per partition layout.
+    *
+    * shuffle key = [[mix2]](id·131 + seed) — an engine-portable LCG
+    * bijection of [0, 2^31), so distinct small ids collide only past 2^31
+    * and the SQL oracle replays the key exactly; ties (possible only via
+    * mod-collision) break by id. Position = the composed bucket+offset
+    * global row number ([[Windows.globalRowNumberComposed]]) — no
+    * single-partition sort; mix2's output is uniform on [0, 2^31), so the
+    * range buckets balance regardless of input id distribution. Emits the
+    * id column plus `shuffle_pos` (1-based). */
+  def deterministicShuffle(df: DataFrame, idCol: Column,
+                           seed: Long = 42L): DataFrame = {
+    val outIdName = df.select(idCol).columns.head
+    val keyed = df.select(idCol.as(outIdName))
+      .withColumn("__shufkey",
+        mix2(idCol * lit(131L) + lit(seed)) * lit(2147483648L) + idCol.cast("long"))
+    Windows.globalRowNumberComposed(keyed, "__shufkey", "shuffle_pos")
+      .select(col(outIdName), col("shuffle_pos"))
+  }
+
   /** Deterministic per-stratum sample: exactly `n` rows per stratum (fewer
     * if the stratum is smaller), chosen by the [[mix2]] pseudo-random order
     * — balanced subsampling for training mixes, stable across re-runs. One

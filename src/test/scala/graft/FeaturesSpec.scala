@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Features, Packing}
+
+/** Feature conditioning + dedup-measurement operators (q101/q102) and the
+  * new corpus ordering/paragraph ops (q103/q104). */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("standardize: hand-computed z-scores; zero-variance dimension emits 0, never NaN") {
+    // dim0: values 1.0, 3.0 -> q = 10000, 30000; mean 20000, std 10000
+    //   -> z = -1.0, 1.0
+    // dim1: constant 5.0 -> std 0 -> z = 0.0 for both
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Features.standardize(df, "vec_id", "embedding")
+      .orderBy("vec_id", "dim_idx")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got === Seq((1L, 0, -1.0), (1L, 1, 0.0), (2L, 0, 1.0), (2L, 1, 0.0)))
+    assert(!got.exists(_._3.isNaN))
+  }
+
+  test("standardize output is invariant to input partitioning (exact integer sums)") {
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val a = Features.standardize(e, "vec_id", "embedding")
+      .orderBy("vec_id", "dim_idx").collect().toSeq
+    val b = Features.standardize(e.repartition(13), "vec_id", "embedding")
+      .orderBy("vec_id", "dim_idx").collect().toSeq
+    assert(a === b, "z-scores must not drift with partition layout")
+  }
+
+  test("candidateQuality: counts and ratios, orientation-normalized") {
+    // truth: (1,2),(3,4),(5,6); candidates: (2,1) [TP, flipped], (3,4) [TP],
+    // (7,8) [FP]; missing (5,6) [FN]
+    val cands = Seq((2L, 1L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Features.candidateQuality(cands, truth, "id_a", "id_b").head()
+    assert(r.getAs[Long]("n_candidates") === 3L && r.getAs[Long]("n_truth") === 3L)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fp") === 1L
+      && r.getAs[Long]("fn") === 1L)
+    assert(r.getAs[Double]("precision") === 0.666667) // round-like-C 6dp
+    assert(r.getAs[Double]("recall") === 0.666667)
+  }
+
+  test("deterministicShuffle: a reproducible bijection onto 1..n, layout-independent") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val a = Packing.deterministicShuffle(docs, col("doc_id"), seed = 7L)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    // positions are exactly 1..n (a permutation, no gaps or dups)
+    assert(a.map(_._2).sorted === (1 to a.length).toSeq)
+    // same seed + different physical layout -> identical permutation
+    val b = Packing.deterministicShuffle(docs.repartition(17), col("doc_id"), seed = 7L)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a === b, "the permutation must be a pure function of (ids, seed)")
+    // a different seed produces a different order (not a fixed identity)
+    val c = Packing.deterministicShuffle(docs, col("doc_id"), seed = 8L)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a !== c)
+    // neighbors in id space must not stay neighbors in shuffle order
+    val pos = a.toMap
+    val adjacent = a.map(_._1).sorted.sliding(2).count {
+      case Seq(x, y) => math.abs(pos(x) - pos(y)) == 1
+      case _ => false
+    }
+    assert(adjacent < a.length / 10, s"$adjacent adjacent id pairs stayed adjacent")
+  }
+
+  test("dropDuplicateParagraphs: first (doc, pos) occurrence survives, all other copies drop") {
+    val docs = Seq(
+      (1L, "alpha one\n\nSHARED PROMO\n\nbeta two"),
+      (2L, "SHARED PROMO\n\ngamma three"),       // promo dropped (doc1 pos1 wins)
+      (3L, "SHARED PROMO"),                       // everything dropped -> empty
+      (4L, "delta four\n\nalpha one")             // 'alpha one' dropped (doc1 pos0 wins)
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "alpha one\n\nSHARED PROMO\n\nbeta two", 3L, 0L),
+      (2L, "gamma three", 1L, 1L),
+      (3L, "", 0L, 1L),
+      (4L, "delta four", 1L, 1L)))
+  }
+
+  test("dropDuplicateParagraphs plan never joins on the paragraph fingerprint") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      concat(col("text"), lit("\n\nviral shared paragraph")).as("text"))
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!"Join \\[__fp".r.findFirstIn(p).isDefined,
+      s"survivor join must key on (doc, pos), not the fingerprint:\n${p.take(2000)}")
+  }
+}
