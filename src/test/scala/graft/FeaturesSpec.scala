@@ -84,6 +84,27 @@ class FeaturesSpec extends SparkSpec {
       (4L, "delta four", 1L, 1L)))
   }
 
+  test("dropDuplicateParagraphs conserves content: every distinct input paragraph survives exactly once corpus-wide") {
+    // 3 paragraphs per doc: the full text (unique), a viral paragraph
+    // (shared by all), and a 40-char prefix (shared between docs whose
+    // texts share a prefix) — nothing may be lost, nothing kept twice
+    val docs = Tables.documents(spark, sf).limit(200)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), concat_ws("\n\n",
+        col("text"), lit("viral shared paragraph"),
+        substring(col("text"), 1, 40)).as("text"))
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+    val keptCounts = out.filter(length(col("text")) > 0)
+      .select(explode(split(col("text"), "\n\n")).as("para"))
+      .groupBy("para").count()
+    assert(keptCounts.filter(col("count") =!= 1L).isEmpty,
+      "a paragraph survived more than once")
+    val inputDistinct = docs
+      .select(explode(split(col("text"), "\n\n")).as("para")).distinct()
+    assert(keptCounts.count() === inputDistinct.count(),
+      "some distinct paragraph vanished entirely")
+  }
+
   test("dropDuplicateParagraphs plan never joins on the paragraph fingerprint") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"),
       concat(col("text"), lit("\n\nviral shared paragraph")).as("text"))
