@@ -47,6 +47,27 @@ object SimilarityQueries {
         .orderBy("vec_id", "dim_idx")
     },
 
+    // Deterministic distributed k-means (2 Lloyd sweeps, k=8): quantized
+    // exact-integer distances, mix2-sampled init, round(sum/count) centroid
+    // updates — the full training loop is DuckDB-oracle-replayed CTE by CTE.
+    "q105_kmeans" -> { (s, dir) =>
+      graft.operators.Features.kmeansAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("vec_id")
+    },
+
+    // Cluster-balanced sampling (the DCLM-style curation move): k-means
+    // cells from q105, then the q65 stratified sampler takes the first 20
+    // of each cell in mix2 order — deterministic, auditable member set.
+    "q106_cluster_sample" -> { (s, dir) =>
+      val assigned = graft.operators.Features.kmeansAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+      graft.operators.Packing.stratifiedSample(
+          assigned.select("vec_id", "cell"), col("vec_id"), col("cell"), n = 20)
+        .select("cell", "sample_rank", "vec_id")
+        .orderBy("cell", "sample_rank")
+    },
+
     "q31_ann_bruteforce" -> { (s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir),
           queryVectors(s, dir), "vec_id", "embedding", K)
@@ -140,7 +161,74 @@ object SimilarityQueries {
 
   def rowsOnly: Set[String] = Set.empty
 
+  private val Mix2Sql =
+    "(((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648" +
+      " * 1103515245 + 12345) % 2147483648"
+
+  /** CTE chain replaying [[graft.operators.Features.kmeansAssign]] exactly:
+    * qx quantization, mix2-ordered init (c0), then per sweep an exact-int64
+    * L2 argmin assignment (a_t, ties to lowest cell) and a
+    * round(sum/count) centroid update (c_t, empty cells keep the old
+    * centroid), ending with the final assignment CTE `a${iters+1}`. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val d1 = dim + 1
+    def assign(t: Int): String =
+      s"""a$t AS (
+         |  SELECT vec_id, cell, q, d FROM (
+         |    SELECT vec_id, cell, q, d,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM (SELECT x.vec_id, c.cell, x.q,
+         |                 list_sum(list_transform(range(1, $d1),
+         |                   i -> (x.q[i]-c.cvec[i])*(x.q[i]-c.cvec[i]))) AS d
+         |          FROM qx x CROSS JOIN c${t - 1} c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(t: Int): String =
+      s"""s$t AS (
+         |  SELECT cell, i.i AS pos, SUM(q[i.i]) AS s, COUNT(*) AS n
+         |  FROM a$t, (SELECT unnest(range(1, $d1)) AS i) i
+         |  GROUP BY cell, i.i),
+         |n$t AS (
+         |  SELECT cell, list(CAST(round(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY pos) AS nvec
+         |  FROM s$t GROUP BY cell),
+         |c$t AS (
+         |  SELECT p.cell, COALESCE(m.nvec, p.cvec) AS cvec
+         |  FROM c${t - 1} p LEFT JOIN n$t m ON p.cell = m.cell)""".stripMargin
+    val sweeps = (1 to iters).map(t => assign(t) + ",\n" + update(t))
+    val chain = (sweeps :+ assign(iters + 1)).mkString(",\n")
+    s"""WITH qx AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(round(x*10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |hashed AS (
+       |  SELECT vec_id, q, $Mix2Sql AS h FROM qx),
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, q AS cvec
+       |  FROM hashed
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $k),
+       |$chain""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // q105: the full Lloyd loop in SQL — every distance an exact BIGINT,
+    // every centroid update one IEEE division + std::round, so the trained
+    // assignment (and its integer distances) hash-match cross-engine.
+    "q105_kmeans" ->
+      s"""${kmeansCtes(k = 8, iters = 2, dim = Dim)}
+         |SELECT vec_id, CAST(cell AS INT) AS cell, CAST(d AS BIGINT) AS dist
+         |FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // q106: q105's final assignment fed through the q65 stratified-sample
+    // CTE (first 20 per cell in mix2 order).
+    "q106_cluster_sample" ->
+      s"""${kmeansCtes(k = 8, iters = 2, dim = Dim)}
+         |SELECT CAST(cell AS INT) AS cell,
+         |       row_number() OVER (PARTITION BY cell ORDER BY $Mix2Sql, vec_id) AS sample_rank,
+         |       vec_id
+         |FROM a3
+         |QUALIFY sample_rank <= 20
+         |ORDER BY cell, sample_rank""".stripMargin,
 
     // q101: the q86 quantization (round(x·1e4) -> integral doubles) makes
     // per-dim SUM and SUM-of-squares exact BIGINTs; mean/std derive with a

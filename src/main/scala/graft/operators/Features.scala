@@ -56,6 +56,101 @@ object Features {
           .otherwise(lit(0.0)) + lit(0.0)).as("z"))
   }
 
+  /** Deterministic distributed k-means (Lloyd) over integer-quantized
+    * vectors — the clustering primitive behind cluster-balanced data
+    * curation (DCLM-style cluster sampling, SemDeDup's cluster-then-compare
+    * at `Similarity.semDedup`). The reference-era stack clusters embeddings
+    * in scikit-learn on a driver (`scripts/test/transform.py`-adjacent
+    * pandas flows); here every step is distributed AND engine-replayable:
+    *
+    *  - vectors quantize once to integral doubles → longs (`round(x·10⁴)`,
+    *    the q86 idiom), so every distance is an EXACT int64 — assignment
+    *    argmins cannot flip on a last-ulp float difference between engines
+    *    or partition orders;
+    *  - init = the first `k` corpus vectors in [[Packing.mix2]]-hash order
+    *    (a uniform sample, the q42 centroid idiom) — no RNG, no global sort
+    *    (TakeOrderedAndProject keeps it a top-k, not a full sort);
+    *  - each Lloyd sweep: (a) assignment is ONE pure projection against the
+    *    broadcast k×dim centroid literal (struct(dist, cell) array_min —
+    *    ties to the lowest cell), no crossJoin, no shuffle; (b) the update
+    *    aggregates per-(cell, dim) SUM/COUNT of the quantized components —
+    *    exact longs, partial-aggregated map-side, so the one shuffle carries
+    *    ≤ k·dim rows per partition; the new component is
+    *    `round(sum/count)` (one IEEE division then half-away-from-zero
+    *    rounding — `std::round` semantics, mirrored exactly by DuckDB's
+    *    ROUND and by [[roundHalfAway]] here), landing centroids back in the
+    *    integer domain for the next exact-integer sweep. Empty cells keep
+    *    their previous centroid.
+    *
+    * Only the k×dim long matrix ever reaches the driver (it must — the next
+    * iteration broadcasts it). At 100 TB the per-sweep cost is one corpus
+    * scan + a k·dim-sized aggregate: the textbook scalable Lloyd shape.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    val qx = quantized(df, idCol, vecCol)
+    val cents = kmeansTrain(qx, k, iters)
+    assignQuantized(qx, cents)
+      .select(col("__id").as(idCol), col("cell"), col("dist"))
+  }
+
+  /** (id long, q array<long>) quantized view — shared by train and assign
+    * so the two cannot disagree on the quantization. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * lit(10000.0d)).cast("long")).as("__q"))
+
+  /** Exact-integer argmin assignment against a centroid literal: one
+    * codegen'd projection, ties to the lowest cell. */
+  private def assignQuantized(qx: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val centArr = typedlit(cents.map { case (cell, v) => (v, cell) })
+    val pick = array_min(transform(centArr, c =>
+      struct(
+        aggregate(
+          zip_with(col("__q"), c.getField("_1"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        c.getField("_2").as("cell"))))
+    qx.select(col("__id"), col("__q"),
+      pick.getField("cell").as("cell"), pick.getField("dist").as("dist"))
+  }
+
+  /** `std::round` twin for the centroid update: half away from zero on the
+    * EXACT binary value (BigDecimal, not `Math.round`'s floor(x+0.5), which
+    * disagrees on negative halves and on the largest double below 0.5). */
+  private[graft] def roundHalfAway(x: Double): Long =
+    new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** `iters` Lloyd sweeps from the mix2-sampled init; returns the k×dim
+    * integer centroid matrix. */
+  private[graft] def kmeansTrain(qx: DataFrame, k: Int,
+                                 iters: Int): Seq[(Int, Seq[Long])] = {
+    val spark = qx.sparkSession
+    import spark.implicits._
+    val init = qx
+      .orderBy(Packing.mix2(col("__id")), col("__id"))
+      .limit(k)
+      .select(col("__q")).as[Seq[Long]].collect()
+    require(init.nonEmpty, "corpus too small to sample centroids")
+    var cents: Seq[(Int, Seq[Long])] = init.toSeq.zipWithIndex.map(_.swap)
+    for (_ <- 0 until iters) {
+      val sums = assignQuantized(qx, cents)
+        .select(col("cell"), posexplode(col("__q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
+      val byCell = sums.groupBy(_._1).view.mapValues { rows =>
+        rows.sortBy(_._2).map { case (_, _, s, n) =>
+          roundHalfAway(s.toDouble / n)
+        }.toSeq
+      }.toMap
+      cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
+    }
+    cents
+  }
+
   /** Candidate-set quality report — the measurement half of approximate
     * dedup: given CANDIDATE pairs (e.g. MinHash-LSH) and GROUND-TRUTH pairs
     * (exact Jaccard ≥ τ on the same corpus), emit one row of

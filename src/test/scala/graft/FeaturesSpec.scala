@@ -67,6 +67,46 @@ class FeaturesSpec extends SparkSpec {
     assert(adjacent < a.length / 10, s"$adjacent adjacent id pairs stayed adjacent")
   }
 
+  test("kmeansAssign separates well-separated blobs and is layout-invariant") {
+    // two tight blobs far apart in dim 0: ids 0-9 near -1.0, ids 10-19 near
+    // +1.0 (spacing 0.001 keeps quantized values distinct). With k=2 any
+    // init draws, after 2 Lloyd sweeps, each blob into one cell.
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) -1.0f else 1.0f
+      (i.toLong, Seq(base + i * 0.001f, 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Features.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    val cells = got.map(_._2)
+    assert(cells.take(10).distinct.size === 1, "left blob split across cells")
+    assert(cells.drop(10).distinct.size === 1, "right blob split across cells")
+    assert(cells.take(10).head !== cells.drop(10).head, "blobs merged")
+    // exact-integer distances + exact-long sums: layout cannot change anything
+    val again = Features.kmeansAssign(df.repartition(7), "vec_id", "embedding",
+        k = 2, iters = 2)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === again, "assignment drifted with partition layout")
+  }
+
+  test("kmeansAssign: iterations improve (never worsen) the quantization objective") {
+    val e = Tables.embeddings(spark, sf).limit(300)
+    def objective(iters: Int): Long =
+      Features.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = iters)
+        .agg(sum(col("dist"))).as[Long].head()
+    val o0 = objective(0)
+    val o2 = objective(2)
+    assert(o2 <= o0, s"Lloyd sweeps should not raise total distortion: $o0 -> $o2")
+  }
+
+  test("roundHalfAway matches std::round on halves and on the largest double below 0.5") {
+    assert(Features.roundHalfAway(2.5) === 3L)
+    assert(Features.roundHalfAway(-2.5) === -3L)
+    assert(Features.roundHalfAway(0.49999999999999994) === 0L)
+    assert(Features.roundHalfAway(-0.49999999999999994) === 0L)
+    assert(Features.roundHalfAway(3.0) === 3L)
+  }
+
   test("dropDuplicateParagraphs: first (doc, pos) occurrence survives, all other copies drop") {
     val docs = Seq(
       (1L, "alpha one\n\nSHARED PROMO\n\nbeta two"),
