@@ -39,7 +39,8 @@ object SparkEntry {
       analytics.TextQueries.rowsOnly ++
       analytics.SimilarityQueries.rowsOnly ++
       analytics.SessionQueries.rowsOnly ++
-      analytics.PrepQueries.rowsOnly
+      analytics.PrepQueries.rowsOnly ++
+      analytics.CorpusQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -56,7 +57,8 @@ object SparkEntry {
       analytics.SimilarityQueries.queries ++
       analytics.MiscQueries.queries ++
       analytics.SessionQueries.queries ++
-      analytics.PrepQueries.queries
+      analytics.PrepQueries.queries ++
+      analytics.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
@@ -68,7 +70,8 @@ object SparkEntry {
       analytics.SimilarityQueries.oracleSql ++
       analytics.MiscQueries.oracleSql ++
       analytics.SessionQueries.oracleSql ++
-      analytics.PrepQueries.oracleSql
+      analytics.PrepQueries.oracleSql ++
+      analytics.CorpusQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,115 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Corpus-curation composites added in round 5: rule-ensemble quality
+  * filtering and the operators that follow it in a pretraining data DAG.
+  * (The reference stack's quality gates are Great-Expectations suites over
+  * business rows — `scripts/test/great_expectations_checks.py` — this module
+  * is the document-corpus twin of that idea: declarative per-row rule
+  * ensembles with an auditable per-rule verdict.)
+  */
+object CorpusQueries {
+
+  /** The fixture texts are clean synthetic prose, so the rule-ensemble
+    * queries dirty them DETERMINISTICALLY in both engines (the q96/q99
+    * fixture pattern): by doc_id mod 5 — bullet-heavy (0), ellipsis-heavy
+    * (1), symbol-spam (2), numeric-token-diluted (3), untouched (4). */
+  private val BulletTail =
+    "\n- one\n- two\n- three\n- four\n* five\n* six\n* seven\n• eight\n• nine\n- ten"
+  private val EllipsisTail = "\nwait for it...\nstill loading...\nalmost there..."
+  private val HashTail = " # # # # # # # # # # # #"
+  private val DigitTail = " 12345 67890 99999 88888 77777 66666 55555 44444" +
+    " 33333 22222 11111 10101 20202 30303 40404"
+
+  private[analytics] def messyDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit(BulletTail))
+        .when(col("doc_id") % 5 === 1, lit(EllipsisTail))
+        .when(col("doc_id") % 5 === 2, lit(HashTail))
+        .when(col("doc_id") % 5 === 3, lit(DigitTail))
+        .otherwise(lit(""))).as("text"))
+
+  /** Required-word set for the fixture corpus: the synthetic vocabulary
+    * contains "the" and "a" but none of Gopher's other function words, so
+    * the paper's set would fail every document identically; this set keeps
+    * the rule discriminating while preserving its shape. */
+  private val FixtureRequired = Seq("the", "a", "and", "of")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher rule-ensemble quality filter (Rae et al. 2021 Appendix A):
+    // per-rule boolean verdicts + the conjunction, one codegen'd projection
+    // over the deterministically-dirtied corpus.
+    "q107_gopher_filter" -> { (s, dir) =>
+      val flags = Text.gopherFlags(col("text"), requiredWords = FixtureRequired)
+      messyDocs(s, dir)
+        .select(col("doc_id"), flags.as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def rowsOnly: Set[String] = Set.empty
+
+  /** DuckDB twins. String literals with newlines use e'...' escapes. */
+  def oracleSql: Map[String, String] = Map(
+
+    "q107_gopher_filter" -> {
+      val bulletSql = BulletTail.replace("\n", "\\n")
+      val ellipsisSql = EllipsisTail.replace("\n", "\\n")
+      s"""WITH messy AS (
+         |  SELECT doc_id, text || CASE
+         |    WHEN doc_id % 5 = 0 THEN e'$bulletSql'
+         |    WHEN doc_id % 5 = 1 THEN e'$ellipsisSql'
+         |    WHEN doc_id % 5 = 2 THEN '$HashTail'
+         |    WHEN doc_id % 5 = 3 THEN '$DigitTail'
+         |    ELSE '' END AS t
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, t,
+         |         list_filter(regexp_split_to_array(trim(lower(t)), '\\s+'), x -> x <> '') AS toks,
+         |         string_split(t, chr(10)) AS lines
+         |  FROM messy),
+         |m AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |    CASE WHEN len(toks) > 0
+         |         THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS meanlen,
+         |    CASE WHEN len(toks) > 0
+         |         THEN ((length(t) - length(replace(t, '#', '')))
+         |               + (length(t) - length(replace(t, '...', ''))) / 3)
+         |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS symr,
+         |    CASE WHEN len(lines) > 0
+         |         THEN CAST(len(list_filter(lines, l ->
+         |                starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+         |                OR starts_with(ltrim(l), '• '))) AS DOUBLE)
+         |              / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS bullfrac,
+         |    CASE WHEN len(lines) > 0
+         |         THEN CAST(len(list_filter(lines, l ->
+         |                ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+         |              / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS ellfrac,
+         |    CASE WHEN len(toks) > 0
+         |         THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alphafrac,
+         |    len(list_filter(['the','a','and','of'], rw -> list_contains(toks, rw))) AS reqhits
+         |  FROM tok)
+         |SELECT doc_id, n AS n_words, round(meanlen, 4) + 0.0 AS mean_word_len,
+         |       n >= 50 AND n <= 100000 AS ok_word_count,
+         |       meanlen >= 3.0 AND meanlen <= 10.0 AS ok_mean_word_len,
+         |       symr <= 0.1 AS ok_symbol_ratio,
+         |       bullfrac <= 0.9 AS ok_bullet_lines,
+         |       ellfrac <= 0.3 AS ok_ellipsis_lines,
+         |       alphafrac >= 0.8 AS ok_alpha_words,
+         |       reqhits >= 2 AS ok_required_words,
+         |       (n >= 50 AND n <= 100000) AND (meanlen >= 3.0 AND meanlen <= 10.0)
+         |         AND symr <= 0.1 AND bullfrac <= 0.9 AND ellfrac <= 0.3
+         |         AND alphafrac >= 0.8 AND reqhits >= 2 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
+  )
+}

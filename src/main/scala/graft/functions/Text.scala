@@ -133,4 +133,80 @@ object Text {
 
   /** Document fingerprint: md5 of the normalized text — the exact-dedup key. */
   def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Gopher's required-word set (Rae et al. 2021, Appendix A1.1.2): a page
+    * must contain at least two of these to pass the stopword rule. */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, Appendix A) as ONE codegen'd
+    * projection — per-rule boolean flags plus the conjunction, so a corpus
+    * report can show WHICH rule kills each document (the flags are the
+    * audit trail; a bare keep/drop hides threshold bugs). Defaults are the
+    * paper's thresholds.
+    *
+    * Everything derives from `toks` = whitespace tokens of the LOWERED text
+    * (lengths and alpha-membership are case-invariant, and the required-word
+    * rule needs the lowering; one token array keeps the engines' token
+    * boundaries trivially identical). Ratios are single IEEE divisions of
+    * exact integer counts — deterministic across engines and partitionings
+    * (the q25/q98 discipline). Rules:
+    *
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [minMeanWordLen, maxMeanWordLen];
+    *  - (\# count + "…"-as-"..." count) / words ≤ maxSymbolRatio;
+    *  - ≤ maxBulletFrac of lines start with a bullet ("- ", "* ", "• ");
+    *  - ≤ maxEllipsisFrac of lines end with "..." or "…";
+    *  - ≥ minAlphaFrac of words contain an [a-zA-Z] character;
+    *  - ≥ minRequiredHits distinct `requiredWords` appear.
+    *
+    * Empty text: every count is 0, ratios define to 0, and the word-count
+    * rule fails — keep is false without any NaN/null leaking out. */
+  def gopherFlags(c: Column,
+                  requiredWords: Seq[String] = GopherRequiredWords,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  minRequiredHits: Int = 2): Column = {
+    val toks = tokens(lower(c))
+    val n = size(toks)
+    val nd = n.cast("double")
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    val meanLen = frac(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)), n)
+    val hashes = length(c) - length(regexp_replace(c, "#", ""))
+    val dots = (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = when(n > 0, (hashes + dots).cast("double") / nd)
+      .otherwise(lit(0.0))
+    val lines = split(c, "\n")
+    val bullets = size(filter(lines, l =>
+      ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
+        ltrim(l).startsWith("• ")))
+    val ellipses = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val alphaWords = size(filter(toks, w => w.rlike("[a-zA-Z]")))
+    val requiredHits = size(filter(typedlit(requiredWords),
+      rw => array_contains(toks, rw)))
+    val okWordCount = n >= minWords && n <= maxWords
+    val okMeanLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val okSymbol = symbolRatio <= maxSymbolRatio
+    val okBullet = frac(bullets, size(lines)) <= maxBulletFrac
+    val okEllipsis = frac(ellipses, size(lines)) <= maxEllipsisFrac
+    val okAlpha = frac(alphaWords, n) >= minAlphaFrac
+    val okRequired = requiredHits >= minRequiredHits
+    struct(
+      n.as("n_words"),
+      (Rounding.roundLikeC(meanLen, 4) + lit(0.0)).as("mean_word_len"),
+      okWordCount.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbol.as("ok_symbol_ratio"),
+      okBullet.as("ok_bullet_lines"),
+      okEllipsis.as("ok_ellipsis_lines"),
+      okAlpha.as("ok_alpha_words"),
+      okRequired.as("ok_required_words"),
+      (okWordCount && okMeanLen && okSymbol && okBullet && okEllipsis &&
+        okAlpha && okRequired).as("keep"))
+  }
 }
