@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
+import graft.operators.Dedup
 
 /** Corpus-curation composites added in round 5: rule-ensemble quality
   * filtering and the operators that follow it in a pretraining data DAG.
@@ -50,6 +51,19 @@ object CorpusQueries {
       messyDocs(s, dir)
         .select(col("doc_id"), flags.as("g"))
         .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
+    },
+
+    // End-to-end fuzzy dedup over the cloned sub-corpus: LSH candidates →
+    // exact-Jaccard verify → connected components → min-id survivor. The
+    // oracle replays the ENTIRE DAG (the q29 signature pipeline, the q28
+    // verification arithmetic, the q50 recursive closure) in one SQL chain.
+    "q108_fuzzy_dedup" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val corpus = base.unionByName(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.fuzzyDedup(corpus, "doc_id", "text", threshold = 0.8)
         .orderBy("doc_id")
     }
   )
@@ -110,6 +124,76 @@ object CorpusQueries {
          |         AND symr <= 0.1 AND bullfrac <= 0.9 AND ellfrac <= 0.3
          |         AND alphafrac >= 0.8 AND reqhits >= 2 AS keep
          |FROM m ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // q108: the q29 MinHash pipeline (restricted corpus), q28's Jaccard
+    // arithmetic on the CANDIDATES only, the q50 recursive closure, and the
+    // min-reachable survivor rule — the full dedup DAG in one SQL chain.
+    "q108_fuzzy_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300),
+        |t AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t),
+        |hv AS (
+        |  SELECT id, list_transform(sh, g -> list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(1, length(g)+1), i -> ascii(substr(g,i,1))::BIGINT)),
+        |      (acc,x) -> (acc*31+x) % 1000000007)) AS hv
+        |  FROM sh),
+        |fams AS (
+        |  SELECT j,
+        |    ((((42*131 + 2*j) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 + 1 AS a,
+        |    ((((42*131 + 2*j + 1) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 AS b
+        |  FROM (SELECT unnest(range(32)) AS j)),
+        |mins AS (
+        |  SELECT hv.id, f.j, MIN((f.a * h.h + f.b) % 4294967311) AS mn
+        |  FROM hv, unnest(hv.hv) AS h(h), fams f
+        |  GROUP BY hv.id, f.j),
+        |sigs AS (
+        |  SELECT id, list(mn ORDER BY j) AS sig FROM mins GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |         list_reduce(list_prepend(0::BIGINT, sig[b.band*4+1 : b.band*4+4]),
+        |                     (acc,x) -> (acc*31+x) % 1000000007) AS bucket
+        |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
+        |kept AS (
+        |  SELECT id, band, bucket FROM (
+        |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded)
+        |  WHERE bsz BETWEEN 2 AND 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b USING (band, bucket)
+        |  WHERE a.id < b.id),
+        |toksd AS (SELECT DISTINCT id, unnest(toks) AS tok FROM t),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM toksd GROUP BY id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        |  FROM cand c
+        |  JOIN toksd a ON a.id = c.id_a
+        |  JOIN toksd b ON b.id = c.id_b AND b.tok = a.tok
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM t
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS kept
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin
   )
 }

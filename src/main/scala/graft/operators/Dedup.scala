@@ -476,6 +476,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact token-set Jaccard evaluated ONLY on supplied candidate pairs —
+    * the verification stage of a candidate-generation dedup pipeline
+    * ([[minhashLshCandidates]] / [[simhashPairs]] feed it). Unlike
+    * [[jaccardPairs]] (which enumerates pairs itself via the inverted
+    * index), the work here is proportional to candidates × doc length:
+    * tokens join candidates on the id key, then intersections count on the
+    * (id_b, tok) key — two keyed shuffles, nothing quadratic. Emits
+    * (id_a, id_b, jaccard) for pairs whose 4dp-rounded Jaccard clears
+    * `threshold` (the q28 rounding contract, so an external oracle lands on
+    * the same boundary). */
+  def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
+                    textCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = pairs.select(col("id_a"), col("id_b"))
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__common"))
+    val j = graft.functions.Rounding.roundLikeC(
+      col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")).cast("double"), 4)
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end fuzzy dedup — the full near-duplicate removal DAG every
+    * pretraining corpus runs (the composition the pieces q29/q28/q50 cover
+    * individually): MinHash-LSH candidate generation → exact token-set
+    * Jaccard verification ([[jaccardVerify]]) → connected components over
+    * the verified pairs ([[dupClusters]]) → min-id survivor election.
+    * Returns one row per input doc: (idCol, cluster_id, kept) where kept
+    * marks the cluster representative (singletons keep themselves).
+    *
+    * Scale shape is the sum of its stages, each individually audited: one
+    * (band, bucket) shuffle with the hub-bucket cap, candidate-linear
+    * verification, log-diameter label propagation. Near-dups the LSH bands
+    * miss are MISSED here too (recall is the LSH layer's knob — measure it
+    * with [[graft.operators.Features.candidateQuality]] before trusting a
+    * knob change); what verification guarantees is zero FALSE merges. */
+  def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
+                 threshold: Double = 0.8, shingleLen: Int = 3,
+                 bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
+                 maxBucketSize: Int = 1000): DataFrame = {
+    val cands = minhashLshCandidates(df, idCol, textCol, shingleLen, bands,
+      rowsPerBand, seed, maxBucketSize)
+    val verified = jaccardVerify(df, cands, idCol, textCol, threshold)
+    dupClusters(df, idCol, verified.select("id_a", "id_b"))
+      .withColumn("kept", col("cluster_id") === col(idCol))
+  }
+
   /** 60-bit SimHash over whitespace tokens. The per-bit vote is inherently
     * scalar-loop-shaped, so it runs as a typed map (one pass, no shuffle);
     * everything downstream stays relational.

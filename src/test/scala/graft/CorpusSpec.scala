@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Text
+import graft.operators.Dedup
 
 /** Rule-ensemble corpus filtering (q107) and round-5 corpus composites. */
 class CorpusSpec extends SparkSpec {
@@ -53,6 +54,42 @@ class CorpusSpec extends SparkSpec {
     val one = flagsOf("The data pad pad pad pad pad pad pad pad", minWords = 2,
       required = Seq("the", "with"))
     assert(one("ok_required_words") === false)
+  }
+
+  test("jaccardVerify scores ONLY the supplied pairs, with q28 rounding") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // clone of 1 -> jaccard 1.0
+      (3L, "alpha beta gamma epsilon"), // 3/5 = 0.6 vs 1
+      (4L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b") // (1,4) NOT offered
+    val got = Dedup.jaccardVerify(docs, pairs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0), (1L, 3L, 0.6)))
+  }
+
+  test("fuzzyDedup: clones cluster to the min id, chain components merge, singletons keep themselves") {
+    // docs 1,2 clones; 3 shares 9 of 10 tokens with 2 (0.818 >= 0.8) but
+    // fewer with 1 — the chain 1-2-3 must still form ONE cluster labeled 1.
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("w10", "w11")),
+      (9L, "totally different words entirely here")).toDF("doc_id", "text")
+    // shingleLen 1: token-grain signatures so the designed overlaps drive
+    // banding; verification thresholds stay the operator's own
+    val got = Dedup.fuzzyDedup(docs, "doc_id", "text", threshold = 0.8,
+        shingleLen = 1)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) === ((1L, true)))
+    assert(byId(2L) === ((1L, false)))
+    assert(byId(9L) === ((9L, true)), "singleton must survive as its own cluster")
+    // doc 3 joins the cluster iff LSH surfaced the pair; with 8x4 bands on
+    // token shingles the 0.9-overlap pair collides with near-certainty
+    assert(byId(3L)._1 === 1L, "near-dup chain member failed to join the cluster")
+    assert(got.count(_._3) === 2, "exactly the two representatives survive")
   }
 
   test("gopherFlags: mean word length bounds") {
