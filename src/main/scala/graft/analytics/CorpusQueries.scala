@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{Dedup, Vocab}
 
 /** Corpus-curation composites added in round 5: rule-ensemble quality
   * filtering and the operators that follow it in a pretraining data DAG.
@@ -65,6 +65,15 @@ object CorpusQueries {
         (col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.fuzzyDedup(corpus, "doc_id", "text", threshold = 0.8)
         .orderBy("doc_id")
+    },
+
+    // Distributed BPE tokenizer training: 8 merge rounds over the corpus
+    // word-frequency table; output = the trained merge table. The oracle
+    // replays every round — pair counting, (count DESC, pair ASC) argmax,
+    // greedy merge fold — as a generated CTE chain.
+    "q109_bpe_train" -> { (s, dir) =>
+      Vocab.bpeTrain(Tables.documents(s, dir), "text", numMerges = 8)
+        .orderBy("merge_rank")
     }
   )
 
@@ -194,6 +203,41 @@ object CorpusQueries {
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS kept
         |FROM reach GROUP BY id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q109_bpe_train" -> bpeOracle(numMerges = 8)
   )
+
+  /** Generated CTE chain replaying [[Vocab.bpeTrain]]: w0 = the char-split
+    * word-frequency table; each round t counts adjacent pairs (weighted by
+    * word count), takes the (c DESC, a, b) argmax, and re-folds every word
+    * with DuckDB's list_reduce running the IDENTICAL string-accumulator
+    * merge fold (chr(31) separator) as the Spark expression. */
+  private def bpeOracle(numMerges: Int): String = {
+    def round(t: Int): String =
+      s"""p$t AS (
+         |  SELECT syms[i.i] AS a, syms[i.i+1] AS b, SUM(cnt) AS c
+         |  FROM w${t - 1}, unnest(range(1, len(syms))) AS i(i)
+         |  GROUP BY 1, 2),
+         |m$t AS (SELECT a, b, c FROM p$t ORDER BY c DESC, a, b LIMIT 1),
+         |w$t AS (
+         |  SELECT string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+         |    CASE WHEN acc = '' THEN x
+         |         WHEN x = m.b AND (acc = m.a OR ends_with(acc, chr(31) || m.a)) THEN acc || x
+         |         ELSE acc || chr(31) || x END), chr(31)) AS syms, cnt
+         |  FROM w${t - 1}, m$t m)""".stripMargin
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    val sel = (1 to numMerges).map(t =>
+      s"""SELECT $t AS merge_rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM m$t""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT string_split(w, '') AS syms, COUNT(*) AS cnt FROM toks GROUP BY w),
+       |$rounds
+       |SELECT * FROM (
+       |  $sel)
+       |ORDER BY merge_rank""".stripMargin
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{Dedup, Vocab}
 
 /** Rule-ensemble corpus filtering (q107) and round-5 corpus composites. */
 class CorpusSpec extends SparkSpec {
@@ -90,6 +90,43 @@ class CorpusSpec extends SparkSpec {
     // token shingles the 0.9-overlap pair collides with near-certainty
     assert(byId(3L)._1 === 1L, "near-dup chain member failed to join the cluster")
     assert(got.count(_._3) === 2, "exactly the two representatives survive")
+  }
+
+  test("bpeTrain: the textbook low/lower/lowest merges, ties broken by pair order") {
+    // pairs round 1: (l,o)=5 and (o,w)=5 tie -> 'l' < 'o' picks (l,o);
+    // round 2: (lo,w)=5; round 3: (low,e)=2
+    val docs = Seq(Tuple1("low low low lower lowest")).toDF("text")
+    val got = Vocab.bpeTrain(docs, "text", numMerges = 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "e", "lowe", 2L)))
+  }
+
+  test("bpeTrain: overlapping pairs resolve leftmost-first (aaa -> [aa,a] -> [aaa])") {
+    val docs = Seq(Tuple1("aaa")).toDF("text")
+    val got = Vocab.bpeTrain(docs, "text", numMerges = 2)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // round 1: (a,a) appears at positions 1 and 2 but greedy left-to-right
+    // counts... both positions count (2) yet only ONE merge applies
+    assert(got === Seq((1, "a", "a", "aa", 2L), (2, "aa", "a", "aaa", 1L)))
+  }
+
+  test("bpeApply segments concatenate back to the original word (lossless)") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val merges = Vocab.bpeTrain(docs, "text", numMerges = 5)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    val words = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w")).distinct()
+    val bad = words.select(col("w"),
+        concat_ws("", Vocab.bpeApply(Vocab.charSyms(col("w")), merges)).as("rt"))
+      .filter(col("w") =!= col("rt")).count()
+    assert(bad === 0L, "BPE segmentation lost or reordered characters")
   }
 
   test("gopherFlags: mean word length bounds") {
