@@ -74,6 +74,15 @@ object CorpusQueries {
     "q109_bpe_train" -> { (s, dir) =>
       Vocab.bpeTrain(Tables.documents(s, dir), "text", numMerges = 8)
         .orderBy("merge_rank")
+    },
+
+    // Interpolated bigram LM quality scoring (the KenLM-shaped upgrade of
+    // q78's unigram NLL): per-doc position-ordered NLL fold over
+    // p(w2|w1) = 0.75·c12/c1 + 0.25·c2/N.
+    "q110_bigram_lm" -> { (s, dir) =>
+      graft.operators.LmScore.bigramNll(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -205,7 +214,42 @@ object CorpusQueries {
         |FROM reach GROUP BY id
         |ORDER BY doc_id""".stripMargin,
 
-    "q109_bpe_train" -> bpeOracle(numMerges = 8)
+    "q109_bpe_train" -> bpeOracle(numMerges = 8),
+
+    // q110: the q78 list_reduce fold twin over bigram NLLs; both
+    // interpolation weights are exact binary doubles (0.75/0.25), and the
+    // trailing + 0.0 normalizes the -ln(1.0) = -0.0 edge on both sides.
+    "q110_bigram_lm" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT tok, COUNT(*) AS c1
+        |  FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY tok),
+        |tot AS (SELECT SUM(c1) AS total FROM uni),
+        |bi AS (
+        |  SELECT doc_id, i.i AS pos, toks[i.i] AS w1, toks[i.i+1] AS w2
+        |  FROM docs, unnest(range(1, len(toks))) AS i(i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+        |nlls AS (
+        |  SELECT b.doc_id, b.pos,
+        |         -ln(0.75 * (CAST(bc.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+        |             + 0.25 * (CAST(u2.c1 AS DOUBLE) / CAST(t.total AS DOUBLE))) AS nll
+        |  FROM bi b
+        |  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |  JOIN uni u1 ON u1.tok = b.w1
+        |  JOIN uni u2 ON u2.tok = b.w2
+        |  CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         ROUND(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+        |                           (a, x) -> a + x) / COUNT(*), 4) + 0.0 AS avg_nll
+        |  FROM nlls GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(a.avg_nll, 0.0) AS avg_nll
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Generated CTE chain replaying [[Vocab.bpeTrain]]: w0 = the char-split

@@ -24,6 +24,62 @@ import org.apache.spark.sql.functions._
   * `list_reduce` over a pos-ordered list). */
 object LmScore {
 
+  /** Per-document mean INTERPOLATED BIGRAM NLL — the KenLM-shaped upgrade
+    * of [[unigramNll]]: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N, scored
+    * over every adjacent token pair and averaged per document (documents
+    * with fewer than two tokens emit 0 bigrams, score 0.0). Catches
+    * word-salad that unigram stats miss: each token can be common while
+    * every TRANSITION is improbable.
+    *
+    * λ defaults to 0.75 so BOTH interpolation weights are exact binary
+    * doubles (1−0.7 would be 0.30000000000000004 — representable, but a
+    * trap for any external replay that writes "0.3").
+    *
+    * Shape: bigrams explode in the same projection that tokenizes (no
+    * window/lag shuffle); the bigram count groupBy and the count join share
+    * ONE (w1, w2) exchange (ReusedExchange, the q78 idiom); the unigram
+    * table and the 1-row total broadcast. Per-document sums fold IN
+    * POSITION ORDER (float addition is not associative — the q78
+    * discipline), and the `+ 0.0` guard normalizes the all-zero-NLL edge
+    * (-ln(1.0) = -0.0). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.75): DataFrame = {
+    val toksArr = docs.select(col(idCol),
+      graft.functions.Text.tokens(col(textCol)).as("__toks"))
+    val uni = toksArr.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("total"))
+    val bi = toksArr.select(col(idCol), posexplode(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"))))
+          .otherwise(array())).as(Seq("pos", "p")))
+      .select(col(idCol), col("pos"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val p = lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+      lit(1.0 - lambda) * (col("c2").cast("double") / col("total").cast("double"))
+    val scored = bi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(p))
+    val agg0 = scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("nll")))).as("__a"))
+      .select(col(idCol),
+        size(col("__a")).as("n_bigrams"),
+        (graft.functions.Rounding.roundLikeC(
+          aggregate(transform(col("__a"), s => s.getField("nll")),
+            lit(0.0), (acc, x) => acc + x) / size(col("__a")).cast("double"),
+          4) + lit(0.0)).as("avg_nll"))
+    docs.select(col(idCol)).join(agg0, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+  }
+
   /** Per-document mean unigram NLL: (idCol, n_tokens, avg_nll), avg_nll
     * rounded 4dp. Higher = less like the corpus. */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -129,6 +129,29 @@ class CorpusSpec extends SparkSpec {
     assert(bad === 0L, "BPE segmentation lost or reordered characters")
   }
 
+  test("bigramNll: hand-computed interpolation; short docs emit 0 bigrams") {
+    // corpus tokens: a b a -> N=3, c(a)=2, c(b)=1; doc 1 has one bigram
+    // (a,b): p = 0.75*(1/2) + 0.25*(1/3)
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = graft.operators.LmScore.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Double)].collect().toSeq
+    val nll = -math.log(0.75 * (1.0 / 2.0) + 0.25 * (1.0 / 3.0))
+    val expected = math.round(nll * 10000.0).toDouble / 10000.0
+    assert(got === Seq((1L, 1, expected), (2L, 0, 0.0)))
+  }
+
+  test("bigramNll: scrambled word order scores worse than the corpus-typical order") {
+    // ten copies of the same sentence + one with identical UNIGRAMS but
+    // scrambled transitions — only a bigram model separates them
+    val common = (1L to 10L).map(i => (i, "the cat sat on the mat"))
+    val scrambled = Seq((99L, "mat the on sat cat the"))
+    val docs = (common ++ scrambled).toDF("doc_id", "text")
+    val scores = graft.operators.LmScore.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(99L) > scores(1L),
+      s"scrambled ${scores(99L)} should exceed typical ${scores(1L)}")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
