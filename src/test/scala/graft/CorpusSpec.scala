@@ -152,6 +152,42 @@ class CorpusSpec extends SparkSpec {
       s"scrambled ${scores(99L)} should exceed typical ${scores(1L)}")
   }
 
+  test("Jsonl.writeShards: one file per shard, lossless round-trip, verified manifest, byte-stable re-export") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val m1 = graft.sources.Jsonl.writeShards(docs, dir, col("doc_id"), numShards = 4)
+      .as[(Long, Long)].collect().toMap
+    // manifest covers all 4 shards and sums to the corpus
+    assert(m1.keySet === Set(0L, 1L, 2L, 3L))
+    assert(m1.values.sum === docs.count())
+    // exactly one data file per shard directory
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$dir/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".json"))
+      assert(files.length === 1, s"shard $s has ${files.length} files")
+    }
+    // round-trip preserves every row
+    val back = graft.sources.Jsonl.read(spark, dir)
+      .select("doc_id", "text", "lang")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // re-export is byte-identical per shard (deterministic membership AND order)
+    def shardBytes(d: String): Map[Int, String] =
+      (0 until 4).map { s =>
+        val f = new java.io.File(s"$d/shard=$s")
+          .listFiles().filter(_.getName.endsWith(".json")).head
+        s -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      }.toMap
+    val first = shardBytes(dir)
+    graft.sources.Jsonl.writeShards(docs.repartition(11), dir, col("doc_id"), 4)
+    assert(shardBytes(dir) === first,
+      "re-export from a different layout must be byte-identical")
+    // persisted manifest matches the returned one
+    val m2 = graft.sources.Jsonl.manifest(spark, dir)
+      .select(col("shard").cast("long"), col("n_rows").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(m2 === m1)
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
