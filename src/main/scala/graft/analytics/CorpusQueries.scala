@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Vocab}
+import graft.operators.{Dedup, LangId, Vocab}
 
 /** Corpus-curation composites added in round 5: rule-ensemble quality
   * filtering and the operators that follow it in a pretraining data DAG.
@@ -83,6 +83,43 @@ object CorpusQueries {
       graft.operators.LmScore.bigramNll(
           Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Trained character-trigram language ID (Cavnar–Trenkle profiles):
+    // top-40 trigram profile per labeled language, classify by profile-hit
+    // argmax. Train + predict are pure integer arithmetic — fully replayed
+    // by the oracle.
+    "q111_langid_trained" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val profiles = LangId.trainProfiles(docs, "lang", "text", topK = 40)
+      LangId.predict(docs, "doc_id", "text", profiles)
+        .join(docs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+        .select(col("doc_id"), col("true_lang"), col("pred_lang"), col("hits"),
+          (col("pred_lang") === col("true_lang")).as("correct"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer fertility report (tokens-per-word by source) with the q109
+    // trained merges: vocabulary-level segment counts broadcast over the
+    // (source, word) occurrences — the tokenizer-eval metric teams track.
+    "q112_bpe_fertility" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = Vocab.bpeTrain(docs, "text", numMerges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val srcw = docs.select(col("source"),
+        explode(Text.tokens(col("text"))).as("w"))
+      val vocabSegs = srcw.select("w").distinct()
+        .select(col("w"),
+          size(Vocab.bpeApply(Vocab.charSyms(col("w")), merges)).as("nseg"))
+      srcw.join(broadcast(vocabSegs), "w")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          graft.functions.Rounding.roundLikeC(
+            col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
+            .as("fertility"))
+        .orderBy("source")
     }
   )
 
@@ -216,6 +253,59 @@ object CorpusQueries {
 
     "q109_bpe_train" -> bpeOracle(numMerges = 8),
 
+    // q111: profile training (lang×gram counts, top-40 window), per-doc
+    // distinct-trigram hit counts vs the profile, argmax with ties to the
+    // first language — all exact integers.
+    "q111_langid_trained" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, lang, substr(t, i.i, 3) AS gram
+        |  FROM norm, unnest(range(1, length(t) - 1)) AS i(i)),
+        |prof AS (
+        |  SELECT lang, gram,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram) AS rank
+        |  FROM tri GROUP BY lang, gram
+        |  QUALIFY rank <= 40),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM tri),
+        |hits AS (
+        |  SELECT dg.doc_id, p.lang, COUNT(*) AS hits
+        |  FROM dg JOIN prof p ON dg.gram = p.gram
+        |  GROUP BY dg.doc_id, p.lang),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |filled AS (
+        |  SELECT d.doc_id, l.lang, COALESCE(h.hits, 0) AS hits
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN langs l
+        |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang),
+        |pred AS (
+        |  SELECT doc_id, lang AS pred_lang, hits FROM (
+        |    SELECT doc_id, lang, hits,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+        |    FROM filled)
+        |  WHERE rn = 1)
+        |SELECT p.doc_id, d.lang AS true_lang, p.pred_lang,
+        |       CAST(p.hits AS BIGINT) AS hits, p.pred_lang = d.lang AS correct
+        |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // q112: the q109 chain with the word identity carried through every
+    // merge round; segment counts per vocabulary word then join back to
+    // (source, word) occurrences.
+    "q112_bpe_fertility" ->
+      s"""${bpeOracle(numMerges = 8, carryWord = true, noFinal = true)}
+         |srcw AS (
+         |  SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |segs AS (SELECT w, len(syms) AS nseg FROM w8)
+         |SELECT source, COUNT(*) AS n_words,
+         |       CAST(SUM(nseg) AS BIGINT) AS n_tokens,
+         |       ROUND(CAST(SUM(nseg) AS DOUBLE) / COUNT(*), 4) AS fertility
+         |FROM srcw JOIN segs USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     // q110: the q78 list_reduce fold twin over bigram NLLs; both
     // interpolation weights are exact binary doubles (0.75/0.25), and the
     // trailing + 0.0 normalizes the -ln(1.0) = -0.0 edge on both sides.
@@ -257,7 +347,9 @@ object CorpusQueries {
     * word count), takes the (c DESC, a, b) argmax, and re-folds every word
     * with DuckDB's list_reduce running the IDENTICAL string-accumulator
     * merge fold (chr(31) separator) as the Spark expression. */
-  private def bpeOracle(numMerges: Int): String = {
+  private def bpeOracle(numMerges: Int, carryWord: Boolean = false,
+                        noFinal: Boolean = false): String = {
+    val wSel = if (carryWord) "w, " else ""
     def round(t: Int): String =
       s"""p$t AS (
          |  SELECT syms[i.i] AS a, syms[i.i+1] AS b, SUM(cnt) AS c
@@ -265,23 +357,28 @@ object CorpusQueries {
          |  GROUP BY 1, 2),
          |m$t AS (SELECT a, b, c FROM p$t ORDER BY c DESC, a, b LIMIT 1),
          |w$t AS (
-         |  SELECT string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+         |  SELECT ${wSel}string_split(list_reduce(list_prepend('', syms), (acc, x) ->
          |    CASE WHEN acc = '' THEN x
          |         WHEN x = m.b AND (acc = m.a OR ends_with(acc, chr(31) || m.a)) THEN acc || x
          |         ELSE acc || chr(31) || x END), chr(31)) AS syms, cnt
          |  FROM w${t - 1}, m$t m)""".stripMargin
     val rounds = (1 to numMerges).map(round).mkString(",\n")
-    val sel = (1 to numMerges).map(t =>
-      s"""SELECT $t AS merge_rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM m$t""")
-      .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
-       |  FROM documents),
-       |w0 AS (
-       |  SELECT string_split(w, '') AS syms, COUNT(*) AS cnt FROM toks GROUP BY w),
-       |$rounds
-       |SELECT * FROM (
-       |  $sel)
-       |ORDER BY merge_rank""".stripMargin
+    val chain =
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |w0 AS (
+         |  SELECT ${wSel}string_split(w, '') AS syms, COUNT(*) AS cnt FROM toks GROUP BY w),
+         |$rounds""".stripMargin
+    if (noFinal) chain + ","
+    else {
+      val sel = (1 to numMerges).map(t =>
+        s"""SELECT $t AS merge_rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM m$t""")
+        .mkString("\n  UNION ALL ")
+      s"""$chain
+         |SELECT * FROM (
+         |  $sel)
+         |ORDER BY merge_rank""".stripMargin
+    }
   }
 }

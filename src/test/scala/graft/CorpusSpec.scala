@@ -188,6 +188,48 @@ class CorpusSpec extends SparkSpec {
     assert(m2 === m1)
   }
 
+  test("LangId: disjoint-alphabet languages classify perfectly; short text ties to first lang") {
+    val train = Seq(
+      ("aa", "abc cab bca abc"), ("aa", "cab abc bac"),
+      ("mm", "mno onm nom mno"), ("mm", "onm mno mon"),
+      ("xx", "xyz zyx yxz xyz"), ("xx", "zyx xyz xzy")).toDF("lang", "text")
+    val profiles = graft.operators.LangId.trainProfiles(train, "lang", "text", topK = 10)
+    val test0 = Seq(
+      (1L, "abc bca"), (2L, "mno nom"), (3L, "xyz yxz"),
+      (4L, "zz")).toDF("doc_id", "text") // 2 chars -> no trigrams -> tie
+    val got = graft.operators.LangId.predict(test0, "doc_id", "text", profiles)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) ===
+      Seq(1L -> "aa", 2L -> "mm", 3L -> "xx", 4L -> "aa"))
+    assert(got(3)._3 === 0L, "tie case must report zero hits")
+  }
+
+  test("LangId.charTrigrams: distinct, normalized, empty under 3 chars") {
+    val got = Seq(Tuple1("AB  ab")).toDF("t")
+      .select(graft.operators.LangId.charTrigrams(col("t")))
+      .as[Seq[String]].head()
+    // normalize -> "ab ab": trigrams "ab ", "b a", " ab" (distinct keeps 3)
+    assert(got === Seq("ab ", "b a", " ab"))
+    val short = Seq(Tuple1("ab")).toDF("t")
+      .select(graft.operators.LangId.charTrigrams(col("t")))
+      .as[Seq[String]].head()
+    assert(short === Seq.empty)
+  }
+
+  test("BPE fertility arithmetic: segments per word weighted by occurrences") {
+    val docs = Seq(("s0", "low low lower")).toDF("source", "text")
+    val merges = graft.operators.Vocab.bpeTrain(docs, "text", numMerges = 2)
+      .orderBy("merge_rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // merges: (l,o) then (lo,w) -> low = 1 segment, lower = 3
+    val srcw = docs.select(col("source"),
+      explode(graft.functions.Text.tokens(col("text"))).as("w"))
+    val segs = srcw.select("w").distinct()
+      .select(col("w"), size(graft.operators.Vocab.bpeApply(
+        graft.operators.Vocab.charSyms(col("w")), merges)).as("nseg"))
+      .as[(String, Int)].collect().toMap
+    assert(segs === Map("low" -> 1, "lower" -> 3))
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
