@@ -294,4 +294,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the 64-row lambda table must broadcast onto the bigram stream:\n${p.take(2000)}")
   }
+
+  test("q105 k-means assignment is join-free: centroids ride as a literal, no crossJoin") {
+    // the plan here is the FINAL assignment (training already ran while the
+    // DataFrame was built) — it must be a pure projection over the corpus
+    val p = plan("q105_kmeans")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"assignment must not join corpus x centroids (the literal-array form):\n${p.take(2000)}")
+  }
+
+  test("q110 bigram LM: count groupBy and count join share one (w1,w2) exchange; unigrams broadcast") {
+    val df = SparkEntry.queries("q110_bigram_lm")(spark, sf)
+    df.collect() // AQE finalizes reuse only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+      || p.contains("TableCacheQueryStage"),
+      s"bigram counts must reuse the bigram-stream exchange, not re-shuffle:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary-sized unigram tables must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q111 language ID: profile and language list broadcast; no sort-merge on the gram key") {
+    val p = plan("q111_langid_trained")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the topK-per-lang profile must broadcast onto doc trigrams:\n${p.take(2000)}")
+    // the doc-keyed fill join may sort-merge (doc-keyed, bounded fan-out);
+    // what must never happen is a sort-merge keyed on the GRAM stream
+    assert(!p.contains("SortMergeJoin [gram"),
+      s"the gram-keyed join must broadcast, never sort-merge:\n${p.take(2000)}")
+  }
 }
