@@ -99,6 +99,21 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // In-document repetition metrics (self-repetition, zero-shuffle):
+    // duplicate-line fraction + duplicate-line char fraction over a corpus
+    // dirtied with repeated-line tails by doc_id mod 3.
+    "q113_repetition_flags" -> { (s, dir) =>
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nrepeat me\nrepeat me\nrepeat me"))
+            .when(col("doc_id") % 3 === 1, lit("\nalpha line\nbeta line"))
+            .otherwise(lit(""))).as("text"))
+      val flags = Text.repetitionFlags(col("text"))
+      dirty.select(col("doc_id"), flags.as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .orderBy("doc_id")
+    },
+
     // Tokenizer fertility report (tokens-per-word by source) with the q109
     // trained merges: vocabulary-level segment counts broadcast over the
     // (source, word) occurrences — the tokenizer-eval metric teams track.
@@ -290,6 +305,37 @@ object CorpusQueries {
         |       CAST(p.hits AS BIGINT) AS hits, p.pred_lang = d.lang AS correct
         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // q113: in-row duplicate-line folds — list_distinct + summed lengths,
+    // one division per fraction, C-rounded with the -0.0 guard.
+    "q113_repetition_flags" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 3 = 0 THEN e'\nrepeat me\nrepeat me\nrepeat me'
+        |    WHEN doc_id % 3 = 1 THEN e'\nalpha line\nbeta line'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         string_split(t, chr(10)) AS lines,
+        |         list_distinct(string_split(t, chr(10))) AS dlines
+        |  FROM dirty),
+        |f AS (
+        |  SELECT doc_id,
+        |         len(lines) AS n_lines,
+        |         ROUND(CASE WHEN len(lines) > 0
+        |               THEN CAST(len(lines) - len(dlines) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+        |               ELSE 0.0 END, 4) + 0.0 AS dup_line_frac,
+        |         ROUND(CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0
+        |               THEN CAST(list_sum(list_transform(lines, x -> length(x)))
+        |                         - list_sum(list_transform(dlines, x -> length(x))) AS DOUBLE)
+        |                    / CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+        |               ELSE 0.0 END, 4) + 0.0 AS dup_line_char_frac
+        |  FROM m)
+        |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+        |       dup_line_frac <= 0.3 AS ok_dup_lines,
+        |       dup_line_char_frac <= 0.2 AS ok_dup_chars
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // q112: the q109 chain with the word identity carried through every
     // merge round; segment counts per vocabulary word then join back to

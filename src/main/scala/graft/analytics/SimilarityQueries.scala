@@ -149,6 +149,14 @@ object SimilarityQueries {
         .orderBy(col("rrf").desc, col("doc_id"))
     },
 
+    // SQ8 scalar quantization (the int8 compression standard next to PQ):
+    // per-vector symmetric codes round(x·127/max|x|) — pure projection,
+    // scale bound once per row, exact integer codes cross-engine.
+    "q114_sq8_quantize" -> { (s, dir) =>
+      Similarity.sq8Quantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id", "dim_idx")
+    },
+
     // JL random projection 64 → 16 dims with the q32 plane family: every
     // component is an exact integer dot scaled once and rounded 4dp, so the
     // reduced embedding table is hash-checked cross-engine.
@@ -252,6 +260,19 @@ object SimilarityQueries {
         |            THEN ROUND((CAST(e.v AS DOUBLE) - st.mean) / st.std, 4) + 0.0
         |            ELSE 0.0 END AS z
         |FROM e JOIN st USING (dim_idx)
+        |ORDER BY vec_id, dim_idx""".stripMargin,
+
+    // q114: scale = list_max of exact float-widened doubles (no
+    // accumulation, so the double — and its string form — is identical in
+    // both engines); each code is multiply, divide, std::round.
+    "q114_sq8_quantize" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM q)
+        |SELECT vec_id, (i.i - 1)::INT AS dim_idx,
+        |       CASE WHEN sc > 0 THEN CAST(round(v[i.i] * 127.0 / sc) AS BIGINT)
+        |            ELSE 0 END AS code,
+        |       sc AS scale
+        |FROM s, (SELECT unnest(range(1, 65)) AS i) i
         |ORDER BY vec_id, dim_idx""".stripMargin,
 
     // q86: the q32 plane CTE restricted to 16 planes; component =

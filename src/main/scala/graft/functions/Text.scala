@@ -134,6 +134,45 @@ object Text {
   /** Document fingerprint: md5 of the normalized text — the exact-dedup key. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** In-document repetition metrics (the Gopher Appendix A1 repetition
+    * family [[gopherFlags]] doesn't cover — those rules are corpus-shape,
+    * these are SELF-repetition): duplicate-line fraction and
+    * duplicate-line CHARACTER fraction, the two signals that catch
+    * boilerplate-padded and copy-looped pages. ZERO-shuffle by
+    * construction — both metrics are in-row folds:
+    *
+    *  - dup_line_frac = (n_lines − n_distinct_lines) / n_lines;
+    *  - dup_line_char_frac = (Σ len(line) − Σ len(distinct line)) /
+    *    Σ len(line) — the numerator is exactly the characters spent on
+    *    second-and-later copies of repeated lines.
+    *
+    * All counts are exact integers; each fraction is one IEEE division,
+    * 4dp C-rounded with the −0.0 guard. Empty text (one empty line) scores
+    * 0 on both. */
+  def repetitionFlags(c: Column, maxDupLineFrac: Double = 0.3,
+                      maxDupCharFrac: Double = 0.2): Column = {
+    val lines = split(c, "\n")
+    val distinctLines = array_distinct(lines)
+    def totalLen(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val n = size(lines)
+    val nd = size(distinctLines)
+    val tl = totalLen(lines)
+    val dl = totalLen(distinctLines)
+    def frac(num: Column, den: Column): Column =
+      (Rounding.roundLikeC(
+        when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0)),
+        4) + lit(0.0))
+    val lineFrac = frac((n - nd).cast("long"), n)
+    val charFrac = frac(tl - dl, tl)
+    struct(
+      n.as("n_lines"),
+      lineFrac.as("dup_line_frac"),
+      charFrac.as("dup_line_char_frac"),
+      (lineFrac <= maxDupLineFrac).as("ok_dup_lines"),
+      (charFrac <= maxDupCharFrac).as("ok_dup_chars"))
+  }
+
   /** Gopher's required-word set (Rae et al. 2021, Appendix A1.1.2): a page
     * must contain at least two of these to pass the stopword rule. */
   val GopherRequiredWords: Seq[String] =

@@ -629,4 +629,33 @@ object Similarity {
       .select(col(idCol),
         posexplode(array(comps: _*)).as(Seq("component_idx", "component")))
   }
+
+  /** SQ8 scalar quantization — the OTHER standard ANN compression next to
+    * [[pqTopK]]'s product quantization: per-vector symmetric int8 codes,
+    * `code_i = round(x_i · 127 / scale)` with `scale = max|x_i|`, 4 bytes →
+    * 1 byte per dimension with reconstruction error ≤ scale/254 per
+    * component. Zero-vector rows emit all-zero codes (scale 0).
+    *
+    * Pure projection, no shuffle. The scale is BOUND ONCE per row via the
+    * array-wrap idiom ([[Dedup.shingles]]): referencing the array_max
+    * directly from the per-component lambda would re-reduce the vector per
+    * element — the O(d²) q98 trap. Engine-portable: the scale is a max of
+    * exact float-widened doubles (no accumulation), each code is one
+    * multiply, one divide, one std::round — both engines land on identical
+    * integers, and the emitted scale is the identical double. */
+  def sq8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x)))
+    val bound = transform(array(struct(v.as("v"), scale.as("s"))), t =>
+      struct(
+        t.getField("s").as("s"),
+        transform(t.getField("v"), x =>
+          when(t.getField("s") > 0,
+            round(x * lit(127.0) / t.getField("s"), 0).cast("long"))
+            .otherwise(lit(0L))).as("codes")))
+    df.select(col(idCol), element_at(bound, 1).as("__b"))
+      .select(col(idCol), col("__b.s").as("scale"),
+        posexplode(col("__b.codes")).as(Seq("dim_idx", "code")))
+      .select(col(idCol), col("dim_idx"), col("code"), col("scale"))
+  }
 }

@@ -230,6 +230,47 @@ class CorpusSpec extends SparkSpec {
     assert(segs === Map("low" -> 1, "lower" -> 3))
   }
 
+  test("repetitionFlags: duplicate lines and their characters are fractioned exactly") {
+    // 4 lines: "aaaa" twice (dup), "bb", "c" -> dup_line_frac = 1/4;
+    // chars: 4+4+2+1 = 11 total, distinct 4+2+1 = 7 -> char frac 4/11
+    val f = Seq(Tuple1("aaaa\nbb\naaaa\nc")).toDF("text")
+      .select(Text.repetitionFlags(col("text")).as("r")).select(col("r.*")).head()
+    assert(f.getAs[Int]("n_lines") === 4)
+    assert(f.getAs[Double]("dup_line_frac") === 0.25)
+    assert(f.getAs[Double]("dup_line_char_frac") ===
+      math.round(4.0 / 11.0 * 10000.0) / 10000.0)
+    assert(f.getAs[Boolean]("ok_dup_lines") === true)  // 0.25 <= 0.3
+    assert(f.getAs[Boolean]("ok_dup_chars") === false) // 0.3636 > 0.2
+    val clean = Seq(Tuple1("one\ntwo\nthree")).toDF("text")
+      .select(Text.repetitionFlags(col("text")).as("r")).select(col("r.*")).head()
+    assert(clean.getAs[Double]("dup_line_frac") === 0.0)
+    assert(clean.getAs[Boolean]("ok_dup_chars") === true)
+  }
+
+  test("sq8Quantize: codes hit ±127 at the extremes; reconstruction error bounded; zero vector safe") {
+    val df = Seq(
+      (1L, Seq(2.0f, -2.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.sq8Quantize(df, "vec_id", "embedding")
+      .orderBy("vec_id", "dim_idx")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val v1 = got.filter(_._1 == 1L)
+    assert(v1.map(_._3) === Seq(127L, -127L, 64L, 0L)) // round(1*127/2)=64
+    assert(v1.forall(_._4 === 2.0))
+    val v2 = got.filter(_._1 == 2L)
+    assert(v2.forall(r => r._3 === 0L && r._4 === 0.0), "zero vector must not NaN")
+    // reconstruction: |x - code*scale/127| <= scale/254 on real embeddings
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val bad = graft.operators.Similarity.sq8Quantize(e, "vec_id", "embedding")
+      .join(e.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim_idx", "x"))),
+        Seq("vec_id", "dim_idx"))
+      .filter(abs(col("x") - col("code") * col("scale") / lit(127.0)) >
+        col("scale") / lit(254.0) + lit(1e-12))
+      .count()
+    assert(bad === 0L, "SQ8 reconstruction error exceeded scale/254")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
