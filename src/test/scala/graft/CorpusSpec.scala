@@ -271,6 +271,58 @@ class CorpusSpec extends SparkSpec {
     assert(bad === 0L, "SQ8 reconstruction error exceeded scale/254")
   }
 
+  test("streaming corpus ingestion: file stream -> in-batch dedup -> incremental dedup vs landed corpus -> quality gate -> append sink") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("corpus-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("corpus-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("corpus-ck").toString
+
+    // corpus + full clone set (every text arrives at least twice, usually in
+    // DIFFERENT micro-batches) spread over several files
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(200)
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    corpus.repartition(5).write.mode("overwrite").parquet(srcDir)
+    assert(new java.io.File(srcDir).list().count(_.endsWith(".parquet")) > 1)
+
+    def gate(df: org.apache.spark.sql.DataFrame) = {
+      val flags = Text.gopherFlags(col("text"),
+        requiredWords = Seq("the", "a"), minWords = 30, minRequiredHits = 1)
+      df.withColumn("__keep", flags.getField("keep")).filter(col("__keep"))
+        .drop("__keep")
+    }
+
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // in-batch survivors first (incremental() only screens vs SEEN),
+        // then the exact anti-join against what already landed
+        val inBatch = Dedup.exact(batch, "text", keepOrder = Seq(col("doc_id")))
+          .drop("fingerprint")
+        val landed = new java.io.File(outDir).list()
+          .exists(_.endsWith(".parquet"))
+        val fresh =
+          if (!landed) inBatch.withColumn("fingerprint",
+            Text.fingerprint(col("text")))
+          else Dedup.incremental(inBatch, spark.read.parquet(outDir), "text")
+        gate(fresh).write.mode("append").parquet(outDir)
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "AvailableNow must drain and stop")
+
+    val got = spark.read.parquet(outDir)
+    // every landed doc passed the gate, and fingerprints are unique
+    assert(got.groupBy("fingerprint").count().filter(col("count") > 1).isEmpty,
+      "a duplicate text survived across micro-batches")
+    val expectedFps = gate(corpus)
+      .select(Text.fingerprint(col("text")).as("fp")).distinct()
+    val gotFps = got.select(col("fingerprint").as("fp")).distinct()
+    assert(gotFps.exceptAll(expectedFps).isEmpty, "a gated-out or alien doc landed")
+    assert(expectedFps.exceptAll(gotFps).isEmpty, "a passing text never landed")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
