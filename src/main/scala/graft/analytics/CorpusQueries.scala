@@ -114,6 +114,38 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source PII-density audit (the scrub-gate report a corpus release
+    // runs BEFORE redaction): email/phone counts per kilotoken by source,
+    // over a corpus dirtied with deterministic PII by doc_id mod 7.
+    "q115_pii_density" -> { (s, dir) =>
+      val dirty = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com for details")))
+            .when(col("doc_id") % 7 === 1,
+              lit(" call 555-123-4567 or 800-555-1212 today"))
+            .when(col("doc_id") % 7 === 2, lit(" account 12345678 ref 98765432"))
+            .otherwise(lit(""))).as("text"))
+      val perDoc = dirty.select(col("source"),
+        graft.functions.Pii.emailCount(col("text")).as("e"),
+        graft.functions.Pii.phoneCount(col("text")).as("p"),
+        Text.tokenCount(col("text")).cast("long").as("t"))
+      def perKt(n: org.apache.spark.sql.Column) =
+        graft.functions.Rounding.roundLikeC(
+          lit(1000.0) * n.cast("double") / col("n_tokens").cast("double"), 4) + lit(0.0)
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e")).as("n_emails"), sum(col("p")).as("n_phones"),
+          sum(col("t")).as("n_tokens"),
+          sum(when(col("e") + col("p") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+        .select(col("source"), col("n_docs"), col("n_emails"), col("n_phones"),
+          col("n_tokens"), col("docs_with_pii"),
+          perKt(col("n_emails")).as("emails_per_kilotoken"),
+          perKt(col("n_phones")).as("phones_per_kilotoken"))
+        .orderBy("source")
+    },
+
     // Tokenizer fertility report (tokens-per-word by source) with the q109
     // trained merges: vocabulary-level segment counts broadcast over the
     // (source, word) occurrences — the tokenizer-eval metric teams track.
@@ -336,6 +368,38 @@ object CorpusQueries {
         |       dup_line_frac <= 0.3 AS ok_dup_lines,
         |       dup_line_char_frac <= 0.2 AS ok_dup_chars
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q115: the Pii patterns are RE2-safe by design, so the identical regex
+    // strings count matches in both engines; densities are single divisions
+    // of exact BIGINT sums.
+    "q115_pii_density" -> {
+      val email = graft.functions.Pii.EmailPattern
+      val phone = graft.functions.Pii.PhonePattern
+      s"""WITH dirty AS (
+         |  SELECT doc_id, source, text || CASE
+         |    WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+         |    WHEN doc_id % 7 = 1 THEN ' call 555-123-4567 or 800-555-1212 today'
+         |    WHEN doc_id % 7 = 2 THEN ' account 12345678 ref 98765432'
+         |    ELSE '' END AS t
+         |  FROM documents),
+         |per_doc AS (
+         |  SELECT source,
+         |         len(regexp_extract_all(t, '$email')) AS e,
+         |         len(regexp_extract_all(t, '$phone')) AS p,
+         |         len(list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '')) AS tk
+         |  FROM dirty),
+         |agg AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |         CAST(SUM(e) AS BIGINT) AS n_emails,
+         |         CAST(SUM(p) AS BIGINT) AS n_phones,
+         |         CAST(SUM(tk) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CASE WHEN e + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+         |  FROM per_doc GROUP BY source)
+         |SELECT source, n_docs, n_emails, n_phones, n_tokens, docs_with_pii,
+         |       ROUND(1000.0 * CAST(n_emails AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS emails_per_kilotoken,
+         |       ROUND(1000.0 * CAST(n_phones AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS phones_per_kilotoken
+         |FROM agg ORDER BY source""".stripMargin
+    },
 
     // q112: the q109 chain with the word identity carried through every
     // merge round; segment counts per vocabulary word then join back to

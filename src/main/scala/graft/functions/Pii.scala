@@ -38,4 +38,8 @@ object Pii {
   /** Count of email-shaped substrings (scrub-audit metric). */
   def emailCount(c: Column): Column =
     size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
+
+  /** Count of phone-shaped substrings (scrub-audit metric). */
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PhonePattern), lit(0)))
 }

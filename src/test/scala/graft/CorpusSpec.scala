@@ -323,6 +323,21 @@ class CorpusSpec extends SparkSpec {
     assert(expectedFps.exceptAll(gotFps).isEmpty, "a passing text never landed")
   }
 
+  test("Pii counts: emails and phones found exactly, redaction removes what counting found") {
+    val text = "mail a@b.com and c.d+x@e.org, call 555-123-4567 or line 12345678 now"
+    val row = Seq(Tuple1(text)).toDF("t").select(
+      graft.functions.Pii.emailCount(col("t")).as("e"),
+      graft.functions.Pii.phoneCount(col("t")).as("p"),
+      graft.functions.Pii.redactPhones(
+        graft.functions.Pii.redactEmails(col("t"))).as("clean")).head()
+    assert(row.getAs[Int]("e") === 2)
+    assert(row.getAs[Int]("p") === 2)
+    val clean = row.getAs[String]("clean")
+    assert(graft.functions.Pii.emailCount(lit(clean)) != null) // expression builds
+    assert(!clean.contains("a@b.com") && !clean.contains("555-123-4567")
+      && !clean.contains("12345678"), clean)
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
