@@ -19,7 +19,14 @@ object CorpusQueries {
   /** The fixture texts are clean synthetic prose, so the rule-ensemble
     * queries dirty them DETERMINISTICALLY in both engines (the q96/q99
     * fixture pattern): by doc_id mod 5 — bullet-heavy (0), ellipsis-heavy
-    * (1), symbol-spam (2), numeric-token-diluted (3), untouched (4). */
+    * (1), symbol-spam (2), numeric-token-diluted (3), untouched (4).
+    *
+    * Charset assumption (the q98 caveat, shared by every whitespace-split
+    * oracle here): Java's `\s` and RE2's `\s` differ on `\x0B`, and Java's
+    * `.` excludes more line separators than RE2's — parity holds because
+    * the fixture corpus (and these injected tails) contain neither `\x0B`
+    * nor U+0085/U+2028/U+2029 nor CRLF. A corpus with those characters
+    * needs the explicit negated-class forms (see `Text.charEntropy`). */
   private val BulletTail =
     "\n- one\n- two\n- three\n- four\n* five\n* six\n* seven\n• eight\n• nine\n- ten"
   private val EllipsisTail = "\nwait for it...\nstill loading...\nalmost there..."
@@ -111,6 +118,24 @@ object CorpusQueries {
       val flags = Text.repetitionFlags(col("text"))
       dirty.select(col("doc_id"), flags.as("r"))
         .select(col("doc_id"), col("r.*"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus snapshot diff (crawl-over-crawl versioning): v2 synthesized
+    // deterministically from v1 — drops (mod 3), edits (mod 5), additions
+    // (mod 7) — then per-doc added/removed/changed/unchanged + token delta.
+    "q116_corpus_diff" -> { (s, dir) =>
+      val v1 = Tables.documents(s, dir).select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" updated revision content")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(lit("new document "), col("doc_id").cast("string"),
+              lit(" about spark pipelines")).as("text")))
+      graft.operators.Curate.corpusDiff(v1, v2, "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -368,6 +393,38 @@ object CorpusQueries {
         |       dup_line_frac <= 0.3 AS ok_dup_lines,
         |       dup_line_char_frac <= 0.2 AS ok_dup_chars
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q116: both snapshots shrink to (id, fingerprint, token count) before
+    // a full outer join on the id; the v2 evolution replays identically.
+    "q116_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 5 THEN text || ' updated revision content'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |         'new document ' || CAST(doc_id AS VARCHAR) || ' about spark pipelines'
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |o AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ofp,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS ot
+        |  FROM v1),
+        |n AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS nfp,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS nt
+        |  FROM v2)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN ofp <> nfp THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       COALESCE(nt, 0) - COALESCE(ot, 0) AS token_delta
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // q115: the Pii patterns are RE2-safe by design, so the identical regex
     // strings count matches in both engines; densities are single divisions

@@ -124,4 +124,30 @@ object Curate {
       "s0_input" -> s0, "s1_exact_dedup" -> s1, "s2_span_dedup" -> s2,
       "s3_quality" -> s3, "s4_decontaminated" -> s4))
   }
+
+  /** Corpus snapshot diff — the crawl-over-crawl versioning report: per
+    * document id, `added` / `removed` / `changed` (same id, different
+    * normalized-text fingerprint) / `unchanged`, plus the token delta.
+    * Every corpus refresh wants this before shipping: an unexpected mass
+    * `removed` or a token-count collapse is the canary for an upstream
+    * extraction regression.
+    *
+    * Scale: both snapshots reduce to (id, fingerprint, token_count)
+    * projections BEFORE the join — the full outer join shuffles those
+    * 3-column frames on the id, never the document text. */
+  def corpusDiff(old: DataFrame, cur: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def shrink(df: DataFrame, fp: String, tc: String): DataFrame =
+      df.select(col(idCol), Text.fingerprint(col(textCol)).as(fp),
+        Text.tokenCount(col(textCol)).cast("long").as(tc))
+    shrink(old, "__ofp", "__ot")
+      .join(shrink(cur, "__nfp", "__nt"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ofp").isNull, "added")
+          .when(col("__nfp").isNull, "removed")
+          .when(col("__ofp") =!= col("__nfp"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("__nt"), lit(0L)) - coalesce(col("__ot"), lit(0L)))
+          .as("token_delta"))
+  }
 }

@@ -95,7 +95,14 @@ object Features {
   }
 
   /** (id long, q array<long>) quantized view — shared by train and assign
-    * so the two cannot disagree on the quantization. */
+    * so the two cannot disagree on the quantization.
+    *
+    * Domain contract (same as the q86/q101/q32 quantized-vector family):
+    * components must satisfy |x| < ~1e4 so that a squared difference
+    * (2·1e4·1e4)² ≈ 1.6e17 summed over ≤ 64 dims stays inside int64
+    * (~9.2e18). Embedding-normalized inputs (|x| ≤ a few) are orders of
+    * magnitude inside the bound; only raw un-normalized features could
+    * approach it — standardize ([[standardize]]) first. */
   private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("__id"),
       transform(col(vecCol).cast("array<double>"),

@@ -338,6 +338,24 @@ class CorpusSpec extends SparkSpec {
       && !clean.contains("12345678"), clean)
   }
 
+  test("corpusDiff: added/removed/changed/unchanged with token deltas") {
+    val v1 = Seq(
+      (1L, "same text here"),
+      (2L, "will be removed"),
+      (3L, "old words two")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "same   TEXT here"), // normalization-equal -> unchanged
+      (3L, "new words three four"), // changed, +1 token
+      (4L, "fresh doc")).toDF("doc_id", "text")
+    val got = graft.operators.Curate.corpusDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "unchanged", 0L),
+      (2L, "removed", -3L),
+      (3L, "changed", 1L),
+      (4L, "added", 2L)))
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
