@@ -121,6 +121,56 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // T5-style span corruption: deterministic mix2 block masks, sentinel
+    // numbering by in-row prefix count — (input, target) example pairs as
+    // one zero-shuffle projection.
+    "q119_span_corrupt" -> { (s, dir) =>
+      graft.operators.Packing.spanCorrupt(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
+
+    // Temperature-scaled (sqrt, tau=0.5) language mixture: quotas derive
+    // from OBSERVED language counts via largest-remainder apportionment —
+    // the multilingual re-balancing move, data-driven yet exact.
+    "q117_temperature_mix" -> { (s, dir) =>
+      graft.operators.Packing.temperatureMix(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          col("doc_id"), col("lang"), total = 100)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
+    },
+
+    // N-gram diversity report per source — the diversity-collapse canary
+    // (templated/boilerplate sources show high token counts but collapsing
+    // distinct-trigram ratios): type-token ratio + distinct-trigram ratio,
+    // exact counts, one division each. Trigrams use Dedup.shingles'
+    // semantics (docs under 3 tokens contribute their whole text as one
+    // gram — the q29 fallback, mirrored in the oracle).
+    "q118_diversity_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("source"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      val tokAgg = toks.groupBy("source").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("distinct_tokens"))
+      val grams = docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), 3)).as("gram"))
+      val gramAgg = grams.groupBy("source").agg(
+        count(lit(1)).as("n_3grams"),
+        countDistinct(col("gram")).as("distinct_3grams"))
+      val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        graft.functions.Rounding.roundLikeC(
+          num.cast("double") / den.cast("double"), 4) + lit(0.0)
+      nDocs.join(tokAgg, "source").join(gramAgg, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("distinct_tokens"), col("n_3grams"), col("distinct_3grams"),
+          ratio(col("distinct_tokens"), col("n_tokens")).as("type_token_ratio"),
+          ratio(col("distinct_3grams"), col("n_3grams")).as("trigram_diversity"))
+        .orderBy("source")
+    },
+
     // Corpus snapshot diff (crawl-over-crawl versioning): v2 synthesized
     // deterministically from v1 — drops (mod 3), edits (mod 5), additions
     // (mod 7) — then per-doc added/removed/changed/unchanged + token delta.
@@ -393,6 +443,106 @@ object CorpusQueries {
         |       dup_line_frac <= 0.3 AS ok_dup_lines,
         |       dup_line_char_frac <= 0.2 AS ok_dup_chars
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q119: blocks explode with a per-doc window prefix count (the oracle
+    // may shuffle; the operator itself is in-row), string_agg in block
+    // order skipping NULL unmasked target parts — matching concat_ws.
+    "q119_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, i.i AS blk, toks[(i.i*3+1):(i.i*3+3)] AS btoks
+        |  FROM t, unnest(range(0, CAST(ceil(len(toks)/3.0) AS INT))) AS i(i)),
+        |m AS (
+        |  SELECT doc_id, blk, btoks,
+        |         ((((doc_id*131 + blk) % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 % 10 < 2 AS masked
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, blk, btoks, masked,
+        |         COALESCE(SUM(CASE WHEN masked THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY doc_id ORDER BY blk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        |  FROM m),
+        |agg AS (
+        |  SELECT doc_id,
+        |         COUNT(*) AS n_blocks,
+        |         SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+        |         string_agg(CASE WHEN masked THEN '<extra_id_' || CAST(pfx AS VARCHAR) || '>'
+        |                         ELSE array_to_string(btoks, ' ') END, ' ' ORDER BY blk) AS input,
+        |         string_agg(CASE WHEN masked THEN '<extra_id_' || CAST(pfx AS VARCHAR) || '> '
+        |                           || array_to_string(btoks, ' ') END, ' ' ORDER BY blk) AS target
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_blocks, 0) AS INT) AS n_blocks,
+        |       CAST(COALESCE(a.n_masked, 0) AS INT) AS n_masked,
+        |       COALESCE(a.input, '') AS input,
+        |       COALESCE(a.target, '') AS target
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q117: sqrt weights (correctly-rounded IEEE, identical both engines),
+    // weight sum folded in sorted-lang order, (w/s)*total shares, floor +
+    // largest-remainder (remainder DESC, lang ASC), then the q65/q80
+    // mix2-order membership.
+    "q117_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+        |wsum AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY lang)), (a, x) -> a + x) AS s
+        |  FROM w),
+        |ex AS (SELECT lang, w.w / wsum.s * 100 AS e FROM w, wsum),
+        |fl AS (SELECT lang, e, CAST(FLOOR(e) AS BIGINT) AS f FROM ex),
+        |lo AS (SELECT 100 - SUM(f) AS leftover FROM fl),
+        |rk AS (
+        |  SELECT lang, f,
+        |         ROW_NUMBER() OVER (ORDER BY e - FLOOR(e) DESC, lang) AS rn
+        |  FROM fl),
+        |quota AS (
+        |  SELECT lang, f + CASE WHEN rn <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS q
+        |  FROM rk),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM documents)
+        |SELECT h.lang,
+        |       row_number() OVER (PARTITION BY h.lang ORDER BY h.h, h.doc_id) AS sample_rank,
+        |       h.doc_id
+        |FROM h JOIN quota ON h.lang = quota.lang
+        |QUALIFY sample_rank <= quota.q
+        |ORDER BY h.lang, sample_rank""".stripMargin,
+
+    // q118: the q29 shingle CTE (with its under-3-token fallback) feeding
+    // exact count/count-distinct aggregates; ratios are single divisions.
+    "q118_diversity_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(toks) AS tok FROM t),
+        |ta AS (
+        |  SELECT source, COUNT(*) AS n_tokens,
+        |         COUNT(DISTINCT tok) AS distinct_tokens
+        |  FROM tok GROUP BY source),
+        |sh AS (
+        |  SELECT source, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS gram
+        |  FROM t),
+        |ga AS (
+        |  SELECT source, COUNT(*) AS n_3grams,
+        |         COUNT(DISTINCT gram) AS distinct_3grams
+        |  FROM sh GROUP BY source),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT nd.source, n_docs, n_tokens, distinct_tokens, n_3grams, distinct_3grams,
+        |       ROUND(CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS type_token_ratio,
+        |       ROUND(CAST(distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE), 4) + 0.0 AS trigram_diversity
+        |FROM nd JOIN ta ON nd.source = ta.source JOIN ga ON nd.source = ga.source
+        |ORDER BY nd.source""".stripMargin,
 
     // q116: both snapshots shrink to (id, fingerprint, token count) before
     // a full outer join on the id; the v2 evolution replays identically.

@@ -242,6 +242,118 @@ object Packing {
   }
 
   /** Largest-remainder apportionment of `total × weight/Σweights` units. */
+  /** T5-style span corruption (Raffel et al. 2020) — the masked-LM example
+    * prep: the token stream splits into fixed `blockLen`-token blocks, a
+    * deterministic ~(maskNumerator/10) of blocks mask out, and each example
+    * becomes (input with sentinels, target of sentinel+span pairs):
+    *
+    *   tokens:  the quick brown | fox jumps over | the lazy dog
+    *   input:   the quick brown <extra_id_0> the lazy dog
+    *   target:  <extra_id_0> fox jumps over
+    *
+    * Span selection is [[mix2]](id·131 + block) — reproducible across
+    * re-runs, layouts, and engines (every ablation needs the SAME masks; a
+    * `rand()` mask is a different dataset every run). Zero-shuffle: the
+    * whole transform is one projection; the token array binds ONCE per row
+    * (array-wrap idiom) and sentinel numbering is an in-row prefix count
+    * over blocks (O(blocks²) integer LCG evals per row — bounded by
+    * (len/blockLen)², trivial next to the string work). Sub-`blockLen`
+    * tails mask as shorter spans, exactly like the paper's boundary. */
+  def spanCorrupt(df: DataFrame, idCol: Column, textCol: Column,
+                  blockLen: Int = 3, maskNumerator: Int = 2): DataFrame = {
+    val outId = df.select(idCol).columns.head
+    def maskedBlk(id: Column, b: Column): Column =
+      mix2(id * lit(131L) + b) % 10 < maskNumerator
+    val bound = transform(
+      array(struct(idCol.cast("long").as("id"),
+        graft.functions.Text.tokens(textCol).as("ts"))),
+      t => {
+        val id = t.getField("id")
+        val ts = t.getField("ts")
+        val nb = ceil(size(ts).cast("double") / blockLen).cast("int")
+        val blocks = sequence(lit(0), nb - 1)
+        def blockToks(b: Column) = slice(ts, b * blockLen + 1, lit(blockLen))
+        def prefix(b: Column) = when(b === 0, lit(0)).otherwise(
+          aggregate(sequence(lit(0), b - 1), lit(0),
+            (acc, j) => acc + when(maskedBlk(id, j), 1).otherwise(0)))
+        val inputArr = transform(blocks, b =>
+          when(maskedBlk(id, b),
+            concat(lit("<extra_id_"), prefix(b).cast("string"), lit(">")))
+            .otherwise(concat_ws(" ", blockToks(b))))
+        val targetArr = transform(blocks, b =>
+          when(maskedBlk(id, b),
+            concat(lit("<extra_id_"), prefix(b).cast("string"), lit("> "),
+              concat_ws(" ", blockToks(b)))))
+        val nMasked = aggregate(blocks, lit(0),
+          (acc, b) => acc + when(maskedBlk(id, b), 1).otherwise(0))
+        when(size(ts) === 0,
+          struct(lit(0).as("n_blocks"), lit(0).as("n_masked"),
+            lit("").as("input"), lit("").as("target")))
+          .otherwise(struct(nb.as("n_blocks"), nMasked.as("n_masked"),
+            concat_ws(" ", inputArr).as("input"),
+            concat_ws(" ", targetArr).as("target")))
+      })
+    df.select(idCol.as(outId), element_at(bound, 1).as("__sc"))
+      .select(col(outId), col("__sc.n_blocks").as("n_blocks"),
+        col("__sc.n_masked").as("n_masked"),
+        col("__sc.input").as("input"), col("__sc.target").as("target"))
+  }
+
+  /** Temperature-scaled domain mixture (the DoReMi/proportional-sampling
+    * family): per-stratum quotas ∝ n^τ — τ=1 reproduces natural
+    * proportions, τ→0 flattens toward uniform; the default τ=0.5 (sqrt
+    * scaling) is the classic multilingual re-balancing. Unlike
+    * [[weightedMix]] (caller-fixed weights), the weights DERIVE from the
+    * observed stratum counts, so the whole pipeline — count, weight,
+    * apportion, sample — is data-driven yet exactly reproducible.
+    *
+    * Engine parity: τ=0.5 uses `sqrt` (correctly rounded by IEEE 754 in
+    * every engine — `pow(x, 0.5)` is NOT, which is why it's the oracle-safe
+    * default); the weight sum folds in SORTED-STRATUM order
+    * ([[apportionOrdered]]) so an external replay lands on the identical
+    * double; apportionment is largest-remainder with (remainder DESC,
+    * stratum ASC) ties. Only the stratum-count table (bounded by the number
+    * of strata) reaches the driver; membership is the one [[weightedMix]]
+    * shuffle. */
+  def temperatureMix(df: DataFrame, idCol: Column, stratumCol: Column,
+                     total: Int, tau: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val weights = counts.map { case (k, n) =>
+      (k, if (tau == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, tau))
+    }
+    val quota = typedlit(apportionOrdered(weights, total).toMap)
+    df.withColumn("__h", mix2(idCol))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(stratumCol).orderBy(col("__h"), idCol)))
+      .filter(col("sample_rank") <= coalesce(element_at(quota, stratumCol), lit(0)))
+      .drop("__h")
+  }
+
+  /** [[apportion]] with a DETERMINISTIC weight-sum order: `weights` must
+    * arrive sorted by key, and the sum folds left-to-right in that order —
+    * float addition is not associative, and an arbitrary Map-iteration sum
+    * could differ in the last ulp from an external replay, flipping a
+    * floor() on an exact-half share. Same largest-remainder rule as
+    * [[apportion]]. */
+  private[graft] def apportionOrdered(weights: Seq[(String, Double)],
+                                      total: Int): Seq[(String, Int)] = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0) &&
+      weights.map(_._2).sum > 0.0, "weights must be non-negative, not all zero")
+    val wSum = weights.foldLeft(0.0) { case (a, (_, w)) => a + w }
+    val exact = weights.map { case (k, w) => (k, w / wSum * total) }
+    val floored = exact.map { case (k, e) => (k, e.toInt) }
+    val leftover = total - floored.map(_._2).sum
+    val bump = exact
+      .map { case (k, e) => (k, e - math.floor(e)) }
+      .sortBy { case (k, r) => (-r, k) }
+      .take(leftover).map(_._1).toSet
+    floored.map { case (k, n) => (k, if (bump(k)) n + 1 else n) }
+  }
+
   private[graft] def apportion(weights: Map[String, Double],
                                    total: Int): Map[String, Int] = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&

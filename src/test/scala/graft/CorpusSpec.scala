@@ -356,6 +356,52 @@ class CorpusSpec extends SparkSpec {
       (4L, "added", 2L)))
   }
 
+  test("temperatureMix: quotas sum to total and sqrt-flatten the distribution") {
+    // strata: big=400 docs, small=30 -> natural shares 97/7 at total 104;
+    // sqrt: 20/5.48 -> ~82/~22 -> small gets ~3x its natural share (and the
+    // stratum is large enough to FILL its quota — an unfillable quota
+    // samples fewer, the documented weightedMix behavior)
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1030L).map(i => (i, "small"))).toDF("id", "s")
+    val got = graft.operators.Packing.temperatureMix(df, col("id"), col("s"), total = 104)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(got.values.sum === 104L, s"quotas must sum exactly to total: $got")
+    assert(got("small") > 10L, s"sqrt scaling must over-sample the small stratum: $got")
+    assert(got("big") > got("small"), "monotonicity: bigger stratum keeps a bigger quota")
+    // deterministic membership across layouts
+    val a = graft.operators.Packing.temperatureMix(df, col("id"), col("s"), 104)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = graft.operators.Packing.temperatureMix(df.repartition(7), col("id"), col("s"), 104)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("spanCorrupt: structure, conservation, and sentinel numbering") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val got = graft.operators.Packing.spanCorrupt(docs, col("doc_id"), col("text"))
+    val joined = got.join(docs.select("doc_id", "text"), "doc_id")
+      .as[(Long, Int, Int, String, String, String)].collect()
+    joined.foreach { case (id, nBlocks, nMasked, input, target, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      assert(nBlocks === (toks.length + 2) / 3, s"doc $id block count")
+      // sentinels number 0..n_masked-1 in both input and target
+      val sentinelsIn = "<extra_id_(\\d+)>".r.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      val sentinelsTgt = "<extra_id_(\\d+)>".r.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(sentinelsIn === (0 until nMasked), s"doc $id input sentinels: $sentinelsIn")
+      assert(sentinelsTgt === (0 until nMasked), s"doc $id target sentinels")
+      // conservation: input words (minus sentinels) + target words (minus
+      // sentinels) = original tokens, order preserved within each side
+      val sentinel = "<extra_id_\\d+>".r
+      val inWords = sentinel.replaceAllIn(input, "").trim.split("\\s+").filter(_.nonEmpty)
+      val tgtWords = sentinel.replaceAllIn(target, "").trim.split("\\s+").filter(_.nonEmpty)
+      assert(inWords.length + tgtWords.length === toks.length,
+        s"doc $id lost/duplicated tokens: ${inWords.length}+${tgtWords.length} vs ${toks.length}")
+      assert((inWords ++ tgtWords).sorted.toSeq === toks.sorted.toSeq, s"doc $id token multiset drift")
+    }
+    // masks must actually fire somewhere on 100 docs
+    assert(joined.map(_._3).sum > 0, "no block ever masked — mask rule broken")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
