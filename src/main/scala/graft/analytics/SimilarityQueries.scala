@@ -149,6 +149,16 @@ object SimilarityQueries {
         .orderBy(col("rrf").desc, col("doc_id"))
     },
 
+    // Hard-negative mining for contrastive training: per query, top-5
+    // highest-cosine vectors with a DIFFERENT label (the near-misses a
+    // dual encoder learns from) — exact verifier form, ANN pool at scale.
+    "q120_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, queryVectors(s, dir),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+
     // SQ8 scalar quantization (the int8 compression standard next to PQ):
     // per-vector symmetric codes round(x·127/max|x|) — pure projection,
     // scale bound once per row, exact integer codes cross-engine.
@@ -261,6 +271,22 @@ object SimilarityQueries {
         |            ELSE 0.0 END AS z
         |FROM e JOIN st USING (dim_idx)
         |ORDER BY vec_id, dim_idx""".stripMargin,
+
+    // q120: the q31 scan with the label-mismatch predicate and the
+    // negative's label carried through.
+    "q120_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, label AS cl, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, vec_id, cl AS neg_label,
+        |         ROUND(list_cosine_similarity(qv, cv), 4) AS score
+        |  FROM q JOIN c ON vec_id <> query_id AND cl <> ql)
+        |SELECT query_id, vec_id, neg_label, score FROM scored
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, vec_id) <= 5
+        |ORDER BY query_id, score DESC, vec_id""".stripMargin,
 
     // q114: scale = list_max of exact float-widened doubles (no
     // accumulation, so the double — and its string form — is identical in

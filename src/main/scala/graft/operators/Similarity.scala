@@ -91,6 +91,35 @@ object Similarity {
       .select("query_id", "vec_id", "score")
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query, the `k` HIGHEST-cosine corpus vectors whose label DIFFERS —
+    * the near-miss examples a dual encoder learns most from (random
+    * negatives are trivially separable; the hard ones sit just across the
+    * decision boundary). Same exact-verifier shape and guard as
+    * [[bruteForceTopK]]; at scale, mine from an ANN candidate pool
+    * ([[lshTopK]]/[[ivfTopK]] with k ≫ target, label-filter, re-cut)
+    * instead of the exact scan. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    maxRows: Long = MaxExactRows): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__nq"))
+    requireExactScale(q, "query set", maxRows, "an ANN pool + label filter")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__nc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") && col("__cl") =!= col("__ql"))
+      .withColumn("score", graft.functions.Rounding.roundLikeC(
+        hoistedCosine(dotNative(col("qv"), col("cv")), col("__nq"), col("__nc")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("__cl").as("neg_label"),
+        col("score"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes from the portable
     * [[graft.functions.PortableHash.mixp]] mixer — sign-random-projection
     * LSH admits any symmetric component distribution, and ±1 components

@@ -402,6 +402,24 @@ class CorpusSpec extends SparkSpec {
     assert(joined.map(_._3).sum > 0, "no block ever masked — mask rule broken")
   }
 
+  test("hardNegatives: only cross-label vectors, and each is the hardest available") {
+    // 2D toy: query label 0 at (1,0); same-label twin at (0.99,0.1) must be
+    // EXCLUDED even though it is the global nearest; hardest cross-label is
+    // (0.9,0.2), then (0,1)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f), 0), // same label: never a negative
+      (2L, Seq(0.9f, 0.2f), 1),
+      (3L, Seq(0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.hardNegatives(
+        df, df.filter(col("vec_id") === 0L), "vec_id", "embedding", "label", k = 2)
+      .orderBy(col("score").desc)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(2L, 3L), s"got $got")
+    assert(got.map(_._3) === Seq(1, 2))
+    assert(got.head._4 > got(1)._4, "hardest negative must rank first")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
