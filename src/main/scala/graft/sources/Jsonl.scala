@@ -43,6 +43,48 @@ object Jsonl {
     manifest
   }
 
+  /** [[writeShards]] with a BYTE budget instead of a fixed shard count —
+    * the contract real exporters publish ("shards of ~1 GB"): rows lay out
+    * in the deterministic mix2 order, the running serialized size
+    * (octet_length of the JSON line + newline — BYTES, not chars)
+    * accumulates via the bucketed cumsum (no single-partition window), and
+    * a row lands in shard `floor(prefix_bytes / maxBytesPerShard)` — so
+    * every shard holds ≤ maxBytesPerShard + one row of spill, shards
+    * number contiguously from 0, and the same data always cuts at the same
+    * byte boundaries. Manifest bytes come from the LANDED FILES' sizes
+    * (the filesystem is the truth for a byte contract), rows from reading
+    * them back. */
+  def writeShardsByBytes(df: DataFrame, dir: String, idCol: Column,
+                         maxBytesPerShard: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowJson = to_json(struct(df.columns.map(col): _*))
+    val sized = df.withColumn("__bytes", (octet_length(rowJson) + 1).cast("long"))
+    val cum = Packing.bucketedCumSum(sized,
+      orderCol = Packing.mix2(idCol), bucket = Packing.mix2(idCol) / lit(2097152L),
+      measure = col("__bytes"), alias = "__cum", tieBreak = Seq(idCol))
+    cum
+      .withColumn("shard",
+        ((col("__cum") - col("__bytes")) / lit(maxBytesPerShard)).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "__cum")
+      .drop("__bytes", "__cum")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(dir)
+    val rows = read(spark, dir).groupBy("shard").agg(count(lit(1)).as("n_rows"))
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).toSeq
+      .map { d =>
+        val n = d.getName.stripPrefix("shard=").toLong
+        val sz = d.listFiles().filter(_.getName.endsWith(".json"))
+          .map(_.length()).sum
+        (n, sz)
+      }.toDF("shard", "n_bytes")
+    val manifest = rows.join(bytes, "shard")
+    manifest.coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
+    manifest
+  }
+
   /** Read a [[writeShards]] layout (shard partition column included). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.json(dir)

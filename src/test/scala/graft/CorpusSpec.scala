@@ -420,6 +420,31 @@ class CorpusSpec extends SparkSpec {
     assert(got.head._4 > got(1)._4, "hardest negative must rank first")
   }
 
+  test("Jsonl.writeShardsByBytes: byte budget honored (+1-row spill), contiguous shards, lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonlb").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val budget = 16384L
+    val manifest = graft.sources.Jsonl.writeShardsByBytes(docs, dir, col("doc_id"), budget)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(manifest.size > 2, s"fixture should span several shards: $manifest")
+    // contiguous numbering from 0
+    assert(manifest.map(_._1) === (0L until manifest.size))
+    // every shard within budget + one-row spill (largest line bounds the spill)
+    val maxLine = docs
+      .select((octet_length(to_json(struct(col("doc_id"), col("text")))) + 1).cast("long"))
+      .as[Long].collect().max
+    manifest.foreach { case (s0, _, bytes) =>
+      assert(bytes <= budget + maxLine, s"shard $s0 overshot: $bytes > $budget + $maxLine")
+    }
+    // all shards but the last are FULL (>= budget - one row)
+    manifest.dropRight(1).foreach { case (s0, _, bytes) =>
+      assert(bytes >= budget - maxLine, s"shard $s0 underfilled: $bytes")
+    }
+    // lossless round-trip
+    val back = graft.sources.Jsonl.read(spark, dir).select("doc_id", "text")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
