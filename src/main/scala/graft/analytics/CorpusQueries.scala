@@ -121,6 +121,17 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Per-doc contamination fraction vs the eval slice (doc_id % 50 = 0):
+    // the graded decontamination verdict — share of each train doc's
+    // distinct 3-grams present anywhere in the eval suite.
+    "q121_contamination_frac" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationFraction(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // T5-style span corruption: deterministic mix2 block masks, sentinel
     // numbering by in-row prefix count — (input, target) example pairs as
     // one zero-shuffle projection.
@@ -443,6 +454,29 @@ object CorpusQueries {
         |       dup_line_frac <= 0.3 AS ok_dup_lines,
         |       dup_line_char_frac <= 0.2 AS ok_dup_chars
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q121: the q29 shingle CTE (distinct per doc) on both sides; eval
+    // grams dedupe once, train grams LEFT-join them, per-doc counts and
+    // one 4dp-rounded division.
+    "q121_contamination_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+        |  FROM t),
+        |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, gram FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id,
+        |       COUNT(*) AS n_grams,
+        |       CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |       ROUND(CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS contamination_frac
+        |FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+        |GROUP BY tr.doc_id
+        |ORDER BY tr.doc_id""".stripMargin,
 
     // q119: blocks explode with a per-doc window prefix count (the oracle
     // may shuffle; the operator itself is in-row), string_agg in block

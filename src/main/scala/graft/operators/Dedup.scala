@@ -154,6 +154,36 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-document contamination FRACTION — the graded verdict
+    * [[decontaminationPairs]]' binary hit can't give: what share of a train
+    * document's distinct word `k`-grams appear anywhere in the eval suite.
+    * Pipelines threshold this (a doc quoting one benchmark sentence differs
+    * from a doc that IS a benchmark dump), and the fraction is the audit
+    * column the drop decision logs. Emits (idCol, n_grams, n_contaminated,
+    * contamination_frac) for EVERY train doc, 4dp C-rounded.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT gram set and
+    * broadcasts (benchmarks are small by definition); the train side tags
+    * grams with one broadcast left join and aggregates per doc — the only
+    * shuffle is doc-keyed. The 100 TB train side never shuffles on a gram. */
+  def contaminationFraction(train: DataFrame, eval: DataFrame, idCol: String,
+                            textCol: String, k: Int = 3): DataFrame = {
+    val evGrams = eval
+      .select(explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val tr = train.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+    tr.join(broadcast(evGrams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        (graft.functions.Rounding.roundLikeC(
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"),
+          4) + lit(0.0)).as("contamination_frac"))
+  }
+
   /** Corpus-frequent n-grams: document frequency of every distinct word
     * `k`-gram, kept when it appears in at least `minDf` documents, top
     * `topN` by (doc_freq desc, gram asc) — the boilerplate/template
@@ -518,7 +548,13 @@ object Dedup {
     * verification, log-diameter label propagation. Near-dups the LSH bands
     * miss are MISSED here too (recall is the LSH layer's knob — measure it
     * with [[graft.operators.Features.candidateQuality]] before trusting a
-    * knob change); what verification guarantees is zero FALSE merges. */
+    * knob change); what verification guarantees is zero FALSE merges.
+    *
+    * ORDERING FOOT-GUN: run [[exact]] dedup FIRST (as [[Curate.funnel]]
+    * does). A set of IDENTICAL texts shares EVERY band bucket; past
+    * `maxBucketSize` those buckets drop and the clones silently all
+    * survive (CorpusSpec pins this). Exact dedup removes identical texts
+    * upfront, leaving fuzzy dedup the near-dups it exists for. */
   def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8, shingleLen: Int = 3,
                  bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,

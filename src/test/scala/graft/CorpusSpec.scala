@@ -445,6 +445,36 @@ class CorpusSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("contaminationFraction: graded verdicts from full dump to clean") {
+    val eval0 = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // full dump: 1.0
+      (2L, "alpha beta gamma NEW words here padding x"), // 1 of 6 grams hit
+      (3L, "totally clean text with fresh tokens")       // 0.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(train, eval0, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((1L, 4L, 4L, 1.0)))
+    assert(got(1)._3 === 1L && got(1)._4 === 0.1667) // 1/6 rounded
+    assert(got(2) === ((3L, 4L, 0L, 0.0)))
+  }
+
+  test("fuzzyDedup hub-bucket cap: viral exact clones NEED exact-dedup-first (documented foot-gun)") {
+    // 60 identical docs: every band bucket holds all 60; with a cap of 20
+    // the buckets DROP, no candidates form, and every clone survives as its
+    // own cluster — which is exactly why the curation funnel runs exact
+    // dedup BEFORE fuzzy dedup. With the default cap (1000) they collapse.
+    val docs = (1L to 60L).map(i => (i, "the exact same viral text repeated"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.fuzzyDedup(docs, "doc_id", "text", threshold = 0.8,
+        maxBucketSize = 20)
+      .filter(col("kept")).count()
+    assert(capped === 60L, "capped hub buckets must drop -> no merges")
+    val uncapped = Dedup.fuzzyDedup(docs, "doc_id", "text", threshold = 0.8)
+      .filter(col("kept")).count()
+    assert(uncapped === 1L, "default cap admits the clone bucket -> one survivor")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
