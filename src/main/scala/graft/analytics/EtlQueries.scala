@@ -155,10 +155,60 @@ object EtlQueries {
       graft.etl.SchemaAlign.align(drifted, target)
         .data
         .orderBy("o_orderkey")
+    },
+
+    // Incremental aggregate maintenance with retractions: June-1997 state
+    // folds in a delta batch (corrections retract+reinsert with +10.0,
+    // plus the next month's new orders) — ONE delta-sized shuffle, no base
+    // recompute; exact-decimal sums keep maintained state bit-equal to the
+    // full recompute the oracle performs.
+    "q122_incremental_agg" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+      val d1 = lit("1997-06-01").cast("timestamp")
+      val d2 = lit("1997-07-01").cast("timestamp")
+      val base = ord.filter(col("o_orderdate") < d1)
+      val state = base.groupBy("o_orderpriority")
+        .agg(sum(dec(col("o_totalprice"))).as("total_price"),
+          count(lit(1)).as("n_rows"))
+      val isCorr = col("o_orderkey") % 97 === 0
+      val minus = base.filter(isCorr)
+        .select(col("o_orderpriority"), col("o_totalprice").as("total_price"))
+      val plus = base.filter(isCorr)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice") + lit(10.0)).as("total_price"))
+        .unionByName(ord.filter(col("o_orderdate") >= d1 && col("o_orderdate") < d2)
+          .select(col("o_orderpriority"), col("o_totalprice").as("total_price")))
+      graft.operators.Aggregates.applyDelta(state, plus, minus,
+          Seq("o_orderpriority"), Seq("total_price"))
+        .select(col("o_orderpriority"),
+          col("total_price").cast("double").as("total_price"), col("n_rows"))
+        .orderBy("o_orderpriority")
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // q122: the oracle recomputes from the EFFECTIVE row multiset — base
+    // minus retracted corrections plus corrected and new rows — which the
+    // maintained state must equal exactly (decimal sums).
+    "q122_incremental_agg" ->
+      """WITH eff AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, CAST(o_totalprice + 10.0 AS DECIMAL(18,2))
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00')
+        |SELECT o_orderpriority, CAST(SUM(p) AS DOUBLE) AS total_price,
+        |       COUNT(*) AS n_rows
+        |FROM eff GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // The drift round-trip in SQL: stringified key cast back to BIGINT,
     // vanished column as typed NULL, extra column absent.

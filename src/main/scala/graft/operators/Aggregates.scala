@@ -50,4 +50,44 @@ object Aggregates {
   def kpis(df: DataFrame, measures: Seq[(Column, String)]): DataFrame =
     df.agg(measures.head._1.as(measures.head._2),
       measures.tail.map { case (c, a) => c.as(a) }: _*)
+
+  /** Incremental aggregate (materialized-view) maintenance with
+    * retractions — the Flink/stream-warehouse primitive the reference's
+    * recompute-the-last-day loop (`sparkFiles/sparkProcess.py:195`)
+    * approximates by brute force: instead of re-aggregating the window,
+    * fold a CDC delta into the existing per-key state.
+    *
+    *   state' = Σ over keys of ( state  ⊎  +plus rows  ⊎  −minus rows )
+    *
+    * `plus` carries inserted rows and the AFTER image of updates; `minus`
+    * carries deleted rows and the BEFORE image of updates (the classic
+    * retraction encoding — an update is a retract + an insert). Measures
+    * aggregate as DECIMAL(38,2) (exact, order-independent — a double sum
+    * would drift by accumulation order and make maintained state diverge
+    * from a recompute); `n_rows` tracks live row count and groups that
+    * retract to zero rows DROP (their sums are exactly 0 by construction,
+    * but an empty group must disappear like it would in a recompute).
+    *
+    * ONE shuffle on the group key per delta batch, sized by |state| +
+    * |delta| — never the base table. Deletion support is what plain
+    * "append and re-sum" cannot do. */
+  def applyDelta(state: DataFrame, plus: DataFrame, minus: DataFrame,
+                 keys: Seq[String], measures: Seq[String]): DataFrame = {
+    def signed(df: DataFrame, sign: Int, preAggregated: Boolean): DataFrame = {
+      val ms = measures.map(m =>
+        (col(m).cast("decimal(38,2)") * sign).as(m))
+      val n = if (preAggregated) (col("n_rows") * sign).as("n_rows")
+      else lit(sign.toLong).as("n_rows")
+      df.select(keys.map(col) ++ ms :+ n: _*)
+    }
+    signed(state, 1, preAggregated = true)
+      .unionByName(signed(plus, 1, preAggregated = false))
+      .unionByName(signed(minus, -1, preAggregated = false))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(measures.head).as(measures.head),
+        (measures.tail.map(m => sum(m).as(m)) :+ sum("n_rows").as("n_rows")): _*)
+      .filter(col("n_rows") > 0)
+      .select(keys.map(col) ++
+        measures.map(m => col(m).cast("decimal(38,2)").as(m)) :+ col("n_rows"): _*)
+  }
 }

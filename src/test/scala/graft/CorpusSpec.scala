@@ -475,6 +475,40 @@ class CorpusSpec extends SparkSpec {
     assert(uncapped === 1L, "default cap admits the clone bucket -> one survivor")
   }
 
+  test("applyDelta: sequential maintenance equals full recompute; zero groups drop; self-delta is identity") {
+    import graft.operators.Aggregates
+    val rows = Seq(
+      ("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0)).toDF("k", "m")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        sum(col("m").cast("decimal(38,2)")).as("m"), count(lit(1)).as("n_rows"))
+    val state0 = aggOf(rows)
+    // delta: retract ALL of c (group must vanish), retract one a and
+    // reinsert corrected, insert new d
+    val minus = Seq(("c", 7.0), ("a", 10.0)).toDF("k", "m")
+    val plus = Seq(("a", 11.5), ("d", 3.0)).toDF("k", "m")
+    val got = Aggregates.applyDelta(state0, plus, minus, Seq("k"), Seq("m"))
+      .orderBy("k")
+      .select(col("k"), col("m").cast("double"), col("n_rows"))
+      .as[(String, Double, Long)].collect().toSeq
+    // full recompute over the effective multiset
+    val eff = Seq(("a", 20.0), ("a", 11.5), ("b", 5.0), ("d", 3.0)).toDF("k", "m")
+    val want = aggOf(eff).orderBy("k")
+      .select(col("k"), col("m").cast("double"), col("n_rows"))
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got === want)
+    assert(!got.exists(_._1 == "c"), "fully-retracted group must disappear")
+    // (plus = X, minus = X) is the identity
+    val id = Aggregates.applyDelta(state0, rows.limit(2), rows.limit(2),
+        Seq("k"), Seq("m"))
+      .orderBy("k").select(col("k"), col("m").cast("double"), col("n_rows"))
+      .as[(String, Double, Long)].collect().toSeq
+    val base = state0.orderBy("k")
+      .select(col("k"), col("m").cast("double"), col("n_rows"))
+      .as[(String, Double, Long)].collect().toSeq
+    assert(id === base)
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
