@@ -261,6 +261,29 @@ object PrepQueries {
         .orderBy("media_id")
     },
 
+    // Perceptual image dedup: 8x8 synthetic PNGs (seed = doc_id % 37, so
+    // many docs share an image) decode through ImageIO and fingerprint via
+    // the integer aHash; survivor = min doc_id per hash. The oracle replays
+    // generator + threshold arithmetic only (the q91 contract).
+    "q123_image_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val (_, _, px) = Multimodal.decodeImageGray(
+              Multimodal.syntheticPngGray8(id % 37, 8, 8))
+            val (hi, lo) = Multimodal.aHash64(px)
+            (id, hi, lo)
+          }
+        }
+        .toDF("doc_id", "hash_hi", "hash_lo")
+      hashed.withColumn("kept",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("hash_hi", "hash_lo").orderBy("doc_id")) === 1)
+        .orderBy("doc_id")
+    },
+
     // Vocabulary build + dictionary encoding: corpus tokens ranked
     // (freq DESC, token) into dense ids, every document re-emitted as
     // (doc_id, pos, token_id) against the broadcast vocab.
@@ -443,6 +466,28 @@ object PrepQueries {
         |       sum(p * pos)::BIGINT AS px_wsum
         |FROM px GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+
+    // q123: generator pixels, integer threshold p*64 > sum, 32-bit halves
+    // (bit 63 in one BIGINT is a sign trap both engines share), min-doc
+    // survivor per hash.
+    "q123_image_dedup" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 37 AS seed FROM documents),
+        |px AS (
+        |  SELECT doc_id, ((seed*31 + y.y*8 + x.x) * 17) % 256 AS p,
+        |         y.y*8 + x.x AS i
+        |  FROM ids, (SELECT unnest(range(8)) AS x) x, (SELECT unnest(range(8)) AS y) y),
+        |tot AS (SELECT doc_id, SUM(p) AS s FROM px GROUP BY doc_id),
+        |h AS (
+        |  SELECT px.doc_id,
+        |         CAST(SUM(CASE WHEN px.p * 64 > t.s AND px.i >= 32
+        |                       THEN (1::BIGINT << (px.i - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |         CAST(SUM(CASE WHEN px.p * 64 > t.s AND px.i < 32
+        |                       THEN (1::BIGINT << px.i) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM px JOIN tot t ON px.doc_id = t.doc_id
+        |  GROUP BY px.doc_id)
+        |SELECT doc_id, hash_hi, hash_lo,
+        |       ROW_NUMBER() OVER (PARTITION BY hash_hi, hash_lo ORDER BY doc_id) = 1 AS kept
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q87_vocab_encode" ->
       """WITH t AS (

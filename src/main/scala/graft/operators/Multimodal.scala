@@ -234,6 +234,33 @@ object Multimodal {
     (width, height, px)
   }
 
+  /** 64-bit average hash (aHash) of an 8×8 grayscale tile — the classic
+    * perceptual image-dedup fingerprint: bit i set iff pixel i is strictly
+    * brighter than the tile mean. The comparison is `px·64 > Σpx` — pure
+    * integer arithmetic (no division, no float mean), so an external SQL
+    * oracle replays it exactly, and the hash is EXACTLY invariant under a
+    * uniform brightness shift ((p+c)·64 > Σ+64c ⟺ p·64 > Σ) — the
+    * robustness property aHash is used for. Returned as (hi, lo) 32-bit
+    * halves: packing bit 63 into one BIGINT goes negative in both engines,
+    * a sign trap the split sidesteps. Feed tiles from [[decodeImageGray]] +
+    * [[boxDownsample2]] chains (or any 8×8 thumbnail). */
+  def aHash64(px: Array[Int]): (Long, Long) = {
+    require(px.length == 64, s"aHash64 needs an 8x8 tile, got ${px.length} px")
+    var s = 0L
+    var i = 0
+    while (i < 64) { s += px(i); i += 1 }
+    var lo = 0L
+    var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i).toLong * 64L > s) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   /** Deterministic 8-bit grayscale PNG via the JDK's ImageIO writer. Pixel
     * (x,y) of media `id` is `((id*31 + y*width + x) * 17) mod 256` — the
     * same generator arithmetic as [[syntheticBmpGray8]], so an external

@@ -509,6 +509,25 @@ class CorpusSpec extends SparkSpec {
     assert(id === base)
   }
 
+  test("aHash64: constant tile hashes to zero; brightness shift is an exact invariant; structure flips bits") {
+    import graft.operators.Multimodal
+    // constant image: no pixel strictly exceeds the mean -> all-zero hash
+    assert(Multimodal.aHash64(Array.fill(64)(100)) === ((0L, 0L)))
+    // half-dark, half-bright: exactly the bright half's bits set
+    val split = Array.tabulate(64)(i => if (i < 32) 0 else 200)
+    val (hi, lo) = Multimodal.aHash64(split)
+    assert(lo === 0L && hi === -1L >>> 32, s"bright half must set bits 32-63: $hi/$lo")
+    // uniform brightness shift: (p+c)*64 > s+64c <=> p*64 > s -> identical hash
+    val img = Array.tabulate(64)(i => (i * 37) % 256)
+    val shifted = img.map(_ + 10)
+    assert(Multimodal.aHash64(img) === Multimodal.aHash64(shifted))
+    // a structural change flips the mutated pixel's own bit: index 0 is 0
+    // (below mean, bit clear); at 255 its 255*64 far exceeds the +255 sum
+    // shift, so bit 0 must set
+    val mutated = img.clone(); mutated(0) = 255
+    assert(Multimodal.aHash64(mutated) !== Multimodal.aHash64(img))
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
