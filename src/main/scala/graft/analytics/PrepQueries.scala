@@ -284,6 +284,27 @@ object PrepQueries {
         .orderBy("doc_id")
     },
 
+    // Audio dedup: synthetic 128-sample WAVs (seed = doc_id % 29) through
+    // the REAL RIFF chunk-walking parser, fingerprinted by the integer
+    // frame-energy hash; survivor = min doc_id per fingerprint.
+    "q124_audio_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val samples = Multimodal.decodeWavPcm16(
+              Multimodal.syntheticWavPcm16(id % 29, nSamples = 128))
+            (id, Multimodal.energyHash16(samples))
+          }
+        }
+        .toDF("doc_id", "fp")
+      hashed.withColumn("kept",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")) === 1)
+        .orderBy("doc_id")
+    },
+
     // Vocabulary build + dictionary encoding: corpus tokens ranked
     // (freq DESC, token) into dense ids, every document re-emitted as
     // (doc_id, pos, token_id) against the broadcast vocab.
@@ -487,6 +508,26 @@ object PrepQueries {
         |  GROUP BY px.doc_id)
         |SELECT doc_id, hash_hi, hash_lo,
         |       ROW_NUMBER() OVER (PARTITION BY hash_hi, hash_lo ORDER BY doc_id) = 1 AS kept
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // q124: generator samples, frame energies as exact BIGINTs, the
+    // division-free e*16 > sum threshold, min-doc survivor per fingerprint.
+    "q124_audio_dedup" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 29 AS seed FROM documents),
+        |smp AS (
+        |  SELECT doc_id, t.t AS t, ((seed*7 + t.t*13) % 65536) - 32768 AS v
+        |  FROM ids, (SELECT unnest(range(128)) AS t) t),
+        |fr AS (
+        |  SELECT doc_id, t // 8 AS f, SUM(v*v) AS e
+        |  FROM smp GROUP BY doc_id, t // 8),
+        |tot AS (SELECT doc_id, SUM(e) AS s FROM fr GROUP BY doc_id),
+        |h AS (
+        |  SELECT fr.doc_id,
+        |         CAST(SUM(CASE WHEN fr.e * 16 > t.s THEN (1::BIGINT << fr.f) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM fr JOIN tot t ON fr.doc_id = t.doc_id
+        |  GROUP BY fr.doc_id)
+        |SELECT doc_id, fp,
+        |       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kept
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q87_vocab_encode" ->

@@ -345,6 +345,37 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** Frame-energy audio fingerprint — the audio sibling of [[aHash64]]:
+    * the sample stream splits into `frames` equal frames, bit f set iff
+    * frame f's energy (Σ v², exact int64) strictly exceeds the mean frame
+    * energy — again as the division-free integer comparison
+    * `e_f·frames > Σe`, so an external oracle replays it exactly and the
+    * fingerprint is EXACTLY invariant under integer gain (v→c·v scales
+    * every energy by c², both comparison sides alike) — the robustness an
+    * energy signature is used for. 16 frames → fingerprint fits 16 bits,
+    * no sign traps. */
+  def energyHash16(samples: Array[Int], frames: Int = 16): Long = {
+    require(samples.nonEmpty && samples.length % frames == 0,
+      s"energyHash16 needs a multiple of $frames samples, got ${samples.length}")
+    val flen = samples.length / frames
+    val e = new Array[Long](frames)
+    var i = 0
+    while (i < samples.length) {
+      e(i / flen) += samples(i).toLong * samples(i)
+      i += 1
+    }
+    var s = 0L
+    var f = 0
+    while (f < frames) { s += e(f); f += 1 }
+    var fp = 0L
+    f = 0
+    while (f < frames) {
+      if (e(f) * frames > s) fp |= 1L << f
+      f += 1
+    }
+    fp
+  }
+
   /** Deterministic PCM16 mono WAV: RIFF/WAVE with fmt + data chunks.
     * Sample t of media `id` is `((id*7 + t*13) mod 65536) - 32768`. */
   def syntheticWavPcm16(id: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {

@@ -528,6 +528,19 @@ class CorpusSpec extends SparkSpec {
     assert(Multimodal.aHash64(mutated) !== Multimodal.aHash64(img))
   }
 
+  test("energyHash16: loud frames set bits; integer gain is an exact invariant") {
+    import graft.operators.Multimodal
+    // frames 0-14 silent, frame 15 loud -> only bit 15
+    val oneLoud = Array.tabulate(128)(i => if (i >= 120) 1000 else 0)
+    assert(Multimodal.energyHash16(oneLoud) === (1L << 15))
+    // constant energy everywhere: no frame strictly exceeds the mean -> 0
+    assert(Multimodal.energyHash16(Array.fill(128)(500)) === 0L)
+    // gain invariance: v -> 3v scales every energy by 9, both sides alike
+    val sig = Array.tabulate(128)(i => ((i * 131) % 2001) - 1000)
+    assert(Multimodal.energyHash16(sig) === Multimodal.energyHash16(sig.map(_ * 3)))
+    assert(Multimodal.energyHash16(sig) !== 0L, "fixture should have structure")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
