@@ -319,7 +319,11 @@ object Packing {
                      total: Int, tau: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(stratumCol.as("__s"))
+    // stratum keys as STRINGS throughout (count, quota map, membership
+    // probe) so a numeric stratum column can't silently mismatch the
+    // map's key type
+    val sKey = stratumCol.cast("string")
+    val counts = df.groupBy(sKey.as("__s"))
       .agg(count(lit(1)).as("__n"))
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     val weights = counts.map { case (k, n) =>
@@ -329,7 +333,7 @@ object Packing {
     df.withColumn("__h", mix2(idCol))
       .withColumn("sample_rank",
         row_number().over(Window.partitionBy(stratumCol).orderBy(col("__h"), idCol)))
-      .filter(col("sample_rank") <= coalesce(element_at(quota, stratumCol), lit(0)))
+      .filter(col("sample_rank") <= coalesce(element_at(quota, sKey), lit(0)))
       .drop("__h")
   }
 
