@@ -132,6 +132,15 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Fill-in-the-middle (PSM) transform for code-model training: two
+    // mix2-derived cut points, exact high-bits scaling, one zero-shuffle
+    // projection.
+    "q125_fim_transform" -> { (s, dir) =>
+      graft.operators.Packing.fimTransform(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
+
     // T5-style span corruption: deterministic mix2 block masks, sentinel
     // numbering by in-row prefix count — (input, target) example pairs as
     // one zero-shuffle projection.
@@ -477,6 +486,29 @@ object CorpusQueries {
         |FROM tr LEFT JOIN ev ON tr.gram = ev.gram
         |GROUP BY tr.doc_id
         |ORDER BY tr.doc_id""".stripMargin,
+
+    // q125: cut = (mix2(id·131+salt) · (n+1)) >> 31, ordered; PSM assembly
+    // from 1-based inclusive list slices.
+    "q125_fim_transform" -> {
+      def mix2(x: String) =
+        s"((($x % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648"
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |         (${mix2("(doc_id*131 + 1)")} * (len(toks)+1)) >> 31 AS c1,
+         |         (${mix2("(doc_id*131 + 2)")} * (len(toks)+1)) >> 31 AS c2
+         |  FROM t),
+         |o AS (
+         |  SELECT doc_id, n, LEAST(c1, c2) AS a, GREATEST(c1, c2) AS b, toks FROM c)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+         |       CAST(a AS INT) AS cut1, CAST(b AS INT) AS cut2,
+         |       '<PRE> ' || CASE WHEN a > 0 THEN array_to_string(toks[1:CAST(a AS INT)], ' ') ELSE '' END
+         |         || ' <SUF> ' || CASE WHEN n > b THEN array_to_string(toks[CAST(b+1 AS INT):CAST(n AS INT)], ' ') ELSE '' END
+         |         || ' <MID> ' || CASE WHEN b > a THEN array_to_string(toks[CAST(a+1 AS INT):CAST(b AS INT)], ' ') ELSE '' END AS psm
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
 
     // q119: blocks explode with a per-doc window prefix count (the oracle
     // may shuffle; the operator itself is in-row), string_agg in block

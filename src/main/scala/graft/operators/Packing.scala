@@ -299,6 +299,45 @@ object Packing {
         col("__sc.input").as("input"), col("__sc.target").as("target"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022) — the code-model
+    * twin of [[spanCorrupt]]: two deterministic cut points split the token
+    * stream into prefix|middle|suffix, re-emitted in PSM order
+    * (`<PRE> prefix <SUF> suffix <MID> middle`) so the model learns infill
+    * with an ordinary causal objective. Cuts derive from [[mix2]](id·131+1)
+    * and (id·131+2) scaled into [0, n] with exact integer arithmetic
+    * (`h·(n+1) div 2³¹` — the [[shardAssign]] high-bits rule), ordered so
+    * cut1 ≤ cut2 — reproducible across runs, layouts, and engines. Docs
+    * with < 2 tokens emit an empty middle (the boundary the paper keeps).
+    * One zero-shuffle projection; the token array binds once per row. */
+  def fimTransform(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val outId = df.select(idCol).columns.head
+    val bound = transform(
+      array(struct(idCol.cast("long").as("id"),
+        graft.functions.Text.tokens(textCol).as("ts"))),
+      t => {
+        val id = t.getField("id")
+        val ts = t.getField("ts")
+        val n = size(ts).cast("long")
+        // high-bits scaling into [0, n] via an exact shift (never a double
+        // division): h·(n+1) >> 31 with h < 2^31 stays inside int64
+        def cut(salt: Int): Column =
+          shiftright((mix2(id * lit(131L) + lit(salt)) * (n + 1L)).cast("long"), 31)
+        val a = least(cut(1), cut(2))
+        val b = greatest(cut(1), cut(2))
+        val pre = concat_ws(" ", slice(ts, lit(1), a.cast("int")))
+        val mid = concat_ws(" ", slice(ts, a.cast("int") + 1, (b - a).cast("int")))
+        val suf = concat_ws(" ", slice(ts, b.cast("int") + 1, size(ts)))
+        struct(
+          n.cast("int").as("n_tokens"), a.cast("int").as("cut1"), b.cast("int").as("cut2"),
+          concat(lit("<PRE> "), pre, lit(" <SUF> "), suf, lit(" <MID> "), mid)
+            .as("psm"))
+      })
+    df.select(idCol.as(outId), element_at(bound, 1).as("__f"))
+      .select(col(outId), col("__f.n_tokens").as("n_tokens"),
+        col("__f.cut1").as("cut1"), col("__f.cut2").as("cut2"),
+        col("__f.psm").as("psm"))
+  }
+
   /** Temperature-scaled domain mixture (the DoReMi/proportional-sampling
     * family): per-stratum quotas ∝ n^τ — τ=1 reproduces natural
     * proportions, τ→0 flattens toward uniform; the default τ=0.5 (sqrt

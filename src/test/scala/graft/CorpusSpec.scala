@@ -541,6 +541,29 @@ class CorpusSpec extends SparkSpec {
     assert(Multimodal.energyHash16(sig) !== 0L, "fixture should have structure")
   }
 
+  test("fimTransform: PSM reassembles to the original token stream; cuts ordered and in range") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val got = graft.operators.Packing.fimTransform(docs, col("doc_id"), col("text"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .as[(Long, Int, Int, Int, String, String)].collect()
+    got.foreach { case (id, n, c1, c2, psm, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(n === toks.length)
+      assert(0 <= c1 && c1 <= c2 && c2 <= n, s"doc $id cuts $c1/$c2 of $n")
+      val m = "(?s)^<PRE> (.*) <SUF> (.*) <MID> (.*)$".r
+      psm match {
+        case m(pre, suf, mid) =>
+          def ws(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+          assert(ws(pre) === toks.take(c1), s"doc $id prefix")
+          assert(ws(mid) === toks.slice(c1, c2), s"doc $id middle")
+          assert(ws(suf) === toks.drop(c2), s"doc $id suffix")
+        case _ => fail(s"doc $id psm shape: ${psm.take(80)}")
+      }
+    }
+    // cut diversity: not all docs split at the same point
+    assert(got.map(r => (r._3, r._4)).distinct.length > 10)
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
