@@ -354,3 +354,47 @@ class SketchSpec extends SparkSpec {
       "entry numbers must be exactly 1..2M")
   }
 }
+
+/** The full fuzzy-dedup DAG at a scale where every stage's mechanics are
+  * exercised for real: 20k documents (10k designed near-dup pairs), no
+  * broadcast crutch — signatures, banding, the bucket-size gate, candidate
+  * verification, and label propagation all run distributed. Asserts the
+  * contract precisely: verification makes FALSE merges impossible (hard
+  * zero), while recall belongs to the LSH layer (floored, not pinned).
+  */
+class FuzzyDedupScaleSpec extends SparkSpec {
+
+  test("20k-doc fuzzy dedup: zero false merges, near-dup recall floored, survivors consistent") {
+    import spark.implicits._
+    // base text i: 10 unique-ish tokens; variant i+1000000 appends one token
+    // (token-set Jaccard 10/11 = 0.909 >= 0.8, shares 8 of its 9 3-shingles)
+    val base = spark.range(10000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit(s"w${j}_"), col("id") * 31 + j)): _*).as("text"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" appended_tail_token")).as("text"))
+    val docs = base.unionByName(variants).repartition(16)
+
+    val out = graft.operators.Dedup.fuzzyDedup(docs, "doc_id", "text",
+      threshold = 0.8)
+    val rows = out.select("doc_id", "cluster_id", "kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length === 20000)
+
+    // ZERO false merges: a cluster may only ever contain {i, i+1000000}
+    rows.foreach { case (id, cl, _) =>
+      val baseOf = if (id >= 1000000L) id - 1000000L else id
+      val clBase = if (cl >= 1000000L) cl - 1000000L else cl
+      assert(clBase === baseOf,
+        s"doc $id merged into foreign cluster $cl — verification must forbid this")
+    }
+    // recall floor: the LSH layer must surface the vast majority of the
+    // designed pairs (8/9 shared shingles collide in >= 1 of 8 bands with
+    // overwhelming probability)
+    val merged = rows.count { case (id, cl, _) => id >= 1000000L && cl < 1000000L }
+    assert(merged >= 9500, s"only $merged of 10000 designed pairs merged")
+    // survivor bookkeeping: kept == (cluster representative), one per cluster
+    val keptCount = rows.count(_._3)
+    assert(keptCount === 20000 - merged, s"kept=$keptCount vs merged=$merged")
+  }
+}
