@@ -74,6 +74,48 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // MinHash estimator calibration: for every LSH candidate pair, the
+    // signature-agreement estimate (matching minima / 32) next to the exact
+    // distinct-shingle Jaccard and their absolute error — the diagnostic
+    // that justifies trusting signature agreement as a cheap verifier.
+    "q126_minhash_calibration" -> { (s, dir) =>
+      // natural sub-corpus + 50 designed near-dup twins (appended tail, so
+      // est < 1 and exact < 1 vary) — every scale factor produces
+      // calibration rows even when the natural corpus has no near-dups
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val docs = base.unionByName(base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" nearly duplicated tail tokens")).as("text")))
+      val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+      val matches = size(filter(
+        zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+      val est = graft.functions.Rounding.roundLikeC(
+        matches.cast("double") / lit(32.0), 4) + lit(0.0)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("g"))
+      val gsizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cands
+        .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
+      val exact = graft.functions.Rounding.roundLikeC(
+        coalesce(col("__c"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("__c"), lit(0L))).cast("double"),
+        4) + lit(0.0)
+      cands
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+        .join(common, Seq("id_a", "id_b"), "left")
+        .join(gsizes.select(col("doc_id").as("id_a"), col("n").as("__na")), "id_a")
+        .join(gsizes.select(col("doc_id").as("id_b"), col("n").as("__nb")), "id_b")
+        .select(col("id_a"), col("id_b"), est.as("est_jaccard"), exact.as("exact_jaccard"))
+        .withColumn("abs_err", graft.functions.Rounding.roundLikeC(
+          abs(col("est_jaccard") - col("exact_jaccard")), 4) + lit(0.0))
+        .orderBy("id_a", "id_b")
+    },
+
     // Distributed BPE tokenizer training: 8 merge rounds over the corpus
     // word-frequency table; output = the trained merge table. The oracle
     // replays every round — pair counting, (count DESC, pair ASC) argmax,
@@ -394,6 +436,76 @@ object CorpusQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q109_bpe_train" -> bpeOracle(numMerges = 8),
+
+    // q126: the q29 signature chain on the doc_id < 300 corpus, extended
+    // with signature-agreement estimates, distinct-shingle exact Jaccard,
+    // and the absolute error of the ROUNDED values (mirroring the Spark op
+    // order exactly).
+    "q126_minhash_calibration" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' nearly duplicated tail tokens'
+        |  FROM documents WHERE doc_id < 50),
+        |t AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t),
+        |hv AS (
+        |  SELECT id, list_transform(sh, g -> list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(1, length(g)+1), i -> ascii(substr(g,i,1))::BIGINT)),
+        |      (acc,x) -> (acc*31+x) % 1000000007)) AS hv
+        |  FROM sh),
+        |fams AS (
+        |  SELECT j,
+        |    ((((42*131 + 2*j) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 + 1 AS a,
+        |    ((((42*131 + 2*j + 1) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 AS b
+        |  FROM (SELECT unnest(range(32)) AS j)),
+        |mins AS (
+        |  SELECT hv.id, f.j, MIN((f.a * h.h + f.b) % 4294967311) AS mn
+        |  FROM hv, unnest(hv.hv) AS h(h), fams f
+        |  GROUP BY hv.id, f.j),
+        |sigs AS (
+        |  SELECT id, list(mn ORDER BY j) AS sig FROM mins GROUP BY id),
+        |banded AS (
+        |  SELECT id, b.band,
+        |         list_reduce(list_prepend(0::BIGINT, sig[b.band*4+1 : b.band*4+4]),
+        |                     (acc,x) -> (acc*31+x) % 1000000007) AS bucket
+        |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
+        |kept AS (
+        |  SELECT id, band, bucket FROM (
+        |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded)
+        |  WHERE bsz BETWEEN 2 AND 1000),
+        |cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM kept a JOIN kept b USING (band, bucket)
+        |  WHERE a.id < b.id),
+        |gd AS (SELECT id, unnest(list_distinct(sh)) AS g FROM sh),
+        |gs AS (SELECT id, COUNT(*) AS n FROM gd GROUP BY id),
+        |cm AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS cc
+        |  FROM cands c
+        |  JOIN gd a ON a.id = c.id_a
+        |  JOIN gd b ON b.id = c.id_b AND b.g = a.g
+        |  GROUP BY c.id_a, c.id_b),
+        |ej AS (
+        |  SELECT c.id_a, c.id_b,
+        |         ROUND(CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0, 4) + 0.0 AS est_jaccard,
+        |         ROUND(CAST(COALESCE(cm.cc, 0) AS DOUBLE)
+        |               / CAST(ga.n + gb.n - COALESCE(cm.cc, 0) AS DOUBLE), 4) + 0.0 AS exact_jaccard
+        |  FROM cands c
+        |  JOIN sigs sa ON sa.id = c.id_a
+        |  JOIN sigs sb ON sb.id = c.id_b
+        |  LEFT JOIN cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+        |  JOIN gs ga ON ga.id = c.id_a
+        |  JOIN gs gb ON gb.id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard, exact_jaccard,
+        |       ROUND(ABS(est_jaccard - exact_jaccard), 4) + 0.0 AS abs_err
+        |FROM ej ORDER BY id_a, id_b""".stripMargin,
 
     // q111: profile training (lang×gram counts, top-40 window), per-doc
     // distinct-trigram hit counts vs the profile, argmax with ties to the

@@ -564,6 +564,25 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(r => (r._3, r._4)).distinct.length > 10)
   }
 
+  test("MinHash calibration inputs: identical docs estimate 1.0 with zero error; est tracks exact") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+    val twins = docs.select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(twins)
+    val cands = Dedup.minhashLshCandidates(corpus, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32)
+    val est = cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / 32.0).as("est"))
+      .as[(Long, Long, Double)].collect()
+    val identical = est.filter { case (a, b, _) => b - a == 5000L }
+    assert(identical.length === 100, "every identical twin pair must be an LSH candidate")
+    assert(identical.forall(_._3 === 1.0), "identical docs must estimate exactly 1.0")
+  }
+
   test("gopherFlags: mean word length bounds") {
     val short = flagsOf("a b c d e f g h i j", minWords = 2) // mean 1 < 3
     assert(short("ok_mean_word_len") === false)
