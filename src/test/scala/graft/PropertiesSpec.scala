@@ -325,4 +325,44 @@ object GraftProperties extends Properties("graft") {
         .as[String].collect()
       got(0) == got(1)
     }
+
+  // hostile-ish text: unicode letters, symbols, newlines, hashes, dots
+  private val hostileTextGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)), Gen.const("#"), Gen.const("..."),
+    Gen.const("\n"), Gen.const("•"), Gen.const("é"), Gen.const(" "),
+    Gen.const("- item"))).map(_.mkString(" ")).map(_.take(400))
+
+  property("gopherFlags is a total function: no NaN/null flags on hostile text, word count consistent") =
+    Prop.forAll(Gen.listOfN(8, hostileTextGen)) { texts =>
+      val rows = texts.toDF("text")
+        .select(col("text"),
+          graft.functions.Text.gopherFlags(col("text")).as("g"))
+        .select(col("text"), col("g.*")).collect()
+      rows.forall { r =>
+        val mwl = r.getAs[Double]("mean_word_len")
+        val expectWords = r.getAs[String]("text").trim
+          .split("\\s+").count(_.nonEmpty)
+        !mwl.isNaN && r.getAs[Int]("n_words") == expectWords &&
+          !(0 until r.length).exists(r.isNullAt)
+      }
+    }
+
+  property("spanCorrupt conserves the token multiset for arbitrary token streams") =
+    Prop.forAll(Gen.listOfN(6,
+        Gen.listOf(Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty))
+          .map(_.take(40)))) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Packing.spanCorrupt(df, col("doc_id"), col("text"))
+        .join(df, "doc_id")
+        .select("input", "target", "text").collect()
+      val sentinel = "<extra_id_\\d+>".r
+      out.forall { r =>
+        def ws(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq.sorted
+        val got = ws(sentinel.replaceAllIn(r.getString(0), "")) ++
+          ws(sentinel.replaceAllIn(r.getString(1), ""))
+        got.sorted == ws(r.getString(2))
+      }
+    }
 }
