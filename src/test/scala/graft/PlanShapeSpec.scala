@@ -314,6 +314,19 @@ class PlanShapeSpec extends SparkSpec {
       s"vocabulary-sized unigram tables must broadcast:\n${p.take(2000)}")
   }
 
+  test("q122 incremental aggregate: union + aggregate only — no join; one maintenance exchange") {
+    val p = plan("q122_incremental_agg")
+    assert(!p.contains("Join"),
+      s"delta maintenance must be a union + aggregate, never a join:\n${p.take(2000)}")
+    assert(p.contains("Union"), s"state and delta must combine by union:\n${p.take(2000)}")
+    // exactly 2 group-key exchanges: one builds the fixture's STATE (a
+    // persisted table in production — that exchange disappears there), one
+    // is the maintenance aggregate itself
+    val hashExchanges = "Exchange hashpartitioning\\(o_orderpriority".r.findAllIn(p).length
+    assert(hashExchanges === 2,
+      s"expected state-build + maintenance exchanges only, got $hashExchanges:\n${p.take(2000)}")
+  }
+
   test("q111 language ID: profile and language list broadcast; no sort-merge on the gram key") {
     val p = plan("q111_langid_trained")
     assert(p.contains("BroadcastHashJoin"),
