@@ -7,12 +7,17 @@ import graft.Tables
 import graft.functions.Text
 import graft.operators.{Dedup, LangId, Vocab}
 
-/** Corpus-curation composites added in round 5: rule-ensemble quality
-  * filtering and the operators that follow it in a pretraining data DAG.
+/** Corpus-curation composites: the pretraining-data DAG stages beyond the
+  * individual operators — rule-ensemble quality filtering (q107, q113),
+  * the end-to-end fuzzy-dedup DAG (q108), tokenizer training and its
+  * evaluation (q109, q112), corpus LM scoring (q110), trained language ID
+  * (q111), PII and diversity audits (q115, q118), versioning (q116),
+  * mixture construction (q117), example-prep transforms (q119, q125),
+  * contamination grading (q121), and estimator calibration (q126).
   * (The reference stack's quality gates are Great-Expectations suites over
   * business rows — `scripts/test/great_expectations_checks.py` — this module
   * is the document-corpus twin of that idea: declarative per-row rule
-  * ensembles with an auditable per-rule verdict.)
+  * ensembles and composed cleaning DAGs with auditable verdicts.)
   */
 object CorpusQueries {
 
