@@ -53,7 +53,32 @@ object CorpusQueries {
     * the rule discriminating while preserving its shape. */
   private val FixtureRequired = Seq("the", "a", "and", "of")
 
+  /** Planted-repeat fixture for q127: a 13-token block appended to doc_id
+    * % 7 == 0, prepended to % 7 == 1 (cross-doc repeats at both ends), and
+    * % 7 == 2 docs pasted twice (whole-doc self-repeat — every 8-gram of
+    * the doubled text occurs ≥ 2×). Deterministic in both engines (the
+    * messyDocs pattern). */
+  private val PlantedBlock = "galaxies rotate quietly beneath the ancient" +
+    " observatory while twelve astronomers chart convergent orbits"
+
+  private[analytics] def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + PlantedBlock)))
+        .when(col("doc_id") % 7 === 1, concat(lit(PlantedBlock + " "), col("text")))
+        .when(col("doc_id") % 7 === 2, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact arbitrary-length repeated-substring spans (Lee et al. 2022
+    // substring dedup, relational form): 8-gram anchor cover → maximal
+    // merged spans → per-doc span stats + span-removed text. The oracle
+    // replays the anchor counts, the df==1 identity, the gaps-and-islands
+    // merge, and the position-ordered reassembly.
+    "q127_repeated_spans" -> { (s, dir) =>
+      Dedup.repeatedSpans(plantedDocs(s, dir), "doc_id", "text", minLen = 8)
+        .orderBy("doc_id")
+    },
 
     // Gopher rule-ensemble quality filter (Rae et al. 2021 Appendix A):
     // per-rule boolean verdicts + the conjunction, one codegen'd projection
@@ -316,6 +341,55 @@ object CorpusQueries {
 
   /** DuckDB twins. String literals with newlines use e'...' escapes. */
   def oracleSql: Map[String, String] = Map(
+
+    // q127: the full repeated-span pipeline in SQL — planted fixture,
+    // 8-gram anchors, count>=2 cover, gaps-and-islands span merge,
+    // anti-join reassembly of the cleaned text.
+    "q127_repeated_spans" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedBlock'
+         |         WHEN doc_id % 7 = 1 THEN '$PlantedBlock ' || text
+         |         WHEN doc_id % 7 = 2 THEN text || ' ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         |  FROM raw),
+         |g AS (
+         |  SELECT doc_id, i.i - 1 AS p, array_to_string(w[i.i : i.i + 7], ' ') AS g
+         |  FROM t, unnest(range(1, len(w) - 6)) AS i(i)),
+         |uniq AS (
+         |  SELECT min(doc_id) AS doc_id, min(p) AS p
+         |  FROM g GROUP BY g HAVING COUNT(*) = 1),
+         |rep AS (SELECT doc_id, p FROM g ANTI JOIN uniq USING (doc_id, p)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, p + j.j AS pos
+         |  FROM rep, unnest(range(0, 8)) AS j(j)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM cov),
+         |spans AS (
+         |  SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |sa AS (
+         |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_repeated
+         |  FROM spans GROUP BY doc_id),
+         |toks AS (
+         |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS tok
+         |  FROM t, unnest(range(1, len(w) + 1)) AS i(i)),
+         |keep AS (SELECT doc_id, pos, tok FROM toks ANTI JOIN cov USING (doc_id, pos)),
+         |cl AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+         |  FROM keep GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+         |  COALESCE(sa.n_spans, 0)::BIGINT AS n_spans,
+         |  COALESCE(sa.n_repeated, 0)::BIGINT AS n_repeated_tokens,
+         |  ROUND(COALESCE(sa.n_repeated, 0)::DOUBLE / GREATEST(len(t.w), 1), 4) + 0.0 AS repeated_frac,
+         |  COALESCE(cl.cleaned, '') AS cleaned_text
+         |FROM t LEFT JOIN sa USING (doc_id) LEFT JOIN cl USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q107_gopher_filter" -> {
       val bulletSql = BulletTail.replace("\n", "\\n")

@@ -193,7 +193,10 @@ object Text {
     *
     *  - word count in [minWords, maxWords];
     *  - mean word length in [minMeanWordLen, maxMeanWordLen];
-    *  - (\# count + "…"-as-"..." count) / words ≤ maxSymbolRatio;
+    *  - (\# count + ASCII-"..." count) / words ≤ maxSymbolRatio (the
+    *    Unicode ellipsis U+2026 is NOT folded into this ratio — it is
+    *    handled only by the ellipsis-LINE rule below; the oracle replays
+    *    the same ASCII-only count, so parity holds by construction);
     *  - ≤ maxBulletFrac of lines start with a bullet ("- ", "* ", "• ");
     *  - ≤ maxEllipsisFrac of lines end with "..." or "…";
     *  - ≥ minAlphaFrac of words contain an [a-zA-Z] character;

@@ -740,6 +740,88 @@ object Dedup {
     * Emits (id, n_spans, n_dup_spans, dup_frac, is_dup) with
     * `is_dup = dup_frac >= flagAt`.
     */
+  /** Exact repeated-substring spans at ARBITRARY length — the Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * substring-level dedup, re-expressed relationally. A token position is
+    * inside some corpus-repeated substring of length ≥ `minLen` IFF it is
+    * covered by a length-`minLen` token window that occurs ≥ 2 times in the
+    * corpus (⇒: each `minLen`-window of a twice-occurring string itself
+    * occurs twice; ⇐: a repeated window IS a repeated substring) — so the
+    * `minLen`-gram cover is EXACT, not an approximation, and suffix arrays
+    * are not needed for the cover semantics. Self-repeats count (a doc
+    * pasted twice into one page is duplication too — Lee et al.'s
+    * convention). Overlapping covered windows merge into MAXIMAL spans
+    * (gaps-and-islands), which is what "remove every substring of length
+    * ≥ L that appears more than once" removes.
+    *
+    * Emits one row per input doc: (idCol, n_tokens, n_spans,
+    * n_repeated_tokens, repeated_frac 4dp, cleaned_text) where cleaned_text
+    * is the doc with every repeated span's tokens deleted (space-joined).
+    *
+    * Scale shape — the anchor-gram aggregate is the only corpus-wide
+    * shuffle, and NOTHING joins on the gram: a viral gram (site-wide
+    * boilerplate) would funnel all its occurrences into one join partition,
+    * so instead the [[dupSpanFraction]] df==1 identity applies — a UNIQUE
+    * gram has exactly one occurrence, recoverable inside the count
+    * aggregate as min(id, pos); repeated occurrences are then
+    * `grams ANTI-JOIN unique-occurrences` keyed on (id, pos) — a uniform
+    * key, and the gram string itself never shuffles again (the anti-join
+    * ships 2 longs per row). The count aggregate partial-merges map-side;
+    * interval merging windows per doc (bounded by one doc's length). At
+    * 100 TB the gram-count table keys on ~`minLen`·word-width strings —
+    * fold to a 128-bit hash pair to narrow that exchange if profiling
+    * demands (both engines would collide identically; collisions only ever
+    * ADD coverage). */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    minLen: Int = 8): DataFrame = {
+    // bind the tokenization once per row (the shingles lesson); docs with
+    // fewer than minLen tokens contribute NO anchor grams
+    val gramArr = element_at(transform(array(Text.tokens(col(textCol))), toks =>
+      when(size(toks) >= minLen,
+        transform(sequence(lit(0), size(toks) - minLen),
+          i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
+        .otherwise(expr("cast(array() as array<string>)"))), 1)
+    val grams = df.select(col(idCol), posexplode(gramArr).as(Seq("p", "g")))
+    // unique grams (corpus count == 1) carry their single occurrence out of
+    // the aggregate itself — no gram-keyed join anywhere
+    val uniqOcc = grams.groupBy("g")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("p"))).as("__o"))
+      .filter(col("__c") === 1)
+      .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
+    val rep = grams.select(col(idCol), col("p"))
+      .join(uniqOcc, Seq(idCol, "p"), "left_anti")
+    val cov = rep
+      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(minLen - 1))).as("pos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    val spans = cov
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+    val spanAgg = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_repeated_tokens"))
+    val toks = df.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val cleaned = toks.join(cov, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("cleaned_text"))
+    df.select(col(idCol), Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spanAgg, Seq(idCol), "left")
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_repeated_tokens"), lit(0L)).as("n_repeated_tokens"),
+        (graft.functions.Rounding.roundLikeC(
+          coalesce(col("n_repeated_tokens"), lit(0L)).cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double"), 4) + lit(0.0))
+          .as("repeated_frac"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
                       spanTokens: Int = 20, flagAt: Double = 0.5): DataFrame = {
     val raw = graft.operators.Packing

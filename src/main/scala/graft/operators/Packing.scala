@@ -306,8 +306,12 @@ object Packing {
     * with an ordinary causal objective. Cuts derive from [[mix2]](id·131+1)
     * and (id·131+2) scaled into [0, n] with exact integer arithmetic
     * (`h·(n+1) div 2³¹` — the [[shardAssign]] high-bits rule), ordered so
-    * cut1 ≤ cut2 — reproducible across runs, layouts, and engines. Docs
-    * with < 2 tokens emit an empty middle (the boundary the paper keeps).
+    * cut1 ≤ cut2 — reproducible across runs, layouts, and engines. Boundary
+    * behavior for tiny docs: the cuts land anywhere in [0, n], so a 1-token
+    * doc whose salted cuts come out (0, 1) places its only token in the
+    * MIDDLE (not the paper's empty-middle convention — we keep the uniform
+    * cut rule instead of special-casing n<2, and the oracle replays the
+    * identical arithmetic, so parity is unaffected).
     * One zero-shuffle projection; the token array binds once per row. */
   def fimTransform(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val outId = df.select(idCol).columns.head
@@ -362,9 +366,18 @@ object Packing {
     // probe) so a numeric stratum column can't silently mismatch the
     // map's key type
     val sKey = stratumCol.cast("string")
-    val counts = df.groupBy(sKey.as("__s"))
+    val rawCounts = df.groupBy(sKey.as("__s"))
       .agg(count(lit(1)).as("__n"))
-      .as[(String, Long)].collect().sortBy(_._1).toSeq
+      .as[(String, Long)].collect()
+    // fail fast with INPUT-oriented messages: a null stratum would NPE in
+    // sortBy / the typedlit map below, and an empty input would surface as
+    // apportionOrdered's generic weights require — name the real problem.
+    require(rawCounts.nonEmpty,
+      "temperatureMix: input DataFrame is empty — no strata to apportion")
+    require(rawCounts.forall(_._1 != null),
+      "temperatureMix: stratum column contains NULL — filter or fill nulls " +
+        "before mixing (a null stratum has no defined quota)")
+    val counts = rawCounts.sortBy(_._1).toSeq
     val weights = counts.map { case (k, n) =>
       (k, if (tau == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, tau))
     }

@@ -48,12 +48,17 @@ object Jsonl {
     * in the deterministic mix2 order, the running serialized size
     * (octet_length of the JSON line + newline — BYTES, not chars)
     * accumulates via the bucketed cumsum (no single-partition window), and
-    * a row lands in shard `floor(prefix_bytes / maxBytesPerShard)` — so
-    * every shard holds ≤ maxBytesPerShard + one row of spill, shards
-    * number contiguously from 0, and the same data always cuts at the same
-    * byte boundaries. Manifest bytes come from the LANDED FILES' sizes
-    * (the filesystem is the truth for a byte contract), rows from reading
-    * them back. */
+    * a row lands in cut `floor(prefix_bytes / maxBytesPerShard)` — so
+    * every shard holds ≤ maxBytesPerShard + one row of spill and the same
+    * data always cuts at the same byte boundaries. Raw cut indices can
+    * skip numbers when one row alone exceeds the budget (its prefix jumps
+    * more than a full budget), so cut ids are DENSIFIED — dense-ranked over
+    * the distinct cut values, a frame bounded by totalBytes/maxBytesPerShard
+    * (not by rows), broadcast back — and shards number contiguously from 0.
+    * Manifest bytes come from the LANDED FILES' sizes via the Hadoop
+    * FileSystem API (the filesystem is the truth for a byte contract, and
+    * the API keeps the scan correct on HDFS/object stores, not just
+    * file://), rows from reading them back. */
   def writeShardsByBytes(df: DataFrame, dir: String, idCol: Column,
                          maxBytesPerShard: Long): DataFrame = {
     val spark = df.sparkSession
@@ -63,20 +68,29 @@ object Jsonl {
     val cum = Packing.bucketedCumSum(sized,
       orderCol = Packing.mix2(idCol), bucket = Packing.mix2(idCol) / lit(2097152L),
       measure = col("__bytes"), alias = "__cum", tieBreak = Seq(idCol))
-    cum
+    val cut = cum.withColumn("__raw",
+      ((col("__cum") - col("__bytes")) / lit(maxBytesPerShard)).cast("long"))
+    // densify: distinct raw cuts form a shard-count-sized frame (bounded by
+    // totalBytes/maxBytesPerShard, NOT by input rows), so the unpartitioned
+    // row_number window is safe; broadcast the tiny id map back
+    val ids = cut.select(col("__raw")).distinct()
       .withColumn("shard",
-        ((col("__cum") - col("__bytes")) / lit(maxBytesPerShard)).cast("long"))
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__raw"))).cast("long") - 1L)
+    cut.join(broadcast(ids), "__raw")
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "__cum")
-      .drop("__bytes", "__cum")
+      .drop("__bytes", "__cum", "__raw")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").json(dir)
     val rows = read(spark, dir).groupBy("shard").agg(count(lit(1)).as("n_rows"))
-    val bytes = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("shard=")).toSeq
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard=")).toSeq
       .map { d =>
-        val n = d.getName.stripPrefix("shard=").toLong
-        val sz = d.listFiles().filter(_.getName.endsWith(".json"))
-          .map(_.length()).sum
+        val n = d.getPath.getName.stripPrefix("shard=").toLong
+        val sz = fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".json")).map(_.getLen).sum
         (n, sz)
       }.toDF("shard", "n_bytes")
     val manifest = rows.join(bytes, "shard")

@@ -56,6 +56,49 @@ class CorpusSpec extends SparkSpec {
     assert(one("ok_required_words") === false)
   }
 
+  test("repeatedSpans: cross-doc repeats, self-repeats, interval merge, clean removal") {
+    // 12 distinct tokens a..l; doc 1 and 2 share tokens c..j (8 tokens = one
+    // full 8-gram) at different offsets; doc 3 is doc-internal: a 9-token
+    // run pasted twice; doc 4 shares nothing.
+    val shared = "c d e f g h i j"                       // the repeated 8-gram
+    val docs = Seq(
+      (1L, s"a b $shared k l"),                          // repeat at pos 2..9
+      (2L, s"x y z $shared"),                            // repeat at pos 3..10
+      (3L, "p q r s t u v w n p q r s t u v w n"),       // 9-token run twice
+      (4L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSeq
+    // doc 1: 12 tokens, one span covering pos 2..9 (8 tokens), cleaned "a b k l"
+    assert(got(0) === ((1L, 12L, 1L, 8L, 0.6667, "a b k l")))
+    // doc 2: 11 tokens, span at 3..10, cleaned "x y z"
+    assert(got(1) === ((2L, 11L, 1L, 8L, 0.7273, "x y z")))
+    // doc 3: 18 tokens, the doubled 9-run makes EVERY 8-gram repeated
+    // (positions 0..10 start repeated windows; cover = all 18) -> one span,
+    // whole doc removed
+    assert(got(2) === ((3L, 18L, 1L, 18L, 1.0, "")))
+    // doc 4: untouched
+    assert(got(3) === ((4L, 9L, 0L, 0L, 0.0,
+      "one two three four five six seven eight nine")))
+  }
+
+  test("repeatedSpans: two disjoint spans in one doc stay separate intervals") {
+    val blockA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val blockB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"$blockA gapone gaptwo $blockB"),
+      (2L, s"zz $blockA yy"),
+      (3L, s"ww $blockB vv")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 8)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Long, Double, String)].head()
+    assert(got._3 === 2L, s"expected 2 disjoint spans, got $got")
+    assert(got._4 === 16L)
+    assert(got._6 === "gapone gaptwo")
+  }
+
   test("jaccardVerify scores ONLY the supplied pairs, with q28 rounding") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
