@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, LangId, Vocab}
+import graft.operators.{Classify, Dedup, LangId, Vocab}
 
 /** Corpus-curation composites: the pretraining-data DAG stages beyond the
   * individual operators — rule-ensemble quality filtering (q107, q113),
@@ -78,6 +78,37 @@ object CorpusQueries {
     "q127_repeated_spans" -> { (s, dir) =>
       Dedup.repeatedSpans(plantedDocs(s, dir), "doc_id", "text", minLen = 8)
         .orderBy("doc_id")
+    },
+
+    // Trained binary Naive Bayes quality classifier (the fastText-shaped
+    // learned gate): labels derive from the messyDocs dirtying rule
+    // (doc_id % 5 != 4 = dirtied = positive), trained on the doc_id % 3 == 0
+    // slice, scoring every doc. Integer counts + position-ordered ln folds —
+    // the oracle replays train AND predict bit-for-bit.
+    "q128_naive_bayes" -> { (s, dir) =>
+      val labeled = messyDocs(s, dir)
+        .withColumn("is_dirty", col("doc_id") % 5 =!= 4)
+      Classify.naiveBayes(labeled, "doc_id", "text", "is_dirty",
+          col("doc_id") % 3 === 0)
+        .orderBy("doc_id")
+    },
+
+    // Classifier-vs-heuristic gate report: precision/recall/F1 of the q128
+    // Naive Bayes and the q107 Gopher rule ensemble against the same labels
+    // on the same corpus — the audit that justifies (or blocks) swapping a
+    // heuristic gate for a trained one.
+    "q131_classifier_report" -> { (s, dir) =>
+      val labeled = messyDocs(s, dir)
+        .withColumn("is_dirty", col("doc_id") % 5 =!= 4)
+      val nb = Classify.naiveBayes(labeled, "doc_id", "text", "is_dirty",
+          col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("pred").as("nb_pred"))
+      val heur = labeled.select(col("doc_id"), col("is_dirty"),
+        (!Text.gopherFlags(col("text"), requiredWords = FixtureRequired)
+          .getField("keep")).as("h_pred"))
+      Classify.prReport(heur.join(nb, "doc_id"), "is_dirty",
+          Seq("gopher_rules" -> col("h_pred"), "naive_bayes" -> col("nb_pred")))
+        .orderBy("method")
     },
 
     // Gopher rule-ensemble quality filter (Rae et al. 2021 Appendix A):
@@ -153,6 +184,16 @@ object CorpusQueries {
     "q109_bpe_train" -> { (s, dir) =>
       Vocab.bpeTrain(Tables.documents(s, dir), "text", numMerges = 8)
         .orderBy("merge_rank")
+    },
+
+    // Kneser–Ney interpolated trigram LM (the q110 upgrade): absolute
+    // discount D = 0.75 on trigram counts, continuation-TYPE counts on the
+    // lower levels, all derived from one trigram multiset — the oracle
+    // replays train + score bit-for-bit.
+    "q130_kn_trigram_lm" -> { (s, dir) =>
+      graft.operators.LmScore.knTrigramNll(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // Interpolated bigram LM quality scoring (the KenLM-shaped upgrade of
@@ -339,8 +380,129 @@ object CorpusQueries {
 
   def rowsOnly: Set[String] = Set.empty
 
+  /** The messyDocs fixture as a DuckDB CTE (shared by q107/q128/q131). */
+  private def messySql: String = {
+    val bulletSql = BulletTail.replace("\n", "\\n")
+    val ellipsisSql = EllipsisTail.replace("\n", "\\n")
+    s"""messy AS (
+       |  SELECT doc_id, text || CASE
+       |    WHEN doc_id % 5 = 0 THEN e'$bulletSql'
+       |    WHEN doc_id % 5 = 1 THEN e'$ellipsisSql'
+       |    WHEN doc_id % 5 = 2 THEN '$HashTail'
+       |    WHEN doc_id % 5 = 3 THEN '$DigitTail'
+       |    ELSE '' END AS t
+       |  FROM documents)""".stripMargin
+  }
+
+  /** [[Classify.naiveBayes]] replay as a CTE chain ending in `sc(doc_id,
+    * label, odds)` — labels from the messyDocs rule, training slice
+    * doc_id % 3 == 0, add-one smoothing, position-ordered ln folds.
+    * Shared by the q128 prediction table and the q131 report. */
+  private def nbChainSql: String =
+    """lab AS (SELECT doc_id, t, (doc_id % 5) <> 4 AS y FROM messy),
+      |tk AS (
+      |  SELECT doc_id, y, list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS w
+      |  FROM lab),
+      |toks AS (
+      |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS tok
+      |  FROM tk, unnest(range(1, len(w) + 1)) AS i(i)),
+      |ttoks AS (SELECT y, unnest(w) AS tok FROM tk WHERE doc_id % 3 = 0),
+      |cnt AS (
+      |  SELECT tok, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+      |         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+      |  FROM ttoks GROUP BY tok),
+      |ts AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v FROM cnt),
+      |ds AS (
+      |  SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS d_pos,
+      |         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS d_neg
+      |  FROM tk WHERE doc_id % 3 = 0),
+      |lp AS (
+      |  SELECT toks.doc_id, toks.pos,
+      |         ln((COALESCE(c.c_pos, 0) + 1)::DOUBLE / (s.n_pos + s.v)::DOUBLE) AS lpp,
+      |         ln((COALESCE(c.c_neg, 0) + 1)::DOUBLE / (s.n_neg + s.v)::DOUBLE) AS lpn
+      |  FROM toks LEFT JOIN cnt c USING (tok) CROSS JOIN ts s),
+      |ag AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(0.0, list(lpp ORDER BY pos)), (a, x) -> a + x) AS spos,
+      |         list_reduce(list_prepend(0.0, list(lpn ORDER BY pos)), (a, x) -> a + x) AS sneg
+      |  FROM lp GROUP BY doc_id),
+      |sc AS (
+      |  SELECT l.doc_id, l.y AS label,
+      |         ln(d.d_pos::DOUBLE / d.d_neg::DOUBLE)
+      |           + COALESCE(a.spos, 0.0) - COALESCE(a.sneg, 0.0) AS odds
+      |  FROM lab l LEFT JOIN ag a USING (doc_id) CROSS JOIN ds d)""".stripMargin
+
   /** DuckDB twins. String literals with newlines use e'...' escapes. */
   def oracleSql: Map[String, String] = Map(
+
+    // q128: full Naive Bayes train+predict replay; the decision boundary
+    // compares the UNROUNDED odds, the emitted column is 4dp.
+    "q128_naive_bayes" ->
+      s"""WITH $messySql,
+         |$nbChainSql
+         |SELECT doc_id, label, odds > 0.0 AS pred,
+         |       ROUND(odds, 4) + 0.0 AS log_odds,
+         |       (odds > 0.0) = label AS correct
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // q131: the q128 NB chain + the q107 gopher keep verdict, folded into a
+    // two-row precision/recall/F1 report (zero-denominator ratios define to
+    // 0.0; counts cast to BIGINT so pandas/duckdb stringify identically).
+    "q131_classifier_report" ->
+      s"""WITH $messySql,
+         |$nbChainSql,
+         |gtok AS (
+         |  SELECT doc_id, t,
+         |         list_filter(regexp_split_to_array(trim(lower(t)), '\\s+'), x -> x <> '') AS toks,
+         |         string_split(t, chr(10)) AS lines
+         |  FROM messy),
+         |gm AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |    CASE WHEN len(toks) > 0
+         |         THEN CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS meanlen,
+         |    CASE WHEN len(toks) > 0
+         |         THEN ((length(t) - length(replace(t, '#', '')))
+         |               + (length(t) - length(replace(t, '...', ''))) / 3)
+         |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS symr,
+         |    CASE WHEN len(lines) > 0
+         |         THEN CAST(len(list_filter(lines, l ->
+         |                starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+         |                OR starts_with(ltrim(l), '• '))) AS DOUBLE)
+         |              / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS bullfrac,
+         |    CASE WHEN len(lines) > 0
+         |         THEN CAST(len(list_filter(lines, l ->
+         |                ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+         |              / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS ellfrac,
+         |    CASE WHEN len(toks) > 0
+         |         THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS alphafrac,
+         |    len(list_filter(['the','a','and','of'], rw -> list_contains(toks, rw))) AS reqhits
+         |  FROM gtok),
+         |hp AS (
+         |  SELECT doc_id, NOT ((n >= 50 AND n <= 100000) AND (meanlen >= 3.0 AND meanlen <= 10.0)
+         |         AND symr <= 0.1 AND bullfrac <= 0.9 AND ellfrac <= 0.3
+         |         AND alphafrac >= 0.8 AND reqhits >= 2) AS p
+         |  FROM gm),
+         |preds AS (
+         |  SELECT 'gopher_rules' AS method, hp.p AS p, sc.label FROM hp JOIN sc USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'naive_bayes', sc.odds > 0.0, sc.label FROM sc),
+         |cm AS (
+         |  SELECT method,
+         |    CAST(SUM(CASE WHEN p AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN p AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT p AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT p AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM preds GROUP BY method)
+         |SELECT method, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE ROUND(tp::DOUBLE / (tp + fp)::DOUBLE, 4) + 0.0 END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE ROUND(tp::DOUBLE / (tp + fn)::DOUBLE, 4) + 0.0 END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+         |       ELSE ROUND((2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE, 4) + 0.0 END AS f1
+         |FROM cm ORDER BY method""".stripMargin,
 
     // q127: the full repeated-span pipeline in SQL — planted fixture,
     // 8-gram anchors, count>=2 cover, gaps-and-islands span merge,
@@ -879,6 +1041,49 @@ object CorpusQueries {
          |       ROUND(CAST(SUM(nseg) AS DOUBLE) / COUNT(*), 4) AS fertility
          |FROM srcw JOIN segs USING (w)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q130: the q110 fold one level up — trigram counts, continuation-type
+    // tables (bt = distinct (w2,w3) trigram-derived bigram types), the KN
+    // interpolation written in the identical left-to-right association.
+    "q130_kn_trigram_lm" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, i.i AS pos, toks[i.i] AS w1, toks[i.i+1] AS w2, toks[i.i+2] AS w3
+        |  FROM docs, unnest(range(1, len(toks) - 1)) AS i(i)),
+        |tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY w1, w2, w3),
+        |cx AS (SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n12dot FROM tc GROUP BY w1, w2),
+        |bt AS (SELECT w2, w3, COUNT(*) AS t23 FROM tc GROUP BY w2, w3),
+        |w2s AS (SELECT w2, SUM(t23) AS ctx2, COUNT(*) AS n2dot FROM bt GROUP BY w2),
+        |w3s AS (SELECT w3, COUNT(*) AS n_dot3 FROM bt GROUP BY w3),
+        |tot AS (SELECT COUNT(*) AS n_tot FROM bt),
+        |nlls AS (
+        |  SELECT t.doc_id, t.pos,
+        |    -ln(
+        |      (tc.c123::DOUBLE - 0.75) / cx.c12::DOUBLE
+        |      + (0.75 * cx.n12dot::DOUBLE / cx.c12::DOUBLE) *
+        |        ((bt.t23::DOUBLE - 0.75) / w2s.ctx2::DOUBLE
+        |         + (0.75 * w2s.n2dot::DOUBLE / w2s.ctx2::DOUBLE) *
+        |           (w3s.n_dot3::DOUBLE / tt.n_tot::DOUBLE))
+        |    ) AS nll
+        |  FROM tri t
+        |  JOIN tc USING (w1, w2, w3)
+        |  JOIN cx ON cx.w1 = t.w1 AND cx.w2 = t.w2
+        |  JOIN bt ON bt.w2 = t.w2 AND bt.w3 = t.w3
+        |  JOIN w2s ON w2s.w2 = t.w2
+        |  JOIN w3s ON w3s.w3 = t.w3
+        |  CROSS JOIN tot tt),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_trigrams,
+        |         ROUND(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+        |                           (a, x) -> a + x) / COUNT(*), 4) + 0.0 AS avg_nll
+        |  FROM nlls GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_trigrams, 0) AS n_trigrams,
+        |       COALESCE(a.avg_nll, 0.0) AS avg_nll
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q110: the q78 list_reduce fold twin over bigram NLLs; both
     // interpolation weights are exact binary doubles (0.75/0.25), and the

@@ -80,6 +80,87 @@ object LmScore {
         coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
   }
 
+  /** Per-document mean interpolated KNESER–NEY trigram NLL — the standard
+    * n-gram LM (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form)
+    * that [[bigramNll]]'s simple interpolation approximates: absolute
+    * discount D on the top level, CONTINUATION counts (type counts, not
+    * token counts) on the lower levels — which is what catches repetitive
+    * n-gram loops that raw-frequency smoothing scores as fluent ("of the
+    * of the of the" has high bigram frequency but near-zero continuation
+    * diversity).
+    *
+    *   p(w₃|w₁w₂) = (c(w₁w₂w₃) − D)/c(w₁w₂·) + D·N₁₊(w₁w₂·)/c(w₁w₂·) · p(w₃|w₂)
+    *   p(w₃|w₂)   = (N₁₊(·w₂w₃) − D)/N₁₊(·w₂·) + D·N₁₊(w₂·)/N₁₊(·w₂·) · p(w₃)
+    *   p(w₃)      = N₁₊(·w₃) / N₁₊(··)
+    *
+    * Every count derives from the ONE corpus trigram multiset (so the
+    * levels are mutually consistent and, scoring the training corpus
+    * itself, every denominator is ≥ 1 and every discounted numerator ≥
+    * 1 − D > 0 — the max(·,0) clip never binds and is omitted). D defaults
+    * to 0.75, an exact binary double (the λ=0.75 convention of
+    * [[bigramNll]]).
+    *
+    * Engine parity: integer counts; each probability is the literal
+    * left-to-right expression above (divisions and the interpolation
+    * product in fixed order); per-document NLL sums fold IN POSITION ORDER;
+    * docs with < 3 tokens emit 0 trigrams and score 0.0 (the + 0.0 guard
+    * normalizes -0.0). Emits (idCol, n_trigrams, avg_nll 4dp).
+    *
+    * Shape: trigrams explode in the tokenizing projection (no lag window);
+    * the trigram count groupBy and the scoring join share one (w₁,w₂,w₃)
+    * exchange; every derived stat table is TYPE-TABLE-sized (distinct
+    * trigram/bigram types, never corpus positions) and the scalar total
+    * broadcasts — [[bigramNll]]'s plan, one level up. */
+  def knTrigramNll(docs: DataFrame, idCol: String, textCol: String,
+                   discount: Double = 0.75): DataFrame = {
+    val d = lit(discount)
+    val toksArr = docs.select(col(idCol),
+      graft.functions.Text.tokens(col(textCol)).as("__toks"))
+    val tri = toksArr.select(col(idCol), posexplode(
+        when(size(col("__toks")) >= 3,
+          transform(sequence(lit(1), size(col("__toks")) - 2),
+            i => struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"),
+              element_at(col("__toks"), i + 2).as("w3"))))
+          .otherwise(array())).as(Seq("pos", "p")))
+      .select(col(idCol), col("pos"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+    // type/count tables, all bounded by distinct-trigram-type cardinality
+    val triCounts = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val ctx12 = triCounts.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n12dot"))
+    val t23 = triCounts.groupBy("w2", "w3").agg(count(lit(1)).as("t23"))
+    val w2Stats = t23.groupBy("w2")
+      .agg(sum("t23").as("ctx2"), count(lit(1)).as("n2dot"))
+    val w3Stats = t23.groupBy("w3").agg(count(lit(1)).as("n_dot3"))
+    val total = t23.agg(count(lit(1)).as("n_tot"))
+    val p1 = col("n_dot3").cast("double") / col("n_tot").cast("double")
+    val p2 = (col("t23").cast("double") - d) / col("ctx2").cast("double") +
+      (d * col("n2dot").cast("double") / col("ctx2").cast("double")) * p1
+    val p3 = (col("c123").cast("double") - d) / col("c12").cast("double") +
+      (d * col("n12dot").cast("double") / col("c12").cast("double")) * p2
+    val scored = tri
+      .join(triCounts, Seq("w1", "w2", "w3"))
+      .join(broadcast(ctx12), Seq("w1", "w2"))
+      .join(broadcast(t23), Seq("w2", "w3"))
+      .join(broadcast(w2Stats), Seq("w2"))
+      .join(broadcast(w3Stats), Seq("w3"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(p3))
+    val agg0 = scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("nll")))).as("__a"))
+      .select(col(idCol),
+        size(col("__a")).as("n_trigrams"),
+        (graft.functions.Rounding.roundLikeC(
+          aggregate(transform(col("__a"), s => s.getField("nll")),
+            lit(0.0), (acc, x) => acc + x) / size(col("__a")).cast("double"),
+          4) + lit(0.0)).as("avg_nll"))
+    docs.select(col(idCol)).join(agg0, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0)).as("n_trigrams"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+  }
+
   /** Per-document mean unigram NLL: (idCol, n_tokens, avg_nll), avg_nll
     * rounded 4dp. Higher = less like the corpus. */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+/** Naive Bayes train/predict arithmetic (q128) + the PR report (q131). */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naiveBayes: hand-computed smoothed counts, OOV mass, empty doc = prior") {
+    // train: doc 1 positive {spam:2, offer:1}, doc 2 negative
+    // {hello,world,friend}; V=5, N+=3, N-=3, priors 1:1 (ln odds 0)
+    val docs = Seq(
+      (1L, "spam spam offer", true),
+      (2L, "hello world friend", false),
+      (3L, "spam offer", true),          // scored: clearly positive
+      (4L, "hello friend", false),       // scored: clearly negative
+      (5L, "zzz qqq", true),             // all-OOV: symmetric mass -> odds 0
+      (6L, "", false)                    // empty: odds = prior = 0
+    ).toDF("doc_id", "text", "y")
+    val got = Classify.naiveBayes(docs, "doc_id", "text", "y",
+        col("doc_id") <= 2).orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Double, Boolean)].collect().toSeq
+
+    // doc 3: s+ = ln(3/8)+ln(2/8), s- = ln(1/8)+ln(1/8), fold order pos asc
+    val spos3 = 0.0 + math.log(3.0 / 8.0) + math.log(2.0 / 8.0)
+    val sneg3 = 0.0 + math.log(1.0 / 8.0) + math.log(1.0 / 8.0)
+    val odds3 = math.log(1.0) + spos3 - sneg3
+    assert(got(2)._3 === true && got(2)._5 === true)
+    assert(math.abs(got(2)._4 - odds3) < 1e-4, s"log_odds ${got(2)._4} vs $odds3")
+
+    // doc 4 mirrors negative
+    assert(got(3)._3 === false && got(3)._5 === true)
+
+    // doc 5: every token OOV -> identical smoothed mass both sides, prior
+    // even -> odds exactly 0 -> pred = (0 > 0) = false
+    assert(got(4)._4 === 0.0 && got(4)._3 === false)
+
+    // doc 6: no tokens -> odds = prior = 0 -> pred false, correct (label F)
+    assert(got(5)._4 === 0.0 && got(5)._3 === false && got(5)._5 === true)
+  }
+
+  test("naiveBayes: unbalanced priors decide the empty doc") {
+    // 2 positive vs 1 negative training doc -> prior ln(2) > 0
+    val docs = Seq(
+      (1L, "aa bb", true), (2L, "cc dd", true), (3L, "ee ff", false),
+      (4L, "", false)
+    ).toDF("doc_id", "text", "y")
+    val got = Classify.naiveBayes(docs, "doc_id", "text", "y",
+        col("doc_id") <= 3).filter(col("doc_id") === 4L)
+      .as[(Long, Boolean, Boolean, Double, Boolean)].head()
+    assert(got._3 === true)            // prior alone predicts positive
+    assert(math.abs(got._4 - 0.6931) < 1e-9) // roundLikeC(ln 2, 4)
+  }
+
+  test("prReport: counts, ratios, and zero-denominator definitions") {
+    val rows = Seq(
+      (true, true, false), (true, true, false), (true, false, false),
+      (false, true, false), (false, false, false)
+    ).toDF("label", "p_good", "p_never")
+    val got = Classify.prReport(rows, "label",
+        Seq("good" -> col("p_good"), "never" -> col("p_never")))
+      .orderBy("method")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // good: tp=2 fp=1 fn=1 tn=1 -> p=2/3, r=2/3, f1=4/6
+    assert(got(0) === (("good", 2L, 1L, 1L, 1L, 0.6667, 0.6667, 0.6667)))
+    // never predicts positive: tp=0 fp=0 -> precision defined 0.0; fn=3
+    assert(got(1) === (("never", 0L, 0L, 3L, 2L, 0.0, 0.0, 0.0)))
+  }
+}

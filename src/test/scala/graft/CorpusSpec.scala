@@ -183,6 +183,45 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, 1, expected), (2L, 0, 0.0)))
   }
 
+  test("knTrigramNll: hand-computed KN interpolation; short docs emit 0 trigrams") {
+    // corpus trigrams: (a,b,c) and (a,b,d) — each once.
+    // tc: both c123=1; cx(a,b): c12=2, n12dot=2; bt: (b,c)=1, (b,d)=1;
+    // w2s(b): ctx2=2, n2dot=2; w3s: n_dot3=1 each; n_tot=2.
+    // p1 = 1/2; p2 = (1-.75)/2 + (.75*2/2)*(1/2) = 0.5;
+    // p3 = (1-.75)/2 + (.75*2/2)*0.5 = 0.5 -> nll = ln 2 per trigram.
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y")).toDF("doc_id", "text")
+    val got = graft.operators.LmScore.knTrigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Double)].collect().toSeq
+    val expected = math.round(math.log(2.0) * 10000.0).toDouble / 10000.0
+    assert(got === Seq((1L, 1, expected), (2L, 1, expected), (3L, 0, 0.0)))
+  }
+
+  test("knTrigramNll: a unique trigram in a one-path corpus is certain (nll 0)") {
+    // single doc "x y z": every level's mass concentrates -> p3 = 1.0
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val got = graft.operators.LmScore.knTrigramNll(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].head()
+    assert(got === ((1L, 1, 0.0)))
+  }
+
+  test("knTrigramNll: continuation TYPES, not frequency, drive the backoff (the Francisco effect)") {
+    // 'francisco' occurs 5 times but only ever after 'san'; 'common' occurs
+    // 5 times after 5 DIFFERENT words. Two probe docs put each in an
+    // identical novel context (q r _): every top/mid-level count is
+    // symmetric between them, so only the continuation-type unigram
+    // N1+(·w) differs — francisco 2 (san, r) vs common 6. A
+    // frequency-based unigram would tie them; KN must score the
+    // francisco probe strictly worse.
+    val sanDocs = (1L to 5L).map(i => (i, s"u$i san francisco"))
+    val commonDocs = (6L to 10L).map(i => (i, s"v$i w$i common"))
+    val probes = Seq((101L, "q r francisco"), (102L, "q r common"))
+    val docs = (sanDocs ++ commonDocs ++ probes).toDF("doc_id", "text")
+    val kn = graft.operators.LmScore.knTrigramNll(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(kn(101L) > kn(102L),
+      s"francisco probe ${kn(101L)} must exceed common probe ${kn(102L)}")
+  }
+
   test("bigramNll: scrambled word order scores worse than the corpus-typical order") {
     // ten copies of the same sentence + one with identical UNIGRAMS but
     // scrambled transitions — only a bigram model separates them
