@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Classify, Dedup, LangId, Vocab}
+import graft.operators.{Classify, Curate, Dedup, LangId, Vocab}
 
 /** Corpus-curation composites: the pretraining-data DAG stages beyond the
   * individual operators — rule-ensemble quality filtering (q107, q113),
@@ -78,6 +78,32 @@ object CorpusQueries {
     "q127_repeated_spans" -> { (s, dir) =>
       Dedup.repeatedSpans(plantedDocs(s, dir), "doc_id", "text", minLen = 8)
         .orderBy("doc_id")
+    },
+
+    // Incremental curation funnel: a new crawl batch curated against the
+    // FROZEN index of the seen corpus (fingerprints, span set, per-lang
+    // quality floor, eval slice) — the corpus is never recomputed. Batch
+    // fixture plants exact clones of seen docs (b1 vs index), within-batch
+    // clones (b1 min-id), and 40-token prefixes of seen docs (b2 span
+    // dedup); natural eval 3-gram overlaps drive b4.
+    "q129_incremental_funnel" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 350).select("doc_id", "text", "lang")
+      val batch = d.filter(col("doc_id") >= 350).select("doc_id", "text", "lang")
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+        .unionByName(d.filter(col("doc_id") >= 350 && col("doc_id") < 360)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang")))
+        .unionByName(d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 40)).as("text"),
+            col("lang")))
+      val idx = Curate.buildIndex(seen, "doc_id", "text", "lang",
+        TextQueries.Stopwords, evalPred = col("doc_id") % 50 === 0)
+        .materialized()
+      Curate.funnelIncremental(batch, "doc_id", "text", "lang",
+          TextQueries.Stopwords, idx)
+        .funnel.counts.orderBy("stage")
     },
 
     // Trained binary Naive Bayes quality classifier (the fastText-shaped
@@ -434,6 +460,99 @@ object CorpusQueries {
 
   /** DuckDB twins. String literals with newlines use e'...' escapes. */
   def oracleSql: Map[String, String] = Map(
+
+    // q129: the full incremental funnel in SQL — index CTEs (fingerprints,
+    // span set, frozen per-lang quality floor, eval slice) from the seen
+    // corpus, then the four batch stages. Span rule: dup iff in seen set OR
+    // in >= 2 batch docs (union-df restricted to batch). Quality/percentile
+    // CTEs reuse the q90 shapes.
+    "q129_incremental_funnel" ->
+      """WITH seen AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 350),
+        |batch AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 350
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang FROM documents WHERE doc_id >= 350 AND doc_id < 360
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         array_to_string((list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))[1:40], ' '),
+        |         lang
+        |  FROM documents WHERE doc_id >= 20 AND doc_id < 40),
+        |sfp AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f FROM seen),
+        |stw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM seen),
+        |sspan AS (
+        |  SELECT DISTINCT md5(array_to_string(w[ci*20+1 : ci*20+20], ' ')) AS p
+        |  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//20)+1)) AS ci
+        |        FROM stw WHERE len(w) > 0)),
+        |sqt AS (
+        |  SELECT doc_id, lang, length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM seen),
+        |sq AS (
+        |  SELECT doc_id, lang,
+        |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |               + (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END)*0.4
+        |               + (1.0 - ABS(CASE WHEN len(toks) > 0
+        |                                 THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |                                 ELSE 0.0 END - 0.1))*0.2, 4) AS quality
+        |  FROM sqt),
+        |sr AS (SELECT lang, quality, percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr FROM sq),
+        |thr AS (SELECT lang, MIN(quality) AS q_min FROM sr WHERE pr >= 0.1 GROUP BY lang),
+        |ev AS (SELECT doc_id, text FROM seen WHERE doc_id % 50 = 0),
+        |bfp AS (SELECT doc_id, text, lang, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f FROM batch),
+        |b1a AS (SELECT doc_id, text, lang, f FROM bfp QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+        |b1 AS (SELECT doc_id, text, lang FROM b1a WHERE f NOT IN (SELECT f FROM sfp)),
+        |btw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w FROM b1),
+        |bsp AS (
+        |  SELECT DISTINCT doc_id, md5(array_to_string(w[ci*20+1 : ci*20+20], ' ')) AS p
+        |  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//20)+1)) AS ci
+        |        FROM btw WHERE len(w) > 0)),
+        |bdf AS (SELECT p, count(*) AS n FROM bsp GROUP BY p),
+        |fr AS (
+        |  SELECT bsp.doc_id,
+        |         SUM(CASE WHEN bdf.n >= 2 OR bsp.p IN (SELECT p FROM sspan) THEN 1 ELSE 0 END)::DOUBLE
+        |           / COUNT(*) AS frac
+        |  FROM bsp JOIN bdf USING (p) GROUP BY bsp.doc_id),
+        |b2 AS (
+        |  SELECT b1.* FROM b1 LEFT JOIN fr USING (doc_id)
+        |  WHERE fr.frac IS NULL OR fr.frac < 0.5),
+        |bqt AS (
+        |  SELECT doc_id, text, lang, length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM b2),
+        |bq AS (
+        |  SELECT doc_id, text, lang,
+        |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |               + (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END)*0.4
+        |               + (1.0 - ABS(CASE WHEN len(toks) > 0
+        |                                 THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |                                 ELSE 0.0 END - 0.1))*0.2, 4) AS q
+        |  FROM bqt),
+        |b3 AS (
+        |  SELECT doc_id, text, lang FROM bq LEFT JOIN thr USING (lang)
+        |  WHERE q_min IS NULL OR q >= q_min),
+        |evg AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM ev)),
+        |bg AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM b3)),
+        |bad AS (SELECT DISTINCT b.id FROM bg b JOIN evg e USING (gram)),
+        |b4 AS (SELECT * FROM b3 WHERE doc_id NOT IN (SELECT id FROM bad))
+        |SELECT * FROM (
+        |  SELECT 'b0_input' AS stage, count(*)::BIGINT AS n_docs FROM batch
+        |  UNION ALL SELECT 'b1_exact', count(*)::BIGINT FROM b1
+        |  UNION ALL SELECT 'b2_span_dedup', count(*)::BIGINT FROM b2
+        |  UNION ALL SELECT 'b3_quality', count(*)::BIGINT FROM b3
+        |  UNION ALL SELECT 'b4_decontaminated', count(*)::BIGINT FROM b4)
+        |ORDER BY stage""".stripMargin,
 
     // q128: full Naive Bayes train+predict replay; the decision boundary
     // compares the UNROUNDED odds, the emitted column is 4dp.

@@ -125,6 +125,172 @@ object Curate {
       "s3_quality" -> s3, "s4_decontaminated" -> s4))
   }
 
+  /** The persisted curation state a CONTINUOUS pipeline maintains between
+    * crawls — everything [[funnelIncremental]] needs to curate a new batch
+    * against the existing corpus WITHOUT recomputing it:
+    *
+    *  - `fingerprints` (fingerprint): distinct exact-dedup keys of the
+    *    corpus — per-doc-sized, hashes only;
+    *  - `spanSet` (fp): distinct `spanTokens`-token span fingerprints —
+    *    one md5 per 20 tokens, ~2 orders smaller than the text;
+    *  - `thresholds` (langCol, q_min): the FROZEN per-language quality
+    *    floor ([[qualityThresholds]]) — language-count-sized;
+    *  - `evalDocs`: the held-out eval slice (benchmark-sized).
+    *
+    * None of these scale with the batch, and only hashes ever join against
+    * it — the 100 TB corpus text itself is never touched again. In
+    * production each frame is a persisted table; [[CurationIndex.materialized]]
+    * stands in for that in single-session use. */
+  final case class CurationIndex(fingerprints: DataFrame, spanSet: DataFrame,
+                                 thresholds: DataFrame, evalDocs: DataFrame,
+                                 spanTokens: Int, dupFlagAt: Double) {
+    /** Eagerly materialize every index frame (localCheckpoint) — the
+      * single-session stand-in for the persisted tables a production run
+      * reads; without it every downstream stage re-derives the index from
+      * the corpus scan. */
+    def materialized(): CurationIndex = copy(
+      fingerprints = fingerprints.localCheckpoint(),
+      spanSet = spanSet.localCheckpoint(),
+      thresholds = thresholds.localCheckpoint(),
+      evalDocs = evalDocs.localCheckpoint())
+  }
+
+  /** Per-language frozen quality floor: the MINIMUM 4dp quality score among
+    * docs at or above the `cut` percent_rank (the exact boundary value
+    * [[funnel]]'s s3 would admit on this population, with the same
+    * (quality, id) tie order). Incremental batches compare against this
+    * FROZEN floor instead of re-ranking the union — the deliberate semantic
+    * delta of incremental curation (a percentile is population-relative;
+    * production freezes it at index-build time and rebuilds periodically). */
+  def qualityThresholds(corpus: DataFrame, idCol: String, textCol: String,
+                        langCol: String, stopwords: Seq[String],
+                        cut: Double = 0.1): DataFrame =
+    corpus.select(col(idCol), col(langCol),
+        Text.qualityScore(col(textCol), stopwords).as("__q"))
+      .withColumn("__pr", percent_rank().over(
+        Window.partitionBy(langCol).orderBy(col("__q"), col(idCol))))
+      .filter(col("__pr") >= cut)
+      .groupBy(col(langCol)).agg(min(col("__q")).as("q_min"))
+
+  /** Build the [[CurationIndex]] from an already-curated corpus (run
+    * [[funnel]] first on a fresh corpus — the index assumes its docs are
+    * the survivors). */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+                 langCol: String, stopwords: Seq[String], evalPred: Column,
+                 spanTokens: Int = 20, dupFlagAt: Double = 0.5,
+                 qualityCut: Double = 0.1): CurationIndex =
+    CurationIndex(
+      fingerprints = corpus
+        .select(Text.fingerprint(col(textCol)).as("fingerprint")).distinct(),
+      spanSet = Packing
+        .slidingChunks(corpus, col(idCol), col(textCol), spanTokens, spanTokens)
+        .select(col("chunk_md5").as("fp")).distinct(),
+      thresholds = qualityThresholds(corpus, idCol, textCol, langCol,
+        stopwords, qualityCut),
+      evalDocs = corpus.filter(evalPred).select(col(idCol), col(textCol)),
+      spanTokens = spanTokens, dupFlagAt = dupFlagAt)
+
+  final case class IncrementalCuration(funnel: Funnel,
+                                       updatedIndex: CurationIndex)
+
+  /** Curate a NEW crawl batch against the existing corpus via its
+    * [[CurationIndex]] — the operator a production pipeline actually runs
+    * daily (the reference's watermark protocol `incremental_load.sql` /
+    * SURVEY §2.9, lifted from row-delta to corpus level): the 100 TB seen
+    * corpus is NEVER recomputed; every stage touches only the batch plus
+    * hash-sized index tables.
+    *
+    * Stages mirror [[funnel]]'s exactly, each made incremental:
+    *
+    *   b1_exact          — within-batch exact dedup (min-id survivor), then
+    *                       anti-join on the fingerprint index (q66's shape;
+    *                       swap in [[Dedup.incrementalBloom]]'s prefilter
+    *                       when most batch rows are new).
+    *   b2_span_dedup     — a batch doc's span is duplicated iff it exists
+    *                       in the seen spanSet OR in ≥ 2 batch docs; docs
+    *                       at ≥ dupFlagAt dup fraction drop. Equals batch-
+    *                       mode [[Dedup.dupSpanFraction]] on the union,
+    *                       restricted to batch docs, because for a batch
+    *                       doc's span union-df ≥ 2 ⇔ seen-df ≥ 1 ∨
+    *                       batch-df ≥ 2. Skew-safe via the same df==1
+    *                       identity: unique spans carry their owner out of
+    *                       the aggregate; the only fp-keyed join has BOTH
+    *                       sides fp-unique (no hot-key funnel possible).
+    *   b3_quality        — frozen per-language floor from the index (see
+    *                       [[qualityThresholds]]); languages absent from
+    *                       the index pass (no defined floor yet).
+    *   b4_decontaminated — any distinct word 3-gram shared with the eval
+    *                       slice drops the doc ([[Dedup.decontaminationPairs]],
+    *                       eval side broadcast).
+    *
+    * Returns the batch funnel plus the UPDATED index: fingerprints and
+    * spanSet advance on the b1 (exact-dedup) survivors — the population
+    * batch-mode s2 would see — so chained batches compose:
+    * incremental(b₁) then incremental(b₂) over the updated index equals
+    * the batch-mode [[funnel]] on the union, RESTRICTED TO BATCH DOCS,
+    * when (a) the seen corpus is pre-curated, (b) thresholds are held
+    * fixed, and (c) later batches don't NEAR-duplicate earlier batch
+    * survivors. Cross-batch EXACT dups compose exactly (both modes elect
+    * the min-id/earliest survivor); a cross-batch near-dup is the one
+    * deliberate divergence — [[Dedup.dupSpanFraction]] has no survivor
+    * election, so batch mode drops BOTH sides of a near-dup pair, while
+    * incremental protects the already-accepted doc and drops only the
+    * newcomer. That asymmetry is the production-correct behavior (an
+    * accepted doc must not retroactively vanish because a crawl re-found
+    * it); CurateIncrementalSpec pins both the equivalence and the
+    * divergence. The span check is exact fingerprinting, so no LSH-recall
+    * caveat applies. Thresholds and eval stay frozen by design — rebuild
+    * the index to re-baseline them. */
+  def funnelIncremental(batch: DataFrame, idCol: String, textCol: String,
+                        langCol: String, stopwords: Seq[String],
+                        index: CurationIndex): IncrementalCuration = {
+    val b0 = batch.select(col(idCol), col(textCol), col(langCol))
+
+    val b1 = Dedup.exact(b0, textCol, Seq(col(idCol)))
+      .join(index.fingerprints, Seq("fingerprint"), "left_anti")
+      .select(col(idCol), col(textCol), col(langCol))
+
+    val spans = Packing
+      .slidingChunks(b1, col(idCol), col(textCol), index.spanTokens, index.spanTokens)
+      .select(col(idCol), col("chunk_md5").as("__fp")).distinct()
+    val stats = spans.groupBy("__fp")
+      .agg(count(lit(1)).as("__bdf"), min(col(idCol)).as("__owner"))
+    // spans unique in the batch AND unseen in the corpus are the NON-dups;
+    // both join sides are fp-unique, so no hot span can funnel a partition
+    val freshUniq = stats.filter(col("__bdf") === 1)
+      .join(index.spanSet.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val nond = freshUniq.groupBy(col("__owner").as(idCol))
+      .agg(count(lit(1)).as("__nuniq"))
+    val flagged = spans.groupBy(col(idCol)).agg(count(lit(1)).as("__nspans"))
+      .join(nond, Seq(idCol), "left")
+      .filter((col("__nspans") - coalesce(col("__nuniq"), lit(0L))).cast("double") /
+        col("__nspans") >= index.dupFlagAt)
+      .select(col(idCol))
+    val b2 = b1.join(flagged, Seq(idCol), "left_anti")
+
+    val b3 = b2
+      .withColumn("__q", Text.qualityScore(col(textCol), stopwords))
+      .join(broadcast(index.thresholds), Seq(langCol), "left")
+      .filter(col("q_min").isNull || col("__q") >= col("q_min"))
+      .select(col(idCol), col(textCol), col(langCol))
+
+    val contaminated = Dedup
+      .decontaminationPairs(b3, index.evalDocs, idCol, textCol)
+      .select(col("train_id").as(idCol)).distinct()
+    val b4 = b3.join(contaminated, Seq(idCol), "left_anti")
+
+    val updated = index.copy(
+      fingerprints = index.fingerprints.unionByName(
+        b1.select(Text.fingerprint(col(textCol)).as("fingerprint"))).distinct(),
+      spanSet = index.spanSet.unionByName(
+        spans.select(col("__fp").as("fp"))).distinct())
+
+    IncrementalCuration(
+      Funnel(Seq("b0_input" -> b0, "b1_exact" -> b1, "b2_span_dedup" -> b2,
+        "b3_quality" -> b3, "b4_decontaminated" -> b4)),
+      updated)
+  }
+
   /** Corpus snapshot diff — the crawl-over-crawl versioning report: per
     * document id, `added` / `removed` / `changed` (same id, different
     * normalized-text fingerprint) / `unchanged`, plus the token delta.

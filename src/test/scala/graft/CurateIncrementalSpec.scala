@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curate
+
+/** Incremental curation funnel (q129): composition vs the batch-mode
+  * funnel, index update semantics, and the documented near-dup asymmetry. */
+class CurateIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stop = Seq("the", "a")
+
+  // pre-curated seen corpus: distinct vocab per doc (no cross-doc 4-token
+  // chunks), c4 anchors the quality floor low, c5 is the eval slice
+  private def seenCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+    (2L, "one two three four five six seven eight", "en"),
+    (3L, "red green blue yellow purple orange pink white", "en"),
+    (4L, "!!! ??? ;;; ::: ,,, .... --- ###", "en"),
+    (5L, "benchmark question answer evaluation probe tokens here now", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  private def b12Text = "wolf bear lion tiger moose elk deer fox"
+
+  private def batch1 = Seq(
+    (11L, "alpha beta gamma delta epsilon zeta eta theta", "en"), // clone of c1
+    (12L, b12Text, "en"),                                         // fresh
+    (13L, "one two three four nine ten eleven twelve", "en"),     // half of c2's chunks
+    (14L, b12Text, "en")                                          // within-batch clone of 12
+  ).toDF("doc_id", "text", "lang")
+
+  private def index0 = Curate.buildIndex(seenCorpus, "doc_id", "text", "lang",
+    stop, evalPred = col("doc_id") === 5L,
+    spanTokens = 4, dupFlagAt = 0.5, qualityCut = 0.0)
+
+  test("funnelIncremental: per-stage drops and survivor set on batch 1") {
+    val r = Curate.funnelIncremental(batch1, "doc_id", "text", "lang", stop, index0)
+    val counts = r.funnel.counts.as[(String, Long)].collect().toMap
+    // 11 exact-vs-index, 14 exact-within-batch, 13 span-dup, 12 survives
+    assert(counts === Map("b0_input" -> 4L, "b1_exact" -> 2L,
+      "b2_span_dedup" -> 1L, "b3_quality" -> 1L, "b4_decontaminated" -> 1L))
+    assert(r.funnel.survivors.select("doc_id").as[Long].collect().toSet === Set(12L))
+  }
+
+  test("composition: incremental batches equal the batch-mode funnel restricted to batch docs") {
+    // batch 2: exact clone of the batch-1 survivor (must be caught by the
+    // UPDATED fingerprint index), a fresh doc, and an eval-contaminated doc
+    val batch2 = Seq(
+      (21L, b12Text, "en"),
+      (23L, "cloud rain storm wind snow hail fog mist", "en"),
+      (24L, "casual mention of benchmark question answer within prose", "en")
+    ).toDF("doc_id", "text", "lang")
+
+    val r1 = Curate.funnelIncremental(batch1, "doc_id", "text", "lang", stop, index0)
+    val r2 = Curate.funnelIncremental(batch2, "doc_id", "text", "lang", stop,
+      r1.updatedIndex)
+    val incSurvivors =
+      r1.funnel.survivors.select("doc_id").as[Long].collect().toSet ++
+        r2.funnel.survivors.select("doc_id").as[Long].collect().toSet
+
+    val union = seenCorpus.unionByName(batch1).unionByName(batch2)
+    val batchMode = Curate.funnel(union, "doc_id", "text", "lang", stop,
+        evalPred = col("doc_id") === 5L,
+        spanTokens = 4, dupFlagAt = 0.5, qualityCut = 0.0)
+      .survivors.select("doc_id").as[Long].collect().toSet
+
+    assert(incSurvivors === Set(12L, 23L))
+    assert(batchMode.filter(_ >= 11L) === incSurvivors,
+      s"batch-mode restricted ${batchMode.filter(_ >= 11L)} != incremental $incSurvivors")
+  }
+
+  test("documented asymmetry: a later near-dup drops incrementally; batch mode drops both") {
+    // 22 shares its first 4-token chunk with accepted survivor 12
+    val batch2 = Seq(
+      (22L, "wolf bear lion tiger spoon fork knife plate", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r1 = Curate.funnelIncremental(batch1, "doc_id", "text", "lang", stop, index0)
+    val r2 = Curate.funnelIncremental(batch2, "doc_id", "text", "lang", stop,
+      r1.updatedIndex)
+    // incremental: the accepted doc 12 stays accepted, newcomer 22 drops
+    assert(r2.funnel.survivors.select("doc_id").as[Long].collect().isEmpty)
+
+    val union = seenCorpus.unionByName(batch1).unionByName(batch2)
+    val batchMode = Curate.funnel(union, "doc_id", "text", "lang", stop,
+        evalPred = col("doc_id") === 5L,
+        spanTokens = 4, dupFlagAt = 0.5, qualityCut = 0.0)
+      .survivors.select("doc_id").as[Long].collect().toSet
+    // batch mode has no survivor election at the span stage: BOTH drop
+    assert(!batchMode.contains(12L) && !batchMode.contains(22L))
+  }
+
+  test("frozen quality floor: a batch doc below the seen corpus's floor is cut") {
+    // floor = min seen quality (c4's punctuation soup); a batch doc even
+    // worse than c4 must drop at b3, a prose doc must pass
+    val idx = Curate.buildIndex(seenCorpus, "doc_id", "text", "lang", stop,
+      evalPred = col("doc_id") === 5L, spanTokens = 4, dupFlagAt = 0.5,
+      qualityCut = 0.1)
+    val batch = Seq(
+      (31L, "%% ^^ && `` ~~ || @@ ++", "en"),
+      (32L, "quiet meadow stream flows gently under morning light", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = Curate.funnelIncremental(batch, "doc_id", "text", "lang", stop, idx)
+    val counts = r.funnel.counts.as[(String, Long)].collect().toMap
+    assert(counts("b2_span_dedup") === 2L && counts("b3_quality") === 1L)
+    assert(r.funnel.survivors.select("doc_id").as[Long].collect().toSet === Set(32L))
+  }
+
+  test("a language absent from the index passes the quality stage (no defined floor)") {
+    val batch = Seq((41L, "texto corto razonable sin problemas aqui mismo hoy", "es"))
+      .toDF("doc_id", "text", "lang")
+    val r = Curate.funnelIncremental(batch, "doc_id", "text", "lang", stop, index0)
+    assert(r.funnel.survivors.select("doc_id").as[Long].collect().toSet === Set(41L))
+  }
+}
