@@ -101,9 +101,32 @@ object CorpusQueries {
       val idx = Curate.buildIndex(seen, "doc_id", "text", "lang",
         TextQueries.Stopwords, evalPred = col("doc_id") % 50 === 0)
         .materialized()
-      Curate.funnelIncremental(batch, "doc_id", "text", "lang",
+      Curate.funnelIncrementalPersisted(batch, "doc_id", "text", "lang",
           TextQueries.Stopwords, idx)
         .funnel.counts.orderBy("stage")
+    },
+
+    // Incremental fuzzy dedup: a crawl batch probed against the seen
+    // corpus's PERSISTED banded-signature index (q72's candidates), exact
+    // Jaccard verification (q28's arithmetic), accepted-corpus-wins
+    // precedence, then within-batch fuzzy dedup (q108's DAG) among the
+    // survivors. Batch fixture: near-dup clones of seen docs (tail
+    // appended), fresh docs, and within-batch near-dup pairs.
+    "q132_fuzzy_dedup_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 300).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" nearly duplicated tail tokens")).as("text"))
+        .unionByName(d.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+          .select("doc_id", "text"))
+        .unionByName(d.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" nearly duplicated tail tokens")).as("text")))
+      val index = Dedup.bandedSignatures(seen, "doc_id", "text")
+      Dedup.fuzzyDedupIncremental(batch, seen, index, "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("doc_id")
     },
 
     // Trained binary Naive Bayes quality classifier (the fastText-shaped
@@ -460,6 +483,115 @@ object CorpusQueries {
 
   /** DuckDB twins. String literals with newlines use e'...' escapes. */
   def oracleSql: Map[String, String] = Map(
+
+    // q132: q72's signature/banding chain over seen ∪ batch, the seen-side
+    // hub-cap window over SEEN rows only, q28's verification arithmetic,
+    // min-seen-id precedence, then q108's within-batch chain (bucket gate
+    // over REST rows only) with the recursive closure.
+    "q132_fuzzy_dedup_incremental" ->
+      """WITH RECURSIVE seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' nearly duplicated tail tokens' AS text
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 350
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' nearly duplicated tail tokens'
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 320),
+        |allc AS (
+        |  SELECT doc_id, text, TRUE AS is_seen FROM seen
+        |  UNION ALL SELECT doc_id, text, FALSE FROM batch),
+        |t AS (
+        |  SELECT doc_id AS id, is_seen,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM allc),
+        |sh AS (
+        |  SELECT id, is_seen, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM t),
+        |hv AS (
+        |  SELECT id, is_seen, list_transform(sh, g -> list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(1, length(g)+1), i -> ascii(substr(g,i,1))::BIGINT)),
+        |      (acc,x) -> (acc*31+x) % 1000000007)) AS hv
+        |  FROM sh),
+        |fams AS (
+        |  SELECT j,
+        |    ((((42*131 + 2*j) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 + 1 AS a,
+        |    ((((42*131 + 2*j + 1) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 AS b
+        |  FROM (SELECT unnest(range(32)) AS j)),
+        |mins AS (
+        |  SELECT hv.id, hv.is_seen, f.j, MIN((f.a * h.h + f.b) % 4294967311) AS mn
+        |  FROM hv, unnest(hv.hv) AS h(h), fams f
+        |  GROUP BY hv.id, hv.is_seen, f.j),
+        |sigs AS (
+        |  SELECT id, is_seen, list(mn ORDER BY j) AS sig FROM mins GROUP BY id, is_seen),
+        |banded AS (
+        |  SELECT id, is_seen, b.band,
+        |         list_reduce(list_prepend(0::BIGINT, sig[b.band*4+1 : b.band*4+4]),
+        |                     (acc,x) -> (acc*31+x) % 1000000007) AS bucket
+        |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
+        |seenb AS (
+        |  SELECT id AS seen_id, band, bucket FROM (
+        |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded WHERE is_seen)
+        |  WHERE bsz <= 1000),
+        |cands AS (
+        |  SELECT DISTINCT b.id AS id_a, s.seen_id AS id_b
+        |  FROM (SELECT id, band, bucket FROM banded WHERE NOT is_seen) b
+        |  JOIN seenb s USING (band, bucket)),
+        |toksd AS (SELECT DISTINCT id, unnest(toks) AS tok FROM t),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM toksd GROUP BY id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        |  FROM cands c
+        |  JOIN toksd a ON a.id = c.id_a
+        |  JOIN toksd b ON b.id = c.id_b AND b.tok = a.tok
+        |  GROUP BY c.id_a, c.id_b),
+        |vseen AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8),
+        |dupseen AS (SELECT id_a AS doc_id, MIN(id_b) AS dup_of FROM vseen GROUP BY id_a),
+        |rest AS (
+        |  SELECT id FROM t WHERE NOT is_seen
+        |    AND id NOT IN (SELECT doc_id FROM dupseen)),
+        |kept2 AS (
+        |  SELECT id, band, bucket FROM (
+        |    SELECT banded.id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded JOIN rest USING (id))
+        |  WHERE bsz BETWEEN 2 AND 1000),
+        |cand2 AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM kept2 a JOIN kept2 b USING (band, bucket)
+        |  WHERE a.id < b.id),
+        |inter2 AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        |  FROM cand2 c
+        |  JOIN toksd a ON a.id = c.id_a
+        |  JOIN toksd b ON b.id = c.id_b AND b.tok = a.tok
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs2 AS (
+        |  SELECT id_a, id_b FROM inter2
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs2
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs2),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM rest
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |within AS (
+        |  SELECT id AS doc_id, MIN(r) AS dup_of, MIN(r) = id AS kept
+        |  FROM reach GROUP BY id)
+        |SELECT * FROM (
+        |  SELECT doc_id, dup_of, FALSE AS kept FROM dupseen
+        |  UNION ALL SELECT doc_id, dup_of, kept FROM within)
+        |ORDER BY doc_id""".stripMargin,
 
     // q129: the full incremental funnel in SQL — index CTEs (fingerprints,
     // span set, frozen per-lang quality floor, eval slice) from the seen

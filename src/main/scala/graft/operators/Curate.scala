@@ -243,12 +243,42 @@ object Curate {
     * the index to re-baseline them. */
   def funnelIncremental(batch: DataFrame, idCol: String, textCol: String,
                         langCol: String, stopwords: Seq[String],
-                        index: CurationIndex): IncrementalCuration = {
+                        index: CurationIndex): IncrementalCuration =
+    buildIncremental(batch, idCol, textCol, langCol, stopwords, index,
+      (_, df) => df)
+
+  /** [[funnelIncremental]] with each batch stage materialized via eager
+    * localCheckpoint and its count fused onto the materialization job by
+    * accumulator — the [[funnelPersisted]] treatment: `counts` costs zero
+    * extra actions and downstream stages (and the updated index) read the
+    * materialized frame instead of re-deriving the chain. Bit-identical
+    * results; the benched/verified q129 entry runs this form. */
+  def funnelIncrementalPersisted(batch: DataFrame, idCol: String, textCol: String,
+                                 langCol: String, stopwords: Seq[String],
+                                 index: CurationIndex): IncrementalCuration = {
+    val tallied = scala.collection.mutable.Map.empty[String, Long]
+    val r = buildIncremental(batch, idCol, textCol, langCol, stopwords, index,
+      (name, df) => {
+        val acc = df.sparkSession.sparkContext.longAccumulator(s"curate_$name")
+        val counted = df.mapPartitions { rows =>
+          rows.map { row => acc.add(1L); row }
+        }(org.apache.spark.sql.Encoders.row(df.schema))
+          .localCheckpoint() // eager: the accumulator is final right after
+        tallied(name) = acc.value
+        counted
+      })
+    r.copy(funnel = r.funnel.copy(knownCounts = tallied.toMap))
+  }
+
+  private def buildIncremental(batch: DataFrame, idCol: String, textCol: String,
+                               langCol: String, stopwords: Seq[String],
+                               index: CurationIndex,
+                               materialize: (String, DataFrame) => DataFrame): IncrementalCuration = {
     val b0 = batch.select(col(idCol), col(textCol), col(langCol))
 
-    val b1 = Dedup.exact(b0, textCol, Seq(col(idCol)))
+    val b1 = materialize("b1_exact", Dedup.exact(b0, textCol, Seq(col(idCol)))
       .join(index.fingerprints, Seq("fingerprint"), "left_anti")
-      .select(col(idCol), col(textCol), col(langCol))
+      .select(col(idCol), col(textCol), col(langCol)))
 
     val spans = Packing
       .slidingChunks(b1, col(idCol), col(textCol), index.spanTokens, index.spanTokens)
@@ -266,18 +296,19 @@ object Curate {
       .filter((col("__nspans") - coalesce(col("__nuniq"), lit(0L))).cast("double") /
         col("__nspans") >= index.dupFlagAt)
       .select(col(idCol))
-    val b2 = b1.join(flagged, Seq(idCol), "left_anti")
+    val b2 = materialize("b2_span_dedup", b1.join(flagged, Seq(idCol), "left_anti"))
 
-    val b3 = b2
+    val b3 = materialize("b3_quality", b2
       .withColumn("__q", Text.qualityScore(col(textCol), stopwords))
       .join(broadcast(index.thresholds), Seq(langCol), "left")
       .filter(col("q_min").isNull || col("__q") >= col("q_min"))
-      .select(col(idCol), col(textCol), col(langCol))
+      .select(col(idCol), col(textCol), col(langCol)))
 
     val contaminated = Dedup
       .decontaminationPairs(b3, index.evalDocs, idCol, textCol)
       .select(col("train_id").as(idCol)).distinct()
-    val b4 = b3.join(contaminated, Seq(idCol), "left_anti")
+    val b4 = materialize("b4_decontaminated",
+      b3.join(contaminated, Seq(idCol), "left_anti"))
 
     val updated = index.copy(
       fingerprints = index.fingerprints.unionByName(

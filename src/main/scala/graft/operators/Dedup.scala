@@ -566,6 +566,52 @@ object Dedup {
       .withColumn("kept", col("cluster_id") === col(idCol))
   }
 
+  /** Incremental fuzzy dedup — [[fuzzyDedup]]'s continuous-ingestion
+    * counterpart and the near-dup sibling of [[incremental]]: a new batch
+    * is checked against the SEEN corpus's persisted banded-signature index
+    * ([[bandedSignatures]], maintained incrementally — the corpus is never
+    * re-shingled), then within itself. Composition of the audited pieces:
+    * [[minhashIncrementalCandidates]] (batch×index candidates, one
+    * (band,bucket) shuffle, seen-side hub cap) → [[jaccardVerify]] (exact,
+    * candidate-linear; token access touches only candidate seen docs) →
+    * survivors run [[fuzzyDedup]] among themselves.
+    *
+    * Precedence is production-correct: a batch doc near-duplicating the
+    * ACCEPTED corpus drops in favor of the seen doc (dup_of = lowest
+    * verified seen id) before within-batch clustering — the accepted
+    * corpus always wins, mirroring [[graft.operators.Curate.funnelIncremental]]'s
+    * asymmetry. Emits one row per batch doc: (idCol, dup_of, kept) — for
+    * within-batch clusters dup_of is the min-id cluster representative
+    * (singletons keep themselves). Batch and seen ids must be disjoint
+    * (they key one union frame during verification).
+    *
+    * Recall = the LSH band/row curve, exactly [[fuzzyDedup]]'s (measure a
+    * knob change with `Features.candidateQuality` first); verification
+    * guarantees zero false merges. The batch's signatures compute twice
+    * (index probe + within-batch pass) — at 100 TB the batch is the small
+    * side, so this costs a batch-sized projection, not a corpus pass. */
+  def fuzzyDedupIncremental(batch: DataFrame, seenDocs: DataFrame,
+                            seenBanded: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.8, shingleLen: Int = 3,
+                            bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val candsSeen = minhashIncrementalCandidates(batch, seenBanded, idCol, textCol,
+        shingleLen, bands, rowsPerBand, seed, maxBucketSize)
+      .select(col("batch_id").as("id_a"), col("seen_id").as("id_b"))
+    val both = batch.select(col(idCol), col(textCol))
+      .unionByName(seenDocs.select(col(idCol), col(textCol)))
+    val dupOfSeen = jaccardVerify(both, candsSeen, idCol, textCol, threshold)
+      .groupBy(col("id_a").as(idCol))
+      .agg(min(col("id_b")).as("dup_of"))
+    val rest = batch.join(dupOfSeen.select(col(idCol)), Seq(idCol), "left_anti")
+    val within = fuzzyDedup(rest, idCol, textCol, threshold, shingleLen,
+      bands, rowsPerBand, seed, maxBucketSize)
+    dupOfSeen.select(col(idCol).cast("long").as(idCol), col("dup_of"),
+        lit(false).as("kept"))
+      .unionByName(within.select(col(idCol).cast("long").as(idCol),
+        col("cluster_id").as("dup_of"), col("kept")))
+  }
+
   /** 60-bit SimHash over whitespace tokens. The per-bit vote is inherently
     * scalar-loop-shaped, so it runs as a typed map (one pass, no shuffle);
     * everything downstream stays relational.

@@ -105,6 +105,37 @@ class CurateIncrementalSpec extends SparkSpec {
     assert(r.funnel.survivors.select("doc_id").as[Long].collect().toSet === Set(32L))
   }
 
+  test("fuzzyDedupIncremental: accepted-corpus precedence, within-batch clustering, fresh kept") {
+    import graft.operators.Dedup
+    // long docs so 3-shingle jaccard of tail-appended clones clears 0.8
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val fresh = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val seen = Seq((1L, base),
+      (2L, (1 to 20).map(i => s"zz$i").mkString(" "))) // disjoint from every batch doc
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, base + " small tail"),          // near-dup of seen 1 -> drops, dup_of 1
+      (102L, fresh + " brand new content entirely here"),
+      (103L, fresh + " brand new content entirely here okay"), // near-dup of 102 (within batch)
+      (104L, "completely unrelated vocabulary nothing shared with anyone at all today")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.bandedSignatures(seen, "doc_id", "text")
+    val got = Dedup.fuzzyDedupIncremental(batch, seen, idx, "doc_id", "text",
+        threshold = 0.6)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.map(_._1) === Seq(101L, 102L, 103L, 104L))
+    // 101: seen wins — dup_of is the SEEN id, not a batch id
+    assert(byId(101L) === ((101L, 1L, false)))
+    // 102/103: within-batch cluster, min-id survivor
+    assert(byId(102L) === ((102L, 102L, true)))
+    assert(byId(103L) === ((103L, 102L, false)))
+    // 104: fresh singleton keeps itself
+    assert(byId(104L) === ((104L, 104L, true)))
+  }
+
   test("a language absent from the index passes the quality stage (no defined floor)") {
     val batch = Seq((41L, "texto corto razonable sin problemas aqui mismo hoy", "es"))
       .toDF("doc_id", "text", "lang")

@@ -336,4 +336,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin [gram"),
       s"the gram-keyed join must broadcast, never sort-merge:\n${p.take(2000)}")
   }
+
+  test("q127 repeated spans: the anchor gram NEVER keys a join (df==1 identity shape)") {
+    val p = plan("q127_repeated_spans")
+    // a viral gram (site boilerplate) would funnel its whole occurrence set
+    // into one partition if any join keyed on it; the only gram-keyed node
+    // allowed is the count AGGREGATE (partial-merged map-side)
+    assert(!"Join \\[g#".r.findAllIn(p).hasNext,
+      s"no join may key on the gram column:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"),
+      s"repeated occurrences must come from the anti-join vs unique ones:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q128 naive bayes: vocab count table broadcasts onto the token stream") {
+    val p = plan("q128_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized count table must broadcast:\n${p.take(2000)}")
+    // the doc-keyed fill join may sort-merge; the TOKEN-keyed scoring join
+    // must not (a stopword would funnel the corpus into one partition)
+    assert(!p.contains("SortMergeJoin [tok"),
+      s"the token-keyed scoring join must broadcast, never sort-merge:\n${p.take(2000)}")
+  }
+
+  test("q129 incremental funnel: index tables broadcast; stages anti-join; nothing cartesian") {
+    // the registered query runs the PERSISTED form whose counts plan is all
+    // accumulator literals — audit the LAZY funnel's survivor plan, where
+    // every stage's join shape is visible in one tree
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val seen = docs.filter(col("doc_id") < 350).select("doc_id", "text", "lang")
+    val batch = docs.filter(col("doc_id") >= 350).select("doc_id", "text", "lang")
+    val idx = graft.operators.Curate.buildIndex(seen, "doc_id", "text", "lang",
+      Seq("the", "a"), evalPred = col("doc_id") % 50 === 0)
+    val p = graft.operators.Curate
+      .funnelIncremental(batch, "doc_id", "text", "lang", Seq("the", "a"), idx)
+      .funnel.survivors.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"no stage of the incremental funnel may go cartesian:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the frozen thresholds (language-count-sized) must broadcast:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"),
+      s"exact/span/decontam stages are anti-joins against the index:\n${p.take(2000)}")
+  }
+
+  test("q130 KN trigram: every word-keyed stats join broadcasts, never sort-merges") {
+    val df = SparkEntry.queries("q130_kn_trigram_lm")(spark, sf)
+    df.collect() // AQE finalizes join strategies only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"tri/ctx12/t23/w2/w3 stat tables must broadcast onto the trigram stream:\n${p.take(2000)}")
+    // the stats tables are type-table-sized: a sort-merge on a word key
+    // would funnel a hot word's whole occurrence stream into one partition
+    assert(!"SortMergeJoin \\[w".r.findAllIn(p).hasNext,
+      s"no word-keyed join may sort-merge:\n${p.take(2000)}")
+  }
 }

@@ -347,6 +347,33 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("repeatedSpans accounting: cover bounded by doc, cleaned = uncovered tokens, doubling saturates") =
+    Prop.forAll(Gen.listOfN(5,
+        Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
+          .map(_.take(24)))) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // append every doc pasted twice — its whole body must come back covered
+      val doubled = docs.zipWithIndex.collect { case (toks, i) if toks.size >= 4 =>
+        (100L + i, (toks ++ toks).mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup
+        .repeatedSpans(df.unionByName(doubled), "doc_id", "text", minLen = 4)
+        .collect()
+      out.forall { r =>
+        val (id, n, spans, rep, frac, cleaned) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getString(5))
+        val cleanedCount = cleaned.split("\\s+").count(_.nonEmpty)
+        val bounds = rep >= 0 && rep <= n && spans <= (rep + 3) / 4 &&
+          cleanedCount == n - rep && frac >= 0.0 && frac <= 1.0
+        // a doubled doc (id >= 100, length >= 2*minLen) is fully covered
+        val saturated = id < 100L || n < 8 || (rep == n && cleaned.isEmpty)
+        bounds && saturated
+      }
+    }
+
   property("spanCorrupt conserves the token multiset for arbitrary token streams") =
     Prop.forAll(Gen.listOfN(6,
         Gen.listOf(Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty))
