@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{Pii, Text}
 import graft.operators.{Classify, Curate, Dedup, LangId, Vocab}
 
 /** Corpus-curation composites: the pretraining-data DAG stages beyond the
@@ -104,6 +104,48 @@ object CorpusQueries {
       Curate.funnelIncrementalPersisted(batch, "doc_id", "text", "lang",
           TextQueries.Stopwords, idx)
         .funnel.counts.orderBy("stage")
+    },
+
+    // Incremental repeated-substring dedup: batch positions covered iff
+    // their anchor gram exists in the SEEN corpus's gram index OR repeats
+    // within the batch — union semantics restricted to the batch, corpus
+    // never re-scanned. Fixture plants seen-prefix heads (cross-corpus
+    // substrings) and doubled batch docs (self-repeats).
+    "q134_repeated_spans_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 350).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") >= 350).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(concat_ws(" ", slice(Text.tokens(col("text")), 1, 16)),
+              lit(" zfresha"), col("doc_id").cast("string"),
+              lit(" zfreshb"), col("doc_id").cast("string"),
+              lit(" zfreshc"), col("doc_id").cast("string")).as("text")))
+        .unionByName(d.filter(col("doc_id") >= 350 && col("doc_id") < 360)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      val index = Dedup.buildRepeatedSpanIndex(seen, "doc_id", "text")
+      Dedup.repeatedSpansIncremental(batch, index, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Luhn-validated card-number scrubbing: shape-matching runs checked by
+    // the ISO 7812 checksum; only VALID numbers redact (order ids and
+    // tracking numbers that merely look card-shaped survive) — conditional
+    // redaction a bare regexp_replace cannot express. Integer fold, exact
+    // replay.
+    "q133_card_redaction" -> { (s, dir) =>
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" card 4539 1488 0343 6467 on file"))
+            .when(col("doc_id") % 4 === 1, lit(" ref 1234 5678 9012 3456 order"))
+            .when(col("doc_id") % 4 === 2, lit(" id 4539148803436468 x"))
+            .otherwise(lit(""))).as("text"))
+      dirty.select(col("doc_id"),
+          size(Pii.cardCandidates(col("text"))).as("n_candidates"),
+          size(Pii.luhnValidCards(col("text"))).as("n_valid"),
+          Pii.redactCards(col("text")).as("redacted"))
+        .orderBy("doc_id")
     },
 
     // Incremental fuzzy dedup: a crawl batch probed against the seen
@@ -483,6 +525,99 @@ object CorpusQueries {
 
   /** DuckDB twins. String literals with newlines use e'...' escapes. */
   def oracleSql: Map[String, String] = Map(
+
+    // q134: the q127 chain with the seen-gram index CTE — covered iff
+    // gram ∈ seen index OR batch count ≥ 2 (df==1 identity inverted).
+    "q134_repeated_spans_incremental" ->
+      """WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 350),
+        |st AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM seen),
+        |sidx AS (
+        |  SELECT DISTINCT array_to_string(w[i.i : i.i + 7], ' ') AS g
+        |  FROM st, unnest(range(1, len(w) - 6)) AS i(i)),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 350
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(w[1:16], ' ')
+        |           || ' zfresha' || doc_id || ' zfreshb' || doc_id || ' zfreshc' || doc_id
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |        FROM documents WHERE doc_id < 30)
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' ' || text
+        |  FROM documents WHERE doc_id >= 350 AND doc_id < 360),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM batch),
+        |g AS (
+        |  SELECT doc_id, i.i - 1 AS p, array_to_string(w[i.i : i.i + 7], ' ') AS g
+        |  FROM t, unnest(range(1, len(w) - 6)) AS i(i)),
+        |uniqb AS (
+        |  SELECT g, min(doc_id) AS doc_id, min(p) AS p
+        |  FROM g GROUP BY g HAVING COUNT(*) = 1),
+        |fresh AS (SELECT doc_id, p FROM uniqb WHERE g NOT IN (SELECT g FROM sidx)),
+        |rep AS (SELECT doc_id, p FROM g ANTI JOIN fresh USING (doc_id, p)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p + j.j AS pos
+        |  FROM rep, unnest(range(0, 8)) AS j(j)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cov),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+        |  FROM isl GROUP BY doc_id, grp),
+        |sa AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_repeated
+        |  FROM spans GROUP BY doc_id),
+        |toks AS (
+        |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS tok
+        |  FROM t, unnest(range(1, len(w) + 1)) AS i(i)),
+        |keep AS (SELECT doc_id, pos, tok FROM toks ANTI JOIN cov USING (doc_id, pos)),
+        |cl AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |  FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        |  COALESCE(sa.n_spans, 0)::BIGINT AS n_spans,
+        |  COALESCE(sa.n_repeated, 0)::BIGINT AS n_repeated_tokens,
+        |  ROUND(COALESCE(sa.n_repeated, 0)::DOUBLE / GREATEST(len(t.w), 1), 4) + 0.0 AS repeated_frac,
+        |  COALESCE(cl.cleaned, '') AS cleaned_text
+        |FROM t LEFT JOIN sa USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // q133: candidate extraction (identical greedy single-branch pattern in
+    // both regex engines), the Luhn fold over range-indexed reversed digits,
+    // and the occurrence-order replace fold.
+    "q133_card_redaction" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 4 = 0 THEN ' card 4539 1488 0343 6467 on file'
+        |    WHEN doc_id % 4 = 1 THEN ' ref 1234 5678 9012 3456 order'
+        |    WHEN doc_id % 4 = 2 THEN ' id 4539148803436468 x'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}') AS cands
+        |  FROM dirty),
+        |v AS (
+        |  SELECT doc_id, text, cands,
+        |    list_filter(cands, s ->
+        |      list_reduce(list_prepend(0,
+        |        list_transform(range(1, length(regexp_replace(s, '[^0-9]', '', 'g')) + 1),
+        |          i -> CASE WHEN i % 2 = 0
+        |                    THEN CASE WHEN 2*(ascii(substr(reverse(regexp_replace(s, '[^0-9]', '', 'g')), i, 1)) - 48) > 9
+        |                              THEN 2*(ascii(substr(reverse(regexp_replace(s, '[^0-9]', '', 'g')), i, 1)) - 48) - 9
+        |                              ELSE 2*(ascii(substr(reverse(regexp_replace(s, '[^0-9]', '', 'g')), i, 1)) - 48) END
+        |                    ELSE ascii(substr(reverse(regexp_replace(s, '[^0-9]', '', 'g')), i, 1)) - 48 END)),
+        |        (a, x) -> a + x) % 10 = 0) AS valid
+        |  FROM cand)
+        |SELECT doc_id,
+        |  len(cands)::INT AS n_candidates,
+        |  len(valid)::INT AS n_valid,
+        |  list_reduce(list_prepend(text, valid), (acc, card) -> replace(acc, card, '<CARD>')) AS redacted
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // q132: q72's signature/banding chain over seen ∪ batch, the seen-side
     // hub-cap window over SEEN rows only, q28's verification arithmetic,

@@ -228,9 +228,15 @@ object Dedup {
   def dupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
                   idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 50): DataFrame = {
+    // materialize the edge set ONCE: every propagation round joins edges,
+    // and an un-checkpointed edge frame re-evaluates its WHOLE upstream
+    // lineage per round — for fuzzyDedup that lineage is the LSH + exact
+    // verification DAG (measured 13.9 s -> 3.4 s on q132, whose edges sit
+    // behind TWO minhash pipelines)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint()
     val sc = nodes.sparkSession.sparkContext
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint()
@@ -600,10 +606,16 @@ object Dedup {
       .select(col("batch_id").as("id_a"), col("seen_id").as("id_b"))
     val both = batch.select(col(idCol), col(textCol))
       .unionByName(seenDocs.select(col(idCol), col(textCol)))
+    // both frames below are BATCH-bounded (the small side by definition)
+    // and sit on top of the probe+verify DAG, which downstream references
+    // — the within-batch signature pass, its verification, the cluster
+    // nodes, and the output union — would otherwise re-evaluate per action
     val dupOfSeen = jaccardVerify(both, candsSeen, idCol, textCol, threshold)
       .groupBy(col("id_a").as(idCol))
       .agg(min(col("id_b")).as("dup_of"))
+      .localCheckpoint()
     val rest = batch.join(dupOfSeen.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
     val within = fuzzyDedup(rest, idCol, textCol, threshold, shingleLen,
       bands, rowsPerBand, seed, maxBucketSize)
     dupOfSeen.select(col(idCol).cast("long").as(idCol), col("dup_of"),
@@ -837,6 +849,14 @@ object Dedup {
       .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
     val rep = grams.select(col(idCol), col("p"))
       .join(uniqOcc, Seq(idCol, "p"), "left_anti")
+    spanReport(df, idCol, textCol, rep, minLen)
+  }
+
+  /** Shared back half of the repeated-span operators: repeated anchor
+    * occurrences `rep` (idCol, p) → position cover → gaps-and-islands
+    * maximal spans → per-doc report with span-removed text. */
+  private def spanReport(df: DataFrame, idCol: String, textCol: String,
+                         rep: DataFrame, minLen: Int): DataFrame = {
     val cov = rep
       .select(col(idCol), explode(sequence(col("p"), col("p") + lit(minLen - 1))).as("pos"))
       .distinct()
@@ -866,6 +886,61 @@ object Dedup {
             greatest(col("n_tokens"), lit(1L)).cast("double"), 4) + lit(0.0))
           .as("repeated_frac"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** The `minLen`-gram existence index [[repeatedSpansIncremental]] probes:
+    * distinct anchor grams of the seen corpus, column `gram`. Existence is
+    * all the incremental check needs (for a batch position, union-count
+    * ≥ 2 ⇔ gram ∈ seen ∨ batch-count ≥ 2 — the q129 span-stage identity at
+    * gram-with-position granularity). At 100 TB fold the gram string to a
+    * 128-bit hash pair to narrow the stored index (collisions only ever
+    * ADD coverage, identically in any replaying engine). */
+  def buildRepeatedSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+                             minLen: Int = 8): DataFrame =
+    corpus.select(explode_outer(element_at(transform(
+        array(Text.tokens(col(textCol))), toks =>
+          when(size(toks) >= minLen,
+            transform(sequence(lit(0), size(toks) - minLen),
+              i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
+            .otherwise(expr("cast(array() as array<string>)"))), 1)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+
+  /** Incremental [[repeatedSpans]] — the substring member of the
+    * incremental dedup trio (exact [[incremental]], fuzzy
+    * [[fuzzyDedupIncremental]], substring here): a batch position is inside
+    * repeated material iff its anchor gram exists in the SEEN corpus's
+    * gram index OR occurs ≥ 2 times within the batch — exactly the
+    * union-corpus [[repeatedSpans]] verdict restricted to batch docs (for
+    * a batch occurrence, union-count ≥ 2 ⇔ seen ∨ batch-repeat), without
+    * ever re-scanning the corpus. Same report shape as [[repeatedSpans]].
+    *
+    * Skew shape: batch-unique occurrences come out of the count aggregate
+    * (df==1 identity); the only gram-keyed join is gram-UNIQUE rows vs the
+    * gram-UNIQUE index — no hot-gram funnel exists; everything after keys
+    * on (id, pos). Advance the index with
+    * `index.union(buildRepeatedSpanIndex(batchSurvivors)).distinct`. */
+  def repeatedSpansIncremental(batch: DataFrame, seenGrams: DataFrame,
+                               idCol: String, textCol: String,
+                               minLen: Int = 8): DataFrame = {
+    val gramArr = element_at(transform(array(Text.tokens(col(textCol))), toks =>
+      when(size(toks) >= minLen,
+        transform(sequence(lit(0), size(toks) - minLen),
+          i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
+        .otherwise(expr("cast(array() as array<string>)"))), 1)
+    val grams = batch.select(col(idCol), posexplode(gramArr).as(Seq("p", "g")))
+    val uniqInBatch = grams.groupBy("g")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("p"))).as("__o"))
+      .filter(col("__c") === 1)
+    // unique-in-batch AND unseen = the NON-repeated occurrences; both join
+    // sides are gram-unique, so no hot gram can funnel a partition
+    val fresh = uniqInBatch
+      .join(seenGrams.select(col("gram").as("g")), Seq("g"), "left_anti")
+      .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
+    val rep = grams.select(col(idCol), col("p"))
+      .join(fresh, Seq(idCol, "p"), "left_anti")
+    spanReport(batch, idCol, textCol, rep, minLen)
   }
 
   def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,

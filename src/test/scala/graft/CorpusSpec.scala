@@ -99,6 +99,29 @@ class CorpusSpec extends SparkSpec {
     assert(got._6 === "gapone gaptwo")
   }
 
+  test("luhn card detection: checksum separates real numbers from card-shaped ids; redaction is conditional") {
+    import graft.functions.Pii
+    val rows = Seq(
+      // 4539 1488 0343 6467 is Luhn-valid; the trailing-8 variant is not
+      (1L, "pay with 4539 1488 0343 6467 now"),
+      (2L, "order ref 4539148803436468 shipped"),
+      (3L, "call 1234 5678 9012 3456 maybe"),     // shape yes, Luhn no
+      (4L, "two cards 4539-1488-0343-6467 and 4539 1488 0343 6467"),
+      (5L, "short 12345 and words only")
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        size(Pii.cardCandidates(col("text"))).as("nc"),
+        size(Pii.luhnValidCards(col("text"))).as("nv"),
+        Pii.redactCards(col("text")).as("red"))
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got(0) === ((1L, 1, 1, "pay with <CARD> now")))
+    assert(got(1) === ((2L, 1, 0, "order ref 4539148803436468 shipped")))
+    assert(got(2) === ((3L, 1, 0, "call 1234 5678 9012 3456 maybe")))
+    assert(got(3) === ((4L, 2, 2, "two cards <CARD> and <CARD>")))
+    assert(got(4) === ((5L, 0, 0, "short 12345 and words only")))
+  }
+
   test("jaccardVerify scores ONLY the supplied pairs, with q28 rounding") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

@@ -136,6 +136,51 @@ class CurateIncrementalSpec extends SparkSpec {
     assert(byId(104L) === ((104L, 104L, true)))
   }
 
+  test("repeatedSpansIncremental: seen-index cover, within-batch repeats, fresh untouched") {
+    import graft.operators.Dedup
+    val seen = Seq((900L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 f1 f2"),                 // seen prefix + fresh tail
+      (2L, "a b c d e f g h i a b c d e f g h i"),            // doubled 9-run: full self cover
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),                     // fresh, unique gram
+      (4L, "m1 m2 m3 m4 m5 m6 m7 m8 q4a"),                    // shares m-run with 5
+      (5L, "zz m1 m2 m3 m4 m5 m6 m7 m8")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildRepeatedSpanIndex(seen, "doc_id", "text", minLen = 8)
+    val got = Dedup.repeatedSpansIncremental(batch, idx, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSeq
+    assert(got(0) === ((1L, 10L, 1L, 8L, 0.8, "f1 f2")))
+    assert(got(1) === ((2L, 18L, 1L, 18L, 1.0, "")))
+    // doc 3's single 8-gram (x1..x8) is unique in the batch and unseen, but
+    // positions 8 (x9)?? — only one gram at start 0 with a 9-token doc; the
+    // second window start 1 = x2..x9 is ALSO unique — nothing covered
+    assert(got(2) === ((3L, 9L, 0L, 0L, 0.0, "x1 x2 x3 x4 x5 x6 x7 x8 x9")))
+    assert(got(3) === ((4L, 9L, 1L, 8L, 0.8889, "q4a")))
+    assert(got(4) === ((5L, 9L, 1L, 8L, 0.8889, "zz")))
+  }
+
+  test("repeatedSpansIncremental equals union-corpus repeatedSpans restricted to the batch") {
+    import graft.operators.Dedup
+    val seen = Seq(
+      (900L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),
+      (901L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "s2 s3 s4 s5 s6 s7 s8 s9 w1 w2"),   // interior seen run
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 extra"),
+      (3L, "all fresh tokens nothing shared here at all nine")
+    ).toDF("doc_id", "text")
+    // precondition of the identity: the seen corpus itself contains no
+    // repeated grams (it is pre-deduplicated), so union-mode coverage of a
+    // batch position reduces to seen-membership OR batch-repeat
+    val idx = Dedup.buildRepeatedSpanIndex(seen, "doc_id", "text", minLen = 8)
+    val inc = Dedup.repeatedSpansIncremental(batch, idx, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id").collect().toSeq
+    val union = Dedup.repeatedSpans(seen.unionByName(batch), "doc_id", "text", minLen = 8)
+      .filter(col("doc_id") < 100L).orderBy("doc_id").collect().toSeq
+    assert(inc === union)
+  }
+
   test("a language absent from the index passes the quality stage (no defined floor)") {
     val batch = Seq((41L, "texto corto razonable sin problemas aqui mismo hoy", "es"))
       .toDF("doc_id", "text", "lang")
