@@ -277,6 +277,19 @@ object CorpusQueries {
         .orderBy("merge_rank")
     },
 
+    // Curriculum ordering: KN-trigram difficulty scores cut into 10
+    // equal-population stages (composed global rank — no single-partition
+    // window), mix2-shuffled within each stage; consume in
+    // (bucket, pos_in_bucket) order.
+    "q135_curriculum_order" -> { (s, dir) =>
+      val scored = graft.operators.LmScore.knTrigramNll(
+        Tables.documents(s, dir), "doc_id", "text")
+      graft.operators.Packing.curriculumOrder(scored, "doc_id", "avg_nll", 10)
+        .select(col("doc_id"), col("avg_nll"), col("difficulty_rank"),
+          col("bucket"), col("pos_in_bucket"))
+        .orderBy("doc_id")
+    },
+
     // Kneser–Ney interpolated trigram LM (the q110 upgrade): absolute
     // discount D = 0.75 on trigram counts, continuation-TYPE counts on the
     // lower levels, all derived from one trigram multiset — the oracle
@@ -522,6 +535,43 @@ object CorpusQueries {
       |         ln(d.d_pos::DOUBLE / d.d_neg::DOUBLE)
       |           + COALESCE(a.spos, 0.0) - COALESCE(a.sneg, 0.0) AS odds
       |  FROM lab l LEFT JOIN ag a USING (doc_id) CROSS JOIN ds d)""".stripMargin
+
+  /** The q130 Kneser-Ney train+score CTE chain (WITH ... agg), shared by
+    * the q130 prediction table and q135's curriculum ordering. */
+  private val KnChainSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, i.i AS pos, toks[i.i] AS w1, toks[i.i+1] AS w2, toks[i.i+2] AS w3
+      |  FROM docs, unnest(range(1, len(toks) - 1)) AS i(i)),
+      |tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY w1, w2, w3),
+      |cx AS (SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n12dot FROM tc GROUP BY w1, w2),
+      |bt AS (SELECT w2, w3, COUNT(*) AS t23 FROM tc GROUP BY w2, w3),
+      |w2s AS (SELECT w2, SUM(t23) AS ctx2, COUNT(*) AS n2dot FROM bt GROUP BY w2),
+      |w3s AS (SELECT w3, COUNT(*) AS n_dot3 FROM bt GROUP BY w3),
+      |tot AS (SELECT COUNT(*) AS n_tot FROM bt),
+      |nlls AS (
+      |  SELECT t.doc_id, t.pos,
+      |    -ln(
+      |      (tc.c123::DOUBLE - 0.75) / cx.c12::DOUBLE
+      |      + (0.75 * cx.n12dot::DOUBLE / cx.c12::DOUBLE) *
+      |        ((bt.t23::DOUBLE - 0.75) / w2s.ctx2::DOUBLE
+      |         + (0.75 * w2s.n2dot::DOUBLE / w2s.ctx2::DOUBLE) *
+      |           (w3s.n_dot3::DOUBLE / tt.n_tot::DOUBLE))
+      |    ) AS nll
+      |  FROM tri t
+      |  JOIN tc USING (w1, w2, w3)
+      |  JOIN cx ON cx.w1 = t.w1 AND cx.w2 = t.w2
+      |  JOIN bt ON bt.w2 = t.w2 AND bt.w3 = t.w3
+      |  JOIN w2s ON w2s.w2 = t.w2
+      |  JOIN w3s ON w3s.w3 = t.w3
+      |  CROSS JOIN tot tt),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_trigrams,
+      |         ROUND(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+      |                           (a, x) -> a + x) / COUNT(*), 4) + 0.0 AS avg_nll
+      |  FROM nlls GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twins. String literals with newlines use e'...' escapes. */
   def oracleSql: Map[String, String] = Map(
@@ -1431,45 +1481,40 @@ object CorpusQueries {
     // q130: the q110 fold one level up — trigram counts, continuation-type
     // tables (bt = distinct (w2,w3) trigram-derived bigram types), the KN
     // interpolation written in the identical left-to-right association.
-    "q130_kn_trigram_lm" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |tri AS (
-        |  SELECT doc_id, i.i AS pos, toks[i.i] AS w1, toks[i.i+1] AS w2, toks[i.i+2] AS w3
-        |  FROM docs, unnest(range(1, len(toks) - 1)) AS i(i)),
-        |tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY w1, w2, w3),
-        |cx AS (SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n12dot FROM tc GROUP BY w1, w2),
-        |bt AS (SELECT w2, w3, COUNT(*) AS t23 FROM tc GROUP BY w2, w3),
-        |w2s AS (SELECT w2, SUM(t23) AS ctx2, COUNT(*) AS n2dot FROM bt GROUP BY w2),
-        |w3s AS (SELECT w3, COUNT(*) AS n_dot3 FROM bt GROUP BY w3),
-        |tot AS (SELECT COUNT(*) AS n_tot FROM bt),
-        |nlls AS (
-        |  SELECT t.doc_id, t.pos,
-        |    -ln(
-        |      (tc.c123::DOUBLE - 0.75) / cx.c12::DOUBLE
-        |      + (0.75 * cx.n12dot::DOUBLE / cx.c12::DOUBLE) *
-        |        ((bt.t23::DOUBLE - 0.75) / w2s.ctx2::DOUBLE
-        |         + (0.75 * w2s.n2dot::DOUBLE / w2s.ctx2::DOUBLE) *
-        |           (w3s.n_dot3::DOUBLE / tt.n_tot::DOUBLE))
-        |    ) AS nll
-        |  FROM tri t
-        |  JOIN tc USING (w1, w2, w3)
-        |  JOIN cx ON cx.w1 = t.w1 AND cx.w2 = t.w2
-        |  JOIN bt ON bt.w2 = t.w2 AND bt.w3 = t.w3
-        |  JOIN w2s ON w2s.w2 = t.w2
-        |  JOIN w3s ON w3s.w3 = t.w3
-        |  CROSS JOIN tot tt),
-        |agg AS (
-        |  SELECT doc_id, COUNT(*) AS n_trigrams,
-        |         ROUND(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
-        |                           (a, x) -> a + x) / COUNT(*), 4) + 0.0 AS avg_nll
-        |  FROM nlls GROUP BY doc_id)
+    "q130_kn_trigram_lm" -> s"""$KnChainSql
         |SELECT d.doc_id, COALESCE(a.n_trigrams, 0) AS n_trigrams,
         |       COALESCE(a.avg_nll, 0.0) AS avg_nll
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q135: the q130 chain scored frame → packed rank key → equal-population
+    // decile buckets → mix2-ordered position within each bucket.
+    "q135_curriculum_order" -> s"""$KnChainSql,
+        |scored AS (
+        |  SELECT d.doc_id, COALESCE(a.avg_nll, 0.0) AS avg_nll
+        |  FROM (SELECT doc_id FROM documents) d
+        |  LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, avg_nll,
+        |         CAST(round(avg_nll * 10000) AS BIGINT) * 2147483648 + doc_id AS k
+        |  FROM scored),
+        |rk AS (
+        |  SELECT doc_id, avg_nll,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY k) AS INT) AS difficulty_rank
+        |  FROM keyed),
+        |nn AS (SELECT COUNT(*) AS n FROM scored),
+        |bk AS (
+        |  SELECT rk.*, CAST(FLOOR((difficulty_rank - 1) * 10 / CAST(n AS DOUBLE)) AS INT) AS bucket
+        |  FROM rk CROSS JOIN nn),
+        |fin AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY
+        |      ((((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648),
+        |      doc_id) AS INT) AS pos_in_bucket
+        |  FROM bk)
+        |SELECT doc_id, avg_nll, difficulty_rank, bucket, pos_in_bucket
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
 
     // q110: the q78 list_reduce fold twin over bigram NLLs; both
     // interpolation weights are exact binary doubles (0.75/0.25), and the

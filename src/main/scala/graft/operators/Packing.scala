@@ -181,6 +181,48 @@ object Packing {
     (h1 * lit(1103515245L) + lit(12345L)) % lit(m)
   }
 
+  /** Curriculum ordering — the difficulty-staged training order (Bengio et
+    * al. 2009's curriculum learning, as data pipelines realize it): rank
+    * every document by a difficulty score (an LM NLL, a quality score),
+    * cut the ranking into `numBuckets` equal-population stages, and
+    * pseudo-randomly shuffle WITHIN each stage ([[mix2]] order) so the
+    * trainer consumes stages easy→hard without intra-stage ordering bias.
+    * Consume in (bucket, pos_in_bucket) order.
+    *
+    * Emits (input columns +) `difficulty_rank` (1-based over
+    * (score, id) — deterministic tie-break), `bucket` (0-based stage),
+    * `pos_in_bucket` (1-based mix2 order within the stage).
+    *
+    * Determinism + parity: the rank key packs `round(score·10⁴)·2³¹ + id`
+    * (score is assumed ≤ 4dp — the repo's rounding convention — and ids
+    * must fit in [0, 2³¹); the pack stays well inside 2⁵³, and an external
+    * ROW_NUMBER over the same key lands identically). Bucket =
+    * floor((rank−1)·B / n): exact for any corpus below 2⁴⁰ docs.
+    *
+    * Scale shape: the global rank is the COMPOSED form (bucketed
+    * row_number + offsets — no single-partition window,
+    * [[graft.operators.Windows.globalRowNumberComposed]]); the in-stage
+    * shuffle windows partition by bucket (≈ n/B rows each — raise
+    * numBuckets if a stage outgrows one task's sort); the doc count is a
+    * 1-row broadcast. */
+  def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
+                      numBuckets: Int = 10): DataFrame = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val packed = scored.withColumn("__key",
+      round(col(scoreCol) * 10000).cast("long") * 2147483648L +
+        col(idCol).cast("long"))
+    val ranked = graft.operators.Windows
+      .globalRowNumberComposed(packed, "__key", "difficulty_rank")
+    val n = scored.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        floor((col("difficulty_rank").cast("long") - 1L) * numBuckets /
+          col("__n").cast("double")).cast("int"))
+      .withColumn("pos_in_bucket", row_number().over(
+        Window.partitionBy("bucket").orderBy(mix2(col(idCol)), col(idCol))))
+      .drop("__key", "__n")
+  }
+
   /** Deterministic corpus shuffle — the seeded training-order permutation
     * every pretraining run needs: consecutive crawl/source rows must not
     * land consecutively in the token stream, and the order must be exactly

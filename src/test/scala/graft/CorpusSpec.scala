@@ -99,6 +99,37 @@ class CorpusSpec extends SparkSpec {
     assert(got._6 === "gapone gaptwo")
   }
 
+  test("curriculumOrder: contiguous equal-population stages, in-stage permutation, layout-invariant") {
+    import graft.operators.Packing
+    val scored = (0L until 97L).map(i => (i, (i % 13).toDouble / 7.0))
+      .toDF("doc_id", "score")
+    val got = Packing.curriculumOrder(scored, "doc_id", "score", numBuckets = 10)
+      .select("doc_id", "difficulty_rank", "bucket", "pos_in_bucket")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(got.size === 97)
+    // ranks are a permutation and ordered by (score, id)
+    assert(got.map(_._2).sorted === (1 to 97))
+    val byBucket = got.groupBy(_._3)
+    // 10 stages, sizes differ by at most 1 (equal-population cut)
+    assert(byBucket.keySet === (0 until 10).toSet)
+    assert(byBucket.values.map(_.size).max - byBucket.values.map(_.size).min <= 1)
+    // stages are CONTIGUOUS in difficulty: every rank in stage b precedes
+    // every rank in stage b+1
+    (0 until 9).foreach { b =>
+      assert(byBucket(b).map(_._2).max < byBucket(b + 1).map(_._2).min,
+        s"stage $b overlaps stage ${b + 1}")
+    }
+    // within a stage, positions are a 1..size permutation
+    byBucket.values.foreach(g =>
+      assert(g.map(_._4).sorted === (1 to g.size)))
+    // layout invariance: a different physical partitioning yields the
+    // identical table
+    val again = Packing.curriculumOrder(scored.repartition(7), "doc_id", "score", 10)
+      .select("doc_id", "difficulty_rank", "bucket", "pos_in_bucket")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(again.sortBy(_._1) === got.sortBy(_._1))
+  }
+
   test("luhn card detection: checksum separates real numbers from card-shaped ids; redaction is conditional") {
     import graft.functions.Pii
     val rows = Seq(

@@ -181,6 +181,72 @@ class CurateIncrementalSpec extends SparkSpec {
     assert(inc === union)
   }
 
+  test("streaming micro-batch curation: funnelIncremental per batch, index advances, dups land once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Curate
+    val srcDir = java.nio.file.Files.createTempDirectory("inc-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("inc-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("inc-ck").toString
+
+    val sharedText = "wolf bear lion tiger moose elk deer fox badger otter"
+    // two files = two micro-batches (arrival order unknown — the fixture is
+    // designed so the landed FINGERPRINT set is order-independent: only
+    // exact cross-batch dups, no cross-batch near-dups)
+    Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta", "en"), // clone of seen c1
+      (12L, sharedText, "en"),
+      (13L, "quiet meadow stream flows gently under morning light", "en")
+    ).toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    Seq(
+      (21L, sharedText, "en"),                                       // exact dup of 12 ACROSS batches
+      (22L, "casual mention of benchmark question answer within prose", "en"), // eval 3-gram
+      (23L, "cloud rain storm wind snow hail fog mist sleet ice", "en")
+    ).toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+
+    // the mutable index is the driver-side stand-in for persisted index
+    // tables; each micro-batch's updated frames are materialized inside the
+    // call (the batch frame is only valid within it)
+    var index = index0.materialized()
+    val schema = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = Curate.funnelIncrementalPersisted(batch, "doc_id", "text",
+          "lang", stop, index)
+        r.funnel.survivors.write.mode("append").parquet(outDir)
+        index = r.updatedIndex.materialized()
+        ()
+      }.start()
+    assert(q.awaitTermination(180000), "AvailableNow must drain and stop")
+
+    val landedFps = spark.read.parquet(outDir)
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .as[String].collect().toSeq
+    // the cross-batch exact dup (12/21) landed exactly ONCE — only possible
+    // if the fingerprint index advanced between micro-batches
+    assert(landedFps.size === landedFps.distinct.size,
+      s"a duplicate text landed twice: $landedFps")
+    // expected = sequential composition on the same two batches
+    val b1 = spark.read.parquet(srcDir)
+      .filter(col("doc_id") < 20).select("doc_id", "text", "lang")
+    val b2 = spark.read.parquet(srcDir)
+      .filter(col("doc_id") >= 20).select("doc_id", "text", "lang")
+    val r1 = Curate.funnelIncremental(b1, "doc_id", "text", "lang", stop,
+      index0.materialized())
+    val r2 = Curate.funnelIncremental(b2, "doc_id", "text", "lang", stop,
+      r1.updatedIndex)
+    val expectedFps = r1.funnel.survivors.unionByName(r2.funnel.survivors)
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .as[String].collect().toSet
+    assert(landedFps.toSet === expectedFps,
+      s"streamed ${landedFps.toSet} != sequential $expectedFps")
+  }
+
   test("a language absent from the index passes the quality stage (no defined floor)") {
     val batch = Seq((41L, "texto corto razonable sin problemas aqui mismo hoy", "es"))
       .toDF("doc_id", "text", "lang")
