@@ -208,12 +208,20 @@ object Packing {
   def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
                       numBuckets: Int = 10): DataFrame = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
+    // materialize the scored frame ONCE: the composed rank takes two driver
+    // actions (bounds, bucket counts), the doc count a third, and the final
+    // plan references it again — an un-checkpointed input re-runs its whole
+    // scoring DAG (a corpus LM train+score for q135) per action: measured
+    // 5.8 s -> ~2.9 s isolated at sf0.1 (the remaining cost is the single
+    // materialization of the scoring DAG itself), results bit-identical
+    // (the dupClusters lesson)
     val packed = scored.withColumn("__key",
       round(col(scoreCol) * 10000).cast("long") * 2147483648L +
         col(idCol).cast("long"))
+      .localCheckpoint()
     val ranked = graft.operators.Windows
       .globalRowNumberComposed(packed, "__key", "difficulty_rank")
-    val n = scored.agg(count(lit(1)).as("__n"))
+    val n = packed.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bucket",
         floor((col("difficulty_rank").cast("long") - 1L) * numBuckets /
