@@ -624,6 +624,17 @@ object Dedup {
         col("cluster_id").as("dup_of"), col("kept")))
   }
 
+  /** Advance the banded-signature index with a curated batch's SURVIVORS —
+    * the maintenance step between [[fuzzyDedupIncremental]] runs (band only
+    * the accepted newcomers; the corpus is never re-shingled). Persist the
+    * result as the next run's `seenBanded`. */
+  def advanceBandedIndex(seenBanded: DataFrame, survivors: DataFrame,
+                         idCol: String, textCol: String, shingleLen: Int = 3,
+                         bands: Int = 8, rowsPerBand: Int = 4,
+                         seed: Long = 42L): DataFrame =
+    seenBanded.unionByName(bandedSignatures(survivors, idCol, textCol,
+      shingleLen, bands, rowsPerBand, seed))
+
   /** 60-bit SimHash over whitespace tokens. The per-bit vote is inherently
     * scalar-loop-shaped, so it runs as a typed map (one pass, no shuffle);
     * everything downstream stays relational.

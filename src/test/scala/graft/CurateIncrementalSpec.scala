@@ -134,6 +134,20 @@ class CurateIncrementalSpec extends SparkSpec {
     assert(byId(103L) === ((103L, 102L, false)))
     // 104: fresh singleton keeps itself
     assert(byId(104L) === ((104L, 104L, true)))
+
+    // advance the index with the survivors; a later batch near-duplicating
+    // survivor 102 must now resolve AGAINST IT (accepted-corpus-wins)
+    val kept = batch.join(
+      got.filter(_._3).map(_._1).toDF("doc_id"), "doc_id")
+    val idx2 = Dedup.advanceBandedIndex(idx, kept, "doc_id", "text")
+    val seen2 = seen.unionByName(kept)
+    val batch3 = Seq((201L, fresh + " brand new content entirely here also"))
+      .toDF("doc_id", "text")
+    val got3 = Dedup.fuzzyDedupIncremental(batch3, seen2, idx2, "doc_id", "text",
+        threshold = 0.6)
+      .as[(Long, Long, Boolean)].head()
+    assert(got3 === ((201L, 102L, false)),
+      s"the advanced index must catch a near-dup of batch-1 survivor 102: $got3")
   }
 
   test("repeatedSpansIncremental: seen-index cover, within-batch repeats, fresh untouched") {

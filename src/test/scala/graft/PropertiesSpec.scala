@@ -374,6 +374,27 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("curriculumOrder: contiguous equal-population stages, in-stage permutations, any scores") =
+    Prop.forAll(Gen.chooseNum(1, 8),
+        Gen.listOfN(40, Gen.chooseNum(0, 300))) { (b, scores) =>
+      val df = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong, s / 100.0) }.toDF("id", "score")
+      val got = graft.operators.Packing.curriculumOrder(df, "id", "score", b)
+        .select("id", "difficulty_rank", "bucket", "pos_in_bucket")
+        .as[(Long, Int, Int, Int)].collect().toSeq
+      val n = got.size
+      val byB = got.groupBy(_._3)
+      val contiguous = byB.keys.toSeq.sorted.sliding(2).forall {
+        case Seq(x, y) => byB(x).map(_._2).max < byB(y).map(_._2).min
+        case _ => true
+      }
+      got.map(_._2).sorted == (1 to n) &&
+        byB.keySet == (0 until b).toSet &&
+        (byB.values.map(_.size).max - byB.values.map(_.size).min) <= 1 &&
+        contiguous &&
+        byB.values.forall(g => g.map(_._4).sorted == (1 to g.size))
+    }
+
   property("spanCorrupt conserves the token multiset for arbitrary token streams") =
     Prop.forAll(Gen.listOfN(6,
         Gen.listOf(Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty))

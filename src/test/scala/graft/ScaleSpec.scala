@@ -198,6 +198,40 @@ class DedupSkewSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
 
+  test("repeatedSpans: viral anchor gram never keys a join — df==1 identity holds at 20k-doc skew") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 20k docs = one shared viral 8-token run + 8 unique tokens: the
+      // viral 8-gram occurs 20000x; every straddling gram is unique
+      val viral8 = (0 until 8).map(i => s"v$i").mkString(" ")
+      val docs = spark.range(20000).select(col("id").as("doc_id"),
+        concat(lit(viral8 + " "),
+          concat_ws(" ", (0 until 8).map(j => concat(lit(s"u${j}_"), col("id"))): _*))
+          .as("text"))
+        .repartition(8)
+      val out = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 8)
+      val rows = out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      // the viral gram must never be a join key (it would funnel 20000
+      // occurrences into one partition); unique occurrences come out of the
+      // count aggregate instead and the anti-join keys on (doc_id, p)
+      assert(!"Join \\[g#".r.findFirstIn(plan).isDefined,
+        s"no join may key on the gram:\n${plan.take(2000)}")
+      assert(rows.length === 20000)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_tokens") === 16L &&
+          r.getAs[Long]("n_spans") === 1L &&
+          r.getAs[Long]("n_repeated_tokens") === 8L &&
+          r.getAs[Double]("repeated_frac") === 0.5 &&
+          r.getAs[String]("cleaned_text").startsWith("u0_"),
+          s"wrong span accounting: $r")
+      }
+    } finally saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   test("dropBoilerplateLines: viral-line doc frequency is two-phase (spread on (line, doc) first), results exact") {
     // one cookie-banner line in all 20k docs + a unique line per doc
     val docs = spark.range(20000).select(col("id").as("doc_id"),
