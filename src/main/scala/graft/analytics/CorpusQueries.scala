@@ -1488,21 +1488,18 @@ object CorpusQueries {
         |LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    // q135: the q130 chain scored frame → packed rank key → equal-population
-    // decile buckets → mix2-ordered position within each bucket.
+    // q135: the q130 chain scored frame → ROW_NUMBER over the two-column
+    // (score, id) key (no arithmetic packing — exact for any id range) →
+    // equal-population decile buckets → mix2-ordered position within each.
     "q135_curriculum_order" -> s"""$KnChainSql,
         |scored AS (
         |  SELECT d.doc_id, COALESCE(a.avg_nll, 0.0) AS avg_nll
         |  FROM (SELECT doc_id FROM documents) d
         |  LEFT JOIN agg a ON d.doc_id = a.doc_id),
-        |keyed AS (
-        |  SELECT doc_id, avg_nll,
-        |         CAST(round(avg_nll * 10000) AS BIGINT) * 2147483648 + doc_id AS k
-        |  FROM scored),
         |rk AS (
         |  SELECT doc_id, avg_nll,
-        |         CAST(ROW_NUMBER() OVER (ORDER BY k) AS INT) AS difficulty_rank
-        |  FROM keyed),
+        |         ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) AS difficulty_rank
+        |  FROM scored),
         |nn AS (SELECT COUNT(*) AS n FROM scored),
         |bk AS (
         |  SELECT rk.*, CAST(FLOOR((difficulty_rank - 1) * 10 / CAST(n AS DOUBLE)) AS INT) AS bucket

@@ -435,17 +435,17 @@ object PrepQueries {
   def oracleSql: Map[String, String] = Map(
 
     // q103: shuffle key = mix2(id*131 + 7) (the two-LCG-round chain the
-    // split/sample oracles already replicate) packed with the id as a
-    // tie-break; position = ROW_NUMBER over the total key order.
+    // split/sample oracles already replicate), id as the SECOND order
+    // column (no arithmetic packing — the curriculum-key lesson);
+    // position = ROW_NUMBER over the (key, id) order.
     "q103_corpus_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id,
         |         ((((doc_id * 131 + 7) % 2147483648) * 1664525 + 1013904223)
-        |           % 2147483648 * 1103515245 + 12345) % 2147483648
-        |           * 2147483648 + doc_id AS key
+        |           % 2147483648 * 1103515245 + 12345) % 2147483648 AS key
         |  FROM documents)
         |SELECT doc_id,
-        |       CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) AS shuffle_pos
+        |       CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) AS INT) AS shuffle_pos
         |FROM k ORDER BY shuffle_pos""".stripMargin,
 
     // Only the generator formulas — pixel ((id*31 + y*6 + x)*17) % 256 and

@@ -41,11 +41,15 @@ object Classify {
     * single-class slice has an undefined prior odds — ln(0) or ln(∞)).
     *
     * Scale shape: the count table is vocabulary-sized (never corpus-sized)
-    * and broadcasts to the scoring join with the corpus-wide token frame —
-    * the corpus shuffles once on the doc id for the ordered fold, exactly
-    * [[LmScore.unigramNll]]'s plan. Training is one aggregation pass. */
+    * and by default broadcasts to the scoring join with the corpus-wide
+    * token frame; set `broadcastVocab = false` when the training vocab
+    * outgrows the driver (10⁸+ types) to shuffle-join on the token key
+    * instead ([[Vocab.encode]]'s toggle). The corpus shuffles once on the
+    * doc id for the ordered fold, exactly [[LmScore.unigramNll]]'s plan.
+    * Training is one aggregation pass. */
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                 labelCol: String, trainPred: Column): DataFrame = {
+                 labelCol: String, trainPred: Column,
+                 broadcastVocab: Boolean = true): DataFrame = {
     val train = docs.filter(trainPred)
     val counts = train
       .select(col(labelCol).as("__y"), explode(Text.tokens(col(textCol))).as("tok"))
@@ -61,8 +65,13 @@ object Classify {
       sum(when(!col(labelCol), 1L).otherwise(0L)).as("d_neg"))
     val toks = docs.select(col(idCol),
       posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    // the count table is vocab-sized, which on a labeled WEB-scale slice
+    // can reach 10⁸+ token types — past any driver broadcast. The toggle
+    // (Vocab.encode's pattern) switches the scoring join to a shuffle on
+    // the token key; results are identical (ClassifySpec runs both paths).
+    val countsSide = if (broadcastVocab) broadcast(counts) else counts
     val lp = toks
-      .join(broadcast(counts), Seq("tok"), "left")
+      .join(countsSide, Seq("tok"), "left")
       .crossJoin(broadcast(tokStats))
       .select(col(idCol), col("pos"),
         log((coalesce(col("c_pos"), lit(0L)) + 1L).cast("double") /

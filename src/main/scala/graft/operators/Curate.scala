@@ -64,9 +64,13 @@ object Curate {
     * materialized frame instead of re-deriving the shared prefix — the
     * lazy form pays roughly the final stage's cost once per stage row
     * (~4x at five stages; the multiple is a real cluster bill at scale).
-    * The stage COUNT rides the materialization job itself (an accumulator
-    * in the same mapPartitions pass the checkpoint runs — the dupClusters
-    * idiom), so `counts` costs zero extra actions for s1..s4.
+    * The stage COUNT is a `count()` ON the checkpointed frame — a
+    * metadata-cheap second action over already-materialized partitions.
+    * (An earlier form fused the count into the materialization pass via a
+    * LongAccumulator; Spark only guarantees exactly-once accumulator
+    * updates for ACTIONS, so task retries / speculative execution on a
+    * real cluster would double-count — the round-6 advisory. The extra
+    * action costs ~ms per stage against the checkpoint.)
     * s0 stays lazy on purpose: it is the raw input projection, and
     * checkpointing it would rewrite the whole corpus to executor storage
     * when its count is a column-pruned scan away. Results are
@@ -79,12 +83,8 @@ object Curate {
     val tallied = scala.collection.mutable.Map.empty[String, Long]
     val f = build(docs, idCol, textCol, langCol, stopwords, evalPred,
       spanTokens, dupFlagAt, qualityCut, (name, df) => {
-        val acc = df.sparkSession.sparkContext.longAccumulator(s"curate_$name")
-        val counted = df.mapPartitions { rows =>
-          rows.map { r => acc.add(1L); r }
-        }(org.apache.spark.sql.Encoders.row(df.schema))
-          .localCheckpoint() // eager: the accumulator is final right after
-        tallied(name) = acc.value
+        val counted = df.localCheckpoint() // eager: materializes the stage
+        tallied(name) = counted.count()    // exactly-once, retry-safe
         counted
       })
     f.copy(knownCounts = tallied.toMap)
@@ -248,23 +248,22 @@ object Curate {
       (_, df) => df)
 
   /** [[funnelIncremental]] with each batch stage materialized via eager
-    * localCheckpoint and its count fused onto the materialization job by
-    * accumulator — the [[funnelPersisted]] treatment: `counts` costs zero
-    * extra actions and downstream stages (and the updated index) read the
-    * materialized frame instead of re-deriving the chain. Bit-identical
-    * results; the benched/verified q129 entry runs this form. */
+    * localCheckpoint and its count read by `count()` on the checkpointed
+    * frame — the [[funnelPersisted]] treatment: downstream stages (and the
+    * updated index) read the materialized frame instead of re-deriving the
+    * chain, and the count action against materialized partitions is
+    * retry-safe where an accumulator fused into the materialization pass
+    * would double-count on task retries (the round-6 advisory).
+    * Bit-identical results; the benched/verified q129 entry runs this
+    * form. */
   def funnelIncrementalPersisted(batch: DataFrame, idCol: String, textCol: String,
                                  langCol: String, stopwords: Seq[String],
                                  index: CurationIndex): IncrementalCuration = {
     val tallied = scala.collection.mutable.Map.empty[String, Long]
     val r = buildIncremental(batch, idCol, textCol, langCol, stopwords, index,
       (name, df) => {
-        val acc = df.sparkSession.sparkContext.longAccumulator(s"curate_$name")
-        val counted = df.mapPartitions { rows =>
-          rows.map { row => acc.add(1L); row }
-        }(org.apache.spark.sql.Encoders.row(df.schema))
-          .localCheckpoint() // eager: the accumulator is final right after
-        tallied(name) = acc.value
+        val counted = df.localCheckpoint() // eager: materializes the stage
+        tallied(name) = counted.count()    // exactly-once, retry-safe
         counted
       })
     r.copy(funnel = r.funnel.copy(knownCounts = tallied.toMap))

@@ -604,8 +604,19 @@ object Dedup {
     val candsSeen = minhashIncrementalCandidates(batch, seenBanded, idCol, textCol,
         shingleLen, bands, rowsPerBand, seed, maxBucketSize)
       .select(col("batch_id").as("id_a"), col("seen_id").as("id_b"))
+      // the candidate set gates BOTH the verification work and (via the
+      // semi-join below) which seen docs get tokenized at all — and it is
+      // consumed twice; materialize once
+      .localCheckpoint()
+    // verification must only ever tokenize CANDIDATE seen docs: jaccardVerify
+    // re-derives doc token sets and sizes from the frame it is handed, so
+    // handing it the full seen corpus would re-shingle 100 TB per batch (the
+    // contract violation the round-6 advisory caught). The semi-join keeps
+    // the verify input batch + candidate-bounded.
+    val candSeenDocs = seenDocs.select(col(idCol), col(textCol))
+      .join(candsSeen.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val both = batch.select(col(idCol), col(textCol))
-      .unionByName(seenDocs.select(col(idCol), col(textCol)))
+      .unionByName(candSeenDocs)
     // both frames below are BATCH-bounded (the small side by definition)
     // and sit on top of the probe+verify DAG, which downstream references
     // — the within-batch signature pass, its verification, the cluster

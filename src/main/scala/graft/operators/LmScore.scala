@@ -109,8 +109,11 @@ object LmScore {
     * Shape: trigrams explode in the tokenizing projection (no lag window);
     * the trigram count groupBy and the scoring join share one (w₁,w₂,w₃)
     * exchange; every derived stat table is TYPE-TABLE-sized (distinct
-    * trigram/bigram types, never corpus positions) and the scalar total
-    * broadcasts — [[bigramNll]]'s plan, one level up. */
+    * trigram/bigram types, never corpus positions). Only the 1-row scalar
+    * total carries a broadcast hint — the type tables can exceed
+    * broadcastable size on a web corpus, so AQE picks their join strategy
+    * from measured sizes (broadcast at fixture scale, shuffle at 100 TB) —
+    * [[bigramNll]]'s plan, one level up. */
   def knTrigramNll(docs: DataFrame, idCol: String, textCol: String,
                    discount: Double = 0.75): DataFrame = {
     val d = lit(discount)
@@ -139,12 +142,17 @@ object LmScore {
       (d * col("n2dot").cast("double") / col("ctx2").cast("double")) * p1
     val p3 = (col("c123").cast("double") - d) / col("c12").cast("double") +
       (d * col("n12dot").cast("double") / col("c12").cast("double")) * p2
+    // no hard broadcast hints on the type tables: distinct-bigram/unigram
+    // TYPE tables are far beyond broadcastable size at web-corpus scale
+    // (10⁹+ bigram types would OOM the driver), so AQE decides per actual
+    // size — it still broadcasts them at any fixture scale. Only the 1-row
+    // scalar total is unconditionally broadcast.
     val scored = tri
       .join(triCounts, Seq("w1", "w2", "w3"))
-      .join(broadcast(ctx12), Seq("w1", "w2"))
-      .join(broadcast(t23), Seq("w2", "w3"))
-      .join(broadcast(w2Stats), Seq("w2"))
-      .join(broadcast(w3Stats), Seq("w3"))
+      .join(ctx12, Seq("w1", "w2"))
+      .join(t23, Seq("w2", "w3"))
+      .join(w2Stats, Seq("w2"))
+      .join(w3Stats, Seq("w3"))
       .crossJoin(broadcast(total))
       .withColumn("nll", -log(p3))
     val agg0 = scored.groupBy(col(idCol))

@@ -189,19 +189,24 @@ object Packing {
     * trainer consumes stages easy→hard without intra-stage ordering bias.
     * Consume in (bucket, pos_in_bucket) order.
     *
-    * Emits (input columns +) `difficulty_rank` (1-based over
+    * Emits (input columns +) `difficulty_rank` (1-based LONG over
     * (score, id) — deterministic tie-break), `bucket` (0-based stage),
     * `pos_in_bucket` (1-based mix2 order within the stage).
     *
-    * Determinism + parity: the rank key packs `round(score·10⁴)·2³¹ + id`
-    * (score is assumed ≤ 4dp — the repo's rounding convention — and ids
-    * must fit in [0, 2³¹); the pack stays well inside 2⁵³, and an external
-    * ROW_NUMBER over the same key lands identically). Bucket =
-    * floor((rank−1)·B / n): exact for any corpus below 2⁴⁰ docs.
+    * Determinism + parity: the rank is an exact ROW_NUMBER over the
+    * two-column (score, id) key — [[Windows.globalRowNumberOrdered]]
+    * buckets on the score alone and tie-breaks inside each bucket, so the
+    * id never enters any arithmetic and the ordering is exact for the FULL
+    * long id range (negative ids, ids ≥ 2³¹) and any score magnitude. (An
+    * earlier form packed `round(score·10⁴)·2³¹ + id` into one long, which
+    * silently mis-ordered past those ranges — the round-6 advisory; an
+    * external ROW_NUMBER OVER (ORDER BY score, id) lands identically.)
+    * Bucket = floor((rank−1)·B / n): exact below 2⁵³/B docs; the long rank
+    * itself never overflows.
     *
     * Scale shape: the global rank is the COMPOSED form (bucketed
     * row_number + offsets — no single-partition window,
-    * [[graft.operators.Windows.globalRowNumberComposed]]); the in-stage
+    * [[graft.operators.Windows.globalRowNumberOrdered]]); the in-stage
     * shuffle windows partition by bucket (≈ n/B rows each — raise
     * numBuckets if a stage outgrows one task's sort); the doc count is a
     * 1-row broadcast. */
@@ -215,12 +220,9 @@ object Packing {
     // 5.8 s -> ~2.9 s isolated at sf0.1 (the remaining cost is the single
     // materialization of the scoring DAG itself), results bit-identical
     // (the dupClusters lesson)
-    val packed = scored.withColumn("__key",
-      round(col(scoreCol) * 10000).cast("long") * 2147483648L +
-        col(idCol).cast("long"))
-      .localCheckpoint()
-    val ranked = graft.operators.Windows
-      .globalRowNumberComposed(packed, "__key", "difficulty_rank")
+    val packed = scored.localCheckpoint()
+    val ranked = graft.operators.Windows.globalRowNumberOrdered(packed,
+      col(scoreCol), Seq(col(scoreCol), col(idCol)), "difficulty_rank")
     val n = packed.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bucket",
@@ -228,7 +230,7 @@ object Packing {
           col("__n").cast("double")).cast("int"))
       .withColumn("pos_in_bucket", row_number().over(
         Window.partitionBy("bucket").orderBy(mix2(col(idCol)), col(idCol))))
-      .drop("__key", "__n")
+      .drop("__n")
   }
 
   /** Deterministic corpus shuffle — the seeded training-order permutation
@@ -241,18 +243,20 @@ object Packing {
     * shuffle key = [[mix2]](id·131 + seed) — an engine-portable LCG
     * bijection of [0, 2^31), so distinct small ids collide only past 2^31
     * and the SQL oracle replays the key exactly; ties (possible only via
-    * mod-collision) break by id. Position = the composed bucket+offset
-    * global row number ([[Windows.globalRowNumberComposed]]) — no
-    * single-partition sort; mix2's output is uniform on [0, 2^31), so the
-    * range buckets balance regardless of input id distribution. Emits the
-    * id column plus `shuffle_pos` (1-based). */
+    * mod-collision) break by id, as the SECOND column of the composite
+    * rank order, never packed into the key — so ids of any sign/magnitude
+    * position exactly (the curriculum-key lesson). Position = the composed
+    * bucket+offset global row number ([[Windows.globalRowNumberOrdered]])
+    * — no single-partition sort; mix2's output is uniform on [0, 2^31), so
+    * the range buckets balance regardless of input id distribution. Emits
+    * the id column plus `shuffle_pos` (1-based). */
   def deterministicShuffle(df: DataFrame, idCol: Column,
                            seed: Long = 42L): DataFrame = {
     val outIdName = df.select(idCol).columns.head
     val keyed = df.select(idCol.as(outIdName))
-      .withColumn("__shufkey",
-        mix2(idCol * lit(131L) + lit(seed)) * lit(2147483648L) + idCol.cast("long"))
-    Windows.globalRowNumberComposed(keyed, "__shufkey", "shuffle_pos")
+      .withColumn("__shufkey", mix2(idCol * lit(131L) + lit(seed)))
+    Windows.globalRowNumberOrdered(keyed, col("__shufkey"),
+        Seq(col("__shufkey"), col(outIdName)), "shuffle_pos", rankAsLong = false)
       .select(col(outIdName), col("shuffle_pos"))
   }
 

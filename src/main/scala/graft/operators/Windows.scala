@@ -59,16 +59,42 @@ object Windows {
     * raise `buckets` or pre-transform the key if one bucket dominates. */
   def globalRowNumberComposed(df: DataFrame, keyCol: String,
                               alias: String = "entry_no",
-                              buckets: Int = 64): DataFrame = {
+                              buckets: Int = 64): DataFrame =
+    globalRowNumberOrdered(df, col(keyCol), Seq(col(keyCol)), alias, buckets,
+      rankAsLong = false)
+
+  /** [[globalRowNumberComposed]] generalized to a COMPOSITE ordering:
+    * consecutive global row number in `orderCols` lexicographic order,
+    * bucketed on `bucketKey` — which must be an order-prefix of
+    * `orderCols` (the first order column, or a monotonic function of it),
+    * so that bucket order IS order-column order and the bucket+offset
+    * composition stays exact. The tie-break columns never enter the
+    * bucketing arithmetic, so arbitrary-range keys (negative ids, ids
+    * ≥ 2³¹, the full long range) order EXACTLY — this is the form
+    * iterative rank consumers should use instead of arithmetic key packing
+    * (a packed `score·C + id` long silently mis-orders once id or score
+    * outgrows its allotted bits — the round-6 curriculum-key defect).
+    *
+    * `rankAsLong = true` (the default here) emits a LONG rank — a corpus
+    * past 2³¹ rows overflows an int rank; the int form is kept only for
+    * the [[globalRowNumberComposed]] callers whose oracle contract pins
+    * int. Same scale shape: one bounded B-way hash shuffle, a B-row
+    * count collect, never a SinglePartition exchange. */
+  def globalRowNumberOrdered(df: DataFrame, bucketKey: Column,
+                             orderCols: Seq[Column],
+                             alias: String = "entry_no",
+                             buckets: Int = 64,
+                             rankAsLong: Boolean = true): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val bounds = df.agg(min(col(keyCol)).cast("double").as("lo"),
-      max(col(keyCol)).cast("double").as("hi")).collect()(0)
+    val rankType = if (rankAsLong) "long" else "int"
+    val bounds = df.agg(min(bucketKey).cast("double").as("lo"),
+      max(bucketKey).cast("double").as("hi")).collect()(0)
     if (bounds.isNullAt(0)) // empty input (or all-null keys): nothing to number
-      return df.withColumn(alias, lit(null).cast("int"))
+      return df.withColumn(alias, lit(null).cast(rankType))
     val lo = bounds.getDouble(0)
     val span = bounds.getDouble(1) - lo + 1.0
     val bucketed = df.withColumn("__bkt",
-      least(floor((col(keyCol).cast("double") - lit(lo)) * buckets / span).cast("int"),
+      least(floor((bucketKey.cast("double") - lit(lo)) * buckets / span).cast("int"),
         lit(buckets - 1)))
     val counts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -79,9 +105,9 @@ object Windows {
     val offDf = (0 until buckets).map(b => (b, offsets(b))).toDF("__bkt", "__off")
     bucketed
       .withColumn("__lrn",
-        row_number().over(Window.partitionBy("__bkt").orderBy(col(keyCol))))
+        row_number().over(Window.partitionBy("__bkt").orderBy(orderCols: _*)))
       .join(broadcast(offDf), "__bkt")
-      .withColumn(alias, (col("__off") + col("__lrn")).cast("int"))
+      .withColumn(alias, (col("__off") + col("__lrn")).cast(rankType))
       .drop("__bkt", "__off", "__lrn")
   }
 

@@ -40,6 +40,20 @@ class ClassifySpec extends SparkSpec {
     assert(got(5)._4 === 0.0 && got(5)._3 === false && got(5)._5 === true)
   }
 
+  test("naiveBayes: broadcastVocab=false shuffle-join path is bit-identical") {
+    // the 10⁸-type-vocab escape hatch (round-6 advisory): same arithmetic,
+    // only the scoring join's physical strategy changes
+    val docs = Seq(
+      (1L, "spam spam offer", true), (2L, "hello world friend", false),
+      (3L, "spam offer hello", true), (4L, "zzz hello friend", false),
+      (5L, "", true)
+    ).toDF("doc_id", "text", "y")
+    def run(bc: Boolean) = Classify.naiveBayes(docs, "doc_id", "text", "y",
+        col("doc_id") <= 2, broadcastVocab = bc).orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Double, Boolean)].collect().toSeq
+    assert(run(false) === run(true))
+  }
+
   test("naiveBayes: unbalanced priors decide the empty doc") {
     // 2 positive vs 1 negative training doc -> prior ln(2) > 0
     val docs = Seq(

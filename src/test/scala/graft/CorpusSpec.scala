@@ -105,10 +105,10 @@ class CorpusSpec extends SparkSpec {
       .toDF("doc_id", "score")
     val got = Packing.curriculumOrder(scored, "doc_id", "score", numBuckets = 10)
       .select("doc_id", "difficulty_rank", "bucket", "pos_in_bucket")
-      .as[(Long, Int, Int, Int)].collect().toSeq
+      .as[(Long, Long, Int, Int)].collect().toSeq
     assert(got.size === 97)
     // ranks are a permutation and ordered by (score, id)
-    assert(got.map(_._2).sorted === (1 to 97))
+    assert(got.map(_._2).sorted === (1L to 97L))
     val byBucket = got.groupBy(_._3)
     // 10 stages, sizes differ by at most 1 (equal-population cut)
     assert(byBucket.keySet === (0 until 10).toSet)
@@ -126,7 +126,7 @@ class CorpusSpec extends SparkSpec {
     // identical table
     val again = Packing.curriculumOrder(scored.repartition(7), "doc_id", "score", 10)
       .select("doc_id", "difficulty_rank", "bucket", "pos_in_bucket")
-      .as[(Long, Int, Int, Int)].collect().toSeq
+      .as[(Long, Long, Int, Int)].collect().toSeq
     assert(again.sortBy(_._1) === got.sortBy(_._1))
   }
 

@@ -381,18 +381,40 @@ object GraftProperties extends Properties("graft") {
         .map { case (s, i) => (i.toLong, s / 100.0) }.toDF("id", "score")
       val got = graft.operators.Packing.curriculumOrder(df, "id", "score", b)
         .select("id", "difficulty_rank", "bucket", "pos_in_bucket")
-        .as[(Long, Int, Int, Int)].collect().toSeq
+        .as[(Long, Long, Int, Int)].collect().toSeq
       val n = got.size
       val byB = got.groupBy(_._3)
       val contiguous = byB.keys.toSeq.sorted.sliding(2).forall {
         case Seq(x, y) => byB(x).map(_._2).max < byB(y).map(_._2).min
         case _ => true
       }
-      got.map(_._2).sorted == (1 to n) &&
+      got.map(_._2).sorted == (1L to n.toLong) &&
         byB.keySet == (0 until b).toSet &&
         (byB.values.map(_.size).max - byB.values.map(_.size).min) <= 1 &&
         contiguous &&
         byB.values.forall(g => g.map(_._4).sorted == (1 to g.size))
+    }
+
+  // the round-6 advisory's adversarial case: ids spanning the FULL long
+  // range (negative, ≥ 2³¹, near ±2⁶³) and scores far beyond ±4.3e5 — the
+  // ranges where the retired packed `round(score·1e4)·2³¹ + id` key
+  // silently mis-ordered. difficulty_rank must equal a driver-side
+  // ROW_NUMBER over (score, id) exactly.
+  property("curriculumOrder ranks exactly by (score, id) for full-long-range ids and huge scores") =
+    Prop.forAll(
+        Gen.listOfN(30, Gen.zip(
+          Gen.oneOf(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+            Gen.oneOf(Long.MinValue, -2147483649L, -1L, 0L, 2147483648L, Long.MaxValue)),
+          Gen.oneOf(Gen.chooseNum(-1e12, 1e12), Gen.chooseNum(-500.0, 500.0))))) { rows =>
+      // + 0.0 normalizes any -0.0 (Spark sorts -0.0 == 0.0; TotalOrdering
+      // would not) — the operator's own score convention
+      val distinctRows = rows.distinctBy(_._1).map { case (id, s) => (id, s + 0.0) }
+      val df = distinctRows.toDF("id", "score")
+      val got = graft.operators.Packing.curriculumOrder(df, "id", "score", 4)
+        .select("id", "difficulty_rank").as[(Long, Long)].collect().toMap
+      val expected = distinctRows.sortBy { case (id, s) => (s, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      got == expected
     }
 
   property("spanCorrupt conserves the token multiset for arbitrary token streams") =
