@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Growing-index scaling measurement for the incremental trio — the one
+  * 100 TB axis the per-round fixtures deliberately do NOT measure (they pin
+  * the seen index to a fixed doc slice at every SF, so every committed
+  * curve measures the BATCH side only; production cost is batch-vs-INDEX):
+  *
+  *   - q129's [[graft.operators.Curate.funnelIncrementalPersisted]]
+  *   - q132's [[graft.operators.Dedup.fuzzyDedupIncremental]]
+  *   - q134's [[graft.operators.Dedup.repeatedSpansIncremental]]
+  *
+  * A FIXED batch is curated against seen corpora at 1x / 5x / 25x, built by
+  * GenScale-style key-shifted token-suffixed replication (cross-copy
+  * disjoint — a k× corpus behaves like a k×-larger world, not k stacked
+  * clones). Every index is built ONCE per scale, repartitioned on its probe
+  * key, and localCheckpoint'd (the persisted-bucketed-table stand-in:
+  * checkpointed plans keep their outputPartitioning, so per-batch probes
+  * reuse the stored layout instead of re-exchanging the index); index
+  * BUILD time is reported separately from per-batch CURATION time — the
+  * build amortizes over every future batch, the curation cost is the daily
+  * bill. The §2.9 watermark contract (incremental cost must not depend on
+  * history size) predicts flat-to-logarithmic batch cost in index size.
+  *
+  * Usage: runMain graft.BenchIndexScale [sfDir] [runs]
+  * Emits one JSON line per (operator, scale) with build/median-batch
+  * seconds, then a summary table on stderr-free stdout.
+  */
+object BenchIndexScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.scratchDir())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Curate, Dedup}
+
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    // fixed batch: the TOP id slice (≈10% of the base corpus), shifted out
+    // of every replica's id range
+    val batchN = math.max(50L, nDocs / 10)
+    val batch3 = docs.filter(col("doc_id") >= nDocs - batchN)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"), col("lang"))
+      .localCheckpoint()
+    val batch2 = batch3.select("doc_id", "text").localCheckpoint()
+    val seenBase = docs.filter(col("doc_id") < nDocs - batchN)
+
+    /** k key-shifted token-suffixed copies of the seen base (GenScale's
+      * documents rule): within-copy duplicate structure preserved,
+      * cross-copy shingles/fingerprints disjoint. */
+    def seenAt(k: Int): DataFrame =
+      (0 until k).map { c =>
+        val shifted = seenBase.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          col("text"), col("lang"))
+        if (c == 0) shifted
+        else shifted.withColumn("text",
+          array_join(transform(split(col("text"), " "), t => concat(t, lit(s"_$c"))), " "))
+      }.reduce(_ unionByName _)
+
+    def time[A](body: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = body
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+
+    val stopwords = graft.analytics.TextQueries.Stopwords
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double, Double)]
+
+    for (k <- Seq(1, 5, 25)) {
+      val seen = seenAt(k).localCheckpoint()
+      val seenSize = seen.count()
+
+      // --- q129 funnel: index build once (materialized = probe-keyed
+      // checkpoint), then per-batch curation wall ---
+      val (bIdx, idx) = time {
+        Curate.buildIndex(seen, "doc_id", "text", "lang", stopwords,
+          evalPred = col("doc_id") % 50 === 0).materialized()
+      }
+      val funnelSecs = (1 to runs).map { _ =>
+        time(Curate.funnelIncrementalPersisted(batch3, "doc_id", "text", "lang",
+          stopwords, idx).funnel.counts.collect())._1
+      }
+      rows += (("funnelIncremental", k, seenSize, bIdx, median(funnelSecs)))
+
+      // --- q132 fuzzy dedup: banded index built once, probe-keyed ---
+      val (bBand, banded) = time {
+        Dedup.bandedSignatures(seen.select("doc_id", "text"), "doc_id", "text")
+          .repartition(col("band"), col("bucket")).localCheckpoint()
+      }
+      val seenDocs = seen.select("doc_id", "text").localCheckpoint()
+      val fuzzySecs = (1 to runs).map { _ =>
+        time(Dedup.fuzzyDedupIncremental(batch2, seenDocs, banded,
+          "doc_id", "text").count())._1
+      }
+      rows += (("fuzzyDedupIncremental", k, seenSize, bBand, median(fuzzySecs)))
+
+      // --- q134 repeated spans: gram-hash index built once, probe-keyed ---
+      val (bSpan, spanIdx) = time {
+        Dedup.buildRepeatedSpanIndex(seen, "doc_id", "text")
+          .repartition(col("gh1"), col("gh2")).localCheckpoint()
+      }
+      val spanSecs = (1 to runs).map { _ =>
+        time(Dedup.repeatedSpansIncremental(batch2, spanIdx, "doc_id", "text")
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("repeatedSpansIncremental", k, seenSize, bSpan, median(spanSecs)))
+    }
+
+    rows.foreach { case (op, k, n, build, batchSec) =>
+      println(f"""{"op":"$op","scale":$k,"seen_docs":$n,"index_build_sec":$build%.3f,"batch_median_sec":$batchSec%.3f,"batch_docs":${batch3.count()},"runs":$runs}""")
+    }
+    spark.stop()
+  }
+}

@@ -28,15 +28,21 @@ object Profile {
     })
 
     val fn = SparkEntry.queries(name)
+    // materialize FULL rows via the physical RDD: a .count() action puts an
+    // Aggregate on top and lets Catalyst eliminate unique-key outer joins
+    // and prune their whole upstream DAGs (q127's span chain measured 59 B
+    // of "shuffle" that way) — toRdd executes the plan exactly as written
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     // warmup
-    fn(spark, sfDir).count()
+    materialize(fn(spark, sfDir))
     println(s"=== formatted plan for $name ===")
     println(fn(spark, sfDir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     (1 to runs).foreach { i =>
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = materialize(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are async; let the stage-completed queue drain
       Thread.sleep(500)

@@ -106,6 +106,42 @@ object CorpusQueries {
         .funnel.counts.orderBy("stage")
     },
 
+    // Streaming/chained incremental curation (the round-6 spec-only
+    // composition, promoted to the oracle gate): two micro-batches through
+    // funnelIncrementalPersisted with the index ADVANCING between them —
+    // batch 2 plants exact clones of BATCH-1 docs and 40-token prefixes of
+    // batch-1 docs, both catchable only via the advanced fingerprint/span
+    // indexes; thresholds and the eval slice stay frozen at the seed index
+    // (the operator's contract). Output = per-batch stage counts; the
+    // oracle replays the full two-batch sequential composition CTE chain.
+    "q137_streaming_curation" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 300).select("doc_id", "text", "lang")
+      val batchA = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select("doc_id", "text", "lang")
+        .unionByName(d.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      val batchB = d.filter(col("doc_id") >= 400).select("doc_id", "text", "lang")
+        .unionByName(d.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang")))
+        .unionByName(d.filter(col("doc_id") >= 320 && col("doc_id") < 330)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 40)).as("text"),
+            col("lang")))
+      val idx0 = Curate.buildIndex(seen, "doc_id", "text", "lang",
+        TextQueries.Stopwords, evalPred = col("doc_id") % 50 === 0)
+        .materialized()
+      val r1 = Curate.funnelIncrementalPersisted(batchA, "doc_id", "text", "lang",
+        TextQueries.Stopwords, idx0)
+      val idx1 = r1.updatedIndex.materialized()
+      val r2 = Curate.funnelIncrementalPersisted(batchB, "doc_id", "text", "lang",
+        TextQueries.Stopwords, idx1)
+      r1.funnel.counts.select(lit(1).as("batch"), col("stage"), col("n_docs"))
+        .unionByName(r2.funnel.counts
+          .select(lit(2).as("batch"), col("stage"), col("n_docs")))
+        .orderBy("batch", "stage")
+    },
+
     // Incremental repeated-substring dedup: batch positions covered iff
     // their anchor gram exists in the SEEN corpus's gram index OR repeats
     // within the batch — union semantics restricted to the batch, corpus
@@ -574,6 +610,55 @@ object CorpusQueries {
       |  FROM nlls GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twins. String literals with newlines use e'...' escapes. */
+  /** One incremental-funnel batch as a DuckDB CTE block (the q129 stage
+    * chain, suffixed `_$k`): exact dedup vs `$fpIdx`, span dedup vs
+    * `$spIdx` ∪ within-batch repeats, the FROZEN `thr` quality floor, and
+    * `evg` decontamination. Emitted without margin bars — interpolated
+    * into stripMargin oracles as-is. q137 chains two of these with the
+    * advanced index CTEs in between. */
+  private def incrBatchCtes(k: String, batch: String, fpIdx: String,
+                            spIdx: String): String =
+    s"""bfp_$k AS (SELECT doc_id, text, lang, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f FROM $batch),
+b1a_$k AS (SELECT doc_id, text, lang, f FROM bfp_$k QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+b1_$k AS (SELECT doc_id, text, lang FROM b1a_$k WHERE f NOT IN (SELECT f FROM $fpIdx)),
+btw_$k AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM b1_$k),
+bsp_$k AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[ci*20+1 : ci*20+20], ' ')) AS p
+  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//20)+1)) AS ci
+        FROM btw_$k WHERE len(w) > 0)),
+bdf_$k AS (SELECT p, count(*) AS n FROM bsp_$k GROUP BY p),
+fr_$k AS (
+  SELECT bsp_$k.doc_id,
+         SUM(CASE WHEN bdf_$k.n >= 2 OR bsp_$k.p IN (SELECT p FROM $spIdx) THEN 1 ELSE 0 END)::DOUBLE
+           / COUNT(*) AS frac
+  FROM bsp_$k JOIN bdf_$k USING (p) GROUP BY bsp_$k.doc_id),
+b2_$k AS (
+  SELECT b1_$k.* FROM b1_$k LEFT JOIN fr_$k USING (doc_id)
+  WHERE fr_$k.frac IS NULL OR fr_$k.frac < 0.5),
+bqt_$k AS (
+  SELECT doc_id, text, lang, length(text) AS n_chars,
+         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS n_punct,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM b2_$k),
+bq_$k AS (
+  SELECT doc_id, text, lang,
+         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+               + (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END)*0.4
+               + (1.0 - ABS(CASE WHEN len(toks) > 0
+                                 THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+                                 ELSE 0.0 END - 0.1))*0.2, 4) AS q
+  FROM bqt_$k),
+b3_$k AS (
+  SELECT doc_id, text, lang FROM bq_$k LEFT JOIN thr USING (lang)
+  WHERE q_min IS NULL OR q >= q_min),
+bg_$k AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [array_to_string(toks, ' ')] END)) AS gram
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks FROM b3_$k)),
+bad_$k AS (SELECT DISTINCT b.id FROM bg_$k b JOIN evg e USING (gram)),
+b4_$k AS (SELECT * FROM b3_$k WHERE doc_id NOT IN (SELECT id FROM bad_$k))"""
+
   def oracleSql: Map[String, String] = Map(
 
     // q134: the q127 chain with the seen-gram index CTE — covered iff
@@ -583,9 +668,21 @@ object CorpusQueries {
         |st AS (
         |  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
         |  FROM seen),
+        |sth AS (
+        |  SELECT list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)) AS t1,
+        |         list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+        |           (acc, x) -> (acc * 131 + x) % 1000000007)) AS t2
+        |  FROM st),
         |sidx AS (
-        |  SELECT DISTINCT array_to_string(w[i.i : i.i + 7], ' ') AS g
-        |  FROM st, unnest(range(1, len(w) - 6)) AS i(i)),
+        |  SELECT DISTINCT
+        |         list_reduce(list_prepend(0::BIGINT, t1[i.i : i.i + 7]),
+        |           (acc, x) -> (acc * 1000003 + x) % 1000000007) AS gh1,
+        |         list_reduce(list_prepend(0::BIGINT, t2[i.i : i.i + 7]),
+        |           (acc, x) -> (acc * 999983 + x) % 1000000007) AS gh2
+        |  FROM sth, unnest(range(1, len(t1) - 6)) AS i(i)),
         |batch AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 350
         |  UNION ALL
@@ -600,14 +697,29 @@ object CorpusQueries {
         |t AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
         |  FROM batch),
-        |g AS (
-        |  SELECT doc_id, i.i - 1 AS p, array_to_string(w[i.i : i.i + 7], ' ') AS g
-        |  FROM t, unnest(range(1, len(w) - 6)) AS i(i)),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS t1,
+        |    list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007)) AS t2
+        |  FROM t),
+        |gh AS (
+        |  SELECT doc_id, i.i - 1 AS p,
+        |         list_reduce(list_prepend(0::BIGINT, t1[i.i : i.i + 7]),
+        |           (acc, x) -> (acc * 1000003 + x) % 1000000007) AS gh1,
+        |         list_reduce(list_prepend(0::BIGINT, t2[i.i : i.i + 7]),
+        |           (acc, x) -> (acc * 999983 + x) % 1000000007) AS gh2
+        |  FROM th, unnest(range(1, len(t1) - 6)) AS i(i)),
         |uniqb AS (
-        |  SELECT g, min(doc_id) AS doc_id, min(p) AS p
-        |  FROM g GROUP BY g HAVING COUNT(*) = 1),
-        |fresh AS (SELECT doc_id, p FROM uniqb WHERE g NOT IN (SELECT g FROM sidx)),
-        |rep AS (SELECT doc_id, p FROM g ANTI JOIN fresh USING (doc_id, p)),
+        |  SELECT gh1, gh2, min(doc_id) AS doc_id, min(p) AS p
+        |  FROM gh GROUP BY gh1, gh2 HAVING COUNT(*) = 1),
+        |fresh AS (
+        |  SELECT doc_id, p FROM uniqb
+        |  ANTI JOIN sidx USING (gh1, gh2)),
+        |rep AS (SELECT doc_id, p FROM gh ANTI JOIN fresh USING (doc_id, p)),
         |cov AS (
         |  SELECT DISTINCT doc_id, p + j.j AS pos
         |  FROM rep, unnest(range(0, 8)) AS j(j)),
@@ -777,6 +889,73 @@ object CorpusQueries {
         |  SELECT doc_id, dup_of, FALSE AS kept FROM dupseen
         |  UNION ALL SELECT doc_id, dup_of, kept FROM within)
         |ORDER BY doc_id""".stripMargin,
+
+    // q137: the q129 chain run TWICE with the index advancing between
+    // batches — the streaming micro-batch composition. Per-batch CTE
+    // blocks come from incrBatchCtes; batch B reads fpidx_b/spidx_b =
+    // batch A's b1-survivor advance; thresholds (thr) and eval grams (evg)
+    // stay frozen at the seed index, exactly the operator's contract.
+    "q137_streaming_curation" ->
+      s"""WITH seen AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 300),
+         |batch_a AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 300 AND doc_id < 400
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id < 15),
+         |batch_b AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text, lang FROM documents WHERE doc_id >= 300 AND doc_id < 320
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |         array_to_string((list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))[1:40], ' '),
+         |         lang
+         |  FROM documents WHERE doc_id >= 320 AND doc_id < 330),
+         |fpidx_a AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f FROM seen),
+         |stw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM seen),
+         |spidx_a AS (
+         |  SELECT DISTINCT md5(array_to_string(w[ci*20+1 : ci*20+20], ' ')) AS p
+         |  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//20)+1)) AS ci
+         |        FROM stw WHERE len(w) > 0)),
+         |sqt AS (
+         |  SELECT doc_id, lang, length(text) AS n_chars,
+         |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')) AS n_punct,
+         |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM seen),
+         |sq AS (
+         |  SELECT doc_id, lang,
+         |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+         |               + (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END)*0.4
+         |               + (1.0 - ABS(CASE WHEN len(toks) > 0
+         |                                 THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+         |                                 ELSE 0.0 END - 0.1))*0.2, 4) AS quality
+         |  FROM sqt),
+         |sr AS (SELECT lang, quality, percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr FROM sq),
+         |thr AS (SELECT lang, MIN(quality) AS q_min FROM sr WHERE pr >= 0.1 GROUP BY lang),
+         |ev AS (SELECT doc_id, text FROM seen WHERE doc_id % 50 = 0),
+         |evg AS (
+         |  SELECT DISTINCT doc_id AS id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks FROM ev)),
+         |${incrBatchCtes("a", "batch_a", "fpidx_a", "spidx_a")},
+         |fpidx_b AS (
+         |  SELECT f FROM fpidx_a
+         |  UNION
+         |  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) FROM b1_a),
+         |spidx_b AS (SELECT p FROM spidx_a UNION SELECT p FROM bsp_a),
+         |${incrBatchCtes("b", "batch_b", "fpidx_b", "spidx_b")}
+         |SELECT * FROM (
+         |  SELECT 1 AS batch, 'b0_input' AS stage, count(*)::BIGINT AS n_docs FROM batch_a
+         |  UNION ALL SELECT 1, 'b1_exact', count(*)::BIGINT FROM b1_a
+         |  UNION ALL SELECT 1, 'b2_span_dedup', count(*)::BIGINT FROM b2_a
+         |  UNION ALL SELECT 1, 'b3_quality', count(*)::BIGINT FROM b3_a
+         |  UNION ALL SELECT 1, 'b4_decontaminated', count(*)::BIGINT FROM b4_a
+         |  UNION ALL SELECT 2, 'b0_input', count(*)::BIGINT FROM batch_b
+         |  UNION ALL SELECT 2, 'b1_exact', count(*)::BIGINT FROM b1_b
+         |  UNION ALL SELECT 2, 'b2_span_dedup', count(*)::BIGINT FROM b2_b
+         |  UNION ALL SELECT 2, 'b3_quality', count(*)::BIGINT FROM b3_b
+         |  UNION ALL SELECT 2, 'b4_decontaminated', count(*)::BIGINT FROM b4_b)
+         |ORDER BY batch, stage""".stripMargin,
 
     // q129: the full incremental funnel in SQL — index CTEs (fingerprints,
     // span set, frozen per-lang quality floor, eval slice) from the seen
@@ -954,13 +1133,26 @@ object CorpusQueries {
          |t AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
          |  FROM raw),
-         |g AS (
-         |  SELECT doc_id, i.i - 1 AS p, array_to_string(w[i.i : i.i + 7], ' ') AS g
-         |  FROM t, unnest(range(1, len(w) - 6)) AS i(i)),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS t1,
+         |    list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+         |      (acc, x) -> (acc * 131 + x) % 1000000007)) AS t2
+         |  FROM t),
+         |gh AS (
+         |  SELECT doc_id, i.i - 1 AS p,
+         |         list_reduce(list_prepend(0::BIGINT, t1[i.i : i.i + 7]),
+         |           (acc, x) -> (acc * 1000003 + x) % 1000000007) AS gh1,
+         |         list_reduce(list_prepend(0::BIGINT, t2[i.i : i.i + 7]),
+         |           (acc, x) -> (acc * 999983 + x) % 1000000007) AS gh2
+         |  FROM th, unnest(range(1, len(t1) - 6)) AS i(i)),
          |uniq AS (
          |  SELECT min(doc_id) AS doc_id, min(p) AS p
-         |  FROM g GROUP BY g HAVING COUNT(*) = 1),
-         |rep AS (SELECT doc_id, p FROM g ANTI JOIN uniq USING (doc_id, p)),
+         |  FROM gh GROUP BY gh1, gh2 HAVING COUNT(*) = 1),
+         |rep AS (SELECT doc_id, p FROM gh ANTI JOIN uniq USING (doc_id, p)),
          |cov AS (
          |  SELECT DISTINCT doc_id, p + j.j AS pos
          |  FROM rep, unnest(range(0, 8)) AS j(j)),

@@ -105,6 +105,17 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
+    // IVF-PQ composition (the FAISS IVFx,PQy serving shape): q42's coarse
+    // cells gate WHICH codes the q54 ADC scan touches — compressed-domain
+    // scan over probed cells only, then exact re-rank. Every stage is the
+    // same deterministic integer arithmetic as its parent query, so the
+    // full composed index build + search is oracle-checked.
+    "q136_ann_ivfpq" -> { (s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), queryVectors(s, dir),
+          "vec_id", "embedding", K)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+
     // embedding-cosine near-dup pairs: exact O(n²) verifier.
     "q44_cosine_dup_exact" -> { (s, dir) =>
       Similarity.cosineDupPairsExact(embeddingsWithClones(s, dir),
@@ -462,6 +473,94 @@ object SimilarityQueries {
          |         ROUND(list_cosine_similarity(q.qv, ca.v), 4) AS score
          |  FROM qassign q JOIN cassign ca USING (cell)
          |  WHERE ca.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, score FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, vec_id) <= $K
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
+    // q136: q42's cell CTEs (mix2-sampled centroids, 4dp-argmax assign,
+    // 6-cell probe) composed with q54's PQ CTEs (integer codebooks, L2
+    // codes, integer ADC tables); the approximate scan is RESTRICTED to
+    // (query, vec) pairs sharing a probed cell, then the exact re-rank.
+    "q136_ann_ivfpq" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hashed AS (
+         |  SELECT vec_id, v,
+         |         (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+         |          * 1103515245 + 12345) % 2147483648 AS h
+         |  FROM emb),
+         |cents AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+         |  FROM hashed
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+         |cassign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+         |    FROM emb e CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |qassign AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT e.vec_id AS query_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+         |    FROM emb e CROSS JOIN cents c
+         |    WHERE e.vec_id % 100 = 0)
+         |  WHERE r <= 6),
+         |qx AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x*10000) AS BIGINT)) AS q FROM emb),
+         |ordered AS (
+         |  SELECT vec_id, q,
+         |         ROW_NUMBER() OVER (ORDER BY
+         |           (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+         |            * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS r
+         |  FROM qx),
+         |n AS (SELECT LEAST(COUNT(*), 512) AS n FROM emb),
+         |cb AS (
+         |  SELECT s.s, j.j, o.q AS cvec
+         |  FROM (SELECT unnest(range(8)) AS s) s,
+         |       (SELECT unnest(range(64)) AS j) j,
+         |       ordered o, n
+         |  WHERE o.r = (j.j * n.n) // 64),
+         |cbx AS (
+         |  SELECT s, j, i.i, cvec[s*8 + i.i + 1] AS cv
+         |  FROM cb, (SELECT unnest(range(8)) AS i) i),
+         |vx AS (
+         |  SELECT vec_id, s.s, i.i, q[s.s*8 + i.i + 1] AS xv
+         |  FROM qx, (SELECT unnest(range(8)) AS s) s, (SELECT unnest(range(8)) AS i) i),
+         |dists AS (
+         |  SELECT v.vec_id, v.s, c.j, SUM((v.xv - c.cv)*(v.xv - c.cv)) AS d
+         |  FROM vx v JOIN cbx c ON v.s = c.s AND v.i = c.i
+         |  GROUP BY v.vec_id, v.s, c.j),
+         |codes AS (
+         |  SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |adc AS (
+         |  SELECT v.vec_id AS query_id, v.s, c.j, SUM(v.xv * c.cv) AS t
+         |  FROM vx v JOIN cbx c ON v.s = c.s AND v.i = c.i
+         |  WHERE v.vec_id % 100 = 0
+         |  GROUP BY v.vec_id, v.s, c.j),
+         |pairs AS (
+         |  SELECT q.query_id, ca.vec_id
+         |  FROM qassign q JOIN cassign ca USING (cell)
+         |  WHERE ca.vec_id <> q.query_id),
+         |approx AS (
+         |  SELECT p.query_id, p.vec_id, SUM(a.t) AS ascore
+         |  FROM pairs p
+         |  JOIN codes co ON co.vec_id = p.vec_id
+         |  JOIN adc a ON a.query_id = p.query_id AND a.s = co.s AND a.j = co.code
+         |  GROUP BY p.query_id, p.vec_id),
+         |cands AS (
+         |  SELECT query_id, vec_id FROM approx
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                             ORDER BY ascore DESC, vec_id) <= 160),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ROUND(list_cosine_similarity(q.v, e.v), 4) AS score
+         |  FROM cands c
+         |  JOIN emb q ON q.vec_id = c.query_id
+         |  JOIN emb e ON e.vec_id = c.vec_id)
          |SELECT query_id, vec_id, score FROM scored
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
          |                           ORDER BY score DESC, vec_id) <= $K

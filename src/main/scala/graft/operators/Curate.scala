@@ -147,10 +147,16 @@ object Curate {
     /** Eagerly materialize every index frame (localCheckpoint) — the
       * single-session stand-in for the persisted tables a production run
       * reads; without it every downstream stage re-derives the index from
-      * the corpus scan. */
+      * the corpus scan. The two hash-keyed frames are REPARTITIONED ON
+      * THEIR PROBE KEYS first: a checkpointed plan keeps its
+      * outputPartitioning, so every batch's anti-join reuses the stored
+      * layout instead of re-exchanging the (corpus-sized) index per batch
+      * — the bucketed-table layout a production deployment stores, and
+      * what keeps per-batch probe cost from growing an index-shuffle term
+      * (BENCH_INDEXSCALE measures the curve). */
     def materialized(): CurationIndex = copy(
-      fingerprints = fingerprints.localCheckpoint(),
-      spanSet = spanSet.localCheckpoint(),
+      fingerprints = fingerprints.repartition(col("fingerprint")).localCheckpoint(),
+      spanSet = spanSet.repartition(col("fp")).localCheckpoint(),
       thresholds = thresholds.localCheckpoint(),
       evalDocs = evalDocs.localCheckpoint())
   }

@@ -845,26 +845,80 @@ object Dedup {
     * gram has exactly one occurrence, recoverable inside the count
     * aggregate as min(id, pos); repeated occurrences are then
     * `grams ANTI-JOIN unique-occurrences` keyed on (id, pos) — a uniform
-    * key, and the gram string itself never shuffles again (the anti-join
-    * ships 2 longs per row). The count aggregate partial-merges map-side;
-    * interval merging windows per doc (bounded by one doc's length). At
-    * 100 TB the gram-count table keys on ~`minLen`·word-width strings —
-    * fold to a 128-bit hash pair to narrow that exchange if profiling
-    * demands (both engines would collide identically; collisions only ever
-    * ADD coverage). */
+    * key, and the gram itself never shuffles again (the anti-join ships 2
+    * longs per row). The count aggregate partial-merges map-side; interval
+    * merging windows per doc (bounded by one doc's length). The aggregate
+    * keys on the [[anchorGrams]] HASH PAIR (16 bytes) rather than the
+    * ~`minLen`·word-width gram string — the exchange-narrowing fold the
+    * 100 TB profile demands, with collisions only ever ADDING coverage,
+    * identically in the replaying oracle. */
+  /** Anchor-gram frame shared by the repeated-span operators:
+    * (idCol, p, gh1, gh2) — each `minLen`-token window keyed by TWO
+    * independent polynomial hashes of the gram string (bases 31 and 131
+    * mod 1e9+7 — [[polyTok]] per token, then an 8-long fold per gram). The
+    * hash pair is what the count aggregate exchanges and the index stores:
+    * 16 fixed bytes instead of a ~`minLen`·word-width string (Profile on
+    * q127 at sf0.1: 14.84 MB → 11.39 MB total shuffle write at equal wall
+    * time; the fixture's tokens are short — production web text widens the
+    * string key and the gap several-fold, and the STORED q134 index
+    * shrinks the same way). A pair collision between distinct grams
+    * (~2⁻⁶⁰) can only MERGE two anchor groups — repeated-ness is a
+    * count ≥ 2 test, so a collision only ever ADDS coverage, and both
+    * engines (the oracle replays the identical fold) collide identically.
+    * `hashGrams = false` keeps the raw-string key (the A/B measurement
+    * path). */
+  /** Polynomial hash of ONE token as a Column fold — the lambda-level twin
+    * of [[graft.functions.PortableHash.polySql]] (same recurrence, same
+    * codepoint basis), usable inside a `transform` where polySql's
+    * string-named expr cannot reach the bound variable. */
+  private def polyTok(t: Column, base: Long): Column =
+    aggregate(sequence(lit(1), length(t)), lit(0L),
+      (acc, i) => (acc * lit(base) + ascii(t.substr(i, lit(1))))
+        % lit(graft.functions.PortableHash.PolyMod))
+
+  private def anchorGrams(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int, hashGrams: Boolean): DataFrame = {
+    if (!hashGrams) {
+      // raw-string keys (the A/B measurement path): bind the tokenization
+      // once per row (the shingles lesson); docs with fewer than minLen
+      // tokens contribute NO anchor grams
+      val gramArr = element_at(transform(array(Text.tokens(col(textCol))), toks =>
+        when(size(toks) >= minLen,
+          transform(sequence(lit(0), size(toks) - minLen),
+            i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
+          .otherwise(expr("cast(array() as array<string>)"))), 1)
+      return df.select(col(idCol), posexplode(gramArr).as(Seq("p", "g")))
+        .select(col(idCol), col("p"), col("g").as("gh1"), lit(0L).as("gh2"))
+    }
+    // hash TOKENS once each (two independent poly bases), PROJECTED so the
+    // arrays are attributes (the q98 lesson: a computed array referenced
+    // inside a later lambda re-evaluates per reference; a projected column
+    // materializes once) — then each gram hash is an 8-long fold over the
+    // slice, never a per-gram char scan (a first cut hashed the gram
+    // STRING per gram: 2× the char work × minLen re-reads, measured 10.0 s
+    // vs this form's 4.5 s on the q127 fixture at sf0.1 — the string-key
+    // path's own wall time, with 23% less shuffle write)
+    val tokHashed = df.select(col(idCol),
+      transform(Text.tokens(col(textCol)), t => polyTok(t, 31L)).as("__t1"),
+      transform(Text.tokens(col(textCol)), t => polyTok(t, 131L)).as("__t2"))
+    val n = size(col("__t1"))
+    val gramPairs = when(n >= minLen,
+      transform(sequence(lit(0), n - minLen), i => struct(
+        aggregate(slice(col("__t1"), i + 1, lit(minLen)), lit(0L),
+          (acc, x) => (acc * 1000003L + x) % 1000000007L).as("gh1"),
+        aggregate(slice(col("__t2"), i + 1, lit(minLen)), lit(0L),
+          (acc, x) => (acc * 999983L + x) % 1000000007L).as("gh2"))))
+      .otherwise(expr("cast(array() as array<struct<gh1:bigint,gh2:bigint>>)"))
+    tokHashed.select(col(idCol), posexplode(gramPairs).as(Seq("p", "g")))
+      .select(col(idCol), col("p"), col("g.gh1").as("gh1"), col("g.gh2").as("gh2"))
+  }
+
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    minLen: Int = 8): DataFrame = {
-    // bind the tokenization once per row (the shingles lesson); docs with
-    // fewer than minLen tokens contribute NO anchor grams
-    val gramArr = element_at(transform(array(Text.tokens(col(textCol))), toks =>
-      when(size(toks) >= minLen,
-        transform(sequence(lit(0), size(toks) - minLen),
-          i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
-        .otherwise(expr("cast(array() as array<string>)"))), 1)
-    val grams = df.select(col(idCol), posexplode(gramArr).as(Seq("p", "g")))
+                    minLen: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    val grams = anchorGrams(df, idCol, textCol, minLen, hashGrams)
     // unique grams (corpus count == 1) carry their single occurrence out of
     // the aggregate itself — no gram-keyed join anywhere
-    val uniqOcc = grams.groupBy("g")
+    val uniqOcc = grams.groupBy("gh1", "gh2")
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("p"))).as("__o"))
       .filter(col("__c") === 1)
@@ -911,21 +965,19 @@ object Dedup {
   }
 
   /** The `minLen`-gram existence index [[repeatedSpansIncremental]] probes:
-    * distinct anchor grams of the seen corpus, column `gram`. Existence is
-    * all the incremental check needs (for a batch position, union-count
-    * ≥ 2 ⇔ gram ∈ seen ∨ batch-count ≥ 2 — the q129 span-stage identity at
-    * gram-with-position granularity). At 100 TB fold the gram string to a
-    * 128-bit hash pair to narrow the stored index (collisions only ever
-    * ADD coverage, identically in any replaying engine). */
+    * distinct anchor-gram HASH PAIRS of the seen corpus, columns
+    * (gh1, gh2) — 16 bytes per entry instead of the gram string (the
+    * round-6 scaladoc's own 100 TB note, now the implementation: the
+    * stored index and every probe exchange narrow identically; a pair
+    * collision only ever ADDS coverage, and the replaying oracle collides
+    * identically). Existence is all the incremental check needs (for a
+    * batch position, union-count ≥ 2 ⇔ gram ∈ seen ∨ batch-count ≥ 2 — the
+    * q129 span-stage identity at gram-with-position granularity). */
   def buildRepeatedSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
-                             minLen: Int = 8): DataFrame =
-    corpus.select(explode_outer(element_at(transform(
-        array(Text.tokens(col(textCol))), toks =>
-          when(size(toks) >= minLen,
-            transform(sequence(lit(0), size(toks) - minLen),
-              i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
-            .otherwise(expr("cast(array() as array<string>)"))), 1)).as("gram"))
-      .filter(col("gram").isNotNull)
+                             minLen: Int = 8,
+                             hashGrams: Boolean = true): DataFrame =
+    anchorGrams(corpus, idCol, textCol, minLen, hashGrams)
+      .select("gh1", "gh2")
       .distinct()
 
   /** Incremental [[repeatedSpans]] — the substring member of the
@@ -944,21 +996,18 @@ object Dedup {
     * `index.union(buildRepeatedSpanIndex(batchSurvivors)).distinct`. */
   def repeatedSpansIncremental(batch: DataFrame, seenGrams: DataFrame,
                                idCol: String, textCol: String,
-                               minLen: Int = 8): DataFrame = {
-    val gramArr = element_at(transform(array(Text.tokens(col(textCol))), toks =>
-      when(size(toks) >= minLen,
-        transform(sequence(lit(0), size(toks) - minLen),
-          i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
-        .otherwise(expr("cast(array() as array<string>)"))), 1)
-    val grams = batch.select(col(idCol), posexplode(gramArr).as(Seq("p", "g")))
-    val uniqInBatch = grams.groupBy("g")
+                               minLen: Int = 8,
+                               hashGrams: Boolean = true): DataFrame = {
+    val grams = anchorGrams(batch, idCol, textCol, minLen, hashGrams)
+    val uniqInBatch = grams.groupBy("gh1", "gh2")
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("p"))).as("__o"))
       .filter(col("__c") === 1)
     // unique-in-batch AND unseen = the NON-repeated occurrences; both join
-    // sides are gram-unique, so no hot gram can funnel a partition
+    // sides are gram-unique (hash-pair-unique), so no hot gram can funnel
+    // a partition — and the anti-join ships 16-byte keys, not gram strings
     val fresh = uniqInBatch
-      .join(seenGrams.select(col("gram").as("g")), Seq("g"), "left_anti")
+      .join(seenGrams.select(col("gh1"), col("gh2")), Seq("gh1", "gh2"), "left_anti")
       .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
     val rep = grams.select(col(idCol), col("p"))
       .join(fresh, Seq(idCol, "p"), "left_anti")

@@ -403,6 +403,109 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** Integer quantization at 1e-4 (exact in double, exact in the oracle's
+    * int64 — and far below PQ's own quantization error), optionally after
+    * unit-norm scaling. Shared by the PQ family. */
+  private[operators] def pqQuantize(v0: Array[Double], normalize: Boolean): Array[Double] = {
+    val v = if (!normalize) v0 else {
+      var s = 0.0; var i = 0
+      while (i < v0.length) { s += v0(i) * v0(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n > 0) v0.map(_ / n) else v0
+    }
+    v.map(x => math.round(x * 10000.0).toDouble)
+  }
+
+  private[operators] def pqL2(a: Array[Double], off: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = a(off + i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** PQ codebook training — driver-side, on a deterministic mix2-hash-
+    * ordered sample (codebook training is small-data by design; at scale
+    * the SAMPLE, not the corpus, comes to the driver). Returns
+    * (codebooks(m)(codebookSize)(sub), sub): stride-sampled codewords,
+    * optionally Lloyd-refined per subspace. Shared by [[pqTopK]] and
+    * [[ivfPqTopK]]. */
+  private[operators] def pqCodebooks(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, codebookSize: Int, sampleN: Int,
+      trainIters: Int = 0, normalize: Boolean = false): (Array[Array[Array[Double]]], Int) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(Packing.mix2(col(idCol)), col(idCol))
+      .limit(sampleN)
+      .as[(Long, Seq[Double])].collect().map(r => pqQuantize(r._2.toArray, normalize))
+    require(sample.nonEmpty, "corpus too small to train PQ codebooks")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val off = s * sub
+      var cents = Array.tabulate(math.min(codebookSize, sample.length)) { j =>
+        java.util.Arrays.copyOfRange(sample(j * sample.length / math.min(codebookSize, sample.length)), off, off + sub)
+      }
+      for (_ <- 0 until trainIters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Int](cents.length)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < cents.length) {
+            val d = pqL2(v, off, cents(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (c, j) =>
+          if (counts(j) == 0) c else sums(j).map(_ / counts(j))
+        }
+      }
+      cents
+    }
+    (codebooks, sub)
+  }
+
+  /** Per-query ADC lookup tables: built DISTRIBUTED (each query partition
+    * dots its vectors against the broadcast codebooks); only the finished
+    * tables — m × codebookSize doubles each, ~1 KB at the defaults, never
+    * the raw vectors — come back for the scan broadcast. Every
+    * candidate×query scan needs every table, so the query-set size is the
+    * broadcast bound: `maxQueries` × 1 KB, require'd rather than
+    * discovered as an OOM. Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private[operators] def pqAdcTables(queries: DataFrame, idCol: String,
+      vecCol: String, bcCodebooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+      m: Int, sub: Int, maxQueries: Int,
+      normalize: Boolean): Array[(Long, Array[Array[Double]])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val ds = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val cb = bcCodebooks.value
+        rows.map { case (qid, qSeq) =>
+          val q = pqQuantize(qSeq.toArray, normalize)
+          val table: Seq[Seq[Double]] = (0 until m).map { s =>
+            val off = s * sub
+            cb(s).toSeq.map { c =>
+              var d = 0.0; var i = 0
+              while (i < sub) { d += q(off + i) * c(i); i += 1 }
+              d
+            }
+          }
+          (qid, table)
+        }
+      }
+    val collected = ds.take(maxQueries + 1)
+    require(collected.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries: PQ/ADC broadcasts one table " +
+        "per query; batch the query set or raise maxQueries deliberately")
+    collected.map { case (qid, t) => (qid, t.map(_.toArray).toArray) }
+  }
+
   /** Product-Quantization ANN (asymmetric distance computation): the
     * compressed-domain scan for corpora where raw vectors don't fit the
     * cluster's memory budget.
@@ -453,61 +556,8 @@ object Similarity {
              normalize: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // integer quantization at 1e-4: exact in double, exact in the oracle's
-    // int64 — and 1e-4 is far below PQ's own quantization error
-    def quantize(v0: Array[Double]): Array[Double] = {
-      val v = if (!normalize) v0 else {
-        var s = 0.0; var i = 0
-        while (i < v0.length) { s += v0(i) * v0(i); i += 1 }
-        val n = math.sqrt(s)
-        if (n > 0) v0.map(_ / n) else v0
-      }
-      v.map(x => math.round(x * 10000.0).toDouble)
-    }
-
-    // --- train: driver-side codebooks per subspace on a deterministic
-    // hash-ordered sample (codebook training is small-data by design; at
-    // scale the sample, not the corpus, comes to the driver) ---
-    val sample: Array[Array[Double]] = corpus
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .orderBy(Packing.mix2(col(idCol)), col(idCol))
-      .limit(sampleN)
-      .as[(Long, Seq[Double])].collect().map(r => quantize(r._2.toArray))
-    require(sample.nonEmpty, "corpus too small to train PQ codebooks")
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-
-    def l2(a: Array[Double], off: Int, c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { val d = a(off + i) - c(i); s += d * d; i += 1 }
-      s
-    }
-    // codebooks(m)(codebookSize)(sub): deterministic init from the sample,
-    // refined with Lloyd sweeps per subspace
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val off = s * sub
-      var cents = Array.tabulate(math.min(codebookSize, sample.length)) { j =>
-        java.util.Arrays.copyOfRange(sample(j * sample.length / math.min(codebookSize, sample.length)), off, off + sub)
-      }
-      for (_ <- 0 until trainIters) {
-        val sums = Array.fill(cents.length)(new Array[Double](sub))
-        val counts = new Array[Int](cents.length)
-        sample.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue; var j = 0
-          while (j < cents.length) {
-            val d = l2(v, off, cents(j)); if (d < bestD) { bestD = d; best = j }; j += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < sub) { sums(best)(i) += v(off + i); i += 1 }
-        }
-        cents = cents.zipWithIndex.map { case (c, j) =>
-          if (counts(j) == 0) c else sums(j).map(_ / counts(j))
-        }
-      }
-      cents
-    }
+    val (codebooks, sub) = pqCodebooks(corpus, idCol, vecCol, m, codebookSize,
+      sampleN, trainIters, normalize)
     val bcCodebooks = spark.sparkContext.broadcast(codebooks)
 
     // --- encode: corpus → m byte codes (one broadcast pass, no shuffle) ---
@@ -517,14 +567,14 @@ object Similarity {
       .mapPartitions { rows =>
         val cb = bcCodebooks.value
         rows.map { case (id, vSeq) =>
-          val v = quantize(vSeq.toArray)
+          val v = pqQuantize(vSeq.toArray, normalize)
           val code = new Array[Byte](m)
           var s = 0
           while (s < m) {
             val off = s * sub
             var best = 0; var bestD = Double.MaxValue; var j = 0
             while (j < cb(s).length) {
-              val d = l2(v, off, cb(s)(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+              val d = pqL2(v, off, cb(s)(j)); if (d < bestD) { bestD = d; best = j }; j += 1
             }
             code(s) = best.toByte
             s += 1
@@ -533,42 +583,12 @@ object Similarity {
         }
       }.toDF("vec_id", "code")
 
-    // --- scan: ADC lookup tables per query, m lookups per candidate.
-    // Tables are built DISTRIBUTED (each query partition dots its vectors
-    // against the broadcast codebooks); only the finished tables — m ×
-    // codebookSize doubles each, ~1 KB at the defaults, never the raw
-    // vectors — come back for the scan broadcast. Every candidate×query
-    // scan needs every table, so the query-set size is the broadcast bound:
-    // maxQueries × 1 KB of driver/executor memory, require'd rather than
-    // discovered as an OOM (this operator is the ANN-serving shape — a
-    // corpus-sized "query set" belongs in cosineDupPairs instead). ---
-    val qTableRows: Array[(Long, Seq[Seq[Double]])] = {
-      val ds = queries.select(col(idCol).cast("long").as("query_id"),
-          col(vecCol).cast("array<double>").as("qv"))
-        .as[(Long, Seq[Double])]
-        .mapPartitions { rows =>
-          val cb = bcCodebooks.value
-          rows.map { case (qid, qSeq) =>
-            val q = quantize(qSeq.toArray)
-            val table: Seq[Seq[Double]] = (0 until m).map { s =>
-              val off = s * sub
-              cb(s).toSeq.map { c =>
-                var d = 0.0; var i = 0
-                while (i < sub) { d += q(off + i) * c(i); i += 1 }
-                d
-              }
-            }
-            (qid, table)
-          }
-        }
-      val collected = ds.take(maxQueries + 1)
-      require(collected.length <= maxQueries,
-        s"query set exceeds maxQueries=$maxQueries: pqTopK broadcasts one ADC " +
-          "table per query; batch the query set or raise maxQueries deliberately")
-      collected
-    }
-    val qTables: Array[(Long, Array[Array[Double]])] =
-      qTableRows.map { case (qid, t) => (qid, t.map(_.toArray).toArray) }
+    // --- scan: ADC lookup tables per query ([[pqAdcTables]] — distributed
+    // build, maxQueries-bounded collect), m lookups per candidate. This
+    // operator is the ANN-serving shape — a corpus-sized "query set"
+    // belongs in cosineDupPairs instead. ---
+    val qTables = pqAdcTables(queries, idCol, vecCol, bcCodebooks, m, sub,
+      maxQueries, normalize)
     val bcTables = spark.sparkContext.broadcast(qTables)
 
     val approx = codes.as[(Long, Array[Byte])].mapPartitions { rows =>
@@ -589,6 +609,107 @@ object Similarity {
       .select("query_id", "vec_id")
 
     // --- re-rank: exact cosine over the candidate pool only ---
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"))
+    val scored = candidates
+      .join(broadcast(q), "query_id")
+      .join(c, "vec_id")
+      .withColumn("score",
+        graft.functions.Rounding.roundLikeC(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "score")
+  }
+
+  /** IVF-PQ composed ANN — the production shape at corpus scale (the
+    * FAISS `IVFx,PQy` index, Jégou et al. 2011): the IVF coarse quantizer
+    * ([[ivfTopK]]'s deterministic sampled centroids) partitions the corpus
+    * into `nList` cells; every corpus vector is stored as `m` PQ code
+    * bytes; a query probes its `nProbe` nearest cells and ADC-scans ONLY
+    * the codes in those cells; the top `k·rerankFactor` approximate hits
+    * re-rank by exact cosine. Composes q42's cell pipeline with q54's
+    * codebook/encode/ADC pipeline unchanged — both deterministic and
+    * integer-exact, so the full composition is DuckDB-oracle-checked
+    * (q136) and recall@10 is floored in SimilaritySpec.
+    *
+    * Scale shape — what neither piece achieves alone: the compressed-
+    * domain scan touches corpus × nProbe/nList CODE rows (m bytes each,
+    * ~32× smaller than raw vectors), so a 100 TB embedding corpus probes
+    * from ~3 TB of codes × the probe fraction. Cell assignment and PQ
+    * encode ride ONE broadcast projection pass (no vec_id-keyed join —
+    * the encode maps over the assigned frame); the probe join is the one
+    * shuffle, keyed by cell; ADC tables are `maxQueries`-bounded
+    * ([[pqAdcTables]]); exact vectors are touched only for the re-rank
+    * candidates. Raise nList with corpus size (thousands of cells at
+    * production scale) to hold the probe fraction ≪ 1. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 6,
+                m: Int = 8, codebookSize: Int = 64, rerankFactor: Int = 16,
+                sampleN: Int = 512, maxQueries: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = sampledCentroids(corpus, idCol, vecCol, nList)
+    val (codebooks, sub) = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sampleN)
+    val bcCodebooks = spark.sparkContext.broadcast(codebooks)
+
+    // one pass over the corpus: argmax-cell projection, then the PQ encode
+    // maps over the SAME frame — (vec_id, cell, code), no join
+    val corpusCells = assignCells(corpus.withColumnRenamed(idCol, "vec_id"),
+      cents, "vec_id", vecCol, keep = 1)
+    val codes = corpusCells
+      .select(col("vec_id").cast("long"), col("cell"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Int, Seq[Double])]
+      .mapPartitions { rows =>
+        val cb = bcCodebooks.value
+        rows.map { case (id, cell, vSeq) =>
+          val v = pqQuantize(vSeq.toArray, normalize = false)
+          val code = new Array[Byte](m)
+          var s = 0
+          while (s < m) {
+            val off = s * sub
+            var best = 0; var bestD = Double.MaxValue; var j = 0
+            while (j < cb(s).length) {
+              val d = pqL2(v, off, cb(s)(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+            }
+            code(s) = best.toByte
+            s += 1
+          }
+          (id, cell, code)
+        }
+      }.toDF("vec_id", "cell", "code")
+
+    val queryCells = assignCells(queries.withColumnRenamed(idCol, "query_id"),
+        cents, "query_id", vecCol, keep = nProbe)
+      .select(col("query_id").cast("long").as("query_id"), col("cell"))
+    val qTables = pqAdcTables(queries, idCol, vecCol, bcCodebooks, m, sub,
+      maxQueries, normalize = false)
+    val bcTables = spark.sparkContext.broadcast(qTables.toMap)
+
+    // compressed-domain scan over PROBED cells only: the one shuffle,
+    // keyed by cell; each surviving (query, code) pair costs m lookups
+    val approx = queryCells.join(codes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("code"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val tables = bcTables.value
+        rows.map { case (qid, vid, code) =>
+          val t = tables(qid)
+          var s = 0.0; var i = 0
+          while (i < m) { s += t(i)(code(i) & 0xFF); i += 1 }
+          (qid, vid, s)
+        }
+      }.toDF("query_id", "vec_id", "approx_score")
+
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_score").desc, col("vec_id"))
+    val candidates = approx.withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= k * rerankFactor)
+      .select("query_id", "vec_id")
+
+    // exact re-rank over the candidate pool only (pqTopK's tail)
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("cv"))
     val scored = candidates

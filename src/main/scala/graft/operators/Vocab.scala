@@ -68,26 +68,62 @@ object Vocab {
     filter(split(w, ""), s => s =!= "")
 
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): `numMerges`
-    * rounds of "count adjacent symbol pairs, merge the most frequent".
-    * Returns the trained merge table — (merge_rank, left, right, merged,
-    * pair_count) — the artifact a tokenizer ships.
+    * merges of "count adjacent symbol pairs, merge the most frequent",
+    * executed in BATCHED rounds that are provably identical to the
+    * one-merge-per-round sequence. Returns the trained merge table —
+    * (merge_rank, left, right, merged, pair_count) — the artifact a
+    * tokenizer ships.
     *
     * The scalable shape is the classic one: the corpus is scanned ONCE
     * (a map-side-combinable word count); every training round then runs on
     * the word-frequency table — VOCABULARY-sized, not corpus-sized — so
     * 100 TB of text iterates over a few million rows. Per round: one
     * pair-count aggregate over the vocab (pairs weighted by word counts),
-    * one TakeOrderedAndProject argmax (count DESC, then (left, right)
-    * lexicographic — binary UTF-8 order in both engines, so ties break
-    * identically), and one pure-projection merge application
-    * ([[applyMergeExpr]]); the word table re-materializes via
-    * localCheckpoint so the iterated fold doesn't nest the plan `numMerges`
-    * deep. Only the 1-row argmax ever reaches the driver.
+    * one TakeOrderedAndProject top-slice collect (count DESC, then
+    * (left, right) lexicographic — binary UTF-8 order in both engines, so
+    * ties break identically), and one pure-projection application of every
+    * merge accepted this round ([[applyMergeExpr]] folded in rank order);
+    * the word table re-materializes via localCheckpoint so the iterated
+    * fold doesn't nest the plan arbitrarily deep. Only the bounded
+    * top-slice (≤ 4·`maxMergesPerRound` rows) ever reaches the driver.
+    *
+    * BATCHING RULE (the exact-equivalence guard): walking the pair table
+    * in sequential-argmax order (count DESC, pair ASC), accept a prefix of
+    * pairs that (1) are pairwise symbol-disjoint — no symbol of a later
+    * accepted pair equals a left/right/merged symbol of an earlier one —
+    * and (2) each count STRICTLY exceeds every conflicting or unseen
+    * pair's count that could seed a competing derived pair — each
+    * conflicting entry in the scanned slice bounds only the pairs accepted
+    * AFTER the earliest accepted pair it shares a symbol with, and the
+    * slice tail's count bounds everything when the slice may be
+    * incomplete. Merging a
+    * pair only creates/destroys pairs that SHARE one of its symbols, and a
+    * created pair's count is bounded by the conflicting pair it derives
+    * from — so under (1)+(2) the counts of every later accepted pair are
+    * invariant across the earlier merges, no created pair can reach (or
+    * tie) them, and the sequential argmax provably selects exactly this
+    * prefix in this order (VocabSpec pins batched ≡ sequential; the q109
+    * oracle replays the sequential semantics merge by merge). When no
+    * prefix beyond the global argmax is safe, the round degrades to the
+    * sequential single merge — never to a different result. A production
+    * 50k-merge tokenizer train at `maxMergesPerRound = 16` thus runs ~16×
+    * fewer driver round-trips/checkpoint materializations — the round-6
+    * driver-latency ceiling — at zero semantic drift.
     *
     * Word-internal BPE (no cross-word pairs, no end-of-word marker): each
     * word contributes its own adjacent pairs, which is the standard
     * frequency-dictionary formulation. */
-  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               maxMergesPerRound: Int = 16): DataFrame =
+    bpeTrainWithRounds(df, textCol, numMerges, maxMergesPerRound)._1
+
+  /** [[bpeTrain]] exposing the executed round count (spec/measurement
+    * hook: sequential = `numMerges` rounds; batched ≤ that, ~16× fewer at
+    * the default on merge-rich corpora). */
+  private[graft] def bpeTrainWithRounds(df: DataFrame, textCol: String,
+                                        numMerges: Int,
+                                        maxMergesPerRound: Int = 16): (DataFrame, Int) = {
+    require(maxMergesPerRound >= 1, "maxMergesPerRound must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     var words = df.select(explode(Text.tokens(col(textCol))).as("w"))
@@ -95,7 +131,14 @@ object Vocab {
       .select(charSyms(col("w")).as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to numMerges) {
+    var done = 0
+    var rounds = 0
+    while (done < numMerges) {
+      val batchLimit = math.min(maxMergesPerRound, numMerges - done)
+      // slice large enough to expose the conflicts that bound acceptance;
+      // +1 so a full slice is distinguishable from an exactly-slice-sized
+      // pair table (the unseen-pair bound below)
+      val sliceN = batchLimit * 4 + 1
       val pairs = words
         .select(col("cnt"), explode(
           when(size(col("syms")) >= 2,
@@ -106,19 +149,71 @@ object Vocab {
         .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
         .groupBy("a", "b").agg(sum(col("cnt")).as("c"))
       val top = pairs.orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).as[(String, String, Long)].collect()
+        .limit(sliceN).as[(String, String, Long)].collect()
       require(top.nonEmpty,
-        s"BPE training exhausted all pairs after ${r - 1} merges — every " +
+        s"BPE training exhausted all pairs after $done merges — every " +
           s"word is a single symbol; ask for fewer than $numMerges merges")
-      val (a, b, c) = top.head
-      merges += ((r, a, b, c))
+      // guarded prefix selection (see BATCHING RULE above). The WHOLE
+      // slice is scanned for conflicts even after the batch fills: a
+      // conflicting pair anywhere in the table bounds which accepted
+      // counts are provably stable (an early cut stopped at the batch
+      // limit and missed an equal-count conflict right behind it — the
+      // merge of (g,r) created (gr,o) tying a stale accepted (o,up), a
+      // real divergence CorpusSpec caught). Each conflict is attributed to
+      // the EARLIEST accepted pair it shares a symbol with: only merges
+      // AFTER that pair can create the derived pairs the conflict bounds,
+      // so earlier accepted pairs stay eligible (a single global max
+      // bound measured 7 extra rounds on the tie-dense fixture).
+      val used = scala.collection.mutable.Map.empty[String, Int] // symbol -> accepting index
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val threats = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < top.length) {
+        val (a, b, c) = top(i)
+        val ia = used.get(a); val ib = used.get(b)
+        if (ia.isDefined || ib.isDefined) {
+          val minIdx = math.min(ia.getOrElse(Int.MaxValue), ib.getOrElse(Int.MaxValue))
+          if (c > threats(minIdx)) threats(minIdx) = c
+        } else if (acc.size < batchLimit) {
+          val idx = acc.size
+          acc += ((a, b, c)); threats += Long.MinValue
+          if (!used.contains(a)) used(a) = idx
+          if (!used.contains(b)) used(b) = idx
+          if (!used.contains(a + b)) used(a + b) = idx
+        }
+        i += 1
+      }
+      // unseen pairs (table beyond the slice) have unknown conflict
+      // targets: they bound every position after the first
+      val unseenBound = if (top.length >= sliceN) top(sliceN - 1)._3 else Long.MinValue
+      val chosen = {
+        val keep = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var running = unseenBound
+        var j = 0
+        var stop = false
+        while (j < acc.size && !stop) {
+          // the global argmax (j == 0) alone IS the sequential step —
+          // always safe, so every round makes progress
+          if (j == 0 || acc(j)._3 > running) {
+            keep += acc(j)
+            if (threats(j) > running) running = threats(j)
+          } else stop = true
+          j += 1
+        }
+        keep.toSeq
+      }
+      chosen.foreach { case (a, b, c) => done += 1; merges += ((done, a, b, c)) }
       words = words
-        .select(applyMergeExpr(col("syms"), a, b).as("syms"), col("cnt"))
+        .select(chosen.foldLeft(col("syms")) { case (s, (a, b, _)) =>
+          applyMergeExpr(s, a, b)
+        }.as("syms"), col("cnt"))
         .localCheckpoint()
+      rounds += 1
     }
-    merges.result().toDF("merge_rank", "left", "right", "pair_count")
+    val table = merges.result().toDF("merge_rank", "left", "right", "pair_count")
       .select(col("merge_rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
+    (table, rounds)
   }
 
   /** Encode documents against `vocab` (a [[build]] result): one

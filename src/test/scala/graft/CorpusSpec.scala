@@ -212,6 +212,54 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1, "a", "a", "aa", 2L), (2, "aa", "a", "aaa", 1L)))
   }
 
+  test("bpeTrain batched rounds == sequential merges, with fewer driver round-trips") {
+    // the round-6 driver-latency fix: a 50k-merge production train cannot
+    // pay one Spark job + checkpoint per merge. The guarded batch rule
+    // (accept a symbol-disjoint prefix whose counts strictly beat every
+    // conflicting/unseen count) must yield the IDENTICAL merge table —
+    // here on a merge-rich natural corpus at 32 merges
+    val docs = Tables.documents(spark, sf).limit(200)
+    val (seqT, seqRounds) =
+      graft.operators.Vocab.bpeTrainWithRounds(docs, "text", 32, maxMergesPerRound = 1)
+    val (batT, batRounds) =
+      graft.operators.Vocab.bpeTrainWithRounds(docs, "text", 32, maxMergesPerRound = 16)
+    val a = seqT.orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val b = batT.orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(a === b, "batched BPE diverged from the sequential semantics")
+    assert(seqRounds === 32)
+    // char-BPE over a small natural corpus is TIE-DENSE (many equal pair
+    // counts), the adversarial case for the strict-inequality guard — the
+    // reduction here is modest by design; the separated-count corpus below
+    // shows the full batching factor
+    assert(batRounds < seqRounds,
+      s"batching bought nothing: $batRounds rounds vs sequential $seqRounds")
+
+    // conflict-free corpus with strictly separated counts: 16 disjoint
+    // 2-char words at distinct frequencies -> all 16 merges are provably
+    // safe in ONE round (the ~16x driver-round-trip reduction a production
+    // 50k-merge train sees on its separated-count head)
+    val pairsTxt = (0 until 16).map { i =>
+      val w = s"${('a' + i).toChar}${('A' + i).toChar}"
+      Seq.fill(200 - i)(w).mkString(" ")
+    }.mkString(" ")
+    val sep = Seq(Tuple1(pairsTxt)).toDF("text")
+    val (s1, r1) = graft.operators.Vocab.bpeTrainWithRounds(sep, "text", 16, 1)
+    val (s16, r16) = graft.operators.Vocab.bpeTrainWithRounds(sep, "text", 16, 16)
+    assert(s1.orderBy("merge_rank").collect().toSeq ===
+      s16.orderBy("merge_rank").collect().toSeq)
+    assert(r1 === 16 && r16 === 1,
+      s"separated-count corpus should batch 16 merges into one round, got $r16")
+    // and the adversarial all-conflict corpus degrades to sequential,
+    // never to a different result
+    val chain = Seq(Tuple1("low low low lower lowest")).toDF("text")
+    val (c1, _) = graft.operators.Vocab.bpeTrainWithRounds(chain, "text", 3, 1)
+    val (c2, _) = graft.operators.Vocab.bpeTrainWithRounds(chain, "text", 3, 16)
+    assert(c1.orderBy("merge_rank").collect().toSeq ===
+      c2.orderBy("merge_rank").collect().toSeq)
+  }
+
   test("bpeApply segments concatenate back to the original word (lossless)") {
     val docs = Tables.documents(spark, sf).limit(100)
     val merges = Vocab.bpeTrain(docs, "text", numMerges = 5)

@@ -148,6 +148,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size <= exact.size)
   }
 
+  test("IVF-PQ composition recall@10 vs brute force; scan restricted to probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = SimilarityQueries.queryVectors(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $recall")
+    assert(recall >= 0.9, s"recall $recall below floor")
+    assert(ivfpq.size <= exact.size)
+    // scan containment: IVF-PQ can never return a hit outside the probed
+    // IVF cells — an unbounded-k ivfTopK enumerates exactly the cell-
+    // sharing pairs under the same deterministic quantizer, and every
+    // IVF-PQ hit must be among them
+    val allCellPairs = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+        k = Int.MaxValue)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.subsetOf(allCellPairs),
+      "IVF-PQ returned a pair outside the probed cells")
+  }
+
   test("LSH recall@10 vs brute force is usable and candidates stay sub-quadratic") {
     val emb = Tables.embeddings(spark, sf)
     val qs = SimilarityQueries.queryVectors(spark, sf)
