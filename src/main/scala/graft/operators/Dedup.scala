@@ -997,18 +997,39 @@ object Dedup {
   def repeatedSpansIncremental(batch: DataFrame, seenGrams: DataFrame,
                                idCol: String, textCol: String,
                                minLen: Int = 8,
-                               hashGrams: Boolean = true): DataFrame = {
+                               hashGrams: Boolean = true,
+                               probeViaBroadcast: Boolean = true): DataFrame = {
     val grams = anchorGrams(batch, idCol, textCol, minLen, hashGrams)
+    // batch-bounded, consumed by BOTH the probe and the final resolve — one
+    // materialization (the lineage lesson)
     val uniqInBatch = grams.groupBy("gh1", "gh2")
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("p"))).as("__o"))
       .filter(col("__c") === 1)
+      .localCheckpoint()
     // unique-in-batch AND unseen = the NON-repeated occurrences; both join
-    // sides are gram-unique (hash-pair-unique), so no hot gram can funnel
-    // a partition — and the anti-join ships 16-byte keys, not gram strings
-    val fresh = uniqInBatch
-      .join(seenGrams.select(col("gh1"), col("gh2")), Seq("gh1", "gh2"), "left_anti")
-      .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
+    // sides are gram-unique (hash-pair-unique), so no hot gram can funnel a
+    // partition — and only 16-byte key pairs ever move. PROBE DIRECTION
+    // matters at scale: a plain anti-join sorts/hashes the INDEX side per
+    // batch (BENCH_INDEXSCALE measured 1.09 -> 4.52 s across a 25× index —
+    // the only non-flat curve in the trio). The broadcast form streams the
+    // stored index ONCE through a codegen'd broadcast-semi filter against
+    // the (tiny) batch key set — no index shuffle, no index sort, cost =
+    // one index scan (measured flat-to-1.5× at 25×) — then resolves the
+    // anti-join among two batch-bounded frames. Set
+    // `probeViaBroadcast = false` for batches whose distinct gram count
+    // outgrows a broadcast (~10⁸ keys): the shuffle form is then correct,
+    // paired with a bucketed-stored index.
+    val fresh = if (probeViaBroadcast) {
+      val seenHits = seenGrams.select(col("gh1"), col("gh2"))
+        .join(broadcast(uniqInBatch.select("gh1", "gh2")), Seq("gh1", "gh2"), "left_semi")
+      uniqInBatch
+        .join(broadcast(seenHits), Seq("gh1", "gh2"), "left_anti")
+        .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
+    } else
+      uniqInBatch
+        .join(seenGrams.select(col("gh1"), col("gh2")), Seq("gh1", "gh2"), "left_anti")
+        .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
     val rep = grams.select(col(idCol), col("p"))
       .join(fresh, Seq(idCol, "p"), "left_anti")
     spanReport(batch, idCol, textCol, rep, minLen)
