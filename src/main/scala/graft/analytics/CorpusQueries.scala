@@ -142,6 +142,85 @@ object CorpusQueries {
         .orderBy("batch", "stage")
     },
 
+    // Chained incremental fuzzy dedup (the q137 pattern for the fuzzy
+    // member of the trio): two crawl batches through fuzzyDedupIncremental
+    // with the banded index ADVANCING on batch-1 survivors between them —
+    // batch 2 plants near-dups of batch-1 FRESH docs, catchable only via
+    // the advanced bands (their originals were never in the seed index).
+    // The oracle replays both batches sequentially: one shared signature/
+    // banding chain over all docs, per-batch probe/verify/closure blocks,
+    // and the survivor-banded index union in between.
+    "q138_streaming_fuzzy_dedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 250).select("doc_id", "text")
+      val batchA = d.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+          .select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" nearly duplicated tail tokens")).as("text")))
+      val batchB = d.filter(col("doc_id") >= 350).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") < 280)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" almost duplicated trailing tokens")).as("text")))
+        .unionByName(d.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" nearly duplicated tail tokens")).as("text")))
+      val idx0 = Dedup.bandedSignatures(seen, "doc_id", "text").localCheckpoint()
+      val r1 = Dedup.fuzzyDedupIncremental(batchA, seen, idx0, "doc_id", "text",
+        threshold = 0.8).localCheckpoint()
+      val survA = batchA.join(r1.filter(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val idx1 = Dedup.advanceBandedIndex(idx0, survA, "doc_id", "text")
+        .localCheckpoint()
+      val seen1 = seen.unionByName(survA)
+      val r2 = Dedup.fuzzyDedupIncremental(batchB, seen1, idx1, "doc_id", "text",
+        threshold = 0.8)
+      r1.select(lit(1).as("batch"), col("doc_id"), col("dup_of"), col("kept"))
+        .unionByName(r2.select(lit(2).as("batch"), col("doc_id"),
+          col("dup_of"), col("kept")))
+        .orderBy("batch", "doc_id")
+    },
+
+    // Chained incremental repeated-substring dedup (the trio's third
+    // chained member): two batches through repeatedSpansIncremental with
+    // the gram-hash index advancing on batch-1 SURVIVORS (repeated_frac
+    // < 0.5) between them — batch 2 plants 16-token prefixes of batch-1
+    // survivor texts, covered only via the advanced index.
+    "q139_streaming_repeated_spans" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 250).select("doc_id", "text")
+      val batchA = d.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+          .select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      val batchB = d.filter(col("doc_id") >= 350).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") >= 260 && col("doc_id") < 290)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(concat_ws(" ", slice(Text.tokens(col("text")), 1, 16)),
+              lit(" qfresha"), col("doc_id").cast("string"),
+              lit(" qfreshb"), col("doc_id").cast("string"),
+              lit(" qfreshc"), col("doc_id").cast("string")).as("text")))
+      val idx0 = Dedup.buildRepeatedSpanIndex(seen, "doc_id", "text")
+        .localCheckpoint()
+      val r1 = Dedup.repeatedSpansIncremental(batchA, idx0, "doc_id", "text")
+        .localCheckpoint()
+      val survA = batchA.join(
+        r1.filter(col("repeated_frac") < 0.5).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val idx1 = idx0
+        .unionByName(Dedup.buildRepeatedSpanIndex(survA, "doc_id", "text"))
+        .distinct().localCheckpoint()
+      val r2 = Dedup.repeatedSpansIncremental(batchB, idx1, "doc_id", "text")
+      r1.select(lit(1).as("batch"), col("doc_id"), col("n_tokens"),
+          col("n_spans"), col("n_repeated_tokens"), col("repeated_frac"),
+          col("cleaned_text"))
+        .unionByName(r2.select(lit(2).as("batch"), col("doc_id"),
+          col("n_tokens"), col("n_spans"), col("n_repeated_tokens"),
+          col("repeated_frac"), col("cleaned_text")))
+        .orderBy("batch", "doc_id")
+    },
+
     // Incremental repeated-substring dedup: batch positions covered iff
     // their anchor gram exists in the SEEN corpus's gram index OR repeats
     // within the batch — union semantics restricted to the batch, corpus
@@ -659,6 +738,127 @@ bg_$k AS (
 bad_$k AS (SELECT DISTINCT b.id FROM bg_$k b JOIN evg e USING (gram)),
 b4_$k AS (SELECT * FROM b3_$k WHERE doc_id NOT IN (SELECT id FROM bad_$k))"""
 
+  /** One incremental repeated-span batch as a DuckDB CTE block (the q134
+    * chain, suffixed `_$k`): token hashes → gram-hash pairs → batch-unique
+    * occurrences → anti-join vs `$idx` → cover/islands/spans → per-doc
+    * report `out_$k`. q139 chains two with the survivor-gram index advance
+    * in between. Emitted without margin bars. */
+  private def spanBatchCtes(k: String, batch: String, idx: String): String =
+    s"""t_$k AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM $batch),
+th_$k AS (
+  SELECT doc_id,
+    list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+      list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+      (acc, x) -> (acc * 31 + x) % 1000000007)) AS t1,
+    list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+      list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+      (acc, x) -> (acc * 131 + x) % 1000000007)) AS t2
+  FROM t_$k),
+gh_$k AS (
+  SELECT doc_id, i.i - 1 AS p,
+         list_reduce(list_prepend(0::BIGINT, t1[i.i : i.i + 7]),
+           (acc, x) -> (acc * 1000003 + x) % 1000000007) AS gh1,
+         list_reduce(list_prepend(0::BIGINT, t2[i.i : i.i + 7]),
+           (acc, x) -> (acc * 999983 + x) % 1000000007) AS gh2
+  FROM th_$k, unnest(range(1, len(t1) - 6)) AS i(i)),
+uniqb_$k AS (
+  SELECT gh1, gh2, min(doc_id) AS doc_id, min(p) AS p
+  FROM gh_$k GROUP BY gh1, gh2 HAVING COUNT(*) = 1),
+fresh_$k AS (
+  SELECT doc_id, p FROM uniqb_$k
+  ANTI JOIN $idx USING (gh1, gh2)),
+rep_$k AS (SELECT doc_id, p FROM gh_$k ANTI JOIN fresh_$k USING (doc_id, p)),
+cov_$k AS (
+  SELECT DISTINCT doc_id, p + j.j AS pos
+  FROM rep_$k, unnest(range(0, 8)) AS j(j)),
+isl_$k AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM cov_$k),
+spans_$k AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+  FROM isl_$k GROUP BY doc_id, grp),
+sa_$k AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_repeated
+  FROM spans_$k GROUP BY doc_id),
+toks_$k AS (
+  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS tok
+  FROM t_$k, unnest(range(1, len(w) + 1)) AS i(i)),
+keep_$k AS (SELECT doc_id, pos, tok FROM toks_$k ANTI JOIN cov_$k USING (doc_id, pos)),
+cl_$k AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM keep_$k GROUP BY doc_id),
+out_$k AS (
+  SELECT t_$k.doc_id, len(t_$k.w)::BIGINT AS n_tokens,
+    COALESCE(sa_$k.n_spans, 0)::BIGINT AS n_spans,
+    COALESCE(sa_$k.n_repeated, 0)::BIGINT AS n_repeated_tokens,
+    ROUND(COALESCE(sa_$k.n_repeated, 0)::DOUBLE / GREATEST(len(t_$k.w), 1), 4) + 0.0 AS repeated_frac,
+    COALESCE(cl_$k.cleaned, '') AS cleaned_text
+  FROM t_$k LEFT JOIN sa_$k USING (doc_id) LEFT JOIN cl_$k USING (doc_id))"""
+
+  /** One incremental fuzzy-dedup batch as a DuckDB CTE block (the q132
+    * chain, suffixed `_$k`), reading the SHARED signature CTEs (`banded`,
+    * `toksd`, `sizes` over all docs): probe `$idx` → exact-Jaccard verify
+    * → min-seen-id precedence → within-batch closure → `out_$k`
+    * (doc_id, dup_of, kept). `$idx` must carry (seen_id, band, bucket),
+    * already hub-capped. q138 chains two with the survivor-band advance. */
+  private def fuzzyBatchCtes(k: String, srcTag: String, idx: String): String =
+    s"""cands_$k AS (
+  SELECT DISTINCT b.id AS id_a, s.seen_id AS id_b
+  FROM (SELECT id, band, bucket FROM banded WHERE src = '$srcTag') b
+  JOIN $idx s USING (band, bucket)),
+inter_$k AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cands_$k c
+  JOIN toksd a ON a.id = c.id_a
+  JOIN toksd b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b),
+vseen_$k AS (
+  SELECT id_a, id_b FROM inter_$k
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8),
+dupseen_$k AS (SELECT id_a AS doc_id, MIN(id_b) AS dup_of FROM vseen_$k GROUP BY id_a),
+rest_$k AS (
+  SELECT id FROM t WHERE src = '$srcTag'
+    AND id NOT IN (SELECT doc_id FROM dupseen_$k)),
+kept2_$k AS (
+  SELECT id, band, bucket FROM (
+    SELECT banded.id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM banded JOIN rest_$k USING (id))
+  WHERE bsz BETWEEN 2 AND 1000),
+cand2_$k AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept2_$k a JOIN kept2_$k b USING (band, bucket)
+  WHERE a.id < b.id),
+inter2_$k AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand2_$k c
+  JOIN toksd a ON a.id = c.id_a
+  JOIN toksd b ON b.id = c.id_b AND b.tok = a.tok
+  GROUP BY c.id_a, c.id_b),
+pairs2_$k AS (
+  SELECT id_a, id_b FROM inter2_$k
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8),
+edges_$k AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs2_$k
+  UNION
+  SELECT id_b, id_a FROM pairs2_$k),
+reach_$k(id, r) AS (
+  SELECT id, id FROM rest_$k
+  UNION
+  SELECT reach_$k.id, e.dst FROM reach_$k JOIN edges_$k e ON reach_$k.r = e.src),
+within_$k AS (
+  SELECT id AS doc_id, MIN(r) AS dup_of, MIN(r) = id AS kept
+  FROM reach_$k GROUP BY id),
+out_$k AS (
+  SELECT doc_id, dup_of, FALSE AS kept FROM dupseen_$k
+  UNION ALL SELECT doc_id, dup_of, kept FROM within_$k)"""
+
   def oracleSql: Map[String, String] = Map(
 
     // q134: the q127 chain with the seen-gram index CTE — covered iff
@@ -889,6 +1089,136 @@ b4_$k AS (SELECT * FROM b3_$k WHERE doc_id NOT IN (SELECT id FROM bad_$k))"""
         |  SELECT doc_id, dup_of, FALSE AS kept FROM dupseen
         |  UNION ALL SELECT doc_id, dup_of, kept FROM within)
         |ORDER BY doc_id""".stripMargin,
+
+    // q138: the q132 chain run TWICE with the banded index advancing on
+    // batch-A SURVIVORS — shared signature/banding/token CTEs over all
+    // docs (per-id values are batch-independent), per-batch probe/verify/
+    // closure blocks from fuzzyBatchCtes, hub-cap recomputed over the
+    // advanced index exactly as the operator does per call.
+    "q138_streaming_fuzzy_dedup" ->
+      s"""WITH RECURSIVE seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |batch_a AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' nearly duplicated tail tokens'
+         |  FROM documents WHERE doc_id < 30),
+         |batch_b AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 350
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' almost duplicated trailing tokens'
+         |  FROM documents WHERE doc_id >= 250 AND doc_id < 280
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text || ' nearly duplicated tail tokens'
+         |  FROM documents WHERE doc_id >= 30 AND doc_id < 60),
+         |allc AS (
+         |  SELECT doc_id, text, 's' AS src FROM seen
+         |  UNION ALL SELECT doc_id, text, 'a' FROM batch_a
+         |  UNION ALL SELECT doc_id, text, 'b' FROM batch_b),
+         |t AS (
+         |  SELECT doc_id AS id, src,
+         |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM allc),
+         |sh AS (
+         |  SELECT id, src, CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM t),
+         |hv AS (
+         |  SELECT id, src, list_transform(sh, g -> list_reduce(
+         |      list_prepend(0::BIGINT, list_transform(range(1, length(g)+1), i -> ascii(substr(g,i,1))::BIGINT)),
+         |      (acc,x) -> (acc*31+x) % 1000000007)) AS hv
+         |  FROM sh),
+         |fams AS (
+         |  SELECT j,
+         |    ((((42*131 + 2*j) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 + 1 AS a,
+         |    ((((42*131 + 2*j + 1) % 2147483648) * 1664525 + 1013904223) % 2147483648 * 1103515245 + 12345) % 2147483648 % 1073741824 AS b
+         |  FROM (SELECT unnest(range(32)) AS j)),
+         |mins AS (
+         |  SELECT hv.id, hv.src, f.j, MIN((f.a * h.h + f.b) % 4294967311) AS mn
+         |  FROM hv, unnest(hv.hv) AS h(h), fams f
+         |  GROUP BY hv.id, hv.src, f.j),
+         |sigs AS (
+         |  SELECT id, src, list(mn ORDER BY j) AS sig FROM mins GROUP BY id, src),
+         |banded AS (
+         |  SELECT id, src, b.band,
+         |         list_reduce(list_prepend(0::BIGINT, sig[b.band*4+1 : b.band*4+4]),
+         |                     (acc,x) -> (acc*31+x) % 1000000007) AS bucket
+         |  FROM sigs, (SELECT unnest(range(8)) AS band) b),
+         |toksd AS (SELECT DISTINCT id, unnest(toks) AS tok FROM t),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM toksd GROUP BY id),
+         |idx_a AS (
+         |  SELECT id AS seen_id, band, bucket FROM (
+         |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+         |    FROM banded WHERE src = 's')
+         |  WHERE bsz <= 1000),
+         |${fuzzyBatchCtes("a", "a", "idx_a")},
+         |surv_a AS (SELECT doc_id AS id FROM out_a WHERE kept),
+         |idxsrc_b AS (
+         |  SELECT id, band, bucket FROM banded WHERE src = 's'
+         |  UNION ALL
+         |  SELECT banded.id, band, bucket FROM banded JOIN surv_a USING (id)
+         |  WHERE src = 'a'),
+         |idx_b AS (
+         |  SELECT id AS seen_id, band, bucket FROM (
+         |    SELECT id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+         |    FROM idxsrc_b)
+         |  WHERE bsz <= 1000),
+         |${fuzzyBatchCtes("b", "b", "idx_b")}
+         |SELECT * FROM (
+         |  SELECT 1 AS batch, doc_id, dup_of, kept FROM out_a
+         |  UNION ALL SELECT 2, doc_id, dup_of, kept FROM out_b)
+         |ORDER BY batch, doc_id""".stripMargin,
+
+    // q139: the q134 chain run TWICE with the gram-hash index advancing on
+    // batch-A survivors (repeated_frac < 0.5) — batch B's 16-token prefix
+    // plants are covered only via the advanced index.
+    "q139_streaming_repeated_spans" ->
+      s"""WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |st AS (
+         |  SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         |  FROM seen),
+         |sth AS (
+         |  SELECT list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+         |           list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+         |           (acc, x) -> (acc * 31 + x) % 1000000007)) AS t1,
+         |         list_transform(w, tk -> list_reduce(list_prepend(0::BIGINT,
+         |           list_transform(range(1, length(tk)+1), i -> ascii(substr(tk, i, 1))::BIGINT)),
+         |           (acc, x) -> (acc * 131 + x) % 1000000007)) AS t2
+         |  FROM st),
+         |sidx_a AS (
+         |  SELECT DISTINCT
+         |         list_reduce(list_prepend(0::BIGINT, t1[i.i : i.i + 7]),
+         |           (acc, x) -> (acc * 1000003 + x) % 1000000007) AS gh1,
+         |         list_reduce(list_prepend(0::BIGINT, t2[i.i : i.i + 7]),
+         |           (acc, x) -> (acc * 999983 + x) % 1000000007) AS gh2
+         |  FROM sth, unnest(range(1, len(t1) - 6)) AS i(i)),
+         |batch_a AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' ' || text
+         |  FROM documents WHERE doc_id >= 250 AND doc_id < 260),
+         |batch_b AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 350
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         array_to_string(w[1:16], ' ')
+         |           || ' qfresha' || doc_id || ' qfreshb' || doc_id || ' qfreshc' || doc_id
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+         |        FROM documents WHERE doc_id >= 260 AND doc_id < 290)),
+         |${spanBatchCtes("a", "batch_a", "sidx_a")},
+         |surv_a AS (SELECT doc_id FROM out_a WHERE repeated_frac < 0.5),
+         |sidx_b AS (
+         |  SELECT gh1, gh2 FROM sidx_a
+         |  UNION
+         |  SELECT gh1, gh2 FROM gh_a JOIN surv_a USING (doc_id)),
+         |${spanBatchCtes("b", "batch_b", "sidx_b")}
+         |SELECT * FROM (
+         |  SELECT 1 AS batch, doc_id, n_tokens, n_spans, n_repeated_tokens,
+         |         repeated_frac, cleaned_text FROM out_a
+         |  UNION ALL
+         |  SELECT 2, doc_id, n_tokens, n_spans, n_repeated_tokens,
+         |         repeated_frac, cleaned_text FROM out_b)
+         |ORDER BY batch, doc_id""".stripMargin,
 
     // q137: the q129 chain run TWICE with the index advancing between
     // batches — the streaming micro-batch composition. Per-batch CTE

@@ -267,4 +267,63 @@ class CurateIncrementalSpec extends SparkSpec {
     val r = Curate.funnelIncremental(batch, "doc_id", "text", "lang", stop, index0)
     assert(r.funnel.survivors.select("doc_id").as[Long].collect().toSet === Set(41L))
   }
+
+  test("chained fuzzy dedup: batch-2 near-dups of batch-1 docs drop ONLY via the advanced band index") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val seen = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+      .select("doc_id", "text")
+    // near-dups of batch-1 docs (which are FRESH vs seen — their bands
+    // exist nowhere in the seed index)
+    val b2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" nearly duplicated tail tokens")).as("text"))
+    val idx0 = Dedup.bandedSignatures(seen, "doc_id", "text").localCheckpoint()
+    val r1 = Dedup.fuzzyDedupIncremental(b1, seen, idx0, "doc_id", "text", 0.8)
+      .localCheckpoint()
+    val surv = b1.join(r1.filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val idx1 = Dedup.advanceBandedIndex(idx0, surv, "doc_id", "text").localCheckpoint()
+    val withAdv = Dedup.fuzzyDedupIncremental(b2, seen.unionByName(surv), idx1,
+      "doc_id", "text", 0.8)
+    val stale = Dedup.fuzzyDedupIncremental(b2, seen, idx0, "doc_id", "text", 0.8)
+    // advanced index: the clones resolve to their batch-1 originals
+    val caught = withAdv.filter(!col("kept") && col("dup_of") < 500000L).count()
+    assert(caught >= 15L, s"only $caught of 20 clones caught via the advance")
+    // stale index: the SAME clones sail through as fresh — the negative
+    // control proving the advance (not the seed index) does the catching
+    val staleKept = stale.filter(col("kept")).count()
+    val advKept = withAdv.filter(col("kept")).count()
+    assert(staleKept === 20L, s"stale index should keep all 20, kept $staleKept")
+    assert(advKept < staleKept)
+  }
+
+  test("chained repeated spans: batch-1-survivor prefixes are covered ONLY via the advanced gram index") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val seen = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+      .select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(concat_ws(" ", slice(graft.functions.Text.tokens(col("text")), 1, 16)),
+          lit(" zzza"), col("doc_id").cast("string"),
+          lit(" zzzb"), col("doc_id").cast("string"),
+          lit(" zzzc"), col("doc_id").cast("string")).as("text"))
+    val idx0 = Dedup.buildRepeatedSpanIndex(seen, "doc_id", "text").localCheckpoint()
+    val r1 = Dedup.repeatedSpansIncremental(b1, idx0, "doc_id", "text").localCheckpoint()
+    val surv = b1.join(r1.filter(col("repeated_frac") < 0.5).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val idx1 = idx0.unionByName(Dedup.buildRepeatedSpanIndex(surv, "doc_id", "text"))
+      .distinct().localCheckpoint()
+    val withAdv = Dedup.repeatedSpansIncremental(b2, idx1, "doc_id", "text")
+    val stale = Dedup.repeatedSpansIncremental(b2, idx0, "doc_id", "text")
+    // stale index: nothing in b2 is covered (prefixes reference batch-1
+    // material the seed index never saw; tails are unique)
+    assert(stale.agg(sum("n_repeated_tokens")).head().getLong(0) === 0L)
+    // advanced index: the 16-token prefixes are covered for every doc whose
+    // original is long enough to contribute anchors
+    val covered = withAdv.filter(col("n_repeated_tokens") >= 10L).count()
+    assert(covered >= 8L, s"only $covered of 10 prefixes covered via the advance")
+  }
 }
