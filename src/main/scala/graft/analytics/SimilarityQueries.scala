@@ -116,6 +116,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
+    // Incremental IVF index maintenance (the ANN member of the incremental
+    // family): coarse quantizer trained on the SEEN half only, new vectors
+    // appended with the FROZEN quantizer (one projection pass — the corpus
+    // is never re-quantized), queries served over the union. The oracle
+    // replays build → append → query with centroids sampled from the seen
+    // slice.
+    "q140_ann_ivf_incremental" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val idx = Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
+        "vec_id", "embedding")
+      idx.append(e.filter(col("vec_id") >= 300), "vec_id")
+        .topK(queryVectors(s, dir), "vec_id", K)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+
     // embedding-cosine near-dup pairs: exact O(n²) verifier.
     "q44_cosine_dup_exact" -> { (s, dir) =>
       Similarity.cosineDupPairsExact(embeddingsWithClones(s, dir),
@@ -561,6 +576,45 @@ object SimilarityQueries {
          |  FROM cands c
          |  JOIN emb q ON q.vec_id = c.query_id
          |  JOIN emb e ON e.vec_id = c.vec_id)
+         |SELECT query_id, vec_id, score FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, vec_id) <= $K
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
+    // q140: q42's chain with the centroid sample drawn from the SEEN slice
+    // only (vec_id < 300) — the frozen quantizer — while assignment covers
+    // every vector (seen-built cells + frozen-quantizer-appended batch).
+    "q140_ann_ivf_incremental" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hashed AS (
+         |  SELECT vec_id, v,
+         |         (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+         |          * 1103515245 + 12345) % 2147483648 AS h
+         |  FROM emb WHERE vec_id < 300),
+         |cents AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+         |  FROM hashed
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+         |cassign AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT e.vec_id, c.cell, e.v,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+         |    FROM emb e CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |qassign AS (
+         |  SELECT query_id, cell, qv FROM (
+         |    SELECT e.vec_id AS query_id, c.cell, e.v AS qv,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+         |    FROM emb e CROSS JOIN cents c
+         |    WHERE e.vec_id % 100 = 0)
+         |  WHERE r <= 6),
+         |scored AS (
+         |  SELECT q.query_id, ca.vec_id,
+         |         ROUND(list_cosine_similarity(q.qv, ca.v), 4) AS score
+         |  FROM qassign q JOIN cassign ca USING (cell)
+         |  WHERE ca.vec_id <> q.query_id)
          |SELECT query_id, vec_id, score FROM scored
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
          |                           ORDER BY score DESC, vec_id) <= $K

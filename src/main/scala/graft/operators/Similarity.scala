@@ -262,6 +262,55 @@ object Similarity {
       .select(col(idOut), col("__t.cell").as("cell"), col(vecCol))
   }
 
+  /** Persisted IVF index state — the incremental member of the ANN family
+    * (the similarity sibling of [[graft.operators.Dedup.advanceBandedIndex]]
+    * and the curation index): `cells` is the stored (vec_id, cell, vector)
+    * assignment table, `cents` the FROZEN coarse quantizer. [[append]]
+    * assigns a new-vector batch with the frozen quantizer — one broadcast
+    * projection pass over the batch, the corpus is never re-quantized or
+    * re-shuffled — and [[topK]] serves queries against the union. This is
+    * how production IVF deployments actually grow (FAISS `add` after
+    * `train`): re-clustering is a periodic REBUILD decision, not a
+    * per-batch cost; monitor drift by comparing per-cell populations and
+    * rebuild when they skew. q140 oracle-checks build → append → query
+    * end to end. */
+  final case class IvfIndex(cells: DataFrame, cents: Seq[(Int, Seq[Double])],
+                            vecCol: String) {
+    /** Assign `batch` (idCol, vecCol) with the frozen quantizer and append
+      * — batch-sized work only. */
+    def append(batch: DataFrame, idCol: String): IvfIndex = copy(
+      cells = cells.unionByName(assignCells(
+        batch.withColumnRenamed(idCol, "vec_id"), cents, "vec_id", vecCol, keep = 1)
+        .withColumnRenamed(vecCol, "cv")))
+    /** Probe `nProbe` cells per query over the CURRENT index state, exact
+      * re-rank inside them ([[ivfTopK]]'s query path over the stored
+      * cells). */
+    def topK(queries: DataFrame, idCol: String, k: Int, nProbe: Int = 6): DataFrame = {
+      val queryCells = assignCells(queries.withColumnRenamed(idCol, "query_id"),
+          cents, "query_id", vecCol, keep = nProbe)
+        .withColumnRenamed(vecCol, "qv")
+      val scored = queryCells.join(cells, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score",
+          graft.functions.Rounding.roundLikeC(cosine(col("qv"), col("cv")), 4))
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select("query_id", "vec_id", "score")
+    }
+  }
+
+  /** Train the coarse quantizer on `corpus` and assign it — the one-time
+    * build [[IvfIndex.append]] then grows batch by batch. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nList: Int = 8, refineIters: Int = 0): IvfIndex = {
+    val cents = refineCentroids(corpus, idCol, vecCol,
+      sampledCentroids(corpus, idCol, vecCol, nList), refineIters)
+    IvfIndex(assignCells(corpus.withColumnRenamed(idCol, "vec_id"),
+      cents, "vec_id", vecCol, keep = 1).withColumnRenamed(vecCol, "cv"),
+      cents, vecCol)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nList: Int = 8, nProbe: Int = 6,
               refineIters: Int = 0): DataFrame = {

@@ -170,6 +170,32 @@ class SimilaritySpec extends SparkSpec {
       "IVF-PQ returned a pair outside the probed cells")
   }
 
+  test("IvfIndex: frozen-quantizer append == one-shot assignment over the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val seen = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val grown = Similarity.buildIvfIndex(seen, "vec_id", "embedding")
+      .append(batch, "vec_id")
+    // every vector assigned exactly once
+    val cells = grown.cells.select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(cells.length.toLong === emb.count())
+    assert(cells.map(_._1).distinct.length === cells.length)
+    // append with the frozen quantizer == one-shot assignment of the union
+    // under the same (seen-trained) centroids
+    val oneShot = Similarity.assignCells(
+        emb.withColumnRenamed("vec_id", "vec_id"), grown.cents, "vec_id",
+        "embedding", keep = 1)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(cells.sortBy(_._1).toSeq === oneShot.sortBy(_._1).toSeq)
+    // serving: at most k rows per query, no self-matches
+    val got = grown.topK(SimilarityQueries.queryVectors(spark, sf), "vec_id", 10)
+    val byQuery = got.collect().groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length <= 10)
+      assert(!rows.exists(_.getAs[Long]("vec_id") == qid))
+    }
+  }
+
   test("LSH recall@10 vs brute force is usable and candidates stay sub-quadratic") {
     val emb = Tables.embeddings(spark, sf)
     val qs = SimilarityQueries.queryVectors(spark, sf)
