@@ -1000,13 +1000,10 @@ object Dedup {
                                hashGrams: Boolean = true,
                                probeViaBroadcast: Boolean = true): DataFrame = {
     val grams = anchorGrams(batch, idCol, textCol, minLen, hashGrams)
-    // batch-bounded, consumed by BOTH the probe and the final resolve — one
-    // materialization (the lineage lesson)
     val uniqInBatch = grams.groupBy("gh1", "gh2")
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("p"))).as("__o"))
       .filter(col("__c") === 1)
-      .localCheckpoint()
     // unique-in-batch AND unseen = the NON-repeated occurrences; both join
     // sides are gram-unique (hash-pair-unique), so no hot gram can funnel a
     // partition — and only 16-byte key pairs ever move. PROBE DIRECTION
@@ -1016,10 +1013,19 @@ object Dedup {
     // stored index ONCE through a codegen'd broadcast-semi filter against
     // the (tiny) batch key set — no index shuffle, no index sort, cost =
     // one index scan (measured flat-to-1.5× at 25×) — then resolves the
-    // anti-join among two batch-bounded frames. Set
-    // `probeViaBroadcast = false` for batches whose distinct gram count
-    // outgrows a broadcast (~10⁸ keys): the shuffle form is then correct,
-    // paired with a bucketed-stored index.
+    // anti-join among two batch-bounded frames. The batch gram aggregate
+    // deliberately computes twice (broadcast probe + final resolve): both
+    // runs are batch-bounded, and an eager localCheckpoint here measured
+    // WORSE (it materializes even under actions that prune the span DAG —
+    // the r7 auto-isolation pass caught exactly that as a q134 bench
+    // regression). Tradeoff is probe-direction-classic: at a TINY index
+    // (index ≈ batch, the q134 fixture) the broadcast form pays ~25% extra
+    // (Profile full-materialize: 5.9 s vs 4.7 s); at a 25× index it is 3×
+    // faster (BENCH_INDEXSCALE: 1.58 s vs 4.52 s) — the default serves the
+    // production regime (index ≫ batch). Set `probeViaBroadcast = false`
+    // for batches whose distinct gram count outgrows a broadcast (~10⁸
+    // keys): the shuffle form is then correct, paired with a
+    // bucketed-stored index.
     val fresh = if (probeViaBroadcast) {
       val seenHits = seenGrams.select(col("gh1"), col("gh2"))
         .join(broadcast(uniqInBatch.select("gh1", "gh2")), Seq("gh1", "gh2"), "left_semi")

@@ -37,8 +37,12 @@ object LmScore {
     *
     * Shape: bigrams explode in the same projection that tokenizes (no
     * window/lag shuffle); the bigram count groupBy and the count join share
-    * ONE (w1, w2) exchange (ReusedExchange, the q78 idiom); the unigram
-    * table and the 1-row total broadcast. Per-document sums fold IN
+    * ONE (w1, w2) exchange (ReusedExchange, the q78 idiom); only the
+    * 1-row total carries a broadcast hint — the unigram table is
+    * VOCAB-sized (10⁸+ types on a web corpus, past any driver broadcast),
+    * so AQE picks its join strategy from measured sizes (broadcast at
+    * fixture scale, shuffle at 100 TB — the knTrigramNll discipline).
+    * Per-document sums fold IN
     * POSITION ORDER (float addition is not associative — the q78
     * discipline), and the `+ 0.0` guard normalizes the all-zero-NLL edge
     * (-ln(1.0) = -0.0). */
@@ -62,8 +66,8 @@ object LmScore {
       lit(1.0 - lambda) * (col("c2").cast("double") / col("total").cast("double"))
     val scored = bi
       .join(biCounts, Seq("w1", "w2"))
-      .join(broadcast(uni.select(col("tok").as("w1"), col("c1"))), "w1")
-      .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("c2"))), "w2")
+      .join(uni.select(col("tok").as("w1"), col("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("c2")), "w2")
       .crossJoin(broadcast(total))
       .withColumn("nll", -log(p))
     val agg0 = scored.groupBy(col(idCol))
