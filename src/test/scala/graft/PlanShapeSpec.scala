@@ -392,4 +392,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"SortMergeJoin \\[w".r.findAllIn(p).hasNext,
       s"no word-keyed join may sort-merge:\n${p.take(2000)}")
   }
+
+  test("q134 incremental span probe: the stored gram index never sorts or re-exchanges") {
+    // the BENCH_INDEXSCALE lesson: a plain anti-join against the index
+    // sorts/hash-builds the INDEX side per batch (4.16x wall across a 25x
+    // index). The broadcast-probe form must keep every join on the index
+    // path a BroadcastHashJoin — a SortMergeJoin here means the index is
+    // being re-sorted per batch again
+    val p = plan("q134_repeated_spans_incremental")
+    assert(!p.contains("SortMergeJoin"),
+      "index probe degraded to a sort-merge join:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q135 curriculum rank: composed window — no Window or Sort on a single partition") {
+    // the ordered composed rank (globalRowNumberOrdered) must keep the
+    // global row number as bucketed windows + offsets; a Window or Sort
+    // whose input is a SinglePartition exchange means the rank collapsed
+    // to one task. (A scalar count(1) aggregate legitimately reduces to
+    // SinglePartition — tiny data — so the guard targets Window/Sort only.)
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val exec = SparkEntry.queries("q135_curriculum_order")(spark, sf)
+      .queryExecution.executedPlan
+    val bad = exec.collect {
+      case w: WindowExec if w.child.outputPartitioning == SinglePartition => w
+      case s: SortExec if s.global &&
+        s.child.outputPartitioning == SinglePartition => s
+    }
+    assert(bad.isEmpty,
+      s"curriculum rank collapsed to a single partition: ${bad.map(_.nodeName)}\n" +
+        exec.toString.take(3000))
+  }
+
+  test("q140 incremental IVF: append is a projection — no corpus shuffle before the probe join") {
+    // frozen-quantizer assignment is a broadcast projection pass; the only
+    // exchanges allowed are the cell-keyed probe join and the per-query
+    // top-k window
+    val p = plan("q140_ann_ivf_incremental")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"$exchanges hash exchanges — assignment should not shuffle the corpus:\n" + p.take(3000))
+  }
 }
