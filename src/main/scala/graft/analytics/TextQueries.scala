@@ -207,6 +207,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // asymmetric sub-document containment |A∩B|/|A| over distinct word
+    // 3-grams: the subset-duplicate detector symmetric Jaccard misses (an
+    // excerpt embedded in a longer doc scores ~0 Jaccard, 1.0 containment).
+    // Fixture: the prefix-twin corpus — every even doc's 40-token prefix
+    // twin is containment-1.0 inside its original at every SF.
+    "q141_containment_pairs" -> { (s, dir) =>
+      val corpus = corpusWithPrefixClones(s, dir).filter(
+        col("doc_id") < 300 ||
+          (col("doc_id") >= 1000000L && col("doc_id") < 1000300L))
+      Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+        .orderBy("id_sub", "id_super")
+    },
+
     // Duplicate clusters: connected components over the q28 near-dup pairs
     // (min-label propagation, one shuffle per round); every doc labeled
     // with its cluster representative (min reachable doc_id).
@@ -962,6 +975,38 @@ object TextQueries {
         |JOIN sizes sb ON sb.id = id_b
         |WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q141_containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string((list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))[1:40], ' ')
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 300),
+        |t AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS grams
+        |  FROM t),
+        |g AS (SELECT id, unnest(grams) AS gram FROM sh),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM g GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT id_a AS id_sub, id_b AS id_super,
+        |         ROUND(CAST(n_common AS DOUBLE)/sa.n, 4) AS containment
+        |  FROM inter JOIN sizes sa ON sa.id = id_a
+        |  UNION ALL
+        |  SELECT id_b, id_a, ROUND(CAST(n_common AS DOUBLE)/sb.n, 4)
+        |  FROM inter JOIN sizes sb ON sb.id = id_b)
+        |SELECT id_sub, id_super, containment FROM d
+        |WHERE containment >= 0.9
+        |ORDER BY id_sub, id_super""".stripMargin,
 
     // transitive closure via recursive CTE; cluster = min reachable node
     "q50_dup_clusters" ->

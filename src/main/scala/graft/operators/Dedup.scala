@@ -124,6 +124,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric token-set containment |A∩B| / |A| — the subset-duplicate
+    * detector symmetric Jaccard misses. A 100-token doc fully embedded in a
+    * 10 000-token doc has Jaccard ≈ 0.01 (invisible at any usable
+    * threshold) but containment 1.0; near-dup pipelines run this pass to
+    * drop excerpts, quoted reposts, and boilerplate-wrapped copies of a
+    * longer original (the CCNet / RefinedWeb "sub-document duplicate"
+    * case). Emits one row per DIRECTED pair: `id_sub`'s token set is
+    * `containment`-covered by `id_super`'s; near-identical pairs appear in
+    * both directions. Callers drop `id_sub` (the contained doc) via a
+    * semi-join.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — one inverted-index
+    * self-join on the token, never all-pairs; `dfMaxFraction` hub pruning
+    * bounds the per-token candidate fan-out, and containment stays exact
+    * over the retained vocabulary because sizes are computed on the same
+    * pruned sets. The intersection aggregate is computed ONCE per unordered
+    * pair and fanned to both directions by a 2-row explode — no second
+    * join. Set elements are word `k`-grams ([[shingles]]; `k = 1` degrades
+    * to plain tokens) — sub-document duplication is a SEQUENCE property, so
+    * gram containment discriminates where bag-of-words containment
+    * saturates on a shared vocabulary. Reference anchor: the dedup sweep of
+    * `scripts/test/transform.py` (drop-duplicates pass) generalized to
+    * fuzzy sub-document overlap. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, k: Int = 3,
+                       dfMaxFraction: Double = 1.0): DataFrame = {
+    val elems = if (k == 1) Text.tokens(col(textCol)) else shingles(col(textCol), k)
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(elems)).as("tok"))
+    val kept =
+      if (dfMaxFraction >= 1.0) toks
+      else {
+        val nDocs = df.count() // only the pruning branch pays this pass
+        val hubs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(nDocs * dfMaxFraction)).select("tok")
+        toks.join(hubs, Seq("tok"), "left_anti")
+      }
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a").join(kept.as("b"), "tok")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+    // fan the unordered intersection to both directions without re-joining
+    sized.select(explode(array(
+        struct(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+          col("n_common"), col("n_a").as("n_sub")),
+        struct(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+          col("n_common"), col("n_b").as("n_sub")))).as("d"))
+      .select(col("d.id_sub"), col("d.id_super"),
+        graft.functions.Rounding.roundLikeC(
+          col("d.n_common").cast("double") / col("d.n_sub"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Benchmark decontamination: flag every training document that shares at
     * least `minShared` DISTINCT word `k`-grams with any eval-set document
     * (the overlap rule of GPT-3 appendix C / Dodge et al. 2021, which the

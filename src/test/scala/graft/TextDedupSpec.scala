@@ -318,6 +318,29 @@ class DedupSpec extends SparkSpec {
     assert(docs.count() === 100)
   }
 
+  test("containmentPairs: embedded excerpt scores 1.0 where Jaccard stays below threshold") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")     // 58 distinct 3-grams
+    val excerpt = (20 to 29).map(i => s"w$i").mkString(" ") // 8 grams, all inside `long`
+    val unrelated = (100 to 130).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt), (3L, unrelated)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // only the excerpt→long direction survives: 8/8 = 1.0; the reverse is
+    // 8/58 ≈ 0.138 and is filtered, as is the unrelated doc entirely
+    assert(cont === Set((2L, 1L, 1.0)))
+    // symmetric Jaccard on the same pair: 8/58 ≈ 0.138 — invisible at 0.5
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.5)
+    assert(jac.count() === 0L, "Jaccard must miss the subset-duplicate containment catches")
+  }
+
+  test("containmentPairs: identical docs contain each other both ways at 1.0") {
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, t), (9L, t)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((7L, 9L, 1.0), (9L, 7L, 1.0)))
+  }
+
   test("simhash pairs include clones at hamming 0") {
     val sub = corpus.filter((col("doc_id") % 25 === 0))
     val pairs = Dedup.simhashPairs(sub, "doc_id", "text")
