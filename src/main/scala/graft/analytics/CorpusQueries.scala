@@ -70,6 +70,19 @@ object CorpusQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Domain-level quality gating (the C4/RefinedWeb pattern): every doc
+    // carries its SOURCE's aggregate-quality verdict — kept iff the domain
+    // mean quality clears 0.825, compared in exact decimal arithmetic
+    // (Σq·10⁴ ≥ 8250·n), never the divided double.
+    "q142_domain_quality_gate" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        Text.qualityScore(col("text"), TextQueries.Stopwords).as("quality"))
+      Curate.domainQualityGate(scored, "doc_id", "source", "quality",
+          minMean = 0.825)
+        .orderBy("doc_id")
+    },
+
     // Exact arbitrary-length repeated-substring spans (Lee et al. 2022
     // substring dedup, relational form): 8-gram anchor cover → maximal
     // merged spans → per-doc span stats + span-removed text. The oracle
@@ -860,6 +873,37 @@ out_$k AS (
   UNION ALL SELECT doc_id, dup_of, kept FROM within_$k)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    // q142: q25's quality formula per doc, per-source DECIMAL stats (the
+    // q100 parity convention), gate compared on the exact scaled sum.
+    "q142_domain_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, length(text) AS n_chars,
+        |         length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS n_punct,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS pr,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)/len(toks)
+        |              ELSE 0.0 END AS sr,
+        |         n_chars
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source,
+        |         ROUND(LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+        |               + (1.0 - pr)*0.4 + (1.0 - ABS(sr - 0.1))*0.2, 4) AS quality
+        |  FROM r),
+        |s AS (
+        |  SELECT source, COUNT(*) AS domain_docs,
+        |         SUM(CAST(quality AS DECIMAL(18,4))) AS qsum
+        |  FROM q GROUP BY source)
+        |SELECT q.doc_id, q.source, q.quality, s.domain_docs,
+        |       ROUND(CAST(s.qsum AS DOUBLE) / s.domain_docs, 4) AS domain_mean_quality,
+        |       s.qsum * 10000 >= 8250 * s.domain_docs AS kept
+        |FROM q JOIN s USING (source)
+        |ORDER BY doc_id""".stripMargin,
 
     // q134: the q127 chain with the seen-gram index CTE — covered iff
     // gram ∈ seen index OR batch count ≥ 2 (df==1 identity inverted).

@@ -352,4 +352,45 @@ object Curate {
         (coalesce(col("__nt"), lit(0L)) - coalesce(col("__ot"), lit(0L)))
           .as("token_delta"))
   }
+
+  /** Domain-level quality gating — the C4/RefinedWeb pattern: a document's
+    * fate depends on its DOMAIN's aggregate quality, not its own (a clean
+    * page on a spam host is still dropped; content farms are cut wholesale
+    * where per-doc scores would leak their best pages through). Emits every
+    * input doc with its domain's stats and the `kept` verdict — callers
+    * filter on `kept`; the audit columns are what the drop decision logs.
+    *
+    * `scoreCol` must be a 4-decimal-rounded double (the [[Text.qualityScore]]
+    * convention). The gate compares in EXACT decimal arithmetic —
+    * `Σscore·10⁴ ≥ round(minMean·10⁴)·n` — never the divided double, so a
+    * domain whose mean lands exactly on the threshold gets the same verdict
+    * in every engine and every partition order; `domain_mean_quality` is
+    * reported as the 4dp-rounded double for the audit log.
+    *
+    * Scale shape: one partial-aggregated stats pass (output is
+    * #domains-sized — map-side combine does the heavy lifting), then one
+    * join back. With `broadcastStats = true` (default) the corpus side
+    * never shuffles — right when domains are registrable hosts (~10⁷ rows
+    * max, a few hundred MB of (domain, sum, count)). For per-URL-path
+    * pseudo-domains beyond broadcast size, set it false and both sides
+    * shuffle on the domain key once. Reference anchor: the per-source
+    * composition report of `notebooks/eda.ipynb` (q100) turned into the
+    * filter the pipeline actually applies. */
+  def domainQualityGate(scored: DataFrame, idCol: String, domainCol: String,
+                        scoreCol: String, minMean: Double,
+                        broadcastStats: Boolean = true): DataFrame = {
+    import graft.functions.Rounding.roundLikeC
+    val thresholdBp = math.round(minMean * 10000.0) // basis points, exact
+    val stats = scored.groupBy(col(domainCol)).agg(
+        count(lit(1)).as("domain_docs"),
+        sum(col(scoreCol).cast("decimal(18,4)")).as("__qsum"))
+      .select(col(domainCol), col("domain_docs"),
+        roundLikeC(col("__qsum").cast("double") / col("domain_docs").cast("double"), 4)
+          .as("domain_mean_quality"),
+        ((col("__qsum") * lit(10000)).cast("decimal(38,0)") >=
+          (lit(thresholdBp) * col("domain_docs")).cast("decimal(38,0)")).as("kept"))
+    scored.join(if (broadcastStats) broadcast(stats) else stats, Seq(domainCol))
+      .select(col(idCol), col(domainCol), col(scoreCol),
+        col("domain_docs"), col("domain_mean_quality"), col("kept"))
+  }
 }

@@ -540,6 +540,53 @@ class CorpusSpec extends SparkSpec {
       (4L, "added", 2L)))
   }
 
+  test("domainQualityGate: verdict follows the DOMAIN mean, not the doc score") {
+    import graft.operators.Curate
+    // spamhost mean = (0.9 + 0.1 + 0.1)/3 = 0.3667 < 0.5 -> ALL dropped,
+    // including the 0.9 doc; cleanhost mean = (0.6 + 0.7)/2 = 0.65 -> kept
+    val scored = Seq(
+      (1L, "spamhost", 0.9000), (2L, "spamhost", 0.1000), (3L, "spamhost", 0.1000),
+      (4L, "cleanhost", 0.6000), (5L, "cleanhost", 0.7000)
+    ).toDF("doc_id", "source", "quality")
+    val got = Curate.domainQualityGate(scored, "doc_id", "source", "quality", 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "kept", "domain_mean_quality")
+      .as[(Long, Boolean, Double)].collect().toSeq
+    assert(got === Seq((1L, false, 0.3667), (2L, false, 0.3667),
+      (3L, false, 0.3667), (4L, true, 0.65), (5L, true, 0.65)))
+  }
+
+  test("domainQualityGate: exact-threshold mean keeps (>= in decimal, no float drift)") {
+    import graft.operators.Curate
+    // mean is exactly 0.825: (0.8000 + 0.8500)/2 — a divided-double gate
+    // could flip either way; the decimal gate must keep it
+    val scored = Seq((1L, "edge", 0.8000), (2L, "edge", 0.8500))
+      .toDF("doc_id", "source", "quality")
+    val kept = Curate.domainQualityGate(scored, "doc_id", "source", "quality", 0.825)
+      .select("kept").as[Boolean].collect()
+    assert(kept.forall(identity))
+    // and one basis point below drops
+    val scored2 = Seq((1L, "edge", 0.7999), (2L, "edge", 0.8500))
+      .toDF("doc_id", "source", "quality")
+    val kept2 = Curate.domainQualityGate(scored2, "doc_id", "source", "quality", 0.825)
+      .select("kept").as[Boolean].collect()
+    assert(kept2.forall(!_))
+  }
+
+  test("domainQualityGate: shuffle-join path (broadcastStats=false) is identical") {
+    import graft.operators.Curate
+    val scored = graft.Tables.documents(spark, sf).select(
+      col("doc_id"), col("source"),
+      graft.functions.Text.qualityScore(col("text"),
+        graft.analytics.TextQueries.Stopwords).as("quality"))
+    val a = Curate.domainQualityGate(scored, "doc_id", "source", "quality", 0.825)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curate.domainQualityGate(scored, "doc_id", "source", "quality", 0.825,
+        broadcastStats = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("temperatureMix: quotas sum to total and sqrt-flatten the distribution") {
     // strata: big=400 docs, small=30 -> natural shares 97/7 at total 104;
     // sqrt: 20/5.48 -> ~82/~22 -> small gets ~3x its natural share (and the

@@ -426,6 +426,12 @@ class PlanShapeSpec extends SparkSpec {
         exec.toString.take(3000))
   }
 
+  test("q142 domain gate: stats join back broadcasts — the corpus side never shuffles for the join") {
+    val p = plan("q142_domain_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q140 incremental IVF: append is a projection — no corpus shuffle before the probe join") {
     // frozen-quantizer assignment is a broadcast projection pass; the only
     // exchanges allowed are the cell-keyed probe join and the per-query
