@@ -275,6 +275,21 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental SimHash: the batch's chunked signatures BROADCAST-probe
+    // the persisted seen index on (chunk_idx, chunk) — seen docs are never
+    // re-tokenized, per-batch cost is one index scan regardless of history
+    // size. Batch plants exact clones of 20 seen docs (hamming 0).
+    "q143_simhash_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 350).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") >= 350).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val idx = Dedup.buildSimhashIndex(seen, "doc_id", "text")
+      Dedup.simhashIncrementalPairs(batch, idx, "doc_id", "text")
+        .orderBy("batch_id", "seen_id")
+    },
+
     // Incremental MinHash-LSH: a batch of clones banded against the SEEN
     // corpus's persisted signature index — candidates are (batch, seen)
     // pairs only; the corpus is never re-shingled. Portable arithmetic →
@@ -750,6 +765,45 @@ object TextQueries {
         |  SELECT id + 1000000 AS batch_id, band, bucket FROM banded)
         |SELECT DISTINCT batch_id, seen_id
         |FROM batchb JOIN seen USING (band, bucket)
+        |ORDER BY batch_id, seen_id""".stripMargin,
+
+    // q143: the q30 signature chain keyed (side, id); pairs are the
+    // seen-side × batch-side chunk join only.
+    "q143_simhash_incremental" ->
+      """WITH corpus AS (
+        |  SELECT 's' AS side, doc_id, text FROM documents WHERE doc_id < 350
+        |  UNION ALL
+        |  SELECT 'b', doc_id, text FROM documents WHERE doc_id >= 350
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |t AS (
+        |  SELECT side, doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |th AS (SELECT side, id, unnest(toks) AS tok FROM t),
+        |hh AS (
+        |  SELECT side, id, tok,
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*31+x) % 1000000007) % 32768) * 35184372088832
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*131+x) % 1000000007) % 32768) * 1073741824
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*137+x) % 1000000007) % 32768) * 32768
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*139+x) % 1000000007) % 32768) AS h
+        |  FROM th),
+        |votes AS (
+        |  SELECT side, id, b.bit,
+        |         SUM(CASE WHEN (h // (1::BIGINT << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hh CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+        |  GROUP BY side, id, b.bit),
+        |sig AS (
+        |  SELECT side, id, SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+        |  FROM votes GROUP BY side, id),
+        |chunked AS (
+        |  SELECT side, id, simhash, c.c AS chunk_idx,
+        |         (simhash // (1::BIGINT << (c.c * 15))) % 32768 AS chunk
+        |  FROM sig, (SELECT unnest(range(4)) AS c) c)
+        |SELECT batch_id, seen_id, hamming FROM (
+        |  SELECT DISTINCT b.id AS batch_id, a.id AS seen_id,
+        |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM chunked a JOIN chunked b USING (chunk_idx, chunk)
+        |  WHERE a.side = 's' AND b.side = 'b')
+        |WHERE hamming <= 3
         |ORDER BY batch_id, seen_id""".stripMargin,
 
     // Full SimHash pipeline in SQL: 60-bit token hash (four 15-bit poly

@@ -759,6 +759,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The 15-bit pigeonhole chunks of a (id, simhash) frame — the stored /
+    * probed form of the SimHash index: 4 rows per doc keyed (chunk_idx,
+    * chunk), 24 bytes of payload. */
+  private def simhashChunks(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("simhash"), posexplode(
+        array((0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
+      .as(Seq("chunk_idx", "chunk")))
+
+  /** The persisted SimHash index of a seen corpus: chunked signatures
+    * (chunk_idx, chunk, id, simhash). Build once, persist, probe every
+    * batch with [[simhashIncrementalPairs]], advance on accepted survivors
+    * with [[advanceSimhashIndex]] — the incremental protocol of
+    * [[buildRepeatedSpanIndex]] / [[advanceBandedIndex]], completing the
+    * family for the SimHash modality. 32 bytes × 4 rows per seen doc: a
+    * 10¹⁰-doc corpus indexes in ~1.3 TB, partitioned by (chunk_idx, chunk). */
+  def buildSimhashIndex(seen: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashChunks(simhash(seen, idCol, textCol))
+
+  /** Batch-vs-seen SimHash near-dup pairs WITHOUT touching seen text: the
+    * batch's chunked signatures probe the persisted index on (chunk_idx,
+    * chunk) — complete for hamming ≤ 3 by the 4-chunk pigeonhole, same
+    * guarantee (and the same loud rejection above 3) as [[simhashPairs]].
+    *
+    * Scale shape: the batch side (4 rows/doc) BROADCASTS; the index
+    * streams through the join with no exchange and no per-batch re-sort —
+    * per-batch cost is one index scan regardless of history size, the
+    * [[repeatedSpansIncremental]] probe direction (the BENCH_INDEXSCALE
+    * lesson: joining the other way re-shuffles the index every batch).
+    * Seen docs are never re-tokenized — their signatures live in the
+    * index. Emits (batch_id, seen_id, hamming). */
+  def simhashIncrementalPairs(batch: DataFrame, seenIndex: DataFrame,
+                              idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (<= 3); " +
+        "re-chunk the 60-bit signature into maxHamming+1 pieces instead")
+    val batchChunks = simhashChunks(simhash(batch, idCol, textCol))
+      .select(col("id").as("batch_id"), col("simhash").as("__bsig"),
+        col("chunk_idx"), col("chunk"))
+    seenIndex.join(broadcast(batchChunks), Seq("chunk_idx", "chunk"))
+      .select(col("batch_id"), col("id").as("seen_id"),
+        bit_count(col("__bsig").bitwiseXOR(col("simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Advance the SimHash index: append the accepted batch survivors'
+    * chunked signatures. Pure union — the existing index rows are never
+    * read, so chaining batches costs O(batch) per advance. */
+  def advanceSimhashIndex(seenIndex: DataFrame, survivors: DataFrame,
+                          idCol: String, textCol: String): DataFrame =
+    seenIndex.unionByName(buildSimhashIndex(survivors, idCol, textCol))
+
   /** Content-defined chunk dedup: split each document into variable-size
     * chunks at token positions where the token's polynomial hash is 0 mod
     * `avgChunk` (the content-defined-chunking boundary rule of LBFS /

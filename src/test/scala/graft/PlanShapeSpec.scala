@@ -432,6 +432,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q143 incremental simhash: batch broadcasts, the index never sorts or re-exchanges") {
+    val p = plan("q143_simhash_incremental")
+    assert(!p.contains("SortMergeJoin"),
+      "index probe degraded to a sort-merge join:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q140 incremental IVF: append is a projection — no corpus shuffle before the probe join") {
     // frozen-quantizer assignment is a broadcast projection pass; the only
     // exchanges allowed are the cell-keyed probe join and the per-query

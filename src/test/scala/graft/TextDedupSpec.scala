@@ -351,6 +351,31 @@ class DedupSpec extends SparkSpec {
     assert(found.length === cloneIds.length && found.forall(_._3 === 0))
   }
 
+  test("simhash incremental: index probe catches seen clones, advance chains batches") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select("doc_id", "text")
+    val idx = Dedup.buildSimhashIndex(docs, "doc_id", "text")
+    val fresh = (1 to 40).map(i => s"z$i").mkString(" ")
+    val batch1 = docs.filter(col("doc_id") === 10)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      .unionByName(Seq((800L, fresh)).toDF("doc_id", "text"))
+    val p1 = Dedup.simhashIncrementalPairs(batch1, idx, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p1.contains((900010L, 10L, 0)), s"clone pair missing: $p1")
+    assert(!p1.exists(_._1 == 800L), s"fresh doc must not pair: $p1")
+    // advance on batch-1 survivors; a clone of the fresh doc is catchable
+    // only via the advanced index
+    val idx2 = Dedup.advanceSimhashIndex(idx,
+      Seq((800L, fresh)).toDF("doc_id", "text"), "doc_id", "text")
+    val batch2 = Seq((901800L, fresh)).toDF("doc_id", "text")
+    val p2 = Dedup.simhashIncrementalPairs(batch2, idx2, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p2.contains((901800L, 800L, 0)), s"advanced-index pair missing: $p2")
+    val p2stale = Dedup.simhashIncrementalPairs(batch2, idx, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    assert(!p2stale.exists(_._2 == 800L), "stale index cannot know doc 800")
+  }
+
   test("minhash and simhash tolerate null text like the exact path") {
     val df = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(Dedup.minhashSignatures(df, "doc_id", "text", 3, 8).count() === 2)
