@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   *   - q129's [[graft.operators.Curate.funnelIncrementalPersisted]]
   *   - q132's [[graft.operators.Dedup.fuzzyDedupIncremental]]
   *   - q134's [[graft.operators.Dedup.repeatedSpansIncremental]]
+  *   - q143's [[graft.operators.Dedup.simhashIncrementalPairs]]
   *
   * A FIXED batch is curated against seen corpora at 1x / 5x / 25x, built by
   * GenScale-style key-shifted token-suffixed replication (cross-copy
@@ -116,6 +117,17 @@ object BenchIndexScale {
           .queryExecution.toRdd.count())._1
       }
       rows += (("repeatedSpansIncremental", k, seenSize, bSpan, median(spanSecs)))
+
+      // --- q143 simhash: chunked signature index built once, probe-keyed ---
+      val (bSim, simIdx) = time {
+        Dedup.buildSimhashIndex(seen.select("doc_id", "text"), "doc_id", "text")
+          .repartition(col("chunk_idx"), col("chunk")).localCheckpoint()
+      }
+      val simSecs = (1 to runs).map { _ =>
+        time(Dedup.simhashIncrementalPairs(batch2, simIdx, "doc_id", "text")
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("simhashIncremental", k, seenSize, bSim, median(simSecs)))
     }
 
     rows.foreach { case (op, k, n, build, batchSec) =>
