@@ -56,6 +56,15 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Per-cell clustering-quality audit: population, mean distance, mean
+    // SIMPLIFIED silhouette ((b-a)/max(a,b), the linear-time variant) —
+    // run before trusting q106 sampling or q73 SemDeDup cells.
+    "q144_cluster_quality" -> { (s, dir) =>
+      graft.operators.Features.clusterQualityReport(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("cell")
+    },
+
     // Cluster-balanced sampling (the DCLM-style curation move): k-means
     // cells from q105, then the q65 stratified sampler takes the first 20
     // of each cell in mix2 order — deterministic, auditable member set.
@@ -262,6 +271,36 @@ object SimilarityQueries {
       s"""${kmeansCtes(k = 8, iters = 2, dim = Dim)}
          |SELECT vec_id, CAST(cell AS INT) AS cell, CAST(d AS BIGINT) AS dist
          |FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // q144: q105's trained centroids (c2), all-centroid distances per vec,
+    // argmin + nearest-other via the same (d, cell) tie rule, simplified
+    // silhouette 4dp-rounded per vec, DECIMAL-sum means per cell.
+    "q144_cluster_quality" ->
+      s"""${kmeansCtes(k = 8, iters = 2, dim = Dim)},
+         |alld AS (
+         |  SELECT x.vec_id, c.cell,
+         |         list_sum(list_transform(range(1, ${Dim + 1}),
+         |           i -> (x.q[i]-c.cvec[i])*(x.q[i]-c.cvec[i]))) AS d
+         |  FROM qx x CROSS JOIN c2 c),
+         |arank AS (
+         |  SELECT vec_id, cell, d,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM alld),
+         |aa AS (SELECT vec_id, cell AS acell, d AS a FROM arank WHERE rn = 1),
+         |bb AS (
+         |  SELECT l.vec_id, MIN(l.d) AS b
+         |  FROM alld l JOIN aa ON l.vec_id = aa.vec_id AND l.cell <> aa.acell
+         |  GROUP BY l.vec_id),
+         |pv AS (
+         |  SELECT aa.acell AS cell, aa.a,
+         |         CASE WHEN GREATEST(aa.a, bb.b) = 0 THEN 0.0
+         |              ELSE ROUND(CAST(bb.b - aa.a AS DOUBLE)/GREATEST(aa.a, bb.b), 4) END AS sil
+         |  FROM aa JOIN bb USING (vec_id))
+         |SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vecs,
+         |       ROUND(CAST(SUM(CAST(a AS DECIMAL(38,0))) AS DOUBLE)/COUNT(*), 4) AS mean_dist,
+         |       ROUND(CAST(SUM(CAST(sil AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 4) + 0.0 AS mean_silhouette
+         |FROM pv GROUP BY cell
+         |ORDER BY cell""".stripMargin,
 
     // q106: q105's final assignment fed through the q65 stratified-sample
     // CTE (first 20 per cell in mix2 order).

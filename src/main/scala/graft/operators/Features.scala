@@ -195,4 +195,66 @@ object Features {
       ratio(col("tp"), col("tp") + col("fp")).as("precision"),
       ratio(col("tp"), col("tp") + col("fn")).as("recall"))
   }
+
+  /** Per-cell clustering-quality report over a trained k-means: the
+    * audit a curation pipeline runs before TRUSTING cluster-balanced
+    * sampling (q106) or SemDeDup cells (q73) — a cell with near-zero
+    * silhouette is noise masquerading as structure, and sampling
+    * "diversity" from it is a lie. Emits per cell: population, mean
+    * distance-to-own-centroid, and mean SIMPLIFIED silhouette — the
+    * linear-time variant ((b − a)/max(a, b) with a = dist to own
+    * centroid, b = dist to nearest OTHER centroid), not the O(n²)
+    * pairwise form, which is the only silhouette that exists at corpus
+    * scale.
+    *
+    * Determinism/parity: distances are the exact-integer quantized
+    * dists of [[kmeansAssign]] (same train, same tie rule: ROW_NUMBER
+    * over (d, cell)); the per-vec silhouette is one IEEE division
+    * 4dp-C-rounded, the means are DECIMAL sums divided once (the q100
+    * convention), and a degenerate vec equal to two centroids
+    * (max(a,b) = 0) scores 0.0 by definition in both engines.
+    *
+    * Scale shape: one projection computes all k distances per vec
+    * (centroids broadcast as a literal, k·dim longs), the argmin and
+    * the runner-up come from the SAME materialized array column (HOF
+    * inputs evaluate once — the q98 re-evaluation trap is why `__ds`
+    * is projected before the argmin reads it), and the only shuffle is
+    * the k-row cell aggregate. */
+  def clusterQualityReport(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): DataFrame = {
+    import graft.functions.Rounding.roundLikeC
+    val qx = quantized(df, idCol, vecCol)
+    val cents = kmeansTrain(qx, k, iters)
+    val centArr = typedlit(cents.map { case (cell, v) => (v, cell) })
+    val distsExpr = transform(centArr, c =>
+      struct(
+        aggregate(
+          zip_with(col("__q"), c.getField("_1"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        c.getField("_2").as("cell")))
+    val withD = qx.select(col("__id"), distsExpr.as("__ds"))
+    val withA = withD.select(col("__id"), col("__ds"),
+      array_min(col("__ds")).as("__a")) // struct compare: (dist, cell) — tie to lowest cell
+    val perVec = withA.select(
+      col("__id"),
+      col("__a").getField("cell").as("cell"),
+      col("__a").getField("dist").as("__adist"),
+      array_min(filter(col("__ds"),
+        d => d.getField("cell") =!= col("__a").getField("cell")))
+        .getField("dist").as("__bdist"))
+      .withColumn("__sil",
+        when(greatest(col("__adist"), col("__bdist")) === 0L, lit(0.0))
+          .otherwise(roundLikeC(
+            (col("__bdist") - col("__adist")).cast("double") /
+              greatest(col("__adist"), col("__bdist")).cast("double"), 4)))
+    perVec.groupBy("cell").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("__adist").cast("decimal(38,0)")).as("__dsum"),
+        sum(col("__sil").cast("decimal(18,4)")).as("__ssum"))
+      .select(col("cell"), col("n_vecs"),
+        roundLikeC(col("__dsum").cast("double") / col("n_vecs").cast("double"), 4)
+          .as("mean_dist"),
+        (roundLikeC(col("__ssum").cast("double") / col("n_vecs").cast("double"), 4)
+          + lit(0.0)).as("mean_silhouette"))
+  }
 }

@@ -107,6 +107,22 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.roundHalfAway(3.0) === 3L)
   }
 
+  test("clusterQualityReport: separated blobs score near-1 silhouette, cells match kmeansAssign") {
+    // two tight 4-dim blobs 10 units apart: within-blob spread ~0.01,
+    // cross-blob distance ~10 -> simplified silhouette ~= 1 everywhere
+    val vecs = (0 until 10).map(i => (i.toLong, Seq.fill(4)(0.001f * i))) ++
+      (10 until 20).map(i => (i.toLong, Seq.fill(4)(10.0f + 0.001f * i)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rep = Features.clusterQualityReport(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(rep.map(_._2).sum === 20L, s"populations must cover the corpus: $rep")
+    assert(rep.forall(_._4 > 0.9), s"separated blobs must score near-1: $rep")
+    // per-cell populations agree with the assignment the report audits
+    val assignCounts = Features.kmeansAssign(df, "vec_id", "embedding", 2, 2)
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(rep.map(r => r._1 -> r._2).toMap === assignCounts)
+  }
+
   test("dropDuplicateParagraphs: first (doc, pos) occurrence survives, all other copies drop") {
     val docs = Seq(
       (1L, "alpha one\n\nSHARED PROMO\n\nbeta two"),
