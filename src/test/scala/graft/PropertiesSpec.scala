@@ -417,6 +417,21 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  property("jaccard <= containment: every Jaccard pair appears in BOTH containment directions") =
+    Prop.forAll(Gen.listOfN(5,
+        Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))) { docs =>
+      // J = |I|/|U| <= |I|/max(na,nb) <= min(c_ab, c_ba): a pair clearing a
+      // Jaccard threshold must clear the same containment threshold both ways
+      val df = docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val t = 0.5
+      val jac = graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val cont = graft.operators.Dedup.containmentPairs(df, "doc_id", "text", t, k = 1)
+        .select("id_sub", "id_super").as[(Long, Long)].collect().toSet
+      jac.forall(p => cont.contains(p) && cont.contains(p.swap))
+    }
+
   property("spanCorrupt conserves the token multiset for arbitrary token streams") =
     Prop.forAll(Gen.listOfN(6,
         Gen.listOf(Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty))
