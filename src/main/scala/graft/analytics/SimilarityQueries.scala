@@ -140,6 +140,28 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
+    // Incremental embedding-cosine dedup (the EMBEDDING member of the
+    // incremental index family — MinHash q132, spans q134, SimHash q143):
+    // seen half indexed once (sign-LSH bands + stored vectors/norms), the
+    // batch — fresh vectors plus 1.1-rescaled clones of every 7th seen
+    // vector — probes the index without re-reading the seen corpus. The
+    // oracle is the exact cross-side pairwise cosine (like q45: rescale
+    // clones share every sign bit, recall exactly 1.0; naturals top out
+    // ≈0.61, far under the 0.99 cut), so the probe must reproduce the
+    // exact answer.
+    "q145_cosine_dup_incremental" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val seen = e.filter(col("vec_id") < 300)
+      val batch = e.filter(col("vec_id") >= 300)
+        .unionByName(seen.filter(col("vec_id") % 7 === 0).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.1d)).as("embedding")))
+      Similarity.buildCosineLshIndex(seen, "vec_id", "embedding", Dim)
+        .probe(batch, "vec_id", "embedding", DupThreshold)
+        .orderBy("batch_id", "seen_id")
+    },
+
     // embedding-cosine near-dup pairs: exact O(n²) verifier.
     "q44_cosine_dup_exact" -> { (s, dir) =>
       Similarity.cosineDupPairsExact(embeddingsWithClones(s, dir),
@@ -675,6 +697,25 @@ object SimilarityQueries {
 
     "q44_cosine_dup_exact" -> cosineDupOracle,
     "q45_cosine_dup_lsh" -> cosineDupOracle,
+
+    // q145: exact cross-side pairwise cosine over the seen/batch split —
+    // the incremental probe must match it exactly (see the query comment).
+    "q145_cosine_dup_incremental" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seen AS (SELECT vec_id, v FROM base WHERE vec_id < 300),
+         |batch AS (
+         |  SELECT vec_id, v FROM base WHERE vec_id >= 300
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.1) AS v
+         |  FROM seen WHERE vec_id % 7 = 0),
+         |scored AS (
+         |  SELECT b.vec_id AS batch_id, s.vec_id AS seen_id,
+         |         ROUND(list_cosine_similarity(b.v, s.v), 4) AS score
+         |  FROM batch b CROSS JOIN seen s)
+         |SELECT batch_id, seen_id, score FROM scored
+         |WHERE score >= $DupThreshold
+         |ORDER BY batch_id, seen_id""".stripMargin,
 
     "q73_semdedup" -> semDedupOracle,
 

@@ -452,6 +452,96 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** The stored-vector table of a [[CosineLshIndex]]: each seen vector
+    * ONCE, widened to double (exact), with its L2 norm precomputed so
+    * verification never recomputes a seen sqrt. */
+  private def storedVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("vec"),
+      sqrt(dotNative(v, v)).as("norm"))
+  }
+
+  /** Persisted sign-LSH index of a seen embedding corpus — the EMBEDDING
+    * member of the incremental-dedup index family (MinHash bands q132,
+    * repeated-span grams q134, SimHash chunks q143). Two tables:
+    *
+    *   - `bands` (band, bucket, id): hyperplane sign-band buckets,
+    *     `nBands` rows per seen vector (~20 bytes each);
+    *   - `vecs` (id, vec, norm): each seen vector stored once.
+    *
+    * The plane geometry (dim, nBands, bitsPerBand, seed) rides in the
+    * index value itself, so every probe hashes its batch with the SAME
+    * hyperplanes — mixing geometries is unrepresentable. Build once with
+    * [[buildCosineLshIndex]], probe each batch with [[probe]], advance on
+    * accepted survivors with [[advance]].
+    *
+    * 100 TB shape: a 10¹⁰-vector corpus at d=128 stores ~10 TB of doubles
+    * + ~1.6 TB of band rows — both flat tables partitionable by their
+    * join keys ((band, bucket) / id); per-batch probe cost is two index
+    * scans regardless of history size (see [[probe]]), the
+    * BENCH_INDEXSCALE-proven direction. Reference anchor: the dedup sweep
+    * of `scripts/test/transform.py` on the embedding modality, run as a
+    * daily increment instead of a corpus recompute. */
+  final case class CosineLshIndex(bands: DataFrame, vecs: DataFrame,
+                                  dim: Int, nBands: Int, bitsPerBand: Int,
+                                  seed: Long) {
+    /** Batch-vs-seen cosine near-dup pairs WITHOUT touching the seen
+      * corpus. The batch's sign-band buckets BROADCAST-probe the `bands`
+      * table (the index streams through the join with no exchange and no
+      * per-batch re-sort — the q143 probe direction), then the candidate
+      * set (batch-bounded for well-spread buckets) broadcasts into the
+      * `vecs` scan for the exact verify against the STORED vectors and
+      * norms. Seen vectors are never re-read from the corpus and no seen
+      * sqrt is recomputed.
+      *
+      * Emits (batch_id, seen_id, score) at the [[cosineDupPairs]] 4dp
+      * rounded-then-thresholded cut. Recall follows [[cosineDupPairs]]:
+      * rescale clones share every sign bit (recall 1.0, exact re-check
+      * restores precision); general near-dups governed by
+      * nBands × bitsPerBand. */
+    def probe(batch: DataFrame, idCol: String, vecCol: String,
+              threshold: Double): DataFrame = {
+      val b = batch.select(col(idCol).as("batch_id"),
+        col(vecCol).cast("array<double>").as("bvec"))
+      val batchBands = banded(b, "batch_id", "bvec",
+          nBands, bitsPerBand, dim, seed)
+        .select(col("id").as("batch_id"), col("band"), col("bucket"))
+      val cands = bands.join(broadcast(batchBands), Seq("band", "bucket"))
+        .select(col("batch_id"), col("id").as("seen_id"))
+        .distinct()
+      val seenSide = vecs.join(broadcast(cands), vecs("id") === col("seen_id"))
+        .select(col("batch_id"), col("seen_id"),
+          col("vec").as("svec"), col("norm").as("snorm"))
+      seenSide
+        .join(b.withColumn("bnorm", sqrt(dotNative(col("bvec"), col("bvec")))),
+          "batch_id")
+        .withColumn("score",
+          graft.functions.Rounding.roundLikeC(
+            hoistedCosine(dotNative(col("bvec"), col("svec")),
+              col("bnorm"), col("snorm")), 4))
+        .filter(col("score") >= threshold)
+        .select("batch_id", "seen_id", "score")
+    }
+
+    /** Advance on the accepted batch survivors: pure union on both
+      * tables — existing index rows are never read, so chaining batches
+      * costs O(batch) per advance (the [[advanceSimhashIndex]]
+      * (Dedup.scala) contract on the embedding modality). */
+    def advance(survivors: DataFrame, idCol: String, vecCol: String): CosineLshIndex =
+      copy(
+        bands = bands.unionByName(banded(survivors, idCol, vecCol,
+          nBands, bitsPerBand, dim, seed)),
+        vecs = vecs.unionByName(storedVecs(survivors, idCol, vecCol)))
+  }
+
+  /** Build the persisted sign-LSH embedding index of a seen corpus (the
+    * one-time cost [[CosineLshIndex.advance]] then grows batch by batch). */
+  def buildCosineLshIndex(seen: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+                          seed: Long = 42L): CosineLshIndex =
+    CosineLshIndex(banded(seen, idCol, vecCol, bands, bitsPerBand, dim, seed),
+      storedVecs(seen, idCol, vecCol), dim, bands, bitsPerBand, seed)
+
   /** Integer quantization at 1e-4 (exact in double, exact in the oracle's
     * int64 — and far below PQ's own quantization error), optionally after
     * unit-norm scaling. Shared by the PQ family. */

@@ -439,6 +439,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q145 incremental cosine: batch broadcasts into both index scans, no sort-merge join") {
+    // probe direction: batch bands broadcast into the bands-table scan,
+    // then the batch-bounded candidate set broadcasts into the vecs-table
+    // scan — the index never exchanges or sorts per batch
+    val p = plan("q145_cosine_dup_incremental")
+    assert(!p.contains("SortMergeJoin"),
+      "index probe degraded to a sort-merge join:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q140 incremental IVF: append is a projection — no corpus shuffle before the probe join") {
     // frozen-quantizer assignment is a broadcast projection pass; the only
     // exchanges allowed are the cell-keyed probe join and the per-query

@@ -339,4 +339,45 @@ class SimilaritySpec extends SparkSpec {
     // the exact re-check removes every false bucket collision → precision 1.0
     assert(lsh === exact)
   }
+
+  test("q145 incremental cosine dedup: probe == exact cross-side restriction; advance chains") {
+    val t = SimilarityQueries.DupThreshold
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val seen = e.filter(col("vec_id") < 300)
+    val clones = seen.filter(col("vec_id") % 7 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.1d)).as("embedding"))
+    val batch = e.filter(col("vec_id") >= 300).unionByName(clones)
+    val idx = Similarity.buildCosineLshIndex(seen, "vec_id", "embedding",
+      SimilarityQueries.Dim)
+    val got = idx.probe(batch, "vec_id", "embedding", t)
+      .select("batch_id", "seen_id").as[(Long, Long)].collect().toSet
+    // reference: exact pairwise over the union, restricted to cross-side
+    // pairs (seen ids < 300 always sort first in the upper triangle)
+    val exactCross = Similarity.cosineDupPairsExact(
+        seen.unionByName(batch), "vec_id", "embedding", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a < 300 && b >= 300 }
+      .map { case (a, b) => (b, a) }.toSet
+    assert(got === exactCross)
+    // every planted rescale clone is caught against its seen original
+    val planted = seen.filter(col("vec_id") % 7 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(id => (id + 1000000L, id)).toSet
+    assert(planted.subsetOf(got))
+    // a clone-free batch raises nothing above the cut (naturals ≈ 0.61 max)
+    assert(idx.probe(e.filter(col("vec_id") >= 300), "vec_id", "embedding", t)
+      .isEmpty)
+    // advance on the batch: a second batch cloning a BATCH vector is caught
+    // only via the advanced index — the stale index stays silent
+    val b2 = e.filter(col("vec_id") === 310).select(
+      (col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.1d)).as("embedding"))
+    assert(idx.probe(b2, "vec_id", "embedding", t).isEmpty)
+    val hits2 = idx.advance(batch, "vec_id", "embedding")
+      .probe(b2, "vec_id", "embedding", t)
+      .select("batch_id", "seen_id").as[(Long, Long)].collect().toSet
+    assert(hits2.contains((2000310L, 310L)))
+  }
 }
