@@ -539,6 +539,25 @@ object CorpusQueries {
     // Corpus snapshot diff (crawl-over-crawl versioning): v2 synthesized
     // deterministically from v1 — drops (mod 3), edits (mod 5), additions
     // (mod 7) — then per-doc added/removed/changed/unchanged + token delta.
+    // Distribution drift between snapshots (the retrain-gate monitor):
+    // q116's v2 evolution WITH the source column retained; per source the
+    // report carries token totals, type movement, the exact-integer-folded
+    // total-variation distance, and the most-drifted token.
+    "q146_token_drift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" updated revision content")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("source"),
+            concat(lit("new document "), col("doc_id").cast("string"),
+              lit(" about spark pipelines")).as("text")))
+      graft.operators.Curate.tokenDriftReport(docs, v2, "source", "text")
+        .orderBy("source")
+    },
+
     "q116_corpus_diff" -> { (s, dir) =>
       val v1 = Tables.documents(s, dir).select("doc_id", "text")
       val v2 = v1.filter(col("doc_id") % 10 =!= 3)
@@ -1964,6 +1983,66 @@ out_$k AS (
         |       ROUND(CAST(distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE), 4) + 0.0 AS trigram_diversity
         |FROM nd JOIN ta ON nd.source = ta.source JOIN ga ON nd.source = ga.source
         |ORDER BY nd.source""".stripMargin,
+
+    // q146: TV distance folded as the exact integer Σ|c1·n2 − c2·n1|
+    // (HUGEINT here, DECIMAL(38,0) on the Spark side — identical values),
+    // one terminal division; argmax token resolved on the same numerators.
+    "q146_token_drift" ->
+      """WITH v1 AS (SELECT source, text FROM documents),
+        |v2 AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 10 = 5 THEN text || ' updated revision content'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT source,
+        |         'new document ' || CAST(doc_id AS VARCHAR) || ' about spark pipelines'
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |t1 AS (SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok FROM v1),
+        |t2 AS (SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok FROM v2),
+        |cc1 AS (SELECT source, tok, COUNT(*) AS c1 FROM t1 GROUP BY 1, 2),
+        |cc2 AS (SELECT source, tok, COUNT(*) AS c2 FROM t2 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(cc1.source, cc2.source) AS source,
+        |         COALESCE(cc1.tok, cc2.tok) AS tok,
+        |         COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+        |  FROM cc1 FULL OUTER JOIN cc2
+        |    ON cc1.source = cc2.source AND cc1.tok = cc2.tok),
+        |tot AS (SELECT source, SUM(c1) AS n1, SUM(c2) AS n2 FROM j GROUP BY 1),
+        |d AS (
+        |  SELECT j.source, j.tok, j.c1, j.c2,
+        |         ABS(CAST(j.c1 AS HUGEINT) * t.n2 - CAST(j.c2 AS HUGEINT) * t.n1) AS num
+        |  FROM j JOIN tot t ON j.source = t.source),
+        |st AS (
+        |  SELECT source,
+        |         SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS types_v1,
+        |         SUM(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS types_v2,
+        |         SUM(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS types_shared,
+        |         SUM(CASE WHEN c1 = 0 THEN 1 ELSE 0 END) AS types_new,
+        |         SUM(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS types_gone,
+        |         SUM(num) AS snum, MAX(num) AS mx
+        |  FROM d GROUP BY 1),
+        |top AS (
+        |  SELECT d.source, MIN(d.tok) AS top_drift_token
+        |  FROM d JOIN st ON d.source = st.source AND d.num = st.mx
+        |  GROUP BY 1)
+        |SELECT t.source,
+        |       CAST(t.n1 AS BIGINT) AS n_tokens_v1,
+        |       CAST(t.n2 AS BIGINT) AS n_tokens_v2,
+        |       CAST(st.types_v1 AS BIGINT) AS types_v1,
+        |       CAST(st.types_v2 AS BIGINT) AS types_v2,
+        |       CAST(st.types_shared AS BIGINT) AS types_shared,
+        |       CAST(st.types_new AS BIGINT) AS types_new,
+        |       CAST(st.types_gone AS BIGINT) AS types_gone,
+        |       CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |         ROUND(CAST(st.snum AS DOUBLE) /
+        |               (2.0 * CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+        |       END AS tv_distance,
+        |       top.top_drift_token
+        |FROM tot t
+        |JOIN st ON t.source = st.source
+        |JOIN top ON t.source = top.source
+        |ORDER BY t.source""".stripMargin,
 
     // q116: both snapshots shrink to (id, fingerprint, token count) before
     // a full outer join on the id; the v2 evolution replays identically.

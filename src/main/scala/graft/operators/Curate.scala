@@ -393,4 +393,70 @@ object Curate {
       .select(col(idCol), col(domainCol), col(scoreCol),
         col("domain_docs"), col("domain_mean_quality"), col("kept"))
   }
+
+  /** Per-source token-distribution drift between two corpus snapshots —
+    * the monitoring report a daily-crawl pipeline checks BEFORE retraining
+    * (did the crawl's composition move? did a source go stale or get
+    * flooded?). [[corpusDiff]] (q116) answers "which documents changed";
+    * this answers "did the language itself shift".
+    *
+    * Per source: token totals, type counts (v1/v2/shared/new/gone), the
+    * total-variation distance between the unigram distributions
+    * TV = ½ Σ_t |c1(t)/n1 − c2(t)/n2|, and the single most-drifted token
+    * (ties to the lexicographically first).
+    *
+    * Exactness: TV is folded as the EXACT integer Σ|c1·n2 − c2·n1| in
+    * DECIMAL(38,0) (the q142 trick — c·n products reach ~10²⁶ at corpus
+    * scale, far past int64), divided once at the end — no float fold, so
+    * any accumulation order in any engine yields the identical double.
+    * The argmax token is resolved on the same integer numerators.
+    *
+    * Scale shape: two explode→(source, token) count shuffles (partial-
+    * aggregated, token skew absorbed map-side), a full outer join already
+    * co-partitioned on the aggregate keys (no extra exchange), per-source
+    * totals (#sources rows) broadcast back, and the per-token diff table
+    * — type-table-sized, NOT corpus-sized — localCheckpoint'd once because
+    * three consumers read it (stats fold, max numerator, argmax resolve;
+    * the q132/q135 lineage-trap rule). Only #sources-row frames are ever
+    * broadcast; nothing reaches the driver. */
+  def tokenDriftReport(v1: DataFrame, v2: DataFrame, srcCol: String,
+                       textCol: String): DataFrame = {
+    import graft.functions.Rounding.roundLikeC
+    def counts(df: DataFrame, tag: String): DataFrame =
+      df.select(col(srcCol).as("source"),
+          explode(Text.tokens(col(textCol))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as(tag))
+    val j = counts(v1, "c1").join(counts(v2, "c2"),
+        Seq("source", "tok"), "full_outer")
+      .select(col("source"), col("tok"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = j.groupBy("source").agg(
+      sum("c1").as("n1"), sum("c2").as("n2"))
+    val d = j.join(broadcast(tot), "source")
+      .withColumn("num",
+        abs(col("c1").cast("decimal(38,0)") * col("n2") -
+            col("c2").cast("decimal(38,0)") * col("n1")))
+      .localCheckpoint()
+    val stats = d.groupBy("source").agg(
+      sum(when(col("c1") > 0, 1L).otherwise(0L)).as("types_v1"),
+      sum(when(col("c2") > 0, 1L).otherwise(0L)).as("types_v2"),
+      sum(when(col("c1") > 0 && col("c2") > 0, 1L).otherwise(0L)).as("types_shared"),
+      sum(when(col("c1") === 0, 1L).otherwise(0L)).as("types_new"),
+      sum(when(col("c2") === 0, 1L).otherwise(0L)).as("types_gone"),
+      sum("num").as("__snum"), max("num").as("__mx"))
+    val top = d.join(broadcast(stats.select(col("source"), col("__mx"))), "source")
+      .filter(col("num") === col("__mx"))
+      .groupBy("source").agg(min("tok").as("top_drift_token"))
+    tot.join(stats, "source").join(top, "source")
+      .select(col("source"),
+        col("n1").as("n_tokens_v1"), col("n2").as("n_tokens_v2"),
+        col("types_v1"), col("types_v2"), col("types_shared"),
+        col("types_new"), col("types_gone"),
+        when(col("n1") > 0 && col("n2") > 0,
+          roundLikeC(col("__snum").cast("double") /
+            (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")), 6))
+          .as("tv_distance"),
+        col("top_drift_token"))
+  }
 }

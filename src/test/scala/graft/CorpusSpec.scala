@@ -587,6 +587,35 @@ class CorpusSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("tokenDriftReport: hand-computed TV, type movement, drifted-token argmax") {
+    import graft.operators.Curate
+    // source a: v1 {x:2, y:1} n1=3; v2 {x:1, y:2, z:1} n2=4
+    //   num(x)=|2*4-1*3|=5, num(y)=|1*4-2*3|=2, num(z)=|0-1*3|=3
+    //   TV = (5+2+3)/(2*3*4) = 10/24 = 0.416667; top token x
+    // source b: identical snapshots -> TV 0, tie on num=0 -> min tok "p"
+    // source c: v1 {m, n} n1=2; v2 {m} n2=1 -> num(m)=|1-2|=1, num(n)=1
+    //   TV = 2/(2*2*1) = 0.5; types_gone=1; tie -> "m"
+    val v1 = Seq(("a", "x x y"), ("b", "p q"), ("c", "m n")).toDF("src", "text")
+    val v2 = Seq(("a", "x y y z"), ("b", "p q"), ("c", "m")).toDF("src", "text")
+    val got = Curate.tokenDriftReport(v1, v2, "src", "text")
+      .orderBy("source").collect()
+    assert(got.length === 3)
+    val a = got(0)
+    assert(a.getAs[Long]("n_tokens_v1") === 3L && a.getAs[Long]("n_tokens_v2") === 4L)
+    assert(a.getAs[Long]("types_v1") === 2L && a.getAs[Long]("types_v2") === 3L)
+    assert(a.getAs[Long]("types_shared") === 2L && a.getAs[Long]("types_new") === 1L)
+    assert(a.getAs[Long]("types_gone") === 0L)
+    assert(a.getAs[Double]("tv_distance") === 0.416667)
+    assert(a.getAs[String]("top_drift_token") === "x")
+    val b = got(1)
+    assert(b.getAs[Double]("tv_distance") === 0.0)
+    assert(b.getAs[String]("top_drift_token") === "p")
+    val c = got(2)
+    assert(c.getAs[Double]("tv_distance") === 0.5)
+    assert(c.getAs[Long]("types_gone") === 1L)
+    assert(c.getAs[String]("top_drift_token") === "m")
+  }
+
   test("temperatureMix: quotas sum to total and sqrt-flatten the distribution") {
     // strata: big=400 docs, small=30 -> natural shares 97/7 at total 104;
     // sqrt: 20/5.48 -> ~82/~22 -> small gets ~3x its natural share (and the
