@@ -32,6 +32,11 @@ object CorpusQueries {
     * the fixture corpus (and these injected tails) contain neither `\x0B`
     * nor U+0085/U+2028/U+2029 nor CRLF. A corpus with those characters
     * needs the explicit negated-class forms (see `Text.charEntropy`). */
+  /** q147's repeat schedule: whole epochs, a fractional epoch, a drop, and
+    * the implicit 1.0 default for the other 16 sources. */
+  private[analytics] val EpochMixEpochs =
+    Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0, "src3" -> 3.0)
+
   private val BulletTail =
     "\n- one\n- two\n- three\n- four\n* five\n* six\n* seven\n• eight\n• nine\n- ten"
   private val EllipsisTail = "\nwait for it...\nstill loading...\nalmost there..."
@@ -493,6 +498,17 @@ object CorpusQueries {
       graft.operators.Packing.spanCorrupt(
           Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")
+    },
+
+    // Epoch-aware mixture expansion (the LLaMA/Pile repeat schedule):
+    // src0 repeats 2.5x, src1 downsamples to 0.4, src2 drops, src3 runs 3
+    // full epochs, everything else 1.0. Zero-shuffle hash-threshold
+    // selection for the fractional epoch (a rate, not a quota).
+    "q147_epoch_mix" -> { (s, dir) =>
+      graft.operators.Packing.epochMix(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          col("doc_id"), col("source"), EpochMixEpochs)
+        .orderBy("doc_id", "copy_idx")
     },
 
     // Temperature-scaled (sqrt, tau=0.5) language mixture: quotas derive
@@ -1923,6 +1939,34 @@ out_$k AS (
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q147: whole-epoch copies + the mix2 hash-threshold extra copy; the
+    // CASE literals (whole counts, frac·2³¹ thresholds) are generated from
+    // the SAME Scala map and floor arithmetic the operator uses, so the
+    // two engines compare identical integers.
+    "q147_epoch_mix" -> {
+      val m = 2147483648L
+      def wholeOf(e: Double) = math.floor(e).toLong
+      def threshOf(e: Double) = math.floor((e - math.floor(e)) * m).toLong
+      val wholeCase = EpochMixEpochs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN ${wholeOf(v)}" }.mkString(" ")
+      val thrCase = EpochMixEpochs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN ${threshOf(v)}" }.mkString(" ")
+      s"""WITH e AS (
+         |  SELECT doc_id, source,
+         |         CASE source $wholeCase ELSE 1 END AS whole,
+         |         CASE source $thrCase ELSE 0 END AS thr,
+         |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+         |          * 1103515245 + 12345) % 2147483648 AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         whole + CASE WHEN h < thr THEN 1 ELSE 0 END AS n
+         |  FROM e)
+         |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy_idx
+         |FROM c WHERE n > 0
+         |ORDER BY doc_id, copy_idx""".stripMargin
+    },
 
     // q117: sqrt weights (correctly-rounded IEEE, identical both engines),
     // weight sum folded in sorted-lang order, (w/s)*total shares, floor +

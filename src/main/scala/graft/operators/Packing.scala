@@ -295,6 +295,39 @@ object Packing {
       .drop("__h")
   }
 
+  /** Epoch-aware mixture expansion — the "train 2 epochs of wiki, 0.4 of
+    * CommonCrawl" repeat schedule (the LLaMA / Pile mixture recipe): every
+    * document of source s appears `floor(e_s)` times, plus one extra copy
+    * for a deterministic ~frac(e_s) fraction of its documents. Emits the
+    * input columns + `copy_idx` (0-based); feed the result to
+    * [[detShuffle]] keyed on (id, copy_idx) for the training order.
+    *
+    * The fractional epoch is a RATE, not a quota, so selection is a pure
+    * hash threshold (`mix2(id) < frac·2³¹` — exact integer comparison,
+    * engine-portable) rather than a per-source ranked quota: the whole
+    * operator stays a ZERO-SHUFFLE projection — no count pass, no
+    * per-source window (which would funnel each source through one task
+    * at corpus scale). When exact quotas matter, [[weightedMix]] /
+    * [[temperatureMix]] are the ranked paths. Sources not in `epochs` get
+    * `defaultEpochs`. A 0.0 epoch drops the source entirely. */
+  def epochMix(df: DataFrame, idCol: Column, sourceCol: Column,
+               epochs: Map[String, Double],
+               defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 1000.0),
+      "epoch factors must be in [0, 1000]")
+    val m = 2147483648L // 2^31, the mix2 modulus
+    def wholeOf(e: Double) = math.floor(e).toLong
+    def threshOf(e: Double) = math.floor((e - math.floor(e)) * m).toLong
+    val whole = typedlit(epochs.map { case (k, v) => k -> wholeOf(v) })
+    val thresh = typedlit(epochs.map { case (k, v) => k -> threshOf(v) })
+    val copies = coalesce(element_at(whole, sourceCol), lit(wholeOf(defaultEpochs))) +
+      when(mix2(idCol) <
+          coalesce(element_at(thresh, sourceCol), lit(threshOf(defaultEpochs))),
+        1L).otherwise(0L)
+    df.withColumn("copy_idx",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))))
+  }
+
   /** Largest-remainder apportionment of `total × weight/Σweights` units. */
   /** T5-style span corruption (Raffel et al. 2020) — the masked-LM example
     * prep: the token stream splits into fixed `blockLen`-token blocks, a

@@ -616,6 +616,32 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("epochMix: whole epochs exact, fractional rate bounded, drop/default honored, zero-shuffle") {
+    import graft.operators.Packing
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 100) "w3" else if (i <= 200) "f" else if (i <= 300) "z" else "d"))
+      .toDF("id", "src")
+    val mixed = Packing.epochMix(df, col("id"), col("src"),
+      Map("w3" -> 3.0, "f" -> 0.5, "z" -> 0.0))
+    val bySrc = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("w3") === 300L, s"3.0 epochs = exactly 3 copies per doc: $bySrc")
+    assert(!bySrc.contains("z"), s"0.0 epochs drops the source: $bySrc")
+    assert(bySrc("d") === 100L, s"unlisted source gets the 1.0 default: $bySrc")
+    assert(bySrc("f") >= 30L && bySrc("f") <= 70L,
+      s"0.5 epochs keeps ~half (hash-rate, not quota): $bySrc")
+    // per-doc copy indices are dense 0..n-1
+    val w3copies = mixed.filter(col("src") === "w3" && col("id") === 7L)
+      .select("copy_idx").as[Long].collect().sorted.toSeq
+    assert(w3copies === Seq(0L, 1L, 2L))
+    // deterministic: the same schedule re-derives the same rows
+    assert(mixed.collect().toSeq.sortBy(_.toString) ===
+      Packing.epochMix(df, col("id"), col("src"),
+        Map("w3" -> 3.0, "f" -> 0.5, "z" -> 0.0)).collect().toSeq.sortBy(_.toString))
+    // the operator itself is a pure projection — no exchange anywhere
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"),
+      mixed.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("temperatureMix: quotas sum to total and sqrt-flatten the distribution") {
     // strata: big=400 docs, small=30 -> natural shares 97/7 at total 104;
     // sqrt: 20/5.48 -> ~82/~22 -> small gets ~3x its natural share (and the
