@@ -179,6 +179,29 @@ object PrepQueries {
         .orderBy("token")
     },
 
+    // Per-source length-distribution report via the mergeable quantile
+    // sketch: capacity 4096 >> docs/source at every SF, so the sketch is
+    // in its exact regime and plain quantile_disc checks it bit for bit
+    // (the collapse-regime error bound is spec territory, SketchesSpec).
+    "q148_quantile_report" -> { (s, dir) =>
+      import s.implicits._
+      val perDoc = Tables.documents(s, dir).select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      val sk = graft.operators.Sketches.quantileSketch(4096,
+        Seq(0.25, 0.5, 0.75, 0.95))
+      perDoc.as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(sk.toColumn.name("qv"))
+        .toDF("source", "qv")
+        .select(col("source"),
+          element_at(col("qv"), 1).as("p25"),
+          element_at(col("qv"), 2).as("p50"),
+          element_at(col("qv"), 3).as("p75"),
+          element_at(col("qv"), 4).as("p95"))
+        .orderBy("source")
+    },
+
     // Skew-safe aggregation surfaced as a query: the salted two-phase sum
     // must equal the plain GROUP BY (decimal sums are order-independent) —
     // the DuckDB oracle IS the plain form.
@@ -651,6 +674,22 @@ object PrepQueries {
     // q71 is the Bloom-prefiltered plan of the SAME computation — one
     // oracle pins both to identical output.
     "q71_incremental_dedup_bloom" -> incrementalDedupOracle,
+
+    // q148: the sketch runs in its exact regime at every SF (capacity ≥
+    // group size), so its ceil(q·n) rank rule IS quantile_disc's.
+    "q148_quantile_report" ->
+      """WITH n AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT source,
+        |       quantile_disc(n, 0.25) AS p25,
+        |       quantile_disc(n, 0.5)  AS p50,
+        |       quantile_disc(n, 0.75) AS p75,
+        |       quantile_disc(n, 0.95) AS p95
+        |FROM n GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q64_heavy_hitters" ->
       """WITH t AS (

@@ -144,4 +144,115 @@ object Sketches {
       .withColumn("cms_est", if (cells.length == 1) cells.head else least(cells: _*))
       .drop("sketch")
   }
+
+  /** Mergeable rank-quantile sketch (the MRL/KLL pairwise-collapse scheme,
+    * Manku–Rajagopalan–Lindsay 1998 simplified to one weighted buffer) —
+    * the bounded-memory percentile path when a group's value multiset is
+    * too big to sort: length distributions per source, latency
+    * percentiles, the q68-style gate when even the histogram's key space
+    * explodes.
+    *
+    * Buffer = (value, weight) pairs. Past `capacity` items the
+    * value-sorted buffer collapses each adjacent pair into ONE member
+    * carrying the pair's TOTAL weight: total weight is conserved exactly
+    * (so quantile ranks never drift globally), and one collapse moves any
+    * rank by at most the dropped member's weight — the classic
+    * ε ≈ log(n/c)/c envelope. WHICH member survives alternates by a
+    * parity derived from the buffer itself (KLL's coin flip, made
+    * deterministic): always keeping the lower member would migrate mass
+    * downward monotonically and collapse every quantile toward the
+    * minimum — the de-biasing is load-bearing, not cosmetic (pinned in
+    * SketchesSpec). While a group's count stays ≤ capacity nothing
+    * collapses and every rank statistic is EXACT — which is what lets
+    * the DuckDB oracle check the sketch with plain `quantile_disc`.
+    *
+    * `finish` answers each q with the `quantile_disc` rule pinned by
+    * probe: the item whose cumulative weight first reaches
+    * ceil(q · totalWeight) (1-based; same double product both engines).
+    *
+    * Merge concatenates-then-collapses, so partial aggregation ships at
+    * most `capacity` pairs per mapper regardless of group size — the
+    * [[CountMin]] linearity argument for rank statistics. Compaction is
+    * deterministic for a fixed merge tree; across merge orders only the
+    * ≤ε displacement varies, never the exact-regime result. */
+  final class QuantileSketch(capacity: Int, qs: Seq[Double])
+    extends Aggregator[Long, Seq[(Long, Long)], Seq[Long]] {
+    require(capacity >= 2, "capacity must be at least 2")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+
+    override def zero: Seq[(Long, Long)] = Vector.empty
+
+    @annotation.tailrec
+    private def collapse(buf: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      if (buf.length <= capacity) buf
+      else {
+        // KLL level compaction: only the most-populated weight class
+        // compacts (everything else keeps its exact position), so an
+        // item's weight doubles once per LEVEL, not once per collapse —
+        // a flat full-buffer halving doubles every weight every time and
+        // the rank walk explodes (pinned in SketchesSpec). The survivor
+        // of each pair alternates by a content-derived parity (KLL's
+        // coin, made deterministic): always keeping the lower member
+        // migrates all mass toward the minimum.
+        val classes = buf.groupBy(_._2).toSeq
+          .sortBy { case (w, its) => (-its.length, w) }
+        val (w, items) = classes.head
+        if (items.length >= 2) {
+          val s = items.sortBy(_._1)
+          val rest = buf.filterNot(_._2 == w)
+          val out = Vector.newBuilder[(Long, Long)]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length) {
+              val keepHi = ((s(i)._1 + s(i + 1)._1 + s.length + i) & 1L) == 1L
+              val v = if (keepHi) s(i + 1)._1 else s(i)._1
+              out += ((v, s(i)._2 + s(i + 1)._2))
+            } else out += s(i)
+            i += 2
+          }
+          collapse(rest ++ out.result())
+        } else {
+          // degenerate (capacity below the live level count): merge the
+          // two lightest items; total weight still conserved exactly
+          val s = buf.sortBy(t => (t._2, t._1)).toVector
+          val (a, b) = (s(0), s(1))
+          val keepHi = ((a._1 + b._1) & 1L) == 1L
+          val v = if (keepHi) math.max(a._1, b._1) else math.min(a._1, b._1)
+          collapse(s.drop(2) :+ ((v, a._2 + b._2)))
+        }
+      }
+
+    override def reduce(buf: Seq[(Long, Long)], x: Long): Seq[(Long, Long)] =
+      collapse(buf :+ ((x, 1L)))
+
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      collapse(a ++ b)
+
+    override def finish(r: Seq[(Long, Long)]): Seq[Long] =
+      if (r.isEmpty) Seq.empty
+      else {
+        val s = r.sortBy(_._1)
+        val w = s.iterator.map(_._2).sum
+        qs.map { q =>
+          val target = math.max(1L, math.ceil(q * w.toDouble).toLong)
+          var cum = 0L
+          var i = 0
+          var res = s.last._1
+          var found = false
+          while (i < s.length && !found) {
+            cum += s(i)._2
+            if (cum >= target) { res = s(i)._1; found = true }
+            i += 1
+          }
+          res
+        }
+      }
+
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  def quantileSketch(capacity: Int, qs: Seq[Double]): QuantileSketch =
+    new QuantileSketch(capacity, qs)
 }

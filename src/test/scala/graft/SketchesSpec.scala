@@ -102,4 +102,38 @@ class SketchesSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.subsetOf(summary.keySet),
       s"missing: ${exact -- summary.keySet}")
   }
+
+  test("quantile sketch: exact regime matches quantile_disc rule, any partitioning") {
+    // DuckDB probe of record: values 1..10 -> disc quantiles 3, 5, 8, 10
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    def run(parts: Int): Seq[Long] =
+      spark.range(1, 11).repartition(parts).as[Long]
+        .groupByKey(_ => 0).mapValues(identity[Long])
+        .agg(Sketches.quantileSketch(4096, qs).toColumn.name("q"))
+        .collect().head._2
+    assert(run(1) === Seq(3L, 5L, 8L, 10L))
+    // merge order cannot move the exact regime (no collapse ever fires)
+    assert(run(7) === Seq(3L, 5L, 8L, 10L))
+  }
+
+  test("quantile sketch: collapse regime conserves rank within the error envelope") {
+    // 1..1000 through capacity 16: collapses fire constantly; total weight
+    // is conserved exactly, so the p50 answer's TRUE rank must stay near
+    // 500 — the MRL displacement bound, checked loosely (±20%)
+    val got = spark.range(1, 1001).repartition(4).as[Long]
+      .groupByKey(_ => 0).mapValues(identity[Long])
+      .agg(Sketches.quantileSketch(16, Seq(0.5)).toColumn.name("q"))
+      .collect().head._2
+    val p50 = got.head
+    assert(p50 >= 300L && p50 <= 700L,
+      s"collapsed p50=$p50 drifted past the error envelope")
+  }
+
+  test("quantile sketch: rejects degenerate parameters, empty group yields empty") {
+    intercept[IllegalArgumentException](Sketches.quantileSketch(1, Seq(0.5)))
+    intercept[IllegalArgumentException](Sketches.quantileSketch(16, Seq(0.0)))
+    intercept[IllegalArgumentException](Sketches.quantileSketch(16, Seq(1.5)))
+    val sk = Sketches.quantileSketch(16, Seq(0.5))
+    assert(sk.finish(sk.zero) === Seq.empty)
+  }
 }
