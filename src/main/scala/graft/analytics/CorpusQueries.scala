@@ -555,6 +555,16 @@ object CorpusQueries {
     // Corpus snapshot diff (crawl-over-crawl versioning): v2 synthesized
     // deterministically from v1 — drops (mod 3), edits (mod 5), additions
     // (mod 7) — then per-doc added/removed/changed/unchanged + token delta.
+    // Cross-source overlap matrix: pairwise distinct-trigram Jaccard over
+    // every source pair — the between-source leakage/diversity diagnostic
+    // (q118 is the within-source axis). All 190 pairs, zero-overlap rows
+    // included.
+    "q149_source_overlap" -> { (s, dir) =>
+      graft.operators.Curate.sourceOverlapMatrix(
+          Tables.documents(s, dir).select("source", "text"), "source", "text")
+        .orderBy("source_a", "source_b")
+    },
+
     // Distribution drift between snapshots (the retrain-gate monitor):
     // q116's v2 evolution WITH the source column retained; per source the
     // report carries token totals, type movement, the exact-integer-folded
@@ -2027,6 +2037,34 @@ out_$k AS (
         |       ROUND(CAST(distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE), 4) + 0.0 AS trigram_diversity
         |FROM nd JOIN ta ON nd.source = ta.source JOIN ga ON nd.source = ga.source
         |ORDER BY nd.source""".stripMargin,
+
+    // q149: the q118 trigram CTE (with its under-3-token fallback), made
+    // distinct per source; inverted self-join on the gram; all-pairs frame
+    // from the size table so zero-overlap pairs survive.
+    "q149_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT source, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM t),
+        |sh AS (SELECT DISTINCT source, g FROM sh0),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |iv AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |       CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+        |       CAST(COALESCE(iv.n_common, 0) AS BIGINT) AS n_common,
+        |       ROUND(CAST(COALESCE(iv.n_common, 0) AS DOUBLE) /
+        |             CAST(x.n + y.n - COALESCE(iv.n_common, 0) AS DOUBLE), 6) AS jaccard
+        |FROM sz x JOIN sz y ON x.source < y.source
+        |LEFT JOIN iv ON iv.source_a = x.source AND iv.source_b = y.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // q146: TV distance folded as the exact integer Σ|c1·n2 − c2·n1|
     // (HUGEINT here, DECIMAL(38,0) on the Spark side — identical values),

@@ -459,4 +459,46 @@ object Curate {
           .as("tv_distance"),
         col("top_drift_token"))
   }
+
+  /** Cross-source overlap matrix — pairwise Jaccard of the distinct word
+    * k-gram sets of every source pair: the leakage/diversity diagnostic a
+    * mixture designer reads before weighting sources (two mirrors of the
+    * same crawl shouldn't both get full weight; a "curated" slice that is
+    * 0.4-Jaccard with CommonCrawl is not new data). Complements q118
+    * (WITHIN-source diversity) with the BETWEEN-source axis.
+    *
+    * Emits every unordered pair (source_a < source_b) with set sizes,
+    * intersection, and 6dp Jaccard — zero-intersection pairs included
+    * (the matrix is the point).
+    *
+    * Scale shape: one distinct pass to (source, gram) — corpus-sized
+    * shuffle, partial-agg'd; the inverted self-join on the gram fans out
+    * at most C(S,2) rows per gram (S = #sources — hundreds, not corpus
+    * scale; for S in the thousands switch to collect_set(source) per gram
+    * and explode the pair list, same bound); the size table is #sources
+    * rows and broadcasts into the all-pairs frame. Exact integers, one
+    * terminal division. Reference anchor: the per-source composition
+    * report of `notebooks/eda.ipynb` extended to the pairwise axis. */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+                          k: Int = 3): DataFrame = {
+    import graft.functions.Rounding.roundLikeC
+    val grams = df.select(col(srcCol).as("source"),
+        explode(Dedup.shingles(col(textCol), k)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = grams.withColumnRenamed("source", "source_a")
+      .join(grams.withColumnRenamed("source", "source_b"), "g")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("source_b"), col("n").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val common = coalesce(col("n_common"), lit(0L))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        common.as("n_common"),
+        roundLikeC(common.cast("double") /
+          (col("n_a") + col("n_b") - common).cast("double"), 6).as("jaccard"))
+  }
 }

@@ -616,6 +616,24 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("sourceOverlapMatrix: hand-computed Jaccard, zero-overlap pairs present") {
+    import graft.operators.Curate
+    // A: {"a b c", "b c d"}; B: {"b c d", "c d e"} -> J(A,B) = 1/3
+    // C: {"x y z"} disjoint -> J(A,C) = J(B,C) = 0, rows still emitted
+    val df = Seq(("A", "a b c d"), ("B", "b c d e"), ("C", "x y z"))
+      .toDF("source", "text")
+    val got = Curate.sourceOverlapMatrix(df, "source", "text")
+      .orderBy("source_a", "source_b").collect()
+    assert(got.length === 3)
+    val ab = got(0)
+    assert(ab.getAs[Long]("n_a") === 2L && ab.getAs[Long]("n_b") === 2L)
+    assert(ab.getAs[Long]("n_common") === 1L)
+    assert(ab.getAs[Double]("jaccard") === 0.333333)
+    assert(got(1).getAs[Long]("n_common") === 0L &&
+      got(1).getAs[Double]("jaccard") === 0.0)
+    assert(got(2).getAs[Long]("n_common") === 0L)
+  }
+
   test("epochMix: whole epochs exact, fractional rate bounded, drop/default honored, zero-shuffle") {
     import graft.operators.Packing
     val df = (1L to 400L).map(i =>
