@@ -220,6 +220,21 @@ object TextQueries {
         .orderBy("id_sub", "id_super")
     },
 
+    // Leakage-safe train/eval split: q50's cluster closure over a cloned
+    // corpus, every CLUSTER assigned to a side by the mix2 hash rate —
+    // a clone can never straddle the split (the contamination mode a
+    // per-document random split is blind to).
+    "q150_leakage_safe_split" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val corpus = base.unionByName(
+        base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      graft.operators.Packing.leakageSafeSplit(corpus, "doc_id", pairs,
+          evalFraction = 0.25)
+        .orderBy("doc_id")
+    },
+
     // Duplicate clusters: connected components over the q28 near-dup pairs
     // (min-label propagation, one shuffle per round); every doc labeled
     // with its cluster representative (min reachable doc_id).
@@ -1061,6 +1076,43 @@ object TextQueries {
         |SELECT id_sub, id_super, containment FROM d
         |WHERE containment >= 0.9
         |ORDER BY id_sub, id_super""".stripMargin,
+
+    // q150: q50's recursive closure over the cloned slice, split by the
+    // mix2 rate on the cluster id (floor(0.25 * 2^31) = 536870912)
+    "q150_leakage_safe_split" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300),
+        |toks AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM corpus),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN (((cluster_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |                  * 1103515245 + 12345) % 2147483648 < 536870912
+        |            THEN 'eval' ELSE 'train' END AS split
+        |FROM cl
+        |ORDER BY doc_id""".stripMargin,
 
     // transitive closure via recursive CTE; cluster = min reachable node
     "q50_dup_clusters" ->

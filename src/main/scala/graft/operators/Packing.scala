@@ -295,6 +295,36 @@ object Packing {
       .drop("__h")
   }
 
+  /** Leakage-safe train/eval split — the assignment rule that makes a
+    * held-out set actually held out: documents are split by DUPLICATE
+    * CLUSTER, not individually, so a near-duplicate of a training document
+    * can never land in eval (the contamination mode individual random
+    * splits are blind to, and the reason decontamination (q74) exists as
+    * a repair step — this operator prevents the leak at split time).
+    *
+    * `pairs` is any near-dup pair frame (jaccardPairs, simhashPairs, an
+    * LSH+verify DAG); [[graft.operators.Dedup.dupClusters]] closes it
+    * transitively, then every CLUSTER assigns to a side by the [[mix2]]
+    * hash-rate rule (`mix2(cluster_id) < evalFraction·2³¹` — the q147
+    * idiom: a deterministic rate, zero extra shuffle, engine-portable).
+    * Emits (id, cluster_id, split ∈ train|eval).
+    *
+    * Scale shape: the cluster pass dominates (pointer-doubling label
+    * propagation, one shuffle per round); the split itself is a pure
+    * projection on its output. Fraction is rate-exact over clusters, not
+    * quota-exact — a leakage-safe split cannot be quota-exact anyway,
+    * since clusters are atomic. */
+  def leakageSafeSplit(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                       evalFraction: Double,
+                       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(evalFraction >= 0.0 && evalFraction <= 1.0,
+      s"evalFraction=$evalFraction must lie in [0, 1]")
+    val thresh = math.floor(evalFraction * 2147483648.0).toLong
+    graft.operators.Dedup.dupClusters(nodes, idCol, pairs, idA, idB)
+      .withColumn("split",
+        when(mix2(col("cluster_id")) < thresh, lit("eval")).otherwise(lit("train")))
+  }
+
   /** Epoch-aware mixture expansion — the "train 2 epochs of wiki, 0.4 of
     * CommonCrawl" repeat schedule (the LLaMA / Pile mixture recipe): every
     * document of source s appears `floor(e_s)` times, plus one extra copy

@@ -616,6 +616,32 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("leakageSafeSplit: no near-dup pair ever straddles the split; rate is sane") {
+    import graft.operators.{Dedup, Packing}
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+    val got = Packing.leakageSafeSplit(corpus, "doc_id", pairs, evalFraction = 0.25)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .as[(Long, Long, String)].collect()
+    val splitOf = got.map(r => r._1 -> r._3).toMap
+    // every planted clone lands on its original's side — the whole point
+    (0L until 200L).filter(splitOf.contains).foreach { id =>
+      assert(splitOf(id) === splitOf(id + 1000000L),
+        s"doc $id and its clone straddle the split")
+    }
+    // clusters are split atomically and only into the two labels
+    assert(got.groupBy(_._2).values.forall(c => c.map(_._3).toSet.size === 1))
+    assert(got.map(_._3).toSet.subsetOf(Set("train", "eval")))
+    // hash-rate sanity: eval holds SOME clusters but a minority
+    val evalClusters = got.filter(_._3 == "eval").map(_._2).toSet.size
+    val allClusters = got.map(_._2).toSet.size
+    assert(evalClusters > 0 && evalClusters < allClusters / 2,
+      s"$evalClusters of $allClusters clusters in eval")
+  }
+
   test("sourceOverlapMatrix: hand-computed Jaccard, zero-overlap pairs present") {
     import graft.operators.Curate
     // A: {"a b c", "b c d"}; B: {"b c d", "c d e"} -> J(A,B) = 1/3
