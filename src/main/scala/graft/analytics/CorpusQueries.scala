@@ -555,6 +555,20 @@ object CorpusQueries {
     // Corpus snapshot diff (crawl-over-crawl versioning): v2 synthesized
     // deterministically from v1 — drops (mod 3), edits (mod 5), additions
     // (mod 7) — then per-doc added/removed/changed/unchanged + token delta.
+    // Dataset fingerprint: the per-source reproducibility manifest — doc/
+    // token/char totals + the order-invariant content hash (commutative
+    // exact-integer sum of the portable poly hash of each normalized md5
+    // fingerprint).
+    "q151_dataset_fingerprint" -> { (s, dir) =>
+      // the manifest keeps the exact DECIMAL hash; the oracle boundary
+      // compares it as double (the q122 convention — exact below 2^53,
+      // far above any test SF's hash mass)
+      graft.operators.Curate.datasetFingerprint(
+          Tables.documents(s, dir).select("source", "text"), "text", "source")
+        .withColumn("content_hash", col("content_hash").cast("double"))
+        .orderBy("source")
+    },
+
     // Cross-source overlap matrix: pairwise distinct-trigram Jaccard over
     // every source pair — the between-source leakage/diversity diagnostic
     // (q118 is the within-source axis). All 190 pairs, zero-overlap rows
@@ -2037,6 +2051,31 @@ out_$k AS (
         |       ROUND(CAST(distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE), 4) + 0.0 AS trigram_diversity
         |FROM nd JOIN ta ON nd.source = ta.source JOIN ga ON nd.source = ga.source
         |ORDER BY nd.source""".stripMargin,
+
+    // q151: md5 hex is identical in both engines; the poly-31 fold over
+    // its 32 hex chars is the q59/q84 list_reduce idiom; the commutative
+    // HUGEINT/DECIMAL(38,0) sum is what makes the hash order-invariant.
+    "q151_dataset_fingerprint" ->
+      """WITH f AS (
+        |  SELECT source,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS nt,
+        |         CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, nt, nc,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, length(fp)+1), i -> ascii(substr(fp, i, 1))::BIGINT)),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM f)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |       CAST(SUM(h) AS DOUBLE) AS content_hash
+        |FROM h GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // q149: the q118 trigram CTE (with its under-3-token fallback), made
     // distinct per source; inverted self-join on the gram; all-pairs frame

@@ -460,6 +460,35 @@ object Curate {
         col("top_drift_token"))
   }
 
+  /** Dataset fingerprint — the reproducibility manifest a training run
+    * records next to its checkpoints ("which data was this, exactly"):
+    * per source, document/token/char totals and an ORDER-INVARIANT content
+    * hash — the exact-integer SUM of a portable polynomial hash of each
+    * document's normalized [[Text.fingerprint]]. Any reshuffle,
+    * repartition, or re-export of the same content reproduces the
+    * identical manifest; any edit, drop, or addition changes it. The
+    * commutative sum is what makes the hash layout-independent — a folded
+    * (non-commutative) chain hash would fingerprint the ORDER, which is
+    * exactly what a distributed dataset does not have.
+    *
+    * Scale shape: one projection (md5 + poly fold per row, codegen'd) into
+    * one partial-agg'd groupBy — the cheapest query in the library's
+    * audit family. Sums in DECIMAL(38,0): 10¹⁰ docs × hash < 10⁹ stays
+    * within 10¹⁹ — int64 would already overflow there. Reference anchor:
+    * the row-count reconciliation of `scripts/ETL Pipeline/
+    * gpc_extract_and_load.py` generalized to content identity. */
+  def datasetFingerprint(df: DataFrame, textCol: String, srcCol: String): DataFrame =
+    df.select(col(srcCol).as("source"),
+        Text.tokenCount(col(textCol)).cast("long").as("__nt"),
+        length(col(textCol)).cast("long").as("__nc"),
+        Text.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("__h", expr(graft.functions.PortableHash.polySql("__fp")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        sum("__nc").as("n_chars"),
+        sum(col("__h").cast("decimal(38,0)")).as("content_hash"))
+
   /** Cross-source overlap matrix — pairwise Jaccard of the distinct word
     * k-gram sets of every source pair: the leakage/diversity diagnostic a
     * mixture designer reads before weighting sources (two mirrors of the

@@ -616,6 +616,31 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("datasetFingerprint: order-invariant, edit-sensitive, normalization-stable") {
+    import graft.operators.Curate
+    val df = Seq((1L, "s", "alpha beta gamma"), (2L, "s", "delta epsilon"),
+      (3L, "t", "zeta eta")).toDF("id", "src", "text")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      Curate.datasetFingerprint(d, "text", "src")
+        .orderBy("source").collect().map(_.toString).toSeq
+    val base = manifest(df)
+    // layout independence: any repartition/order reproduces the manifest
+    assert(manifest(df.repartition(7)) === base)
+    assert(manifest(df.orderBy(col("id").desc)) === base)
+    // whitespace renormalization is identity (the fingerprint normalizes)
+    assert(manifest(df.withColumn("text",
+      regexp_replace(col("text"), " ", "   "))).map(_.split(",")(4)) ===
+      base.map(_.split(",")(4)))
+    // a one-doc edit moves ONLY its source's hash
+    val edited = manifest(df.withColumn("text",
+      when(col("id") === 1L, lit("alpha beta CHANGED")).otherwise(col("text"))))
+    assert(edited(0) !== base(0))
+    assert(edited(1) === base(1))
+    // dropping a doc moves the count and the hash
+    val dropped = manifest(df.filter(col("id") =!= 2L))
+    assert(dropped(0) !== base(0))
+  }
+
   test("leakageSafeSplit: no near-dup pair ever straddles the split; rate is sane") {
     import graft.operators.{Dedup, Packing}
     val base = Tables.documents(spark, sf).filter(col("doc_id") < 200)
