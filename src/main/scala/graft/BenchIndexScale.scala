@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   *   - q132's [[graft.operators.Dedup.fuzzyDedupIncremental]]
   *   - q134's [[graft.operators.Dedup.repeatedSpansIncremental]]
   *   - q143's [[graft.operators.Dedup.simhashIncrementalPairs]]
+  *   - q145's [[graft.operators.Similarity.CosineLshIndex.probe]]
   *
   * A FIXED batch is curated against seen corpora at 1x / 5x / 25x, built by
   * GenScale-style key-shifted token-suffixed replication (cross-copy
@@ -42,7 +43,7 @@ object BenchIndexScale {
       .config("spark.local.dir", Bench.scratchDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.{Curate, Dedup}
+    import graft.operators.{Curate, Dedup, Similarity}
 
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count()
@@ -128,6 +129,53 @@ object BenchIndexScale {
           .queryExecution.toRdd.count())._1
       }
       rows += (("simhashIncremental", k, seenSize, bSim, median(simSecs)))
+
+      // --- q145 cosine: sign-LSH index (bands + stored vecs) built once,
+      // each table probe-keyed. Replicas are CIRCULARLY SHIFTED (shifts of
+      // a random vector are near-orthogonal), not rescaled — rescale is
+      // cosine-identical and would co-bucket every replica instead of
+      // growing the world ---
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val nVec = emb.count()
+      val batchE = emb.filter(col("vec_id") >= nVec - 500)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val seenEmb = (0 until k).map { c =>
+        val shifted = emb.filter(col("vec_id") < nVec - 500)
+          .select((col("vec_id") + lit(c * 1000000L)).as("vec_id"), col("embedding"))
+        if (c == 0) shifted
+        else shifted.withColumn("embedding",
+          concat(slice(col("embedding"), c + 1, 64 - c), slice(col("embedding"), 1, c)))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val embSeen = seenEmb.count()
+      val (bCos, cosIdx) = time {
+        val idx0 = Similarity.buildCosineLshIndex(seenEmb, "vec_id", "embedding", 64)
+        idx0.copy(
+          bands = idx0.bands.repartition(col("band"), col("bucket")).localCheckpoint(),
+          vecs = idx0.vecs.repartition(col("id")).localCheckpoint())
+      }
+      val cosSecs = (1 to runs).map { _ =>
+        time(cosIdx.probe(batchE, "vec_id", "embedding", 0.99)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("cosineIncremental", k, embSeen, bCos, median(cosSecs)))
+
+      // same probe with 16-bit buckets: bucket count 256 -> 65 536 per
+      // band, so the constant-rate false-collision mass (the linear-growth
+      // term at 8 bits) drops ~256x — the knob a growing corpus turns
+      val (bCos16, cosIdx16) = time {
+        val idx0 = Similarity.buildCosineLshIndex(seenEmb, "vec_id", "embedding",
+          64, bands = 8, bitsPerBand = 16)
+        idx0.copy(
+          bands = idx0.bands.repartition(col("band"), col("bucket")).localCheckpoint(),
+          vecs = idx0.vecs.repartition(col("id")).localCheckpoint())
+      }
+      val cos16Secs = (1 to runs).map { _ =>
+        time(cosIdx16.probe(batchE, "vec_id", "embedding", 0.99)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("cosineIncremental16", k, embSeen, bCos16, median(cos16Secs)))
     }
 
     rows.foreach { case (op, k, n, build, batchSec) =>

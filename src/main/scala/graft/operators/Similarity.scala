@@ -479,9 +479,16 @@ object Similarity {
     * + ~1.6 TB of band rows — both flat tables partitionable by their
     * join keys ((band, bucket) / id); per-batch probe cost is two index
     * scans regardless of history size (see [[probe]]), the
-    * BENCH_INDEXSCALE-proven direction. Reference anchor: the dedup sweep
-    * of `scripts/test/transform.py` on the embedding modality, run as a
-    * daily increment instead of a corpus recompute. */
+    * BENCH_INDEXSCALE-proven direction — WITH one sizing rule: false
+    * bucket collisions arrive at a constant rate per (batch row, index
+    * row) pair, so the candidate mass grows linearly in index size until
+    * `bitsPerBand` gives the buckets room (measured: 8-bit buckets grow
+    * the probe 5.7× over a 25× index; 16-bit buckets hold it flat at the
+    * same recall structure — BENCH_INDEXSCALE_r07 §cosine). Size
+    * 2^bitsPerBand ≫ corpusSize / tolerableCandidatesPerRow. Reference
+    * anchor: the dedup sweep of `scripts/test/transform.py` on the
+    * embedding modality, run as a daily increment instead of a corpus
+    * recompute. */
   final case class CosineLshIndex(bands: DataFrame, vecs: DataFrame,
                                   dim: Int, nBands: Int, bitsPerBand: Int,
                                   seed: Long) {
