@@ -423,6 +423,16 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style LM-perplexity gate: q130's KN scores cut into
+    // per-language perplexity tertiles by VALUE thresholds from the
+    // bounded histogram (integer cum*3 >= n comparisons); head+middle
+    // kept, tail dropped.
+    "q152_perplexity_gate" -> { (s, dir) =>
+      graft.operators.Curate.perplexityGate(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
     // Kneser–Ney interpolated trigram LM (the q110 upgrade): absolute
     // discount D = 0.75 on trigram counts, continuation-TYPE counts on the
     // lower levels, all derived from one trigram multiset — the oracle
@@ -2278,6 +2288,34 @@ out_$k AS (
         |SELECT doc_id, avg_nll, difficulty_rank, bucket, pos_in_bucket
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+
+    // q152: the q130 chain + per-language histogram cumulative counts →
+    // integer-compared tertile value thresholds → verdict join. The
+    // boundary comparison cum*3 >= n never touches a float.
+    "q152_perplexity_gate" -> s"""$KnChainSql,
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(a.n_trigrams, 0) AS n_trigrams,
+        |         COALESCE(a.avg_nll, 0.0) AS avg_nll
+        |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        |hist AS (SELECT lang, avg_nll, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, avg_nll, c,
+        |         SUM(c) OVER (PARTITION BY lang ORDER BY avg_nll
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |th AS (
+        |  SELECT lang,
+        |         MIN(CASE WHEN cum * 3 >= n THEN avg_nll END) AS t1,
+        |         MIN(CASE WHEN cum * 3 >= n * 2 THEN avg_nll END) AS t2
+        |  FROM cum GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.n_trigrams, s.avg_nll,
+        |       CASE WHEN s.avg_nll <= th.t1 THEN 'head'
+        |            WHEN s.avg_nll <= th.t2 THEN 'middle'
+        |            ELSE 'tail' END AS pp_bucket,
+        |       s.avg_nll <= th.t2 AS kept
+        |FROM scored s JOIN th ON s.lang = th.lang
+        |ORDER BY s.doc_id""".stripMargin,
 
     // q110: the q78 list_reduce fold twin over bigram NLLs; both
     // interpolation weights are exact binary doubles (0.75/0.25), and the

@@ -460,6 +460,51 @@ object Curate {
         col("top_drift_token"))
   }
 
+  /** LM-perplexity quality gate — the CCNet (Wenzek et al. 2020) filter:
+    * score every document with the Kneser–Ney trigram LM
+    * ([[LmScore.knTrigramNll]], q130), cut each language's population into
+    * perplexity tertiles, keep head+middle and drop the tail (the
+    * least-LM-like third: boilerplate, menus, gibberish). Head = lowest
+    * NLL (most fluent).
+    *
+    * Tertile boundaries are VALUE thresholds, not exact rank counts: the
+    * smallest 4dp NLL whose cumulative count clears n/3 (and 2n/3) —
+    * CCNet's own semantics, and the scale-correct one: the cut derives
+    * from a per-language HISTOGRAM (≤ #distinct 4dp scores rows — the
+    * q68 bucket-histogram trick), so no corpus-sized window ever runs,
+    * and the comparison `cum·3 ≥ n` is pure integer arithmetic — the
+    * boundary document gets the same verdict in every engine. Ties at a
+    * boundary value share a bucket (populations are tertiles up to ties).
+    *
+    * Scale shape: the KN scoring DAG materializes ONCE (checkpointed —
+    * the histogram and the verdict join both read it; the q132/q135
+    * lineage rule); the histogram window is histogram-sized; thresholds
+    * are #languages rows, broadcast. Self-scoring note: the LM trains on
+    * the corpus it scores (the corpus-internal outlier form); a frozen
+    * external reference LM plugs in by scoring with ITS counts — the
+    * gate logic is unchanged. */
+  def perplexityGate(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String): DataFrame = {
+    val scored = docs.select(col(idCol), col(langCol))
+      .join(LmScore.knTrigramNll(docs, idCol, textCol), Seq(idCol))
+      .localCheckpoint()
+    val hist = scored.groupBy(col(langCol), col("avg_nll"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy(col(langCol)).orderBy(col("avg_nll"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(col(langCol))))
+    val th = cum.groupBy(col(langCol)).agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("avg_nll"))).as("__t1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("avg_nll"))).as("__t2"))
+    scored.join(broadcast(th), Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_trigrams"), col("avg_nll"),
+        when(col("avg_nll") <= col("__t1"), "head")
+          .when(col("avg_nll") <= col("__t2"), "middle")
+          .otherwise("tail").as("pp_bucket"),
+        (col("avg_nll") <= col("__t2")).as("kept"))
+  }
+
   /** Dataset fingerprint — the reproducibility manifest a training run
     * records next to its checkpoints ("which data was this, exactly"):
     * per source, document/token/char totals and an ORDER-INVARIANT content

@@ -616,6 +616,30 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("perplexityGate: ordered tertiles, threshold guarantees, kept = not-tail") {
+    import graft.operators.Curate
+    val got = Curate.perplexityGate(Tables.documents(spark, sf),
+        "doc_id", "text", "lang")
+      .select(col("lang"), col("avg_nll"), col("pp_bucket"), col("kept"))
+      .as[(String, Double, String, Boolean)].collect()
+    assert(got.map(_._3).toSet === Set("head", "middle", "tail"))
+    // kept is exactly the not-tail predicate
+    assert(got.forall(r => r._4 === (r._3 != "tail")))
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val byB = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      // buckets are value-ordered: every head score <= every middle score
+      // <= every tail score (ties share a bucket, so strict < not required)
+      for (h <- byB.get("head"); m <- byB.get("middle"))
+        assert(h.max <= m.min, s"$lang head/middle overlap")
+      for (m <- byB.get("middle"); t <- byB.get("tail"))
+        assert(m.max <= t.min, s"$lang middle/tail overlap")
+      // the head threshold clears a third of the population by definition
+      val n = rows.length
+      assert(byB.getOrElse("head", Array.empty[Double]).length * 3 >= n,
+        s"$lang head holds under a third")
+    }
+  }
+
   test("datasetFingerprint: order-invariant, edit-sensitive, normalization-stable") {
     import graft.operators.Curate
     val df = Seq((1L, "s", "alpha beta gamma"), (2L, "s", "delta epsilon"),
