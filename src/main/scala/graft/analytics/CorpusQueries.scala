@@ -423,6 +423,23 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // SFT chat-template rendering: 4-turn conversations synthesized from
+    // consecutive doc ids (system/user/assistant/user), ChatML-rendered;
+    // each assistant turn reports its exact loss span + the rendered
+    // conversation's md5.
+    "q153_chat_render" -> { (s, dir) =>
+      val turns = Tables.documents(s, dir).select(
+        ((col("doc_id") - col("doc_id") % 4) / 4).cast("long").as("conv_id"),
+        (col("doc_id") % 4).as("turn_idx"),
+        when(col("doc_id") % 4 === 0, "system")
+          .when(col("doc_id") % 4 === 2, "assistant")
+          .otherwise("user").as("role"),
+        substring(col("text"), 1, 120).as("content"))
+      graft.operators.Packing.chatRender(turns, "conv_id", "turn_idx",
+          "role", "content")
+        .orderBy("conv_id", "turn_idx")
+    },
+
     // CCNet-style LM-perplexity gate: q130's KN scores cut into
     // per-language perplexity tertiles by VALUE thresholds from the
     // bounded histogram (integer cum*3 >= n comparisons); head+middle
@@ -2288,6 +2305,39 @@ out_$k AS (
         |SELECT doc_id, avg_nll, difficulty_rank, bucket, pos_in_bucket
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+
+    // q153: identical string assembly (chr(10) = the Spark lit newline),
+    // prefix sums over (conv, turn), ordered string_agg -> md5; every
+    // offset is pure integer arithmetic.
+    "q153_chat_render" ->
+      """WITH turns AS (
+        |  SELECT CAST((doc_id - doc_id % 4) / 4 AS BIGINT) AS conv_id,
+        |         doc_id % 4 AS turn_idx,
+        |         CASE doc_id % 4 WHEN 0 THEN 'system' WHEN 2 THEN 'assistant'
+        |              ELSE 'user' END AS role,
+        |         substr(text, 1, 120) AS content
+        |  FROM documents),
+        |seg AS (
+        |  SELECT conv_id, turn_idx, role, content,
+        |         '<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10) AS s
+        |  FROM turns),
+        |pre AS (
+        |  SELECT conv_id, turn_idx, role, content,
+        |         COALESCE(SUM(length(s)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM seg),
+        |cv AS (
+        |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |         CAST(SUM(length(s)) AS BIGINT) AS conv_len,
+        |         md5(string_agg(s, '' ORDER BY turn_idx)) AS conv_md5
+        |  FROM seg GROUP BY conv_id)
+        |SELECT p.conv_id, p.turn_idx,
+        |       CAST(p.prefix + 12 + length(p.role) + 2 AS BIGINT) AS loss_start,
+        |       CAST(p.prefix + 12 + length(p.role) + 1 + length(p.content) AS BIGINT) AS loss_end,
+        |       cv.n_turns, cv.conv_len, cv.conv_md5
+        |FROM pre p JOIN cv ON p.conv_id = cv.conv_id
+        |WHERE p.role = 'assistant'
+        |ORDER BY p.conv_id, p.turn_idx""".stripMargin,
 
     // q152: the q130 chain + per-language histogram cumulative counts →
     // integer-compared tertile value thresholds → verdict join. The

@@ -416,6 +416,55 @@ object Packing {
         col("__sc.input").as("input"), col("__sc.target").as("target"))
   }
 
+  /** Chat-template rendering with loss spans — the SFT/instruction-tuning
+    * example prep (the ChatML shape): each conversation's turns render as
+    *
+    *   <|im_start|>ROLE\nCONTENT<|im_end|>\n
+    *
+    * concatenated in turn order, and every ASSISTANT turn reports the
+    * 1-based character span of its CONTENT inside the rendered
+    * conversation — the span the loss mask trains on (everything else —
+    * system prompt, user turns, template tokens — is context only; a
+    * trainer masking wrongly by even one template character trains on the
+    * wrong tokens, which is why the offsets are first-class output, not
+    * left for the consumer to re-derive).
+    *
+    * Emits one row per assistant turn: (convCol, turnCol, loss_start,
+    * loss_end, conv_len, conv_md5) — the md5 of the full rendered
+    * conversation ties each span row to the exact string it indexes
+    * (the q151 fingerprint idea at conversation grain).
+    *
+    * Scale shape: per-turn segment lengths fold into spans with a window
+    * over (conversation, turn) — bounded by turns-per-conversation (tens),
+    * partitioned by conversation, no hot key; the rendered string
+    * assembles once per conversation in an ordered collect_list fold
+    * (conversation-sized, the natural grain). Pure string/integer
+    * arithmetic end to end — engine-exact. */
+  def chatRender(turns: DataFrame, convCol: String, turnCol: String,
+                 roleCol: String, contentCol: String): DataFrame = {
+    val seg = concat(lit("<|im_start|>"), col(roleCol), lit("\n"),
+      col(contentCol), lit("<|im_end|>\n"))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
+    val base = turns.select(col(convCol), col(turnCol), col(roleCol),
+        col(contentCol), seg.as("__seg"))
+      .withColumn("__prefix", coalesce(
+        sum(length(col("__seg")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val convs = base.groupBy(col(convCol)).agg(
+      count(lit(1)).as("n_turns"),
+      sum(length(col("__seg"))).as("conv_len"),
+      md5(array_join(transform(
+        sort_array(collect_list(struct(col(turnCol).as("t"), col("__seg").as("s")))),
+        x => x.getField("s")), "")).as("conv_md5"))
+    base.filter(col(roleCol) === "assistant")
+      .select(col(convCol), col(turnCol),
+        (col("__prefix") + length(lit("<|im_start|>")) + length(col(roleCol)) +
+          lit(2)).as("loss_start"),
+        (col("__prefix") + length(lit("<|im_start|>")) + length(col(roleCol)) +
+          lit(1) + length(col(contentCol))).as("loss_end"))
+      .join(convs, Seq(convCol))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022) — the code-model
     * twin of [[spanCorrupt]]: two deterministic cut points split the token
     * stream into prefix|middle|suffix, re-emitted in PSM order

@@ -616,6 +616,34 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("chatRender: loss spans index exactly the assistant content in the rendered string") {
+    import graft.operators.Packing
+    val turns = Seq(
+      (0L, 0L, "system", "sys prompt"), (0L, 1L, "user", "hello"),
+      (0L, 2L, "assistant", "hi there"), (0L, 3L, "user", "thanks"),
+      (1L, 0L, "system", "s2"), (1L, 1L, "assistant", "a2"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val got = Packing.chatRender(turns, "conv_id", "turn_idx", "role", "content")
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(got.length === 2) // one row per assistant turn
+    // reconstruct each conversation the same way and SLICE with the spans
+    def render(rows: Seq[(String, String)]): String =
+      rows.map { case (r, c) => s"<|im_start|>$r\n$c<|im_end|>\n" }.mkString
+    val conv0 = render(Seq("system" -> "sys prompt", "user" -> "hello",
+      "assistant" -> "hi there", "user" -> "thanks"))
+    val r0 = got(0)
+    assert(conv0.substring(r0.getAs[Long]("loss_start").toInt - 1,
+      r0.getAs[Long]("loss_end").toInt) === "hi there")
+    assert(r0.getAs[Long]("conv_len") === conv0.length.toLong)
+    assert(r0.getAs[Long]("n_turns") === 4L)
+    val conv1 = render(Seq("system" -> "s2", "assistant" -> "a2"))
+    val r1 = got(1)
+    assert(conv1.substring(r1.getAs[Long]("loss_start").toInt - 1,
+      r1.getAs[Long]("loss_end").toInt) === "a2")
+    // md5 ties the span to the exact rendered string
+    assert(r0.getAs[String]("conv_md5") !== r1.getAs[String]("conv_md5"))
+  }
+
   test("perplexityGate: ordered tertiles, threshold guarantees, kept = not-tail") {
     import graft.operators.Curate
     val got = Curate.perplexityGate(Tables.documents(spark, sf),
