@@ -423,6 +423,33 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // C4 cleaning rules over a deterministically multi-lined corpus (the
+    // raw fixture text has no newlines, so the page layout is synthesized
+    // identically in both engines — the q96/q113 dirtying pattern): line
+    // punctuation/length/javascript rules + lorem-ipsum/brace/blocklist/
+    // too-few-lines document verdicts.
+    "q154_c4_rules" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val page = concat(
+        substring(col("text"), 1, 80), lit(" extra pad words."),
+        when(col("doc_id") % 19 =!= 0,
+          lit("\na second good line with enough words." +
+            "\nthird informative line with many words.")).otherwise(lit("")),
+        lit("\nshort one.\nno terminal punctuation in this line"),
+        when(col("doc_id") % 7 === 0,
+          lit("\nplease enable javascript for this page.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nconfig { value: 1 } end of block.")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nbadword1 appears in this line today.")).otherwise(lit("")))
+      graft.operators.Curate.c4Clean(
+          d.select(col("doc_id"), page.as("text")), "doc_id", "text",
+          blocklist = Seq("badword1"))
+        .orderBy("doc_id")
+    },
+
     // SFT chat-template rendering: 4-turn conversations synthesized from
     // consecutive doc ids (system/user/assistant/user), ChatML-rendered;
     // each assistant turn reports its exact loss span + the rendered
@@ -2305,6 +2332,52 @@ out_$k AS (
         |SELECT doc_id, avg_nll, difficulty_rank, bucket, pos_in_bucket
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+
+    // q154: identical page synthesis (chr(10) newlines), line filter via
+    // list_filter with the same last-char/word-count/javascript predicate,
+    // token-exact blocklist via list_contains, md5 of the rejoined
+    // survivors; reason precedence mirrored exactly.
+    "q154_c4_rules" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 80) || ' extra pad words.'
+        |         || CASE WHEN doc_id % 19 <> 0
+        |              THEN chr(10) || 'a second good line with enough words.'
+        |                || chr(10) || 'third informative line with many words.'
+        |              ELSE '' END
+        |         || chr(10) || 'short one.' || chr(10) || 'no terminal punctuation in this line'
+        |         || CASE WHEN doc_id % 7 = 0
+        |              THEN chr(10) || 'please enable javascript for this page.' ELSE '' END
+        |         || CASE WHEN doc_id % 11 = 0
+        |              THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END
+        |         || CASE WHEN doc_id % 13 = 0
+        |              THEN chr(10) || 'config { value: 1 } end of block.' ELSE '' END
+        |         || CASE WHEN doc_id % 17 = 0
+        |              THEN chr(10) || 'badword1 appears in this line today.' ELSE '' END AS text
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |         string_split(text, chr(10)) AS lines,
+        |         list_filter(string_split(text, chr(10)), l ->
+        |           substr(l, -1, 1) IN ('.', '!', '?', '"')
+        |           AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), x -> x <> '')) >= 5
+        |           AND NOT contains(lower(l), 'javascript')) AS kept_lines
+        |  FROM page)
+        |SELECT doc_id,
+        |       CAST(len(lines) AS INT) AS lines_total,
+        |       CAST(len(kept_lines) AS INT) AS lines_kept,
+        |       CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+        |            WHEN contains(text, '{') THEN 'brace'
+        |            WHEN list_contains(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''), 'badword1') THEN 'blocklist'
+        |            WHEN len(kept_lines) < 3 THEN 'too_few_lines'
+        |            ELSE 'ok' END AS reason,
+        |       md5(array_to_string(kept_lines, chr(10))) AS cleaned_md5,
+        |       CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+        |              OR list_contains(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''), 'badword1')
+        |              OR len(kept_lines) < 3
+        |            THEN FALSE ELSE TRUE END AS kept
+        |FROM sp
+        |ORDER BY doc_id""".stripMargin,
 
     // q153: identical string assembly (chr(10) = the Spark lit newline),
     // prefix sums over (conv, turn), ordered string_agg -> md5; every

@@ -460,6 +460,58 @@ object Curate {
         col("top_drift_token"))
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2) — the line/document
+    * filter bundle that built C4 out of Common Crawl, complementing the
+    * Gopher rules ([[graft.functions.Text.gopherFlags]], corpus-shape
+    * signals) with C4's layout-shape ones:
+    *
+    * line rules (a line survives iff ALL hold):
+    *   1. ends in terminal punctuation (. ! ? ")
+    *   2. has ≥ 5 words
+    *   3. does not contain "javascript" (lowercased)
+    * document rules (reason precedence as listed):
+    *   4. drop if the lowercased text contains "lorem ipsum"
+    *   5. drop if it contains "{" (code, not prose)
+    *   6. drop on any blocklist-token hit (token-exact, not substring —
+    *      "scunthorpe" survives a "bad word" blocklist)
+    *   7. drop if fewer than 3 lines survive the line rules
+    *
+    * Emits (idCol, lines_total, lines_kept, reason ∈ ok|lorem_ipsum|
+    * brace|blocklist|too_few_lines, kept, cleaned_md5) — the md5 of the
+    * surviving lines re-joined, so the cleaned text is pinned without
+    * shipping it.
+    *
+    * Scale shape: one zero-shuffle projection per document (line split,
+    * HOF filter, token-set intersect against the broadcast-literal
+    * blocklist, md5) — the cheapest possible form; every rule is pure
+    * string/integer work inside codegen. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              blocklist: Seq[String]): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val lineKept = (l: Column) => {
+      val last = substring(l, -1, 1)
+      (last === "." || last === "!" || last === "?" || last === "\"") &&
+        size(Text.tokens(l)) >= 5 &&
+        !lower(l).contains("javascript")
+    }
+    val keptArr = filter(lines, lineKept)
+    val lowered = lower(col(textCol))
+    val blockHit =
+      if (blocklist.isEmpty) lit(false)
+      else arrays_overlap(Text.tokens(lowered),
+        typedlit(blocklist.map(_.toLowerCase)))
+    docs.select(col(idCol),
+        size(lines).as("lines_total"),
+        size(keptArr).as("lines_kept"),
+        when(lowered.contains("lorem ipsum"), "lorem_ipsum")
+          .when(col(textCol).contains("{"), "brace")
+          .when(blockHit, "blocklist")
+          .when(size(keptArr) < 3, "too_few_lines")
+          .otherwise("ok").as("reason"),
+        md5(array_join(keptArr, "\n")).as("cleaned_md5"))
+      .withColumn("kept", col("reason") === "ok")
+  }
+
   /** LM-perplexity quality gate — the CCNet (Wenzek et al. 2020) filter:
     * score every document with the Kneser–Ney trigram LM
     * ([[LmScore.knTrigramNll]], q130), cut each language's population into

@@ -616,6 +616,38 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("c4Clean: every line rule and document rule fires on its designed case") {
+    import graft.operators.Curate
+    val docs = Seq(
+      (1L, "good line one with five words.\nsecond fine line with many words.\nthird good line with enough words."),
+      (2L, "good line one with five words.\nshort."),
+      (3L, "this page uses Lorem Ipsum filler everywhere today.\na.\nb.\nc."),
+      (4L, "code block { x } here today.\nmore lines follow here today ok."),
+      (5L, "slurword content in this line today yes.\nmore here."),
+      (6L, "enable javascript now in this long line.\nsecond fine line with many words.\nthird good line with enough words.\nfourth decent line with several words."),
+      (7L, "badge words in this line here today.\nsecond fine line with many words.\nthird good line with enough words."))
+      .toDF("doc_id", "text")
+    val got = Curate.c4Clean(docs, "doc_id", "text", Seq("slurword", "bad"))
+      .orderBy("doc_id").collect()
+    def r(i: Int) = got(i).getAs[String]("reason")
+    assert(r(0) === "ok" && got(0).getAs[Boolean]("kept"))
+    assert(r(1) === "too_few_lines")
+    assert(r(2) === "lorem_ipsum")
+    assert(r(3) === "brace")
+    assert(r(4) === "blocklist")
+    // the javascript LINE drops but the document survives on the other 3
+    assert(r(5) === "ok" && got(5).getAs[Int]("lines_kept") === 3 &&
+      got(5).getAs[Int]("lines_total") === 4)
+    // token-exact blocklist: 'badge' does not trip 'bad' (scunthorpe-safe)
+    assert(r(6) === "ok")
+    // cleaned_md5 pins the surviving lines exactly
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(("good line one with five words.\nsecond fine line with many words." +
+        "\nthird good line with enough words.").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0).getAs[String]("cleaned_md5") === expect)
+  }
+
   test("chatRender: loss spans index exactly the assistant content in the rendered string") {
     import graft.operators.Packing
     val turns = Seq(
