@@ -405,6 +405,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q146 token drift: per-source tables broadcast back, no cartesian product") {
+    val p = plan("q146_token_drift")
+    assert(p.contains("BroadcastHashJoin"),
+      "totals/max tables must broadcast into the diff table:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q152 perplexity gate: windows run over the histogram, never one partition") {
+    // the tertile cut must derive from the per-language HISTOGRAM — a
+    // Window on a SinglePartition child means the corpus funneled through
+    // one task (the q135 guard, applied to the gate)
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val exec = SparkEntry.queries("q152_perplexity_gate")(spark, sf)
+      .queryExecution.executedPlan
+    val bad = exec.collect {
+      case w: WindowExec if w.child.outputPartitioning == SinglePartition => w
+    }
+    assert(bad.isEmpty, s"gate window collapsed to one partition: $bad")
+  }
+
+  test("c4Clean operator is a pure projection — no exchange of any kind") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val p = graft.operators.Curate.c4Clean(docs, "doc_id", "text", Seq("bad"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("q135 curriculum rank: composed window — no Window or Sort on a single partition") {
     // the ordered composed rank (globalRowNumberOrdered) must keep the
     // global row number as bucketed windows + offsets; a Window or Sort

@@ -417,6 +417,25 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  property("epochMix emits exactly floor(e) + hash-rate-hit copies for any schedule") =
+    Prop.forAll(Gen.listOfN(12, Gen.choose(0L, 100000L)),
+        Gen.oneOf(0.0, 0.3, 0.5, 1.0, 2.5, 3.0)) { (ids0, e) =>
+      val ids = ids0.distinct
+      val df = ids.map(i => (i, "s")).toDF("id", "src")
+      val got = graft.operators.Packing.epochMix(df, col("id"), col("src"),
+        Map("s" -> e)).count()
+      // the operator's own contract, recomputed scalar-side
+      val m = 2147483648L
+      def mix2(id: Long): Long = {
+        val h1 = ((id % m) * 1664525L + 1013904223L) % m
+        (h1 * 1103515245L + 12345L) % m
+      }
+      val thr = math.floor((e - math.floor(e)) * m).toLong
+      val expected = ids.map(i =>
+        math.floor(e).toLong + (if (mix2(i) < thr) 1L else 0L)).sum
+      got == expected
+    }
+
   property("jaccard <= containment: every Jaccard pair appears in BOTH containment directions") =
     Prop.forAll(Gen.listOfN(5,
         Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))) { docs =>
