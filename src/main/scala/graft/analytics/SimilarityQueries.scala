@@ -162,6 +162,36 @@ object SimilarityQueries {
         .orderBy("batch_id", "seen_id")
     },
 
+    // Chained incremental cosine dedup (the q138/q139 pattern on the
+    // embedding modality): batch 1 probes the seen index, the index
+    // ADVANCES on batch-1 survivors (docs with no hit), batch 2 plants
+    // rescale clones of batch-1 fresh vectors — catchable only via the
+    // advanced index. Oracle = two exact cross-side passes with the same
+    // survivor rule (recall 1.0 on rescale clones, the q45/q145 argument).
+    "q156_cosine_incremental_chain" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      def clones(src: DataFrame, off: Long) =
+        src.select((col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.1d)).as("embedding"))
+      val seen = e.filter(col("vec_id") < 300)
+      val b1 = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .unionByName(clones(seen.filter(col("vec_id") % 7 === 0), 1000000L))
+      val b2 = e.filter(col("vec_id") >= 400)
+        .unionByName(clones(
+          e.filter(col("vec_id") >= 300 && col("vec_id") < 400 &&
+            col("vec_id") % 5 === 0), 2000000L))
+      val idx = Similarity.buildCosineLshIndex(seen, "vec_id", "embedding", Dim)
+      val p1 = idx.probe(b1, "vec_id", "embedding", DupThreshold).localCheckpoint()
+      val survivors = b1.join(
+        p1.select(col("batch_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      val p2 = idx.advance(survivors, "vec_id", "embedding")
+        .probe(b2, "vec_id", "embedding", DupThreshold)
+      p1.withColumn("batch", lit(1))
+        .unionByName(p2.withColumn("batch", lit(2)))
+        .orderBy("batch", "batch_id", "seen_id")
+    },
+
     // embedding-cosine near-dup pairs: exact O(n²) verifier.
     "q44_cosine_dup_exact" -> { (s, dir) =>
       Similarity.cosineDupPairsExact(embeddingsWithClones(s, dir),
@@ -697,6 +727,41 @@ object SimilarityQueries {
 
     "q44_cosine_dup_exact" -> cosineDupOracle,
     "q45_cosine_dup_lsh" -> cosineDupOracle,
+
+    // q156: two exact cross-side passes; batch-1 survivors (no hit in
+    // pass 1) join the seen side for pass 2 — the advance rule replayed.
+    "q156_cosine_incremental_chain" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seen AS (SELECT vec_id, v FROM base WHERE vec_id < 300),
+         |b1 AS (
+         |  SELECT vec_id, v FROM base WHERE vec_id >= 300 AND vec_id < 400
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.1)
+         |  FROM seen WHERE vec_id % 7 = 0),
+         |p1 AS (
+         |  SELECT b.vec_id AS batch_id, s.vec_id AS seen_id,
+         |         ROUND(list_cosine_similarity(b.v, s.v), 4) AS score
+         |  FROM b1 b CROSS JOIN seen s
+         |  WHERE ROUND(list_cosine_similarity(b.v, s.v), 4) >= $DupThreshold),
+         |surv AS (
+         |  SELECT vec_id, v FROM b1
+         |  WHERE vec_id NOT IN (SELECT batch_id FROM p1)),
+         |seen2 AS (SELECT vec_id, v FROM seen UNION ALL SELECT vec_id, v FROM surv),
+         |b2 AS (
+         |  SELECT vec_id, v FROM base WHERE vec_id >= 400
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(v, x -> x * 1.1)
+         |  FROM base WHERE vec_id >= 300 AND vec_id < 400 AND vec_id % 5 = 0),
+         |p2 AS (
+         |  SELECT b.vec_id AS batch_id, s.vec_id AS seen_id,
+         |         ROUND(list_cosine_similarity(b.v, s.v), 4) AS score
+         |  FROM b2 b CROSS JOIN seen2 s
+         |  WHERE ROUND(list_cosine_similarity(b.v, s.v), 4) >= $DupThreshold)
+         |SELECT 1 AS batch, batch_id, seen_id, score FROM p1
+         |UNION ALL
+         |SELECT 2 AS batch, batch_id, seen_id, score FROM p2
+         |ORDER BY batch, batch_id, seen_id""".stripMargin,
 
     // q145: exact cross-side pairwise cosine over the seen/batch split —
     // the incremental probe must match it exactly (see the query comment).

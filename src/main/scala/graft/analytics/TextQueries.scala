@@ -305,6 +305,34 @@ object TextQueries {
         .orderBy("batch_id", "seen_id")
     },
 
+    // Chained incremental SimHash (the q138/q139/q156 pattern on the
+    // SimHash modality): batch 1 probes the seen chunk index, the index
+    // advances on batch-1 survivors, batch 2 plants exact clones of
+    // batch-1 fresh docs — caught only via the advanced index.
+    "q155_simhash_incremental_chain" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val seen = d.filter(col("doc_id") < 350).select("doc_id", "text")
+      val b1 = d.filter(col("doc_id") >= 350 && col("doc_id") < 425)
+        .select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val b2 = d.filter(col("doc_id") >= 425).select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") >= 350 && col("doc_id") < 425 &&
+            col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val idx = Dedup.buildSimhashIndex(seen, "doc_id", "text")
+      val p1 = Dedup.simhashIncrementalPairs(b1, idx, "doc_id", "text")
+        .localCheckpoint()
+      val survivors = b1.join(
+        p1.select(col("batch_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val p2 = Dedup.simhashIncrementalPairs(b2,
+        Dedup.advanceSimhashIndex(idx, survivors, "doc_id", "text"),
+        "doc_id", "text")
+      p1.withColumn("batch", lit(1))
+        .unionByName(p2.withColumn("batch", lit(2)))
+        .orderBy("batch", "batch_id", "seen_id")
+    },
+
     // Incremental MinHash-LSH: a batch of clones banded against the SEEN
     // corpus's persisted signature index — candidates are (batch, seen)
     // pairs only; the corpus is never re-shingled. Portable arithmetic →
@@ -784,6 +812,71 @@ object TextQueries {
 
     // q143: the q30 signature chain keyed (side, id); pairs are the
     // seen-side × batch-side chunk join only.
+    // q155: the q143 signature chain with THREE sides (seen 's', batch-1
+    // 'x', batch-2 'y'); probe 1 = s×x, batch-1 survivors join the index
+    // side, probe 2 = (s ∪ surviving x)×y — the advance rule replayed.
+    "q155_simhash_incremental_chain" ->
+      """WITH corpus AS (
+        |  SELECT 's' AS side, doc_id, text FROM documents WHERE doc_id < 350
+        |  UNION ALL
+        |  SELECT 'x', doc_id, text FROM documents WHERE doc_id >= 350 AND doc_id < 425
+        |  UNION ALL
+        |  SELECT 'x', doc_id + 1000000, text FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT 'y', doc_id, text FROM documents WHERE doc_id >= 425
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 2000000, text FROM documents
+        |  WHERE doc_id >= 350 AND doc_id < 425 AND doc_id % 4 = 0),
+        |t AS (
+        |  SELECT side, doc_id AS id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |th AS (SELECT side, id, unnest(toks) AS tok FROM t),
+        |hh AS (
+        |  SELECT side, id, tok,
+        |    (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*31+x) % 1000000007) % 32768) * 35184372088832
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*131+x) % 1000000007) % 32768) * 1073741824
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*137+x) % 1000000007) % 32768) * 32768
+        |  + (list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(tok)+1), i -> ascii(substr(tok,i,1))::BIGINT)), (acc,x) -> (acc*139+x) % 1000000007) % 32768) AS h
+        |  FROM th),
+        |votes AS (
+        |  SELECT side, id, b.bit,
+        |         SUM(CASE WHEN (h // (1::BIGINT << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hh CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+        |  GROUP BY side, id, b.bit),
+        |sig AS (
+        |  SELECT side, id, SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+        |  FROM votes GROUP BY side, id),
+        |chunked AS (
+        |  SELECT side, id, simhash, c.c AS chunk_idx,
+        |         (simhash // (1::BIGINT << (c.c * 15))) % 32768 AS chunk
+        |  FROM sig, (SELECT unnest(range(4)) AS c) c),
+        |p1 AS (
+        |  SELECT batch_id, seen_id, hamming FROM (
+        |    SELECT DISTINCT b.id AS batch_id, a.id AS seen_id,
+        |           bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |    FROM chunked a JOIN chunked b USING (chunk_idx, chunk)
+        |    WHERE a.side = 's' AND b.side = 'x')
+        |  WHERE hamming <= 3),
+        |surv AS (
+        |  SELECT DISTINCT id FROM t WHERE side = 'x'
+        |    AND id NOT IN (SELECT batch_id FROM p1)),
+        |idx2 AS (
+        |  SELECT id, simhash, chunk_idx, chunk FROM chunked WHERE side = 's'
+        |  UNION ALL
+        |  SELECT c.id, c.simhash, c.chunk_idx, c.chunk
+        |  FROM chunked c JOIN surv ON c.id = surv.id
+        |  WHERE c.side = 'x'),
+        |p2 AS (
+        |  SELECT batch_id, seen_id, hamming FROM (
+        |    SELECT DISTINCT b.id AS batch_id, a.id AS seen_id,
+        |           bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |    FROM idx2 a JOIN chunked b USING (chunk_idx, chunk)
+        |    WHERE b.side = 'y')
+        |  WHERE hamming <= 3)
+        |SELECT 1 AS batch, batch_id, seen_id, hamming FROM p1
+        |UNION ALL
+        |SELECT 2 AS batch, batch_id, seen_id, hamming FROM p2
+        |ORDER BY batch, batch_id, seen_id""".stripMargin,
+
     "q143_simhash_incremental" ->
       """WITH corpus AS (
         |  SELECT 's' AS side, doc_id, text FROM documents WHERE doc_id < 350
