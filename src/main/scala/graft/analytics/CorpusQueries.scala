@@ -423,6 +423,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher A2 n-gram repetition metrics over a repetition-dirtied
+    // corpus: docs mod 3 repeat a 9-gram phrase twice (dup5..9 fire),
+    // docs mod 5 append a token run (top2..4 fire); naturals keep their
+    // organic repetition floor.
+    "q157_gopher_ngram_repetition" -> { (s, dir) =>
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" the quick brown fox jumps over the lazy dog" +
+              " the quick brown fox jumps over the lazy dog")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" spark spark spark spark")).otherwise(lit(""))).as("text"))
+      Dedup.ngramRepetitionReport(dirty, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // C4 cleaning rules over a deterministically multi-lined corpus (the
     // raw fixture text has no newlines, so the page layout is synthesized
     // identically in both engines — the q96/q113 dirtying pattern): line
@@ -2332,6 +2348,59 @@ out_$k AS (
         |SELECT doc_id, avg_nll, difficulty_rank, bucket, pos_in_bucket
         |FROM fin ORDER BY doc_id""".stripMargin,
 
+
+    // q157: same dirtying, all nine gram sizes by a range cross join +
+    // per-n slice transform; count -> max(c·len) / Σ dup(c·len) ->
+    // conditional-agg pivot; fractions one division each, -0.0 guarded.
+    "q157_gopher_ngram_repetition" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' the quick brown fox jumps over the lazy dog the quick brown fox jumps over the lazy dog'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' spark spark spark spark' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, length(text) AS nch,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM dirty),
+        |g AS (
+        |  SELECT doc_id, n.n AS n,
+        |         unnest(CASE WHEN len(toks) >= n.n
+        |           THEN list_transform(range(1, len(toks) - n.n + 2),
+        |                               i -> array_to_string(toks[i : i + n.n - 1], ' '))
+        |           ELSE [] END) AS gram
+        |  FROM t CROSS JOIN (SELECT unnest(range(2, 11)) AS n) n),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT doc_id, n,
+        |         MAX(c * length(gram)) AS topc,
+        |         SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dupc
+        |  FROM c GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_id,
+        |         MAX(CASE WHEN n = 2 THEN topc END) AS t2,
+        |         MAX(CASE WHEN n = 3 THEN topc END) AS t3,
+        |         MAX(CASE WHEN n = 4 THEN topc END) AS t4,
+        |         MAX(CASE WHEN n = 5 THEN dupc END) AS d5,
+        |         MAX(CASE WHEN n = 6 THEN dupc END) AS d6,
+        |         MAX(CASE WHEN n = 7 THEN dupc END) AS d7,
+        |         MAX(CASE WHEN n = 8 THEN dupc END) AS d8,
+        |         MAX(CASE WHEN n = 9 THEN dupc END) AS d9,
+        |         MAX(CASE WHEN n = 10 THEN dupc END) AS d10
+        |  FROM m GROUP BY 1)
+        |SELECT t.doc_id,
+        |       ROUND(CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS top2_frac,
+        |       ROUND(CAST(COALESCE(t3, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS top3_frac,
+        |       ROUND(CAST(COALESCE(t4, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS top4_frac,
+        |       ROUND(CAST(COALESCE(d5, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS dup5_frac,
+        |       ROUND(CAST(COALESCE(d6, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS dup6_frac,
+        |       ROUND(CAST(COALESCE(d7, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS dup7_frac,
+        |       ROUND(CAST(COALESCE(d8, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS dup8_frac,
+        |       ROUND(CAST(COALESCE(d9, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS dup9_frac,
+        |       ROUND(CAST(COALESCE(d10, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS dup10_frac
+        |FROM t LEFT JOIN p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q154: identical page synthesis (chr(10) newlines), line filter via
     // list_filter with the same last-char/word-count/javascript predicate,

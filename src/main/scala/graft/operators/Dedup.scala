@@ -1172,4 +1172,68 @@ object Dedup {
       .withColumn("is_dup",
         col("n_dup_spans").cast("double") / col("n_spans") >= flagAt)
   }
+
+  /** Gopher Appendix-A2 n-gram repetition metrics — the SELF-repetition
+    * family [[graft.functions.Text.repetitionFlags]] (duplicate lines,
+    * q113) doesn't cover: per document,
+    *
+    *   - `top{2,3,4}_frac`  — fraction of the document's characters
+    *     covered by the single most character-covering word n-gram
+    *     (max over gram types of count × charlen(gram) — the product
+    *     form needs no tie-break, unlike "most frequent then length":
+    *     equal products give equal fractions by definition);
+    *   - `dup{5..10}_frac` — fraction covered by n-grams occurring more
+    *     than once (Σ over types with count ≥ 2 of count × charlen).
+    *
+    * Both use the standard reference-implementation convention: every
+    * occurrence's characters count, overlaps and all, over
+    * `length(text)` total characters — a RATIO diagnostic, not an exact
+    * cover (the exact-cover machinery is [[repeatedSpans]]). Gram char
+    * length includes the joining spaces. Documents shorter than n tokens
+    * score 0.0 for that n. 4dp-rounded, −0.0-guarded.
+    *
+    * Scale shape: one projection explodes all nine gram sizes in one
+    * pass; one (id, n, gram)-keyed count with map-side partial
+    * aggregation (the only shuffle — no in-doc gram is hot across the
+    * key space because the doc id is in the key); per-(id, n) metric agg
+    * and the 9-way conditional-agg pivot are count-table-sized. */
+  def ngramRepetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.Rounding.roundLikeC
+    val toks = graft.functions.Text.tokens(col(textCol))
+    // all nine gram sizes in ONE flattened array; a doc shorter than n
+    // tokens contributes zero n-grams (sequence() would DESCEND for
+    // stop < start, so the guard builds one dummy element and filters it
+    // away on the constant-per-row predicate)
+    val gramStructs = flatten(transform(sequence(lit(2), lit(10)), n => {
+      val m = size(col("__toks")) - n + 1
+      filter(
+        transform(sequence(lit(1), greatest(m, lit(1))), i =>
+          struct(n.as("n"),
+            concat_ws(" ", slice(col("__toks"), i, n)).as("gram"))),
+        _ => m >= 1)
+    }))
+    val exploded = df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), explode(gramStructs).as("__g"))
+      .select(col(idCol), col("__g.n").as("__n"), col("__g.gram").as("__gram"))
+    val cnts = exploded.groupBy(col(idCol), col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__c"))
+    val met = cnts.groupBy(col(idCol), col("__n")).agg(
+      max(col("__c") * length(col("__gram"))).as("__topc"),
+      sum(when(col("__c") >= 2, col("__c") * length(col("__gram")))
+        .otherwise(0L)).as("__dupc"))
+    val pivotCols =
+      (2 to 4).map(n =>
+        max(when(col("__n") === n, col("__topc"))).as(s"__top$n")) ++
+      (5 to 10).map(n =>
+        max(when(col("__n") === n, col("__dupc"))).as(s"__dup$n"))
+    val pivoted = met.groupBy(col(idCol))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    def frac(c: Column) = roundLikeC(
+      coalesce(c, lit(0L)).cast("double") / col("__nch").cast("double"), 4) + lit(0.0)
+    df.select(col(idCol), length(col(textCol)).cast("long").as("__nch"))
+      .join(pivoted, Seq(idCol), "left")
+      .select(col(idCol) +:
+        ((2 to 4).map(n => frac(col(s"__top$n")).as(s"top${n}_frac")) ++
+         (5 to 10).map(n => frac(col(s"__dup$n")).as(s"dup${n}_frac"))): _*)
+  }
 }

@@ -616,6 +616,28 @@ class CorpusSpec extends SparkSpec {
     assert(c.getAs[String]("top_drift_token") === "m")
   }
 
+  test("ngramRepetitionReport: hand-computed Gopher A2 fractions") {
+    import graft.operators.Dedup
+    // doc 1 "a b a b c": nch=9; 2-grams {a b:2, b a:1, b c:1} ->
+    //   top2 = 2*3/9 = 0.6667; top3 = 1*5/9 = 0.5556; no dup 5-gram -> 0
+    // doc 2 "x y z x y z x y z": nch=17; top2 = 3*3/17 = 0.5294;
+    //   dup5 = (2*9 + 2*9)/17 = 2.1176 (overlap overcounting is the
+    //   documented reference convention - a ratio, not a cover)
+    val df = Seq((1L, "a b a b c"), (2L, "x y z x y z x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramRepetitionReport(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = got(0)
+    assert(d1.getAs[Double]("top2_frac") === 0.6667)
+    assert(d1.getAs[Double]("top3_frac") === 0.5556)
+    assert(d1.getAs[Double]("dup5_frac") === 0.0)
+    val d2 = got(1)
+    assert(d2.getAs[Double]("top2_frac") === 0.5294)
+    assert(d2.getAs[Double]("dup5_frac") === 2.1176)
+    // a doc shorter than n tokens scores 0.0 for that n, not null
+    assert(d1.getAs[Double]("dup10_frac") === 0.0)
+  }
+
   test("c4Clean: every line rule and document rule fires on its designed case") {
     import graft.operators.Curate
     val docs = Seq(
