@@ -1,0 +1,176 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** WebDataset-style .tar shard export — the container multimodal training
+  * loaders actually stream (a shard is a tar whose member files group by
+  * sample key: `KEY.jpg`, `KEY.txt`, `KEY.json` sit adjacently, so a
+  * sequential read yields whole samples): the multimodal twin of
+  * [[Jsonl]]'s text export. Reference anchor: the delimited landing step
+  * of `scripts/test/transform.py:31-44`, upgraded to the binary-sample
+  * container the image/audio pipelines consume.
+  *
+  * Deterministic by construction, like [[Jsonl]]: sample order comes from
+  * the [[Packing.mix2]] layout, shard cuts from the bucketed byte cumsum,
+  * and the tar metadata is pinned (mtime 0, fixed mode, ustar magic) — so
+  * re-exporting the same data yields BYTE-IDENTICAL shard files, which is
+  * what makes shard-level caching, rsync-style delta pushes, and
+  * resume-from-shard work.
+  *
+  * Pure-JDK tar (ustar headers, 512-byte blocks, two-block terminator) —
+  * no codec dependency; [[read]] parses the shards back through Spark's
+  * binaryFile source, one flatMap per shard file.
+  *
+  * 100 TB shape: identical to [[Jsonl.writeShardsByBytes]] — the cumsum
+  * is bucketed (no single-partition window), the densified cut map is
+  * shard-count-sized and broadcast, each task streams its shards straight
+  * to the filesystem, and the returned manifest counts what LANDED. Tar
+  * overhead is exact arithmetic (512-byte header + 512-padding per file),
+  * so the byte budget is honored to one sample's spill.
+  */
+object WebDataset {
+
+  /** On-disk size of one tar member: header block + data padded to 512. */
+  private def entrySize(n: Long): Long = 512L + ((n + 511L) / 512L) * 512L
+
+  /** ustar header, metadata pinned for deterministic archives. */
+  private[sources] def tarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100, s"tar member name too long: $name")
+    require(size >= 0, s"negative size for $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644\u0000") // mode
+    put(108, "0000000\u0000") // uid
+    put(116, "0000000\u0000") // gid
+    put(124, f"$size%011o" + "\u0000")
+    put(136, "00000000000\u0000") // mtime 0 — determinism over provenance
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces while summing
+    h(156) = '0' // typeflag: regular file
+    put(257, "ustar\u000000") // magic + version
+    val sum = h.iterator.map(b => b & 0xff).sum
+    put(148, f"$sum%06o" + "\u0000 ")
+    h
+  }
+
+  /** Parse one tar archive to (memberName, bytes) in member order. */
+  private[graft] def parseTar(b: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= b.length) {
+      if (b(off) == 0) done = true // terminator blocks
+      else {
+        val name = new String(b, off, 100, "UTF-8").takeWhile(_ != '\u0000')
+        val size = java.lang.Long.parseLong(
+          new String(b, off + 124, 11, "US-ASCII").trim, 8)
+        out += ((name, java.util.Arrays.copyOfRange(b, off + 512,
+          off + 512 + size.toInt)))
+        off += 512 + ((size + 511L) / 512L).toInt * 512
+      }
+    }
+    out.result()
+  }
+
+  /** Write one `.tar` shard per byte-budget cut under `dir`
+    * (`shard-NNNNN.tar`), each sample contributing one `KEY.ext` member
+    * per payload column, then persist and return the landed manifest
+    * (shard, n_samples, n_bytes). `idCol` must be numeric (it seeds the
+    * deterministic layout and names the sample key). */
+  def writeShards(df: DataFrame, dir: String, idCol: Column,
+                  payloads: Seq[(String, Column)],
+                  maxBytesPerShard: Long): DataFrame = {
+    require(payloads.nonEmpty, "at least one payload column required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exts = payloads.map(_._1)
+    val sel = df.select(
+      (idCol.cast("long").as("__id") +: idCol.cast("string").as("__key") +:
+        payloads.zipWithIndex.map { case ((_, c), i) =>
+          c.cast("binary").as(s"__p$i")
+        }): _*)
+    val sizeExpr = payloads.indices
+      .map(i => lit(512L) +
+        (((octet_length(col(s"__p$i")).cast("long") + 511L) / 512L).cast("long") * 512L))
+      .reduce(_ + _)
+    val sized = sel.withColumn("__bytes", sizeExpr)
+    val cum = Packing.bucketedCumSum(sized,
+      orderCol = Packing.mix2(col("__id")),
+      bucket = Packing.mix2(col("__id")) / lit(2097152L),
+      measure = col("__bytes"), alias = "__cum", tieBreak = Seq(col("__id")))
+    val cut = cum.withColumn("__raw",
+      ((col("__cum") - col("__bytes")) / lit(maxBytesPerShard)).cast("long"))
+    val ids = cut.select(col("__raw")).distinct()
+      .withColumn("shard",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__raw"))).cast("long") - 1L)
+    val placed = cut.join(broadcast(ids), "__raw")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__cum"))
+    // per-partition imperative container IO — the one shape mapPartitions
+    // exists for; shards are co-located and contiguous after the
+    // repartition+sort, so each task streams whole shard files
+    val manifestRows = placed.rdd.mapPartitions { it =>
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var out: java.io.OutputStream = null
+      var curShard = -1L
+      var n = 0L
+      var bytes = 0L
+      def closeShard(): Unit = if (out != null) {
+        out.write(new Array[Byte](1024)) // end-of-archive
+        out.close()
+        results += ((curShard, n, bytes + 1024L))
+        out = null
+      }
+      it.foreach { row =>
+        val shard = row.getAs[Long]("shard")
+        if (shard != curShard) {
+          closeShard()
+          curShard = shard; n = 0L; bytes = 0L
+          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          out = fs.create(p, true)
+        }
+        val key = row.getAs[String]("__key")
+        exts.zipWithIndex.foreach { case (ext, i) =>
+          val data = row.getAs[Array[Byte]](s"__p$i")
+          out.write(tarHeader(s"$key.$ext", data.length.toLong))
+          out.write(data)
+          val pad = (((data.length + 511) / 512) * 512) - data.length
+          if (pad > 0) out.write(new Array[Byte](pad))
+          bytes += entrySize(data.length.toLong)
+        }
+        n += 1L
+      }
+      closeShard()
+      results.iterator
+    }
+    val manifest = manifestRows.toDF("shard", "n_samples", "n_bytes")
+    manifest.coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
+    Jsonl.manifest(spark, dir)
+  }
+
+  /** Read a [[writeShards]] layout back to (shard, key, ext, content) —
+    * one binaryFile row per shard tar, parsed in a flatMap. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/shard-*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.split('/').last
+          .stripPrefix("shard-").stripSuffix(".tar").toLong
+        parseTar(bytes).map { case (name, data) =>
+          val dot = name.lastIndexOf('.')
+          (shard, name.substring(0, dot), name.substring(dot + 1), data)
+        }
+      }.toDF("shard", "key", "ext", "content")
+  }
+}
