@@ -132,10 +132,10 @@ object Bench {
     // line, so the artifact adjudicates itself. Worst 3 outliers only
     // (bounded wall cost); small queries (< 0.75 s) skip — their variance
     // is scheduler noise, not signal. ----
+    val refs = historyRefs()
     val isolated: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_ISOLATE")) Seq.empty
       else {
-        val refs = historyRefs()
         results
           .flatMap { case (name, (med, _)) =>
             refs.get(name).collect {
@@ -146,8 +146,25 @@ object Bench {
           .sortBy(-_._2).take(3)
           .flatMap { case (name, _) => isolateOne(name, sfDir) }
       }
-    isolated.foreach { case (k, sec) =>
-      println(s"""{"query":"$k","sec_isolated":${ms(sec)}}""")
+    // Self-adjudicate in BOTH directions (the r7 lesson: the driver's
+    // isolated q90 re-run landed in the same degraded host window and read
+    // as a confirmed regression until a judge re-measured it at the ledger
+    // band). Each isolated entry ships its ledger ref and ratio; an
+    // isolated median still >2x the ref is labeled "host-suspect" —
+    // re-measure before believing it — because the fork shares the host's
+    // I/O weather; only <=2x ("artifact") actually refutes the in-suite
+    // outlier. A real regression (r7 q134) stays >2x across re-measures;
+    // a host artifact (r7 q90) does not.
+    def verdictOf(ratio: Double): String =
+      if (ratio <= 2.0) "artifact" else "host-suspect: re-measure later"
+    val isoEntries: Seq[(String, String)] = isolated.map { case (k, sec) =>
+      val ref = refs.getOrElse(k, -1.0)
+      val ratio = if (ref > 0) sec / ref else -1.0
+      val v = if (ref > 0) verdictOf(ratio) else "no-ref"
+      k -> s"""{"sec":${ms(sec)},"ref":${ms(ref)},"ratio":${ms(ratio)},"verdict":"$v"}"""
+    }
+    isoEntries.foreach { case (k, json) =>
+      println(s"""{"query":"$k","isolated":$json}""")
     }
 
     def shortKey(name: String): String = name.takeWhile(_ != '_')
@@ -155,8 +172,8 @@ object Bench {
     val qs = results.map { case (k, (med, _)) =>
       "\"" + (if (collides) k else shortKey(k)) + "\":" + ms(med)
     }.mkString("{", ",", "}")
-    val iso = isolated.map { case (k, sec) =>
-      "\"" + (if (collides) k else shortKey(k)) + "\":" + ms(sec)
+    val iso = isoEntries.map { case (k, json) =>
+      "\"" + (if (collides) k else shortKey(k)) + "\":" + json
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir","runs":$effRuns,"stat":"median","order":"randomized","warmups":$warmups}""")

@@ -413,12 +413,18 @@ object Curate {
     *
     * Scale shape: two explode→(source, token) count shuffles (partial-
     * aggregated, token skew absorbed map-side), a full outer join already
-    * co-partitioned on the aggregate keys (no extra exchange), per-source
-    * totals (#sources rows) broadcast back, and the per-token diff table
-    * — type-table-sized, NOT corpus-sized — localCheckpoint'd once because
-    * three consumers read it (stats fold, max numerator, argmax resolve;
-    * the q132/q135 lineage-trap rule). Only #sources-row frames are ever
-    * broadcast; nothing reaches the driver. */
+    * co-partitioned on the aggregate keys (no extra exchange) — then the
+    * joined per-token table `j` (type-table-sized, NOT corpus-sized) is
+    * localCheckpoint'd and EVERY downstream frame derives from it: totals,
+    * the numerator diff table, stats fold, argmax resolve. The checkpoint
+    * sits at the corpus/type-table boundary precisely because the final
+    * report plan joins `tot`+`stats`+`top` — a `tot` derived from the
+    * un-checkpointed join would re-run both explode→count shuffles (a full
+    * re-tokenization of both snapshots) at the final action, the
+    * q132/q135 lineage trap (round-7 shipped exactly that defect; the
+    * PlanShapeSpec guard now counts zero Generate nodes in the executed
+    * report plan). Only #sources-row frames are ever broadcast; nothing
+    * reaches the driver. */
   def tokenDriftReport(v1: DataFrame, v2: DataFrame, srcCol: String,
                        textCol: String): DataFrame = {
     import graft.functions.Rounding.roundLikeC
@@ -431,6 +437,7 @@ object Curate {
       .select(col("source"), col("tok"),
         coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
+      .localCheckpoint()
     val tot = j.groupBy("source").agg(
       sum("c1").as("n1"), sum("c2").as("n2"))
     val d = j.join(broadcast(tot), "source")

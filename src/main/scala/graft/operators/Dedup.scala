@@ -977,7 +977,11 @@ object Dedup {
     * count ≥ 2 test, so a collision only ever ADDS coverage, and both
     * engines (the oracle replays the identical fold) collide identically.
     * `hashGrams = false` keeps the raw-string key (the A/B measurement
-    * path). */
+    * path) under the DISTINCT column name `gram` — an index built in one
+    * mode and probed in the other then fails loudly at analysis
+    * ("gh1 not found") instead of silently null-joining a string against
+    * a bigint and reporting every batch span as fresh (the round-7
+    * advisory). */
   /** Polynomial hash of ONE token as a Column fold — the lambda-level twin
     * of [[graft.functions.PortableHash.polySql]] (same recurrence, same
     * codepoint basis), usable inside a `transform` where polySql's
@@ -999,7 +1003,7 @@ object Dedup {
             i => concat_ws(" ", slice(toks, i + 1, lit(minLen)))))
           .otherwise(expr("cast(array() as array<string>)"))), 1)
       return df.select(col(idCol), posexplode(gramArr).as(Seq("p", "g")))
-        .select(col(idCol), col("p"), col("g").as("gh1"), lit(0L).as("gh2"))
+        .select(col(idCol), col("p"), col("g").as("gram"))
     }
     // hash TOKENS once each (two independent poly bases), PROJECTED so the
     // arrays are attributes (the q98 lesson: a computed array referenced
@@ -1024,12 +1028,19 @@ object Dedup {
       .select(col(idCol), col("p"), col("g.gh1").as("gh1"), col("g.gh2").as("gh2"))
   }
 
+  /** Gram-key column set per [[anchorGrams]] mode — the mode stamp: hashed
+    * indexes carry (gh1, gh2), raw-string ones carry (gram), so a
+    * build/probe mode mismatch is an analysis error, never a silent
+    * string-vs-bigint cast join. */
+  private def gramKeys(hashGrams: Boolean): Seq[String] =
+    if (hashGrams) Seq("gh1", "gh2") else Seq("gram")
+
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     minLen: Int = 8, hashGrams: Boolean = true): DataFrame = {
     val grams = anchorGrams(df, idCol, textCol, minLen, hashGrams)
     // unique grams (corpus count == 1) carry their single occurrence out of
     // the aggregate itself — no gram-keyed join anywhere
-    val uniqOcc = grams.groupBy("gh1", "gh2")
+    val uniqOcc = grams.groupBy(gramKeys(hashGrams).map(col): _*)
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("p"))).as("__o"))
       .filter(col("__c") === 1)
@@ -1088,7 +1099,7 @@ object Dedup {
                              minLen: Int = 8,
                              hashGrams: Boolean = true): DataFrame =
     anchorGrams(corpus, idCol, textCol, minLen, hashGrams)
-      .select("gh1", "gh2")
+      .select(gramKeys(hashGrams).map(col): _*)
       .distinct()
 
   /** Incremental [[repeatedSpans]] — the substring member of the
@@ -1111,7 +1122,8 @@ object Dedup {
                                hashGrams: Boolean = true,
                                probeViaBroadcast: Boolean = true): DataFrame = {
     val grams = anchorGrams(batch, idCol, textCol, minLen, hashGrams)
-    val uniqInBatch = grams.groupBy("gh1", "gh2")
+    val keys = gramKeys(hashGrams)
+    val uniqInBatch = grams.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("p"))).as("__o"))
       .filter(col("__c") === 1)
@@ -1138,14 +1150,14 @@ object Dedup {
     // keys): the shuffle form is then correct, paired with a
     // bucketed-stored index.
     val fresh = if (probeViaBroadcast) {
-      val seenHits = seenGrams.select(col("gh1"), col("gh2"))
-        .join(broadcast(uniqInBatch.select("gh1", "gh2")), Seq("gh1", "gh2"), "left_semi")
+      val seenHits = seenGrams.select(keys.map(col): _*)
+        .join(broadcast(uniqInBatch.select(keys.map(col): _*)), keys, "left_semi")
       uniqInBatch
-        .join(broadcast(seenHits), Seq("gh1", "gh2"), "left_anti")
+        .join(broadcast(seenHits), keys, "left_anti")
         .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
     } else
       uniqInBatch
-        .join(seenGrams.select(col("gh1"), col("gh2")), Seq("gh1", "gh2"), "left_anti")
+        .join(seenGrams.select(keys.map(col): _*), keys, "left_anti")
         .select(col(s"__o.$idCol").as(idCol), col("__o.p").as("p"))
     val rep = grams.select(col(idCol), col("p"))
       .join(fresh, Seq(idCol, "p"), "left_anti")

@@ -37,9 +37,15 @@ object WebDataset {
   private def entrySize(n: Long): Long = 512L + ((n + 511L) / 512L) * 512L
 
   /** ustar header, metadata pinned for deterministic archives. */
-  private[sources] def tarHeader(name: String, size: Long): Array[Byte] = {
+  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100, s"tar member name too long: $name")
     require(size >= 0, s"negative size for $name")
+    // the 12-byte octal ustar size field holds 11 digits: 8^11 - 1 bytes.
+    // A larger member would silently overflow into the mtime field and
+    // corrupt every subsequent offset — reject it loudly (WebDataset
+    // samples are MB-scale; an 8 GiB member is a caller bug)
+    require(size < 8589934592L,
+      s"tar member $name is $size bytes — exceeds the ustar 11-digit octal size field (8^11 - 1)")
     val h = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes("US-ASCII")
@@ -90,10 +96,15 @@ object WebDataset {
     val spark = df.sparkSession
     import spark.implicits._
     val exts = payloads.map(_._1)
+    // a NULL payload coalesces to a zero-byte member BEFORE the cumsum:
+    // un-coalesced it would null octet_length -> null __bytes -> a
+    // corrupted byte cumsum upstream AND an NPE at data.length mid-archive
+    // downstream (the round-7 advisory). Absence stays representable (a
+    // 0-byte KEY.ext member), and the byte budget stays exact.
     val sel = df.select(
       (idCol.cast("long").as("__id") +: idCol.cast("string").as("__key") +:
         payloads.zipWithIndex.map { case ((_, c), i) =>
-          c.cast("binary").as(s"__p$i")
+          coalesce(c.cast("binary"), lit(Array.emptyByteArray)).as(s"__p$i")
         }): _*)
     val sizeExpr = payloads.indices
       .map(i => lit(512L) +
@@ -113,18 +124,49 @@ object WebDataset {
     val placed = cut.join(broadcast(ids), "__raw")
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("__cum"))
+    // the session's hadoopConfiguration (fs.defaultFS, s3a credentials,
+    // user overrides) must reach the executor-side FileSystem resolution —
+    // `new Configuration()` inside the task silently drops all of it (the
+    // round-7 advisory). Configuration isn't serializable, so ship its
+    // entries and rebuild per task.
+    val hadoopEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    val confBc = spark.sparkContext.broadcast(hadoopEntries)
     // per-partition imperative container IO — the one shape mapPartitions
     // exists for; shards are co-located and contiguous after the
-    // repartition+sort, so each task streams whole shard files
+    // repartition+sort, so each task streams whole shard files. Commit
+    // protocol: each shard writes to an ATTEMPT-SCOPED temp name and
+    // renames into place on success — with speculative execution or a
+    // mid-task retry, two attempts writing `shard-N.tar` directly could
+    // interleave on filesystems without single-writer create semantics;
+    // with the rename, the loser's (byte-identical — the layout is
+    // deterministic) temp file is simply discarded.
     val manifestRows = placed.rdd.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confBc.value.foreach { case (k, v) => conf.set(k, v) }
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var out: java.io.OutputStream = null
       var curShard = -1L
+      var tmpPath: org.apache.hadoop.fs.Path = null
+      var fs: org.apache.hadoop.fs.FileSystem = null
       var n = 0L
       var bytes = 0L
       def closeShard(): Unit = if (out != null) {
         out.write(new Array[Byte](1024)) // end-of-archive
         out.close()
+        val dst = new org.apache.hadoop.fs.Path(dir, f"shard-$curShard%05d.tar")
+        if (!fs.rename(tmpPath, dst)) {
+          // a concurrent attempt already committed this shard: its bytes
+          // are identical by construction — drop ours
+          if (fs.exists(dst)) fs.delete(tmpPath, false)
+          else throw new java.io.IOException(s"rename $tmpPath -> $dst failed")
+        }
         results += ((curShard, n, bytes + 1024L))
         out = null
       }
@@ -133,9 +175,10 @@ object WebDataset {
         if (shard != curShard) {
           closeShard()
           curShard = shard; n = 0L; bytes = 0L
-          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          out = fs.create(p, true)
+          tmpPath = new org.apache.hadoop.fs.Path(
+            dir, f".shard-$shard%05d.tar.$attempt%d.tmp")
+          fs = tmpPath.getFileSystem(conf)
+          out = fs.create(tmpPath, true)
         }
         val key = row.getAs[String]("__key")
         exts.zipWithIndex.foreach { case (ext, i) =>

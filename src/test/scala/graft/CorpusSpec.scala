@@ -83,6 +83,33 @@ class CorpusSpec extends SparkSpec {
       "one two three four five six seven eight nine")))
   }
 
+  test("repeatedSpans: raw-string gram keys (hashGrams=false) match the hashed default; mode mismatch fails loudly") {
+    val shared = "c d e f g h i j"
+    val docs = Seq(
+      (1L, s"a b $shared k l"),
+      (2L, s"x y z $shared"),
+      (3L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val hashed = Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 8,
+      hashGrams = true).orderBy("doc_id").collect().toSeq
+    val raw = Dedup.repeatedSpans(docs, "doc_id", "text", minLen = 8,
+      hashGrams = false).orderBy("doc_id").collect().toSeq
+    assert(hashed === raw)
+    // the r7 advisory: an index built raw and probed hashed used to
+    // string-vs-bigint null-join and report every span as fresh — with the
+    // mode-stamped column names the mismatch is an ANALYSIS error
+    val rawIdx = Dedup.buildRepeatedSpanIndex(docs, "doc_id", "text",
+      minLen = 8, hashGrams = false)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.repeatedSpansIncremental(docs, rawIdx, "doc_id", "text",
+        minLen = 8, hashGrams = true).collect()
+    }
+    // matched raw mode still works end-to-end
+    val rawInc = Dedup.repeatedSpansIncremental(docs, rawIdx, "doc_id", "text",
+      minLen = 8, hashGrams = false)
+    assert(rawInc.count() === 3)
+  }
+
   test("repeatedSpans: two disjoint spans in one doc stay separate intervals") {
     val blockA = "a1 a2 a3 a4 a5 a6 a7 a8"
     val blockB = "b1 b2 b3 b4 b5 b6 b7 b8"

@@ -412,6 +412,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q146 token drift: final plan re-tokenizes NOTHING past the checkpoint") {
+    // the round-7 defect: `tot` derived from the UN-checkpointed join re-ran
+    // both corpus-scale explode→count shuffles at the final action. With the
+    // checkpoint at the corpus/type-table boundary the executed report plan
+    // must contain zero Generate (explode) nodes and zero parquet scans —
+    // every leaf is the checkpointed RDD
+    val df = SparkEntry.queries("q146_token_drift")(spark, sf)
+    df.collect() // finalize AQE so the string below is the EXECUTED plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate "),
+      s"corpus re-tokenization leaked past the checkpoint:\n${p.take(2000)}")
+    assert(!p.contains("FileScan"),
+      "final report plan must read only the checkpointed diff table:\n" +
+        p.take(2000))
+  }
+
   test("q152 perplexity gate: windows run over the histogram, never one partition") {
     // the tertile cut must derive from the per-language HISTOGRAM — a
     // Window on a SinglePartition child means the corpus funneled through

@@ -28,6 +28,31 @@ class WebDatasetSpec extends SparkSpec {
     (dir, manifest)
   }
 
+  test("null payload lands as a zero-byte member (no NPE, cumsum stays exact)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_null").toString
+    val withNulls = media.withColumn("txt",
+      when(col("doc_id") % 3 === 0, lit(null).cast("binary"))
+        .otherwise(col("txt")))
+    WebDataset.writeShards(withNulls, dir, col("doc_id"),
+      Seq("bmp" -> col("img"), "txt" -> col("txt")),
+      maxBytesPerShard = 8192L)
+    val back = WebDataset.read(spark, dir)
+      .select("key", "ext", "content")
+      .as[(String, String, Array[Byte])].collect()
+    assert(back.count(_._2 == "txt") === 60)
+    back.filter(r => r._1.toLong % 3 == 0 && r._2 == "txt")
+      .foreach(r => assert(r._3.isEmpty, s"null payload must land 0-byte: ${r._1}"))
+    back.filter(r => r._1.toLong % 3 != 0 && r._2 == "txt")
+      .foreach(r => assert(r._3.nonEmpty))
+  }
+
+  test("tarHeader rejects members past the ustar 11-digit octal size field") {
+    intercept[IllegalArgumentException] {
+      WebDataset.tarHeader("big.bin", 8589934592L)
+    }
+    WebDataset.tarHeader("ok.bin", 8589934591L) // boundary fits
+  }
+
   test("payloads round-trip byte-exact; every sample lands once") {
     val (dir, manifest) = export("graft_wds")
     val back = WebDataset.read(spark, dir)
