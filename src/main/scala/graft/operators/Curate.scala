@@ -605,24 +605,47 @@ object Curate {
     * (the matrix is the point).
     *
     * Scale shape: one distinct pass to (source, gram) — corpus-sized
-    * shuffle, partial-agg'd; the inverted self-join on the gram fans out
-    * at most C(S,2) rows per gram (S = #sources — hundreds, not corpus
-    * scale; for S in the thousands switch to collect_set(source) per gram
-    * and explode the pair list, same bound); the size table is #sources
-    * rows and broadcasts into the all-pairs frame. Exact integers, one
+    * shuffle, partial-agg'd; then ONE of two pair-generation forms, both
+    * bounded by C(S,2) rows per gram (S = #sources):
+    *
+    *   - `pairsFromGramSets = false` (default, S in the hundreds): the
+    *     inverted SELF-JOIN on the gram. Simple, but a gram present in
+    *     every source funnels its S×S fan-out through one join partition.
+    *   - `pairsFromGramSets = true` (S in the thousands): per gram,
+    *     `collect_set(source)` (bounded by S, partial-agg'd map-side so
+    *     the hot gram never funnels raw rows) and an in-row explode of
+    *     the sorted pair list — the hot-gram work becomes one row's
+    *     array arithmetic instead of one partition's join storm.
+    *
+    * Both forms produce IDENTICAL counts (spec-pinned); the size table is
+    * #sources rows and broadcasts into the all-pairs frame. Exact integers, one
     * terminal division. Reference anchor: the per-source composition
     * report of `notebooks/eda.ipynb` extended to the pairwise axis. */
   def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
-                          k: Int = 3): DataFrame = {
+                          k: Int = 3, pairsFromGramSets: Boolean = false): DataFrame = {
     import graft.functions.Rounding.roundLikeC
     val grams = df.select(col(srcCol).as("source"),
         explode(Dedup.shingles(col(textCol), k)).as("g"))
       .distinct()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = grams.withColumnRenamed("source", "source_a")
-      .join(grams.withColumnRenamed("source", "source_b"), "g")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+    val inter = if (pairsFromGramSets) {
+      // high-S form: the gram's source set aggregates (partial map-side),
+      // then every unordered pair explodes from the sorted array IN-ROW
+      val pairList = flatten(transform(
+        sequence(lit(1), size(col("ss")) - 1),
+        i => transform(sequence(i + 1, size(col("ss"))),
+          j => struct(element_at(col("ss"), i).as("source_a"),
+            element_at(col("ss"), j).as("source_b")))))
+      grams.groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(pairList).as("p"))
+        .select(col("p.source_a"), col("p.source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+    } else
+      grams.withColumnRenamed("source", "source_a")
+        .join(grams.withColumnRenamed("source", "source_b"), "g")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
     val pairs = sizes.select(col("source").as("source_a"), col("n").as("n_a"))
       .crossJoin(broadcast(
         sizes.select(col("source").as("source_b"), col("n").as("n_b"))))

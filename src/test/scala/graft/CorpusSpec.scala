@@ -818,6 +818,17 @@ class CorpusSpec extends SparkSpec {
     assert(got(2).getAs[Long]("n_common") === 0L)
   }
 
+  test("sourceOverlapMatrix: gram-set pair form (high-S path) is row-identical to the self-join") {
+    import graft.operators.Curate
+    val docs = Tables.documents(spark, sf).select("source", "text")
+    val a = Curate.sourceOverlapMatrix(docs, "source", "text")
+      .orderBy("source_a", "source_b").collect().toSeq
+    val b = Curate.sourceOverlapMatrix(docs, "source", "text",
+        pairsFromGramSets = true)
+      .orderBy("source_a", "source_b").collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("epochMix: whole epochs exact, fractional rate bounded, drop/default honored, zero-shuffle") {
     import graft.operators.Packing
     val df = (1L to 400L).map(i =>
