@@ -2349,9 +2349,11 @@ out_$k AS (
         |FROM fin ORDER BY doc_id""".stripMargin,
 
 
-    // q157: same dirtying, all nine gram sizes by a range cross join +
-    // per-n slice transform; count -> max(c·len) / Σ dup(c·len) ->
-    // conditional-agg pivot; fractions one division each, -0.0 guarded.
+    // q157: same dirtying; top = the MOST FREQUENT gram's c*len (row_number
+    // ties toward longer grams), dup = the exact non-double-counting char
+    // COVER of duplicated-gram occurrences (positions ride a struct
+    // unnest; cover dedup + lead() adjacency for interior spaces + exact
+    // token lengths); fractions one division each, -0.0 guarded.
     "q157_gopher_ngram_repetition" ->
       """WITH dirty AS (
         |  SELECT doc_id, text
@@ -2364,31 +2366,59 @@ out_$k AS (
         |  SELECT doc_id, length(text) AS nch,
         |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
         |  FROM dirty),
-        |g AS (
+        |gt AS (
         |  SELECT doc_id, n.n AS n,
         |         unnest(CASE WHEN len(toks) >= n.n
         |           THEN list_transform(range(1, len(toks) - n.n + 2),
         |                               i -> array_to_string(toks[i : i + n.n - 1], ' '))
         |           ELSE [] END) AS gram
-        |  FROM t CROSS JOIN (SELECT unnest(range(2, 11)) AS n) n),
-        |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
-        |m AS (
-        |  SELECT doc_id, n,
-        |         MAX(c * length(gram)) AS topc,
-        |         SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dupc
-        |  FROM c GROUP BY 1, 2),
+        |  FROM t CROSS JOIN (SELECT unnest(range(2, 5)) AS n) n),
+        |ct AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM gt GROUP BY 1, 2, 3),
+        |mt AS (
+        |  SELECT doc_id, n, c * length(gram) AS topc
+        |  FROM (SELECT doc_id, n, gram, c,
+        |               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+        |                                  ORDER BY c DESC, length(gram) DESC) AS rn
+        |        FROM ct)
+        |  WHERE rn = 1),
+        |gd AS (
+        |  SELECT doc_id, n, s['i'] AS i, s['gram'] AS gram FROM (
+        |    SELECT doc_id, n.n AS n,
+        |           unnest(CASE WHEN len(toks) >= n.n
+        |             THEN list_transform(range(1, len(toks) - n.n + 2),
+        |                  i -> {'i': i - 1, 'gram': array_to_string(toks[i : i + n.n - 1], ' ')})
+        |             ELSE [] END) AS s
+        |    FROM t CROSS JOIN (SELECT unnest(range(5, 11)) AS n) n)),
+        |dk AS (SELECT doc_id, n, gram FROM gd GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |occ AS (SELECT gd.doc_id, gd.n, gd.i FROM gd JOIN dk USING (doc_id, n, gram)),
+        |cov AS (SELECT DISTINCT doc_id, n, pos FROM
+        |          (SELECT doc_id, n, unnest(range(i, i + n)) AS pos FROM occ)),
+        |adj AS (SELECT doc_id, n, pos,
+        |          CASE WHEN lead(pos) OVER (PARTITION BY doc_id, n ORDER BY pos) = pos + 1
+        |               THEN 1 ELSE 0 END AS adj
+        |        FROM cov),
+        |tl AS (SELECT doc_id, i - 1 AS pos, length(toks[i]) AS tl
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+        |md AS (SELECT a.doc_id, a.n, SUM(tl.tl) + SUM(a.adj) AS dupc
+        |       FROM adj a JOIN tl ON a.doc_id = tl.doc_id AND a.pos = tl.pos
+        |       GROUP BY 1, 2),
         |p AS (
-        |  SELECT doc_id,
-        |         MAX(CASE WHEN n = 2 THEN topc END) AS t2,
-        |         MAX(CASE WHEN n = 3 THEN topc END) AS t3,
-        |         MAX(CASE WHEN n = 4 THEN topc END) AS t4,
-        |         MAX(CASE WHEN n = 5 THEN dupc END) AS d5,
-        |         MAX(CASE WHEN n = 6 THEN dupc END) AS d6,
-        |         MAX(CASE WHEN n = 7 THEN dupc END) AS d7,
-        |         MAX(CASE WHEN n = 8 THEN dupc END) AS d8,
-        |         MAX(CASE WHEN n = 9 THEN dupc END) AS d9,
-        |         MAX(CASE WHEN n = 10 THEN dupc END) AS d10
-        |  FROM m GROUP BY 1)
+        |  SELECT COALESCE(mt_p.doc_id, md_p.doc_id) AS doc_id, t2, t3, t4, d5, d6, d7, d8, d9, d10
+        |  FROM (SELECT doc_id,
+        |               MAX(CASE WHEN n = 2 THEN topc END) AS t2,
+        |               MAX(CASE WHEN n = 3 THEN topc END) AS t3,
+        |               MAX(CASE WHEN n = 4 THEN topc END) AS t4
+        |        FROM mt GROUP BY 1) mt_p
+        |  FULL OUTER JOIN
+        |       (SELECT doc_id,
+        |               MAX(CASE WHEN n = 5 THEN dupc END) AS d5,
+        |               MAX(CASE WHEN n = 6 THEN dupc END) AS d6,
+        |               MAX(CASE WHEN n = 7 THEN dupc END) AS d7,
+        |               MAX(CASE WHEN n = 8 THEN dupc END) AS d8,
+        |               MAX(CASE WHEN n = 9 THEN dupc END) AS d9,
+        |               MAX(CASE WHEN n = 10 THEN dupc END) AS d10
+        |        FROM md GROUP BY 1) md_p
+        |  ON mt_p.doc_id = md_p.doc_id)
         |SELECT t.doc_id,
         |       ROUND(CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS top2_frac,
         |       ROUND(CAST(COALESCE(t3, 0) AS DOUBLE) / CAST(nch AS DOUBLE), 4) + 0.0 AS top3_frac,

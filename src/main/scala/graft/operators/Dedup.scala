@@ -1185,65 +1185,106 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans") >= flagAt)
   }
 
-  /** Gopher Appendix-A2 n-gram repetition metrics — the SELF-repetition
-    * family [[graft.functions.Text.repetitionFlags]] (duplicate lines,
-    * q113) doesn't cover: per document,
+  /** Gopher Appendix-A2 n-gram repetition metrics (Rae et al. 2021) — the
+    * SELF-repetition family [[graft.functions.Text.repetitionFlags]]
+    * (duplicate lines, q113) doesn't cover: per document,
     *
     *   - `top{2,3,4}_frac`  — fraction of the document's characters
-    *     covered by the single most character-covering word n-gram
-    *     (max over gram types of count × charlen(gram) — the product
-    *     form needs no tie-break, unlike "most frequent then length":
-    *     equal products give equal fractions by definition);
-    *   - `dup{5..10}_frac` — fraction covered by n-grams occurring more
-    *     than once (Σ over types with count ≥ 2 of count × charlen).
+    *     contained within the single MOST FREQUENT word n-gram:
+    *     count × charlen of the gram with the highest occurrence count
+    *     (occurrences may overlap — the paper's convention for the top
+    *     metric). Count ties break toward the longer gram; the fraction
+    *     depends only on (count, charlen), so no further tie-break is
+    *     needed. A most-frequent gram occurring once still counts (the
+    *     paper's wording puts no count ≥ 2 floor on the top metric).
+    *   - `dup{5..10}_frac` — fraction of characters contained within ALL
+    *     duplicated n-grams (count ≥ 2), each character counted ONCE:
+    *     the exact character COVER of every duplicated gram occurrence
+    *     (token chars + interior joining spaces), never double-counted —
+    *     so the fraction is ≤ 1 by construction and published Gopher
+    *     dup-frac thresholds transfer directly.
     *
-    * Both use the standard reference-implementation convention: every
-    * occurrence's characters count, overlaps and all, over
-    * `length(text)` total characters — a RATIO diagnostic, not an exact
-    * cover (the exact-cover machinery is [[repeatedSpans]]). Gram char
-    * length includes the joining spaces. Documents shorter than n tokens
-    * score 0.0 for that n. 4dp-rounded, −0.0-guarded.
+    * (Round 7 shipped max(count×charlen) for top and an
+    * overlap-overcounting Σ count×charlen for dup — graft-specific ratios
+    * whose values could exceed 1.0; the round-8 advisory replaced both
+    * with the reference conventions above.) Denominator is
+    * `length(text)`. Documents shorter than n tokens score 0.0 for that
+    * n. 4dp-rounded, −0.0-guarded.
     *
-    * Scale shape: one projection explodes all nine gram sizes in one
-    * pass; one (id, n, gram)-keyed count with map-side partial
-    * aggregation (the only shuffle — no in-doc gram is hot across the
-    * key space because the doc id is in the key); per-(id, n) metric agg
-    * and the 9-way conditional-agg pivot are count-table-sized. */
+    * Scale shape: two gram-explode passes (top sizes 2–4 count-only;
+    * dup sizes 5–10 carrying the 0-based token position) plus one
+    * token-length projection — each keyed with the doc id in every
+    * shuffle key, so no in-doc gram is hot across the key space.
+    * Duplicated-gram positions ride the count aggregate as a
+    * collect_list (bounded by in-doc occurrences — never a corpus-side
+    * re-join, the q146 lineage rule); the cover dedups token positions
+    * per (id, n), counts interior spaces via a lead() window partitioned
+    * by (id, n) (bounded by one document), and sums exact token lengths.
+    * The metric tables and the 9-way conditional-agg pivot are
+    * count-table-sized. */
   def ngramRepetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.Rounding.roundLikeC
     val toks = graft.functions.Text.tokens(col(textCol))
-    // all nine gram sizes in ONE flattened array; a doc shorter than n
-    // tokens contributes zero n-grams (sequence() would DESCEND for
-    // stop < start, so the guard builds one dummy element and filters it
-    // away on the constant-per-row predicate)
-    val gramStructs = flatten(transform(sequence(lit(2), lit(10)), n => {
-      val m = size(col("__toks")) - n + 1
-      filter(
-        transform(sequence(lit(1), greatest(m, lit(1))), i =>
-          struct(n.as("n"),
-            concat_ws(" ", slice(col("__toks"), i, n)).as("gram"))),
-        _ => m >= 1)
-    }))
-    val exploded = df.select(col(idCol), toks.as("__toks"))
-      .select(col(idCol), explode(gramStructs).as("__g"))
+    // a doc shorter than n tokens contributes zero n-grams (sequence()
+    // would DESCEND for stop < start, so the guard builds one dummy
+    // element and filters it away on the constant-per-row predicate)
+    def gramStructs(lo: Int, hi: Int, withPos: Boolean) =
+      flatten(transform(sequence(lit(lo), lit(hi)), n => {
+        val m = size(col("__toks")) - n + 1
+        filter(
+          transform(sequence(lit(1), greatest(m, lit(1))), i => {
+            val gram = concat_ws(" ", slice(col("__toks"), i, n)).as("gram")
+            if (withPos) struct(n.as("n"), (i - 1).as("i"), gram)
+            else struct(n.as("n"), gram)
+          }),
+          _ => m >= 1)
+      }))
+    // top 2..4: the most frequent gram's count x charlen (ties -> longer)
+    val topCnt = df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), explode(gramStructs(2, 4, withPos = false)).as("__g"))
       .select(col(idCol), col("__g.n").as("__n"), col("__g.gram").as("__gram"))
-    val cnts = exploded.groupBy(col(idCol), col("__n"), col("__gram"))
+      .groupBy(col(idCol), col("__n"), col("__gram"))
       .agg(count(lit(1)).as("__c"))
-    val met = cnts.groupBy(col(idCol), col("__n")).agg(
-      max(col("__c") * length(col("__gram"))).as("__topc"),
-      sum(when(col("__c") >= 2, col("__c") * length(col("__gram")))
-        .otherwise(0L)).as("__dupc"))
-    val pivotCols =
-      (2 to 4).map(n =>
-        max(when(col("__n") === n, col("__topc"))).as(s"__top$n")) ++
-      (5 to 10).map(n =>
-        max(when(col("__n") === n, col("__dupc"))).as(s"__dup$n"))
-    val pivoted = met.groupBy(col(idCol))
-      .agg(pivotCols.head, pivotCols.tail: _*)
+    val topMet = topCnt.groupBy(col(idCol), col("__n"))
+      .agg(max(struct(col("__c"),
+        length(col("__gram")).cast("long").as("__len"))).as("__m"))
+      .select(col(idCol), col("__n"),
+        (col("__m.__c") * col("__m.__len")).as("__topc"))
+    // dup 5..10: exact character cover of all duplicated-gram occurrences
+    val dupOcc = df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), explode(gramStructs(5, 10, withPos = true)).as("__g"))
+      .select(col(idCol), col("__g.n").as("__n"), col("__g.i").as("__i"),
+        col("__g.gram").as("__gram"))
+      .groupBy(col(idCol), col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__c"), collect_list(col("__i")).as("__ps"))
+      .filter(col("__c") >= 2)
+      .select(col(idCol), col("__n"), explode(col("__ps")).as("__i"))
+    val cover = dupOcc
+      .select(col(idCol), col("__n"),
+        explode(sequence(col("__i"), col("__i") + col("__n") - 1)).as("pos"))
+      .distinct()
+    val w = Window.partitionBy(col(idCol), col("__n")).orderBy("pos")
+    val withAdj = cover.withColumn("__adj",
+      when(lead(col("pos"), 1).over(w) === col("pos") + 1, 1L).otherwise(0L))
+    val tokLens = df.select(col(idCol),
+        posexplode(transform(toks, t => length(t))).as(Seq("pos", "__tl")))
+    val dupMet = withAdj.join(tokLens, Seq(idCol, "pos"))
+      .groupBy(col(idCol), col("__n"))
+      .agg((sum(col("__tl").cast("long")) + sum(col("__adj"))).as("__dupc"))
+    val topPiv = topMet.groupBy(col(idCol)).agg(
+      max(when(col("__n") === 2, col("__topc"))).as("__top2"),
+      (3 to 4).map(n =>
+        max(when(col("__n") === n, col("__topc"))).as(s"__top$n")): _*)
+    val dupPiv = dupMet.groupBy(col(idCol)).agg(
+      max(when(col("__n") === 5, col("__dupc"))).as("__dup5"),
+      (6 to 10).map(n =>
+        max(when(col("__n") === n, col("__dupc"))).as(s"__dup$n")): _*)
     def frac(c: Column) = roundLikeC(
       coalesce(c, lit(0L)).cast("double") / col("__nch").cast("double"), 4) + lit(0.0)
     df.select(col(idCol), length(col(textCol)).cast("long").as("__nch"))
-      .join(pivoted, Seq(idCol), "left")
+      .join(topPiv, Seq(idCol), "left")
+      .join(dupPiv, Seq(idCol), "left")
       .select(col(idCol) +:
         ((2 to 4).map(n => frac(col(s"__top$n")).as(s"top${n}_frac")) ++
          (5 to 10).map(n => frac(col(s"__dup$n")).as(s"dup${n}_frac"))): _*)

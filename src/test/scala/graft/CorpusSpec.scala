@@ -645,11 +645,16 @@ class CorpusSpec extends SparkSpec {
 
   test("ngramRepetitionReport: hand-computed Gopher A2 fractions") {
     import graft.operators.Dedup
-    // doc 1 "a b a b c": nch=9; 2-grams {a b:2, b a:1, b c:1} ->
-    //   top2 = 2*3/9 = 0.6667; top3 = 1*5/9 = 0.5556; no dup 5-gram -> 0
-    // doc 2 "x y z x y z x y z": nch=17; top2 = 3*3/17 = 0.5294;
-    //   dup5 = (2*9 + 2*9)/17 = 2.1176 (overlap overcounting is the
-    //   documented reference convention - a ratio, not a cover)
+    // doc 1 "a b a b c": nch=9; 2-grams {a b:2, b a:1, b c:1} -> most
+    //   frequent "a b": 2*3/9 = 0.6667; top3: all count 1, len 5 ->
+    //   1*5/9 = 0.5556; no dup 5-gram -> 0
+    // doc 2 "x y z x y z x y z": nch=17; top2: "x y"/"y z" count 3,
+    //   3*3/17 = 0.5294; dup5: "x y z x y" at pos {0,3} and "y z x y z"
+    //   at {1,4} cover token positions 0..8 entirely -> exact char cover
+    //   = 9 token chars + 8 interior spaces = 17/17 = 1.0 (the
+    //   non-double-counting reference convention: never above 1);
+    //   dup6: "x y z x y z" at {0,3} covers 0..8 -> 1.0;
+    //   dup7: all three 7-grams distinct -> 0.0
     val df = Seq((1L, "a b a b c"), (2L, "x y z x y z x y z"))
       .toDF("doc_id", "text")
     val got = Dedup.ngramRepetitionReport(df, "doc_id", "text")
@@ -660,9 +665,30 @@ class CorpusSpec extends SparkSpec {
     assert(d1.getAs[Double]("dup5_frac") === 0.0)
     val d2 = got(1)
     assert(d2.getAs[Double]("top2_frac") === 0.5294)
-    assert(d2.getAs[Double]("dup5_frac") === 2.1176)
+    assert(d2.getAs[Double]("dup5_frac") === 1.0)
+    assert(d2.getAs[Double]("dup6_frac") === 1.0)
+    assert(d2.getAs[Double]("dup7_frac") === 0.0)
     // a doc shorter than n tokens scores 0.0 for that n, not null
     assert(d1.getAs[Double]("dup10_frac") === 0.0)
+  }
+
+  test("ngramRepetitionReport: top picks MOST FREQUENT (not max count*len); dup frac never exceeds 1") {
+    import graft.operators.Dedup
+    // "aa bb aa bb choochoochoolong tail" (nch 33): most frequent 2-gram
+    //   "aa bb" count 2 len 5 -> 10; "choochoochoolong tail" count 1
+    //   len 21 -> 21 would win under the old max-PRODUCT form. The
+    //   reference convention picks the most frequent: 10/33 = 0.303.
+    val df = Seq((1L, "aa bb aa bb choochoochoolong tail")).toDF("doc_id", "text")
+    // nch = 33; 10/33 = 0.3030...
+    val got = Dedup.ngramRepetitionReport(df, "doc_id", "text").collect().head
+    assert(got.getAs[Double]("top2_frac") === 0.303)
+    // dup cover bound: pathological full-repetition doc stays at 1.0
+    val rep = Seq((2L, Seq.fill(40)("tok").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.ngramRepetitionReport(rep, "doc_id", "text").collect().head
+    (5 to 10).foreach { n =>
+      val f = r.getAs[Double](s"dup${n}_frac")
+      assert(f <= 1.0 && f === 1.0, s"dup${n}_frac=$f")
+    }
   }
 
   test("c4Clean: every line rule and document rule fires on its designed case") {
