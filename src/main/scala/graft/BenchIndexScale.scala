@@ -130,6 +130,26 @@ object BenchIndexScale {
       }
       rows += (("simhashIncremental", k, seenSize, bSim, median(simSecs)))
 
+      // --- q158 media: chunked perceptual-hash index built once,
+      // probe-keyed. Fingerprints here are LCG stand-ins (the scaling axis
+      // is INDEX size, not decode cost — aHash/energyHash run at ingest in
+      // production and the probe never re-decodes) ---
+      def mediaHash(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        ((col("doc_id") * 1103515245L + 12345L) % 2147483648L).as("hi"),
+        ((col("doc_id") * 1664525L + 1013904223L) % 2147483648L).as("lo"))
+      val (bMed, medIdx) = time {
+        graft.operators.Multimodal.buildMediaIndex(mediaHash(seen),
+            "doc_id", "hi", "lo", 32, 32, "img")
+          .repartition(col("modality"), col("chunk_idx"), col("chunk"))
+          .localCheckpoint()
+      }
+      val medSecs = (1 to runs).map { _ =>
+        time(graft.operators.Multimodal.mediaIncrementalPairs(
+          mediaHash(batch2), medIdx, "doc_id", "hi", "lo", 32, 32, "img")
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("mediaIncremental", k, seenSize, bMed, median(medSecs)))
+
       // --- q145 cosine: sign-LSH index (bands + stored vecs) built once,
       // each table probe-keyed. Replicas are CIRCULARLY SHIFTED (shifts of
       // a random vector are near-orthogonal), not rescaled — rescale is

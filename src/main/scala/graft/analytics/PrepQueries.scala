@@ -328,6 +328,75 @@ object PrepQueries {
         .orderBy("doc_id")
     },
 
+    // Chained incremental MEDIA dedup — the perceptual/audio member of the
+    // incremental index family (q132 text bands / q134 spans / q143
+    // simhash / q145 cosine): a seen corpus's aHash64 (image) and
+    // energyHash16 (audio) fingerprints build a chunked pigeonhole index;
+    // batch 1 probes it (hamming <= 3), its non-dup survivors ADVANCE the
+    // index, batch 2 probes the advanced index — two crawl days without
+    // ever re-decoding seen media. The oracle replays the generator +
+    // hash arithmetic and the hamming join directly (the q123/q124
+    // contract). maxHamming = 1: the affine pixel generator concentrates
+    // aHash space (at <= 3 every batch doc collides with SOME seen item
+    // and the advance path would go unexercised); at 1 the fixture has
+    // real hamming-1 near-dup hits AND surviving fresh docs whose batch-2
+    // twins then match the ADVANCED index (62 chain hits at sf0.1).
+    "q158_media_incr_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // image seeds: mostly id%37 (dups vs seen), but ids with
+      // (id/6)%4==1 outside seen get a FRESH per-6-block seed — the
+      // batch-1 pair {6m+1, 6m+4} survives (nothing in the index), both
+      // advance it, and the batch-2 pair {6m+2, 6m+5} then matches THEM:
+      // the chained-advance proof
+      val imgHashed = ids.mapPartitions { it =>
+        it.map { id =>
+          val seed =
+            if (id % 3 != 0 && (id / 6) % 4 == 1) 100000L + id / 6 else id % 37
+          val (_, _, px) = Multimodal.decodeImageGray(
+            Multimodal.syntheticPngGray8(seed, 8, 8))
+          val (hi, lo) = Multimodal.aHash64(px)
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "hi", "lo")
+      val audHashed = ids.mapPartitions { it =>
+        it.map { id =>
+          val fp = Multimodal.energyHash16(Multimodal.decodeWavPcm16(
+            Multimodal.syntheticWavPcm16(id % 29, nSamples = 128)))
+          (id, fp >> 8, fp & 0xFFL)
+        }
+      }.toDF("doc_id", "hi", "lo")
+      def run(hashed: DataFrame, hiBits: Int, loBits: Int,
+              modality: String): DataFrame = {
+        val seen = hashed.filter(col("doc_id") % 3 === 0)
+        val b1 = hashed.filter(col("doc_id") % 3 === 1)
+        val b2 = hashed.filter(col("doc_id") % 3 === 2)
+        val idx0 = Multimodal.buildMediaIndex(seen, "doc_id", "hi", "lo",
+          hiBits, loBits, modality)
+        def probe(batch: DataFrame, idx: DataFrame, batchNo: Int): (DataFrame, DataFrame) = {
+          val pairs = Multimodal.mediaIncrementalPairs(batch, idx,
+            "doc_id", "hi", "lo", hiBits, loBits, modality, maxHamming = 1)
+          val agg = pairs.groupBy(col("batch_id").as("doc_id"))
+            .agg(count(lit(1)).as("__nm"), min("seen_id").as("__ms"))
+          val report = batch.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+            .select(lit(modality).as("modality"), lit(batchNo).as("batch"),
+              col("doc_id"), col("__nm").isNotNull.as("is_dup"),
+              coalesce(col("__nm"), lit(0L)).as("n_matches"),
+              col("__ms").as("min_seen_id"))
+          val survivors = batch.join(agg.select("doc_id"), Seq("doc_id"), "left_anti")
+          (report, survivors)
+        }
+        val (r1, surv1) = probe(b1, idx0, 1)
+        val idx1 = Multimodal.advanceMediaIndex(idx0, surv1, "doc_id", "hi", "lo",
+          hiBits, loBits, modality)
+        val (r2, _) = probe(b2, idx1, 2)
+        r1.unionByName(r2)
+      }
+      run(imgHashed, 32, 32, "img").unionByName(run(audHashed, 8, 8, "wav"))
+        .orderBy("modality", "batch", "doc_id")
+    },
+
     // Vocabulary build + dictionary encoding: corpus tokens ranked
     // (freq DESC, token) into dense ids, every document re-emitted as
     // (doc_id, pos, token_id) against the broadcast vocab.
@@ -552,6 +621,67 @@ object PrepQueries {
         |SELECT doc_id, fp,
         |       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kept
         |FROM h ORDER BY doc_id""".stripMargin,
+
+
+    // q158: generator + aHash/energy arithmetic replayed (q123/q124 CTEs),
+    // fresh-seed rule mirrored, hamming via bit_count(xor) on both halves,
+    // the chained index as seen1 UNION batch-1 survivors.
+    "q158_media_incr_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |iseed AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 AND (doc_id // 6) % 4 = 1
+        |                      THEN 100000 + doc_id // 6 ELSE doc_id % 37 END AS seed
+        |  FROM ids),
+        |ipx AS (
+        |  SELECT doc_id, (seed*31 + y.y*8 + x.x) * 17 % 256 AS p,
+        |         y.y*8 + x.x AS i
+        |  FROM iseed, (SELECT unnest(range(8)) AS x) x, (SELECT unnest(range(8)) AS y) y),
+        |itot AS (SELECT doc_id, SUM(p) AS s FROM ipx GROUP BY doc_id),
+        |ih AS (
+        |  SELECT ipx.doc_id,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i >= 32
+        |                       THEN (1::BIGINT << (ipx.i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i < 32
+        |                       THEN (1::BIGINT << ipx.i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM ipx JOIN itot t ON ipx.doc_id = t.doc_id GROUP BY ipx.doc_id),
+        |smp AS (SELECT doc_id, t.t AS t, ((doc_id % 29)*7 + t.t*13) % 65536 - 32768 AS v
+        |        FROM ids, (SELECT unnest(range(128)) AS t) t),
+        |fr AS (SELECT doc_id, t // 8 AS f, SUM(v*v) AS e FROM smp GROUP BY doc_id, t // 8),
+        |atot AS (SELECT doc_id, SUM(e) AS s FROM fr GROUP BY doc_id),
+        |ah AS (SELECT fr.doc_id,
+        |         CAST(SUM(CASE WHEN fr.e * 16 > t.s THEN (1::BIGINT << fr.f) ELSE 0 END) AS BIGINT) AS fp
+        |       FROM fr JOIN atot t ON fr.doc_id = t.doc_id GROUP BY fr.doc_id),
+        |h AS (SELECT 'img' AS modality, doc_id, hi, lo FROM ih
+        |      UNION ALL
+        |      SELECT 'wav', doc_id, fp // 256, fp % 256 FROM ah),
+        |seen1 AS (SELECT * FROM h WHERE doc_id % 3 = 0),
+        |b1 AS (SELECT * FROM h WHERE doc_id % 3 = 1),
+        |b2 AS (SELECT * FROM h WHERE doc_id % 3 = 2),
+        |p1 AS (SELECT b.modality, b.doc_id, s.doc_id AS seen_id
+        |       FROM b1 b JOIN seen1 s ON b.modality = s.modality
+        |        AND bit_count(xor(b.hi, s.hi)) + bit_count(xor(b.lo, s.lo)) <= 1),
+        |a1 AS (SELECT modality, doc_id, COUNT(*) AS n_matches, MIN(seen_id) AS min_seen_id
+        |       FROM p1 GROUP BY 1, 2),
+        |r1 AS (SELECT b.modality, 1 AS batch, b.doc_id,
+        |              a.n_matches IS NOT NULL AS is_dup,
+        |              COALESCE(a.n_matches, 0) AS n_matches, a.min_seen_id
+        |       FROM b1 b LEFT JOIN a1 a ON b.modality = a.modality AND b.doc_id = a.doc_id),
+        |seen2 AS (SELECT * FROM seen1
+        |          UNION ALL
+        |          SELECT b.modality, b.doc_id, b.hi, b.lo FROM b1 b
+        |          LEFT JOIN a1 a ON b.modality = a.modality AND b.doc_id = a.doc_id
+        |          WHERE a.doc_id IS NULL),
+        |p2 AS (SELECT b.modality, b.doc_id, s.doc_id AS seen_id
+        |       FROM b2 b JOIN seen2 s ON b.modality = s.modality
+        |        AND bit_count(xor(b.hi, s.hi)) + bit_count(xor(b.lo, s.lo)) <= 1),
+        |a2 AS (SELECT modality, doc_id, COUNT(*) AS n_matches, MIN(seen_id) AS min_seen_id
+        |       FROM p2 GROUP BY 1, 2),
+        |r2 AS (SELECT b.modality, 2 AS batch, b.doc_id,
+        |              a.n_matches IS NOT NULL AS is_dup,
+        |              COALESCE(a.n_matches, 0) AS n_matches, a.min_seen_id
+        |       FROM b2 b LEFT JOIN a2 a ON b.modality = a.modality AND b.doc_id = a.doc_id)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY modality, batch, doc_id""".stripMargin,
 
     "q87_vocab_encode" ->
       """WITH t AS (

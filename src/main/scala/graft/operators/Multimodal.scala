@@ -438,6 +438,95 @@ object Multimodal {
     samples
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual incremental dedup index — the media member of the
+  // incremental family (exact `Dedup.incremental`, fuzzy
+  // `Dedup.fuzzyDedupIncremental`, substring `Dedup.repeatedSpansIncremental`,
+  // SimHash `Dedup.buildSimhashIndex`, cosine `Similarity.CosineLshIndex`):
+  // a daily image/audio crawl must not rescan the seen corpus. Reference
+  // anchor: the CDC increment loop of `scripts/test/transform.py:46-83`
+  // applied to the media modality.
+  //
+  // A signature is an (hi, lo) pair of NON-NEGATIVE fingerprint halves —
+  // [[aHash64]]'s 32+32-bit image hash lands as-is; [[energyHash16]]'s
+  // 16-bit audio hash splits as (fp >> 8, fp & 0xFF). Splitting keeps bit
+  // 63 out of play (the aHash sign-trap note) in BOTH engines, and each
+  // half pigeonhole-chunks in two, giving 4 chunks over the full bit space:
+  // any pair within hamming <= 3 shares at least one chunk — the same
+  // completeness guarantee (and the same loud rejection above 3) as
+  // [[Dedup.simhashPairs]].
+  // ---------------------------------------------------------------------
+
+  private def mediaChunks(hashed: DataFrame, idCol: String, hiCol: String,
+                          loCol: String, hiBits: Int, loBits: Int,
+                          modality: String): DataFrame = {
+    require(hiBits > 0 && hiBits <= 32 && hiBits % 2 == 0 &&
+      loBits > 0 && loBits <= 32 && loBits % 2 == 0,
+      s"hiBits/loBits must be even and in 2..32, got $hiBits/$loBits")
+    val hiMask = (1L << (hiBits / 2)) - 1L
+    val loMask = (1L << (loBits / 2)) - 1L
+    hashed.select(col(idCol).cast("long").as("id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      .select(col("id"), col("hi"), col("lo"), lit(modality).as("modality"),
+        posexplode(array(
+          shiftrightunsigned(col("hi"), hiBits / 2),
+          col("hi").bitwiseAND(lit(hiMask)),
+          shiftrightunsigned(col("lo"), loBits / 2),
+          col("lo").bitwiseAND(lit(loMask)))).as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** The persisted perceptual-hash index of a seen media corpus: chunked
+    * signatures (modality, chunk_idx, chunk, id, hi, lo) — 4 rows x ~44
+    * bytes per seen item (a 10¹⁰-item corpus indexes in ~1.8 TB),
+    * partitioned by (modality, chunk_idx, chunk). Build once, persist,
+    * probe every crawl batch with [[mediaIncrementalPairs]], advance on
+    * accepted survivors with [[advanceMediaIndex]]. `hashed` carries the
+    * already-fingerprinted items (aHash64 / energyHash16 run at ingest);
+    * hi/lo must be non-negative and fit hiBits/loBits. */
+  def buildMediaIndex(hashed: DataFrame, idCol: String, hiCol: String,
+                      loCol: String, hiBits: Int, loBits: Int,
+                      modality: String): DataFrame =
+    mediaChunks(hashed, idCol, hiCol, loCol, hiBits, loBits, modality)
+
+  /** Batch-vs-seen perceptual near-dup pairs WITHOUT touching seen media:
+    * the batch's chunked signatures probe the persisted index on
+    * (modality, chunk_idx, chunk) — complete for hamming <= 3 by the
+    * 4-chunk pigeonhole. Emits (batch_id, seen_id, hamming).
+    *
+    * Scale shape: the batch side (4 rows/item) BROADCASTS; the index
+    * streams through the join with no exchange and no per-batch re-sort —
+    * per-batch cost is one index scan regardless of history size (the
+    * [[Dedup.simhashIncrementalPairs]] probe direction; BENCH_INDEXSCALE
+    * measures the media curve flat across 25x index growth). Seen media
+    * bytes are never re-decoded — their fingerprints live in the index. */
+  def mediaIncrementalPairs(batchHashed: DataFrame, seenIndex: DataFrame,
+                            idCol: String, hiCol: String, loCol: String,
+                            hiBits: Int, loBits: Int, modality: String,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (<= 3); " +
+        "chunk the signature finer instead")
+    val batchChunks = mediaChunks(batchHashed, idCol, hiCol, loCol,
+        hiBits, loBits, modality)
+      .select(col("id").as("batch_id"), col("hi").as("__bhi"),
+        col("lo").as("__blo"), col("modality"), col("chunk_idx"), col("chunk"))
+    seenIndex.join(broadcast(batchChunks), Seq("modality", "chunk_idx", "chunk"))
+      .select(col("batch_id"), col("id").as("seen_id"),
+        (bit_count(col("__bhi").bitwiseXOR(col("hi"))) +
+         bit_count(col("__blo").bitwiseXOR(col("lo")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Advance the media index: append the accepted batch survivors' chunked
+    * signatures. Pure union — existing index rows are never read, so
+    * chaining batches costs O(batch) per advance. */
+  def advanceMediaIndex(seenIndex: DataFrame, survivorsHashed: DataFrame,
+                        idCol: String, hiCol: String, loCol: String,
+                        hiBits: Int, loBits: Int, modality: String): DataFrame =
+    seenIndex.unionByName(buildMediaIndex(survivorsHashed, idCol, hiCol, loCol,
+      hiBits, loBits, modality))
+
   /** Fixture builder: wrap a text column as binary "media" (UTF-8) so the
     * plumbing is exercisable on the documents table. */
   def fromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {

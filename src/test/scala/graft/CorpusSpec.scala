@@ -1066,6 +1066,49 @@ class CorpusSpec extends SparkSpec {
     assert(Multimodal.energyHash16(sig) !== 0L, "fixture should have structure")
   }
 
+  test("media incremental index: pigeonhole-complete hamming pairs, chained advance, loud over-threshold rejection") {
+    import graft.operators.Multimodal
+    // hand-built 32+32-bit signatures: seen {A, B}; batch doc 10 = A exactly
+    // (hamming 0), doc 11 = A with 3 bits flipped across both halves
+    // (hamming 3 — must still be found via SOME shared chunk), doc 12 = A
+    // with 4 bits flipped (hamming 4 — correctly NOT reported at max 3)
+    val aHi = 0x12345678L; val aLo = 0x0BCDEF01L
+    val seen = Seq((1L, aHi, aLo), (2L, 0x7FFFFFFFL, 0x7FFFFFFFL))
+      .toDF("doc_id", "hi", "lo")
+    val batch = Seq(
+      (10L, aHi, aLo),
+      (11L, aHi ^ 1L, aLo ^ 3L),              // 1 + 2 bits = hamming 3
+      (12L, aHi ^ 3L, aLo ^ 3L))              // 2 + 2 bits = hamming 4
+      .toDF("doc_id", "hi", "lo")
+    val idx = Multimodal.buildMediaIndex(seen, "doc_id", "hi", "lo", 32, 32, "img")
+    val got = Multimodal.mediaIncrementalPairs(batch, idx, "doc_id", "hi", "lo",
+        32, 32, "img").orderBy("batch_id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((10L, 1L, 0), (11L, 1L, 3)))
+    // advance: survivors' signatures join the index; a later twin matches
+    val surv = Seq((12L, aHi ^ 3L, aLo ^ 3L)).toDF("doc_id", "hi", "lo")
+    val idx2 = Multimodal.advanceMediaIndex(idx, surv, "doc_id", "hi", "lo",
+      32, 32, "img")
+    val b2 = Seq((20L, aHi ^ 3L, aLo ^ 3L)).toDF("doc_id", "hi", "lo")
+    val got2 = Multimodal.mediaIncrementalPairs(b2, idx2, "doc_id", "hi", "lo",
+        32, 32, "img").orderBy("seen_id")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got2 === Seq((20L, 1L, 4), (20L, 12L, 0)).filter(_._3 <= 3),
+      s"twin must match the ADVANCED entry at hamming 0: $got2")
+    // a different modality tag never cross-matches
+    val wavIdx = Multimodal.buildMediaIndex(seen, "doc_id", "hi", "lo", 32, 32, "wav")
+    assert(Multimodal.mediaIncrementalPairs(batch, wavIdx, "doc_id", "hi", "lo",
+      32, 32, "img").count() === 0L)
+    // beyond the 4-chunk guarantee: rejected loudly, never silent under-recall
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaIncrementalPairs(batch, idx, "doc_id", "hi", "lo",
+        32, 32, "img", maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.buildMediaIndex(seen, "doc_id", "hi", "lo", 33, 32, "img")
+    }
+  }
+
   test("fimTransform: PSM reassembles to the original token stream; cuts ordered and in range") {
     val docs = Tables.documents(spark, sf).limit(100)
     val got = graft.operators.Packing.fimTransform(docs, col("doc_id"), col("text"))

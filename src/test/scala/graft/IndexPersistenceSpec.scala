@@ -80,4 +80,26 @@ class IndexPersistenceSpec extends SparkSpec {
     assert(disk === mem)
     assert(mem.nonEmpty, "rescale clones must clear the 0.99 cut")
   }
+
+  test("media perceptual-hash index survives a parquet round-trip bit-for-bit") {
+    import graft.operators.Multimodal
+    // fingerprints at ingest (the q158 generators); seen/batch split with
+    // planted cross-batch duplicates via the shared seed space (id % 37)
+    def hashed(ids: DataFrame): DataFrame = ids.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val (_, _, px) = Multimodal.decodeImageGray(
+          Multimodal.syntheticPngGray8(id % 37, 8, 8))
+        val (hi, lo) = Multimodal.aHash64(px)
+        (id, hi, lo)
+      }).toDF("doc_id", "hi", "lo")
+    val idx = Multimodal.buildMediaIndex(hashed(seenDocs), "doc_id", "hi", "lo",
+      32, 32, "img")
+    val mem = rows(Multimodal.mediaIncrementalPairs(hashed(batchDocs), idx,
+      "doc_id", "hi", "lo", 32, 32, "img", maxHamming = 1))
+    val disk = rows(Multimodal.mediaIncrementalPairs(hashed(batchDocs),
+      roundTrip(idx, "media"), "doc_id", "hi", "lo", 32, 32, "img",
+      maxHamming = 1))
+    assert(disk === mem)
+    assert(mem.nonEmpty, "shared-seed images must collide at hamming 0")
+  }
 }

@@ -405,6 +405,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q158 media probe: the stored perceptual index never sorts or re-exchanges") {
+    // the BENCH_INDEXSCALE probe-direction rule applied to the media
+    // modality: the index-side join must be a BroadcastHashJoin with the
+    // BATCH side built — a SortMergeJoin means the stored index is being
+    // re-sorted per crawl batch. Guarded on the probe operator itself (the
+    // q158 report wrapper adds batch-bounded outer joins that AQE resolves
+    // by size, not by probe direction).
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val hashed = Tables.documents(spark, sf).select(
+      col("doc_id"), (col("doc_id") % 1024L).as("hi"), (col("doc_id") % 512L).as("lo"))
+    val idx = Multimodal.buildMediaIndex(hashed.filter(col("doc_id") % 2 === 0),
+      "doc_id", "hi", "lo", 32, 32, "img")
+    val pairs = Multimodal.mediaIncrementalPairs(hashed.filter(col("doc_id") % 2 === 1),
+      idx, "doc_id", "hi", "lo", 32, 32, "img")
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "media index probe degraded to a sort-merge join:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q146 token drift: per-source tables broadcast back, no cartesian product") {
     val p = plan("q146_token_drift")
     assert(p.contains("BroadcastHashJoin"),
