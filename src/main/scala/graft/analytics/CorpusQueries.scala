@@ -34,7 +34,7 @@ object CorpusQueries {
     * needs the explicit negated-class forms (see `Text.charEntropy`). */
   /** q147's repeat schedule: whole epochs, a fractional epoch, a drop, and
     * the implicit 1.0 default for the other 16 sources. */
-  private[analytics] val EpochMixEpochs =
+  private[graft] val EpochMixEpochs =
     Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0, "src3" -> 3.0)
 
   private val BulletTail =
@@ -579,6 +579,41 @@ object CorpusQueries {
           Tables.documents(s, dir).select("doc_id", "source"),
           col("doc_id"), col("source"), EpochMixEpochs)
         .orderBy("doc_id", "copy_idx")
+    },
+
+    // Training-order export capstone — the full §2.13 "mixture to token
+    // stream" path in ONE audited composition: epochMix expands the corpus
+    // by the repeat schedule (q147), deterministicShuffle permutes the
+    // (doc, copy) stream (composite cid = doc_id*4 + copy_idx, so every
+    // copy shuffles independently), packSequences cuts the token stream
+    // into 512-token training examples along that order, shardAssign
+    // spreads packs across 8 output shards — and the report is the
+    // per-shard manifest (packs / rows / tokens / bytes) a trainer's
+    // loader validates against. Stage populations check end-to-end: Σ
+    // n_rows = the epoch-expanded corpus, Σ n_tokens = its token count.
+    // Plan: one zero-shuffle epoch expansion, one bucketed-cumsum pack
+    // pass (no single-partition window), one pack-table-sized shard
+    // window — bounded shuffles, each keyed on its stage's natural key.
+    "q159_training_order" -> { (s, dir) =>
+      import graft.operators.Packing
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_bytes"))
+      val mixed = Packing.epochMix(docs, col("doc_id"), col("source"), EpochMixEpochs)
+        .withColumn("cid", col("doc_id") * 4L + col("copy_idx"))
+      val order = Packing.deterministicShuffle(mixed.select("cid"), col("cid"),
+        seed = 42L)
+      val ordered = mixed.join(order, "cid")
+      val packed = Packing.packSequences(ordered, col("shuffle_pos"),
+        col("n_tokens"), capacity = 512L, idBucketSize = 64L)
+      val packs = packed.groupBy(col("pack_id")).agg(
+        count(lit(1)).as("pn_rows"), sum("n_tokens").as("pn_tokens"),
+        sum("n_bytes").as("pn_bytes"))
+      Packing.shardAssign(packs, col("pack_id"), numShards = 8)
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_packs"), sum("pn_rows").as("n_rows"),
+          sum("pn_tokens").as("n_tokens"), sum("pn_bytes").as("n_bytes"))
+        .orderBy("shard")
     },
 
     // Temperature-scaled (sqrt, tau=0.5) language mixture: quotas derive
@@ -2060,6 +2095,56 @@ out_$k AS (
          |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy_idx
          |FROM c WHERE n > 0
          |ORDER BY doc_id, copy_idx""".stripMargin
+    },
+
+    // q159: the q147 epoch CTE + mix2(cid*131+42) shuffle ranking +
+    // running token cumsum over the shuffle order + start//512 pack cut +
+    // the q58 LCG high-bit shard rule; all sums cast back to BIGINT
+    // (DuckDB SUM(BIGINT) widens to HUGEINT).
+    "q159_training_order" -> {
+      val m = 2147483648L
+      def wholeOf(e: Double) = math.floor(e).toLong
+      def threshOf(e: Double) = math.floor((e - math.floor(e)) * m).toLong
+      val wholeCase = EpochMixEpochs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN ${wholeOf(v)}" }.mkString(" ")
+      val thrCase = EpochMixEpochs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN ${threshOf(v)}" }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |         CAST(length(text) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |e AS (
+         |  SELECT *, CASE source $wholeCase ELSE 1 END AS whole,
+         |         CASE source $thrCase ELSE 0 END AS thr,
+         |         (((doc_id % $m) * 1664525 + 1013904223) % $m
+         |          * 1103515245 + 12345) % $m AS h
+         |  FROM t),
+         |c AS (SELECT *, whole + CASE WHEN h < thr THEN 1 ELSE 0 END AS n FROM e),
+         |mx AS (
+         |  SELECT doc_id, n_tokens, n_bytes,
+         |         doc_id * 4 + CAST(unnest(range(n)) AS BIGINT) AS cid
+         |  FROM c WHERE n > 0),
+         |sh AS (
+         |  SELECT *, ((((cid * 131 + 42) % $m) * 1664525 + 1013904223) % $m
+         |          * 1103515245 + 12345) % $m AS shufkey
+         |  FROM mx),
+         |ord AS (SELECT *, ROW_NUMBER() OVER (ORDER BY shufkey, cid) AS shuffle_pos FROM sh),
+         |pk AS (
+         |  SELECT *, (SUM(n_tokens) OVER (ORDER BY shuffle_pos) - n_tokens) // 512 AS pack_id
+         |  FROM ord),
+         |packs AS (
+         |  SELECT pack_id, COUNT(*) AS pn_rows, SUM(n_tokens) AS pn_tokens,
+         |         SUM(n_bytes) AS pn_bytes
+         |  FROM pk GROUP BY 1),
+         |sa AS (
+         |  SELECT *, CAST((((pack_id % $m) * 1103515245 + 12345) % $m * 8) // $m AS INT) AS shard
+         |  FROM packs)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_packs,
+         |       CAST(SUM(pn_rows) AS BIGINT) AS n_rows,
+         |       CAST(SUM(pn_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(pn_bytes) AS BIGINT) AS n_bytes
+         |FROM sa GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     // q117: sqrt weights (correctly-rounded IEEE, identical both engines),

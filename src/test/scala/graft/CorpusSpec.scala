@@ -1109,6 +1109,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q159 training order: per-shard manifest conserves stage populations end-to-end") {
+    import graft.operators.Packing
+    val report = SparkEntry.queries("q159_training_order")(spark, sf).collect()
+    // the epoch-expanded corpus is the ground truth every later stage must
+    // conserve: rows, tokens, bytes — a lost or doubled (doc, copy) at any
+    // stage (shuffle join, pack cut, shard spread) breaks one of these sums
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_bytes"))
+    val mixed = Packing.epochMix(docs, col("doc_id"), col("source"),
+      graft.analytics.CorpusQueries.EpochMixEpochs)
+    val exp: (Long, Long, Long) = mixed
+      .agg(count(lit(1)), sum("n_tokens"), sum("n_bytes"))
+      .as[(Long, Long, Long)].head()
+    val (expRows, expToks, expBytes) = exp
+    assert(report.map(_.getAs[Long]("n_rows")).sum === expRows)
+    assert(report.map(_.getAs[Long]("n_tokens")).sum === expToks)
+    assert(report.map(_.getAs[Long]("n_bytes")).sum === expBytes)
+    // packs land on every shard and respect the 512-token capacity on
+    // average (a pack can exceed 512 only by its LAST doc's spill)
+    assert(report.length === 8, s"all 8 shards must appear: ${report.length}")
+    val nPacks = report.map(_.getAs[Long]("n_packs")).sum
+    assert(nPacks >= expToks / 512,
+      s"pack count $nPacks below the token-budget floor ${expToks / 512}")
+  }
+
   test("fimTransform: PSM reassembles to the original token stream; cuts ordered and in range") {
     val docs = Tables.documents(spark, sf).limit(100)
     val got = graft.operators.Packing.fimTransform(docs, col("doc_id"), col("text"))
