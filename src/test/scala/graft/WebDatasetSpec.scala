@@ -28,6 +28,65 @@ class WebDatasetSpec extends SparkSpec {
     (dir, manifest)
   }
 
+  test("round-trip composition: shards -> decode -> media-index dedup -> byte-identical survivor re-export") {
+    // the container as a first-class pipeline citizen, not just an
+    // exporter: a shard layout is READ back, its image members DECODE
+    // through the real BMP parser, near-dups drop via the q158 media
+    // index, and the survivors RE-EXPORT byte-identically — the daily
+    // multimodal crawl loop end-to-end
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_wds_loop").toString
+    // seed = id % 7: every seed class spans the seen/batch halves
+    val dupUdf = udf((id: Long) => Multimodal.syntheticBmpGray8(id % 7, 8, 8))
+    val src = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select(col("doc_id"), dupUdf(col("doc_id")).as("img"),
+        encode(col("text"), "UTF-8").as("txt"))
+    WebDataset.writeShards(src, dir1, col("doc_id"),
+      Seq("bmp" -> col("img"), "txt" -> col("txt")), maxBytesPerShard = 8192L)
+    // READ the container back and fingerprint the decoded image members
+    val hashed = WebDataset.read(spark, dir1)
+      .filter(col("ext") === "bmp")
+      .select(col("key").cast("long").as("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (_, _, px) = Multimodal.decodeBmpGray8(bytes)
+        val (hi, lo) = Multimodal.aHash64(px)
+        (id, hi, lo)
+      }.toDF("doc_id", "hi", "lo")
+    val seen = hashed.filter(col("doc_id") < 30)
+    val batch = hashed.filter(col("doc_id") >= 30)
+    val idx = Multimodal.buildMediaIndex(seen, "doc_id", "hi", "lo", 32, 32, "img")
+    val dupIds = Multimodal.mediaIncrementalPairs(batch, idx,
+        "doc_id", "hi", "lo", 32, 32, "img", maxHamming = 0)
+      .select(col("batch_id").as("doc_id")).distinct()
+    // every batch id whose seed class appears in seen must drop; the
+    // constant-tile seed classes all hash alike, so assert via seeds
+    val dropped = dupIds.as[Long].collect().toSet
+    assert(dropped.nonEmpty && dropped.forall(_ >= 30L))
+    val survivors = src.join(dupIds, Seq("doc_id"), "left_anti")
+    val nSurv = survivors.count()
+    assert(nSurv < 60 && nSurv >= 30, s"survivors: $nSurv")
+    // survivor re-export is byte-identical across runs (shard caching /
+    // rsync delta pushes keep working after the dedup pass)
+    def export(tag: String): (String, Map[String, Array[Byte]]) = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_wds_$tag").toString
+      WebDataset.writeShards(survivors, d, col("doc_id"),
+        Seq("bmp" -> col("img"), "txt" -> col("txt")), maxBytesPerShard = 8192L)
+      d -> new java.io.File(d).listFiles().filter(_.getName.endsWith(".tar"))
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    }
+    val (d1, e1) = export("surv1")
+    val (_, e2) = export("surv2")
+    assert(e1.keySet === e2.keySet && e1.keySet.nonEmpty)
+    e1.foreach { case (name, bytes) =>
+      assert(java.util.Arrays.equals(bytes, e2(name)), s"$name differs across re-exports")
+    }
+    // and the survivor container round-trips: every surviving sample present
+    val back = WebDataset.read(spark, d1)
+      .filter(col("ext") === "bmp")
+      .select("key").as[String].collect().map(_.toLong).toSet
+    assert(back === survivors.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("null payload lands as a zero-byte member (no NPE, cumsum stays exact)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wds_null").toString
     val withNulls = media.withColumn("txt",
