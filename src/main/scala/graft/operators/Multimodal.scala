@@ -527,6 +527,64 @@ object Multimodal {
     seenIndex.unionByName(buildMediaIndex(survivorsHashed, idCol, hiCol, loCol,
       hiBits, loBits, modality))
 
+  /** foreachBatch sink: STREAMING perceptual dedup with a parquet-persisted
+    * index advancing between micro-batches — the daily-crawl loop of q158
+    * as a `writeStream` citizen (the [[graft.streaming.EventStream]]
+    * upsert/SCD2 sink family, media member):
+    *
+    *   media.writeStream.foreachBatch(
+    *     Multimodal.mediaDedupBatch(idxDir, repDir, "id", "hi", "lo",
+    *       32, 32, "img") _).start()
+    *
+    * Per micro-batch: probe the stored index ([[mediaIncrementalPairs]] —
+    * broadcast-probe, one index scan), append the per-item report
+    * (batch_id, id, is_dup, n_matches, min_seen_id) to `reportDir`, and
+    * ADVANCE the index by appending the survivors' chunk rows to
+    * `indexDir` — the pure-union contract as an O(batch) parquet append;
+    * the seen corpus is never rewritten.
+    *
+    * Delivery note: parquet appends are at-least-once under micro-batch
+    * RETRY (a replayed batch re-appends its rows). Exactly-once
+    * deployments route both writes through the epoch-ledger DSv2 sink
+    * (`format("graft-sink")`, SinkV2) — the report/index schemas here are
+    * deliberately flat so they drop in; duplicate index rows are
+    * additionally HARMLESS for correctness (pair emission dedups), they
+    * only waste scan width. */
+  def mediaDedupBatch(indexDir: String, reportDir: String, idCol: String,
+                      hiCol: String, loCol: String, hiBits: Int, loBits: Int,
+                      modality: String, maxHamming: Int = 3)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hasIndex = {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val idx =
+      if (hasIndex) spark.read.parquet(indexDir)
+      else buildMediaIndex(batch.limit(0), idCol, hiCol, loCol, hiBits, loBits, modality)
+    // one pass over the (bounded) batch feeds probe + report + advance:
+    // cut the upstream lineage once so the three consumers don't recompute
+    // the streaming source projection (the q146 rule)
+    val b = batch.localCheckpoint()
+    // the probe aggregate is batch-bounded and has TWO consumers (report +
+    // survivor anti-join) — checkpoint it so the index scans exactly once
+    val agg = mediaIncrementalPairs(b, idx, idCol, hiCol, loCol,
+        hiBits, loBits, modality, maxHamming)
+      .groupBy(col("batch_id").as(idCol))
+      .agg(count(lit(1)).as("__nm"), min("seen_id").as("__ms"))
+      .localCheckpoint()
+    val report = b.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(lit(batchId).as("batch_id"), col(idCol),
+        col("__nm").isNotNull.as("is_dup"),
+        coalesce(col("__nm"), lit(0L)).as("n_matches"),
+        col("__ms").as("min_seen_id"))
+    report.write.mode("append").parquet(reportDir)
+    val survivors = b.join(agg.select(idCol), Seq(idCol), "left_anti")
+    buildMediaIndex(survivors, idCol, hiCol, loCol, hiBits, loBits, modality)
+      .write.mode("append").parquet(indexDir)
+  }
+
   /** Fixture builder: wrap a text column as binary "media" (UTF-8) so the
     * plumbing is exercisable on the documents table. */
   def fromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {

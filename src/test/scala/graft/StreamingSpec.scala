@@ -285,6 +285,55 @@ class StreamingSpec extends SparkSpec {
     assert(batch === streamed)
   }
 
+  test("foreachBatch media-dedup sink: parquet index advances per micro-batch, equals the sequential chain") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("stream_media").toString
+    val (idxDir, repDir) = (s"$base/index", s"$base/report")
+    // wave 1: items 1-4; 3 and 4 are a FRESH pair (same signature, nothing
+    // seen yet -> both survive and advance the index)
+    val w1 = Seq((1L, 5L, 9L), (2L, 5L, 9L), (3L, 77L, 88L), (4L, 77L, 88L))
+    // wave 2: 10 duplicates wave-1's fresh pair (catchable ONLY via the
+    // advanced index), 11 is new, 12 near-dups 11's twin at hamming 1
+    val w2 = Seq((10L, 77L, 88L), (11L, 200L, 300L), (12L, 201L, 300L))
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = input.toDF().toDF("id", "hi", "lo")
+      .writeStream
+      .foreachBatch(Multimodal.mediaDedupBatch(idxDir, repDir,
+        "id", "hi", "lo", 32, 32, "img", maxHamming = 1) _)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(w2: _*); q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(repDir)
+      .select("batch_id", "id", "is_dup", "n_matches", "min_seen_id")
+      .as[(Long, Long, Boolean, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // wave 1 against the EMPTY index: everything fresh
+    assert(rep.filter(_._1 == 0L).forall(!_._3), s"wave 1 must all survive: $rep")
+    // wave 2: 10 matches BOTH advanced entries (3 and 4); 11 fresh;
+    // 12 matches 11? no — 11 is in the SAME batch, the index advances
+    // BETWEEN batches, so 12 is fresh too (batch-vs-index semantics)
+    val b1 = rep.filter(_._1 == 1L)
+    assert(b1 === Seq(
+      (1L, 10L, true, 2L, Some(3L)),
+      (1L, 11L, false, 0L, None),
+      (1L, 12L, false, 0L, None)), s"wave 2 report: $b1")
+    // the stored index now holds wave-1 survivors (1,2,3,4) + wave-2
+    // survivors (11,12): 6 items x 4 chunk rows
+    assert(spark.read.parquet(idxDir).count() === 24L)
+    // and a THIRD wave twin of 12 would now match: sequential-chain parity
+    val idx = spark.read.parquet(idxDir)
+    val got = Multimodal.mediaIncrementalPairs(
+        Seq((20L, 201L, 300L)).toDF("id", "hi", "lo"), idx,
+        "id", "hi", "lo", 32, 32, "img", maxHamming = 1)
+      .as[(Long, Long, Int)].collect().sortBy(_._2).toSeq
+    assert(got === Seq((20L, 11L, 1), (20L, 12L, 0)))
+  }
+
   test("foreachBatch upsert sink converges to merge semantics across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_upsert").toString + "/target"
