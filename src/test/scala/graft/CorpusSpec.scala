@@ -1135,6 +1135,47 @@ class CorpusSpec extends SparkSpec {
       s"pack count $nPacks below the token-budget floor ${expToks / 512}")
   }
 
+  test("media index: pigeonhole recall COMPLETE for hamming <= 3 over 300 random signatures") {
+    import graft.operators.Multimodal
+    // the 4-chunk guarantee as a randomized property: batch item i is
+    // seen item i with k = i % 4 random bit flips across the 64-bit
+    // signature — EVERY planted pair must come back with its exact
+    // hamming, and every reported pair's hamming must be correct and <= 3
+    val rnd = new scala.util.Random(11)
+    def sig(): (Long, Long) =
+      (rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL)
+    val seen = (0 until 300).map { i => val (h, l) = sig(); (i.toLong, h, l) }
+    val batch = seen.map { case (i, h, l) =>
+      val k = (i % 4).toInt
+      var (bh, bl) = (h, l)
+      val flips = scala.collection.mutable.Set.empty[Int]
+      while (flips.size < k) flips += rnd.nextInt(64)
+      flips.foreach { b =>
+        if (b < 32) bl ^= 1L << b else bh ^= 1L << (b - 32)
+      }
+      (i + 1000L, bh, bl, k)
+    }
+    val idx = Multimodal.buildMediaIndex(seen.toDF("doc_id", "hi", "lo"),
+      "doc_id", "hi", "lo", 32, 32, "img")
+    val pairs = Multimodal.mediaIncrementalPairs(
+        batch.map(t => (t._1, t._2, t._3)).toDF("doc_id", "hi", "lo"), idx,
+        "doc_id", "hi", "lo", 32, 32, "img")
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    batch.foreach { case (bid, _, _, k) =>
+      assert(byPair.get((bid, bid - 1000L)).contains(k),
+        s"planted pair ($bid, ${bid - 1000L}) at hamming $k missing or wrong: ${byPair.get((bid, bid - 1000L))}")
+    }
+    // soundness: every reported hamming matches the driver-side bit count
+    val seenSig = seen.map(t => t._1 -> (t._2, t._3)).toMap
+    val batchSig = batch.map(t => t._1 -> (t._2, t._3)).toMap
+    pairs.foreach { case (b, s, h) =>
+      val (bh, bl) = batchSig(b); val (sh, sl) = seenSig(s)
+      val expect = java.lang.Long.bitCount(bh ^ sh) + java.lang.Long.bitCount(bl ^ sl)
+      assert(h === expect && h <= 3, s"pair ($b,$s): reported $h, actual $expect")
+    }
+  }
+
   test("fimTransform: PSM reassembles to the original token stream; cuts ordered and in range") {
     val docs = Tables.documents(spark, sf).limit(100)
     val got = graft.operators.Packing.fimTransform(docs, col("doc_id"), col("text"))
