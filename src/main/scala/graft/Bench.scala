@@ -111,12 +111,12 @@ object Bench {
                else (medianOf(samples), samples.min))
     }
 
-    // The driver captures only a ~2 KiB stdout TAIL: r3's single JSON line
-    // with 90 full-name entries (~2.7 KiB) overflowed it, losing q1-q27 and
-    // breaking the parse. Emit full-name per-query lines first (complete in
-    // the local log), then ONE compact totals line LAST — short "qNN" keys
-    // (the numeric prefix is unique per query) keep it ~1.3 KiB so the tail
-    // always contains it whole. The compact map carries the MEDIAN.
+    // The driver captures only a 2000-char stdout TAIL (BENCH_r07.json:
+    // tail[-2000:], parsed=null — the r7 line had already outgrown it).
+    // Emit full-name per-query lines first (complete in the local log),
+    // then ONE budget-checked compact totals line LAST (see the final-line
+    // scheme below) so the tail always contains it whole. The compact map
+    // carries the MEDIAN.
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     results.foreach { case (k, (med, mn)) =>
       println(s"""{"query":"$k","sec_median":${ms(med)},"sec_min":${ms(mn)}}""")
@@ -157,26 +157,50 @@ object Bench {
     // a host artifact (r7 q90) does not.
     def verdictOf(ratio: Double): String =
       if (ratio <= 2.0) "artifact" else "host-suspect: re-measure later"
-    val isoEntries: Seq[(String, String)] = isolated.map { case (k, sec) =>
+    val isoEntries: Seq[(String, String, String)] = isolated.map { case (k, sec) =>
       val ref = refs.getOrElse(k, -1.0)
       val ratio = if (ref > 0) sec / ref else -1.0
       val v = if (ref > 0) verdictOf(ratio) else "no-ref"
-      k -> s"""{"sec":${ms(sec)},"ref":${ms(ref)},"ratio":${ms(ratio)},"verdict":"$v"}"""
+      val full = s"""{"sec":${ms(sec)},"ref":${ms(ref)},"ratio":${ms(ratio)},"verdict":"$v"}"""
+      val short = s"""{"s":${ms(sec)},"r":${ms(ref)},"x":${f"$ratio%.1f"},"v":"${v.takeWhile(_ != ':')}"}"""
+      (k, full, short)
     }
-    isoEntries.foreach { case (k, json) =>
+    isoEntries.foreach { case (k, json, _) =>
       println(s"""{"query":"$k","isolated":$json}""")
     }
 
+    // ---- the FINAL line must fit WHOLE inside the driver's 2000-char
+    // stdout tail (measured: BENCH_r07.json stores exactly tail[-2000:] and
+    // its "parsed" field is null — the r7 line, 157 queries at 3 decimals,
+    // already overflowed and decapitated its own "metric"/"value" head).
+    // Budget scheme: 2-decimal trailing-zero-trimmed medians, basename sf,
+    // short isolated entries; degrade to 1 decimal, then drop the isolated
+    // map (its full per-query lines printed above), then drop the query
+    // map itself (worst case — the scalars always land) until <= 1900. ----
+    def msTrim(v: Double, dp: Int): String =
+      if (v < 0) "-1"
+      else {
+        val s = String.format(s"%.${dp}f", Double.box(v))
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      }
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val collides = results.groupBy(r => shortKey(r._1)).exists(_._2.size > 1)
-    val qs = results.map { case (k, (med, _)) =>
-      "\"" + (if (collides) k else shortKey(k)) + "\":" + ms(med)
+    def key(name: String): String = if (collides) name else shortKey(name)
+    def qsAt(dp: Int): String = results.map { case (k, (med, _)) =>
+      "\"" + key(k) + "\":" + msTrim(med, dp)
     }.mkString("{", ",", "}")
-    val iso = isoEntries.map { case (k, json) =>
-      "\"" + (if (collides) k else shortKey(k)) + "\":" + json
+    val isoShort = isoEntries.map { case (k, _, short) =>
+      "\"" + key(k) + "\":" + short
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir","runs":$effRuns,"stat":"median","order":"randomized","warmups":$warmups}""")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    def line(qs: String, iso: String): String =
+      s"""{"metric":"total","value":${msTrim(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"isolated":$iso,"sf":"$sfName","runs":$effRuns,"stat":"median"}"""
+    val candidates = Seq(
+      line(qsAt(2), isoShort), line(qsAt(1), isoShort),
+      line(qsAt(1), "{}"), line("{}", "{}"))
+    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
     spark.stop()
   }
 
