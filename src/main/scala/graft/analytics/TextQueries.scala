@@ -207,6 +207,32 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Bounded edit-distance near-dup pairs — the character-level dedup
+    // member (typo fixes, date stamps, template fills): trigram-shingle
+    // blocking -> |len gap| prefilter -> thresholded-Levenshtein verify.
+    // Fixture plants three variant classes per base doc: a 1-char
+    // substitution (edits=1), a 3-char append (edits=3, the boundary),
+    // and an 11-char append (dropped by the sound length filter before
+    // the DP ever runs).
+    "q160_edit_distance_dedup" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      val sub1 = base.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 3), lit("Z"),
+          expr("substring(text, 5)")).as("text"))
+      val app3 = base.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      val far = base.filter(col("doc_id") % 11 === 0).select(
+        (col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" zzzzzzzzzz")).as("text"))
+      val corpus = base.unionByName(sub1).unionByName(app3).unionByName(far)
+      Dedup.editDistancePairs(corpus, "doc_id", "text", maxEdits = 3)
+        .select(col("id_a"), col("id_b"), col("edits").cast("long").as("edits"))
+        .orderBy("id_a", "id_b")
+    },
+
     // asymmetric sub-document containment |A∩B|/|A| over distinct word
     // 3-grams: the subset-duplicate detector symmetric Jaccard misses (an
     // excerpt embedded in a longer doc scores ~0 Jaccard, 1.0 containment).
@@ -1136,6 +1162,45 @@ object TextQueries {
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
         |WHERE ROUND(CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q160: same variant synthesis; the q141 shingle CTE (with its
+    // under-3-token fallback) generates candidates, the length gap
+    // prefilters, plain levenshtein() verifies (DuckDB has no banded
+    // variant — values agree on every surviving row).
+    "q160_edit_distance_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 3) || 'Z' || substr(text, 5)
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zz'
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' zzzzzzzzzz'
+        |  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 300),
+        |t AS (
+        |  SELECT doc_id AS id, text, length(text) AS len,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END) AS grams
+        |  FROM t),
+        |g AS (SELECT id, unnest(grams) AS gram FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+        |v AS (
+        |  SELECT c.id_a, c.id_b, levenshtein(ta.text, tb.text) AS edits
+        |  FROM cand c
+        |  JOIN t ta ON ta.id = c.id_a
+        |  JOIN t tb ON tb.id = c.id_b
+        |  WHERE abs(ta.len - tb.len) <= 3)
+        |SELECT id_a, id_b, CAST(edits AS BIGINT) AS edits
+        |FROM v WHERE edits <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q141_containment_pairs" ->

@@ -181,6 +181,68 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Bounded EDIT-DISTANCE near-dup pairs — the character-level member of
+    * the dedup family (token-set [[jaccardPairs]], subset
+    * [[containmentPairs]], signature [[simhashPairs]]): every unordered
+    * pair within `maxEdits` Levenshtein edits, with the exact distance.
+    * Catches the small-in-place-edit duplicates (typo fixes, date stamps,
+    * template fills) that token-set measures blur and signature measures
+    * only threshold.
+    *
+    * Pipeline: word-trigram shingle blocking (inverted index, never
+    * all-pairs) → sound `|len_a − len_b| ≤ maxEdits` prefilter (edit
+    * distance is bounded below by the length gap) → exact verify with the
+    * THRESHOLDED Levenshtein (Spark's banded DP: O(maxEdits · min_len)
+    * per candidate with early exit, not O(len²); pairs past the bound
+    * return −1 and drop). Both stages are engine-portable — the oracle
+    * replays blocking and `levenshtein() ≤ k` identically.
+    *
+    * Completeness: k edits can alter at most 2k tokens (an edit can touch
+    * a token boundary), each altered token invalidates ≤ 3 trigram
+    * windows — so two docs within k edits still share an intact trigram
+    * whenever the doc has more than 6·maxEdits + 2 tokens; shorter docs
+    * need an exact pass (the [[jaccardPairs]] honesty posture). Blocking
+    * recall is a corpus property, never a silent loss: the planted-pair
+    * spec pins it on the fixture.
+    *
+    * Scale shape: one distinct-shingle explode (id in the key), the
+    * inverted self-join (a viral boilerplate shingle funnels its
+    * candidates — `dfMaxFraction` hub pruning bounds the fan-out at the
+    * documented cost to the completeness bound), candidate pairs
+    * DISTINCT'd before any text ships, texts joined back on the id (two
+    * uniform-key joins), then the length filter kills most survivors
+    * before the DP runs. The DP is the only per-pair cost and is banded
+    * by the threshold. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxEdits: Int, dfMaxFraction: Double = 1.0): DataFrame = {
+    require(maxEdits >= 0, s"maxEdits must be >= 0: $maxEdits")
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"),
+      length(col(textCol)).as("__len"))
+    val toks = docs.select(col("id"),
+      explode(array_distinct(shingles(col("__t"), 3))).as("tok"))
+    val kept =
+      if (dfMaxFraction >= 1.0) toks
+      else {
+        val nDocs = df.count() // only the pruning branch pays this pass
+        val hubs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(nDocs * dfMaxFraction)).select("tok")
+        toks.join(hubs, Seq("tok"), "left_anti")
+      }
+    val cand = kept.as("a").join(kept.as("b"), "tok")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("__t").as("__ta"),
+        col("__len").as("__la")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("__t").as("__tb"),
+        col("__len").as("__lb")), "id_b")
+      .filter(abs(col("__la") - col("__lb")) <= maxEdits)
+      .withColumn("edits", levenshtein(col("__ta"), col("__tb"), maxEdits))
+      .filter(col("edits") >= 0 && col("edits") <= maxEdits)
+      .select("id_a", "id_b", "edits")
+  }
+
   /** Benchmark decontamination: flag every training document that shares at
     * least `minShared` DISTINCT word `k`-grams with any eval-set document
     * (the overlap rule of GPT-3 appendix C / Dodge et al. 2021, which the

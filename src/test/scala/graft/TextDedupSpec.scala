@@ -201,6 +201,32 @@ class DedupSpec extends SparkSpec {
   private lazy val corpus = TextQueries.corpusWithClones(spark, sf)
   private lazy val nDocs = Tables.documents(spark, sf).count()
 
+  test("editDistancePairs: exact distances, threshold boundary, length-filter drop, blocking recall") {
+    // a long shared base so trigram blocking always has an intact shingle
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                      // exact dup -> edits 0
+      (3L, base.replace("gamma", "gamXa")),            // 1 substitution
+      (4L, base + " xyz"),                             // 4 appended chars -> dropped at maxEdits 3
+      (5L, base.replace("alpha ", "")),                // 6 deletions -> dropped
+      (6L, "totally different words here entirely")    // shares no trigram
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", maxEdits = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    // raising the budget admits the 4-char append; doc 3 stays out of
+    // reach of doc 4 (substitution + append = 5 edits)
+    val got4 = Dedup.editDistancePairs(docs, "doc_id", "text", maxEdits = 4)
+      .filter(col("id_b") === 4L).orderBy("id_a")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got4 === Seq((1L, 4L, 4), (2L, 4L, 4)))
+    // hub pruning trades the completeness bound loudly documented: with
+    // every trigram pruned, no candidates remain
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text", 3,
+      dfMaxFraction = 0.0).count() === 0L)
+  }
+
   test("exact dedup removes all injected clones, keeps min doc_id") {
     val out = Dedup.exact(corpus, "text", Seq(col("doc_id")))
     // every clone (doc_id+1M) has its original → survivors all original,
