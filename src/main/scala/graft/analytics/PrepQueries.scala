@@ -397,6 +397,28 @@ object PrepQueries {
         .orderBy("modality", "batch", "doc_id")
     },
 
+    // Perceptual duplicate CLUSTERS — mediaPairs (in-corpus hamming<=1
+    // self-pairs over the q123 aHash generator images) fed to the generic
+    // dupClusters closure: every doc labeled with its component's min id,
+    // survivor = the label holder (the q50 composition for the media
+    // modality).
+    "q161_media_dup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Dedup, Multimodal}
+      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (_, _, px) = Multimodal.decodeImageGray(
+            Multimodal.syntheticPngGray8(id % 37, 8, 8))
+          val (hi, lo) = Multimodal.aHash64(px)
+          (id, hi, lo)
+        }).toDF("doc_id", "hi", "lo")
+      val pairs = Multimodal.mediaPairs(hashed, "doc_id", "hi", "lo", 32, 32,
+        maxHamming = 1)
+      Dedup.dupClusters(hashed.select("doc_id"), "doc_id", pairs)
+        .withColumn("kept", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // Vocabulary build + dictionary encoding: corpus tokens ranked
     // (freq DESC, token) into dense ids, every document re-emitted as
     // (doc_id, pos, token_id) against the broadcast vocab.
@@ -622,6 +644,38 @@ object PrepQueries {
         |       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kept
         |FROM h ORDER BY doc_id""".stripMargin,
 
+
+    // q161: the q123 generator/hash CTEs, hamming<=1 self-pairs, the q50
+    // recursive closure to min-reachable labels.
+    "q161_media_dup_clusters" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |ipx AS (
+        |  SELECT doc_id, ((doc_id % 37)*31 + y.y*8 + x.x) * 17 % 256 AS p,
+        |         y.y*8 + x.x AS i
+        |  FROM ids, (SELECT unnest(range(8)) AS x) x, (SELECT unnest(range(8)) AS y) y),
+        |itot AS (SELECT doc_id, SUM(p) AS s FROM ipx GROUP BY doc_id),
+        |ih AS (
+        |  SELECT ipx.doc_id,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i >= 32
+        |                       THEN (1::BIGINT << (ipx.i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i < 32
+        |                       THEN (1::BIGINT << ipx.i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM ipx JOIN itot t ON ipx.doc_id = t.doc_id GROUP BY ipx.doc_id),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p0
+        |  UNION
+        |  SELECT id_b, id_a FROM p0),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM ids
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS kept
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
 
     // q158: generator + aHash/energy arithmetic replayed (q123/q124 CTEs),
     // fresh-seed rule mirrored, hamming via bit_count(xor) on both halves,

@@ -488,6 +488,34 @@ object Multimodal {
                       modality: String): DataFrame =
     mediaChunks(hashed, idCol, hiCol, loCol, hiBits, loBits, modality)
 
+  /** In-corpus perceptual near-dup pairs — the batch/self twin of
+    * [[mediaIncrementalPairs]] (the [[Dedup.simhashPairs]] shape for
+    * media): every unordered pair within `maxHamming` of each other, via
+    * the same 4-chunk pigeonhole (complete for hamming <= 3, loud above).
+    * Feed the pairs to [[Dedup.dupClusters]] for connected-component
+    * cluster labels and a min-id survivor rule (q161).
+    *
+    * Scale shape: one chunk self-join — a viral chunk value (near-constant
+    * images, silence-heavy audio) fans out quadratically inside its
+    * bucket; the mitigation at corpus scale is a bucket-size cap or the
+    * incremental path (probe small batches against the stored index)
+    * rather than corpus self-pairs. */
+  def mediaPairs(hashed: DataFrame, idCol: String, hiCol: String,
+                 loCol: String, hiBits: Int, loBits: Int,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (<= 3); " +
+        "chunk the signature finer instead")
+    val chunked = mediaChunks(hashed, idCol, hiCol, loCol, hiBits, loBits, "self")
+    chunked.as("a").join(chunked.as("b"), Seq("chunk_idx", "chunk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+         bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Batch-vs-seen perceptual near-dup pairs WITHOUT touching seen media:
     * the batch's chunked signatures probe the persisted index on
     * (modality, chunk_idx, chunk) — complete for hamming <= 3 by the
