@@ -571,13 +571,16 @@ object Multimodal {
     * `indexDir` — the pure-union contract as an O(batch) parquet append;
     * the seen corpus is never rewritten.
     *
-    * Delivery note: parquet appends are at-least-once under micro-batch
-    * RETRY (a replayed batch re-appends its rows). Exactly-once
-    * deployments route both writes through the epoch-ledger DSv2 sink
-    * (`format("graft-sink")`, SinkV2) — the report/index schemas here are
-    * deliberately flat so they drop in; duplicate index rows are
-    * additionally HARMLESS for correctness (pair emission dedups), they
-    * only waste scan width. */
+    * Delivery: IDEMPOTENT under micro-batch retry. Both writes are
+    * partitioned by `batch_id` with DYNAMIC partition overwrite — a
+    * replayed batch REPLACES its own partition instead of re-appending
+    * (batch contents are deterministic per batchId in Structured
+    * Streaming's replay contract), so the report and the index stay
+    * duplicate-free across failures without an external ledger; the
+    * epoch-ledger DSv2 sink (`format("graft-sink")`, SinkV2) remains the
+    * multi-writer/transactional upgrade path. The per-batch probe drops
+    * the partition column before joining, so the stored layout is
+    * invisible to the probe contract. */
   def mediaDedupBatch(indexDir: String, reportDir: String, idCol: String,
                       hiCol: String, loCol: String, hiBits: Int, loBits: Int,
                       modality: String, maxHamming: Int = 3)
@@ -586,11 +589,27 @@ object Multimodal {
     val hasIndex = {
       val p = new org.apache.hadoop.fs.Path(indexDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") || n.startsWith("batch_id=")
+      }
     }
+    // the probe must see the index AS OF batches 0..batchId-1: on a
+    // replay, this batch's OWN partition is already on disk and reading it
+    // would self-contaminate the probe (its survivors would read as dups,
+    // and the re-written partition would shrink). Streaming replays are
+    // monotone (batch N re-runs only before N+1 commits), so the
+    // batch_id < batchId cut is exactly the pre-batch state. An externally
+    // seeded index without the partition column reads whole.
     val idx =
-      if (hasIndex) spark.read.parquet(indexDir)
-      else buildMediaIndex(batch.limit(0), idCol, hiCol, loCol, hiBits, loBits, modality)
+      if (!hasIndex)
+        buildMediaIndex(batch.limit(0), idCol, hiCol, loCol, hiBits, loBits, modality)
+      else {
+        val raw = spark.read.parquet(indexDir)
+        if (raw.columns.contains("batch_id"))
+          raw.filter(col("batch_id") < batchId).drop("batch_id")
+        else raw
+      }
     // one pass over the (bounded) batch feeds probe + report + advance:
     // cut the upstream lineage once so the three consumers don't recompute
     // the streaming source projection (the q146 rule)
@@ -603,14 +622,20 @@ object Multimodal {
       .agg(count(lit(1)).as("__nm"), min("seen_id").as("__ms"))
       .localCheckpoint()
     val report = b.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(lit(batchId).as("batch_id"), col(idCol),
+      .select(col(idCol),
         col("__nm").isNotNull.as("is_dup"),
         coalesce(col("__nm"), lit(0L)).as("n_matches"),
-        col("__ms").as("min_seen_id"))
-    report.write.mode("append").parquet(reportDir)
+        col("__ms").as("min_seen_id"),
+        lit(batchId).as("batch_id"))
+    report.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(reportDir)
     val survivors = b.join(agg.select(idCol), Seq(idCol), "left_anti")
     buildMediaIndex(survivors, idCol, hiCol, loCol, hiBits, loBits, modality)
-      .write.mode("append").parquet(indexDir)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexDir)
   }
 
   /** Fixture builder: wrap a text column as binary "media" (UTF-8) so the

@@ -326,12 +326,22 @@ class StreamingSpec extends SparkSpec {
     // survivors (11,12): 6 items x 4 chunk rows
     assert(spark.read.parquet(idxDir).count() === 24L)
     // and a THIRD wave twin of 12 would now match: sequential-chain parity
-    val idx = spark.read.parquet(idxDir)
+    val idx = spark.read.parquet(idxDir).drop("batch_id")
     val got = Multimodal.mediaIncrementalPairs(
         Seq((20L, 201L, 300L)).toDF("id", "hi", "lo"), idx,
         "id", "hi", "lo", 32, 32, "img", maxHamming = 1)
       .as[(Long, Long, Int)].collect().sortBy(_._2).toSeq
     assert(got === Seq((20L, 11L, 1), (20L, 12L, 0)))
+
+    // RETRY idempotence: Structured Streaming replays a failed batch with
+    // the SAME batchId and contents — the dynamic partition overwrite must
+    // REPLACE that batch's report/index partitions, never re-append
+    Multimodal.mediaDedupBatch(idxDir, repDir, "id", "hi", "lo", 32, 32,
+      "img", maxHamming = 1)(w2.toDF("id", "hi", "lo"), 1L)
+    assert(spark.read.parquet(repDir).count() === 7L,
+      "replaying batch 1 must not duplicate report rows")
+    assert(spark.read.parquet(idxDir).count() === 24L,
+      "replaying batch 1 must not duplicate index rows")
   }
 
   test("foreachBatch upsert sink converges to merge semantics across batches") {
