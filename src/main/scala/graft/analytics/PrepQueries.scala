@@ -359,14 +359,17 @@ object PrepQueries {
           val (hi, lo) = Multimodal.aHash64(px)
           (id, hi, lo)
         }
-      }.toDF("doc_id", "hi", "lo")
+        // decode/fingerprint DAG feeds SIX consumers (seen/b1/b2 x two
+        // probes) — checkpoint once or every branch re-decodes (the
+        // q132/q146 lineage rule)
+      }.toDF("doc_id", "hi", "lo").localCheckpoint()
       val audHashed = ids.mapPartitions { it =>
         it.map { id =>
           val fp = Multimodal.energyHash16(Multimodal.decodeWavPcm16(
             Multimodal.syntheticWavPcm16(id % 29, nSamples = 128)))
           (id, fp >> 8, fp & 0xFFL)
         }
-      }.toDF("doc_id", "hi", "lo")
+      }.toDF("doc_id", "hi", "lo").localCheckpoint()
       def run(hashed: DataFrame, hiBits: Int, loBits: Int,
               modality: String): DataFrame = {
         val seen = hashed.filter(col("doc_id") % 3 === 0)
@@ -411,7 +414,9 @@ object PrepQueries {
             Multimodal.syntheticPngGray8(id % 37, 8, 8))
           val (hi, lo) = Multimodal.aHash64(px)
           (id, hi, lo)
-        }).toDF("doc_id", "hi", "lo")
+        // the decode DAG feeds the self-join's BOTH aliases plus the node
+        // list — checkpoint once (the q158/q146 lineage rule)
+        }).toDF("doc_id", "hi", "lo").localCheckpoint()
       val pairs = Multimodal.mediaPairs(hashed, "doc_id", "hi", "lo", 32, 32,
         maxHamming = 1)
       Dedup.dupClusters(hashed.select("doc_id"), "doc_id", pairs)
