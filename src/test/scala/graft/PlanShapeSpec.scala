@@ -426,6 +426,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q160 edit distance: blocked candidates, never a cartesian DP") {
+    // the whole point of the blocking stage: the Levenshtein DP must run
+    // only on inverted-index candidates — a CartesianProduct here means
+    // every doc pair pays O(maxEdits * len)
+    val p = plan("q160_edit_distance_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("levenshtein"),
+      "the thresholded DP must appear in the plan:\n" + p.take(2000))
+    // candidate pairs dedup BEFORE the texts join back (HashAggregate on
+    // the pair keys upstream of the text joins)
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("q146 token drift: per-source tables broadcast back, no cartesian product") {
     val p = plan("q146_token_drift")
     assert(p.contains("BroadcastHashJoin"),
