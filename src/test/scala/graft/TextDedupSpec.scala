@@ -227,6 +227,50 @@ class DedupSpec extends SparkSpec {
       dfMaxFraction = 0.0).count() === 0L)
   }
 
+  test("editDistancePairs: randomized ground truth — 100 docs, planted k-edit variants, exact distances") {
+    // docs have >= 20 tokens, so the 6*maxEdits+2 completeness bound
+    // applies: EVERY true pair within 3 edits must be found. Ground truth
+    // from a driver-side DP.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val bases = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(22)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // each base gets ONE variant with k = i % 5 random char edits
+    // (substitutions at interior positions — never a space, so token
+    // structure and the blocking bound stay intact)
+    val variants = bases.map { case (i, t) =>
+      val k = (i % 5).toInt
+      val chars = t.toCharArray
+      var applied = 0
+      while (applied < k) {
+        val p = rnd.nextInt(chars.length)
+        if (chars(p) != ' ' && chars(p) != 'Q') { chars(p) = 'Q'; applied += 1 }
+      }
+      (i + 500L, new String(chars))
+    }
+    val docs = (bases ++ variants).toDF("doc_id", "text")
+    val all = (bases ++ variants)
+    val expected = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      d = lev(ta, tb) if d <= 3
+    } yield (ia, ib, d)).sortBy(t => (t._1, t._2))
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", maxEdits = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got === expected,
+      s"missed: ${expected.toSet -- got.toSet}; extra: ${got.toSet -- expected.toSet}")
+    assert(expected.nonEmpty && expected.exists(_._3 == 3))
+  }
+
   test("exact dedup removes all injected clones, keeps min doc_id") {
     val out = Dedup.exact(corpus, "text", Seq(col("doc_id")))
     // every clone (doc_id+1M) has its original → survivors all original,
