@@ -140,6 +140,19 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
 
+    // IVF index health report — the retrain trigger of the q140
+    // train-then-add protocol: the quantizer frozen on the seen half, the
+    // full corpus appended, then per-cell occupancy + FAISS's
+    // nlist*sum(c^2)/n^2 imbalance factor and the needs_retrain verdict.
+    "q162_ivf_balance" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val idx = Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
+        "vec_id", "embedding")
+      Similarity.ivfBalanceReport(
+          idx.append(e.filter(col("vec_id") >= 300), "vec_id"))
+        .orderBy("cell")
+    },
+
     // Incremental embedding-cosine dedup (the EMBEDDING member of the
     // incremental index family — MinHash q132, spans q134, SimHash q143):
     // seen half indexed once (sign-LSH bands + stored vectors/norms), the
@@ -710,6 +723,45 @@ object SimilarityQueries {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
          |                           ORDER BY score DESC, vec_id) <= $K
          |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
+    // q162: the q140 quantizer/assignment CTEs, counts over range(8) so
+    // empty cells stay visible, the FAISS imbalance as one exact-integer
+    // ratio rounded once.
+    "q162_ivf_balance" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hashed AS (
+        |  SELECT vec_id, v,
+        |         (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM emb WHERE vec_id < 300),
+        |cents AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+        |  FROM hashed
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+        |cassign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+        |    FROM emb e CROSS JOIN cents c)
+        |  WHERE r = 1),
+        |counts AS (
+        |  SELECT a.cell, COUNT(ca.vec_id) AS n_vecs
+        |  FROM (SELECT unnest(range(8)) AS cell) a
+        |  LEFT JOIN cassign ca ON ca.cell = a.cell
+        |  GROUP BY a.cell),
+        |g AS (
+        |  SELECT SUM(n_vecs) AS n_total, SUM(n_vecs * n_vecs) AS ss,
+        |         SUM(CASE WHEN n_vecs = 0 THEN 1 ELSE 0 END) AS n_empty_cells
+        |  FROM counts)
+        |SELECT CAST(c.cell AS INT) AS cell, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+        |       ROUND(CAST(c.n_vecs AS DOUBLE) / g.n_total, 4) AS cell_frac,
+        |       CAST(g.n_total AS BIGINT) AS n_total,
+        |       CAST(g.n_empty_cells AS BIGINT) AS n_empty_cells,
+        |       ROUND(8 * CAST(g.ss AS DOUBLE) / (CAST(g.n_total AS DOUBLE) * g.n_total), 4) AS imbalance_factor,
+        |       ROUND(8 * CAST(g.ss AS DOUBLE) / (CAST(g.n_total AS DOUBLE) * g.n_total), 4) > 2.0 AS needs_retrain
+        |FROM counts c, g
+        |ORDER BY c.cell""".stripMargin,
 
     "q31_ann_bruteforce" ->
       s"""WITH q AS (

@@ -300,6 +300,47 @@ object Similarity {
     }
   }
 
+  /** Cell-occupancy health report for a grown [[IvfIndex]] — the RETRAIN
+    * TRIGGER the train-then-add protocol needs: the coarse quantizer is
+    * frozen at build time, so as appended batches drift away from the
+    * training distribution, vectors pile into few cells and probe cost
+    * degrades toward a linear scan. FAISS's imbalance factor
+    * `nlist · Σc²/n²` (1.0 = perfectly balanced, nlist = everything in
+    * one cell) quantifies it; past `retrainAt` the report says rebuild.
+    *
+    * Emits one row per TRAINED cell (empty cells included — a starved
+    * quantizer is the other drift signal): (cell, n_vecs, cell_frac,
+    * n_total, n_empty_cells, imbalance_factor, needs_retrain). The flag
+    * compares on the 4dp-ROUNDED factor so every engine renders the same
+    * verdict at the boundary.
+    *
+    * Scale shape: one partial-agg'd count over the stored cells (output
+    * is nlist rows), the centroid list is driver-held by construction
+    * (the codebook), and the 1-row global fold broadcasts back — nothing
+    * corpus-sized moves. */
+  def ivfBalanceReport(index: IvfIndex, retrainAt: Double = 2.0): DataFrame = {
+    import graft.functions.Rounding.roundLikeC
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val allCells = index.cents.map(_._1).toDF("cell")
+    val filled = allCells
+      .join(index.cells.groupBy("cell").agg(count(lit(1)).as("n_vecs")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val g = filled.agg(
+      sum("n_vecs").as("n_total"),
+      sum(col("n_vecs") * col("n_vecs")).as("__ss"),
+      sum(when(col("n_vecs") === 0, 1L).otherwise(0L)).as("n_empty_cells"))
+    val nList = index.cents.size
+    filled.crossJoin(broadcast(g))
+      .select(col("cell"), col("n_vecs"),
+        roundLikeC(col("n_vecs").cast("double") / col("n_total"), 4).as("cell_frac"),
+        col("n_total"), col("n_empty_cells"),
+        roundLikeC(lit(nList) * col("__ss").cast("double") /
+          (col("n_total") * col("n_total")).cast("double"), 4).as("imbalance_factor"))
+      .withColumn("needs_retrain", col("imbalance_factor") > retrainAt)
+  }
+
   /** Train the coarse quantizer on `corpus` and assign it — the one-time
     * build [[IvfIndex.append]] then grows batch by batch. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,

@@ -380,4 +380,30 @@ class SimilaritySpec extends SparkSpec {
       .select("batch_id", "seen_id").as[(Long, Long)].collect().toSet
     assert(hits2.contains((2000310L, 310L)))
   }
+  test("ivfBalanceReport: exact FAISS imbalance, empty cells visible, retrain verdict at the boundary") {
+    import graft.operators.Similarity
+    // hand-built index state: 4 cells, occupancy 6/2/0/0 over 8 vectors
+    // imbalance = nlist * sum(c^2) / n^2 = 4 * (36+4) / 64 = 2.5 -> retrain
+    val cents = (0 until 4).map(i => (i, Seq.fill(4)(i.toDouble)))
+    val cells = ((1 to 6).map(v => (v.toLong, 0)) ++ Seq((7L, 1), (8L, 1)))
+      .toDF("vec_id", "cell")
+      .withColumn("cv", typedLit(Seq(0.0, 0.0, 0.0, 0.0)))
+    val idx = Similarity.IvfIndex(cells, cents, "embedding")
+    val got = Similarity.ivfBalanceReport(idx).orderBy("cell").collect()
+    assert(got.length === 4)
+    assert(got.map(_.getAs[Long]("n_vecs")).toSeq === Seq(6L, 2L, 0L, 0L))
+    assert(got.head.getAs[Long]("n_empty_cells") === 2L)
+    assert(got.head.getAs[Double]("imbalance_factor") === 2.5)
+    assert(got.forall(_.getAs[Boolean]("needs_retrain")))
+    // perfectly balanced: 2/2/2/2 -> factor exactly 1.0, no retrain
+    val bal = (1 to 8).map(v => (v.toLong, (v - 1) % 4)).toDF("vec_id", "cell")
+      .withColumn("cv", typedLit(Seq(0.0, 0.0, 0.0, 0.0)))
+    val gb = Similarity.ivfBalanceReport(Similarity.IvfIndex(bal, cents, "embedding"))
+      .collect()
+    assert(gb.forall(r => r.getAs[Double]("imbalance_factor") === 1.0 &&
+      !r.getAs[Boolean]("needs_retrain")))
+    // the verdict flips ON the rounded boundary: retrainAt exactly 2.5 -> not >
+    val atBoundary = Similarity.ivfBalanceReport(idx, retrainAt = 2.5).collect()
+    assert(atBoundary.forall(!_.getAs[Boolean]("needs_retrain")))
+  }
 }
