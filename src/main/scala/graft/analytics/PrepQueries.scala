@@ -650,8 +650,12 @@ object PrepQueries {
         |FROM h ORDER BY doc_id""".stripMargin,
 
 
-    // q161: the q123 generator/hash CTEs, hamming<=1 self-pairs, the q50
-    // recursive closure to min-reachable labels.
+    // q161: the q123 generator/hash CTEs; the closure runs over the
+    // DISTINCT HASH VALUES (<= 37 nodes — docs sharing a hash are
+    // trivially connected, and doc-level edges exist iff hash-level ones
+    // do), then labels fan back to docs: identical result to the
+    // doc-level q50 closure, ~1000x less recursive work (the doc-level
+    // form measured 66 s at sf0.1).
     "q161_media_dup_clusters" ->
       """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
         |ipx AS (
@@ -666,21 +670,27 @@ object PrepQueries {
         |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i < 32
         |                       THEN (1::BIGINT << ipx.i) ELSE 0 END) AS BIGINT) AS lo
         |  FROM ipx JOIN itot t ON ipx.doc_id = t.doc_id GROUP BY ipx.doc_id),
-        |p0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+        |hid AS (
+        |  SELECT hi, lo, ROW_NUMBER() OVER (ORDER BY hi, lo) AS nid
+        |  FROM (SELECT DISTINCT hi, lo FROM ih)),
+        |e0 AS (
+        |  SELECT a.nid AS na, b.nid AS nb
+        |  FROM hid a JOIN hid b ON a.nid < b.nid
         |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 1),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM p0
-        |  UNION
-        |  SELECT id_b, id_a FROM p0),
+        |edges AS (SELECT na AS src, nb AS dst FROM e0
+        |          UNION SELECT nb, na FROM e0),
         |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM ids
+        |  SELECT nid, nid FROM hid
         |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-        |SELECT id AS doc_id, MIN(r) AS cluster_id, id = MIN(r) AS kept
-        |FROM reach GROUP BY id
-        |ORDER BY doc_id""".stripMargin,
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT id AS nid, MIN(r) AS croot FROM reach GROUP BY id),
+        |labeled AS (
+        |  SELECT ih.doc_id, c.croot
+        |  FROM ih JOIN hid USING (hi, lo) JOIN comp c USING (nid)),
+        |clus AS (SELECT croot, MIN(doc_id) AS cluster_id FROM labeled GROUP BY croot)
+        |SELECT l.doc_id, c.cluster_id, l.doc_id = c.cluster_id AS kept
+        |FROM labeled l JOIN clus c USING (croot)
+        |ORDER BY l.doc_id""".stripMargin,
 
     // q158: generator + aHash/energy arithmetic replayed (q123/q124 CTEs),
     // fresh-seed rule mirrored, hamming via bit_count(xor) on both halves,
