@@ -497,16 +497,27 @@ object Multimodal {
     *
     * Scale shape: one chunk self-join — a viral chunk value (near-constant
     * images, silence-heavy audio) fans out quadratically inside its
-    * bucket; the mitigation at corpus scale is a bucket-size cap or the
-    * incremental path (probe small batches against the stored index)
-    * rather than corpus self-pairs. */
+    * bucket. `maxBucket` caps it: chunk buckets holding more than that
+    * many items are DROPPED from candidate generation (the
+    * [[Dedup.jaccardPairs]] `dfMaxFraction` posture — an explicit,
+    * documented recall trade, never a silent one; a pair loses candidacy
+    * only if ALL FOUR of its shared chunks are viral, and exact-duplicate
+    * mass that viral should be folded by hash-equality grouping first).
+    * The incremental path (probe small batches against the stored index)
+    * is the other at-scale escape. */
   def mediaPairs(hashed: DataFrame, idCol: String, hiCol: String,
                  loCol: String, hiBits: Int, loBits: Int,
-                 maxHamming: Int = 3): DataFrame = {
+                 maxHamming: Int = 3, maxBucket: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (<= 3); " +
         "chunk the signature finer instead")
-    val chunked = mediaChunks(hashed, idCol, hiCol, loCol, hiBits, loBits, "self")
+    val chunkedAll = mediaChunks(hashed, idCol, hiCol, loCol, hiBits, loBits, "self")
+    val chunked = maxBucket.fold(chunkedAll) { cap =>
+      val hot = chunkedAll.groupBy("chunk_idx", "chunk")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("chunk_idx", "chunk")
+      chunkedAll.join(hot, Seq("chunk_idx", "chunk"), "left_anti")
+    }
     chunked.as("a").join(chunked.as("b"), Seq("chunk_idx", "chunk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -580,7 +591,11 @@ object Multimodal {
     * epoch-ledger DSv2 sink (`format("graft-sink")`, SinkV2) remains the
     * multi-writer/transactional upgrade path. The per-batch probe drops
     * the partition column before joining, so the stored layout is
-    * invisible to the probe contract. */
+    * invisible to the probe contract. Compaction note: folding many small
+    * batch_id partitions into one is safe ONLY at a replay barrier (after
+    * the streaming checkpoint has committed past those batches) — a
+    * replay of batch N after its partition was folded into an earlier id
+    * would see its own rows as pre-batch index state. */
   def mediaDedupBatch(indexDir: String, reportDir: String, idCol: String,
                       hiCol: String, loCol: String, hiBits: Int, loBits: Int,
                       modality: String, maxHamming: Int = 3)

@@ -1109,6 +1109,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mediaPairs: self-pairs with exact hamming; maxBucket drops viral chunks, not quiet pairs") {
+    import graft.operators.Multimodal
+    // 10 identical signatures (one viral hash) + one hamming-1 neighbor pair
+    val viral = (1L to 10L).map(i => (i, 0x0F0F0F0FL, 0x33CC33CCL))
+    val quiet = Seq((20L, 0x12345678L, 0x01010101L),
+                    (21L, 0x12345678L, 0x01010100L)) // lo differs in 1 bit
+    val df = (viral ++ quiet).toDF("doc_id", "hi", "lo")
+    val got = Multimodal.mediaPairs(df, "doc_id", "hi", "lo", 32, 32,
+      maxHamming = 1).collect()
+    assert(got.length === 45 + 1, s"C(10,2) viral + 1 quiet pair: ${got.length}")
+    // cap at 8: the viral hash's buckets (10 entries each) drop; the quiet
+    // pair (bucket size 2-ish) survives untouched
+    val capped = Multimodal.mediaPairs(df, "doc_id", "hi", "lo", 32, 32,
+        maxHamming = 1, maxBucket = Some(8L))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(capped === Seq((20L, 21L, 1)))
+  }
+
   test("q159 training order: per-shard manifest conserves stage populations end-to-end") {
     import graft.operators.Packing
     val report = SparkEntry.queries("q159_training_order")(spark, sf).collect()
