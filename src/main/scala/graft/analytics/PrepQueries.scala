@@ -400,6 +400,41 @@ object PrepQueries {
         .orderBy("modality", "batch", "doc_id")
     },
 
+    // MEDIA decontamination — q74's train-x-eval overlap rule for the
+    // perceptual modality: every training image within hamming <= 1 of an
+    // eval-set image is flagged (an eval screenshot leaked into the crawl
+    // must not train). Direction matters at scale: the TRAIN side builds
+    // the (big, one-time) index and the SMALL eval side broadcasts as the
+    // probe — train media is never re-decoded per eval release.
+    "q163_media_decontamination" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      // ids with id%7==3 get a FRESH unique seed (q158's rule): their
+      // hashes mostly miss the eval set, so the report is non-vacuous in
+      // BOTH directions (441 contaminated / 9 clean at sf0.01)
+      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = if (id % 7 == 3) 100000L + id else id % 37
+          val (_, _, px) = Multimodal.decodeImageGray(
+            Multimodal.syntheticPngGray8(seed, 8, 8))
+          val (hi, lo) = Multimodal.aHash64(px)
+          (id, hi, lo)
+        }).toDF("doc_id", "hi", "lo").localCheckpoint()
+      val eval_ = hashed.filter(col("doc_id") % 10 === 0)
+      val train = hashed.filter(col("doc_id") % 10 =!= 0)
+      val idx = Multimodal.buildMediaIndex(train, "doc_id", "hi", "lo",
+        32, 32, "img")
+      val hits = Multimodal.mediaIncrementalPairs(eval_, idx, "doc_id",
+          "hi", "lo", 32, 32, "img", maxHamming = 1)
+        .groupBy(col("seen_id").as("doc_id"))
+        .agg(count(lit(1)).as("__n"), min("batch_id").as("__me"))
+      train.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__n").isNotNull.as("is_contaminated"),
+          coalesce(col("__n"), lit(0L)).as("n_eval_hits"),
+          col("__me").as("min_eval_id"))
+        .orderBy("doc_id")
+    },
+
     // Perceptual duplicate CLUSTERS — mediaPairs (in-corpus hamming<=1
     // self-pairs over the q123 aHash generator images) fed to the generic
     // dupClusters closure: every doc labeled with its component's min id,
@@ -649,6 +684,38 @@ object PrepQueries {
         |       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS kept
         |FROM h ORDER BY doc_id""".stripMargin,
 
+
+    // q163: the q123 hash CTEs, eval-x-train hamming join, per-train-doc
+    // aggregate, left join back so clean docs stay visible.
+    "q163_media_decontamination" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |se AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN 100000 + doc_id
+        |                      ELSE doc_id % 37 END AS seed
+        |  FROM ids),
+        |ipx AS (
+        |  SELECT doc_id, (seed*31 + y.y*8 + x.x) * 17 % 256 AS p,
+        |         y.y*8 + x.x AS i
+        |  FROM se, (SELECT unnest(range(8)) AS x) x, (SELECT unnest(range(8)) AS y) y),
+        |itot AS (SELECT doc_id, SUM(p) AS s FROM ipx GROUP BY doc_id),
+        |ih AS (
+        |  SELECT ipx.doc_id,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i >= 32
+        |                       THEN (1::BIGINT << (ipx.i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i < 32
+        |                       THEN (1::BIGINT << ipx.i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM ipx JOIN itot t ON ipx.doc_id = t.doc_id GROUP BY ipx.doc_id),
+        |ev AS (SELECT * FROM ih WHERE doc_id % 10 = 0),
+        |tr AS (SELECT * FROM ih WHERE doc_id % 10 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_eval_hits, MIN(e.doc_id) AS min_eval_id
+        |  FROM tr t JOIN ev e
+        |    ON bit_count(xor(t.hi, e.hi)) + bit_count(xor(t.lo, e.lo)) <= 1
+        |  GROUP BY t.doc_id)
+        |SELECT t.doc_id, h.doc_id IS NOT NULL AS is_contaminated,
+        |       COALESCE(h.n_eval_hits, 0) AS n_eval_hits, h.min_eval_id
+        |FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q161: the q123 generator/hash CTEs; the closure runs over the
     // DISTINCT HASH VALUES (<= 37 nodes — docs sharing a hash are

@@ -233,6 +233,33 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental edit-distance dedup — q160's character-level member
+    // joins the incremental family: the seen corpus's trigram-hash index
+    // is probed by the batch (seen docs read for the exact verify, never
+    // re-shingled). Batch = fresh docs + planted seen-doc variants at
+    // edits 1 and 3 (the boundary) and 11 (dropped by the length filter).
+    "q164_edit_distance_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val seen = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 300)
+        .unionByName(seen.filter(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 3), lit("Z"),
+            expr("substring(text, 5)")).as("text")))
+        .unionByName(seen.filter(col("doc_id") % 7 === 0).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        .unionByName(seen.filter(col("doc_id") % 11 === 0).select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" zzzzzzzzzz")).as("text")))
+      val idx = Dedup.buildEditIndex(seen, "doc_id", "text")
+      Dedup.editDistanceIncremental(batch, seen, idx, "doc_id", "text",
+          maxEdits = 3)
+        .select(col("batch_id"), col("seen_id"),
+          col("edits").cast("long").as("edits"))
+        .orderBy("batch_id", "seen_id")
+    },
+
     // asymmetric sub-document containment |A∩B|/|A| over distinct word
     // 3-grams: the subset-duplicate detector symmetric Jaccard misses (an
     // excerpt embedded in a longer doc scores ~0 Jaccard, 1.0 containment).
@@ -1202,6 +1229,58 @@ object TextQueries {
         |SELECT id_a, id_b, CAST(edits AS BIGINT) AS edits
         |FROM v WHERE edits <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q164: the q160 variant synthesis restricted cross-side; candidates
+    // via the SAME poly-31 trigram hash the stored index uses (a hash
+    // collision adds the identical candidate in both engines), then the
+    // length filter + plain levenshtein verify.
+    "q164_edit_distance_incremental" ->
+      """WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 3) || 'Z' || substr(text, 5)
+        |  FROM seen WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zz' FROM seen WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' zzzzzzzzzz' FROM seen WHERE doc_id % 11 = 0),
+        |st AS (
+        |  SELECT doc_id AS id, text, length(text) AS len,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM seen),
+        |bt AS (
+        |  SELECT doc_id AS id, text, length(text) AS len,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM batch),
+        |sg AS (
+        |  SELECT DISTINCT id,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, length(gram)+1), i -> ascii(substr(gram,i,1))::BIGINT)),
+        |           (acc,x) -> (acc*31+x) % 1000000007) AS gh
+        |  FROM (SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |          THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |          ELSE [array_to_string(toks, ' ')] END)) AS gram FROM st)),
+        |bg AS (
+        |  SELECT DISTINCT id,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, length(gram)+1), i -> ascii(substr(gram,i,1))::BIGINT)),
+        |           (acc,x) -> (acc*31+x) % 1000000007) AS gh
+        |  FROM (SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |          THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |          ELSE [array_to_string(toks, ' ')] END)) AS gram FROM bt)),
+        |cand AS (
+        |  SELECT DISTINCT b.id AS batch_id, s.id AS seen_id
+        |  FROM bg b JOIN sg s ON b.gh = s.gh),
+        |v AS (
+        |  SELECT c.batch_id, c.seen_id, levenshtein(b.text, s.text) AS edits
+        |  FROM cand c
+        |  JOIN bt b ON b.id = c.batch_id
+        |  JOIN st s ON s.id = c.seen_id
+        |  WHERE abs(b.len - s.len) <= 3)
+        |SELECT batch_id, seen_id, CAST(edits AS BIGINT) AS edits
+        |FROM v WHERE edits <= 3
+        |ORDER BY batch_id, seen_id""".stripMargin,
 
     "q141_containment_pairs" ->
       """WITH corpus AS (

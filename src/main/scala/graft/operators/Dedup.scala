@@ -243,6 +243,58 @@ object Dedup {
       .select("id_a", "id_b", "edits")
   }
 
+  /** The trigram index [[editDistanceIncremental]] probes: distinct
+    * (gh, id) — the poly-31 hash of each word trigram of the seen corpus
+    * (8 bytes + id per entry; the [[buildRepeatedSpanIndex]] narrowing
+    * move, replayed bit-for-bit by the oracle so a hash collision — which
+    * can only ADD a candidate the exact verify then judges — lands in
+    * both engines identically). */
+  def buildEditIndex(seen: DataFrame, idCol: String, textCol: String): DataFrame =
+    seen.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), 3))).as("__g"))
+      .select(col("id"), expr(polyHashSql("__g")).as("gh"))
+      .distinct()
+
+  /** Incremental [[editDistancePairs]] — the character-level member of the
+    * incremental dedup family ([[incremental]] exact,
+    * [[fuzzyDedupIncremental]] token-set, [[repeatedSpansIncremental]]
+    * substring, [[buildSimhashIndex]] signature): batch docs within
+    * `maxEdits` Levenshtein edits of any SEEN doc, without re-shingling
+    * the seen corpus. Candidates come from the stored trigram index; the
+    * exact verify joins the seen TEXT by id (a uniform-key lookup — the
+    * [[fuzzyDedupIncremental]] seenDocs contract: the corpus is read, not
+    * re-tokenized). Advance with
+    * `index.unionByName(buildEditIndex(survivors)).distinct` and append
+    * survivors to seenDocs. Same completeness bound as
+    * [[editDistancePairs]] (an intact shared trigram above 6·maxEdits + 2
+    * tokens).
+    *
+    * Scale shape: batch shingles BROADCAST; the index streams through the
+    * candidate join with no exchange or sort (the BENCH_INDEXSCALE probe
+    * direction); candidate pairs distinct BEFORE any text ships; the
+    * sound length-gap filter kills most survivors before the
+    * threshold-banded DP runs. */
+  def editDistanceIncremental(batch: DataFrame, seenDocs: DataFrame,
+                              seenIndex: DataFrame, idCol: String,
+                              textCol: String, maxEdits: Int): DataFrame = {
+    require(maxEdits >= 0, s"maxEdits must be >= 0: $maxEdits")
+    val bsh = batch.select(col(idCol).as("batch_id"),
+        explode(array_distinct(shingles(col(textCol), 3))).as("__g"))
+      .select(col("batch_id"), expr(polyHashSql("__g")).as("gh"))
+    val cand = seenIndex.join(broadcast(bsh), Seq("gh"))
+      .select(col("batch_id"), col("id").as("seen_id"))
+      .distinct()
+    cand
+      .join(batch.select(col(idCol).as("batch_id"), col(textCol).as("__tb"),
+        length(col(textCol)).as("__lb")), "batch_id")
+      .join(seenDocs.select(col(idCol).as("seen_id"), col(textCol).as("__ts"),
+        length(col(textCol)).as("__ls")), "seen_id")
+      .filter(abs(col("__lb") - col("__ls")) <= maxEdits)
+      .withColumn("edits", levenshtein(col("__tb"), col("__ts"), maxEdits))
+      .filter(col("edits") >= 0 && col("edits") <= maxEdits)
+      .select("batch_id", "seen_id", "edits")
+  }
+
   /** Benchmark decontamination: flag every training document that shares at
     * least `minShared` DISTINCT word `k`-grams with any eval-set document
     * (the overlap rule of GPT-3 appendix C / Dodge et al. 2021, which the

@@ -227,6 +227,39 @@ class DedupSpec extends SparkSpec {
       dfMaxFraction = 0.0).count() === 0L)
   }
 
+  test("editDistanceIncremental: probe == cross-side restriction of the batch pairs; advance chains") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val seen = Seq((1L, base), (2L, base + " extra tail words here")).toDF("doc_id", "text")
+    val fresh = "one two three four five six seven eight nine ten eleven"
+    val batch = Seq(
+      (10L, base),                             // exact dup of seen 1
+      (11L, base.replace("gamma", "gamXa")),   // 1 edit from seen 1
+      (12L, fresh)                             // nothing seen is close
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildEditIndex(seen, "doc_id", "text")
+    val got = Dedup.editDistanceIncremental(batch, seen, idx, "doc_id", "text",
+        maxEdits = 3)
+      .orderBy("batch_id", "seen_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((10L, 1L, 0), (11L, 1L, 1)))
+    // cross-side restriction of the batch operator over the union
+    val union = Dedup.editDistancePairs(seen.unionByName(batch), "doc_id",
+        "text", maxEdits = 3)
+      .filter(col("id_a") < 10L && col("id_b") >= 10L)
+      .select(col("id_b").as("batch_id"), col("id_a").as("seen_id"), col("edits"))
+      .orderBy("batch_id", "seen_id").as[(Long, Long, Int)].collect().toSeq
+    assert(union === got)
+    // advance: the fresh survivor joins the index + seenDocs; a later twin
+    // of it is caught ONLY via the advanced state
+    val surv = batch.filter(col("doc_id") === 12L)
+    val idx2 = idx.unionByName(Dedup.buildEditIndex(surv, "doc_id", "text")).distinct()
+    val seen2 = seen.unionByName(surv)
+    val b2 = Seq((20L, fresh + " x")).toDF("doc_id", "text") // 2 appended chars
+    assert(Dedup.editDistanceIncremental(b2, seen, idx, "doc_id", "text", 3).isEmpty)
+    val hits2 = Dedup.editDistanceIncremental(b2, seen2, idx2, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(hits2 === Seq((20L, 12L, 2)))
+  }
+
   test("editDistancePairs: randomized ground truth — 100 docs, planted k-edit variants, exact distances") {
     // docs have >= 20 tokens, so the 6*maxEdits+2 completeness bound
     // applies: EVERY true pair within 3 edits must be found. Ground truth
