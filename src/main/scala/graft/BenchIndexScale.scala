@@ -150,6 +150,22 @@ object BenchIndexScale {
       }
       rows += (("mediaIncremental", k, seenSize, bMed, median(medSecs)))
 
+      // --- q164 edit distance: poly-31 trigram-hash index built once,
+      // probe-keyed; the verify side reads seen TEXT by id (checkpointed,
+      // id-keyed — the production seenDocs table stand-in) ---
+      val (bEdit, editIdx) = time {
+        Dedup.buildEditIndex(seen, "doc_id", "text")
+          .repartition(col("gh")).localCheckpoint()
+      }
+      val seenTexts = seen.select("doc_id", "text")
+        .repartition(col("doc_id")).localCheckpoint()
+      val editSecs = (1 to runs).map { _ =>
+        time(Dedup.editDistanceIncremental(batch2, seenTexts, editIdx,
+          "doc_id", "text", maxEdits = 3)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("editDistanceIncremental", k, seenSize, bEdit, median(editSecs)))
+
       // --- q145 cosine: sign-LSH index (bands + stored vecs) built once,
       // each table probe-keyed. Replicas are CIRCULARLY SHIFTED (shifts of
       // a random vector are near-orthogonal), not rescaled — rescale is
