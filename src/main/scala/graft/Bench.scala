@@ -93,7 +93,11 @@ object Bench {
     // 10x) — fall back to a single timed pass and let the warm-up stand in
     // as a second sample.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val effRuns = if (warmupTotal > 240.0) 1 else math.max(1, runs)
+    // the fallback threshold is env-tunable ONLY so the degraded-line shape
+    // is demonstrable on a healthy host (BENCH_NOTES); production default 240
+    val degradeSec = sys.env.getOrElse("SPARK_GRAFT_DEGRADE_SEC", "240").toDouble
+    val degraded = warmupTotal > degradeSec
+    val effRuns = if (degraded) 1 else math.max(1, runs)
     val passes: Seq[Map[String, Double]] =
       (1 to effRuns).map(i => onePass(shuffled(2000L + i)).toMap)
 
@@ -195,8 +199,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // a degraded run must SELF-DESCRIBE in the artifact of record: the r8
+    // driver line carried runs:1 silently and its face-value numbers read
+    // 1.3-3.6x inflated until a judge cross-referenced the ledger. The flag
+    // plus the warm-up total that triggered the fallback survive every rung
+    // of the degrade ladder (they are scalars, ~45 chars).
+    val degradedTag =
+      if (degraded) s""","degraded":true,"warmup_total":${msTrim(warmupTotal, 1)}"""
+      else ""
     def line(qs: String, iso: String): String =
-      s"""{"metric":"total","value":${msTrim(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"isolated":$iso,"sf":"$sfName","runs":$effRuns,"stat":"median"}"""
+      s"""{"metric":"total","value":${msTrim(total, 2)},"unit":"sec","n_queries":${results.size},"queries":$qs,"isolated":$iso,"sf":"$sfName","runs":$effRuns$degradedTag,"stat":"median"}"""
     val candidates = Seq(
       line(qsAt(2), isoShort), line(qsAt(1), isoShort),
       line(qsAt(1), "{}"), line("{}", "{}"))

@@ -260,6 +260,44 @@ object TextQueries {
         .orderBy("batch_id", "seen_id")
     },
 
+    // Chained incremental edit-distance (the q138/q139/q155/q156 pattern on
+    // the character modality — the last member of the incremental family to
+    // get a driver-verified chain): batch 1 probes the seen trigram index
+    // and plants 1-edit variants of seen docs; the index advances on
+    // batch-1 survivors via the NAMED advanceEditIndex (survivor text
+    // appended to seenDocs); batch 2 plants 3-edit variants of batch-1
+    // FRESH docs — caught only via the advanced index + seenDocs.
+    "q165_edit_distance_chain" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val seen = d.filter(col("doc_id") < 300)
+      val b1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .unionByName(seen.filter(col("doc_id") % 5 === 0).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 3), lit("Z"),
+            expr("substring(text, 5)")).as("text")))
+      val b2 = d.filter(col("doc_id") >= 400)
+        .unionByName(d.filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+            col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+      val idx = Dedup.buildEditIndex(seen, "doc_id", "text")
+      val p1 = Dedup.editDistanceIncremental(b1, seen, idx, "doc_id", "text",
+          maxEdits = 3)
+        .localCheckpoint() // 2 consumers: output union + survivor anti-join
+      val survivors = b1.join(
+        p1.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val p2 = Dedup.editDistanceIncremental(b2,
+        seen.unionByName(survivors),
+        Dedup.advanceEditIndex(idx, survivors, "doc_id", "text"),
+        "doc_id", "text", maxEdits = 3)
+      p1.withColumn("batch", lit(1))
+        .unionByName(p2.withColumn("batch", lit(2)))
+        .select(col("batch"), col("batch_id"), col("seen_id"),
+          col("edits").cast("long").as("edits"))
+        .orderBy("batch", "batch_id", "seen_id")
+    },
+
     // asymmetric sub-document containment |A∩B|/|A| over distinct word
     // 3-grams: the subset-duplicate detector symmetric Jaccard misses (an
     // excerpt embedded in a longer doc scores ~0 Jaccard, 1.0 containment).
@@ -1281,6 +1319,73 @@ object TextQueries {
         |SELECT batch_id, seen_id, CAST(edits AS BIGINT) AS edits
         |FROM v WHERE edits <= 3
         |ORDER BY batch_id, seen_id""".stripMargin,
+
+    // q165: the q164 probe rule chained over three sides (seen 's',
+    // batch-1 'x', batch-2 'y') — the q155 shape on the character
+    // modality. Probe 1 = s×x via the poly-31 trigram hash; batch-1
+    // survivors join the index AND the text side; probe 2 =
+    // (s ∪ surviving x)×y — the advanceEditIndex rule replayed.
+    "q165_edit_distance_chain" ->
+      """WITH corpus AS (
+        |  SELECT 's' AS side, doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT 'x', doc_id, text FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 400
+        |  UNION ALL
+        |  SELECT 'x', doc_id + 1000000, substr(text, 1, 3) || 'Z' || substr(text, 5)
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 300
+        |  UNION ALL
+        |  SELECT 'y', doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT 'y', doc_id + 2000000, text || ' zz' FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 400 AND doc_id % 4 = 0),
+        |t AS (
+        |  SELECT side, doc_id AS id, text, length(text) AS len,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM corpus),
+        |g AS (
+        |  SELECT DISTINCT side, id,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, length(gram)+1), i -> ascii(substr(gram,i,1))::BIGINT)),
+        |           (acc,x) -> (acc*31+x) % 1000000007) AS gh
+        |  FROM (SELECT side, id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |          THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |          ELSE [array_to_string(toks, ' ')] END)) AS gram FROM t)),
+        |p1 AS (
+        |  SELECT batch_id, seen_id, edits FROM (
+        |    SELECT c.batch_id, c.seen_id, levenshtein(b.text, s.text) AS edits
+        |    FROM (SELECT DISTINCT b.id AS batch_id, s.id AS seen_id
+        |          FROM g b JOIN g s ON b.gh = s.gh
+        |          WHERE b.side = 'x' AND s.side = 's') c
+        |    JOIN t b ON b.id = c.batch_id AND b.side = 'x'
+        |    JOIN t s ON s.id = c.seen_id AND s.side = 's'
+        |    WHERE abs(b.len - s.len) <= 3)
+        |  WHERE edits <= 3),
+        |surv AS (
+        |  SELECT DISTINCT id FROM t WHERE side = 'x'
+        |    AND id NOT IN (SELECT batch_id FROM p1)),
+        |idx2 AS (
+        |  SELECT id, gh FROM g WHERE side = 's'
+        |  UNION ALL
+        |  SELECT g.id, g.gh FROM g JOIN surv ON g.id = surv.id WHERE g.side = 'x'),
+        |s2 AS (
+        |  SELECT id, text, len FROM t WHERE side = 's'
+        |  UNION ALL
+        |  SELECT t.id, t.text, t.len FROM t JOIN surv ON t.id = surv.id
+        |  WHERE t.side = 'x'),
+        |p2 AS (
+        |  SELECT batch_id, seen_id, edits FROM (
+        |    SELECT c.batch_id, c.seen_id, levenshtein(b.text, s.text) AS edits
+        |    FROM (SELECT DISTINCT b.id AS batch_id, s.id AS seen_id
+        |          FROM g b JOIN idx2 s ON b.gh = s.gh WHERE b.side = 'y') c
+        |    JOIN t b ON b.id = c.batch_id AND b.side = 'y'
+        |    JOIN s2 s ON s.id = c.seen_id
+        |    WHERE abs(b.len - s.len) <= 3)
+        |  WHERE edits <= 3)
+        |SELECT 1 AS batch, batch_id, seen_id, CAST(edits AS BIGINT) AS edits FROM p1
+        |UNION ALL
+        |SELECT 2 AS batch, batch_id, seen_id, CAST(edits AS BIGINT) AS edits FROM p2
+        |ORDER BY batch, batch_id, seen_id""".stripMargin,
 
     "q141_containment_pairs" ->
       """WITH corpus AS (

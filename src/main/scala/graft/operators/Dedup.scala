@@ -263,8 +263,7 @@ object Dedup {
     * the seen corpus. Candidates come from the stored trigram index; the
     * exact verify joins the seen TEXT by id (a uniform-key lookup — the
     * [[fuzzyDedupIncremental]] seenDocs contract: the corpus is read, not
-    * re-tokenized). Advance with
-    * `index.unionByName(buildEditIndex(survivors)).distinct` and append
+    * re-tokenized). Advance with [[advanceEditIndex]] and append
     * survivors to seenDocs. Same completeness bound as
     * [[editDistancePairs]] (an intact shared trigram above 6·maxEdits + 2
     * tokens).
@@ -294,6 +293,19 @@ object Dedup {
       .filter(col("edits") >= 0 && col("edits") <= maxEdits)
       .select("batch_id", "seen_id", "edits")
   }
+
+  /** Advance the edit-distance trigram index: append the accepted batch
+    * survivors' (gh, id) rows. Pure union — the existing index rows are
+    * never read, so chaining batches costs O(batch) per advance (the
+    * [[advanceSimhashIndex]] contract). Survivor ids are new to the index
+    * (they were not seen before this batch), so the union stays distinct
+    * without a corpus-wide re-shuffle; even a duplicated (gh, id) row would
+    * be harmless — [[editDistanceIncremental]] DISTINCTs candidates before
+    * any text ships. Callers also append survivors to seenDocs (the text
+    * side the exact verify reads). */
+  def advanceEditIndex(seenIndex: DataFrame, survivors: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    seenIndex.unionByName(buildEditIndex(survivors, idCol, textCol))
 
   /** Benchmark decontamination: flag every training document that shares at
     * least `minShared` DISTINCT word `k`-grams with any eval-set document

@@ -91,6 +91,23 @@ class IndexPersistenceSpec extends SparkSpec {
     // non-vacuous: the planted exact clones land at edits 0
     assert(mem.exists(_.contains(",0]")) || mem.nonEmpty,
       s"clones must be caught: ${mem.take(3)}")
+    // the ADVANCED index (advanceEditIndex on the batch survivors) is the
+    // frame a chained pipeline persists between runs — same contract
+    val survivors = batchDocs.join(
+      Dedup.editDistanceIncremental(batchDocs, seenDocs, idx, "doc_id",
+          "text", maxEdits = 3)
+        .select(col("batch_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val idx2 = Dedup.advanceEditIndex(idx, survivors, "doc_id", "text")
+    val seen2 = seenDocs.unionByName(survivors)
+    val b2 = survivors.limit(20).select(
+      (col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val mem2 = rows(Dedup.editDistanceIncremental(b2, seen2, idx2,
+      "doc_id", "text", maxEdits = 3))
+    val disk2 = rows(Dedup.editDistanceIncremental(b2, seen2,
+      roundTrip(idx2, "edit2"), "doc_id", "text", maxEdits = 3))
+    assert(disk2 === mem2)
+    assert(mem2.nonEmpty, "clones of batch-1 survivors must hit the advanced index")
   }
 
   test("media perceptual-hash index survives a parquet round-trip bit-for-bit") {

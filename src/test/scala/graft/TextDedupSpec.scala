@@ -251,7 +251,7 @@ class DedupSpec extends SparkSpec {
     // advance: the fresh survivor joins the index + seenDocs; a later twin
     // of it is caught ONLY via the advanced state
     val surv = batch.filter(col("doc_id") === 12L)
-    val idx2 = idx.unionByName(Dedup.buildEditIndex(surv, "doc_id", "text")).distinct()
+    val idx2 = Dedup.advanceEditIndex(idx, surv, "doc_id", "text")
     val seen2 = seen.unionByName(surv)
     val b2 = Seq((20L, fresh + " x")).toDF("doc_id", "text") // 2 appended chars
     assert(Dedup.editDistanceIncremental(b2, seen, idx, "doc_id", "text", 3).isEmpty)
