@@ -400,6 +400,74 @@ object PrepQueries {
         .orderBy("modality", "batch", "doc_id")
     },
 
+    // WebDataset MULTIMODAL FUNNEL — the media analog of the q159 training-
+    // order capstone, and the one query that drives the CONTAINER path end
+    // to end: synthetic BMP crawl → real tar-shard export (ustar headers,
+    // byte-budget cuts) → container read-back → REAL BMP parse → aHash
+    // fingerprint → q158 incremental media dedup (seen index, batch probe,
+    // hamming <= 1) → survivor re-export from the CONTAINER BYTES (never
+    // re-rendered) → per-shard landed manifest. The oracle replays the
+    // logical pipeline (generator → hash → dedup → mix2 layout → 2048-byte
+    // tar entry arithmetic → shard cuts); the tar bytes themselves are
+    // covered by WebDatasetSpec's byte-identity assertions.
+    //
+    // Scale shape: each stage is the production one — shard export streams
+    // per task (no single-partition window in the byte cumsum), the probe
+    // broadcasts the batch against the stored index, and the re-export
+    // reads container bytes by key join (two uniform-key joins), so the
+    // funnel never holds media bytes in more than one shuffle at a time.
+    // BMP fixture (not PNG) because the uncompressed payload makes the
+    // manifest byte math engine-portable: every member is 1142 bytes →
+    // one 2048-byte tar entry; n_bytes = 2048·n + 1024 terminator.
+    "q167_webdataset_funnel" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.sources.WebDataset
+      val scratch = java.nio.file.Paths.get(graft.Bench.scratchDir())
+      val raw = java.nio.file.Files.createTempDirectory(scratch, "graft_q167_raw_").toString
+      val dedup = java.nio.file.Files.createTempDirectory(scratch, "graft_q167_dedup_").toString
+      // crawl landing: one synthetic BMP per doc. Fresh seeds go to BATCH
+      // items only (the q158 shape): the affine generator's aHash manifold
+      // has only 256 points, so a fresh-seeded SEEN side would cover it
+      // with hamming-1 balls and no batch item could survive at sf0.1.
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = if (id % 3 != 0 && id % 7 == 3) 100000L + id else id % 37
+          (id, Multimodal.syntheticBmpGray8(seed, 8, 8))
+        }).toDF("doc_id", "bmp")
+      WebDataset.writeShards(media, raw, col("doc_id"),
+        Seq("bmp" -> col("bmp")), maxBytesPerShard = 65536L)
+      // container read-back → real parser → fingerprint; ONE decode pass
+      // feeds seen/batch/probe (the q158/q146 lineage rule)
+      val hashed = WebDataset.read(s, raw)
+        .select(col("key").cast("long").as("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val (_, _, px) = Multimodal.decodeBmpGray8(bytes)
+          val (hi, lo) = Multimodal.aHash64(px)
+          (id, hi, lo)
+        }).toDF("doc_id", "hi", "lo").localCheckpoint()
+      val seen = hashed.filter(col("doc_id") % 3 === 0)
+      val batch = hashed.filter(col("doc_id") % 3 =!= 0)
+      val idx = Multimodal.buildMediaIndex(seen, "doc_id", "hi", "lo",
+        32, 32, "img")
+      val dupIds = Multimodal.mediaIncrementalPairs(batch, idx, "doc_id",
+          "hi", "lo", 32, 32, "img", maxHamming = 1)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val keepIds = seen.select("doc_id").unionByName(
+        batch.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti"))
+      // survivor re-export straight from the container bytes
+      val survivors = WebDataset.read(s, raw)
+        .select(col("key").cast("long").as("doc_id"), col("content"))
+        .join(keepIds, Seq("doc_id"))
+      WebDataset.writeShards(survivors, dedup, col("doc_id"),
+          Seq("bmp" -> col("content")), maxBytesPerShard = 65536L)
+        .select(col("shard").cast("long").as("shard"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("n_bytes").cast("long").as("n_bytes"))
+        .orderBy("shard")
+    },
+
     // MEDIA decontamination — q74's train-x-eval overlap rule for the
     // perceptual modality: every training image within hamming <= 1 of an
     // eval-set image is flagged (an eval screenshot leaked into the crawl
@@ -818,6 +886,54 @@ object PrepQueries {
         |       FROM b2 b LEFT JOIN a2 a ON b.modality = a.modality AND b.doc_id = a.doc_id)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |ORDER BY modality, batch, doc_id""".stripMargin,
+
+    // q167: the q158 aHash CTEs under the q163 fresh-seed rule (the BMP
+    // pixel generator is the same affine map), one seen-vs-batch probe at
+    // hamming <= 1, survivors laid out in (mix2, id) order — the
+    // bucketedCumSum global order — with constant 2048-byte tar entries
+    // (1142-byte BMP -> 3 data blocks + header), shard = byte-budget cut,
+    // manifest n_bytes = 2048*n + 1024-byte terminator.
+    "q167_webdataset_funnel" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |iseed AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 3
+        |                      THEN 100000 + doc_id ELSE doc_id % 37 END AS seed
+        |  FROM ids),
+        |ipx AS (
+        |  SELECT doc_id, (seed*31 + y.y*8 + x.x) * 17 % 256 AS p,
+        |         y.y*8 + x.x AS i
+        |  FROM iseed, (SELECT unnest(range(8)) AS x) x, (SELECT unnest(range(8)) AS y) y),
+        |itot AS (SELECT doc_id, SUM(p) AS s FROM ipx GROUP BY doc_id),
+        |h AS (
+        |  SELECT ipx.doc_id,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i >= 32
+        |                       THEN (1::BIGINT << (ipx.i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i < 32
+        |                       THEN (1::BIGINT << ipx.i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM ipx JOIN itot t ON ipx.doc_id = t.doc_id GROUP BY ipx.doc_id),
+        |seen AS (SELECT * FROM h WHERE doc_id % 3 = 0),
+        |b AS (SELECT * FROM h WHERE doc_id % 3 <> 0),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id FROM b JOIN seen s
+        |  ON bit_count(xor(b.hi, s.hi)) + bit_count(xor(b.lo, s.lo)) <= 1),
+        |keep AS (
+        |  SELECT doc_id FROM seen
+        |  UNION ALL
+        |  SELECT doc_id FROM b WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+        |mixed AS (
+        |  SELECT doc_id,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS mx
+        |  FROM keep),
+        |rn AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY mx, doc_id) AS r FROM mixed),
+        |sh AS (SELECT doc_id,
+        |              DENSE_RANK() OVER (ORDER BY (2048 * (r - 1)) // 65536) - 1 AS shard
+        |       FROM rn)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(2048 * COUNT(*) + 1024 AS BIGINT) AS n_bytes
+        |FROM sh GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     "q87_vocab_encode" ->
       """WITH t AS (
