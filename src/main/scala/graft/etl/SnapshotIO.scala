@@ -50,8 +50,8 @@ object SnapshotIO {
     * rename staging in, delete the old copy last; on rename failure the old
     * target is restored, and failed writes clean their staging instead of
     * orphaning a full copy. */
-  private def stagedSwap(spark: SparkSession, dir: String)
-                        (write: String => Unit): Unit = {
+  private[graft] def stagedSwap(spark: SparkSession, dir: String)
+                               (write: String => Unit): Unit = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = dir + ".staging-" + token
     val f = fs(spark, dir)

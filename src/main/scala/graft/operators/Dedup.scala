@@ -201,9 +201,15 @@ object Dedup {
     * a token boundary), each altered token invalidates ≤ 3 trigram
     * windows — so two docs within k edits still share an intact trigram
     * whenever the doc has more than 6·maxEdits + 2 tokens; shorter docs
-    * need an exact pass (the [[jaccardPairs]] honesty posture). Blocking
-    * recall is a corpus property, never a silent loss: the planted-pair
-    * spec pins it on the fixture.
+    * need an exact pass — and `shortDocExact = true` RUNS it: every doc at
+    * or under the token bound additionally pairs with every doc in its
+    * own or an adjacent (maxEdits+1)-wide character-length bucket (the
+    * sound length-gap band, no trigram required), so no under-bound pair
+    * can be lost to blocking. Cost is quadratic only within a length band
+    * of the short-doc subpopulation (titles, queries — cheap rows by
+    * construction); leave it off when every doc clears the bound.
+    * Blocking recall above the bound is a corpus property, never a silent
+    * loss: the planted-pair spec pins it on the fixture.
     *
     * Scale shape: one distinct-shingle explode (id in the key), the
     * inverted self-join (a viral boilerplate shingle funnels its
@@ -214,7 +220,8 @@ object Dedup {
     * before the DP runs. The DP is the only per-pair cost and is banded
     * by the threshold. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        maxEdits: Int, dfMaxFraction: Double = 1.0): DataFrame = {
+                        maxEdits: Int, dfMaxFraction: Double = 1.0,
+                        shortDocExact: Boolean = false): DataFrame = {
     require(maxEdits >= 0, s"maxEdits must be >= 0: $maxEdits")
     val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"),
       length(col(textCol)).as("__len"))
@@ -228,10 +235,32 @@ object Dedup {
           .filter(col("df") > lit(nDocs * dfMaxFraction)).select("tok")
         toks.join(hubs, Seq("tok"), "left_anti")
       }
-    val cand = kept.as("a").join(kept.as("b"), "tok")
+    val blocked = kept.as("a").join(kept.as("b"), "tok")
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val cand =
+      if (!shortDocExact) blocked
+      else {
+        // the exact escape for docs under the 6k+2-token completeness
+        // bound: band every SHORT doc against its own and both adjacent
+        // (maxEdits+1)-wide char-length buckets — |len gap| <= maxEdits
+        // implies a shared bucket, so the band is a superset of every
+        // length-feasible pair touching a short doc
+        val bound = 6 * maxEdits + 2
+        val bw = maxEdits + 1
+        val bkt = floor(col("__len") / lit(bw)).cast("long")
+        val shortB = docs
+          .filter(size(graft.functions.Text.tokens(col("__t"))) <= bound)
+          .select(col("id"),
+            explode(array(bkt - 1, bkt, bkt + 1)).as("__bk"))
+        val allB = docs.select(col("id").as("id2"), bkt.as("__bk"))
+        val exactCand = shortB.join(allB, "__bk")
+          .filter(col("id") =!= col("id2"))
+          .select(least(col("id"), col("id2")).as("id_a"),
+            greatest(col("id"), col("id2")).as("id_b"))
+        blocked.unionByName(exactCand).distinct()
+      }
     cand
       .join(docs.select(col("id").as("id_a"), col("__t").as("__ta"),
         col("__len").as("__la")), "id_a")

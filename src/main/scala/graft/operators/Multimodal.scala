@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -465,7 +465,18 @@ object Multimodal {
       s"hiBits/loBits must be even and in 2..32, got $hiBits/$loBits")
     val hiMask = (1L << (hiBits / 2)) - 1L
     val loMask = (1L << (loBits / 2)) - 1L
-    hashed.select(col(idCol).cast("long").as("id"),
+    // the id contract is NUMERIC. Malformed strings fail the ANSI cast
+    // loudly on their own; a NULL id (or a non-ANSI session's failed cast)
+    // would slip through as null, match no probe, report every item fresh,
+    // and fill the persisted index with null ids (silent degradation) —
+    // refuse per row instead, the hiBits-require posture (one codegen
+    // branch, no extra action)
+    val idL = col(idCol).cast("long")
+    val idChecked = when(idL.isNull, raise_error(concat(
+        lit(s"mediaChunks: id column '$idCol' must be numeric and non-null, got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(idL)
+    hashed.select(idChecked.as("id"),
         col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
       .select(col("id"), col("hi"), col("lo"), lit(modality).as("modality"),
         posexplode(array(
@@ -591,11 +602,12 @@ object Multimodal {
     * epoch-ledger DSv2 sink (`format("graft-sink")`, SinkV2) remains the
     * multi-writer/transactional upgrade path. The per-batch probe drops
     * the partition column before joining, so the stored layout is
-    * invisible to the probe contract. Compaction note: folding many small
-    * batch_id partitions into one is safe ONLY at a replay barrier (after
-    * the streaming checkpoint has committed past those batches) — a
-    * replay of batch N after its partition was folded into an earlier id
-    * would see its own rows as pre-batch index state. */
+    * invisible to the probe contract. Compaction: [[compactMediaIndex]]
+    * folds partitions strictly below a caller-owned replay barrier into
+    * the batch_id=-1 pre-history partition (folding a batch the
+    * checkpoint could still replay would make a replayed batch read its
+    * own rows as pre-batch index state — the strict `<` refuses that by
+    * construction). Seed external history with [[seedMediaIndex]]. */
   def mediaDedupBatch(indexDir: String, reportDir: String, idCol: String,
                       hiCol: String, loCol: String, hiBits: Int, loBits: Int,
                       modality: String, maxHamming: Int = 3)
@@ -614,16 +626,23 @@ object Multimodal {
     // would self-contaminate the probe (its survivors would read as dups,
     // and the re-written partition would shrink). Streaming replays are
     // monotone (batch N re-runs only before N+1 commits), so the
-    // batch_id < batchId cut is exactly the pre-batch state. An externally
-    // seeded index without the partition column reads whole.
+    // batch_id < batchId cut is exactly the pre-batch state. Externally
+    // seeded indexes MUST carry the batch_id=-1 partition ([[seedMediaIndex]]):
+    // a non-partitioned seed would read whole for batch 0, but batch 0's
+    // survivor append then leaves root data files next to batch_id=0/ and
+    // every later read fails partition discovery (conflicting structures) —
+    // refuse up front instead of corrupting the dir.
     val idx =
       if (!hasIndex)
         buildMediaIndex(batch.limit(0), idCol, hiCol, loCol, hiBits, loBits, modality)
       else {
         val raw = spark.read.parquet(indexDir)
-        if (raw.columns.contains("batch_id"))
-          raw.filter(col("batch_id") < batchId).drop("batch_id")
-        else raw
+        require(raw.columns.contains("batch_id"),
+          s"mediaDedupBatch: index at $indexDir has no batch_id partition " +
+            "column; seed external indexes with seedMediaIndex (writes the " +
+            "batch_id=-1 partition) — a flat seed would break partition " +
+            "discovery after the first survivor append")
+        raw.filter(col("batch_id") < batchId).drop("batch_id")
       }
     // one pass over the (bounded) batch feeds probe + report + advance:
     // cut the upstream lineage once so the three consumers don't recompute
@@ -651,6 +670,50 @@ object Multimodal {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexDir)
+  }
+
+  /** Seed a [[mediaDedupBatch]] index directory from an externally built
+    * index frame ([[buildMediaIndex]] output — e.g. the one-time backfill
+    * over the historical corpus): the rows land under the `batch_id=-1`
+    * partition, so every micro-batch's `batch_id < batchId` probe cut
+    * (batchId ≥ 0) includes the seed, and survivor appends never mix root
+    * files with partition dirs. */
+  def seedMediaIndex(index: DataFrame, indexDir: String): Unit =
+    index.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexDir)
+
+  /** Fold the per-batch partitions of a [[mediaDedupBatch]] index that lie
+    * STRICTLY BELOW `upToBatchId` into the `batch_id=-1` pre-history
+    * partition (the [[seedMediaIndex]] convention) — the compaction the
+    * sink's scaladoc prescribes, as code. A streaming index accretes one
+    * small partition per micro-batch; scan cost grows with file count, not
+    * rows, until this folds them.
+    *
+    * `upToBatchId` is the REPLAY BARRIER and the caller must own it: pass
+    * the smallest batch id the streaming checkpoint could still replay
+    * (i.e. compact only batches whose successors have committed). Folding
+    * AT or ABOVE the barrier is refused by construction (strict `<`): if a
+    * replayed batch N found its own rows folded into batch_id=-1, the
+    * probe's `batch_id < N` cut would read batch N's own survivors as
+    * pre-batch state and misreport them as dups.
+    *
+    * Whole-directory staged swap ([[graft.etl.SnapshotIO]] discipline):
+    * the folded layout writes to a staging dir and renames in — a crash
+    * mid-compaction leaves the live index untouched, never half-folded. */
+  def compactMediaIndex(spark: SparkSession, indexDir: String,
+                        upToBatchId: Long): Unit = {
+    require(upToBatchId >= 0,
+      s"compactMediaIndex: upToBatchId must be >= 0, got $upToBatchId")
+    val raw = spark.read.parquet(indexDir)
+    require(raw.columns.contains("batch_id"),
+      s"compactMediaIndex: $indexDir has no batch_id partition column — " +
+        "not a mediaDedupBatch index (seed external indexes with seedMediaIndex)")
+    val folded = raw.withColumn("batch_id",
+      when(col("batch_id") < upToBatchId, lit(-1L)).otherwise(col("batch_id")))
+    graft.etl.SnapshotIO.stagedSwap(spark, indexDir)(staging =>
+      folded.write.partitionBy("batch_id").mode("overwrite").parquet(staging))
   }
 
   /** Fixture builder: wrap a text column as binary "media" (UTF-8) so the

@@ -1107,6 +1107,27 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.buildMediaIndex(seen, "doc_id", "hi", "lo", 33, 32, "img")
     }
+    // the NUMERIC id contract refuses per row, never silently nulls: a
+    // non-parsing string id fails the ANSI cast loudly; a NULL id (which
+    // ANSI passes through) hits the in-row guard — either way nothing can
+    // match no probe and fill the stored index with null ids (the
+    // gramKeys loud-rejection posture)
+    val badIds = Seq(("img_1", 5L, 9L)).toDF("doc_id", "hi", "lo")
+    val castErr = intercept[Exception] {
+      Multimodal.buildMediaIndex(badIds, "doc_id", "hi", "lo", 32, 32, "img").collect()
+    }
+    assert(castErr.getMessage.contains("CAST_INVALID_INPUT") ||
+      castErr.getMessage.contains("must be numeric"), castErr.getMessage)
+    val nullIds = Seq((None: Option[Long], 5L, 9L)).toDF("doc_id", "hi", "lo")
+    val nullErr = intercept[Exception] {
+      Multimodal.buildMediaIndex(nullIds, "doc_id", "hi", "lo", 32, 32, "img").collect()
+    }
+    assert(nullErr.getMessage.contains("must be numeric"), nullErr.getMessage)
+    // numeric STRINGS still parse — the contract is the value, not the type
+    val okIds = Multimodal.buildMediaIndex(
+      Seq(("7", 5L, 9L)).toDF("doc_id", "hi", "lo"),
+      "doc_id", "hi", "lo", 32, 32, "img")
+    assert(okIds.select("id").distinct().as[Long].collect().toSeq === Seq(7L))
   }
 
   test("mediaPairs: self-pairs with exact hamming; maxBucket drops viral chunks, not quiet pairs") {

@@ -344,6 +344,63 @@ class StreamingSpec extends SparkSpec {
       "replaying batch 1 must not duplicate index rows")
   }
 
+  test("media index lifecycle: seeded pre-history probes, flat seeds refuse, compaction folds below the replay barrier") {
+    import graft.operators.Multimodal
+    val base = Files.createTempDirectory("stream_media_life").toString
+    val (idxDir, repDir) = (s"$base/index", s"$base/report")
+    // external backfill enters via seedMediaIndex (batch_id=-1 partition)
+    val seedIdx = Multimodal.buildMediaIndex(
+      Seq((100L, 5L, 9L), (101L, 300L, 400L)).toDF("id", "hi", "lo"),
+      "id", "hi", "lo", 32, 32, "img")
+    Multimodal.seedMediaIndex(seedIdx, idxDir)
+    def run(batch: Seq[(Long, Long, Long)], id: Long): Unit =
+      Multimodal.mediaDedupBatch(idxDir, repDir, "id", "hi", "lo", 32, 32,
+        "img", maxHamming = 1)(batch.toDF("id", "hi", "lo"), id)
+    // batch 0: 1 duplicates the SEED, 2 fresh; batch 1's read-after-append
+    // is exactly where a flat seed used to break partition discovery
+    run(Seq((1L, 5L, 9L), (2L, 50L, 60L)), 0L)
+    run(Seq((3L, 50L, 60L), (4L, 70L, 80L)), 1L)
+    run(Seq((5L, 70L, 80L), (6L, 90L, 95L)), 2L)
+    def report(): Seq[(Long, Long, Boolean, Option[Long])] =
+      spark.read.parquet(repDir).select("batch_id", "id", "is_dup", "min_seen_id")
+        .as[(Long, Long, Boolean, Option[Long])].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = Seq(
+      (0L, 1L, true, Some(100L)), (0L, 2L, false, None),
+      (1L, 3L, true, Some(2L)), (1L, 4L, false, None),
+      (2L, 5L, true, Some(4L)), (2L, 6L, false, None))
+    assert(report() === expected)
+    // a FLAT (non-partitioned) external seed refuses loudly up front
+    val flat = Files.createTempDirectory("stream_media_flat").toString
+    seedIdx.write.parquet(s"$flat/index")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.mediaDedupBatch(s"$flat/index", s"$flat/report",
+        "id", "hi", "lo", 32, 32, "img")(Seq((1L, 5L, 9L)).toDF("id", "hi", "lo"), 0L)
+    }
+    assert(e.getMessage.contains("seedMediaIndex"))
+    // compaction below the replay barrier: seed + batches 0,1 fold into
+    // batch_id=-1; batch 2 (still replayable) keeps its own partition;
+    // the row multiset is untouched
+    def idxRows(): Seq[String] = spark.read.parquet(idxDir).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    val beforeRows = idxRows()
+    Multimodal.compactMediaIndex(spark, idxDir, upToBatchId = 2L)
+    val parts = new java.io.File(idxDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts === Set("batch_id=-1", "batch_id=2"), s"got $parts")
+    assert(idxRows() === beforeRows, "compaction must not change index rows")
+    // SAFE replay: batch 2 re-runs after compaction of EARLIER batches —
+    // its probe cut (batch_id < 2) now reads the folded pre-history and
+    // the report/index land identically. (The UNSAFE case the strict <
+    // barrier refuses by construction: compacting upTo=3 would fold batch
+    // 2's OWN survivors into pre-history, and this very replay would then
+    // read item 6 as a pre-batch dup of itself.)
+    run(Seq((5L, 70L, 80L), (6L, 90L, 95L)), 2L)
+    assert(report() === expected, "replay after safe compaction must be a no-op")
+    assert(idxRows() === beforeRows)
+    intercept[IllegalArgumentException](
+      Multimodal.compactMediaIndex(spark, idxDir, upToBatchId = -1L))
+  }
+
   test("foreachBatch upsert sink converges to merge semantics across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_upsert").toString + "/target"

@@ -260,6 +260,35 @@ class DedupSpec extends SparkSpec {
     assert(hits2 === Seq((20L, 12L, 2)))
   }
 
+  test("editDistancePairs: shortDocExact recovers under-bound pairs trigram blocking misses") {
+    // 3-token docs sit far under the 6*maxEdits+2 = 20 bound: each yields
+    // ONE shingle (the whole string), a single edit changes it entirely,
+    // so blocking finds NO shared gram — the documented completeness hole
+    val a = "aa bb cc"
+    val b = "aa bb cX" // 1 substitution, same length
+    val c = "zz yy xx" // unrelated, same length (must NOT pair: DP kills it)
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, long1)).toDF("doc_id", "text")
+    val blockedOnly = Dedup.editDistancePairs(docs, "doc_id", "text", maxEdits = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(blockedOnly.isEmpty, s"blocking alone must miss the planted pair: $blockedOnly")
+    val exact = Dedup.editDistancePairs(docs, "doc_id", "text", maxEdits = 3,
+        shortDocExact = true)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(exact === Seq((1L, 2L, 1)), s"shortDocExact must recover (1,2,1): $exact")
+    // over-bound corpora are untouched by the knob: the randomized
+    // ground-truth fixture has >= 20-token docs only
+    val base = Seq((10L, long1), (11L, long1 + " extra"), (12L, long1.replace("pi", "pQ")))
+      .toDF("doc_id", "text")
+    val off = Dedup.editDistancePairs(base, "doc_id", "text", maxEdits = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    val on = Dedup.editDistancePairs(base, "doc_id", "text", maxEdits = 3,
+        shortDocExact = true)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(on === off, "the knob must not change over-bound results")
+  }
+
   test("editDistancePairs: randomized ground truth — 100 docs, planted k-edit variants, exact distances") {
     // docs have >= 20 tokens, so the 6*maxEdits+2 completeness bound
     // applies: EVERY true pair within 3 edits must be found. Ground truth
