@@ -520,8 +520,13 @@ object PrepQueries {
         // the decode DAG feeds the self-join's BOTH aliases plus the node
         // list — checkpoint once (the q158/q146 lineage rule)
         }).toDF("doc_id", "hi", "lo").localCheckpoint()
+      // dedupExactFirst: the ~37-seed fixture is ALL exact-dup mass
+      // (~13 copies per signature at sf0.01) — the pre-fold turns the
+      // chunk self-join quadratic-in-copies fan-out into one row per
+      // signature + a hamming-0 star; dupClusters components are
+      // closure-identical, so the hash-level oracle is unchanged
       val pairs = Multimodal.mediaPairs(hashed, "doc_id", "hi", "lo", 32, 32,
-        maxHamming = 1)
+        maxHamming = 1, dedupExactFirst = true)
       Dedup.dupClusters(hashed.select("doc_id"), "doc_id", pairs)
         .withColumn("kept", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")

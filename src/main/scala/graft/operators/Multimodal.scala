@@ -457,34 +457,43 @@ object Multimodal {
   // [[Dedup.simhashPairs]].
   // ---------------------------------------------------------------------
 
-  private def mediaChunks(hashed: DataFrame, idCol: String, hiCol: String,
-                          loCol: String, hiBits: Int, loBits: Int,
-                          modality: String): DataFrame = {
-    require(hiBits > 0 && hiBits <= 32 && hiBits % 2 == 0 &&
-      loBits > 0 && loBits <= 32 && loBits % 2 == 0,
-      s"hiBits/loBits must be even and in 2..32, got $hiBits/$loBits")
-    val hiMask = (1L << (hiBits / 2)) - 1L
-    val loMask = (1L << (loBits / 2)) - 1L
-    // the id contract is NUMERIC. Malformed strings fail the ANSI cast
-    // loudly on their own; a NULL id (or a non-ANSI session's failed cast)
-    // would slip through as null, match no probe, report every item fresh,
-    // and fill the persisted index with null ids (silent degradation) —
-    // refuse per row instead, the hiBits-require posture (one codegen
-    // branch, no extra action)
+  /** Normalized (id, hi, lo) signatures. The id contract is NUMERIC:
+    * malformed strings fail the ANSI cast loudly on their own; a NULL id
+    * (or a non-ANSI session's failed cast) would slip through as null,
+    * match no probe, report every item fresh, and fill the persisted index
+    * with null ids (silent degradation) — refuse per row instead, the
+    * hiBits-require posture (one codegen branch, no extra action). */
+  private def mediaSigs(hashed: DataFrame, idCol: String, hiCol: String,
+                        loCol: String): DataFrame = {
     val idL = col(idCol).cast("long")
     val idChecked = when(idL.isNull, raise_error(concat(
         lit(s"mediaChunks: id column '$idCol' must be numeric and non-null, got "),
         coalesce(col(idCol).cast("string"), lit("NULL")))))
       .otherwise(idL)
     hashed.select(idChecked.as("id"),
-        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
-      .select(col("id"), col("hi"), col("lo"), lit(modality).as("modality"),
-        posexplode(array(
-          shiftrightunsigned(col("hi"), hiBits / 2),
-          col("hi").bitwiseAND(lit(hiMask)),
-          shiftrightunsigned(col("lo"), loBits / 2),
-          col("lo").bitwiseAND(lit(loMask)))).as(Seq("chunk_idx", "chunk")))
+      col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
   }
+
+  /** Pigeonhole chunk rows of an ALREADY-normalized (id, hi, lo) frame. */
+  private def sigChunks(sigs: DataFrame, hiBits: Int, loBits: Int,
+                        modality: String): DataFrame = {
+    require(hiBits > 0 && hiBits <= 32 && hiBits % 2 == 0 &&
+      loBits > 0 && loBits <= 32 && loBits % 2 == 0,
+      s"hiBits/loBits must be even and in 2..32, got $hiBits/$loBits")
+    val hiMask = (1L << (hiBits / 2)) - 1L
+    val loMask = (1L << (loBits / 2)) - 1L
+    sigs.select(col("id"), col("hi"), col("lo"), lit(modality).as("modality"),
+      posexplode(array(
+        shiftrightunsigned(col("hi"), hiBits / 2),
+        col("hi").bitwiseAND(lit(hiMask)),
+        shiftrightunsigned(col("lo"), loBits / 2),
+        col("lo").bitwiseAND(lit(loMask)))).as(Seq("chunk_idx", "chunk")))
+  }
+
+  private def mediaChunks(hashed: DataFrame, idCol: String, hiCol: String,
+                          loCol: String, hiBits: Int, loBits: Int,
+                          modality: String): DataFrame =
+    sigChunks(mediaSigs(hashed, idCol, hiCol, loCol), hiBits, loBits, modality)
 
   /** The persisted perceptual-hash index of a seen media corpus: chunked
     * signatures (modality, chunk_idx, chunk, id, hi, lo) — 4 rows x ~44
@@ -508,34 +517,56 @@ object Multimodal {
     *
     * Scale shape: one chunk self-join — a viral chunk value (near-constant
     * images, silence-heavy audio) fans out quadratically inside its
-    * bucket. `maxBucket` caps it: chunk buckets holding more than that
-    * many items are DROPPED from candidate generation (the
-    * [[Dedup.jaccardPairs]] `dfMaxFraction` posture — an explicit,
-    * documented recall trade, never a silent one; a pair loses candidacy
-    * only if ALL FOUR of its shared chunks are viral, and exact-duplicate
-    * mass that viral should be folded by hash-equality grouping first).
-    * The incremental path (probe small batches against the stored index)
-    * is the other at-scale escape. */
+    * bucket. Two escapes, composable: `maxBucket` caps it — chunk buckets
+    * holding more than that many entries are DROPPED from candidate
+    * generation (the [[Dedup.jaccardPairs]] `dfMaxFraction` posture — an
+    * explicit, documented recall trade, never a silent one; a pair loses
+    * candidacy only if ALL FOUR of its shared chunks are viral). And
+    * `dedupExactFirst` folds exact-duplicate mass BEFORE the self-join:
+    * identical (hi, lo) classes collapse to their min-id representative,
+    * the chunk join runs over DISTINCT signatures only, and each class
+    * re-emits as a hamming-0 STAR on its representative — a viral
+    * exact-dup class of k items costs k−1 output rows and ONE join-side
+    * entry instead of C(k,2) bucket fan-out. The emitted pair set is then
+    * closure-EQUIVALENT, not equal: [[Dedup.dupClusters]] components (and
+    * min-id survivors) are identical because every in-class pair is
+    * bridged by the star and every cross-class pair by the representative
+    * edge (all members share the signature, so member-level hamming ==
+    * representative-level hamming). The incremental path (probe small
+    * batches against the stored index) is the other at-scale escape. */
   def mediaPairs(hashed: DataFrame, idCol: String, hiCol: String,
                  loCol: String, hiBits: Int, loBits: Int,
-                 maxHamming: Int = 3, maxBucket: Option[Long] = None): DataFrame = {
+                 maxHamming: Int = 3, maxBucket: Option[Long] = None,
+                 dedupExactFirst: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming exceeds the 4-chunk pigeonhole guarantee (<= 3); " +
         "chunk the signature finer instead")
-    val chunkedAll = mediaChunks(hashed, idCol, hiCol, loCol, hiBits, loBits, "self")
+    val sigs = mediaSigs(hashed, idCol, hiCol, loCol)
+    val (joinSide, starPairs) =
+      if (!dedupExactFirst) (sigs, None)
+      else {
+        val reps = sigs.groupBy("hi", "lo").agg(min("id").as("id"))
+        val stars = sigs.join(reps.withColumnRenamed("id", "__rep"), Seq("hi", "lo"))
+          .filter(col("id") =!= col("__rep"))
+          .select(col("__rep").as("id_a"), col("id").as("id_b"),
+            lit(0).as("hamming"))
+        (reps.select("id", "hi", "lo"), Some(stars))
+      }
+    val chunkedAll = sigChunks(joinSide, hiBits, loBits, "self")
     val chunked = maxBucket.fold(chunkedAll) { cap =>
       val hot = chunkedAll.groupBy("chunk_idx", "chunk")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("chunk_idx", "chunk")
       chunkedAll.join(hot, Seq("chunk_idx", "chunk"), "left_anti")
     }
-    chunked.as("a").join(chunked.as("b"), Seq("chunk_idx", "chunk"))
+    val near = chunked.as("a").join(chunked.as("b"), Seq("chunk_idx", "chunk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    starPairs.fold(near)(near.unionByName(_))
   }
 
   /** Batch-vs-seen perceptual near-dup pairs WITHOUT touching seen media:

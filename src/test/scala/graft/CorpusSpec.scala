@@ -1148,6 +1148,33 @@ class CorpusSpec extends SparkSpec {
     assert(capped === Seq((20L, 21L, 1)))
   }
 
+  test("mediaPairs dedupExactFirst: star pairs bound viral exact-dup cost, closure unchanged") {
+    import graft.operators.{Dedup, Multimodal}
+    // heavy exact-dup fixture: one viral signature with 200 copies, a
+    // hamming-1 neighbor of it, and a quiet unrelated pair
+    val viral = (1L to 200L).map(i => (i, 0x0F0F0F0FL, 0x33CC33CCL))
+    val near = Seq((300L, 0x0F0F0F0FL, 0x33CC33CDL)) // hamming 1 off viral
+    val quiet = Seq((400L, 0x12345678L, 0x01010101L),
+                    (401L, 0x12345678L, 0x01010100L))
+    val df = (viral ++ near ++ quiet).toDF("doc_id", "hi", "lo")
+    val full = Multimodal.mediaPairs(df, "doc_id", "hi", "lo", 32, 32,
+      maxHamming = 1)
+    val folded = Multimodal.mediaPairs(df, "doc_id", "hi", "lo", 32, 32,
+      maxHamming = 1, dedupExactFirst = true)
+    // output volume: C(200,2) + 200 + 1 + 1 unfolded vs 199 stars + 3
+    // signature-level pairs folded — the viral class costs k-1, not k^2/2
+    assert(full.count() === (200L * 199 / 2) + 200L + 1L)
+    assert(folded.count() === 199L + 1L + 1L)
+    // the star keeps every member attached to its representative at 0
+    assert(folded.filter(col("hamming") === 0 && col("id_a") === 1L).count() === 199L)
+    // closure equivalence: identical dupClusters components either way
+    def clusters(pairs: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Dedup.dupClusters(df.select("doc_id"), "doc_id", pairs)
+        .select("doc_id", "cluster_id").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(clusters(folded) === clusters(full))
+  }
+
   test("q159 training order: per-shard manifest conserves stage populations end-to-end") {
     import graft.operators.Packing
     val report = SparkEntry.queries("q159_training_order")(spark, sf).collect()
