@@ -2437,8 +2437,10 @@ out_$k AS (
     // q157: same dirtying; top = the MOST FREQUENT gram's c*len (row_number
     // ties toward longer grams), dup = the exact non-double-counting char
     // COVER of duplicated-gram occurrences (positions ride a struct
-    // unnest; cover dedup + lead() adjacency for interior spaces + exact
-    // token lengths); fractions one division each, -0.0 guarded.
+    // unnest; token positions k=0 and occurrence-INTERIOR space slots k=1
+    // dedup in one distinct — a space counts only when a single occurrence
+    // contains it, never the join between abutting spans); fractions one
+    // division each, -0.0 guarded.
     "q157_gopher_ngram_repetition" ->
       """WITH dirty AS (
         |  SELECT doc_id, text
@@ -2476,16 +2478,15 @@ out_$k AS (
         |    FROM t CROSS JOIN (SELECT unnest(range(5, 11)) AS n) n)),
         |dk AS (SELECT doc_id, n, gram FROM gd GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
         |occ AS (SELECT gd.doc_id, gd.n, gd.i FROM gd JOIN dk USING (doc_id, n, gram)),
-        |cov AS (SELECT DISTINCT doc_id, n, pos FROM
-        |          (SELECT doc_id, n, unnest(range(i, i + n)) AS pos FROM occ)),
-        |adj AS (SELECT doc_id, n, pos,
-        |          CASE WHEN lead(pos) OVER (PARTITION BY doc_id, n ORDER BY pos) = pos + 1
-        |               THEN 1 ELSE 0 END AS adj
-        |        FROM cov),
+        |cov AS (SELECT DISTINCT doc_id, n, k, pos FROM
+        |          (SELECT doc_id, n, 0 AS k, unnest(range(i, i + n)) AS pos FROM occ
+        |           UNION ALL
+        |           SELECT doc_id, n, 1 AS k, unnest(range(i, i + n - 1)) AS pos FROM occ)),
         |tl AS (SELECT doc_id, i - 1 AS pos, length(toks[i]) AS tl
         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
-        |md AS (SELECT a.doc_id, a.n, SUM(tl.tl) + SUM(a.adj) AS dupc
-        |       FROM adj a JOIN tl ON a.doc_id = tl.doc_id AND a.pos = tl.pos
+        |md AS (SELECT c.doc_id, c.n,
+        |              SUM(CASE WHEN c.k = 1 THEN 1 ELSE tl.tl END) AS dupc
+        |       FROM cov c JOIN tl ON c.doc_id = tl.doc_id AND c.pos = tl.pos
         |       GROUP BY 1, 2),
         |p AS (
         |  SELECT COALESCE(mt_p.doc_id, md_p.doc_id) AS doc_id, t2, t3, t4, d5, d6, d7, d8, d9, d10

@@ -1373,12 +1373,13 @@ object Dedup {
     * Duplicated-gram positions ride the count aggregate as a
     * collect_list (bounded by in-doc occurrences — never a corpus-side
     * re-join, the q146 lineage rule); the cover dedups token positions
-    * per (id, n), counts interior spaces via a lead() window partitioned
-    * by (id, n) (bounded by one document), and sums exact token lengths.
-    * The metric tables and the 9-way conditional-agg pivot are
+    * AND occurrence-interior space slots per (id, n) in one distinct
+    * (a space counts only when a single occurrence contains it — merged
+    * adjacency would overcount the join between abutting spans), then one
+    * aggregate sums exact token lengths plus spaces; no per-document
+    * window. The metric tables and the 9-way conditional-agg pivot are
     * count-table-sized. */
   def ngramRepetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Rounding.roundLikeC
     val toks = graft.functions.Text.tokens(col(textCol))
     // a doc shorter than n tokens contributes zero n-grams (sequence()
@@ -1415,18 +1416,29 @@ object Dedup {
       .agg(count(lit(1)).as("__c"), collect_list(col("__i")).as("__ps"))
       .filter(col("__c") >= 2)
       .select(col(idCol), col("__n"), explode(col("__ps")).as("__i"))
-    val cover = dupOcc
-      .select(col(idCol), col("__n"),
-        explode(sequence(col("__i"), col("__i") + col("__n") - 1)).as("pos"))
+    // one exploded frame carries BOTH cover kinds: k=0 token positions
+    // (i..i+n-1), k=1 interior space slots (i..i+n-2 — the space between
+    // token s and s+1, emitted only when a SINGLE occurrence contains it;
+    // deriving spaces from merged-cover adjacency instead would count the
+    // join between two merely-abutting occurrences, e.g. 'a b c d e a b c
+    // d e' scoring 19/19 instead of 18/19). distinct() then dedups across
+    // overlapping occurrences, and one aggregate sums token chars + spaces.
+    val coverAll = dupOcc
+      .select(col(idCol), col("__n"), explode(concat(
+          transform(sequence(col("__i"), col("__i") + col("__n") - 1),
+            p => struct(lit(0).as("k"), p.as("pos"))),
+          transform(sequence(col("__i"), col("__i") + col("__n") - 2),
+            s => struct(lit(1).as("k"), s.as("pos")))))
+        .as("__e"))
+      .select(col(idCol), col("__n"), col("__e.k").as("__k"),
+        col("__e.pos").as("pos"))
       .distinct()
-    val w = Window.partitionBy(col(idCol), col("__n")).orderBy("pos")
-    val withAdj = cover.withColumn("__adj",
-      when(lead(col("pos"), 1).over(w) === col("pos") + 1, 1L).otherwise(0L))
     val tokLens = df.select(col(idCol),
         posexplode(transform(toks, t => length(t))).as(Seq("pos", "__tl")))
-    val dupMet = withAdj.join(tokLens, Seq(idCol, "pos"))
+    val dupMet = coverAll.join(tokLens, Seq(idCol, "pos"))
       .groupBy(col(idCol), col("__n"))
-      .agg((sum(col("__tl").cast("long")) + sum(col("__adj"))).as("__dupc"))
+      .agg(sum(when(col("__k") === 1, lit(1L))
+        .otherwise(col("__tl").cast("long"))).as("__dupc"))
     val topPiv = topMet.groupBy(col(idCol)).agg(
       max(when(col("__n") === 2, col("__topc"))).as("__top2"),
       (3 to 4).map(n =>

@@ -167,6 +167,17 @@ object WebDataset {
           if (fs.exists(dst)) fs.delete(tmpPath, false)
           else throw new java.io.IOException(s"rename $tmpPath -> $dst failed")
         }
+        // best-effort sweep of stale temp files from attempts that died
+        // mid-write for THIS shard (theirs never reached the rename, so
+        // nothing else deletes them; reads glob shard-*.tar and are
+        // unaffected, but the garbage accrues across retries). Ours is
+        // already renamed/deleted — any survivor matching the pattern is
+        // a dead attempt's.
+        try {
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+              dir, f".shard-$curShard%05d.tar.*.tmp"))
+            .foreach(s => fs.delete(s.getPath, false))
+        } catch { case _: Throwable => () } // cleanup must never fail a commit
         results += ((curShard, n, bytes + 1024L))
         out = null
       }

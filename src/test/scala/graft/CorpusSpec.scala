@@ -689,6 +689,14 @@ class CorpusSpec extends SparkSpec {
       val f = r.getAs[Double](s"dup${n}_frac")
       assert(f <= 1.0 && f === 1.0, s"dup${n}_frac=$f")
     }
+    // ABUTTING (non-overlapping) occurrences: the joining space between
+    // them is inside NO occurrence and must not count — 'a b c d e a b c
+    // d e' has dup5 cover 10 token chars + 8 interior spaces of 19 chars,
+    // not 19/19 (the round-8 advisory's merged-adjacency overcount)
+    val abut = Seq((3L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val a = Dedup.ngramRepetitionReport(abut, "doc_id", "text").collect().head
+    assert(a.getAs[Double]("dup5_frac") === 0.9474, // 18/19
+      s"abutting spans must not claim the joining space: ${a.getAs[Double]("dup5_frac")}")
   }
 
   test("c4Clean: every line rule and document rule fires on its designed case") {

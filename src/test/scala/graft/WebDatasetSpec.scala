@@ -135,6 +135,21 @@ class WebDatasetSpec extends SparkSpec {
     assert(total === 60L)
   }
 
+  test("commit sweeps stale temp files from attempts that died mid-write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_tmp").toString
+    // a dead attempt's orphan: right shard-name pattern, never renamed
+    val stale = java.nio.file.Paths.get(dir, ".shard-00000.tar.99999.tmp")
+    java.nio.file.Files.write(stale, Array[Byte](1, 2, 3))
+    WebDataset.writeShards(media, dir, col("doc_id"),
+      Seq("bmp" -> col("img"), "txt" -> col("txt")),
+      maxBytesPerShard = 8192L)
+    assert(!java.nio.file.Files.exists(stale),
+      "shard-0's commit must sweep the dead attempt's temp file")
+    val leftovers = java.nio.file.Paths.get(dir).toFile.listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"no temp files may outlive the job: ${leftovers.toSeq}")
+  }
+
   test("members of one sample sit adjacently inside the shard tar") {
     val (dir, _) = export("graft_wds_adj")
     val shard0 = java.nio.file.Paths.get(dir).toFile.listFiles()
