@@ -437,10 +437,16 @@ object PrepQueries {
         }).toDF("doc_id", "bmp")
       WebDataset.writeShards(media, raw, col("doc_id"),
         Seq("bmp" -> col("bmp")), maxBytesPerShard = 65536L)
-      // container read-back → real parser → fingerprint; ONE decode pass
-      // feeds seen/batch/probe (the q158/q146 lineage rule)
-      val hashed = WebDataset.read(s, raw)
+      // ONE container read-back feeds fingerprinting AND the survivor
+      // re-export (the q158/q146 lineage rule applied to the tar parse:
+      // without the cut, the re-export branch re-parses every shard). At
+      // sf0.1 the payload frame checkpoints whole; at 100 TB swap the
+      // checkpoint for a second container scan — payload bytes are the one
+      // thing NOT to cache — or persist fingerprints at ingest (q158).
+      val content = WebDataset.read(s, raw)
         .select(col("key").cast("long").as("doc_id"), col("content"))
+        .localCheckpoint()
+      val hashed = content
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
           val (_, _, px) = Multimodal.decodeBmpGray8(bytes)
@@ -457,9 +463,7 @@ object PrepQueries {
       val keepIds = seen.select("doc_id").unionByName(
         batch.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti"))
       // survivor re-export straight from the container bytes
-      val survivors = WebDataset.read(s, raw)
-        .select(col("key").cast("long").as("doc_id"), col("content"))
-        .join(keepIds, Seq("doc_id"))
+      val survivors = content.join(keepIds, Seq("doc_id"))
       WebDataset.writeShards(survivors, dedup, col("doc_id"),
           Seq("bmp" -> col("content")), maxBytesPerShard = 65536L)
         .select(col("shard").cast("long").as("shard"),
