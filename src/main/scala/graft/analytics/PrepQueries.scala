@@ -472,6 +472,82 @@ object PrepQueries {
         .orderBy("shard")
     },
 
+    // SAMPLE-LEVEL multimodal dedup — the JOINT decision a WebDataset-style
+    // sample pipeline needs and no single-modality query gives: a sample
+    // (text + image + audio members under one key) is a duplicate if ANY
+    // modality matches the seen corpus — text by exact fingerprint
+    // (md5 — the scale join key; bytes never ship), image by aHash
+    // hamming <= 1 against the q158 index, audio by EXACT energyHash16
+    // match (hamming 0) against the same index machinery under its own
+    // modality tag — the 16-bit energy hash is coarse enough that a 1-bit
+    // tolerance flags nearly everything (measured on the fixture), so the
+    // production setting for it is exact. Per batch sample: per-modality
+    // flags + the verdict +
+    // how many modalities hit (re-crawled pages swap one member all the
+    // time — a text edit on a duplicate image must still flag).
+    //
+    // Scale shape: ONE decode/fingerprint pass over the union feeds both
+    // index builds and both probes (checkpointed — the q158/q146 lineage
+    // rule); each media probe broadcasts the batch side and streams the
+    // index; the text probe joins 16-byte fingerprints; assembly is three
+    // uniform left joins on the sample key. Fresh-seed rules put
+    // disagreement in the fixture: batch docs with id%7==3 get fresh
+    // images, id%11==5 fresh audio, and every 13th seen text is cloned
+    // under a new id. At sf0.1 six of the 2^3 flag combinations appear
+    // (including all-false); at the 500-doc SFs the energy-hash VALUE
+    // space is so small that every fresh audio fp still collides exactly
+    // — aud_dup stays true there, a documented fixture fact the oracle
+    // replays.
+    "q168_sample_dedup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val seen = docs.filter(col("doc_id") < 300)
+      val batch = docs.filter(col("doc_id") >= 300)
+        .unionByName(seen.filter(col("doc_id") % 13 === 2).select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hashed = seen.select("doc_id").unionByName(batch.select("doc_id"))
+        .as[Long].mapPartitions(_.map { id =>
+          val iSeed = if (id >= 300 && id % 7 == 3) 100000L + id else id % 37
+          val (_, _, px) = Multimodal.decodeImageGray(
+            Multimodal.syntheticPngGray8(iSeed, 8, 8))
+          val (ihi, ilo) = Multimodal.aHash64(px)
+          val aSeed = if (id >= 300 && id % 11 == 5) 200000L + id else id % 29
+          val fp = Multimodal.energyHash16(Multimodal.decodeWavPcm16(
+            Multimodal.syntheticWavPcm16(aSeed, nSamples = 128)))
+          (id, ihi, ilo, fp >> 8, fp & 0xFFL)
+        }).toDF("doc_id", "ihi", "ilo", "ahi", "alo").localCheckpoint()
+      val seenH = hashed.filter(col("doc_id") < 300)
+      val batchH = hashed.filter(col("doc_id") >= 300)
+      val imgIdx = Multimodal.buildMediaIndex(seenH, "doc_id", "ihi", "ilo",
+        32, 32, "img")
+      val imgDup = Multimodal.mediaIncrementalPairs(batchH, imgIdx, "doc_id",
+          "ihi", "ilo", 32, 32, "img", maxHamming = 1)
+        .select(col("batch_id").as("doc_id")).distinct()
+        .withColumn("__img", lit(true))
+      val audIdx = Multimodal.buildMediaIndex(seenH, "doc_id", "ahi", "alo",
+        8, 8, "wav")
+      val audDup = Multimodal.mediaIncrementalPairs(batchH, audIdx, "doc_id",
+          "ahi", "alo", 8, 8, "wav", maxHamming = 0)
+        .select(col("batch_id").as("doc_id")).distinct()
+        .withColumn("__aud", lit(true))
+      val txtDup = batch.select(col("doc_id"), md5(col("text")).as("__fp"))
+        .join(seen.select(md5(col("text")).as("__fp")).distinct(), "__fp")
+        .select("doc_id").distinct().withColumn("__txt", lit(true))
+      batch.select("doc_id")
+        .join(txtDup, Seq("doc_id"), "left")
+        .join(imgDup, Seq("doc_id"), "left")
+        .join(audDup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__txt"), lit(false)).as("text_dup"),
+          coalesce(col("__img"), lit(false)).as("img_dup"),
+          coalesce(col("__aud"), lit(false)).as("aud_dup"))
+        .withColumn("is_dup", col("text_dup") || col("img_dup") || col("aud_dup"))
+        .withColumn("n_mod", col("text_dup").cast("long") +
+          col("img_dup").cast("long") + col("aud_dup").cast("long"))
+        .orderBy("doc_id")
+    },
+
     // MEDIA decontamination — q74's train-x-eval overlap rule for the
     // perceptual modality: every training image within hamming <= 1 of an
     // eval-set image is flagged (an eval screenshot leaked into the crawl
@@ -895,6 +971,69 @@ object PrepQueries {
         |       FROM b2 b LEFT JOIN a2 a ON b.modality = a.modality AND b.doc_id = a.doc_id)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |ORDER BY modality, batch, doc_id""".stripMargin,
+
+    // q168: the q158 aHash/energy CTEs under per-modality fresh-seed
+    // rules, cross-side hamming <= 1 probes per modality, text via md5
+    // join (DuckDB md5 == Spark md5 hex), three left joins assemble the
+    // per-sample verdict.
+    "q168_sample_dedup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |seen AS (SELECT doc_id, text FROM docs WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT doc_id, text FROM docs WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM seen WHERE doc_id % 13 = 2),
+        |ids AS (SELECT doc_id FROM seen UNION ALL SELECT doc_id FROM batch),
+        |iseed AS (
+        |  SELECT doc_id, CASE WHEN doc_id >= 300 AND doc_id % 7 = 3
+        |                      THEN 100000 + doc_id ELSE doc_id % 37 END AS seed
+        |  FROM ids),
+        |ipx AS (
+        |  SELECT doc_id, (seed*31 + y.y*8 + x.x) * 17 % 256 AS p,
+        |         y.y*8 + x.x AS i
+        |  FROM iseed, (SELECT unnest(range(8)) AS x) x, (SELECT unnest(range(8)) AS y) y),
+        |itot AS (SELECT doc_id, SUM(p) AS s FROM ipx GROUP BY doc_id),
+        |ih AS (
+        |  SELECT ipx.doc_id,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i >= 32
+        |                       THEN (1::BIGINT << (ipx.i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(SUM(CASE WHEN ipx.p * 64 > t.s AND ipx.i < 32
+        |                       THEN (1::BIGINT << ipx.i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM ipx JOIN itot t ON ipx.doc_id = t.doc_id GROUP BY ipx.doc_id),
+        |aseed AS (
+        |  SELECT doc_id, CASE WHEN doc_id >= 300 AND doc_id % 11 = 5
+        |                      THEN 200000 + doc_id ELSE doc_id % 29 END AS seed
+        |  FROM ids),
+        |smp AS (SELECT doc_id, t.t AS t, (seed*7 + t.t*13) % 65536 - 32768 AS v
+        |        FROM aseed, (SELECT unnest(range(128)) AS t) t),
+        |fr AS (SELECT doc_id, t // 8 AS f, SUM(v*v) AS e FROM smp GROUP BY doc_id, t // 8),
+        |atot AS (SELECT doc_id, SUM(e) AS s FROM fr GROUP BY doc_id),
+        |ah AS (SELECT fr.doc_id,
+        |         CAST(SUM(CASE WHEN fr.e * 16 > t.s THEN (1::BIGINT << fr.f) ELSE 0 END) AS BIGINT) AS fp
+        |       FROM fr JOIN atot t ON fr.doc_id = t.doc_id GROUP BY fr.doc_id),
+        |imgd AS (
+        |  SELECT DISTINCT b.doc_id FROM ih b JOIN ih s
+        |  ON b.doc_id >= 300 AND s.doc_id < 300
+        |   AND bit_count(xor(b.hi, s.hi)) + bit_count(xor(b.lo, s.lo)) <= 1),
+        |audd AS (
+        |  SELECT DISTINCT b.doc_id FROM ah b JOIN ah s
+        |  ON b.doc_id >= 300 AND s.doc_id < 300 AND b.fp = s.fp),
+        |txtd AS (
+        |  SELECT DISTINCT b.doc_id FROM batch b
+        |  WHERE md5(b.text) IN (SELECT md5(text) FROM seen))
+        |SELECT b.doc_id,
+        |       t.doc_id IS NOT NULL AS text_dup,
+        |       i.doc_id IS NOT NULL AS img_dup,
+        |       a.doc_id IS NOT NULL AS aud_dup,
+        |       (t.doc_id IS NOT NULL OR i.doc_id IS NOT NULL OR a.doc_id IS NOT NULL) AS is_dup,
+        |       CAST((CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |          + (CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |          + (CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mod
+        |FROM batch b
+        |LEFT JOIN txtd t ON b.doc_id = t.doc_id
+        |LEFT JOIN imgd i ON b.doc_id = i.doc_id
+        |LEFT JOIN audd a ON b.doc_id = a.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // q167: the q158 aHash CTEs under the q163 fresh-seed rule (the BMP
     // pixel generator is the same affine map), one seen-vs-batch probe at

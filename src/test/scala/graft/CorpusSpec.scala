@@ -1183,6 +1183,24 @@ class CorpusSpec extends SparkSpec {
     assert(clusters(folded) === clusters(full))
   }
 
+  test("q168 sample-level dedup: verdict is the OR of per-modality probes; planted clones flag their modality") {
+    val got = graft.analytics.PrepQueries.queries("q168_sample_dedup")(spark, sf)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, t, i, a, d, n) =>
+      assert(d === (t || i || a), s"is_dup must be the OR at $id")
+      assert(n === Seq(t, i, a).count(identity).toLong, s"n_mod must count flags at $id")
+    }
+    // every planted text clone (+1000000 ids) flags its modality
+    val clones = got.filter(_._1 >= 1000000L)
+    assert(clones.nonEmpty && clones.forall(_._2), "text clones must flag text_dup")
+    // cross-modality disagreement is real: a text dup with a fresh image,
+    // and an image dup with fresh text — the member-swap case the joint
+    // verdict exists for
+    assert(got.exists(r => r._2 && !r._3), "need a text-dup/fresh-image sample")
+    assert(got.exists(r => r._3 && !r._2), "need an image-dup/fresh-text sample")
+  }
+
   test("q159 training order: per-shard manifest conserves stage populations end-to-end") {
     import graft.operators.Packing
     val report = SparkEntry.queries("q159_training_order")(spark, sf).collect()
