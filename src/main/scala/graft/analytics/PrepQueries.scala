@@ -472,6 +472,38 @@ object PrepQueries {
         .orderBy("shard")
     },
 
+    // Container MANIFEST over the pruned DSv2 scan — the metadata query
+    // class the graft-webdataset source exists for: per-shard member and
+    // sample counts plus payload byte totals, computed WITHOUT touching a
+    // single payload byte (the reader seeks past every member body when
+    // `content` is pruned; WebDatasetSpec pins the zero-payload-bytes
+    // claim with the counter hook, and the scan's read schema in the
+    // plan). Two members per sample (a 1142-byte BMP + the document
+    // text), so shard cuts ride a NON-constant byte cumsum — the oracle
+    // replays the mix2 layout, the 512-block tar entry arithmetic, and
+    // the budget cut over variable sizes.
+    "q169_webdataset_manifest" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.sources.WebDataset
+      val scratch = java.nio.file.Paths.get(graft.Bench.scratchDir())
+      val out = java.nio.file.Files.createTempDirectory(scratch, "graft_q169_").toString
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
+        }).toDF("doc_id", "bmp", "text")
+      WebDataset.writeShards(media, out, col("doc_id"),
+        Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
+        maxBytesPerShard = 131072L)
+      s.read.format("graft-webdataset").load(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("key")).as("n_samples"),
+          sum("size").as("payload_bytes"))
+        .orderBy("shard")
+    },
+
     // SAMPLE-LEVEL multimodal dedup — the JOINT decision a WebDataset-style
     // sample pipeline needs and no single-modality query gives: a sample
     // (text + image + audio members under one key) is a duplicate if ANY
@@ -971,6 +1003,38 @@ object PrepQueries {
         |       FROM b2 b LEFT JOIN a2 a ON b.modality = a.modality AND b.doc_id = a.doc_id)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |ORDER BY modality, batch, doc_id""".stripMargin,
+
+    // q169: the shard layout replayed over a VARIABLE byte cumsum — per
+    // sample one 2048-byte BMP entry + one 512+pad(text) entry, (mix2, id)
+    // global order, integer-truncated budget cut, dense shard ids; the
+    // manifest is pure arithmetic over it.
+    "q169_webdataset_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS tl FROM documents),
+        |sized AS (
+        |  SELECT doc_id, tl,
+        |         2048 + 512 + (tl + 511) // 512 * 512 AS bytes
+        |  FROM t),
+        |mixed AS (
+        |  SELECT doc_id, tl, bytes,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS mx
+        |  FROM sized),
+        |cum AS (
+        |  SELECT doc_id, tl, bytes,
+        |         SUM(bytes) OVER (ORDER BY mx, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM mixed),
+        |sh AS (
+        |  SELECT doc_id, tl,
+        |         DENSE_RANK() OVER (ORDER BY (c - bytes) // 131072) - 1 AS shard
+        |  FROM cum)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(1142 + tl) AS BIGINT) AS payload_bytes
+        |FROM sh GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     // q168: the q158 aHash/energy CTEs under per-modality fresh-seed
     // rules, cross-side hamming <= 1 probes per modality, text via md5

@@ -135,6 +135,44 @@ class WebDatasetSpec extends SparkSpec {
     assert(total === 60L)
   }
 
+  test("DSv2 source: format read == helper read; pruned metadata scan never touches payload bytes") {
+    import graft.sources.v2.WebDatasetV2
+    val (dir, _) = export("graft_wds_v2")
+    val v2 = spark.read.format("graft-webdataset").load(dir)
+    // full read equals the binaryFile helper row for row (content via md5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, String)] =
+      df.select(col("shard"), col("key"), col("ext"), md5(col("content")).as("m"))
+        .as[(Long, String, String, String)].collect().toSet
+    assert(rows(v2) === rows(WebDataset.read(spark, dir)))
+    // size column is the true payload size
+    val sizes = v2.select(col("size") === octet_length(col("content")))
+      .as[Boolean].collect()
+    assert(sizes.nonEmpty && sizes.forall(identity))
+    // PRUNING: a manifest-style scan reads 512-byte headers only — the
+    // payload counter (test hook, single-JVM) must not move, and the
+    // BatchScan's read schema must not carry content
+    val metaQ = spark.read.format("graft-webdataset").load(dir)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("size").as("bytes"))
+    val plan = metaQ.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-webdataset["), plan)
+    assert(!plan.split("graft-webdataset\\[")(1).split("]")(0).contains("content"),
+      s"content must be pruned from the scan: $plan")
+    WebDatasetV2.payloadBytesRead.reset()
+    val manifest = metaQ.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(WebDatasetV2.payloadBytesRead.sum() === 0L,
+      "metadata scan must not materialize payload bytes")
+    // and the skipped-scan manifest agrees with the full-read one
+    val full = WebDataset.read(spark, dir)
+      .groupBy("shard").agg(count(lit(1)).as("n"),
+        sum(octet_length(col("content")).cast("long")).as("bytes"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(manifest === full)
+    // a content read DOES move the counter
+    WebDatasetV2.payloadBytesRead.reset()
+    v2.select("content").collect()
+    assert(WebDatasetV2.payloadBytesRead.sum() > 0L)
+  }
+
   test("commit sweeps stale temp files from attempts that died mid-write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wds_tmp").toString
     // a dead attempt's orphan: right shard-name pattern, never renamed
