@@ -472,6 +472,56 @@ object PrepQueries {
         .orderBy("shard")
     },
 
+    // UniMax budget allocation (Chung et al. 2023) — the mixture rule the
+    // temperature (q117) and quota (q80) mixes don't give: spend a total
+    // token budget over sources as EVENLY as possible subject to a
+    // per-source epoch cap, so no source repeats past the cap and the
+    // leftover redistributes to larger sources. The paper's sequential
+    // loop (ascending sizes; alloc = min(cap, remaining/sources_left)) is
+    // water-filling, so it has a one-window closed form: ranked ascending
+    // by cap, a source is CAPPED iff cap_i * (S-i+1) <= budget - prefix_{i-1}
+    // (prefix-closed — once a source overflows its fair share every larger
+    // one does too), and every uncapped source gets the identical level
+    // (budget - capped_mass)/(S - k). All comparisons are exact integer
+    // products; the one division happens once, on the same integer
+    // numerator/denominator in both engines. Fixture: cap = 1.1 epochs
+    // (integer 11 div 10), budget = 1.05x corpus tokens — small sources
+    // cap out, large ones share the waterline.
+    //
+    // Scale shape: one map-side-combined groupBy to the S-row source
+    // table; every window below it runs over S rows (source-count-sized,
+    // NOT corpus-sized — the single-partition window rule applies to
+    // corpora); two 1-row broadcast folds. Nothing corpus-scale moves
+    // after the first aggregate.
+    "q170_unimax_mix" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tot = Tables.documents(s, dir)
+        .select(col("source"), Text.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy("source").agg(sum("__nt").as("n_tokens"))
+        .withColumn("cap", expr("(n_tokens * 11) div 10"))
+      val g = tot.agg(sum("n_tokens").as("__tot"), count(lit(1)).as("__s"))
+      val w = Window.orderBy("cap", "source") // S rows — bounded by construction
+      val ranked = tot.crossJoin(broadcast(g))
+        .withColumn("budget", expr("(__tot * 21) div 20"))
+        .withColumn("__i", row_number().over(w))
+        .withColumn("__prefix", sum("cap").over(w))
+        .withColumn("capped",
+          col("cap") * (col("__s") - col("__i") + 1) <=
+            col("budget") - (col("__prefix") - col("cap")))
+      val kFold = ranked.agg(
+        sum(when(col("capped"), 1L).otherwise(0L)).as("__k"),
+        sum(when(col("capped"), col("cap")).otherwise(0L)).as("__pk"))
+      val alloc = when(col("capped"), col("cap").cast("double"))
+        .otherwise((col("budget") - col("__pk")).cast("double") /
+          (col("__s") - col("__k")).cast("double"))
+      ranked.crossJoin(broadcast(kFold))
+        .select(col("source"), col("n_tokens"), col("cap").as("cap_tokens"),
+          col("capped"),
+          Rounding.roundLikeC(alloc, 4).as("alloc_tokens"),
+          Rounding.roundLikeC(alloc / col("n_tokens"), 4).as("epochs"))
+        .orderBy("source")
+    },
+
     // Container MANIFEST over the pruned DSv2 scan — the metadata query
     // class the graft-webdataset source exists for: per-shard member and
     // sample counts plus payload byte totals, computed WITHOUT touching a
@@ -1003,6 +1053,33 @@ object PrepQueries {
         |       FROM b2 b LEFT JOIN a2 a ON b.modality = a.modality AND b.doc_id = a.doc_id)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |ORDER BY modality, batch, doc_id""".stripMargin,
+
+    // q170: the water-filling closed form replayed — exact integer
+    // products for the capped test, one shared division for the level.
+    "q170_unimax_mix" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |caps AS (SELECT source, n_tokens, n_tokens * 11 // 10 AS cap FROM toks),
+        |g AS (SELECT COUNT(*) AS s, SUM(n_tokens) * 21 // 20 AS budget FROM caps),
+        |r AS (
+        |  SELECT c.source, c.n_tokens, c.cap, g.s, g.budget,
+        |         ROW_NUMBER() OVER (ORDER BY c.cap, c.source) AS i,
+        |         SUM(c.cap) OVER (ORDER BY c.cap, c.source
+        |                          ROWS UNBOUNDED PRECEDING) AS prefix
+        |  FROM caps c, g),
+        |f AS (SELECT *, cap * (s - i + 1) <= budget - (prefix - cap) AS capped FROM r),
+        |k AS (SELECT SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS k,
+        |             SUM(CASE WHEN capped THEN cap ELSE 0 END) AS pk FROM f)
+        |SELECT f.source, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(f.cap AS BIGINT) AS cap_tokens, f.capped,
+        |       ROUND(CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+        |                  ELSE CAST(f.budget - k.pk AS DOUBLE) / (f.s - k.k) END, 4) AS alloc_tokens,
+        |       ROUND((CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+        |                   ELSE CAST(f.budget - k.pk AS DOUBLE) / (f.s - k.k) END) / f.n_tokens, 4) AS epochs
+        |FROM f, k
+        |ORDER BY f.source""".stripMargin,
 
     // q169: the shard layout replayed over a VARIABLE byte cumsum — per
     // sample one 2048-byte BMP entry + one 512+pad(text) entry, (mix2, id)

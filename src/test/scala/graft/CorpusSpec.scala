@@ -1183,6 +1183,40 @@ class CorpusSpec extends SparkSpec {
     assert(clusters(folded) === clusters(full))
   }
 
+  test("q170 UniMax: the one-window closed form equals the paper's sequential loop") {
+    // ground truth = UniMax's own algorithm (ascending sizes, alloc =
+    // min(cap, remaining / sources_left)), run as a driver-side fold over
+    // the same per-source token totals the query aggregates
+    val got = graft.analytics.PrepQueries.queries("q170_unimax_mix")(spark, sf)
+      .as[(String, Long, Long, Boolean, Double, Double)].collect().toSeq
+    assert(got.size > 2)
+    val caps = got.map(r => (r._1, r._3)).sortBy(r => (r._2, r._1))
+    val budget = got.map(_._2).sum * 21 / 20
+    var remaining = budget.toDouble
+    var left = caps.size
+    val seqAlloc = scala.collection.mutable.Map[String, Double]()
+    caps.foreach { case (src, cap) =>
+      val a = math.min(cap.toDouble, remaining / left)
+      seqAlloc(src) = a; remaining -= a; left -= 1
+    }
+    got.foreach { case (src, _, cap, capped, alloc, _) =>
+      val expect = seqAlloc(src)
+      // the query's alloc is 4dp-rounded; compare at the rounding grain
+      assert(math.abs(alloc - expect) < 5.1e-5,
+        s"$src: closed-form $alloc != sequential $expect")
+      assert(capped === (math.abs(expect - cap.toDouble) < 1e-9),
+        s"$src capped flag disagrees with the loop")
+    }
+    // invariants: budget is spent exactly (mixed regime), every alloc
+    // respects its cap, all uncapped allocs share one waterline
+    assert(math.abs(got.map(_._5).sum - budget.toDouble) < 1.0)
+    got.foreach { case (src, _, cap, _, alloc, _) =>
+      assert(alloc <= cap + 1e-9, s"$src alloc $alloc over cap $cap") }
+    val levels = got.filter(!_._4).map(_._5).distinct
+    assert(levels.size === 1, s"uncapped sources must share one level: $levels")
+    assert(got.exists(_._4) && got.exists(!_._4), "fixture must mix regimes")
+  }
+
   test("q168 sample-level dedup: verdict is the OR of per-modality probes; planted clones flag their modality") {
     val got = graft.analytics.PrepQueries.queries("q168_sample_dedup")(spark, sf)
       .as[(Long, Boolean, Boolean, Boolean, Boolean, Long)].collect()

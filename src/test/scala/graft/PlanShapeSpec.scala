@@ -426,6 +426,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q164/q165 edit-distance probe: batch shingles broadcast, the trigram index never sorts or re-exchanges") {
+    // the BENCH_INDEXSCALE probe direction on the character modality: the
+    // candidate join must build the (small) batch shingle side and stream
+    // the stored index — a SortMergeJoin anywhere in the probe means the
+    // index re-sorts per batch. Guarded on the probe operator itself, and
+    // again on a probe against an advanceEditIndex-advanced index (the
+    // q165 chain must not change the shape).
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val seen = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    val idx = Dedup.buildEditIndex(seen, "doc_id", "text")
+    def shape(p: String): Unit = {
+      assert(!p.contains("SortMergeJoin"),
+        "edit index probe degraded to a sort-merge join:\n" + p.take(3000))
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    }
+    shape(Dedup.editDistanceIncremental(batch, seen, idx, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString)
+    val idx2 = Dedup.advanceEditIndex(idx, batch, "doc_id", "text")
+    shape(Dedup.editDistanceIncremental(
+        batch.select((col("doc_id") + 5000000L).as("doc_id"), col("text")),
+        seen.unionByName(batch), idx2, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString)
+  }
+
   test("q160 edit distance: blocked candidates, never a cartesian DP") {
     // the whole point of the blocking stage: the Levenshtein DP must run
     // only on inverted-index candidates — a CartesianProduct here means
