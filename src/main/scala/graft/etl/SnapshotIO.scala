@@ -165,6 +165,33 @@ object SnapshotIO {
     * replacement is in place, and a mid-loop crash leaves each partition
     * either old, new, or recoverable from its `.old-…` sibling (a
     * delete-then-rename loop would leave crashed partitions simply gone). */
+  /** Fold the `batch_id` partitions of a streaming-sink state directory
+    * that lie STRICTLY BELOW `upToBatchId` into the `batch_id=-1`
+    * pre-history partition — the shared compaction primitive behind
+    * [[graft.operators.Multimodal.compactMediaIndex]] and
+    * [[graft.operators.Dedup.compactTextIndex]]. `upToBatchId` is the
+    * caller-owned REPLAY BARRIER (the smallest batch the streaming
+    * checkpoint could still replay): a replayed batch must never find its
+    * own rows folded into pre-history, or its `batch_id < N` probe cut
+    * would read them as pre-batch state. Whole-directory [[stagedSwap]] —
+    * a crash mid-compaction leaves the live state untouched. */
+  def compactBatchPartitions(spark: SparkSession, dir: String,
+                             upToBatchId: Long): Unit = {
+    require(upToBatchId >= 0,
+      s"compactBatchPartitions: upToBatchId must be >= 0, got $upToBatchId")
+    val raw = spark.read.parquet(dir)
+    require(raw.columns.contains("batch_id"),
+      s"compactBatchPartitions: $dir has no batch_id partition column — " +
+        "not a batch-partitioned sink state dir")
+    val folded = raw.withColumn("batch_id",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("batch_id") < upToBatchId,
+        org.apache.spark.sql.functions.lit(-1L))
+        .otherwise(org.apache.spark.sql.functions.col("batch_id")))
+    stagedSwap(spark, dir)(staging =>
+      folded.write.partitionBy("batch_id").mode("overwrite").parquet(staging))
+  }
+
   def replacePartitions(spark: SparkSession, df: DataFrame, dir: String,
                         partitionCol: String): Unit = {
     val token = java.util.UUID.randomUUID().toString.take(8)

@@ -734,18 +734,8 @@ object Multimodal {
     * the folded layout writes to a staging dir and renames in — a crash
     * mid-compaction leaves the live index untouched, never half-folded. */
   def compactMediaIndex(spark: SparkSession, indexDir: String,
-                        upToBatchId: Long): Unit = {
-    require(upToBatchId >= 0,
-      s"compactMediaIndex: upToBatchId must be >= 0, got $upToBatchId")
-    val raw = spark.read.parquet(indexDir)
-    require(raw.columns.contains("batch_id"),
-      s"compactMediaIndex: $indexDir has no batch_id partition column — " +
-        "not a mediaDedupBatch index (seed external indexes with seedMediaIndex)")
-    val folded = raw.withColumn("batch_id",
-      when(col("batch_id") < upToBatchId, lit(-1L)).otherwise(col("batch_id")))
-    graft.etl.SnapshotIO.stagedSwap(spark, indexDir)(staging =>
-      folded.write.partitionBy("batch_id").mode("overwrite").parquet(staging))
-  }
+                        upToBatchId: Long): Unit =
+    graft.etl.SnapshotIO.compactBatchPartitions(spark, indexDir, upToBatchId)
 
   /** Fixture builder: wrap a text column as binary "media" (UTF-8) so the
     * plumbing is exercisable on the documents table. */

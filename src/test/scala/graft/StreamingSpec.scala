@@ -401,6 +401,82 @@ class StreamingSpec extends SparkSpec {
       Multimodal.compactMediaIndex(spark, idxDir, upToBatchId = -1L))
   }
 
+  test("foreachBatch fuzzy text-dedup sink: banded state advances per micro-batch; seed/replay/compact lifecycle") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("stream_text_dedup").toString
+    val (idxDir, seenDir, repDir) = (s"$base/index", s"$base/seen", s"$base/report")
+    // 20-token docs: one appended token keeps word-3-shingle Jaccard ~0.95
+    def doc(words: String*): String = words.mkString(" ")
+    val hist = doc("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon")
+    val freshA = doc("one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+      "fifteen", "sixteen", "seventeen", "eighteen", "nineteen", "twenty")
+    val freshB = doc("red", "orange", "yellow", "green", "blue", "indigo",
+      "violet", "umber", "ochre", "teal", "pink", "navy", "cyan", "magenta",
+      "lime", "olive", "maroon", "coral", "amber", "jade")
+    val freshC = doc("lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+      "adipiscing", "elit", "sed", "do", "eiusmod", "tempor", "incididunt",
+      "ut", "labore", "et", "dolore", "magna", "aliqua", "enim")
+    // external history enters via seedTextIndex (batch_id=-1 on BOTH dirs)
+    Dedup.seedTextIndex(Seq((100L, hist)).toDF("id", "text"),
+      idxDir, seenDir, "id", "text")
+    // wave 1: 1 near-dups the SEED; 2+3 near-dup each other IN batch; 4 fresh
+    val w1 = Seq((1L, hist + " zulu"), (2L, freshA), (3L, freshA + " extra"),
+      (4L, freshB))
+    // wave 2: 10 near-dups wave-1 SURVIVOR 2 — catchable only via the
+    // advanced state; 11 fresh
+    val w2 = Seq((10L, freshA + " more"), (11L, freshC))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text").writeStream
+      .foreachBatch(Dedup.fuzzyDedupBatch(idxDir, seenDir, repDir, "id", "text") _)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(w2: _*); q.processAllAvailable()
+    q.stop()
+    def report(): Seq[(Long, Long, Long, Boolean)] =
+      spark.read.parquet(repDir).select("batch_id", "id", "dup_of", "kept")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = Seq(
+      (0L, 1L, 100L, false), // seed wins over the batch doc
+      (0L, 2L, 2L, true), (0L, 3L, 2L, false), // within-batch cluster, min kept
+      (0L, 4L, 4L, true),
+      (1L, 10L, 2L, false), // caught ONLY via the advanced banded state
+      (1L, 11L, 11L, true))
+    assert(report() === expected)
+    // state dirs hold exactly the seed + survivors (8 band rows / 1 text row per doc)
+    assert(spark.read.parquet(seenDir).count() === 4L) // 100, 2, 4, 11
+    assert(spark.read.parquet(idxDir).count() === 32L)
+    // RETRY idempotence: replaying batch 1 replaces its partitions
+    Dedup.fuzzyDedupBatch(idxDir, seenDir, repDir, "id", "text")(
+      w2.toDF("id", "text"), 1L)
+    assert(report() === expected)
+    assert(spark.read.parquet(seenDir).count() === 4L)
+    // flat (non-partitioned) state refuses loudly
+    val flat = Files.createTempDirectory("stream_text_flat").toString
+    Seq((100L, hist)).toDF("id", "text").write.parquet(s"$flat/seen")
+    Dedup.bandedSignatures(Seq((100L, hist)).toDF("id", "text"), "id", "text")
+      .write.parquet(s"$flat/index")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyDedupBatch(s"$flat/index", s"$flat/seen", s"$flat/report",
+        "id", "text")(w1.toDF("id", "text"), 0L)
+    }
+    assert(e.getMessage.contains("seedTextIndex"))
+    // compaction below the replay barrier on BOTH dirs, then a SAFE replay
+    // of the newest batch is a no-op
+    Dedup.compactTextIndex(spark, idxDir, upToBatchId = 1L)
+    Dedup.compactTextIndex(spark, seenDir, upToBatchId = 1L)
+    val parts = new java.io.File(seenDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts === Set("batch_id=-1", "batch_id=1"), s"got $parts")
+    Dedup.fuzzyDedupBatch(idxDir, seenDir, repDir, "id", "text")(
+      w2.toDF("id", "text"), 1L)
+    assert(report() === expected)
+    assert(spark.read.parquet(seenDir).count() === 4L)
+  }
+
   test("foreachBatch upsert sink converges to merge semantics across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_upsert").toString + "/target"
