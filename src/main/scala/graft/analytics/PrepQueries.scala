@@ -20,6 +20,24 @@ object PrepQueries {
   val MixWeights: Map[String, Double] =
     Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
 
+  /** Scratch dir for the container queries (q167/q169), tmpfs-backed when
+    * the host provides one, deleted at JVM exit: a bench pass re-runs each
+    * query several times and every run lays out fresh shards — without the
+    * hook the layouts would accrete across driver/bench invocations. The
+    * hook (not an eager delete) because the returned DataFrame stays lazy
+    * over the written files until the harness finishes consuming it. */
+  private def scratchTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Bench.scratchDir()), prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic training-order shuffle: seeded mix2 permutation +
@@ -423,9 +441,8 @@ object PrepQueries {
       import s.implicits._
       import graft.operators.Multimodal
       import graft.sources.WebDataset
-      val scratch = java.nio.file.Paths.get(graft.Bench.scratchDir())
-      val raw = java.nio.file.Files.createTempDirectory(scratch, "graft_q167_raw_").toString
-      val dedup = java.nio.file.Files.createTempDirectory(scratch, "graft_q167_dedup_").toString
+      val raw = scratchTempDir("graft_q167_raw_")
+      val dedup = scratchTempDir("graft_q167_dedup_")
       // crawl landing: one synthetic BMP per doc. Fresh seeds go to BATCH
       // items only (the q158 shape): the affine generator's aHash manifold
       // has only 256 points, so a fresh-seeded SEEN side would cover it
@@ -536,8 +553,7 @@ object PrepQueries {
       import s.implicits._
       import graft.operators.Multimodal
       import graft.sources.WebDataset
-      val scratch = java.nio.file.Paths.get(graft.Bench.scratchDir())
-      val out = java.nio.file.Files.createTempDirectory(scratch, "graft_q169_").toString
+      val out = scratchTempDir("graft_q169_")
       val media = Tables.documents(s, dir).select("doc_id", "text")
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
