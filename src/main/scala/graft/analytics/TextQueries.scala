@@ -298,6 +298,42 @@ object TextQueries {
         .orderBy("batch", "batch_id", "seen_id")
     },
 
+    // VERBATIM canary scan — the exact-substring member of the
+    // decontamination family (q74 flags gram OVERLAP; this flags a
+    // character-for-character eval string inside a training doc — the
+    // test run for injected canaries and verbatim benchmark leaks, where
+    // a single changed character must NOT flag). Canaries = 40-char
+    // mid-doc slices of every 50th doc; the train side adds planted
+    // leak docs that embed a canary from ANOTHER doc verbatim.
+    //
+    // Scale shape: the canary set is small by construction (canaries are
+    // curated strings, not a corpus) — it BROADCASTS, and each train doc
+    // pays O(n_canaries) substring searches in one codegen'd projection;
+    // nothing corpus-sized shuffles before the per-doc aggregate. When
+    // the needle set is itself corpus-scale, this is the wrong tool —
+    // that regime is q74's inverted gram index.
+    "q171_canary_scan" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val canaries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("canary_id"),
+          substring(col("text"), 20, 40).as("s"))
+      val planted = docs.filter(col("doc_id") % 23 === 3)
+        .withColumn("canary_id", (col("doc_id") % 10) * 50)
+        .join(canaries, "canary_id")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("s")).as("text"))
+      val train = docs.unionByName(planted)
+      val hits = train.crossJoin(broadcast(canaries))
+        .filter(col("text").contains(col("s")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("__n"), min("canary_id").as("__mc"))
+      train.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__n").isNotNull.as("is_contaminated"),
+          coalesce(col("__n"), lit(0L)).as("n_canaries"),
+          col("__mc").as("min_canary_id"))
+        .orderBy("doc_id")
+    },
+
     // asymmetric sub-document containment |A∩B|/|A| over distinct word
     // 3-grams: the subset-duplicate detector symmetric Jaccard misses (an
     // excerpt embedded in a longer doc scores ~0 Jaccard, 1.0 containment).
@@ -1319,6 +1355,29 @@ object TextQueries {
         |SELECT batch_id, seen_id, CAST(edits AS BIGINT) AS edits
         |FROM v WHERE edits <= 3
         |ORDER BY batch_id, seen_id""".stripMargin,
+
+    // q171: identical slicing (both engines' substr/substring are
+    // 1-based and character-counted), identical planted-leak synthesis,
+    // contains() on both sides.
+    "q171_canary_scan" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |c AS (
+        |  SELECT doc_id AS canary_id, substr(text, 20, 40) AS s
+        |  FROM docs WHERE doc_id % 50 = 0),
+        |planted AS (
+        |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || c.s AS text
+        |  FROM docs d JOIN c ON c.canary_id = (d.doc_id % 10) * 50
+        |  WHERE d.doc_id % 23 = 3),
+        |train AS (SELECT * FROM docs UNION ALL SELECT * FROM planted),
+        |hits AS (
+        |  SELECT t.doc_id, COUNT(*) AS n, MIN(c.canary_id) AS mc
+        |  FROM train t JOIN c ON contains(t.text, c.s)
+        |  GROUP BY t.doc_id)
+        |SELECT t.doc_id, h.doc_id IS NOT NULL AS is_contaminated,
+        |       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_canaries,
+        |       h.mc AS min_canary_id
+        |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q165: the q164 probe rule chained over three sides (seen 's',
     // batch-1 'x', batch-2 'y') — the q155 shape on the character

@@ -195,6 +195,24 @@ class TextSpec extends SparkSpec {
 }
 
 /** Dedup operators: exact, Jaccard verifier, MinHash-LSH, SimHash. */
+class CanaryScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q171 rule: a verbatim canary flags; one changed character does not") {
+    val canary = "the quick brown fox jumps over the lazy dog"
+    val canaries = Seq((0L, canary)).toDF("canary_id", "s")
+    val train = Seq(
+      (1L, s"prefix $canary suffix"),                    // verbatim -> flags
+      (2L, "prefix " + canary.replace('q', 'Q') + " suffix"), // 1 char off -> clean
+      (3L, canary)).toDF("doc_id", "text")               // the canary itself
+    val hits = train.crossJoin(broadcast(canaries))
+      .filter(col("text").contains(col("s")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(1L, 3L),
+      s"exact-substring semantics must be character-exact: $hits")
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
