@@ -186,7 +186,10 @@ object BenchIndexScale {
       }.reduce(_ unionByName _).localCheckpoint()
       val embSeen = seenEmb.count()
       val (bCos, cosIdx) = time {
-        val idx0 = Similarity.buildCosineLshIndex(seenEmb, "vec_id", "embedding", 64)
+        // 8-bit pinned: the documented undersized-bucket lesson curve
+        // (linear candidate growth) — kept as the contrast row
+        val idx0 = Similarity.buildCosineLshIndex(seenEmb, "vec_id", "embedding",
+          64, bands = 8, bitsPerBand = 8)
         idx0.copy(
           bands = idx0.bands.repartition(col("band"), col("bucket")).localCheckpoint(),
           vecs = idx0.vecs.repartition(col("id")).localCheckpoint())
@@ -212,6 +215,22 @@ object BenchIndexScale {
           .queryExecution.toRdd.count())._1
       }
       rows += (("cosineIncremental16", k, embSeen, bCos16, median(cos16Secs)))
+
+      // AUTO-sized (the buildCosineLshIndex default since r10): bits
+      // derived from the index cardinality — the production setting with
+      // no knob turned; must track the flat 16-bit curve, not the 8-bit one
+      val (bCosA, cosIdxA) = time {
+        val idx0 = Similarity.buildCosineLshIndex(seenEmb, "vec_id", "embedding", 64)
+        idx0.copy(
+          bands = idx0.bands.repartition(col("band"), col("bucket")).localCheckpoint(),
+          vecs = idx0.vecs.repartition(col("id")).localCheckpoint())
+      }
+      val cosASecs = (1 to runs).map { _ =>
+        time(cosIdxA.probe(batchE, "vec_id", "embedding", 0.99)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += ((s"cosineIncrementalAuto(bits=${cosIdxA.bitsPerBand})",
+        k, embSeen, bCosA, median(cosASecs)))
     }
 
     rows.foreach { case (op, k, n, build, batchSec) =>

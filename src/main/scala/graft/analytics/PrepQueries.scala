@@ -21,20 +21,33 @@ object PrepQueries {
     Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
 
   /** Scratch dir for the container queries (q167/q169), tmpfs-backed when
-    * the host provides one, deleted at JVM exit: a bench pass re-runs each
-    * query several times and every run lays out fresh shards — without the
-    * hook the layouts would accrete across driver/bench invocations. The
-    * hook (not an eager delete) because the returned DataFrame stays lazy
-    * over the written files until the harness finishes consuming it. */
+    * the host provides one, reclaimed two ways: the PREVIOUS invocation's
+    * dir for the same prefix is deleted eagerly when the query re-runs
+    * (safe — a re-run means the prior run's DataFrame was fully consumed;
+    * a bench pass re-runs each query several times and would otherwise
+    * accrete layouts for the process lifetime of a long-lived driver),
+    * and whatever is live at JVM exit goes via ONE shared shutdown hook
+    * over the registry (not a hook thread per invocation). The exit hook
+    * (not an eager delete at return) because the returned DataFrame stays
+    * lazy over the written files until the harness finishes consuming it. */
+  private val scratchRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRegistry.values().forEach(d => deleteRecursively(d))))
+  }
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () } // cleanup is best-effort, never fatal
   private def scratchTempDir(prefix: String): String = {
+    scratchHook
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.Bench.scratchDir()), prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => () }))
+    val prev = scratchRegistry.put(prefix, dir)
+    if (prev != null) deleteRecursively(prev)
     dir.toString
   }
 
@@ -434,6 +447,9 @@ object PrepQueries {
     // broadcasts the batch against the stored index, and the re-export
     // reads container bytes by key join (two uniform-key joins), so the
     // funnel never holds media bytes in more than one shuffle at a time.
+    // The read-back goes through the DSv2 source as TWO pruned scans
+    // (fingerprint pass, survivor pass) with only the 24-byte/doc hash
+    // frame checkpointed — no payload-sized cache anywhere in the plan.
     // BMP fixture (not PNG) because the uncompressed payload makes the
     // manifest byte math engine-portable: every member is 1142 bytes →
     // one 2048-byte tar entry; n_bytes = 2048·n + 1024 terminator.
@@ -454,16 +470,17 @@ object PrepQueries {
         }).toDF("doc_id", "bmp")
       WebDataset.writeShards(media, raw, col("doc_id"),
         Seq("bmp" -> col("bmp")), maxBytesPerShard = 65536L)
-      // ONE container read-back feeds fingerprinting AND the survivor
-      // re-export (the q158/q146 lineage rule applied to the tar parse:
-      // without the cut, the re-export branch re-parses every shard). At
-      // sf0.1 the payload frame checkpoints whole; at 100 TB swap the
-      // checkpoint for a second container scan — payload bytes are the one
-      // thing NOT to cache — or persist fingerprints at ingest (q158).
-      val content = WebDataset.read(s, raw)
+      // TWO pruned container scans, ZERO payload-sized caches — the 100 TB
+      // posture, now code (it was a scaladoc caveat through r9): scan 1
+      // reads (key, content) through the DSv2 source, decodes, and
+      // checkpoints only the HASHES (24 bytes/doc); scan 2 re-reads
+      // payloads for the survivor re-export, filtered to the keep set.
+      // Payload bytes are the one thing never to cache — re-reading the
+      // container costs one more sequential pass; caching it costs the
+      // corpus in memory/disk at every scale.
+      def containerBytes = s.read.format("graft-webdataset").load(raw)
         .select(col("key").cast("long").as("doc_id"), col("content"))
-        .localCheckpoint()
-      val hashed = content
+      val hashed = containerBytes
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
           val (_, _, px) = Multimodal.decodeBmpGray8(bytes)
@@ -479,8 +496,9 @@ object PrepQueries {
         .select(col("batch_id").as("doc_id")).distinct()
       val keepIds = seen.select("doc_id").unionByName(
         batch.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti"))
-      // survivor re-export straight from the container bytes
-      val survivors = content.join(keepIds, Seq("doc_id"))
+      // survivor re-export straight from the container bytes: the second
+      // pruned scan, filtered to survivors before anything shuffles
+      val survivors = containerBytes.join(keepIds, Seq("doc_id"))
       WebDataset.writeShards(survivors, dedup, col("doc_id"),
           Seq("bmp" -> col("content")), maxBytesPerShard = 65536L)
         .select(col("shard").cast("long").as("shard"),

@@ -314,9 +314,15 @@ object TextQueries {
     // that regime is q74's inverted gram index.
     "q171_canary_scan" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // full-length slices only: a doc shorter than the slice window would
+      // yield a truncated (worst case EMPTY) canary, and contains('') is
+      // true for every row — one short doc would silently flag the whole
+      // corpus as contaminated. A canary that can't fill its window isn't
+      // a canary.
       val canaries = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("canary_id"),
           substring(col("text"), 20, 40).as("s"))
+        .filter(length(col("s")) === 40)
       val planted = docs.filter(col("doc_id") % 23 === 3)
         .withColumn("canary_id", (col("doc_id") % 10) * 50)
         .join(canaries, "canary_id")
@@ -332,6 +338,33 @@ object TextQueries {
           coalesce(col("__n"), lit(0L)).as("n_canaries"),
           col("__mc").as("min_canary_id"))
         .orderBy("doc_id")
+    },
+
+    // Canary PAIRS through the corpus-scale-needles path — q171's verdict
+    // computed by Dedup.canaryPairs (bipartite interior-gram inverted
+    // index + exact verbatim verify on candidates, short needles escaping
+    // to the broadcast scan) instead of the all-pairs broadcast contains.
+    // The pair set is PROVABLY identical to the contains scan (see the
+    // canaryPairs scaladoc), so the oracle is the plain contains join —
+    // the gram index is an optimization the oracle never needs to see.
+    // Same fixture as q171: planted leak docs embed another doc's canary.
+    "q172_canary_pairs" -> { (s, dir) =>
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val canaries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("canary_id"),
+          substring(col("text"), 20, 40).as("s"))
+        .filter(length(col("s")) === 40)
+      val planted = docs.filter(col("doc_id") % 23 === 3)
+        .withColumn("canary_id", (col("doc_id") % 10) * 50)
+        .join(canaries, "canary_id")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("s")).as("text"))
+      val train = docs.unionByName(planted)
+      Dedup.canaryPairs(train, canaries, "doc_id", "text", "canary_id", "s")
+        .select(col("train_id").as("doc_id"),
+          col("needle_id").as("canary_id"))
+        .orderBy("doc_id", "canary_id")
     },
 
     // asymmetric sub-document containment |A∩B|/|A| over distinct word
@@ -1363,7 +1396,8 @@ object TextQueries {
       """WITH docs AS (SELECT doc_id, text FROM documents),
         |c AS (
         |  SELECT doc_id AS canary_id, substr(text, 20, 40) AS s
-        |  FROM docs WHERE doc_id % 50 = 0),
+        |  FROM docs WHERE doc_id % 50 = 0
+        |    AND length(substr(text, 20, 40)) = 40),
         |planted AS (
         |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || c.s AS text
         |  FROM docs d JOIN c ON c.canary_id = (d.doc_id % 10) * 50
@@ -1378,6 +1412,24 @@ object TextQueries {
         |       h.mc AS min_canary_id
         |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // q172: the pair form of q171 — identical fixture, pairs instead of
+    // the per-doc report. The oracle is the broadcast contains join; the
+    // Spark side's gram-index routing is result-invisible by construction.
+    "q172_canary_pairs" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |c AS (
+        |  SELECT doc_id AS canary_id, substr(text, 20, 40) AS s
+        |  FROM docs WHERE doc_id % 50 = 0
+        |    AND length(substr(text, 20, 40)) = 40),
+        |planted AS (
+        |  SELECT d.doc_id + 1000000 AS doc_id, d.text || ' ' || c.s AS text
+        |  FROM docs d JOIN c ON c.canary_id = (d.doc_id % 10) * 50
+        |  WHERE d.doc_id % 23 = 3),
+        |train AS (SELECT * FROM docs UNION ALL SELECT * FROM planted)
+        |SELECT t.doc_id, c.canary_id
+        |FROM train t JOIN c ON contains(t.text, c.s)
+        |ORDER BY t.doc_id, c.canary_id""".stripMargin,
 
     // q165: the q164 probe rule chained over three sides (seen 's',
     // batch-1 'x', batch-2 'y') — the q155 shape on the character

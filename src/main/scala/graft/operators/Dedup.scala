@@ -396,6 +396,72 @@ object Dedup {
           4) + lit(0.0)).as("contamination_frac"))
   }
 
+  /** Verbatim canary pairs at CORPUS-SCALE needle sets — every
+    * (train doc, needle) pair where the needle string occurs verbatim
+    * (character-for-character) inside the train text. The q171 broadcast
+    * `contains` scan is right when needles are a curated handful; this is
+    * the executable path when the needle set is itself corpus-sized (a
+    * full eval-suite dump, a canary DB) and O(docs × needles) substring
+    * scans stop being a plan.
+    *
+    * Shape: the [[decontaminationPairs]] bipartite inverted gram index,
+    * then an EXACT verbatim verify on candidates only — so the result is
+    * pair-identical to the broadcast `contains` scan (CanaryPairsSpec
+    * proves verdict identity). Candidate completeness argument: if a
+    * needle occurs verbatim in a doc, the needle's INTERIOR tokens (all
+    * but first and last, which may fuse with the doc's adjacent
+    * characters) appear as whole whitespace-delimited tokens of the doc,
+    * so every interior `k`-gram of the needle is a gram of the doc —
+    * indexing interior grams only makes the candidate set complete, not
+    * just likely. Needles too short to have an interior gram
+    * (< `k`+2 tokens) route through the broadcast `contains` path — the
+    * [[editDistancePairs]] shortDocExact discipline: the blocking
+    * scheme's blind spot gets an exact escape, not a silent miss. (That
+    * routing decision is one bounded action on the NEEDLE frame — by
+    * definition the side that fits scrutiny.)
+    *
+    * 100 TB shape: the train side explodes grams but never shuffles on
+    * them when `broadcastNeedles` holds (needle grams broadcast into the
+    * train scan); with `broadcastNeedles = false` both sides shuffle by
+    * gram — the true corpus-vs-corpus fallback. The verify joins
+    * candidates (bounded by real overlap) back into the train scan as a
+    * broadcast, so train text is never shuffled either. Emits
+    * (train_id, needle_id), one row per verbatim hit. */
+  def canaryPairs(train: DataFrame, needles: DataFrame, idCol: String,
+                  textCol: String, needleIdCol: String, needleCol: String,
+                  k: Int = 3, broadcastNeedles: Boolean = true): DataFrame = {
+    val tr = train.select(col(idCol).cast("long").as("train_id"),
+      col(textCol).cast("string").as("__t"))
+    val ndl = needles.select(col(needleIdCol).cast("long").as("needle_id"),
+        col(needleCol).cast("string").as("__needle"))
+      .withColumn("__nt", graft.functions.Text.tokenCount(col("__needle")))
+    val longN = ndl.filter(col("__nt") >= k + 2)
+    // interior grams: token positions 2..n-1 → full-gram positions
+    // 2..n-k, i.e. slice(grams, 2, n-k-1); n >= k+2 makes the slice
+    // non-empty by construction
+    val nGrams = longN.select(col("needle_id"),
+      explode(array_distinct(slice(shingles(col("__needle"), k),
+        lit(2), col("__nt") - k - 1))).as("gram"))
+    val trGrams = tr.select(col("train_id"),
+      explode(array_distinct(shingles(col("__t"), k))).as("gram"))
+    val cands = trGrams
+      .join(if (broadcastNeedles) broadcast(nGrams) else nGrams, "gram")
+      .select("train_id", "needle_id").distinct()
+    val longHits = tr.join(broadcast(cands), "train_id")
+      .join(broadcast(longN.select("needle_id", "__needle")), "needle_id")
+      .filter(col("__t").contains(col("__needle")))
+      .select("train_id", "needle_id")
+    val shortN = ndl.filter(col("__nt") < k + 2)
+    if (shortN.limit(1).isEmpty) longHits
+    else {
+      val shortHits = tr
+        .crossJoin(broadcast(shortN.select("needle_id", "__needle")))
+        .filter(col("__t").contains(col("__needle")))
+        .select("train_id", "needle_id")
+      longHits.unionByName(shortHits)
+    }
+  }
+
   /** Corpus-frequent n-grams: document frequency of every distinct word
     * `k`-gram, kept when it appears in at least `minDf` documents, top
     * `topN` by (doc_freq desc, gram asc) — the boilerplate/template

@@ -703,6 +703,131 @@ object Multimodal {
       .partitionBy("batch_id").parquet(indexDir)
   }
 
+  /** foreachBatch sink: SAMPLE-LEVEL multimodal dedup at micro-batch
+    * grain — q168's joint verdict (a sample is a duplicate if ANY of its
+    * text / image / audio fingerprints matches the seen corpus) as a
+    * `writeStream` citizen composing the three probe machineries over
+    * three persisted state dirs:
+    *
+    *   - `textFpDir`  (id, fp, batch_id): exact text fingerprints (md5 —
+    *     16-byte join keys, bytes never ship);
+    *   - `imgIdxDir`  ([[buildMediaIndex]] layout): perceptual aHash
+    *     chunks, probed at `imgMaxHamming` (default 1);
+    *   - `audIdxDir`  (same layout, audio modality): energyHash16 chunks,
+    *     probed EXACT by default (the q168 finding: a 1-bit tolerance on
+    *     a 16-bit hash flags ~everything).
+    *
+    * Batches arrive PRE-FINGERPRINTED (id, textFp, imgHi/Lo, audHi/Lo) —
+    * decode happens once upstream, the sink never sees media bytes (the
+    * [[mediaDedupBatch]] contract extended to the sample). Per
+    * micro-batch: three probes against the pre-batch state, one report
+    * row per sample (batch_id, id, text_dup, img_dup, aud_dup, is_dup,
+    * n_mod), and ALL THREE state dirs advance on the SAME survivor set —
+    * a sample surviving means its text AND image AND audio fingerprints
+    * enter their indexes together, so the three views of "seen" can never
+    * drift (advancing only the matched modality would let a re-crawled
+    * page with one swapped member re-enter the corpus through the stale
+    * index).
+    *
+    * Delivery: IDEMPOTENT under micro-batch retry — all four writes
+    * partition by `batch_id` with dynamic overwrite and every probe reads
+    * only `batch_id < batchId`. The three-dir advance is not a
+    * transaction, and doesn't need one: a crash between the writes leaves
+    * some dirs a partition short, the streaming replay re-runs the SAME
+    * batch, and every dir's partition is rewritten from the same
+    * deterministic inputs — the replay discipline IS the atomicity.
+    * Seed pre-history with [[seedMediaIndex]] (img/aud) and
+    * [[seedTextFpIndex]] (text); flat state dirs refuse loudly; compact
+    * any of the dirs with [[compactMediaIndex]] strictly below the
+    * replay barrier. */
+  def sampleDedupBatch(textFpDir: String, imgIdxDir: String, audIdxDir: String,
+                       reportDir: String, idCol: String, textFpCol: String,
+                       imgHiCol: String, imgLoCol: String,
+                       audHiCol: String, audLoCol: String,
+                       imgHiBits: Int = 32, imgLoBits: Int = 32,
+                       audHiBits: Int = 8, audLoBits: Int = 8,
+                       imgMaxHamming: Int = 1, audMaxHamming: Int = 0)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    def readState(dir: String, what: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val has = fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") || n.startsWith("batch_id=")
+      }
+      if (!has) None
+      else {
+        val raw = spark.read.parquet(dir)
+        require(raw.columns.contains("batch_id"),
+          s"sampleDedupBatch: $what state at $dir has no batch_id partition " +
+            "column; seed with seedMediaIndex / seedTextFpIndex (batch_id=-1) — " +
+            "a flat seed would break partition discovery after the first append")
+        Some(raw.filter(col("batch_id") < batchId).drop("batch_id"))
+      }
+    }
+    // one lineage cut feeds three probes + report + three advances
+    val b = batch.localCheckpoint()
+    def mediaDupFlag(dir: String, what: String, hiCol: String, loCol: String,
+                     hiBits: Int, loBits: Int, modality: String,
+                     maxHamming: Int, flag: String): DataFrame = {
+      val idx = readState(dir, what).getOrElse(
+        buildMediaIndex(b.limit(0), idCol, hiCol, loCol, hiBits, loBits, modality))
+      mediaIncrementalPairs(b, idx, idCol, hiCol, loCol,
+          hiBits, loBits, modality, maxHamming)
+        .select(col("batch_id").as(idCol)).distinct()
+        .withColumn(flag, lit(true))
+    }
+    val imgDup = mediaDupFlag(imgIdxDir, "image index", imgHiCol, imgLoCol,
+      imgHiBits, imgLoBits, "img", imgMaxHamming, "__img")
+    val audDup = mediaDupFlag(audIdxDir, "audio index", audHiCol, audLoCol,
+      audHiBits, audLoBits, "wav", audMaxHamming, "__aud")
+    val seenFp = readState(textFpDir, "text fingerprint")
+      .map(_.select(col("fp").as("__fp")))
+      .getOrElse(b.select(col(textFpCol).as("__fp")).limit(0))
+      .distinct()
+    val txtDup = b.select(col(idCol), col(textFpCol).as("__fp"))
+      .join(seenFp, "__fp")
+      .select(idCol).distinct().withColumn("__txt", lit(true))
+    // batch-bounded, consumed by the report write AND the survivor joins
+    val report = b.select(col(idCol))
+      .join(txtDup, Seq(idCol), "left")
+      .join(imgDup, Seq(idCol), "left")
+      .join(audDup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__txt"), lit(false)).as("text_dup"),
+        coalesce(col("__img"), lit(false)).as("img_dup"),
+        coalesce(col("__aud"), lit(false)).as("aud_dup"))
+      .withColumn("is_dup", col("text_dup") || col("img_dup") || col("aud_dup"))
+      .withColumn("n_mod", col("text_dup").cast("long") +
+        col("img_dup").cast("long") + col("aud_dup").cast("long"))
+      .localCheckpoint()
+    def put(df: DataFrame, dir: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    put(report, reportDir)
+    val survivors = b.join(
+      report.filter(!col("is_dup")).select(idCol), Seq(idCol), "left_semi")
+    put(survivors.select(col(idCol), col(textFpCol).as("fp")), textFpDir)
+    put(buildMediaIndex(survivors, idCol, imgHiCol, imgLoCol,
+      imgHiBits, imgLoBits, "img"), imgIdxDir)
+    put(buildMediaIndex(survivors, idCol, audHiCol, audLoCol,
+      audHiBits, audLoBits, "wav"), audIdxDir)
+  }
+
+  /** Seed a [[sampleDedupBatch]] text-fingerprint dir from external
+    * history (the [[seedMediaIndex]] convention on the text modality):
+    * (id, fp) rows land under `batch_id=-1`. */
+  def seedTextFpIndex(seen: DataFrame, dir: String, idCol: String,
+                      fpCol: String): Unit =
+    seen.select(col(idCol), col(fpCol).as("fp"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
   /** Seed a [[mediaDedupBatch]] index directory from an externally built
     * index frame ([[buildMediaIndex]] output — e.g. the one-time backfill
     * over the historical corpus): the rows land under the `batch_id=-1`

@@ -582,13 +582,46 @@ object Similarity {
         vecs = vecs.unionByName(storedVecs(survivors, idCol, vecCol)))
   }
 
+  /** The measured band-bucket sizing rule AS CODE (it was a scaladoc
+    * footnote through r9, and a footnote is how an 8-bit index ends up in
+    * production over a 10⁸-vector corpus): false bucket collisions arrive
+    * at a constant rate per (batch row, index row, band) pair, so the
+    * candidate mass grows LINEARLY in index size until `2^bitsPerBand`
+    * outruns the corpus — measured on this suite, 8-bit buckets grew the
+    * probe 5.7× over a 25× index while 16-bit buckets held it flat
+    * (BENCH_INDEXSCALE_r07 §cosine, re-confirmed every round since).
+    * Rule: `bits = clamp(ceil(log2(n)), 8, 24)` — bucket count at least
+    * the index cardinality, so expected false collisions per (batch row,
+    * band) stay O(1); floor 8 keeps small fixtures reproducible, cap 24
+    * bounds the signature packing (LshSignature packs each band into an
+    * int). */
+  def autoBitsPerBand(indexCardinality: Long): Int = {
+    val n = math.max(1L, indexCardinality)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(24, math.max(8, ceilLog2))
+  }
+
   /** Build the persisted sign-LSH embedding index of a seen corpus (the
-    * one-time cost [[CosineLshIndex.advance]] then grows batch by batch). */
+    * one-time cost [[CosineLshIndex.advance]] then grows batch by batch).
+    *
+    * `bitsPerBand <= 0` (the DEFAULT) auto-sizes from the seen
+    * cardinality via [[autoBitsPerBand]] — one count() action at build
+    * time, trivial against the banding pass itself — so the
+    * production-safe geometry is what you get unless you pin one.
+    * Fixture queries pin an explicit value: the oracle replays the
+    * hyperplane arithmetic and the geometry must not drift with SF. Note
+    * the geometry rides in the index — probes and [[CosineLshIndex
+    * .advance]] reuse the build-time bits, so an index auto-sized at
+    * build keeps its geometry as it grows (re-derive by REBUILDING when
+    * the corpus outgrows it ~4×, the q166 retrain-loop discipline). */
   def buildCosineLshIndex(seen: DataFrame, idCol: String, vecCol: String,
-                          dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
-                          seed: Long = 42L): CosineLshIndex =
-    CosineLshIndex(banded(seen, idCol, vecCol, bands, bitsPerBand, dim, seed),
-      storedVecs(seen, idCol, vecCol), dim, bands, bitsPerBand, seed)
+                          dim: Int, bands: Int = 8, bitsPerBand: Int = 0,
+                          seed: Long = 42L): CosineLshIndex = {
+    val bits = if (bitsPerBand > 0) bitsPerBand
+               else autoBitsPerBand(seen.count())
+    CosineLshIndex(banded(seen, idCol, vecCol, bands, bits, dim, seed),
+      storedVecs(seen, idCol, vecCol), dim, bands, bits, seed)
+  }
 
   /** Integer quantization at 1e-4 (exact in double, exact in the oracle's
     * int64 — and far below PQ's own quantization error), optionally after

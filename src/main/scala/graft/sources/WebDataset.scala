@@ -87,12 +87,25 @@ object WebDataset {
   /** Write one `.tar` shard per byte-budget cut under `dir`
     * (`shard-NNNNN.tar`), each sample contributing one `KEY.ext` member
     * per payload column, then persist and return the landed manifest
-    * (shard, n_samples, n_bytes). `idCol` must be numeric (it seeds the
-    * deterministic layout and names the sample key). */
+    * (shard, n_samples, n_members, n_bytes, payload_bytes). `idCol` must
+    * be numeric (it seeds the deterministic layout and names the sample
+    * key). The manifest is the [[manifestStats]] fast path's source of
+    * truth — it counts what LANDED, tallied by the same loop that wrote
+    * the bytes. */
   def writeShards(df: DataFrame, dir: String, idCol: Column,
                   payloads: Seq[(String, Column)],
                   maxBytesPerShard: Long): DataFrame = {
     require(payloads.nonEmpty, "at least one payload column required")
+    // member names split KEY.ext at the LAST dot on read (both the helper
+    // reader and the DSv2 source) — an ext containing a dot would silently
+    // mis-split the round trip (e.g. ext "json.gz" reads back as key
+    // "KEY.json", ext "gz"). Reject at write time so the contract is
+    // explicit; keys MAY contain dots.
+    payloads.foreach { case (ext, _) =>
+      require(!ext.contains('.') && ext.nonEmpty,
+        s"payload ext '$ext' must be non-empty and dot-free — member names " +
+          "split at the last dot on read, so a dotted ext breaks the round trip")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val exts = payloads.map(_._1)
@@ -150,13 +163,15 @@ object WebDataset {
       confBc.value.foreach { case (k, v) => conf.set(k, v) }
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
-      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
       var out: java.io.OutputStream = null
       var curShard = -1L
       var tmpPath: org.apache.hadoop.fs.Path = null
       var fs: org.apache.hadoop.fs.FileSystem = null
       var n = 0L
       var bytes = 0L
+      var members = 0L
+      var pbytes = 0L
       def closeShard(): Unit = if (out != null) {
         out.write(new Array[Byte](1024)) // end-of-archive
         out.close()
@@ -171,21 +186,28 @@ object WebDataset {
         // mid-write for THIS shard (theirs never reached the rename, so
         // nothing else deletes them; reads glob shard-*.tar and are
         // unaffected, but the garbage accrues across retries). Ours is
-        // already renamed/deleted — any survivor matching the pattern is
-        // a dead attempt's.
+        // already renamed/deleted — any survivor matching the pattern is a
+        // dead attempt's ONLY when speculative execution is off: under
+        // speculation a concurrent live attempt's still-being-written temp
+        // matches too, so skip the sweep there (worst case is orphaned
+        // temp garbage, never a failed commit — the victim attempt's
+        // rename recovers via the fs.exists(dst) path above).
         try {
-          fs.globStatus(new org.apache.hadoop.fs.Path(
-              dir, f".shard-$curShard%05d.tar.*.tmp"))
-            .foreach(s => fs.delete(s.getPath, false))
+          val speculating = org.apache.spark.SparkEnv.get != null &&
+            org.apache.spark.SparkEnv.get.conf.getBoolean("spark.speculation", false)
+          if (!speculating)
+            fs.globStatus(new org.apache.hadoop.fs.Path(
+                dir, f".shard-$curShard%05d.tar.*.tmp"))
+              .foreach(s => fs.delete(s.getPath, false))
         } catch { case _: Throwable => () } // cleanup must never fail a commit
-        results += ((curShard, n, bytes + 1024L))
+        results += ((curShard, n, members, bytes + 1024L, pbytes))
         out = null
       }
       it.foreach { row =>
         val shard = row.getAs[Long]("shard")
         if (shard != curShard) {
           closeShard()
-          curShard = shard; n = 0L; bytes = 0L
+          curShard = shard; n = 0L; bytes = 0L; members = 0L; pbytes = 0L
           tmpPath = new org.apache.hadoop.fs.Path(
             dir, f".shard-$shard%05d.tar.$attempt%d.tmp")
           fs = tmpPath.getFileSystem(conf)
@@ -199,16 +221,119 @@ object WebDataset {
           val pad = (((data.length + 511) / 512) * 512) - data.length
           if (pad > 0) out.write(new Array[Byte](pad))
           bytes += entrySize(data.length.toLong)
+          members += 1L
+          pbytes += data.length.toLong
         }
         n += 1L
       }
       closeShard()
       results.iterator
     }
-    val manifest = manifestRows.toDF("shard", "n_samples", "n_bytes")
+    val manifest = manifestRows.toDF(
+      "shard", "n_samples", "n_members", "n_bytes", "payload_bytes")
     manifest.coalesce(1)
       .write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
     Jsonl.manifest(spark, dir)
+  }
+
+  /** foreachBatch sink: STREAMING WebDataset export — the container twin
+    * of [[graft.operators.Dedup.fuzzyDedupBatch]] /
+    * [[graft.operators.Multimodal.mediaDedupBatch]], completing the
+    * container lifecycle (graft could dedup continuously but until now
+    * exported containers only as a batch job):
+    *
+    *   crawl.writeStream.foreachBatch(
+    *     WebDataset.exportBatch(dir, col("id"),
+    *       Seq("bmp" -> col("img")), 1L << 20) _).start()
+    *
+    * Each micro-batch lands as tar shards under its OWN batch-scoped
+    * namespace `dir/batch_id=N/shard-*.tar` with its own `_manifest` —
+    * the batch_id dynamic-partition-overwrite discipline materialized on
+    * directories: a retry REPLACES its whole namespace (delete + rewrite),
+    * so a replay can never leave duplicate or orphan shards, and the
+    * deterministic [[writeShards]] layout makes the replacement
+    * byte-identical. Other batches' namespaces are never touched.
+    *
+    * The `batch_id=N` path convention is the parquet partition-discovery
+    * one on purpose: downstream parquet-side state (the dedup sinks) and
+    * container-side landing share one naming scheme, and [[readBatches]]
+    * recovers batch_id as a column. 100 TB shape: identical to
+    * [[writeShards]] per batch (bucketed cumsum, per-task streaming IO);
+    * namespaces mean shard NUMBERS restart per batch, so global shard
+    * identity is (batch_id, shard) — exactly what a resumable loader
+    * wants, because a late replay renumbers nothing outside its batch. */
+  def exportBatch(dir: String, idCol: Column, payloads: Seq[(String, Column)],
+                  maxBytesPerShard: Long)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ns = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId")
+    val fs = ns.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // replay discipline: replace the batch's OWN namespace whole — a
+    // previous attempt may have died after landing some shards, and a
+    // shorter re-export must not leave its orphans behind
+    if (fs.exists(ns)) fs.delete(ns, true)
+    writeShards(batch, ns.toString, idCol, payloads, maxBytesPerShard)
+    ()
+  }
+
+  /** Read an [[exportBatch]] landing back to
+    * (batch_id, shard, key, ext, content) across every batch namespace. */
+  def readBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/batch_id=*/shard-*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val parts = path.split('/')
+        val bid = parts(parts.length - 2).stripPrefix("batch_id=").toLong
+        val shard = parts.last.stripPrefix("shard-").stripSuffix(".tar").toLong
+        parseTar(bytes).map { case (name, data) =>
+          val dot = name.lastIndexOf('.')
+          (bid, shard, name.substring(0, dot), name.substring(dot + 1), data)
+        }
+      }.toDF("batch_id", "shard", "key", "ext", "content")
+  }
+
+  /** Manifest-backed metadata FAST PATH: per-shard (shard, n_samples,
+    * n_members, n_bytes, payload_bytes) from the `_manifest` the export
+    * landed — WITHOUT opening a single tar. The pruned DSv2 header walk
+    * costs 512 bytes/member across O(shards) file opens; this costs one
+    * manifest read regardless of corpus size — at 100 TB that is the
+    * difference between a metadata query and a million object-store GETs.
+    * The manifest counts what LANDED (written by the export's own commit
+    * path), so it is authoritative for an untouched layout; when shards
+    * may have been mutated out-of-band, run [[verifyManifest]] first. */
+  def manifestStats(spark: SparkSession, dir: String): DataFrame =
+    Jsonl.manifest(spark, dir).select(
+      col("shard").cast("long").as("shard"),
+      col("n_samples").cast("long").as("n_samples"),
+      col("n_members").cast("long").as("n_members"),
+      col("n_bytes").cast("long").as("n_bytes"),
+      col("payload_bytes").cast("long").as("payload_bytes"))
+
+  /** Verification mode for the fast path: the manifest's per-shard counts
+    * against a PRUNED header walk of the actual tars (the graft-webdataset
+    * DSv2 scan — 512 bytes/member, zero payload bytes). Returns one row
+    * per DISAGREEING shard with both sides' numbers (empty = verified);
+    * a shard present on only one side surfaces with nulls on the other.
+    * Run this after any out-of-band mutation suspicion, then trust
+    * [[manifestStats]] again. */
+  def verifyManifest(spark: SparkSession, dir: String): DataFrame = {
+    val walk = spark.read.format("graft-webdataset").load(dir)
+      .groupBy("shard").agg(
+        count(lit(1)).as("walk_members"),
+        countDistinct(col("key")).as("walk_samples"),
+        sum("size").as("walk_payload_bytes"))
+    manifestStats(spark, dir)
+      .select(col("shard"), col("n_members"), col("n_samples"),
+        col("payload_bytes"))
+      .join(walk, Seq("shard"), "full_outer")
+      .filter(
+        coalesce(col("n_members"), lit(-1L)) =!=
+          coalesce(col("walk_members"), lit(-2L)) ||
+        coalesce(col("n_samples"), lit(-1L)) =!=
+          coalesce(col("walk_samples"), lit(-2L)) ||
+        coalesce(col("payload_bytes"), lit(-1L)) =!=
+          coalesce(col("walk_payload_bytes"), lit(-2L)))
   }
 
   /** Read a [[writeShards]] layout back to (shard, key, ext, content) —

@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 reader for [[graft.sources.WebDataset]] shard layouts
   * (`format("graft-webdataset").load(dir)`): one InputPartition per shard
   * tar, schema `(shard, key, ext, size, content)`, with REQUIRED-COLUMN
-  * pruning pushed through the tar walk itself.
+  * pruning pushed through the tar walk itself and `shard` / `ext`
+  * FILTER pushdown pruning whole tar files at planning time.
   *
   * Why a DSv2 source when [[graft.sources.WebDataset.read]] already
   * round-trips: the helper is a binaryFile scan — it materializes every
@@ -32,11 +33,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * (The payload-byte counter below makes this assertable in the spec —
   * single-JVM/local only, a test hook, not a metric.)
   *
+  * Filter pushdown (the planning half of the same economics):
+  *   - predicates on `shard` (=, IN, <, <=, >, >=) resolve against the
+  *     shard NUMBER in the file name, so matching is decided before any
+  *     file opens — a `shard = 7` scan over a 10⁶-shard corpus opens ONE
+  *     tar ([[WebDatasetV2.tarFilesOpened]] pins this in the spec);
+  *   - predicates on `ext` (=, IN) can't prune files (a shard interleaves
+  *     every ext) but skip non-matching MEMBERS inside the walk: the
+  *     reader seeks past the payload without materializing it, so an
+  *     `ext = 'txt'` scan over an image-heavy corpus reads text bytes
+  *     only.
+  *   Accepted filters are claimed as fully handled (shard comes from the
+  *   file name and ext from the member name — both exact), so Spark does
+  *   not re-evaluate them; everything else returns as residual.
+  *
   * Planning lists `shard-*.tar` once on the driver; each reader re-opens
   * its one shard via the Hadoop FileSystem API with the SESSION's
-  * hadoopConfiguration entries shipped through the partition (the
-  * [[graft.sources.WebDataset.writeShards]] rule — a bare
-  * `new Configuration()` in the task would drop fs.defaultFS/credentials).
+  * hadoopConfiguration entries shipped ONCE through the reader factory
+  * (the [[graft.sources.WebDataset.writeShards]] rule — a bare
+  * `new Configuration()` in the task would drop fs.defaultFS/credentials;
+  * shipping it per-InputPartition would serialize the whole conf into
+  * every task at thousands-of-shards scale).
+  *
+  * Key/ext split contract: member names split at the LAST dot, matching
+  * [[graft.sources.WebDataset.read]]; `writeShards` rejects exts that
+  * contain a dot, so the round trip is exact and keys may contain dots.
   */
 class WebDatasetTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-webdataset"
@@ -64,6 +85,49 @@ object WebDatasetV2 {
     * actually materialized by readers. The pruning spec asserts a
     * metadata-only scan leaves this at zero. */
   val payloadBytesRead = new java.util.concurrent.atomic.LongAdder
+
+  /** TEST HOOK (local/single-JVM only): shard tar files actually OPENED
+    * by readers. The filter-pushdown spec asserts a `shard = N` scan
+    * opens exactly the matching tars. */
+  val tarFilesOpened = new java.util.concurrent.atomic.LongAdder
+
+  /** Evaluate the pushed `shard` predicates against one shard number —
+    * driver-side, at planning, before any file opens. */
+  private[v2] def shardMatches(filters: Seq[Filter], shard: Long): Boolean =
+    filters.forall {
+      case EqualTo("shard", v: Number) => shard == v.longValue
+      case In("shard", vs) => vs.exists {
+        case v: Number => shard == v.longValue
+        case _ => false
+      }
+      case GreaterThan("shard", v: Number) => shard > v.longValue
+      case GreaterThanOrEqual("shard", v: Number) => shard >= v.longValue
+      case LessThan("shard", v: Number) => shard < v.longValue
+      case LessThanOrEqual("shard", v: Number) => shard <= v.longValue
+      case _ => true // not a shard predicate — no constraint here
+    }
+
+  /** The accepted ext whitelist from the pushed filters, if any: members
+    * whose ext is absent are seeked past inside the walk. */
+  private[v2] def extWhitelist(filters: Seq[Filter]): Option[Set[String]] = {
+    val sets = filters.collect {
+      case EqualTo("ext", v: String) => Set(v)
+      case In("ext", vs) => vs.collect { case s: String => s }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  private[v2] def isSupported(f: Filter): Boolean = f match {
+    case EqualTo("shard", _: Number) => true
+    case In("shard", vs) => vs.forall(_.isInstanceOf[Number])
+    case GreaterThan("shard", _: Number) => true
+    case GreaterThanOrEqual("shard", _: Number) => true
+    case LessThan("shard", _: Number) => true
+    case LessThanOrEqual("shard", _: Number) => true
+    case EqualTo("ext", _: String) => true
+    case In("ext", vs) => vs.forall(_.isInstanceOf[String])
+    case _ => false
+  }
 }
 
 class WebDatasetTable(path: String) extends Table with SupportsRead {
@@ -76,64 +140,91 @@ class WebDatasetTable(path: String) extends Table with SupportsRead {
 }
 
 class WebDatasetScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = WebDatasetV2.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WebDatasetScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(WebDatasetV2.isSupported)
+    pushed = ok
+    residual // shard/ext matches are exact — Spark need not re-check ours
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new WebDatasetScan(path, required, pushed)
 }
 
-class WebDatasetScan(path: String, required: StructType) extends Scan with Batch {
+class WebDatasetScan(path: String, required: StructType,
+                     filters: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in the physical plan: pruning is assertable from explain()
   override def description(): String =
-    s"graft-webdataset[$path, cols=${required.fieldNames.mkString(",")}]"
+    s"graft-webdataset[$path, cols=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) "]"
+       else s", pushed=${filters.mkString(";")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val shards = fs.globStatus(
+      new org.apache.hadoop.fs.Path(path, "shard-*.tar"))
+    if (shards == null) Array.empty
+    else shards.flatMap { s =>
+      val n = s.getPath.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+      // shard predicates resolve against the FILE NAME: pruned tars are
+      // never opened, never even become partitions
+      if (WebDatasetV2.shardMatches(filters.toSeq, n))
+        Some(WebDatasetInputPartition(s.getPath.toString, n): InputPartition)
+      else None
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // session conf shipped ONCE via the factory (serialized one time and
+    // broadcast with the task binary), not per-InputPartition — at 10⁶
+    // shards a per-partition conf dump would dominate task bytes
     val kv = {
       val it = hconf.iterator()
       val b = Array.newBuilder[(String, String)]
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    val shards = fs.globStatus(
-      new org.apache.hadoop.fs.Path(path, "shard-*.tar"))
-    if (shards == null) Array.empty
-    else shards.map { s =>
-      val n = s.getPath.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
-      WebDatasetInputPartition(s.getPath.toString, n, kv): InputPartition
-    }
+    new WebDatasetReaderFactory(required.fieldNames, kv,
+      WebDatasetV2.extWhitelist(filters.toSeq))
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WebDatasetReaderFactory(required.fieldNames)
 }
 
-case class WebDatasetInputPartition(file: String, shard: Long,
-                                    confKv: Array[(String, String)])
+case class WebDatasetInputPartition(file: String, shard: Long)
   extends InputPartition
 
-class WebDatasetReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+class WebDatasetReaderFactory(cols: Array[String],
+                              confKv: Array[(String, String)],
+                              extWhitelist: Option[Set[String]])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WebDatasetInputPartition]
-    new WebDatasetShardReader(p.file, p.shard, cols, p.confKv)
+    new WebDatasetShardReader(p.file, p.shard, cols, confKv, extWhitelist)
   }
 }
 
 /** Streams ONE shard tar member by member. When `content` is pruned away
   * the reader seeks past each payload — 512 header bytes per member is
-  * the whole scan cost. */
+  * the whole scan cost. Members whose ext misses the pushed whitelist are
+  * seeked past the same way, payload untouched. */
 class WebDatasetShardReader(file: String, shard: Long, cols: Array[String],
-                            confKv: Array[(String, String)])
+                            confKv: Array[(String, String)],
+                            extWhitelist: Option[Set[String]])
   extends PartitionReader[InternalRow] {
   private val needContent = cols.contains("content")
   private val in: org.apache.hadoop.fs.FSDataInputStream = {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     confKv.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(file)
+    WebDatasetV2.tarFilesOpened.increment()
     p.getFileSystem(conf).open(p)
   }
   private val header = new Array[Byte](512)
@@ -144,22 +235,32 @@ class WebDatasetShardReader(file: String, shard: Long, cols: Array[String],
   private var curContent: Array[Byte] = _
 
   override def next(): Boolean = {
-    in.readFully(off, header)
-    if (header(0) == 0) return false // terminator blocks
-    val name = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0.toChar)
-    val size = java.lang.Long.parseLong(
-      new String(header, 124, 11, "US-ASCII").trim, 8)
-    val dot = name.lastIndexOf('.')
-    curKey = if (dot >= 0) name.substring(0, dot) else name
-    curExt = if (dot >= 0) name.substring(dot + 1) else ""
-    curSize = size
-    if (needContent) {
-      curContent = new Array[Byte](size.toInt)
-      in.readFully(off + 512, curContent)
-      WebDatasetV2.payloadBytesRead.add(size)
-    } else curContent = null // pruned: never read, never counted
-    off += 512 + (size + 511) / 512 * 512
-    true
+    while (true) {
+      in.readFully(off, header)
+      if (header(0) == 0) return false // terminator blocks
+      val name = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0.toChar)
+      val size = java.lang.Long.parseLong(
+        new String(header, 124, 11, "US-ASCII").trim, 8)
+      // LAST dot, the writeShards contract: exts are dot-free by
+      // construction (rejected at write time), keys may contain dots
+      val dot = name.lastIndexOf('.')
+      val ext = if (dot >= 0) name.substring(dot + 1) else ""
+      val entryEnd = 512 + (size + 511) / 512 * 512
+      if (extWhitelist.forall(_.contains(ext))) {
+        curKey = if (dot >= 0) name.substring(0, dot) else name
+        curExt = ext
+        curSize = size
+        if (needContent) {
+          curContent = new Array[Byte](size.toInt)
+          in.readFully(off + 512, curContent)
+          WebDatasetV2.payloadBytesRead.add(size)
+        } else curContent = null // pruned: never read, never counted
+        off += entryEnd
+        return true
+      }
+      off += entryEnd // filtered out: seek past, payload untouched
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {

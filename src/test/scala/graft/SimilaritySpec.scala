@@ -427,6 +427,30 @@ class SimilaritySpec extends SparkSpec {
       .select("batch_id", "seen_id").as[(Long, Long)].collect().toSet
     assert(hits2.contains((2000310L, 310L)))
   }
+  test("cosine LSH band auto-sizing: bits derived from index cardinality, floor/cap pinned") {
+    import graft.operators.Similarity
+    // the measured rule as code: 2^bits >= n, floor 8, cap 24
+    assert(Similarity.autoBitsPerBand(100L) === 8, "small corpus floors at 8")
+    assert(Similarity.autoBitsPerBand(256L) === 8, "2^8 boundary stays 8")
+    assert(Similarity.autoBitsPerBand(257L) === 9)
+    assert(Similarity.autoBitsPerBand(5000L) === 13) // 2^12=4096 < 5000 <= 2^13
+    assert(Similarity.autoBitsPerBand(125000L) === 17) // the 25x INDEXSCALE regime
+    assert(Similarity.autoBitsPerBand(1L << 30) === 24, "caps at the packing bound")
+    // build wires the auto bits into the index geometry (two sizes)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val small = Similarity.buildCosineLshIndex(
+      e.filter(col("vec_id") < 100), "vec_id", "embedding", SimilarityQueries.Dim)
+    assert(small.bitsPerBand === 8)
+    val bigger = Similarity.buildCosineLshIndex(
+      e.limit(300), "vec_id", "embedding", SimilarityQueries.Dim)
+    assert(bigger.bitsPerBand === 9, "300 vectors need 9-bit buckets under the rule")
+    // an explicit pin still wins (fixture geometry must not drift with SF)
+    val pinned = Similarity.buildCosineLshIndex(
+      e.limit(300), "vec_id", "embedding", SimilarityQueries.Dim, bitsPerBand = 16)
+    assert(pinned.bitsPerBand === 16)
+  }
+
   test("ivfBalanceReport: exact FAISS imbalance, empty cells visible, retrain verdict at the boundary") {
     import graft.operators.Similarity
     // hand-built index state: 4 cells, occupancy 6/2/0/0 over 8 vectors

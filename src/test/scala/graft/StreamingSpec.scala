@@ -344,6 +344,105 @@ class StreamingSpec extends SparkSpec {
       "replaying batch 1 must not duplicate index rows")
   }
 
+  test("foreachBatch sample-dedup sink: joint text/img/aud verdict per micro-batch, all three states advance atomically on survivors, replay idempotent") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("stream_sample_dedup").toString
+    val (fpDir, imgDir, audDir, repDir) =
+      (s"$base/textfp", s"$base/img", s"$base/aud", s"$base/report")
+    // sample = (id, textFp, imgHi, imgLo, audHi, audLo)
+    val w1: Seq[(Long, String, Long, Long, Long, Long)] = Seq(
+      (1L, "fpA", 1000L, 2000L, 7L, 8L),
+      (2L, "fpB", 3000L, 4000L, 9L, 10L),
+      (3L, "fpC", 5000L, 6000L, 11L, 12L),
+      (4L, "fpD", 7000L, 8000L, 13L, 14L))
+    // wave 2: twins of wave-1 SURVIVORS, one per modality — catchable only
+    // via the advanced state
+    val w2: Seq[(Long, String, Long, Long, Long, Long)] = Seq(
+      (10L, "fpA", 9100L, 9200L, 70L, 80L), // text twin of 1 only
+      (11L, "fpX", 3001L, 4000L, 71L, 81L), // img hamming-1 twin of 2 only
+      (12L, "fpY", 9300L, 9400L, 11L, 12L), // aud exact twin of 3 only
+      (13L, "fpZ", 9500L, 9600L, 72L, 82L), // fresh: survives
+      (14L, "fpD", 7001L, 8000L, 13L, 14L)) // all three twins of 4
+    val sink = Multimodal.sampleDedupBatch(fpDir, imgDir, audDir, repDir,
+      "id", "fp", "ihi", "ilo", "ahi", "alo") _
+    def df(rows: Seq[(Long, String, Long, Long, Long, Long)]) =
+      rows.toDF("id", "fp", "ihi", "ilo", "ahi", "alo")
+    val input = MemoryStream[(Long, String, Long, Long, Long, Long)]
+    val q = input.toDF().toDF("id", "fp", "ihi", "ilo", "ahi", "alo")
+      .writeStream.foreachBatch(sink)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(w2: _*); q.processAllAvailable()
+    q.stop()
+    def report(): Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean, Long)] =
+      spark.read.parquet(repDir)
+        .select("batch_id", "id", "text_dup", "img_dup", "aud_dup", "is_dup", "n_mod")
+        .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = Seq(
+      (0L, 1L, false, false, false, false, 0L),
+      (0L, 2L, false, false, false, false, 0L),
+      (0L, 3L, false, false, false, false, 0L),
+      (0L, 4L, false, false, false, false, 0L),
+      (1L, 10L, true, false, false, true, 1L),
+      (1L, 11L, false, true, false, true, 1L),
+      (1L, 12L, false, false, true, true, 1L),
+      (1L, 13L, false, false, false, false, 0L),
+      (1L, 14L, true, true, true, true, 3L))
+    assert(report() === expected)
+    // ATOMIC advance: each state dir holds exactly the survivor ids —
+    // wave-1's four plus wave-2's 13 — in lockstep across all three
+    val surv = Set(1L, 2L, 3L, 4L, 13L)
+    assert(spark.read.parquet(fpDir).select("id").as[Long]
+      .collect().toSet === surv)
+    assert(spark.read.parquet(imgDir).select("id").distinct().as[Long]
+      .collect().toSet === surv)
+    assert(spark.read.parquet(audDir).select("id").distinct().as[Long]
+      .collect().toSet === surv)
+    // RETRY idempotence: replaying batch 1 replaces its partitions in all
+    // four dirs — report and state byte-for-byte stable
+    val idxRowsBefore = spark.read.parquet(imgDir).count()
+    sink(df(w2), 1L)
+    assert(report() === expected)
+    assert(spark.read.parquet(fpDir).select("id").as[Long].collect().toSet === surv)
+    assert(spark.read.parquet(imgDir).count() === idxRowsBefore)
+    // a third batch twinning batch-2 survivor 13 across any modality hits:
+    // proves 13 entered ALL indexes (one probe per modality)
+    sink(df(Seq((20L, "fpZ", 9700L, 9800L, 90L, 91L),
+      (21L, "fpQ", 9501L, 9600L, 92L, 93L),
+      (22L, "fpR", 9900L, 9950L, 72L, 82L))), 2L)
+    val b2 = report().filter(_._1 == 2L)
+    assert(b2 === Seq(
+      (2L, 20L, true, false, false, true, 1L),
+      (2L, 21L, false, true, false, true, 1L),
+      (2L, 22L, false, false, true, true, 1L)), s"batch 2: $b2")
+    // flat (non-partitioned) text-fp state refuses loudly
+    val flat = Files.createTempDirectory("stream_sample_flat").toString
+    df(w1).select(col("id"), col("fp")).write.parquet(s"$flat/textfp")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.sampleDedupBatch(s"$flat/textfp", s"$flat/img", s"$flat/aud",
+        s"$flat/report", "id", "fp", "ihi", "ilo", "ahi", "alo")(df(w1), 0L)
+    }
+    assert(e.getMessage.contains("seedTextFpIndex"))
+    // seeded pre-history: all three modalities probe the batch_id=-1 seed
+    val seeded = Files.createTempDirectory("stream_sample_seed").toString
+    Multimodal.seedTextFpIndex(df(w1).select(col("id"), col("fp")),
+      s"$seeded/textfp", "id", "fp")
+    Multimodal.seedMediaIndex(Multimodal.buildMediaIndex(
+      df(w1), "id", "ihi", "ilo", 32, 32, "img"), s"$seeded/img")
+    Multimodal.seedMediaIndex(Multimodal.buildMediaIndex(
+      df(w1), "id", "ahi", "alo", 8, 8, "wav"), s"$seeded/aud")
+    Multimodal.sampleDedupBatch(s"$seeded/textfp", s"$seeded/img",
+      s"$seeded/aud", s"$seeded/report",
+      "id", "fp", "ihi", "ilo", "ahi", "alo")(df(w2), 0L)
+    val seededRep = spark.read.parquet(s"$seeded/report")
+      .select("id", "is_dup", "n_mod").as[(Long, Boolean, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(seededRep === Seq((10L, true, 1L), (11L, true, 1L),
+      (12L, true, 1L), (13L, false, 0L), (14L, true, 3L)))
+  }
+
   test("media index lifecycle: seeded pre-history probes, flat seeds refuse, compaction folds below the replay barrier") {
     import graft.operators.Multimodal
     val base = Files.createTempDirectory("stream_media_life").toString
@@ -475,6 +574,67 @@ class StreamingSpec extends SparkSpec {
       w2.toDF("id", "text"), 1L)
     assert(report() === expected)
     assert(spark.read.parquet(seenDir).count() === 4L)
+  }
+
+  test("foreachBatch WebDataset export sink: batch-scoped shard namespaces, per-batch manifests, replay leaves no duplicate or orphan shard") {
+    import graft.sources.WebDataset
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_wds_export").toString + "/landing"
+    def pay(id: Long, n: Int): Array[Byte] = Array.tabulate(n)(i => ((id + i) % 251).toByte)
+    val payUdf = udf((id: Long) => pay(id, 700))
+    val w1 = (1L to 8L).toSeq
+    val w2 = (20L to 24L).toSeq
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("id")
+      .withColumn("img", payUdf(col("id")))
+      .writeStream
+      .foreachBatch(WebDataset.exportBatch(dir, col("id"),
+        Seq("bin" -> col("img")), maxBytesPerShard = 4096L) _)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(w2: _*); q.processAllAvailable()
+    q.stop()
+    // every sample landed exactly once, in its batch's namespace
+    val back = WebDataset.readBatches(spark, dir)
+      .select("batch_id", "key", "content")
+      .as[(Long, String, Array[Byte])].collect()
+    assert(back.map(r => (r._1, r._2)).toSet ===
+      (w1.map(id => (0L, id.toString)) ++ w2.map(id => (1L, id.toString))).toSet)
+    back.foreach { case (_, k, c) =>
+      assert(java.util.Arrays.equals(c, pay(k.toLong, 700)), s"payload $k corrupted")
+    }
+    // a manifest per batch, agreeing with what landed
+    (0L to 1L).foreach { b =>
+      val m = WebDataset.manifestStats(spark, s"$dir/batch_id=$b")
+      val total = m.agg(sum("n_samples")).as[Long].collect().head
+      assert(total === (if (b == 0L) w1.size else w2.size).toLong,
+        s"batch $b manifest samples")
+      assert(WebDataset.verifyManifest(spark, s"$dir/batch_id=$b").isEmpty)
+    }
+    // multiple shards per batch (the 4 KiB budget forces cuts)
+    def shardFiles(b: Long): Map[String, String] =
+      new java.io.File(s"$dir/batch_id=$b").listFiles()
+        .filter(_.getName.endsWith(".tar"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> md.map("%02x".format(_)).mkString
+        }.toMap
+    val batch1Before = shardFiles(1L)
+    assert(shardFiles(0L).size > 1)
+    // REPLAY with an orphan planted (a dead attempt that landed a shard a
+    // shorter re-export wouldn't): the namespace replacement must remove
+    // it and land byte-identical shards — no duplicates, no orphans
+    val orphan = java.nio.file.Paths.get(s"$dir/batch_id=1", "shard-99999.tar")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    WebDataset.exportBatch(dir, col("id"), Seq("bin" -> col("img")),
+      maxBytesPerShard = 4096L)(
+      w2.toDF("id").withColumn("img", payUdf(col("id"))), 1L)
+    assert(!java.nio.file.Files.exists(orphan), "replay must sweep the orphan shard")
+    assert(shardFiles(1L) === batch1Before,
+      "replayed batch must land byte-identical shards")
+    // and batch 0's namespace was never touched
+    assert(WebDataset.readBatches(spark, dir).count() === (w1.size + w2.size).toLong)
   }
 
   test("foreachBatch upsert sink converges to merge semantics across batches") {

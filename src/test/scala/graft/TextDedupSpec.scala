@@ -670,6 +670,50 @@ class DedupSpec extends SparkSpec {
     assert(noBc === got.toSet)
   }
 
+  test("canaryPairs: gram-index path is pair-identical to the broadcast contains scan; no crossJoin for long needles") {
+    // train docs: a verbatim embed (mid-text), a one-char-off near miss
+    // (must NOT flag), a doc embedding TWO needles, a needle fused to
+    // adjacent characters (still verbatim — prefix/suffix chars touch the
+    // needle's FIRST/LAST token, the case interior-gram indexing exists
+    // for), and clean docs
+    val needles = Seq(
+      (100L, "red fox jumps over the lazy dog"), // 7 tokens: gram path
+      (101L, "quantum leap basis vector rotation"), // 5 tokens: gram path
+      (102L, "tiny pair")) // 2 tokens: short-needle escape path
+      .toDF("nid", "s")
+    val train = Seq(
+      (1L, "prefix words red fox jumps over the lazy dog suffix words"),
+      (2L, "prefix words red fox jumps over the hazy dog suffix words"), // near miss
+      (3L, "a quantum leap basis vector rotation b tiny pair c"), // two hits
+      (4L, "unrelated content with no needles at all whatsoever"),
+      (5L, "fusedred fox jumps over the lazy dogfused"), // verbatim, fused ends
+      (6L, "red fox JUMPS over the lazy dog")) // case differs: no verbatim hit
+      .toDF("doc_id", "text")
+    val got = Dedup.canaryPairs(train, needles, "doc_id", "text", "nid", "s")
+      .as[(Long, Long)].collect().toSet
+    // reference: the q171-shaped broadcast contains scan
+    val ref = train.crossJoin(broadcast(needles))
+      .filter(col("text").contains(col("s")))
+      .select(col("doc_id"), col("nid"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === ref)
+    assert(got === Set((1L, 100L), (3L, 101L), (3L, 102L), (5L, 100L)))
+    // plan guard: with every needle long enough for the gram index, the
+    // plan carries NO cartesian/nested-loop join — the whole point of the
+    // corpus-scale path (the short-needle escape is the only consumer of
+    // the broadcast scan, and it wasn't built here)
+    val longOnly = needles.filter(col("nid") < 102L)
+    val plan = Dedup.canaryPairs(train, longOnly, "doc_id", "text", "nid", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram path must not cross-join: $plan")
+    // shuffled-needles fallback is result-identical
+    val noBc = Dedup.canaryPairs(train, needles, "doc_id", "text", "nid", "s",
+      broadcastNeedles = false).as[(Long, Long)].collect().toSet
+    assert(noBc === ref)
+  }
+
   test("cdcChunks partition the token stream; an inserted token only reshapes its chunk") {
     import org.apache.spark.sql.functions.col
     val base = "key agg row scan slow fast table value part hash merge batch spark line sort window"

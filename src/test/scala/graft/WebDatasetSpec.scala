@@ -173,6 +173,100 @@ class WebDatasetSpec extends SparkSpec {
     assert(WebDatasetV2.payloadBytesRead.sum() > 0L)
   }
 
+  test("DSv2 filter pushdown: a shard predicate opens ONLY matching tars") {
+    import graft.sources.v2.WebDatasetV2
+    val (dir, manifest) = export("graft_wds_push")
+    val nShards = manifest.count()
+    assert(nShards > 2, s"fixture needs several shards, got $nShards")
+    val v2 = spark.read.format("graft-webdataset").load(dir)
+    // point predicate: exactly one tar opens
+    WebDatasetV2.tarFilesOpened.reset()
+    val one = v2.filter(col("shard") === 1L)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSeq
+    assert(one.map(_._1) === Seq(1L))
+    assert(WebDatasetV2.tarFilesOpened.sum() === 1L,
+      s"shard=1 scan must open exactly 1 tar of $nShards")
+    // range predicate: only the range's tars open
+    WebDatasetV2.tarFilesOpened.reset()
+    val rng = v2.filter(col("shard") >= 1L && col("shard") < 3L)
+      .select("shard").distinct().as[Long].collect().sorted.toSeq
+    assert(rng === Seq(1L, 2L))
+    assert(WebDatasetV2.tarFilesOpened.sum() === 2L)
+    // the pushed filters are visible in the physical plan (plan guard)
+    val plan = v2.filter(col("shard") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("shard"), plan)
+    // and an unfiltered scan still opens everything
+    WebDatasetV2.tarFilesOpened.reset()
+    v2.select("shard").distinct().count()
+    assert(WebDatasetV2.tarFilesOpened.sum() === nShards)
+  }
+
+  test("DSv2 filter pushdown: an ext predicate seeks past non-matching payloads") {
+    import graft.sources.v2.WebDatasetV2
+    val (dir, _) = export("graft_wds_ext")
+    val v2 = spark.read.format("graft-webdataset").load(dir)
+    // txt-only scan: result matches the post-filter helper read, and the
+    // payload counter moved by exactly the txt bytes — bmp payloads were
+    // seeked past, never materialized
+    WebDatasetV2.payloadBytesRead.reset()
+    val txt = v2.filter(col("ext") === "txt")
+      .select(col("key"), md5(col("content")).as("m"))
+      .as[(String, String)].collect().toSet
+    val txtBytes = WebDatasetV2.payloadBytesRead.sum()
+    val expected = WebDataset.read(spark, dir).filter(col("ext") === "txt")
+      .select(col("key"), md5(col("content")).as("m"))
+      .as[(String, String)].collect().toSet
+    assert(txt === expected && txt.size === 60)
+    val totalTxt = WebDataset.read(spark, dir).filter(col("ext") === "txt")
+      .agg(sum(octet_length(col("content")).cast("long"))).as[Long].collect().head
+    assert(txtBytes === totalTxt,
+      s"ext=txt scan read $txtBytes payload bytes, expected exactly $totalTxt (txt only)")
+    // ext + metadata-only: zero payload bytes even with the member filter
+    WebDatasetV2.payloadBytesRead.reset()
+    val n = v2.filter(col("ext") === "bmp").select("key").count()
+    assert(n === 60L && WebDatasetV2.payloadBytesRead.sum() === 0L)
+  }
+
+  test("manifest fast path: q169-class stats with ZERO tar opens; verifyManifest catches drift") {
+    import graft.sources.v2.WebDatasetV2
+    val (dir, _) = export("graft_wds_mf")
+    WebDatasetV2.tarFilesOpened.reset()
+    val fast = WebDataset.manifestStats(spark, dir)
+      .select("shard", "n_members", "n_samples", "payload_bytes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast.nonEmpty)
+    assert(WebDatasetV2.tarFilesOpened.sum() === 0L,
+      "the manifest fast path must not open a single tar")
+    // agreement with the pruned header walk (the q169 read path)
+    val walk = spark.read.format("graft-webdataset").load(dir)
+      .groupBy("shard").agg(count(lit(1)).as("m"),
+        countDistinct(col("key")).as("s"), sum("size").as("p"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast === walk)
+    // verification mode passes on the untouched layout...
+    assert(WebDataset.verifyManifest(spark, dir).isEmpty)
+    // ...and surfaces out-of-band drift (a shard deleted behind the
+    // manifest's back shows up with walk-side nulls)
+    val victim = java.nio.file.Paths.get(dir).toFile.listFiles()
+      .filter(_.getName.endsWith(".tar")).maxBy(_.getName)
+    java.nio.file.Files.delete(victim.toPath)
+    val drift = WebDataset.verifyManifest(spark, dir)
+      .select("shard", "walk_members").as[(Long, Option[Long])].collect()
+    assert(drift.length === 1 && drift.head._2.isEmpty,
+      s"deleted shard must surface as manifest-only: ${drift.toSeq}")
+  }
+
+  test("writeShards rejects dotted exts (the key/ext round-trip contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_dotext").toString
+    val err = intercept[IllegalArgumentException] {
+      WebDataset.writeShards(media, dir, col("doc_id"),
+        Seq("json.gz" -> col("txt")), maxBytesPerShard = 8192L)
+    }
+    assert(err.getMessage.contains("dot-free"))
+  }
+
   test("commit sweeps stale temp files from attempts that died mid-write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wds_tmp").toString
     // a dead attempt's orphan: right shard-name pattern, never renamed
