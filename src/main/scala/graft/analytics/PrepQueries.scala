@@ -20,7 +20,8 @@ object PrepQueries {
   val MixWeights: Map[String, Double] =
     Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
 
-  /** Scratch dir for the container queries (q167/q169), tmpfs-backed when
+  /** Scratch dir for the container queries (q167/q169/q173/q174),
+    * tmpfs-backed when
     * the host provides one, reclaimed two ways: the PREVIOUS invocation's
     * dir for the same prefix is deleted eagerly when the query re-runs
     * (safe — a re-run means the prior run's DataFrame was fully consumed;
@@ -588,6 +589,103 @@ object PrepQueries {
         .orderBy("shard")
     },
 
+    // Container manifest FAST PATH — q169's per-shard stats answered from
+    // the `_manifest` the export landed, with ZERO tar opens (the
+    // WebDatasetSpec counter pins that; at 100 TB this is one manifest
+    // read vs a million object-store header walks). Same layout as q169
+    // plus the n_bytes column: the full 512-block tar arithmetic
+    // (header + padded payload per member + the 1024-byte terminator) is
+    // now SQL-replayed too, so the manifest's byte accounting — the
+    // numbers a storage bill or an rsync plan reads — sits inside the
+    // correctness gate, not just the spec.
+    "q173_manifest_fastpath" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.sources.WebDataset
+      val out = scratchTempDir("graft_q173_")
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
+        }).toDF("doc_id", "bmp", "text")
+      WebDataset.writeShards(media, out, col("doc_id"),
+        Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
+        maxBytesPerShard = 131072L)
+      WebDataset.manifestStats(s, out)
+        .select("shard", "n_samples", "n_members", "n_bytes", "payload_bytes")
+        .orderBy("shard")
+    },
+
+    // Shard- and ext-PRUNED container scan — the DSv2 filter pushdown in
+    // the correctness gate: a shard-range predicate opens only the
+    // matching tar FILES (decided against file names at planning — the
+    // WebDatasetSpec counter proves 2 opens of N), the ext predicate
+    // seeks past every bmp payload inside them, and content is pruned so
+    // no payload byte is read at all. The oracle replays the layout cut
+    // and applies the same filters relationally — pushdown must be
+    // result-invisible, which is exactly what makes it safe to claim
+    // filters as fully handled.
+    "q174_pruned_container_scan" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.sources.WebDataset
+      val out = scratchTempDir("graft_q174_")
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
+        }).toDF("doc_id", "bmp", "text")
+      WebDataset.writeShards(media, out, col("doc_id"),
+        Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
+        maxBytesPerShard = 65536L)
+      s.read.format("graft-webdataset").load(out)
+        .filter(col("shard") >= 1L && col("shard") <= 2L && col("ext") === "txt")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"), sum("size").as("txt_bytes"))
+        .orderBy("shard")
+    },
+
+    // Shard COMPACTION invariant in the gate — the small-files close of
+    // the container lifecycle (land per micro-batch via exportBatch,
+    // compact to budget-sized shards): two fragment layouts (the corpus
+    // split at a 32 KiB budget — hundreds of under-budget shards) compact
+    // into one 131072-budget layout whose manifest is BYTE-FOR-BYTE the
+    // q173 direct-export manifest, because the writeShards layout is
+    // deterministic in the data alone. The oracle is therefore the
+    // direct-export replay — re-layout must be invisible to it.
+    "q175_compact_shards" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.sources.WebDataset
+      val frag = scratchTempDir("graft_q175_frag_")
+      val outc = scratchTempDir("graft_q175_out_")
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
+        }).toDF("doc_id", "bmp", "text")
+        .localCheckpoint() // feeds both fragment exports
+      // 32 KiB fragments: a 4× fragmentation factor against the target
+      // budget (~500 fragment shards at sf0.1 — plenty to prove the
+      // re-layout; a per-shard directory-listing cost would surface here,
+      // which is exactly why the writer sweeps per task — the 8 KiB
+      // first cut of this fixture measured 84 s on exactly that
+      // quadratic before the sweep moved to task grain)
+      def land(half: DataFrame, name: String): String = {
+        val d = s"$frag/$name"
+        WebDataset.writeShards(half, d, col("doc_id"),
+          Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
+          maxBytesPerShard = 32768L)
+        d
+      }
+      val a = land(media.filter(col("doc_id") % 2 === 0), "batch_id=0")
+      val b = land(media.filter(col("doc_id") % 2 =!= 0), "batch_id=1")
+      WebDataset.compactShards(s, Seq(a, b), outc,
+          Seq("bmp", "txt"), maxBytesPerShard = 131072L)
+        .select("shard", "n_samples", "n_members", "n_bytes", "payload_bytes")
+        .orderBy("shard")
+    },
+
     // SAMPLE-LEVEL multimodal dedup — the JOINT decision a WebDataset-style
     // sample pipeline needs and no single-modality query gives: a sample
     // (text + image + audio members under one key) is a duplicate if ANY
@@ -1143,6 +1241,100 @@ object PrepQueries {
         |SELECT CAST(shard AS BIGINT) AS shard,
         |       CAST(2 * COUNT(*) AS BIGINT) AS n_members,
         |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(1142 + tl) AS BIGINT) AS payload_bytes
+        |FROM sh GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // q173: q169's layout replay + the full tar byte arithmetic — per
+    // sample one 2048-byte bmp entry and one 512+pad(tl) txt entry, per
+    // shard a 1024-byte terminator.
+    "q173_manifest_fastpath" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS tl FROM documents),
+        |sized AS (
+        |  SELECT doc_id, tl,
+        |         2048 + 512 + (tl + 511) // 512 * 512 AS bytes
+        |  FROM t),
+        |mixed AS (
+        |  SELECT doc_id, tl, bytes,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS mx
+        |  FROM sized),
+        |cum AS (
+        |  SELECT doc_id, tl, bytes,
+        |         SUM(bytes) OVER (ORDER BY mx, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM mixed),
+        |sh AS (
+        |  SELECT doc_id, tl, bytes,
+        |         DENSE_RANK() OVER (ORDER BY (c - bytes) // 131072) - 1 AS shard
+        |  FROM cum)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(SUM(bytes) + 1024 AS BIGINT) AS n_bytes,
+        |       CAST(SUM(1142 + tl) AS BIGINT) AS payload_bytes
+        |FROM sh GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // q174: the same layout at the 65536 budget, then the pushed
+    // predicates applied relationally — shard range + ext (txt members
+    // only, whose payload is the encoded text).
+    "q174_pruned_container_scan" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS tl FROM documents),
+        |sized AS (
+        |  SELECT doc_id, tl,
+        |         2048 + 512 + (tl + 511) // 512 * 512 AS bytes
+        |  FROM t),
+        |mixed AS (
+        |  SELECT doc_id, tl, bytes,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS mx
+        |  FROM sized),
+        |cum AS (
+        |  SELECT doc_id, tl, bytes,
+        |         SUM(bytes) OVER (ORDER BY mx, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM mixed),
+        |sh AS (
+        |  SELECT doc_id, tl,
+        |         DENSE_RANK() OVER (ORDER BY (c - bytes) // 65536) - 1 AS shard
+        |  FROM cum)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(SUM(tl) AS BIGINT) AS txt_bytes
+        |FROM sh WHERE shard >= 1 AND shard <= 2
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // q175: the q173 direct-export replay verbatim — compaction of the
+    // fragment layouts must produce the byte-identical budget layout.
+    "q175_compact_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS tl FROM documents),
+        |sized AS (
+        |  SELECT doc_id, tl,
+        |         2048 + 512 + (tl + 511) // 512 * 512 AS bytes
+        |  FROM t),
+        |mixed AS (
+        |  SELECT doc_id, tl, bytes,
+        |         (((doc_id % 2147483648) * 1664525 + 1013904223) % 2147483648
+        |          * 1103515245 + 12345) % 2147483648 AS mx
+        |  FROM sized),
+        |cum AS (
+        |  SELECT doc_id, tl, bytes,
+        |         SUM(bytes) OVER (ORDER BY mx, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM mixed),
+        |sh AS (
+        |  SELECT doc_id, tl, bytes,
+        |         DENSE_RANK() OVER (ORDER BY (c - bytes) // 131072) - 1 AS shard
+        |  FROM cum)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(SUM(bytes) + 1024 AS BIGINT) AS n_bytes,
         |       CAST(SUM(1142 + tl) AS BIGINT) AS payload_bytes
         |FROM sh GROUP BY shard
         |ORDER BY shard""".stripMargin,

@@ -164,6 +164,7 @@ object WebDataset {
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      val written = scala.collection.mutable.Set.empty[Long]
       var out: java.io.OutputStream = null
       var curShard = -1L
       var tmpPath: org.apache.hadoop.fs.Path = null
@@ -182,26 +183,37 @@ object WebDataset {
           if (fs.exists(dst)) fs.delete(tmpPath, false)
           else throw new java.io.IOException(s"rename $tmpPath -> $dst failed")
         }
+        written += curShard
+        results += ((curShard, n, members, bytes + 1024L, pbytes))
+        out = null
+      }
+      def sweepDeadAttempts(): Unit = if (written.nonEmpty && fs != null) {
         // best-effort sweep of stale temp files from attempts that died
-        // mid-write for THIS shard (theirs never reached the rename, so
-        // nothing else deletes them; reads glob shard-*.tar and are
-        // unaffected, but the garbage accrues across retries). Ours is
-        // already renamed/deleted — any survivor matching the pattern is a
-        // dead attempt's ONLY when speculative execution is off: under
-        // speculation a concurrent live attempt's still-being-written temp
-        // matches too, so skip the sweep there (worst case is orphaned
-        // temp garbage, never a failed commit — the victim attempt's
-        // rename recovers via the fs.exists(dst) path above).
+        // mid-write for the shards THIS task committed (theirs never
+        // reached the rename, so nothing else deletes them; reads glob
+        // shard-*.tar and are unaffected, but the garbage accrues across
+        // retries). ONE directory listing per TASK — a per-shard-close
+        // glob lists the directory once per shard, which is O(shards²)
+        // name matching and was measured dominating a 2000-fragment
+        // export (q175 at an 8 KiB budget). A survivor matching the
+        // pattern is a dead attempt's ONLY when speculative execution is
+        // off: under speculation a concurrent live attempt's
+        // still-being-written temp matches too, so skip the sweep there
+        // (worst case is orphaned temp garbage, never a failed commit —
+        // the victim attempt's rename recovers via the fs.exists(dst)
+        // path above).
         try {
           val speculating = org.apache.spark.SparkEnv.get != null &&
             org.apache.spark.SparkEnv.get.conf.getBoolean("spark.speculation", false)
           if (!speculating)
-            fs.globStatus(new org.apache.hadoop.fs.Path(
-                dir, f".shard-$curShard%05d.tar.*.tmp"))
-              .foreach(s => fs.delete(s.getPath, false))
+            fs.globStatus(new org.apache.hadoop.fs.Path(dir, ".shard-*.tar.*.tmp"))
+              .foreach { st =>
+                val sh = st.getPath.getName.stripPrefix(".shard-")
+                  .takeWhile(_.isDigit)
+                if (sh.nonEmpty && written.contains(sh.toLong))
+                  fs.delete(st.getPath, false)
+              }
         } catch { case _: Throwable => () } // cleanup must never fail a commit
-        results += ((curShard, n, members, bytes + 1024L, pbytes))
-        out = null
       }
       it.foreach { row =>
         val shard = row.getAs[Long]("shard")
@@ -227,6 +239,7 @@ object WebDataset {
         n += 1L
       }
       closeShard()
+      sweepDeadAttempts()
       results.iterator
     }
     val manifest = manifestRows.toDF(
@@ -291,6 +304,56 @@ object WebDataset {
           (bid, shard, name.substring(0, dot), name.substring(dot + 1), data)
         }
       }.toDF("batch_id", "shard", "key", "ext", "content")
+  }
+
+  /** Shard COMPACTION: re-layout the members of one or more shard
+    * layouts (typically [[exportBatch]]'s accreted per-batch namespaces —
+    * a day of micro-batches lands hundreds of under-budget shards) into
+    * ONE budget-sized [[writeShards]] layout under `dstDir` — the
+    * container twin of [[graft.etl.SnapshotIO.compactBatchPartitions]],
+    * closing the small-files problem on the container side: loaders and
+    * object stores price file COUNT as well as bytes, and a crawl landing
+    * at micro-batch grain fragments both.
+    *
+    * Because the [[writeShards]] layout is deterministic in the DATA
+    * (mix2 order, byte-budget cuts, pinned tar metadata), compaction is
+    * byte-identical to having exported the union directly — so shard
+    * caching, rsync delta pushes, and the manifest byte math all survive
+    * re-layout (spec-pinned; q175 puts the invariant in the oracle gate).
+    *
+    * Contract: `exts` enumerates the payload members per sample (the
+    * writeShards convention — every key gets every ext, absence is a
+    * 0-byte member); a DUPLICATE (key, ext) across the source layouts
+    * refuses loudly at execution (an overlapping landing is the dedup
+    * sinks' job, not compaction's to paper over). Keys must be numeric
+    * (the writeShards id contract).
+    *
+    * 100 TB shape: members stream through the pruned DSv2 source (one
+    * partition per source tar), ONE (key, ext) aggregate, a bounded pivot
+    * (|exts| columns), then the writeShards path — payload bytes cross
+    * exactly one shuffle, and nothing is ever whole-corpus resident. */
+  def compactShards(spark: SparkSession, srcDirs: Seq[String], dstDir: String,
+                    exts: Seq[String], maxBytesPerShard: Long): DataFrame = {
+    require(srcDirs.nonEmpty && exts.nonEmpty, "srcDirs and exts required")
+    val members = srcDirs.map(d =>
+        spark.read.format("graft-webdataset").load(d)
+          .select(col("key"), col("ext"), col("content")))
+      .reduce(_ unionByName _)
+      .filter(col("ext").isin(exts: _*))
+    // ONE key-shuffle: the pivot carries both the payload and a per-cell
+    // count, and the dup check rides the projection (a separate
+    // (key, ext) pre-aggregate would push every payload byte through a
+    // second exchange)
+    val pivoted0 = members.groupBy("key").pivot("ext", exts)
+      .agg(first(col("content")).as("c"), count(lit(1)).as("n"))
+    val pivoted = pivoted0.select(col("key") +: exts.map { e =>
+      when(col(s"${e}_n") > 1,
+        raise_error(concat(lit("compactShards: duplicate member "),
+          col("key"), lit(s".$e across source layouts"))).cast("binary"))
+        .otherwise(col(s"${e}_c")).as(e)
+    }: _*)
+    writeShards(pivoted, dstDir, col("key").cast("long"),
+      exts.map(e => e -> col(e)), maxBytesPerShard)
   }
 
   /** Manifest-backed metadata FAST PATH: per-shard (shard, n_samples,

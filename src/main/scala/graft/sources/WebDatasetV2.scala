@@ -16,10 +16,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 reader for [[graft.sources.WebDataset]] shard layouts
-  * (`format("graft-webdataset").load(dir)`): one InputPartition per shard
-  * tar, schema `(shard, key, ext, size, content)`, with REQUIRED-COLUMN
-  * pruning pushed through the tar walk itself and `shard` / `ext`
-  * FILTER pushdown pruning whole tar files at planning time.
+  * (`format("graft-webdataset").load(dir)`): shard tars BIN-PACKED into
+  * InputPartitions by file size up to the session's
+  * `files.maxPartitionBytes` (budget-sized shards get a task each; a
+  * fragmented micro-batch landing of thousands of tiny tars packs into a
+  * core-count's worth of tasks instead of paying per-tar task launch —
+  * the read side of the small-files problem [[graft.sources.WebDataset
+  * .compactShards]] solves on disk), schema
+  * `(shard, key, ext, size, content)`, with REQUIRED-COLUMN pruning
+  * pushed through the tar walk itself and `shard` / `ext` FILTER
+  * pushdown pruning whole tar files at planning time.
   *
   * Why a DSv2 source when [[graft.sources.WebDataset.read]] already
   * round-trips: the helper is a binaryFile scan — it materializes every
@@ -171,15 +177,38 @@ class WebDatasetScan(path: String, required: StructType,
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val shards = fs.globStatus(
       new org.apache.hadoop.fs.Path(path, "shard-*.tar"))
-    if (shards == null) Array.empty
-    else shards.flatMap { s =>
+    if (shards == null) return Array.empty
+    val matched = shards.flatMap { s =>
       val n = s.getPath.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
       // shard predicates resolve against the FILE NAME: pruned tars are
       // never opened, never even become partitions
       if (WebDatasetV2.shardMatches(filters.toSeq, n))
-        Some(WebDatasetInputPartition(s.getPath.toString, n): InputPartition)
+        Some((s.getPath.toString, n, s.getLen))
       else None
+    }.sortBy(_._2)
+    // BIN-PACK small shards into partitions: one-task-per-tar is right for
+    // budget-sized shards but quadratic-overhead-wrong for fragmented
+    // layouts (a micro-batch landing at a small budget lays out thousands
+    // of tiny tars — 1000 task launches to read 16 MB). Greedy packing by
+    // file size up to the session's files.maxPartitionBytes, floored so a
+    // big layout still fans out to every core. Shards stay sorted within
+    // and across partitions, so per-partition member order is the
+    // deterministic (shard, member) order either way.
+    val maxBytes = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val parts = Array.newBuilder[InputPartition]
+    var cur = Array.newBuilder[(String, Long)]
+    var curBytes = 0L
+    var curN = 0
+    matched.foreach { case (file, n, len) =>
+      if (curN > 0 && curBytes + len > maxBytes) {
+        parts += WebDatasetInputPartition(cur.result())
+        cur = Array.newBuilder[(String, Long)]; curBytes = 0L; curN = 0
+      }
+      cur += ((file, n)); curBytes += len; curN += 1
     }
+    if (curN > 0) parts += WebDatasetInputPartition(cur.result())
+    parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -198,7 +227,8 @@ class WebDatasetScan(path: String, required: StructType,
   }
 }
 
-case class WebDatasetInputPartition(file: String, shard: Long)
+/** One scan task: a size-packed run of shard tars, `(file, shardNo)`. */
+case class WebDatasetInputPartition(files: Array[(String, Long)])
   extends InputPartition
 
 class WebDatasetReaderFactory(cols: Array[String],
@@ -207,26 +237,29 @@ class WebDatasetReaderFactory(cols: Array[String],
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WebDatasetInputPartition]
-    new WebDatasetShardReader(p.file, p.shard, cols, confKv, extWhitelist)
+    new WebDatasetShardReader(p.files, cols, confKv, extWhitelist)
   }
 }
 
-/** Streams ONE shard tar member by member. When `content` is pruned away
-  * the reader seeks past each payload — 512 header bytes per member is
-  * the whole scan cost. Members whose ext misses the pushed whitelist are
-  * seeked past the same way, payload untouched. */
-class WebDatasetShardReader(file: String, shard: Long, cols: Array[String],
+/** Streams a packed run of shard tars member by member. When `content` is
+  * pruned away the reader seeks past each payload — 512 header bytes per
+  * member is the whole scan cost. Members whose ext misses the pushed
+  * whitelist are seeked past the same way, payload untouched. One
+  * FileSystem handle serves the whole run (rebuilt Configuration once per
+  * task, not per tar). */
+class WebDatasetShardReader(files: Array[(String, Long)], cols: Array[String],
                             confKv: Array[(String, String)],
                             extWhitelist: Option[Set[String]])
   extends PartitionReader[InternalRow] {
   private val needContent = cols.contains("content")
-  private val in: org.apache.hadoop.fs.FSDataInputStream = {
-    val conf = new org.apache.hadoop.conf.Configuration(false)
-    confKv.foreach { case (k, v) => conf.set(k, v) }
-    val p = new org.apache.hadoop.fs.Path(file)
-    WebDatasetV2.tarFilesOpened.increment()
-    p.getFileSystem(conf).open(p)
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confKv.foreach { case (k, v) => c.set(k, v) }
+    c
   }
+  private var fileIdx = -1
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+  private var shard = -1L
   private val header = new Array[Byte](512)
   private var off = 0L
   private var curKey: String = _
@@ -234,31 +267,49 @@ class WebDatasetShardReader(file: String, shard: Long, cols: Array[String],
   private var curSize: Long = _
   private var curContent: Array[Byte] = _
 
+  /** Advance to the next tar in the run; false when the run is done. */
+  private def openNext(): Boolean = {
+    if (in != null) { in.close(); in = null }
+    fileIdx += 1
+    if (fileIdx >= files.length) return false
+    val (file, n) = files(fileIdx)
+    val p = new org.apache.hadoop.fs.Path(file)
+    WebDatasetV2.tarFilesOpened.increment()
+    in = p.getFileSystem(conf).open(p)
+    shard = n
+    off = 0L
+    true
+  }
+
   override def next(): Boolean = {
     while (true) {
+      if (in == null && !openNext()) return false
       in.readFully(off, header)
-      if (header(0) == 0) return false // terminator blocks
-      val name = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0.toChar)
-      val size = java.lang.Long.parseLong(
-        new String(header, 124, 11, "US-ASCII").trim, 8)
-      // LAST dot, the writeShards contract: exts are dot-free by
-      // construction (rejected at write time), keys may contain dots
-      val dot = name.lastIndexOf('.')
-      val ext = if (dot >= 0) name.substring(dot + 1) else ""
-      val entryEnd = 512 + (size + 511) / 512 * 512
-      if (extWhitelist.forall(_.contains(ext))) {
-        curKey = if (dot >= 0) name.substring(0, dot) else name
-        curExt = ext
-        curSize = size
-        if (needContent) {
-          curContent = new Array[Byte](size.toInt)
-          in.readFully(off + 512, curContent)
-          WebDatasetV2.payloadBytesRead.add(size)
-        } else curContent = null // pruned: never read, never counted
-        off += entryEnd
-        return true
+      if (header(0) == 0) { // terminator blocks: this tar is done
+        in.close(); in = null
+      } else {
+        val name = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0.toChar)
+        val size = java.lang.Long.parseLong(
+          new String(header, 124, 11, "US-ASCII").trim, 8)
+        // LAST dot, the writeShards contract: exts are dot-free by
+        // construction (rejected at write time), keys may contain dots
+        val dot = name.lastIndexOf('.')
+        val ext = if (dot >= 0) name.substring(dot + 1) else ""
+        val entryEnd = 512 + (size + 511) / 512 * 512
+        if (extWhitelist.forall(_.contains(ext))) {
+          curKey = if (dot >= 0) name.substring(0, dot) else name
+          curExt = ext
+          curSize = size
+          if (needContent) {
+            curContent = new Array[Byte](size.toInt)
+            in.readFully(off + 512, curContent)
+            WebDatasetV2.payloadBytesRead.add(size)
+          } else curContent = null // pruned: never read, never counted
+          off += entryEnd
+          return true
+        }
+        off += entryEnd // filtered out: seek past, payload untouched
       }
-      off += entryEnd // filtered out: seek past, payload untouched
     }
     false // unreachable
   }
@@ -274,5 +325,5 @@ class WebDatasetShardReader(file: String, shard: Long, cols: Array[String],
     }
     new GenericInternalRow(values)
   }
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }

@@ -258,6 +258,44 @@ class WebDatasetSpec extends SparkSpec {
       s"deleted shard must surface as manifest-only: ${drift.toSeq}")
   }
 
+  test("compactShards: fragment layouts re-land byte-identical to a direct export; duplicate members refuse") {
+    // land the corpus as two fragmented batch namespaces (tiny budget)
+    val frag = java.nio.file.Files.createTempDirectory("graft_wds_frag").toString
+    val (aDir, bDir) = (s"$frag/batch_id=0", s"$frag/batch_id=1")
+    WebDataset.writeShards(media.filter(col("doc_id") % 2 === 0), aDir,
+      col("doc_id"), Seq("bmp" -> col("img"), "txt" -> col("txt")), 4096L)
+    WebDataset.writeShards(media.filter(col("doc_id") % 2 =!= 0), bDir,
+      col("doc_id"), Seq("bmp" -> col("img"), "txt" -> col("txt")), 4096L)
+    val nFrag = Seq(aDir, bDir).map(d => new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".tar"))).sum
+    assert(nFrag > 4, s"fixture must fragment, got $nFrag shards")
+    // compact to the big budget; compare byte-for-byte to a direct export
+    val compacted = java.nio.file.Files.createTempDirectory("graft_wds_cmp").toString
+    WebDataset.compactShards(spark, Seq(aDir, bDir), compacted,
+      Seq("bmp", "txt"), 8192L)
+    val (direct, _) = export("graft_wds_direct")
+    def digests(d: String): Map[String, String] =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".tar"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> md.map("%02x".format(_)).mkString
+        }.toMap
+    val (cd, dd) = (digests(compacted), digests(direct))
+    assert(cd === dd && cd.size > 1,
+      "compaction must be byte-identical to the direct export")
+    assert(WebDataset.verifyManifest(spark, compacted).isEmpty)
+    // an overlapping landing (same key in both sources) refuses loudly
+    val dup = java.nio.file.Files.createTempDirectory("graft_wds_dup").toString
+    val err = intercept[Exception] {
+      WebDataset.compactShards(spark, Seq(aDir, aDir), dup,
+        Seq("bmp", "txt"), 8192L)
+    }
+    assert(err.getMessage.contains("duplicate member") ||
+      Option(err.getCause).exists(_.getMessage.contains("duplicate member")),
+      s"got: ${err.getMessage}")
+  }
+
   test("writeShards rejects dotted exts (the key/ext round-trip contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wds_dotext").toString
     val err = intercept[IllegalArgumentException] {
