@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -162,7 +162,8 @@ class WebDatasetScanBuilder(path: String)
 }
 
 class WebDatasetScan(path: String, required: StructType,
-                     filters: Array[Filter]) extends Scan with Batch {
+                     filters: Array[Filter])
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in the physical plan: pruning is assertable from explain()
@@ -171,14 +172,16 @@ class WebDatasetScan(path: String, required: StructType,
       (if (filters.isEmpty) "]"
        else s", pushed=${filters.mkString(";")}]")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Matched shard files AFTER shard-predicate pruning: computed once on
+    * the driver, shared by partition planning and statistics. */
+  private lazy val matched: Array[(String, Long, Long)] = {
     val spark = SparkSession.active
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val shards = fs.globStatus(
       new org.apache.hadoop.fs.Path(path, "shard-*.tar"))
-    if (shards == null) return Array.empty
-    val matched = shards.flatMap { s =>
+    if (shards == null) Array.empty
+    else shards.flatMap { s =>
       val n = s.getPath.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
       // shard predicates resolve against the FILE NAME: pruned tars are
       // never opened, never even become partitions
@@ -186,6 +189,33 @@ class WebDatasetScan(path: String, required: StructType,
         Some((s.getPath.toString, n, s.getLen))
       else None
     }.sortBy(_._2)
+  }
+
+  /** POST-PRUNING size estimate, so join planning sees what the scan will
+    * actually produce: a `shard = N` slice of a million-shard corpus
+    * reports one tar's bytes and becomes broadcast-eligible — without
+    * this, Catalyst sizes a DSv2 relation at defaultSizeInBytes
+    * (effectively infinite) and shuffles the big side of every container
+    * join. When `content` is pruned away the rows are ~64-byte metadata
+    * tuples, not payloads — estimate an upper-bound member count
+    * (every member costs ≥ 512 header bytes, so members ≤ bytes/512)
+    * times the metadata row width; still conservative (an overestimate
+    * can only suppress a broadcast, never plan an oversized one). */
+  override def estimateStatistics(): Statistics = {
+    val tarBytes = matched.map(_._3).sum
+    val est =
+      if (required.fieldNames.contains("content")) tarBytes
+      else (tarBytes / 512L) * 64L
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(est)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
     // BIN-PACK small shards into partitions: one-task-per-tar is right for
     // budget-sized shards but quadratic-overhead-wrong for fragmented
     // layouts (a micro-batch landing at a small budget lays out thousands

@@ -258,6 +258,25 @@ class WebDatasetSpec extends SparkSpec {
       s"deleted shard must surface as manifest-only: ${drift.toSeq}")
   }
 
+  test("DSv2 statistics: post-pruning size estimate makes a metadata container scan broadcast-eligible") {
+    val (dir, _) = export("graft_wds_stats")
+    // metadata join: per-sample sizes back onto the documents table — the
+    // container side is a few KB of metadata tuples after pruning and
+    // must BROADCAST (without SupportsReportStatistics a DSv2 relation
+    // sizes at defaultSizeInBytes and the big side shuffles instead)
+    val meta = spark.read.format("graft-webdataset").load(dir)
+      .filter(col("ext") === "txt")
+      .select(col("key"), col("size"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("string").as("key"), col("text"))
+    val plan = docs.join(meta, "key").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned container scan must broadcast: $plan")
+    // and the broadcast side is the container scan, not the corpus
+    val bcIdx = plan.indexOf("BroadcastExchange")
+    assert(bcIdx >= 0 && plan.indexOf("graft-webdataset[", bcIdx) >= 0, plan)
+  }
+
   test("compactShards: fragment layouts re-land byte-identical to a direct export; duplicate members refuse") {
     // land the corpus as two fragmented batch namespaces (tiny budget)
     val frag = java.nio.file.Files.createTempDirectory("graft_wds_frag").toString
