@@ -637,6 +637,47 @@ class StreamingSpec extends SparkSpec {
     assert(WebDataset.readBatches(spark, dir).count() === (w1.size + w2.size).toLong)
   }
 
+  test("container lifecycle composition: stream-landed batch namespaces compact to the direct-export layout") {
+    import graft.sources.WebDataset
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_wds_life").toString + "/landing"
+    def pay(id: Long): Array[Byte] = Array.tabulate(600)(i => ((id * 7 + i) % 251).toByte)
+    val payUdf = udf((id: Long) => pay(id))
+    val w1 = (1L to 10L).toSeq
+    val w2 = (30L to 39L).toSeq
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("id").withColumn("bin", payUdf(col("id")))
+      .writeStream
+      .foreachBatch(WebDataset.exportBatch(dir, col("id"),
+        Seq("bin" -> col("bin")), maxBytesPerShard = 2048L) _)
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(w1: _*); q.processAllAvailable()
+    input.addData(w2: _*); q.processAllAvailable()
+    q.stop()
+    // a day of micro-batches → fragmented namespaces; compact them
+    val compacted = Files.createTempDirectory("stream_wds_cmp").toString
+    WebDataset.compactShards(spark,
+      Seq(s"$dir/batch_id=0", s"$dir/batch_id=1"), compacted,
+      Seq("bin"), maxBytesPerShard = 16384L)
+    // byte-identical to having exported the union directly
+    val direct = Files.createTempDirectory("stream_wds_direct").toString
+    WebDataset.writeShards((w1 ++ w2).toDF("id").withColumn("bin", payUdf(col("id"))),
+      direct, col("id"), Seq("bin" -> col("bin")), maxBytesPerShard = 16384L)
+    def digests(d: String): Map[String, String] =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".tar"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> md.map("%02x".format(_)).mkString
+        }.toMap
+    assert(digests(compacted) === digests(direct) && digests(compacted).nonEmpty)
+    assert(WebDataset.verifyManifest(spark, compacted).isEmpty)
+    // every sample present exactly once in the compacted layout
+    val keys = WebDataset.read(spark, compacted)
+      .select("key").as[String].collect().map(_.toLong).sorted.toSeq
+    assert(keys === (w1 ++ w2).sorted)
+  }
+
   test("foreachBatch upsert sink converges to merge semantics across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_upsert").toString + "/target"
