@@ -219,23 +219,33 @@ class WebDatasetScan(path: String, required: StructType,
     // BIN-PACK small shards into partitions: one-task-per-tar is right for
     // budget-sized shards but quadratic-overhead-wrong for fragmented
     // layouts (a micro-batch landing at a small budget lays out thousands
-    // of tiny tars — 1000 task launches to read 16 MB). Greedy packing by
-    // file size up to the session's files.maxPartitionBytes, floored so a
-    // big layout still fans out to every core. Shards stay sorted within
-    // and across partitions, so per-partition member order is the
-    // deterministic (shard, member) order either way.
-    val maxBytes = math.max(1L,
-      spark.sessionState.conf.filesMaxPartitionBytes)
+    // of tiny tars — 1000 task launches to read 16 MB). Spark's own file
+    // split sizing: each file costs its length PLUS files.openCostInBytes
+    // (so tiny tars don't collapse into one task), the split target is
+    // min(files.maxPartitionBytes, max(openCost, total / minPartitionNum))
+    // — WITHOUT the minPartitionNum floor a whole small corpus packs into
+    // ONE task and everything downstream of the scan (the q167 decode
+    // pass) runs serial (measured: q167 7.2 → 8.0 s on exactly that).
+    // Shards stay sorted within and across partitions, so per-partition
+    // member order is the deterministic (shard, member) order either way.
+    val conf = spark.sessionState.conf
+    val openCost = math.max(0L, conf.filesOpenCostInBytes)
+    val minParts = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism).max(1)
+    val totalCost = matched.map(f => f._3 + openCost).sum
+    val maxBytes = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalCost / minParts)))
     val parts = Array.newBuilder[InputPartition]
     var cur = Array.newBuilder[(String, Long)]
     var curBytes = 0L
     var curN = 0
     matched.foreach { case (file, n, len) =>
-      if (curN > 0 && curBytes + len > maxBytes) {
+      val cost = len + openCost
+      if (curN > 0 && curBytes + cost > maxBytes) {
         parts += WebDatasetInputPartition(cur.result())
         cur = Array.newBuilder[(String, Long)]; curBytes = 0L; curN = 0
       }
-      cur += ((file, n)); curBytes += len; curN += 1
+      cur += ((file, n)); curBytes += cost; curN += 1
     }
     if (curN > 0) parts += WebDatasetInputPartition(cur.result())
     parts.result()
