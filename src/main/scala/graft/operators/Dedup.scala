@@ -426,7 +426,9 @@ object Dedup {
     * gram — the true corpus-vs-corpus fallback. The verify joins
     * candidates (bounded by real overlap) back into the train scan as a
     * broadcast, so train text is never shuffled either. Emits
-    * (train_id, needle_id), one row per verbatim hit. */
+    * (train_id, needle_id), one row per verbatim hit. Reference anchor:
+    * the dedup sweep of `scripts/test/transform.py` (drop-duplicates
+    * pass) specialized to the exact-substring decontamination regime. */
   def canaryPairs(train: DataFrame, needles: DataFrame, idCol: String,
                   textCol: String, needleIdCol: String, needleCol: String,
                   k: Int = 3, broadcastNeedles: Boolean = true): DataFrame = {

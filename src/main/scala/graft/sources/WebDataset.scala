@@ -274,7 +274,10 @@ object WebDataset {
     * [[writeShards]] per batch (bucketed cumsum, per-task streaming IO);
     * namespaces mean shard NUMBERS restart per batch, so global shard
     * identity is (batch_id, shard) — exactly what a resumable loader
-    * wants, because a late replay renumbers nothing outside its batch. */
+    * wants, because a late replay renumbers nothing outside its batch.
+    * Reference anchor: the scheduled landing loop of
+    * `dags/get_data_api.py` (per-interval extract-and-land), upgraded to
+    * the binary-sample container with exactly-once namespace replacement. */
   def exportBatch(dir: String, idCol: Column, payloads: Seq[(String, Column)],
                   maxBytesPerShard: Long)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -328,10 +331,12 @@ object WebDataset {
     * sinks' job, not compaction's to paper over). Keys must be numeric
     * (the writeShards id contract).
     *
-    * 100 TB shape: members stream through the pruned DSv2 source (one
-    * partition per source tar), ONE (key, ext) aggregate, a bounded pivot
-    * (|exts| columns), then the writeShards path — payload bytes cross
-    * exactly one shuffle, and nothing is ever whole-corpus resident. */
+    * 100 TB shape: members stream through the pruned DSv2 source, one
+    * key-shuffle (the pivot carries payload and dup count together), then
+    * the writeShards path — nothing is ever whole-corpus resident.
+    * Reference anchor: the full-table replicate/compaction posture of
+    * `scripts/ETL Pipeline/*` (overwrite refresh) applied to the
+    * container layout. */
   def compactShards(spark: SparkSession, srcDirs: Seq[String], dstDir: String,
                     exts: Seq[String], maxBytesPerShard: Long): DataFrame = {
     require(srcDirs.nonEmpty && exts.nonEmpty, "srcDirs and exts required")
