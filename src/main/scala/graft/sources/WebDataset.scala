@@ -335,7 +335,7 @@ object WebDataset {
     * key-shuffle (the pivot carries payload and dup count together), then
     * the writeShards path — nothing is ever whole-corpus resident.
     * Reference anchor: the full-table replicate/compaction posture of
-    * `scripts/ETL Pipeline/*` (overwrite refresh) applied to the
+    * the `scripts/ETL Pipeline` overwrite-refresh jobs applied to the
     * container layout. */
   def compactShards(spark: SparkSession, srcDirs: Seq[String], dstDir: String,
                     exts: Seq[String], maxBytesPerShard: Long): DataFrame = {
