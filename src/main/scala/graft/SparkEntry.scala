@@ -40,7 +40,8 @@ object SparkEntry {
       analytics.SimilarityQueries.rowsOnly ++
       analytics.SessionQueries.rowsOnly ++
       analytics.PrepQueries.rowsOnly ++
-      analytics.CorpusQueries.rowsOnly
+      analytics.CorpusQueries.rowsOnly ++
+      analytics.LayoutQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -58,7 +59,8 @@ object SparkEntry {
       analytics.MiscQueries.queries ++
       analytics.SessionQueries.queries ++
       analytics.PrepQueries.queries ++
-      analytics.CorpusQueries.queries
+      analytics.CorpusQueries.queries ++
+      analytics.LayoutQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
@@ -71,7 +73,8 @@ object SparkEntry {
       analytics.MiscQueries.oracleSql ++
       analytics.SessionQueries.oracleSql ++
       analytics.PrepQueries.oracleSql ++
-      analytics.CorpusQueries.oracleSql
+      analytics.CorpusQueries.oracleSql ++
+      analytics.LayoutQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

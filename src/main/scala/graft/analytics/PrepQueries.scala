@@ -43,7 +43,7 @@ object PrepQueries {
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     } catch { case _: Throwable => () } // cleanup is best-effort, never fatal
-  private def scratchTempDir(prefix: String): String = {
+  private[analytics] def scratchTempDir(prefix: String): String = {
     scratchHook
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.Bench.scratchDir()), prefix)

@@ -1,0 +1,337 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-dimensional data layout: z-order clustering, a parquet-footer skip
+  * index, and incremental cell-grain re-clustering.
+  *
+  * The reference engine stores extracts as flat row-ordered tables and
+  * re-scans them per query (the `scripts/ETL Pipeline` extract scripts land pandas frames
+  * ordered by cursor position; every downstream predicate pays a full scan).
+  * At 100 TB the scan bill is decided by LAYOUT, not by the query engine:
+  * a table clustered so that file-level min/max statistics bound each file's
+  * key ranges lets a reader skip files wholesale, and a z-order (Morton)
+  * interleave gives that bound on SEVERAL columns at once — a box predicate
+  * on (a, b) touches O(sqrt) of the files instead of all of them, and a
+  * predicate on either single dimension still prunes, which no single-column
+  * sort can offer for the non-leading dimension.
+  *
+  * Design choices, all driven by the multi-executor model:
+  *
+  *  - The z-value is a pure codegen'd expression tree (shifts + masks, no
+  *    UDF), so clustering is one `repartition` + local sort — the same
+  *    shuffle any global sort pays, nothing extra.
+  *  - Bucketization is EXACT integer math `((c - min) * 2^bits) div span`,
+  *    replayable bit-for-bit in any engine (the DuckDB oracles replay it);
+  *    bounds are frozen at first write into `_zmeta` so later batches
+  *    bucket IDENTICALLY (out-of-range values clamp to the edge buckets —
+  *    re-bucketing the whole table because one new row exceeded max would
+  *    defeat incrementality).
+  *  - The skip index is built from parquet FOOTER statistics only — O(files)
+  *    metadata reads fanned out over executors, ZERO data bytes. At 100 TB
+  *    this is the difference between an index build that costs a listing
+  *    and one that costs a table scan.
+  *  - Incremental optimize rewrites ONLY the z-cells the new batch touches,
+  *    via the same dynamic-partition-overwrite discipline the streaming
+  *    dedup sinks use (cell = partition directory). Untouched files are
+  *    never opened, never rewritten; planning reads only the skip index.
+  */
+object Layout {
+
+  /** Exact integer bucket of `c` into [0, 2^bits) given frozen bounds.
+    * Values outside [minC, maxC] clamp to the edge buckets (see scaladoc).
+    * Integer division via the SQL `div` operator — no double rounding. */
+  def zBucket(c: Column, minC: Column, maxC: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
+    val clamped = greatest(minC, least(maxC, c))
+    call_function("div",
+      (clamped - minC) * lit(1L << bits),
+      maxC - minC + lit(1L))
+  }
+
+  /** Morton interleave of two bucket columns (each in [0, 2^bits)): bit i of
+    * `a` lands at position 2i+1, bit i of `b` at 2i. Pure shift/mask tree —
+    * whole-stage-codegen-friendly, 4·bits integer ops per row. */
+  def zValue2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Frozen bucketization bounds for a clustered layout. */
+  final case class ZBounds(aMin: Long, aMax: Long, bMin: Long, bMax: Long)
+
+  private val ZMETA = "_zmeta"
+  private val SKIPINDEX = "_skipindex"
+
+  /** Columns appended by [[withZ]]. */
+  val ZVAL = "zval"
+  val ZCELL = "zcell"
+
+  /** Append `zval` (2·bits-bit Morton code of dims) and `zcell` (its top
+    * `cellBits` bits — the partition-directory grain) to `df`. */
+  def withZ(df: DataFrame, dimA: String, dimB: String, bounds: ZBounds,
+            bits: Int, cellBits: Int): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 12, s"cellBits out of range: $cellBits")
+    require(cellBits <= 2 * bits, "cellBits must not exceed the z-value width")
+    val span = math.max(bounds.aMax - bounds.aMin, bounds.bMax - bounds.bMin)
+    require(span <= (Long.MaxValue >> bits),
+      s"dimension span $span overflows at $bits bucket bits")
+    val ab = zBucket(col(dimA), lit(bounds.aMin), lit(bounds.aMax), bits)
+    val bb = zBucket(col(dimB), lit(bounds.bMin), lit(bounds.bMax), bits)
+    df.withColumn(ZVAL, zValue2(ab, bb, bits))
+      .withColumn(ZCELL, shiftright(col(ZVAL), 2 * bits - cellBits))
+  }
+
+  /** Cluster `df` by the z-order of two long columns and land it under
+    * `outDir` as one partition directory per z-cell (`zcell=N/`), rows
+    * sorted by the full z-value within each cell. Also freezes the
+    * bucketization bounds into `_zmeta` and builds the footer skip index.
+    *
+    * The bounds collect is ONE 1-row aggregate — the only driver-side read.
+    * The write is one hash shuffle on `zcell` (≤ 2^cellBits reducers) plus
+    * a local sort: exactly what any clustering must pay, and at 1000
+    * executors each cell lands as a handful of large sorted files. */
+  def clusterByZOrder(df: DataFrame, dimA: String, dimB: String,
+                      outDir: String, bits: Int = 16, cellBits: Int = 6,
+                      statsCols: Seq[String] = Nil): ZBounds = {
+    val r = df.agg(
+      min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
+      min(col(dimB)).cast("long"), max(col(dimB)).cast("long")).head()
+    require(!r.anyNull, s"cannot cluster an empty frame or null-only dims")
+    val bounds = ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    withZ(df, dimA, dimB, bounds, bits, cellBits)
+      .repartition(col(ZCELL))
+      .sortWithinPartitions(ZCELL, ZVAL)
+      .drop(ZVAL)
+      .write.mode("overwrite").partitionBy(ZCELL).parquet(outDir)
+    writeZMeta(df.sparkSession, outDir, bounds, bits, cellBits)
+    val idxCols = if (statsCols.nonEmpty) statsCols else Seq(dimA, dimB)
+    writeSkipIndex(df.sparkSession, outDir, idxCols)
+    bounds
+  }
+
+  private def writeZMeta(spark: SparkSession, dir: String, bounds: ZBounds,
+                         bits: Int, cellBits: Int): Unit = {
+    import spark.implicits._
+    Seq((bounds.aMin, bounds.aMax, bounds.bMin, bounds.bMax, bits, cellBits))
+      .toDF("a_min", "a_max", "b_min", "b_max", "bits", "cell_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$ZMETA")
+  }
+
+  /** (bounds, bits, cellBits) as frozen by [[clusterByZOrder]]. */
+  def readZMeta(spark: SparkSession, dir: String): (ZBounds, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/$ZMETA")
+      .select("a_min", "a_max", "b_min", "b_max", "bits", "cell_bits").head()
+    (ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+      r.getInt(4), r.getInt(5))
+  }
+
+  // -------------------------------------------------------------------
+  // Footer skip index
+  // -------------------------------------------------------------------
+
+  /** Per-file statistics row: path, row count, and min/max per indexed
+    * column (null when the footer carries no stats for it — such a file is
+    * never pruned, the safe direction). */
+  private def skipIndexSchema(cols: Seq[String]): StructType =
+    StructType(
+      StructField("file", StringType, nullable = false) +:
+        StructField("n_rows", LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          StructField(s"min_$c", LongType, nullable = true),
+          StructField(s"max_$c", LongType, nullable = true))))
+
+  /** Build the skip index for `cols` (integral columns) over every data
+    * file under `dir`, from parquet FOOTERS only. The file list is read on
+    * the driver (the same O(files) listing any scan pays); footer reads fan
+    * out over executors — zero data pages are touched. */
+  def buildSkipIndex(spark: SparkSession, dir: String,
+                     cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one stats column required")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = listDataFiles(hconf, dir)
+    // Ship the session's hadoop conf as plain pairs (the WebDatasetV2
+    // discipline): one copy per task closure, not per partition.
+    val confKv = hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val statCols = cols.toArray
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(files, slices).map { file =>
+      val c = new Configuration(false)
+      confKv.foreach { case (k, v) => c.set(k, v) }
+      footerStatsRow(c, file, statCols)
+    }
+    spark.createDataFrame(rows, skipIndexSchema(cols))
+  }
+
+  /** Data files under `dir`, recursive, skipping `_`/`.`-prefixed names
+    * (sidecars, temp files) at every level — the same hidden-path rule
+    * Spark's own file index applies. */
+  private def listDataFiles(hconf: Configuration, dir: String): Array[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    def walk(p: Path): Array[String] =
+      fs.listStatus(p).flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Array.empty[String]
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Array(st.getPath.toString)
+        else Array.empty[String]
+      }
+    walk(root)
+  }
+
+  /** One skip-index row from a single file's footer. Min/max aggregate
+    * across row groups; a column missing from the footer (pruned file
+    * schema) or carrying no statistics yields nulls. */
+  private def footerStatsRow(conf: Configuration, file: String,
+                             cols: Array[String]): Row = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val nRows = blocks.map(_.getRowCount).sum
+      val perCol: Map[String, (Option[Long], Option[Long])] =
+        cols.map { name =>
+          var mn: Option[Long] = None
+          var mx: Option[Long] = None
+          var ok = true
+          blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+                else st.genericGetMin match {
+                  case n: java.lang.Number =>
+                    val lo = n.longValue()
+                    val hi = st.genericGetMax.asInstanceOf[java.lang.Number].longValue()
+                    mn = Some(mn.fold(lo)(math.min(_, lo)))
+                    mx = Some(mx.fold(hi)(math.max(_, hi)))
+                  case _ => ok = false // non-integral column: never prune
+                }
+              case None => ok = false
+            }
+          }
+          name -> (if (ok) (mn, mx) else (None, None))
+        }.toMap
+      Row.fromSeq(
+        file +: nRows +: cols.flatMap { c =>
+          val (mn, mx) = perCol(c)
+          Seq(mn.map(Long.box).orNull, mx.map(Long.box).orNull)
+        }.toSeq)
+    } finally reader.close()
+  }
+
+  /** Build and land the skip index under `dir/_skipindex` (hidden from data
+    * scans by the `_` prefix, the `_delta_log` convention). */
+  def writeSkipIndex(spark: SparkSession, dir: String,
+                     cols: Seq[String]): Unit =
+    buildSkipIndex(spark, dir, cols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$SKIPINDEX")
+
+  /** The landed skip index. */
+  def readSkipIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$SKIPINDEX")
+
+  /** Read only the files whose `[min_col, max_col]` can intersect
+    * `[lo, hi]`, then apply the exact predicate. Files with null stats are
+    * kept (never a false negative). The index collect is O(surviving
+    * files) strings — the same order as the file listing every scan
+    * already pays; the files NOT collected are exactly the read's win. */
+  def readPruned(spark: SparkSession, dir: String, colName: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val idx = readSkipIndex(spark, dir)
+    val keep = idx.filter(
+      col(s"min_$colName").isNull ||
+        (col(s"max_$colName") >= lo && col(s"min_$colName") <= hi))
+      .select("file").collect().map(_.getString(0))
+    val exact = col(colName) >= lo && col(colName) <= hi
+    if (keep.isEmpty)
+      spark.read.parquet(dir).where(exact).where(lit(false))
+    else
+      spark.read.parquet(keep.toIndexedSeq: _*).where(exact)
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental optimize
+  // -------------------------------------------------------------------
+
+  /** Fold `batch` into the z-clustered layout at `baseDir`, rewriting ONLY
+    * the z-cells the batch touches. Returns the per-cell plan that was
+    * executed: `(zcell, rows_base, rows_added, rewritten)` for every cell
+    * present in either side, ordered by cell.
+    *
+    * Planning reads NO base data: `rows_base` per cell comes from the skip
+    * index's footer row counts (cell recovered from the partition path).
+    * The rewrite reads base rows only for touched cells (partition-pruned
+    * scan — `zcell` is the directory key), unions the bucketized batch,
+    * re-sorts, and lands via dynamic partition overwrite. A job that dies
+    * BEFORE commit leaves the base untouched (retry-safe for free); to make
+    * replaying an ALREADY-committed batch idempotent too, pass the table's
+    * primary key in `key` — the merge then dedups on it, so the second
+    * replay rewrites the same cells to the same content instead of doubling
+    * the batch rows (the moral twin of the streaming sinks' batch_id
+    * discipline). Untouched cells' files are never opened. */
+  def optimizeIncremental(spark: SparkSession, baseDir: String,
+                          batch: DataFrame, dimA: String, dimB: String,
+                          key: Seq[String] = Nil): DataFrame = {
+    val (bounds, bits, cellBits) = readZMeta(spark, baseDir)
+
+    val batchCells = withZ(batch, dimA, dimB, bounds, bits, cellBits)
+    val touched = batchCells.groupBy(ZCELL)
+      .agg(count(lit(1)).as("rows_added"))
+    // rows_base per cell from footer metadata alone: the partition path
+    // carries the cell id (`.../zcell=N/part-...`).
+    val baseCells = readSkipIndex(spark, baseDir)
+      .withColumn(ZCELL,
+        regexp_extract(col("file"), "zcell=(\\d+)", 1).cast("long"))
+      .groupBy(ZCELL).agg(sum(col("n_rows")).as("rows_base"))
+    val report = baseCells.join(touched, Seq(ZCELL), "full_outer")
+      .select(
+        col(ZCELL),
+        coalesce(col("rows_base"), lit(0L)).as("rows_base"),
+        coalesce(col("rows_added"), lit(0L)).as("rows_added"))
+      .withColumn("rewritten", col("rows_added") > 0)
+      .orderBy(ZCELL)
+      // The report is ≤ 2^cellBits rows; pin it before the rewrite mutates
+      // the directory it was planned from.
+      .localCheckpoint()
+
+    val dataCols = batch.columns.toSeq
+    val base = spark.read.parquet(baseDir)
+      .withColumn(ZCELL, col(ZCELL).cast("long"))
+    val touchedBase = base
+      .join(broadcast(touched.select(ZCELL)), Seq(ZCELL), "left_semi")
+      .select((dataCols.map(col) :+ col(ZCELL)): _*)
+    val unioned = touchedBase
+      .unionByName(batchCells.select((dataCols.map(col) :+ col(ZCELL)): _*))
+    val merged = if (key.nonEmpty) unioned.dropDuplicates(key) else unioned
+    withZ(merged.drop(ZCELL), dimA, dimB, bounds, bits, cellBits)
+      .repartition(col(ZCELL))
+      .sortWithinPartitions(ZCELL, ZVAL)
+      .drop(ZVAL)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(ZCELL).parquet(baseDir)
+    // Refresh the index: footer reads over the post-optimize layout.
+    val statsCols = statsColsOf(spark, baseDir)
+    writeSkipIndex(spark, baseDir, statsCols)
+    report
+  }
+
+  /** The indexed column names, recovered from the landed index schema. */
+  private def statsColsOf(spark: SparkSession, dir: String): Seq[String] =
+    readSkipIndex(spark, dir).columns.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+}

@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Physical claims of the data-layout family that the q176–q178 oracles
+  * cannot see: the interleave math against a plain-Scala reference, real
+  * file skipping (fewer files opened, zero false negatives), footer stats
+  * agreeing with the data, cell files z-sorted, and incremental optimize
+  * leaving untouched cells' files byte-identical on disk while a keyed
+  * replay of the same batch stays idempotent.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_layout_$tag").toString
+
+  private def refZ(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >> i) & 1L) << (2 * i + 1)
+      z |= ((b >> i) & 1L) << (2 * i)
+      i += 1
+    }
+    z
+  }
+
+  test("zValue2 matches the reference interleave bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(256)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue2(col("a"), col("b"), 16).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == refZ(r.getLong(0), r.getLong(1), 16),
+        s"interleave mismatch at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("zBucket is exact integer math and clamps out-of-range to edge buckets") {
+    import spark.implicits._
+    val got = Seq(-50L, 0L, 5L, 9L, 1000L).toDF("c")
+      .select(Layout.zBucket(col("c"), lit(0L), lit(9L), 4).as("bk"))
+      .collect().map(_.getLong(0)).toSeq
+    // (5*16) div 10 = 8, (9*16) div 10 = 14; -50 and 1000 clamp to 0 and 9.
+    assert(got == Seq(0L, 0L, 8L, 14L, 14L))
+  }
+
+  test("pruned read opens fewer files and returns exactly the filter's rows") {
+    val dir = tmp("prune")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Layout.clusterByZOrder(ev, "event_id", "user_id", dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val pruned = Layout.readPruned(spark, dir, "event_id", 100L, 199L)
+    val opened = pruned.inputFiles.length
+    assert(opened > 0 && opened < total,
+      s"expected a strict subset of files: opened $opened of $total")
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ev.filter(col("event_id").between(100L, 199L))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("footer skip index agrees with data-computed per-file statistics") {
+    val dir = tmp("stats")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    Layout.clusterByZOrder(ev, "event_id", "user_id", dir)
+    def keyOf(path: String): String = path.split('/').takeRight(2).mkString("/")
+    val idx = Layout.readSkipIndex(spark, dir).collect()
+      .map(r => keyOf(r.getAs[String]("file")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_event_id"),
+          r.getAs[Long]("max_event_id"))).toMap
+    val data = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min("event_id").as("mn"), max("event_id").as("mx"))
+      .collect()
+      .map(r => keyOf(r.getAs[String]("f")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(idx.keySet == data.keySet)
+    idx.foreach { case (k, v) => assert(v == data(k), s"stats mismatch for $k") }
+    assert(idx.values.map(_._1).sum == ev.count())
+  }
+
+  test("cell files are sorted by the z-value within each file") {
+    val dir = tmp("sorted")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    Layout.clusterByZOrder(ev, "event_id", "user_id", dir)
+    val (bounds, bits, cellBits) = Layout.readZMeta(spark, dir)
+    val file = spark.read.parquet(dir).inputFiles.head
+    val zs = Layout.withZ(spark.read.parquet(file), "event_id", "user_id",
+        bounds, bits, cellBits)
+      .select(Layout.ZVAL).collect().map(_.getLong(0)).toSeq
+    assert(zs == zs.sorted, "rows inside a cell file must be z-ordered")
+  }
+
+  test("optimize rewrites only touched cells; keyed replay is idempotent") {
+    val dir = tmp("opt")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val maxE = ev.agg(max("event_id")).head().getLong(0)
+    Layout.clusterByZOrder(ev.filter(col("event_id") % 10 =!= 0),
+      "event_id", "user_id", dir)
+    // A batch confined to the low quarter of the key range: it can only
+    // reach z-cells whose A-prefix is 0 or 1, so most cells stay untouched.
+    val batch = ev.filter(col("event_id") % 10 === 0 &&
+      col("event_id") < maxE / 4)
+
+    def fileState(): Map[String, (Long, Long)] = {
+      val root = Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("/_"))
+        .map(p => p.toString ->
+          (Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+        .toMap
+    }
+    val before = fileState()
+    val report = Layout.optimizeIncremental(spark, dir, batch,
+      "event_id", "user_id", key = Seq("event_id")).collect()
+    val after = fileState()
+
+    val untouchedCells = report.filter(!_.getAs[Boolean]("rewritten"))
+      .map(_.getAs[Long]("zcell")).toSet
+    val touchedCells = report.filter(_.getAs[Boolean]("rewritten"))
+      .map(_.getAs[Long]("zcell")).toSet
+    assert(untouchedCells.nonEmpty && touchedCells.nonEmpty)
+    def cellOf(path: String): Long =
+      "zcell=(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+    // Untouched cells: files byte-identical on disk (same path, mtime, size).
+    before.filter { case (p, _) => untouchedCells.contains(cellOf(p)) }
+      .foreach { case (p, st) =>
+        assert(after.get(p).contains(st), s"untouched cell file changed: $p")
+      }
+    // Touched cells: rewritten (old files gone or replaced).
+    val touchedBefore = before.keys.filter(p => touchedCells.contains(cellOf(p)))
+    assert(touchedBefore.forall(p => !after.contains(p)),
+      "touched cells must be rewritten, not appended to")
+
+    // Content: base ∪ batch, exactly once each.
+    def ids(): Seq[Long] = spark.read.parquet(dir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (ev.filter(col("event_id") % 10 =!= 0).select("event_id")
+      .collect().map(_.getLong(0)) ++
+      batch.select("event_id").collect().map(_.getLong(0))).sorted.toSeq
+    assert(ids() == want)
+
+    // Replaying the SAME batch with the key: no duplicates, same content.
+    Layout.optimizeIncremental(spark, dir, batch,
+      "event_id", "user_id", key = Seq("event_id"))
+    assert(ids() == want, "keyed replay of the same batch must be a no-op")
+  }
+}
