@@ -100,6 +100,27 @@ class LayoutSpec extends SparkSpec {
     assert(zs == zs.sorted, "rows inside a cell file must be z-ordered")
   }
 
+  test("optimize's base scan partition-prunes to touched cells (DPP plan guard)") {
+    val dir = tmp("dpp")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    Layout.clusterByZOrder(ev.filter(col("event_id") % 10 =!= 0),
+      "event_id", "user_id", dir)
+    val (bounds, bits, cellBits) = Layout.readZMeta(spark, dir)
+    val batch = ev.filter(col("event_id") % 10 === 0 && col("event_id") < 200)
+    val touched = Layout.withZ(batch, "event_id", "user_id", bounds, bits, cellBits)
+      .groupBy(Layout.ZCELL).agg(count(lit(1)).as("rows_added"))
+    val base = spark.read.parquet(dir)
+      .withColumn(Layout.ZCELL, col(Layout.ZCELL).cast("long"))
+    val tb = base.join(broadcast(touched.select(Layout.ZCELL)),
+      Seq(Layout.ZCELL), "left_semi")
+    tb.collect()
+    val plan = tb.queryExecution.executedPlan.toString
+    // The rewrite's read side must carry a dynamic partition-pruning filter
+    // on the cell directory — untouched cells are never opened.
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected DPP on the zcell partition column, got:\n${plan.take(1500)}")
+  }
+
   test("optimize rewrites only touched cells; keyed replay is idempotent") {
     val dir = tmp("opt")
     val ev = Tables.events(spark, sf)
