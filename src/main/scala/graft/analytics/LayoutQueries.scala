@@ -118,6 +118,26 @@ object LayoutQueries {
         .orderBy("event_id")
     },
 
+    // Equality pruning on a STRING column via dictionary/bloom metadata —
+    // the predicate class min/max stats cannot serve (q177's range path).
+    // The layout lands with a bloom filter on event_type; readPrunedEq
+    // tests each row group's dictionary (exact, when fully dict-encoded)
+    // or bloom (might-contain) and reads only admitted files. The oracle
+    // pins the contract: never a false negative — the pruned read IS the
+    // relational filter. LayoutSpec proves files are really skipped on
+    // selective fixtures (events' five types appear in every cell, so
+    // pruning is honest but unselective here).
+    "q179_dict_pruned_read" -> { (s, dir) =>
+      val out = PrepQueries.scratchTempDir("graft_q179_")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Layout.clusterByZOrder(ev, "event_id", "user_id", out, Bits, CellBits,
+        bloomCols = Seq("event_type"))
+      Layout.readPrunedEq(s, out, "event_type", "purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
     // Incremental optimize plan: land 90% of events as the base z-layout,
     // then fold in the 10% batch. The report is the executed rewrite plan —
     // per cell, how many rows the base held (from footer row counts alone:
@@ -213,6 +233,12 @@ object LayoutQueries {
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE event_id BETWEEN 100 AND 499
+        |ORDER BY event_id""".stripMargin,
+
+    "q179_dict_pruned_read" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
     "q178_zorder_optimize" ->

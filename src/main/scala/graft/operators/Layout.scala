@@ -102,7 +102,8 @@ object Layout {
     * executors each cell lands as a handful of large sorted files. */
   def clusterByZOrder(df: DataFrame, dimA: String, dimB: String,
                       outDir: String, bits: Int = 16, cellBits: Int = 6,
-                      statsCols: Seq[String] = Nil): ZBounds = {
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): ZBounds = {
     val r = df.agg(
       min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
       min(col(dimB)).cast("long"), max(col(dimB)).cast("long")).head()
@@ -112,18 +113,27 @@ object Layout {
       .repartition(col(ZCELL))
       .sortWithinPartitions(ZCELL, ZVAL)
       .drop(ZVAL)
-      .write.mode("overwrite").partitionBy(ZCELL).parquet(outDir)
-    writeZMeta(df.sparkSession, outDir, bounds, bits, cellBits)
+      .write.mode("overwrite")
+      .options(bloomCols.map(c =>
+        s"parquet.bloom.filter.enabled#$c" -> "true").toMap)
+      .partitionBy(ZCELL).parquet(outDir)
     val idxCols = if (statsCols.nonEmpty) statsCols else Seq(dimA, dimB)
     writeSkipIndex(df.sparkSession, outDir, idxCols)
+    // _zmeta lands LAST: it is the layout's commit marker — a streaming
+    // replay that finds no _zmeta re-clusters from scratch (overwrite), one
+    // that finds it routes through the idempotent optimize path.
+    writeZMeta(df.sparkSession, outDir, bounds, bits, cellBits, bloomCols)
     bounds
   }
 
   private def writeZMeta(spark: SparkSession, dir: String, bounds: ZBounds,
-                         bits: Int, cellBits: Int): Unit = {
+                         bits: Int, cellBits: Int,
+                         bloomCols: Seq[String]): Unit = {
     import spark.implicits._
-    Seq((bounds.aMin, bounds.aMax, bounds.bMin, bounds.bMax, bits, cellBits))
-      .toDF("a_min", "a_max", "b_min", "b_max", "bits", "cell_bits")
+    Seq((bounds.aMin, bounds.aMax, bounds.bMin, bounds.bMax, bits, cellBits,
+        bloomCols.mkString(",")))
+      .toDF("a_min", "a_max", "b_min", "b_max", "bits", "cell_bits",
+        "bloom_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$ZMETA")
   }
 
@@ -133,6 +143,14 @@ object Layout {
       .select("a_min", "a_max", "b_min", "b_max", "bits", "cell_bits").head()
     (ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
       r.getInt(4), r.getInt(5))
+  }
+
+  /** The bloom-filtered column list frozen at first cluster, so every
+    * rewrite (optimize, streaming fold) re-lands the same bloom filters. */
+  private def bloomColsOf(spark: SparkSession, dir: String): Seq[String] = {
+    val r = spark.read.parquet(s"$dir/$ZMETA").select("bloom_cols").head()
+    Option(r.getString(0)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq).getOrElse(Nil)
   }
 
   // -------------------------------------------------------------------
@@ -263,6 +281,83 @@ object Layout {
       spark.read.parquet(keep.toIndexedSeq: _*).where(exact)
   }
 
+  /** Equality-predicate pruning for a STRING column — the case min/max
+    * ranges cannot serve (a clustered layout scatters an unrelated string
+    * column across every file's full value range). Two exact-or-safe
+    * metadata tests per row group, the Trino/Presto discipline:
+    *
+    *  1. fully dictionary-encoded chunk → decode the dictionary page and
+    *     test membership EXACTLY (parquet-mr deliberately omits blooms for
+    *     these — the dictionary already is the better filter);
+    *  2. otherwise a bloom filter if the writer landed one
+    *     (`bloomCols` on [[clusterByZOrder]]) → might-contain;
+    *  3. neither → admit (never a false negative).
+    *
+    * Only footer + dictionary/bloom pages are read for the decision —
+    * no data pages; the tests fan out over executors. */
+  def readPrunedEq(spark: SparkSession, dir: String, colName: String,
+                   value: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = listDataFiles(hconf, dir)
+    val confKv = hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism))
+    val keep = spark.sparkContext.parallelize(files, slices).filter { f =>
+      val c = new Configuration(false)
+      confKv.foreach { case (k, v) => c.set(k, v) }
+      fileMightContain(c, f, colName, value)
+    }.collect()
+    val exact = col(colName) === value
+    if (keep.isEmpty)
+      spark.read.parquet(dir).where(exact).where(lit(false))
+    else
+      spark.read.parquet(keep.toIndexedSeq: _*).where(exact)
+  }
+
+  /** Might `file` contain `value` in `colName`? Per row group: dictionary
+    * membership when fully dict-encoded, bloom when present, admit
+    * otherwise. */
+  private def fileMightContain(conf: Configuration, file: String,
+                               colName: String, value: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val fmd = reader.getFooter.getFileMetaData
+      reader.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+          case None => true // column absent from this file: cannot exclude
+          case Some(cc) =>
+            if (cc.getPrimitiveType.getPrimitiveTypeName != PrimitiveTypeName.BINARY)
+              true // non-string column: this path only serves strings
+            else {
+              val es = cc.getEncodingStats
+              val fullyDict = es != null && !es.hasNonDictionaryEncodedPages
+              if (fullyDict) {
+                val cd = fmd.getSchema.getColumnDescription(cc.getPath.toArray)
+                val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                  reader.getDictionaryReader(b)
+                val page = store.readDictionaryPage(cd)
+                if (page == null) true
+                else {
+                  val dict = page.getEncoding.initDictionary(cd, page)
+                  (0 to dict.getMaxId).exists(i =>
+                    dict.decodeToBinary(i).toStringUsingUTF8 == value)
+                }
+              } else {
+                val bf = reader.readBloomFilter(cc)
+                if (bf == null) true
+                else bf.findHash(bf.hash(Binary.fromString(value)))
+              }
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
   // -------------------------------------------------------------------
   // Incremental optimize
   // -------------------------------------------------------------------
@@ -323,6 +418,8 @@ object Layout {
       .drop(ZVAL)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .options(bloomColsOf(spark, baseDir).map(c =>
+        s"parquet.bloom.filter.enabled#$c" -> "true").toMap)
       .partitionBy(ZCELL).parquet(baseDir)
     // Refresh the index: footer reads over the post-optimize layout.
     val statsCols = statsColsOf(spark, baseDir)
@@ -334,4 +431,41 @@ object Layout {
   private def statsColsOf(spark: SparkSession, dir: String): Seq[String] =
     readSkipIndex(spark, dir).columns.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+
+  // -------------------------------------------------------------------
+  // Streaming ingest
+  // -------------------------------------------------------------------
+
+  /** Micro-batch sink body (`foreachBatch` target) keeping a table
+    * continuously z-clustered — the streaming member of the layout family:
+    * [[clusterByZOrder]] is the batch form, [[optimizeIncremental]] the
+    * incremental one, this folds each arriving micro-batch into the layout.
+    *
+    * The first non-empty batch clusters from scratch and FREEZES the
+    * bucketization bounds (later batches clamp — the incremental contract);
+    * every later batch routes through [[optimizeIncremental]]. `key` is
+    * required: it is what makes a replayed micro-batch (foreachBatch's
+    * at-least-once delivery) converge to the same layout instead of
+    * doubling rows. Crash safety: `_zmeta` is written last by the initial
+    * cluster, so a replay of a half-landed first batch re-clusters
+    * (overwrite) rather than optimizing against an uncommitted layout. */
+  def clusterBatch(batch: DataFrame, baseDir: String, dimA: String,
+                   dimB: String, key: Seq[String], bits: Int = 16,
+                   cellBits: Int = 6, bloomCols: Seq[String] = Nil): Unit = {
+    require(key.nonEmpty,
+      "a primary key is required for replay-idempotent streaming ingest")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new Path(s"$baseDir/$ZMETA")
+    val committed = metaPath.getFileSystem(hconf).exists(metaPath)
+    if (!committed) {
+      clusterByZOrder(batch.dropDuplicates(key), dimA, dimB, baseDir,
+        bits, cellBits, bloomCols = bloomCols)
+      ()
+    } else {
+      optimizeIncremental(spark, baseDir, batch, dimA, dimB, key)
+      ()
+    }
+  }
 }

@@ -100,6 +100,78 @@ class LayoutSpec extends SparkSpec {
     assert(zs == zs.sorted, "rows inside a cell file must be z-ordered")
   }
 
+  test("bloom pruning: a rare high-cardinality string opens few files, exactly") {
+    import spark.implicits._
+    val dir = tmp("bloom")
+    // High-cardinality tag → parquet writes real bloom filters (parquet-mr
+    // skips them for fully dict-encoded chunks — the next test's path).
+    val df = (0 until 20000).map { i =>
+      (i.toLong, (i * 7 % 20000).toLong,
+        if (i == 7777) "needle-tag" else s"val_$i")
+    }.toDF("a", "b", "tag")
+    Layout.clusterByZOrder(df, "a", "b", dir, bloomCols = Seq("tag"))
+    val total = spark.read.parquet(dir).inputFiles.length
+    val pruned = Layout.readPrunedEq(spark, dir, "tag", "needle-tag")
+    assert(pruned.inputFiles.length < total,
+      s"bloom should exclude most files: ${pruned.inputFiles.length} of $total")
+    assert(pruned.select("a").collect().map(_.getLong(0)).toSeq == Seq(7777L))
+    // And an absent value admits nothing (bloom may false-positive a few
+    // files, but the exact filter on top returns zero rows).
+    assert(Layout.readPrunedEq(spark, dir, "tag", "absent-xyz").count() == 0)
+  }
+
+  test("dictionary pruning: a cell-confined low-cardinality string skips files") {
+    import spark.implicits._
+    val dir = tmp("dict")
+    // tag correlates with the A dimension, so each cell's dictionary holds
+    // 1–2 values and EXACT membership excludes the rest. No bloom needed.
+    val df = (0 until 20000).map { i =>
+      (i.toLong, (i * 13 % 20000).toLong, s"grp${i / 5000}")
+    }.toDF("a", "b", "tag")
+    Layout.clusterByZOrder(df, "a", "b", dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val pruned = Layout.readPrunedEq(spark, dir, "tag", "grp0")
+    assert(pruned.inputFiles.length < total,
+      s"dictionary should exclude files: ${pruned.inputFiles.length} of $total")
+    val got = pruned.select("a").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 5000L))
+  }
+
+  test("streaming fold: clusterBatch is first-cluster + idempotent optimize") {
+    val dir = tmp("stream") + "/table"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val b1 = ev.filter(col("event_id") % 3 === 0)
+    val b2 = ev.filter(col("event_id") % 3 === 1)
+    def ids(): Seq[Long] = spark.read.parquet(dir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    def want(fs: org.apache.spark.sql.DataFrame*): Seq[Long] =
+      fs.flatMap(_.select("event_id").collect().map(_.getLong(0))).sorted
+
+    Layout.clusterBatch(b1, dir, "event_id", "user_id", key = Seq("event_id"))
+    assert(ids() == want(b1))
+    Layout.clusterBatch(b2, dir, "event_id", "user_id", key = Seq("event_id"))
+    assert(ids() == want(b1, b2))
+    // at-least-once delivery: replaying either committed batch is a no-op
+    Layout.clusterBatch(b2, dir, "event_id", "user_id", key = Seq("event_id"))
+    Layout.clusterBatch(b1, dir, "event_id", "user_id", key = Seq("event_id"))
+    assert(ids() == want(b1, b2))
+    // later batches keep pruning working (index refreshed per fold)
+    val lo = spark.read.parquet(dir).agg(min("event_id")).head().getLong(0)
+    val pr = Layout.readPruned(spark, dir, "event_id", lo, lo)
+    assert(pr.count() == 1)
+    // a half-landed FIRST batch (no _zmeta commit marker) re-clusters
+    val dir2 = tmp("stream2") + "/table"
+    Layout.clusterBatch(b1, dir2, "event_id", "user_id", key = Seq("event_id"))
+    val meta = Paths.get(s"$dir2/_zmeta")
+    import scala.jdk.CollectionConverters._
+    Files.walk(meta).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Layout.clusterBatch(b1, dir2, "event_id", "user_id", key = Seq("event_id"))
+    val got2 = spark.read.parquet(dir2)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == want(b1), "replay of an uncommitted first batch must re-cluster")
+  }
+
   test("optimize's base scan partition-prunes to touched cells (DPP plan guard)") {
     val dir = tmp("dpp")
     val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
