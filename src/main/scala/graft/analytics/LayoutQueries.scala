@@ -138,6 +138,26 @@ object LayoutQueries {
         .orderBy("event_id")
     },
 
+    // Metadata-answered range count with an exact residual: files whose
+    // stats lie fully inside [lo, hi] contribute footer row counts without
+    // being opened; only boundary-straddling files are scanned. The range
+    // is the interior [amin + span/8, amin + span/2] so interior slabs are
+    // metadata-only at every SF. The oracle replays the classification at
+    // the cell grain — clusterByZOrder lands exactly one file per nonempty
+    // cell (hash repartition on the cell id + partitionBy), so file grain
+    // and cell grain coincide; exact_count is additionally just the plain
+    // relational count, independent of any layout assumption.
+    "q180_stats_count" -> { (s, dir) =>
+      val out = PrepQueries.scratchTempDir("graft_q180_")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Layout.clusterByZOrder(ev, "event_id", "user_id", out, Bits, CellBits)
+      val (bounds, _, _) = Layout.readZMeta(s, out)
+      val span = bounds.aMax - bounds.aMin + 1
+      Layout.statsCount(s, out, "event_id",
+        bounds.aMin + span / 8, bounds.aMin + span / 2)
+    },
+
     // Incremental optimize plan: land 90% of events as the base z-layout,
     // then fold in the 10% batch. The report is the executed rewrite plan —
     // per cell, how many rows the base held (from footer row counts alone:
@@ -240,6 +260,29 @@ object LayoutQueries {
         |FROM events
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q180_stats_count" ->
+      s"""WITH ev AS (SELECT event_id, user_id FROM events),
+         |${bucketCte("ev")},
+         |z AS (SELECT event_id, $zvalSql AS zval FROM b),
+         |rng AS (SELECT amin + (amax - amin + 1) // 8 AS lo,
+         |               amin + (amax - amin + 1) // 2 AS hi FROM bounds),
+         |cells AS (SELECT zval >> 26 AS zcell, min(event_id) mn,
+         |                 max(event_id) mx, count(*) n
+         |          FROM z GROUP BY 1),
+         |cls AS (SELECT n,
+         |          CASE WHEN mn >= lo AND mx <= hi THEN 'meta'
+         |               WHEN mx >= lo AND mn <= hi THEN 'scan'
+         |               ELSE 'skip' END AS k
+         |        FROM cells CROSS JOIN rng)
+         |SELECT
+         |  CAST((SELECT count(*) FROM ev CROSS JOIN rng
+         |        WHERE event_id BETWEEN lo AND hi) AS BIGINT) AS exact_count,
+         |  CAST(count(*) AS BIGINT) AS files_total,
+         |  CAST(sum(CASE WHEN k = 'meta' THEN 1 ELSE 0 END) AS BIGINT) AS files_meta_only,
+         |  CAST(sum(CASE WHEN k = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |  CAST(sum(CASE WHEN k = 'scan' THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+         |FROM cls""".stripMargin,
 
     "q178_zorder_optimize" ->
       s"""WITH ev AS (SELECT event_id, user_id FROM events

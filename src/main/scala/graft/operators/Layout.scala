@@ -358,6 +358,40 @@ object Layout {
     } finally reader.close()
   }
 
+  /** Range COUNT answered from metadata with an exact residual: files whose
+    * `[min, max]` lies fully inside `[lo, hi]` contribute their footer row
+    * counts WITHOUT being opened; only boundary-straddling files are
+    * scanned (with the exact predicate); disjoint files contribute nothing.
+    * Returns one row:
+    * `(exact_count, files_total, files_meta_only, files_scanned,
+    * rows_scanned)` — the last two are the scan bill a naive count pays in
+    * full. At 100 TB an interior range over a clustered key is almost all
+    * metadata: the scan touches only the two boundary slabs. Files with
+    * null stats count as straddling (scanned — the safe direction). */
+  def statsCount(spark: SparkSession, dir: String, colName: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val idx = readSkipIndex(spark, dir).select(
+      col("file"), col("n_rows"),
+      col(s"min_$colName").as("mn"), col(s"max_$colName").as("mx"))
+      .collect()
+    val contained = idx.filter(r => !r.isNullAt(2) &&
+      r.getLong(2) >= lo && r.getLong(3) <= hi)
+    val straddling = idx.filter(r => (r.isNullAt(2) ||
+      (r.getLong(3) >= lo && r.getLong(2) <= hi)) &&
+      !(!r.isNullAt(2) && r.getLong(2) >= lo && r.getLong(3) <= hi))
+    val metaCount = contained.map(_.getLong(1)).sum
+    val rowsScanned = straddling.map(_.getLong(1)).sum
+    val scanCount =
+      if (straddling.isEmpty) 0L
+      else spark.read.parquet(straddling.map(_.getString(0)).toIndexedSeq: _*)
+        .where(col(colName) >= lo && col(colName) <= hi).count()
+    import spark.implicits._
+    Seq((metaCount + scanCount, idx.length.toLong, contained.length.toLong,
+      straddling.length.toLong, rowsScanned))
+      .toDF("exact_count", "files_total", "files_meta_only", "files_scanned",
+        "rows_scanned")
+  }
+
   // -------------------------------------------------------------------
   // Incremental optimize
   // -------------------------------------------------------------------

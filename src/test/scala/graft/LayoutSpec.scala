@@ -100,6 +100,23 @@ class LayoutSpec extends SparkSpec {
     assert(zs == zs.sorted, "rows inside a cell file must be z-ordered")
   }
 
+  test("statsCount: interior range is mostly metadata, count stays exact") {
+    val dir = tmp("cnt")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    Layout.clusterByZOrder(ev, "event_id", "user_id", dir)
+    val (bounds, _, _) = Layout.readZMeta(spark, dir)
+    val span = bounds.aMax - bounds.aMin + 1
+    val (lo, hi) = (bounds.aMin + span / 8, bounds.aMin + span / 2)
+    val r = Layout.statsCount(spark, dir, "event_id", lo, hi).head()
+    assert(r.getAs[Long]("exact_count") ==
+      ev.filter(col("event_id").between(lo, hi)).count())
+    assert(r.getAs[Long]("files_meta_only") > 0,
+      "interior slabs must be answered from footer counts alone")
+    assert(r.getAs[Long]("files_scanned") < r.getAs[Long]("files_total"))
+    assert(r.getAs[Long]("rows_scanned") < ev.count(),
+      "the residual scan must be a strict subset of the table")
+  }
+
   test("bloom pruning: a rare high-cardinality string opens few files, exactly") {
     import spark.implicits._
     val dir = tmp("bloom")
