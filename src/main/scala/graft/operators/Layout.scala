@@ -145,13 +145,6 @@ object Layout {
       r.getInt(4), r.getInt(5))
   }
 
-  /** The bloom-filtered column list frozen at first cluster, so every
-    * rewrite (optimize, streaming fold) re-lands the same bloom filters. */
-  private def bloomColsOf(spark: SparkSession, dir: String): Seq[String] = {
-    val r = spark.read.parquet(s"$dir/$ZMETA").select("bloom_cols").head()
-    Option(r.getString(0)).filter(_.nonEmpty)
-      .map(_.split(',').toSeq).getOrElse(Nil)
-  }
 
   // -------------------------------------------------------------------
   // Footer skip index
@@ -174,21 +167,32 @@ object Layout {
     * out over executors — zero data pages are touched. */
   def buildSkipIndex(spark: SparkSession, dir: String,
                      cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "at least one stats column required")
     val hconf = spark.sparkContext.hadoopConfiguration
-    val files = listDataFiles(hconf, dir)
+    buildSkipIndexFiles(spark, listDataFiles(hconf, dir), cols)
+  }
+
+  /** Footer-stats rows for an explicit file list (the incremental-refresh
+    * entry: an optimize re-reads only the touched cells' footers). */
+  private def buildSkipIndexFiles(spark: SparkSession, files: Array[String],
+                                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one stats column required")
+    val schema = skipIndexSchema(cols)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val hconf = spark.sparkContext.hadoopConfiguration
     // Ship the session's hadoop conf as plain pairs (the WebDatasetV2
     // discipline): one copy per task closure, not per partition.
     val confKv = hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     val statCols = cols.toArray
     val slices = math.max(1, math.min(files.length,
       spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(files, slices).map { file =>
+    val rows = spark.sparkContext.parallelize(files.toIndexedSeq, slices).map { file =>
       val c = new Configuration(false)
       confKv.foreach { case (k, v) => c.set(k, v) }
       footerStatsRow(c, file, statCols)
     }
-    spark.createDataFrame(rows, skipIndexSchema(cols))
+    spark.createDataFrame(rows, schema)
   }
 
   /** Data files under `dir`, recursive, skipping `_`/`.`-prefixed names
@@ -415,14 +419,30 @@ object Layout {
   def optimizeIncremental(spark: SparkSession, baseDir: String,
                           batch: DataFrame, dimA: String, dimB: String,
                           key: Seq[String] = Nil): DataFrame = {
-    val (bounds, bits, cellBits) = readZMeta(spark, baseDir)
+    // One read of each sidecar: the meta row (bounds + geometry + bloom
+    // cols) and the skip index (report counts + indexed-column names).
+    val metaRow = spark.read.parquet(s"$baseDir/$ZMETA").head()
+    val bounds = ZBounds(metaRow.getAs[Long]("a_min"), metaRow.getAs[Long]("a_max"),
+      metaRow.getAs[Long]("b_min"), metaRow.getAs[Long]("b_max"))
+    val (bits, cellBits) =
+      (metaRow.getAs[Int]("bits"), metaRow.getAs[Int]("cell_bits"))
+    val bloomCols = Option(metaRow.getAs[String]("bloom_cols"))
+      .filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
+    val idx = readSkipIndex(spark, baseDir)
+    val statsCols = idx.columns.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 
+    // Pin the bucketized batch ONCE: it is micro-batch-sized by contract
+    // and feeds three consumers (the report, the touched-cell set, the
+    // rewrite union) — without the pin, an expensive batch lineage would
+    // recompute per consumer.
     val batchCells = withZ(batch, dimA, dimB, bounds, bits, cellBits)
+      .localCheckpoint()
     val touched = batchCells.groupBy(ZCELL)
       .agg(count(lit(1)).as("rows_added"))
     // rows_base per cell from footer metadata alone: the partition path
     // carries the cell id (`.../zcell=N/part-...`).
-    val baseCells = readSkipIndex(spark, baseDir)
+    val baseCells = idx
       .withColumn(ZCELL,
         regexp_extract(col("file"), "zcell=(\\d+)", 1).cast("long"))
       .groupBy(ZCELL).agg(sum(col("n_rows")).as("rows_base"))
@@ -452,19 +472,23 @@ object Layout {
       .drop(ZVAL)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .options(bloomColsOf(spark, baseDir).map(c =>
+      .options(bloomCols.map(c =>
         s"parquet.bloom.filter.enabled#$c" -> "true").toMap)
       .partitionBy(ZCELL).parquet(baseDir)
-    // Refresh the index: footer reads over the post-optimize layout.
-    val statsCols = statsColsOf(spark, baseDir)
-    writeSkipIndex(spark, baseDir, statsCols)
+    // Incremental index refresh: untouched cells' rows survive verbatim
+    // (pinned before the overwrite below); only the touched cells' files
+    // get fresh footer reads — O(touched), not O(table files).
+    val touchedIds = touched.select(ZCELL).collect().map(_.getLong(0))
+    val keepIdx = idx.filter(!regexp_extract(col("file"), "zcell=(\\d+)", 1)
+        .cast("long").isin(touchedIds.toIndexedSeq: _*))
+      .localCheckpoint()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val freshFiles = touchedIds.flatMap(cid =>
+      listDataFiles(hconf, s"$baseDir/$ZCELL=$cid"))
+    keepIdx.unionByName(buildSkipIndexFiles(spark, freshFiles, statsCols))
+      .coalesce(1).write.mode("overwrite").parquet(s"$baseDir/$SKIPINDEX")
     report
   }
-
-  /** The indexed column names, recovered from the landed index schema. */
-  private def statsColsOf(spark: SparkSession, dir: String): Seq[String] =
-    readSkipIndex(spark, dir).columns.toSeq
-      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 
   // -------------------------------------------------------------------
   // Streaming ingest
