@@ -41,7 +41,8 @@ object SparkEntry {
       analytics.SessionQueries.rowsOnly ++
       analytics.PrepQueries.rowsOnly ++
       analytics.CorpusQueries.rowsOnly ++
-      analytics.LayoutQueries.rowsOnly
+      analytics.LayoutQueries.rowsOnly ++
+      analytics.AqpQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -60,7 +61,8 @@ object SparkEntry {
       analytics.SessionQueries.queries ++
       analytics.PrepQueries.queries ++
       analytics.CorpusQueries.queries ++
-      analytics.LayoutQueries.queries
+      analytics.LayoutQueries.queries ++
+      analytics.AqpQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
@@ -74,7 +76,8 @@ object SparkEntry {
       analytics.SessionQueries.oracleSql ++
       analytics.PrepQueries.oracleSql ++
       analytics.CorpusQueries.oracleSql ++
-      analytics.LayoutQueries.oracleSql
+      analytics.LayoutQueries.oracleSql ++
+      analytics.AqpQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

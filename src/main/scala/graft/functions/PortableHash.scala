@@ -70,6 +70,21 @@ object PortableHash {
     acc
   }
 
+  /** Column twin of [[mixp]] — the same three xorshift-multiply rounds as
+    * a pure shift/xor/multiply expression tree (codegen'd, no UDF), so a
+    * SAMPLING predicate built from it selects bit-for-bit the same rows in
+    * Spark and in the DuckDB oracle's `xor(h, h >> k) * 73244475 %
+    * 2147483648` chain. Input must be non-negative (the & mask truncates,
+    * it does not firewall sign). */
+  def mixpCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, shiftright}
+    val m = lit(2147483648L)
+    val h0 = x.bitwiseAND(lit(0x7FFFFFFFL))
+    val h1 = pmod(h0.bitwiseXOR(shiftright(h0, 16)) * lit(73244475L), m)
+    val h2 = pmod(h1.bitwiseXOR(shiftright(h1, 13)) * lit(73244475L), m)
+    h2.bitwiseXOR(shiftright(h2, 16))
+  }
+
   /** 60-bit token hash: four independent polynomial hashes (bases 31, 131,
     * 137, 139), 15 bits each — 60 bits keeps every intermediate positive
     * and < 2^62 in both engines (packing 4×16 bits overflows signed int64

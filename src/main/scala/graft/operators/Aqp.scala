@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, Rounding}
+
+/** Approximate query processing over deterministic hash samples.
+  *
+  * The reference answers its dashboards by re-aggregating full extracts per
+  * refresh (the rollup scripts re-scan everything they load); at 100 TB a
+  * dashboard cannot pay a table scan per refresh. A Bernoulli synopsis
+  * keyed by a PORTABLE hash gives (a) a sample any engine reproduces
+  * bit-for-bit ([[graft.functions.PortableHash.mixp]] — the LSH mixer, so
+  * the DuckDB oracle replays membership exactly), (b) unbiased
+  * Horvitz–Thompson estimates with closed-form error bars, and (c) a
+  * synopsis computed ONCE and persisted, re-answering many aggregates —
+  * the BlinkDB shape. The estimate pass touches `p` of the table's bytes;
+  * everything downstream of [[hashSample]] is an ordinary map-combined
+  * aggregate.
+  *
+  * Estimator math (Bernoulli sampling, inclusion probability p = num/den):
+  * {{{
+  *   Ŝ        = Σ_{i∈S} x_i / p                unbiased for Σ x_i
+  *   Var̂(Ŝ)  = (1-p)/p² · Σ_{i∈S} x_i²        HT per-term variance estimate
+  *   CI95     = Ŝ ± 1.96 · √Var̂
+  * }}}
+  * Both engines evaluate the same IEEE expression tree (sqrt is correctly
+  * rounded everywhere), so even the CI bounds replay bit-for-bit before
+  * the final 4dp rounding.
+  */
+object Aqp {
+
+  /** Deterministic Bernoulli sample: keep rows whose portable mix of `key`
+    * lands in the first `num` of `den` hash residues. Same key → same
+    * verdict in every engine, every run, every partitioning. */
+  def hashSample(df: DataFrame, key: Column, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && num < den, s"need 1 <= num < den, got $num/$den")
+    df.filter(pmod(PortableHash.mixpCol(key), lit(den.toLong)) < lit(num.toLong))
+  }
+
+  /** Per-group estimated SUM of an integral measure from a `num/den`
+    * Bernoulli sample, with a 95% confidence interval. Returns the group
+    * columns + `(est_sum, ci_lo, ci_hi, n_sampled)`; estimates are
+    * 4dp-rounded doubles (C rounding — oracle-comparable), `n_sampled` the
+    * sampled support. Groups with no sampled row are absent (their
+    * estimate is 0 with an empty CI — callers needing every group join
+    * against the group universe). */
+  def estimateSum(df: DataFrame, groupCols: Seq[String], measure: Column,
+                  key: Column, num: Int, den: Int): DataFrame = {
+    val s = hashSample(df, key, num, den)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(measure.cast("long")).as("_sx"),
+        sum((measure.cast("long") * measure.cast("long"))).as("_sxx"),
+        count(lit(1)).as("n_sampled"))
+    val scale = den.toDouble / num.toDouble
+    val vfac = (den.toLong * (den - num)).toDouble / (num.toLong * num).toDouble
+    val est = col("_sx").cast("double") * lit(scale)
+    val half = lit(1.96) * sqrt(col("_sxx").cast("double") * lit(vfac))
+    s.select((groupCols.map(col) :+
+      Rounding.roundLikeC(est, 4).as("est_sum") :+
+      Rounding.roundLikeC(est - half, 4).as("ci_lo") :+
+      Rounding.roundLikeC(est + half, 4).as("ci_hi") :+
+      col("n_sampled")): _*)
+  }
+}
