@@ -43,6 +43,37 @@ object AqpQueries {
         .select("source", "est_sum", "ci_lo", "ci_hi", "n_sampled",
           "exact_sum", "rel_err", "within_ci")
         .orderBy("source")
+    },
+
+    // Universe-sampled JOIN estimate: orders ⋈ customer with BOTH sides
+    // sampled by the same portable hash on custkey (1/16), so the joined
+    // sample is a 1/16-sample of the join — the p (not p²) property that
+    // makes approximate joins usable at all. Cluster-HT per custkey;
+    // grouped by the customer's market segment (a function of the key's
+    // dimension row, so clusters nest in groups). Exact side joins in for
+    // grading, as in q181.
+    "q182_aqp_join_estimate" -> { (s, dir) =>
+      val num = 1; val den = 16
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val ord = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+      val joinedSample = Aqp.hashSample(ord, col("o_custkey"), num, den)
+        .join(Aqp.hashSample(cust, col("c_custkey"), num, den),
+          col("o_custkey") === col("c_custkey"))
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long") // exact integer cents: the cluster totals y_k must be
+                      // integral for the HT sums to replay bit-for-bit
+      val est = Aqp.estimateKeyedSum(joinedSample, Seq("c_mktsegment"),
+        cents, col("c_custkey"), num, den)
+      val exact = ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("exact_cents"))
+      est.join(exact, Seq("c_mktsegment"))
+        .withColumn("within_ci",
+          col("exact_cents").cast("double").between(col("ci_lo"), col("ci_hi")))
+        .select("c_mktsegment", "est_sum", "ci_lo", "ci_hi", "n_sampled",
+          "exact_cents", "within_ci")
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -81,6 +112,47 @@ object AqpQueries {
         |  CAST(exact_sum AS DOUBLE) BETWEEN round(est_raw - half, 4)
         |    AND round(est_raw + half, 4) AS within_ci
         |FROM j
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q182_aqp_join_estimate" ->
+      """WITH co1 AS (SELECT c_custkey, c_mktsegment,
+        |        (xor(c_custkey, c_custkey >> 16) * 73244475) % 2147483648 AS h
+        |      FROM customer),
+        |co2 AS (SELECT c_custkey, c_mktsegment,
+        |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM co1),
+        |sc AS (SELECT c_custkey, c_mktsegment FROM co2
+        |       WHERE xor(h, h >> 16) % 16 < 1),
+        |oo1 AS (SELECT o_custkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |        (xor(o_custkey, o_custkey >> 16) * 73244475) % 2147483648 AS h
+        |      FROM orders),
+        |oo2 AS (SELECT o_custkey, cents,
+        |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM oo1),
+        |so AS (SELECT o_custkey, cents FROM oo2
+        |       WHERE xor(h, h >> 16) % 16 < 1),
+        |perkey AS (SELECT c_mktsegment, c_custkey,
+        |             CAST(sum(cents) AS BIGINT) AS y
+        |           FROM so JOIN sc ON o_custkey = c_custkey
+        |           GROUP BY 1, 2),
+        |est AS (SELECT c_mktsegment,
+        |          CAST(sum(y) AS DOUBLE) * 16.0 AS est_raw,
+        |          1.96 * sqrt(CAST(sum(y * y) AS DOUBLE) * 240.0) AS half,
+        |          count(*) AS n_sampled
+        |        FROM perkey GROUP BY 1),
+        |ex AS (SELECT c_mktsegment,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           AS BIGINT) AS exact_cents
+        |       FROM orders JOIN customer ON o_custkey = c_custkey
+        |       GROUP BY 1)
+        |SELECT est.c_mktsegment,
+        |  round(est_raw, 4) AS est_sum,
+        |  round(est_raw - half, 4) AS ci_lo,
+        |  round(est_raw + half, 4) AS ci_hi,
+        |  n_sampled,
+        |  exact_cents,
+        |  CAST(exact_cents AS DOUBLE) BETWEEN round(est_raw - half, 4)
+        |    AND round(est_raw + half, 4) AS within_ci
+        |FROM est JOIN ex ON est.c_mktsegment = ex.c_mktsegment
+        |ORDER BY est.c_mktsegment""".stripMargin
   )
 }

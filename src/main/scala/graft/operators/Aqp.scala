@@ -48,12 +48,21 @@ object Aqp {
     * against the group universe). */
   def estimateSum(df: DataFrame, groupCols: Seq[String], measure: Column,
                   key: Column, num: Int, den: Int): DataFrame = {
+    val x = measure.cast("long")
     val s = hashSample(df, key, num, den)
       .groupBy(groupCols.map(col): _*)
       .agg(
-        sum(measure.cast("long")).as("_sx"),
-        sum((measure.cast("long") * measure.cast("long"))).as("_sxx"),
+        sum(x.cast("decimal(38,0)")).as("_sx"),
+        sum(x.cast("decimal(19,0)") * x.cast("decimal(19,0)")).as("_sxx"),
         count(lit(1)).as("n_sampled"))
+    htSelect(s, groupCols, num, den)
+  }
+
+  /** The HT estimate + CI tail over pre-aggregated `(_sx, _sxx, n_sampled)`
+    * columns — shared by per-row ([[estimateSum]]) and per-key
+    * ([[estimateKeyedSum]]) sampling units. */
+  private def htSelect(s: DataFrame, groupCols: Seq[String],
+                       num: Int, den: Int): DataFrame = {
     val scale = den.toDouble / num.toDouble
     val vfac = (den.toLong * (den - num)).toDouble / (num.toLong * num).toDouble
     val est = col("_sx").cast("double") * lit(scale)
@@ -63,5 +72,35 @@ object Aqp {
       Rounding.roundLikeC(est - half, 4).as("ci_lo") :+
       Rounding.roundLikeC(est + half, 4).as("ci_hi") :+
       col("n_sampled")): _*)
+  }
+
+  /** Estimated per-group SUM over a UNIVERSE-SAMPLED JOIN — the
+    * Quickr/BlinkDB join trick: sample BOTH relations with the SAME
+    * portable hash on the JOIN key and the join of the samples is a
+    * p-sample of the join (every row of a sampled key's cluster survives
+    * together), not the useless p² a row-wise sample of each side gives.
+    *
+    * `joined` must be the join of two [[hashSample]]-ed (same key, same
+    * num/den) relations. The sampling unit is the KEY, so the estimator is
+    * cluster-HT: per-key totals y_k first, then Ŝ = Σ y_k/p and
+    * Var̂ = (1-p)/p²·Σ y_k² over keys. `n_sampled` counts sampled KEYS in
+    * the group (each key's whole cluster is in or out together — a key
+    * must not straddle groups, which holds when the group is a function
+    * of the key's dimension row). */
+  def estimateKeyedSum(joined: DataFrame, groupCols: Seq[String],
+                       measure: Column, key: Column,
+                       num: Int, den: Int): DataFrame = {
+    val perKey = joined
+      .groupBy((groupCols.map(col) :+ key.as("_k")): _*)
+      .agg(sum(measure.cast("long")).as("_y"))
+    // y² sums in exact DECIMAL: cents-scale cluster totals overflow an
+    // int64 Σy² already at sf0.1, let alone at 100 TB.
+    val s = perKey.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("_y").cast("decimal(38,0)")).as("_sx"),
+        sum(col("_y").cast("decimal(19,0)") * col("_y").cast("decimal(19,0)"))
+          .as("_sxx"),
+        count(lit(1)).as("n_sampled"))
+    htSelect(s, groupCols, num, den)
   }
 }

@@ -49,6 +49,32 @@ class AqpSpec extends SparkSpec {
     assert((ids(base) ++ ids(batch)).sorted == ids(docs))
   }
 
+  test("universe-sampled join is a p-sample of the join, not p²") {
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.orders(spark, sf).select(col("o_custkey"), col("o_totalprice"))
+    val fullJoin = ord.join(cust, col("o_custkey") === col("c_custkey")).count()
+    val sampleJoin = Aqp.hashSample(ord, col("o_custkey"), 1, 16)
+      .join(Aqp.hashSample(cust, col("c_custkey"), 1, 16),
+        col("o_custkey") === col("c_custkey")).count()
+    val frac = sampleJoin.toDouble / fullJoin
+    // row-wise independent samples would give ~1/256; universe sampling
+    // keeps whole key clusters, so the joined fraction tracks 1/16
+    assert(frac > 1.0 / 32 && frac < 1.0 / 8,
+      s"joined sample fraction $frac should track p=1/16, not p²=1/256")
+    // and the cluster-HT estimate covers the exact join total
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val est = Aqp.estimateKeyedSum(
+      Aqp.hashSample(ord, col("o_custkey"), 1, 16)
+        .join(Aqp.hashSample(cust, col("c_custkey"), 1, 16),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("all", lit("all")),
+      Seq("all"), cents, col("c_custkey"), 1, 16).head()
+    val exact = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .agg(sum(cents)).head().getLong(0).toDouble
+    assert(est.getAs[Double]("ci_lo") <= exact &&
+      exact <= est.getAs[Double]("ci_hi"))
+  }
+
   test("estimateSum: CI behaves on the fixture; support is the sample") {
     val docs = Tables.documents(spark, sf)
     val est = Aqp.estimateSum(docs, Seq("source"), col("n_chars"),
