@@ -87,6 +87,31 @@ object Aqp {
     * the group (each key's whole cluster is in or out together — a key
     * must not straddle groups, which holds when the group is a function
     * of the key's dimension row). */
+  /** foreachBatch sink: STREAMING synopsis maintenance — the streaming
+    * member of the AQP family (sampling is closed under union, so a
+    * persisted synopsis advances by sampling ONLY the arriving batch). Each
+    * micro-batch's sampled rows land under their own `batch_id=N/`
+    * partition via dynamic overwrite, so an at-least-once replay REPLACES
+    * its own partition instead of double-appending (the fuzzyDedupBatch /
+    * mediaDedupBatch discipline). Dashboards read the synopsis dir and pay
+    * p of the corpus:
+    * {{{
+    *   events.writeStream.foreachBatch(
+    *     Aqp.synopsisBatch(dir, col("event_id"), 1, 20) _).start()
+    *   // later: estimateSum(spark.read.parquet(dir), ..., 1, 20) — the
+    *   // estimator re-applies hashSample, which is IDEMPOTENT (membership
+    *   // is a function of the key), so it passes every synopsis row and
+    *   // the estimates equal a from-scratch sample of the full table.
+    * }}} */
+  def synopsisBatch(dir: String, key: Column, num: Int, den: Int)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    hashSample(batch, key, num, den)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+  }
+
   def estimateKeyedSum(joined: DataFrame, groupCols: Seq[String],
                        measure: Column, key: Column,
                        num: Int, den: Int): DataFrame = {

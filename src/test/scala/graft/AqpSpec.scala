@@ -49,6 +49,31 @@ class AqpSpec extends SparkSpec {
     assert((ids(base) ++ ids(batch)).sorted == ids(docs))
   }
 
+  test("synopsisBatch: streaming maintenance equals a from-scratch sample; replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aqp_syn").toString + "/syn"
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    Aqp.synopsisBatch(dir, col("doc_id"), 1, 20)(b0, 0L)
+    Aqp.synopsisBatch(dir, col("doc_id"), 1, 20)(b1, 1L)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val synIds = ids(spark.read.parquet(dir))
+    assert(synIds == ids(Aqp.hashSample(docs, col("doc_id"), 1, 20)))
+    // replaying a committed batch replaces its partition — no double rows
+    Aqp.synopsisBatch(dir, col("doc_id"), 1, 20)(b1, 1L)
+    assert(ids(spark.read.parquet(dir)) == synIds)
+    // estimates from the synopsis equal estimates from the full table
+    // (hashSample is idempotent: membership is a function of the key)
+    val fromSyn = Aqp.estimateSum(spark.read.parquet(dir), Seq("source"),
+      col("n_chars"), col("doc_id"), 1, 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fromFull = Aqp.estimateSum(docs, Seq("source"),
+      col("n_chars"), col("doc_id"), 1, 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fromSyn == fromFull)
+  }
+
   test("universe-sampled join is a p-sample of the join, not p²") {
     val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
     val ord = Tables.orders(spark, sf).select(col("o_custkey"), col("o_totalprice"))
