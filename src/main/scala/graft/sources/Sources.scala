@@ -111,6 +111,18 @@ object Files {
     * [[Excel.writeDir]] is the scale path. */
   def writeExcel(df: DataFrame, file: String, header: Boolean = true): Unit =
     Excel.writeWorkbook(df, file, header)
+
+  /** ORC flavor of the columnar interchange surface (Spark's built-in
+    * reader/writer — footer statistics, predicate pushdown, and column
+    * pruning work exactly as for parquet; SourcesSpec pins the pushdown in
+    * the plan). Avro is the one mainstream format this build CANNOT serve:
+    * the spark-avro connector jar is absent from the offline environment
+    * (only avro-core ships with Spark), the Kafka-jar situation again. */
+  def orcDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
+  def writeOrc(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(dir)
 }
 
 object Rest {

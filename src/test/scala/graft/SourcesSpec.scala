@@ -133,4 +133,27 @@ class SourcesSpec extends SparkSpec {
     val res = v2.filter(col("txn_id") < 50 && col("category") === "fuel")
     assert(res.collect().forall(_.getAs[String]("category") == "fuel"))
   }
+
+  test("ORC round-trips, pushes predicates, and prunes columns like parquet") {
+    val dir = Files.createTempDirectory("orc").toString + "/out"
+    val df = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    FileSrc.writeOrc(df, dir)
+    val back = FileSrc.orcDir(spark, dir)
+    // parity: same rows, same schema
+    assert(back.schema === df.schema)
+    assert(back.count() === df.count())
+    val got = back.filter(col("event_id") < 100)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = df.filter(col("event_id") < 100)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    // the scan carries the pushed filter and the pruned two-column schema
+    val plan = back.filter(col("event_id") < 100)
+      .select("event_id", "value").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]"),
+      s"ORC pushdown missing:\n${plan.take(1200)}")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,value:double>"),
+      s"ORC column pruning missing:\n${plan.take(1200)}")
+  }
 }
