@@ -42,7 +42,8 @@ object SparkEntry {
       analytics.PrepQueries.rowsOnly ++
       analytics.CorpusQueries.rowsOnly ++
       analytics.LayoutQueries.rowsOnly ++
-      analytics.AqpQueries.rowsOnly
+      analytics.AqpQueries.rowsOnly ++
+      analytics.GraphQueries.rowsOnly
 
   // ---------------------------------------------------------------------
   // Query registry. Names are stable; the driver runs each at sf0.01 and
@@ -62,7 +63,8 @@ object SparkEntry {
       analytics.PrepQueries.queries ++
       analytics.CorpusQueries.queries ++
       analytics.LayoutQueries.queries ++
-      analytics.AqpQueries.queries
+      analytics.AqpQueries.queries ++
+      analytics.GraphQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++
@@ -77,7 +79,8 @@ object SparkEntry {
       analytics.PrepQueries.oracleSql ++
       analytics.CorpusQueries.oracleSql ++
       analytics.LayoutQueries.oracleSql ++
-      analytics.AqpQueries.oracleSql
+      analytics.AqpQueries.oracleSql ++
+      analytics.GraphQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.operators.Rank
+
+/** Graph-ranking queries: iterative numeric algorithms whose every round
+  * replays exactly in the oracle — fixed-point arithmetic makes the usual
+  * "iterative float code can only be spot-checked" excuse unnecessary.
+  */
+object GraphQueries {
+
+  def rowsOnly: Set[String] = Set.empty
+
+  /** PageRank iterations to run (unrolled identically in the oracle). */
+  private val Iters = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Fixed-point PageRank over a deterministic synthetic link graph on
+    // the documents table (3 hash-derived out-links per doc — the graph
+    // construction is itself part of the replayed contract; doc_ids are
+    // contiguous 0..N-1 at every SF so hashed targets are valid nodes).
+    // Top-20 by rank, ties to the smaller id. The web-graph quality prior
+    // a CC-scale corpus pipeline ranks pages with.
+    "q183_link_rank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id").as("node"))
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("src"),
+          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+        .distinct()
+      Rank.pageRank(nodes, edges, Iters)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }
+  )
+
+  private def iterCte(i: Int): String =
+    s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+       |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+       |  JOIN deg d ON e.src = d.src
+       |  GROUP BY 1),
+       |r$i AS (SELECT nodes.node,
+       |    CAST((1000000000000 * 15) // (100 * nn.n)
+       |         + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)"""
+      .stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q183_link_rank" ->
+      s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |cand AS (SELECT doc_id AS src, x.r FROM documents
+         |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
+         |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
+         |x1 AS (SELECT src, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM x0),
+         |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
+         |edges AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
+         |          FROM x2 CROSS JOIN nn),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |${(1 to Iters).map(iterCte).mkString(",\n")}
+         |SELECT node, rank FROM r$Iters
+         |ORDER BY rank DESC, node
+         |LIMIT 20""".stripMargin
+  )
+}

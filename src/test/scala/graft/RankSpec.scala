@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Rank
+
+/** Fixed-point PageRank against an independent plain-Scala model — EXACT
+  * equality, the point of integer ranks — plus structural sanity.
+  */
+class RankSpec extends SparkSpec {
+
+  /** Scalar reference: same recurrence, same truncating divisions. */
+  private def refRanks(n: Int, edges: Seq[(Long, Long)], iters: Int,
+                       scale: Long = 1000000000000L): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val incoming = edges.groupBy(_._2)
+    val base = (scale * 15L) / (100L * n)
+    var r = (0L until n.toLong).map(_ -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      r = (0L until n.toLong).map { v =>
+        val s = incoming.getOrElse(v, Nil).map { case (u, _) => r(u) / deg(u) }.sum
+        v -> (base + (85L * s) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  private def run(n: Int, edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0L until n.toLong).toDF("node")
+    val e = edges.toDF("src", "dst")
+    Rank.pageRank(nodes, e, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("exactly equals the scalar model on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = (0 until n).flatMap { u =>
+      Seq.fill(3)((u.toLong, rnd.nextInt(n).toLong))
+    }.distinct
+    assert(run(n, edges, 5) == refRanks(n, edges, 5))
+  }
+
+  test("a 3-cycle stays uniform; a star concentrates rank on the hub") {
+    val cyc = run(3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), 5)
+    assert(cyc.values.toSet.size == 1, s"cycle must stay uniform: $cyc")
+    // nodes 1..4 all point at 0; 0 points at 1
+    val star = run(5, Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)), 5)
+    assert(star(0L) > star(1L) && star(1L) > star(2L))
+    assert(star(2L) == star(3L) && star(3L) == star(4L))
+  }
+
+  test("mass is conserved up to the documented truncation loss") {
+    val rnd = new scala.util.Random(7)
+    val n = 25
+    // every node has out-links, so only division truncation sheds mass
+    val edges = (0 until n).flatMap { u =>
+      Seq((u.toLong, rnd.nextInt(n).toLong), (u.toLong, (u + 1L) % n))
+    }.distinct
+    val scale = 1000000000000L
+    val total = run(n, edges, 5).values.sum
+    assert(total <= scale)
+    assert(total >= scale - 5L * 2L * n * n, // coarse bound, parts-per-million here
+      s"lost too much mass: $total of $scale")
+  }
+}
