@@ -85,8 +85,10 @@ object Layout {
     val span = math.max(bounds.aMax - bounds.aMin, bounds.bMax - bounds.bMin)
     require(span <= (Long.MaxValue >> bits),
       s"dimension span $span overflows at $bits bucket bits")
-    val ab = zBucket(col(dimA), lit(bounds.aMin), lit(bounds.aMax), bits)
-    val bb = zBucket(col(dimB), lit(bounds.bMin), lit(bounds.bMax), bits)
+    // Cast dims to long FIRST: zBucket's (c-min)·2^bits would overflow in
+    // IntegerType arithmetic for int columns with spans past 2^(31-bits).
+    val ab = zBucket(col(dimA).cast("long"), lit(bounds.aMin), lit(bounds.aMax), bits)
+    val bb = zBucket(col(dimB).cast("long"), lit(bounds.bMin), lit(bounds.bMax), bits)
     df.withColumn(ZVAL, zValue2(ab, bb, bits))
       .withColumn(ZCELL, shiftright(col(ZVAL), 2 * bits - cellBits))
   }
