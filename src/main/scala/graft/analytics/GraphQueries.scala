@@ -39,6 +39,35 @@ object GraphQueries {
       Rank.pageRank(nodes, edges, Iters)
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
+    },
+
+    // Global graph statistics over the same link graph, with the triangle
+    // count going through the DEGREE-ORIENTED wedge join (each vertex's
+    // wedge cost capped at its out-neighborhood — the hub-proof plan; the
+    // oracle replays the count with the naive three-way join, which is fine
+    // at oracle scale and proves the oriented plan counts the same
+    // triangles).
+    "q184_graph_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("src"),
+          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+        .distinct()
+      val tri = Rank.triangleCount(edges)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("x"))
+        .unionAll(und.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(max(col("d")).as("max_degree")))
+        .select(lit(n).as("n_nodes"), col("n_edges"),
+          lit(tri).as("n_triangles"), col("max_degree"))
     }
   )
 
@@ -71,6 +100,28 @@ object GraphQueries {
          |${(1 to Iters).map(iterCte).mkString(",\n")}
          |SELECT node, rank FROM r$Iters
          |ORDER BY rank DESC, node
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "q184_graph_stats" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |cand AS (SELECT doc_id AS src, x.r FROM documents
+        |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
+        |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
+        |x1 AS (SELECT src, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM x0),
+        |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
+        |edges0 AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
+        |           FROM x2 CROSS JOIN nn),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |        FROM edges0 WHERE src <> dst),
+        |deg AS (SELECT x, count(*) AS d FROM (
+        |          SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+        |        GROUP BY 1),
+        |tri AS (SELECT count(*) AS t
+        |        FROM und e1 JOIN und e2 ON e1.v = e2.u
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT n FROM nn) AS n_nodes,
+        |       (SELECT count(*) FROM und) AS n_edges,
+        |       (SELECT t FROM tri) AS n_triangles,
+        |       (SELECT max(d) FROM deg) AS max_degree""".stripMargin
   )
 }

@@ -51,6 +51,33 @@ class RankSpec extends SparkSpec {
     assert(star(2L) == star(3L) && star(3L) == star(4L))
   }
 
+  test("triangleCount equals brute force, hub graph included") {
+    import spark.implicits._
+    def brute(edges: Seq[(Long, Long)]): Long = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      (for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if und((i, j)) && und((j, k)) && und((i, k))
+      } yield 1).size.toLong
+    }
+    def run(edges: Seq[(Long, Long)]): Long =
+      graft.operators.Rank.triangleCount(edges.toDF("src", "dst"))
+    // K4: 4 triangles
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i != j) yield (i, j)
+    assert(run(k4) == 4L && brute(k4) == 4L)
+    // bipartite: none
+    val bip = for (i <- 0L to 3L; j <- 4L to 7L) yield (i, j)
+    assert(run(bip) == 0L)
+    // random graph with a celebrity hub (everyone links node 0) — the case
+    // the degree orientation exists for
+    val rnd = new scala.util.Random(3)
+    val hubby = (1L to 30L).map(i => (i, 0L)) ++
+      Seq.fill(60)((rnd.nextInt(31).toLong, rnd.nextInt(31).toLong))
+    assert(run(hubby) == brute(hubby))
+  }
+
   test("mass is conserved up to the documented truncation loss") {
     val rnd = new scala.util.Random(7)
     val n = 25
