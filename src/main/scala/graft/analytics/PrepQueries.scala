@@ -851,6 +851,29 @@ object PrepQueries {
         .orderBy("user_key")
     },
 
+    // Incremental CMS: two event waves land their OWN sketches under
+    // batch_id partitions (the streaming sink discipline), the state's
+    // merged sketch is the element-wise sum (CMS linearity), and every
+    // user probes against the ADVANCED state. The oracle replays q84's
+    // union-of-all-events math — by linearity the incremental path is
+    // result-invisible, which is exactly the property being pinned.
+    "q185_cms_incremental" -> { (s, dir) =>
+      val state = scratchTempDir("graft_q185_") + "/cms"
+      val ev = Tables.events(s, dir)
+      def counts(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id").cast("string").as("k"))
+          .agg(count(lit(1)).as("n"))
+      graft.operators.Sketches.cmsBatch(state, d = 4, w = 256)(
+        counts(ev.filter(col("event_id") % 3 =!= 2)), 0L)
+      graft.operators.Sketches.cmsBatch(state, d = 4, w = 256)(
+        counts(ev.filter(col("event_id") % 3 === 2)), 1L)
+      graft.operators.Sketches.cmsProbe(counts(ev),
+          graft.operators.Sketches.readCmsState(s, state), d = 4, w = 256)
+        .select(col("k").as("user_key"), col("n").cast("long").as("n_true"),
+          col("cms_est"))
+        .orderBy("user_key")
+    },
+
     // RAG/context-window chunking: 128-token windows every 96 tokens per
     // document (32-token overlap). Pure projection + generator — the chunk
     // table scales as a constant multiple of the corpus with zero shuffles.
@@ -952,6 +975,40 @@ object PrepQueries {
       |SELECT doc_id, fingerprint FROM batch
       |WHERE fingerprint NOT IN (SELECT fp FROM seen)
       |ORDER BY doc_id""".stripMargin
+
+  /** The CMS estimate math over the FULL events table — q84's oracle, and
+    * by linearity also q185's (an incrementally-advanced CMS equals the
+    * union's CMS element-wise, so the probe answers are identical). */
+  private val CmsUnionSql: String =
+    """WITH c AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n FROM events GROUP BY 1),
+      |ch AS (
+      |  SELECT k, n,
+      |         list_prepend(0::BIGINT, list_transform(range(1, length(k)+1),
+      |                       i -> ascii(substr(k, i, 1))::BIGINT)) AS cs
+      |  FROM c),
+      |b AS (
+      |  SELECT k, n,
+      |         list_reduce(cs, (acc, x) -> (acc * 31  + x) % 1000000007) % 256 AS b0,
+      |         list_reduce(cs, (acc, x) -> (acc * 131 + x) % 1000000007) % 256 AS b1,
+      |         list_reduce(cs, (acc, x) -> (acc * 137 + x) % 1000000007) % 256 AS b2,
+      |         list_reduce(cs, (acc, x) -> (acc * 139 + x) % 1000000007) % 256 AS b3
+      |  FROM ch),
+      |cells AS (
+      |  SELECT r, bkt, sum(n) AS cell FROM (
+      |    SELECT 0 AS r, b0 AS bkt, n FROM b
+      |    UNION ALL SELECT 1, b1, n FROM b
+      |    UNION ALL SELECT 2, b2, n FROM b
+      |    UNION ALL SELECT 3, b3, n FROM b)
+      |  GROUP BY r, bkt)
+      |SELECT b.k AS user_key, b.n::BIGINT AS n_true,
+      |       least(c0.cell, c1.cell, c2.cell, c3.cell)::BIGINT AS cms_est
+      |FROM b
+      |JOIN cells c0 ON c0.r = 0 AND c0.bkt = b.b0
+      |JOIN cells c1 ON c1.r = 1 AND c1.bkt = b.b1
+      |JOIN cells c2 ON c2.r = 2 AND c2.bkt = b.b2
+      |JOIN cells c3 ON c3.r = 3 AND c3.bkt = b.b3
+      |ORDER BY user_key""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1469,36 +1526,12 @@ object PrepQueries {
     // The identical d=4 × w=256 sketch rebuilt in SQL: per-key buckets from
     // the shared poly fold (bases 31/131/137/139), per-(row,bucket) cell
     // mass, estimate = least of the key's four cells.
-    "q84_cms_user_counts" ->
-      """WITH c AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n FROM events GROUP BY 1),
-        |ch AS (
-        |  SELECT k, n,
-        |         list_prepend(0::BIGINT, list_transform(range(1, length(k)+1),
-        |                       i -> ascii(substr(k, i, 1))::BIGINT)) AS cs
-        |  FROM c),
-        |b AS (
-        |  SELECT k, n,
-        |         list_reduce(cs, (acc, x) -> (acc * 31  + x) % 1000000007) % 256 AS b0,
-        |         list_reduce(cs, (acc, x) -> (acc * 131 + x) % 1000000007) % 256 AS b1,
-        |         list_reduce(cs, (acc, x) -> (acc * 137 + x) % 1000000007) % 256 AS b2,
-        |         list_reduce(cs, (acc, x) -> (acc * 139 + x) % 1000000007) % 256 AS b3
-        |  FROM ch),
-        |cells AS (
-        |  SELECT r, bkt, sum(n) AS cell FROM (
-        |    SELECT 0 AS r, b0 AS bkt, n FROM b
-        |    UNION ALL SELECT 1, b1, n FROM b
-        |    UNION ALL SELECT 2, b2, n FROM b
-        |    UNION ALL SELECT 3, b3, n FROM b)
-        |  GROUP BY r, bkt)
-        |SELECT b.k AS user_key, b.n::BIGINT AS n_true,
-        |       least(c0.cell, c1.cell, c2.cell, c3.cell)::BIGINT AS cms_est
-        |FROM b
-        |JOIN cells c0 ON c0.r = 0 AND c0.bkt = b.b0
-        |JOIN cells c1 ON c1.r = 1 AND c1.bkt = b.b1
-        |JOIN cells c2 ON c2.r = 2 AND c2.bkt = b.b2
-        |JOIN cells c3 ON c3.r = 3 AND c3.bkt = b.b3
-        |ORDER BY user_key""".stripMargin,
+    "q84_cms_user_counts" -> CmsUnionSql,
+
+    // q185 shares q84's oracle text VERBATIM: CMS linearity makes the
+    // incremental state path result-invisible, so the union replay IS the
+    // incremental contract (the q175 compaction-oracle pattern).
+    "q185_cms_incremental" -> CmsUnionSql,
 
     // DuckDB list slices are 1-based inclusive and clamp at the list end —
     // exactly Spark's slice(arr, start, length) behavior for the tail chunk.

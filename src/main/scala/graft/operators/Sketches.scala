@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -121,8 +121,6 @@ object Sketches {
     * expression. No driver collect; the probe side stays distributed.
     * Emits (k, n, cms_est). */
   def countMinEstimates(keyed: DataFrame, d: Int, w: Int): DataFrame = {
-    val spark = keyed.sparkSession
-    import spark.implicits._
     // `keyed` feeds BOTH the sketch aggregate and the probe side, and the
     // typed-Aggregator subplan does not canonicalize equal to the probe
     // subplan (no ReusedExchange) — the input's lineage therefore runs
@@ -131,10 +129,22 @@ object Sketches {
     // consuming the result; persisting here would register a CacheManager
     // entry nobody can release (cached plans are strong references — LRU
     // only demotes the memory tier, disk blocks survive to app exit).
-    val sketch = keyed.select(col("k"), col("n").cast("long"))
+    cmsProbe(keyed, cmsSketch(keyed, d, w), d, w)
+  }
+
+  /** The one-row CMS of `keyed` (columns `k`, `n`). */
+  def cmsSketch(keyed: DataFrame, d: Int, w: Int): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.select(col("k"), col("n").cast("long"))
       .as[(String, Long)]
       .select(countMin(d, w).toColumn.name("sketch"))
       .toDF("sketch")
+  }
+
+  /** Probe every key of `keyed` against a one-row `sketch` frame —
+    * broadcast the row, read each key's d cells lazily in-plan. */
+  def cmsProbe(keyed: DataFrame, sketch: DataFrame, d: Int, w: Int): DataFrame = {
     val cells = (0 until d).map { r =>
       val bucket = (expr(graft.functions.PortableHash.polySql("k", CmsBases(r)))
         % w).cast("int")
@@ -144,6 +154,33 @@ object Sketches {
       .withColumn("cms_est", if (cells.length == 1) cells.head else least(cells: _*))
       .drop("sketch")
   }
+
+  /** foreachBatch sink: PERSISTED incremental CMS — the sketches family's
+    * streaming member. Each micro-batch's OWN sketch (one d·w array row)
+    * lands under `batch_id=N/` via dynamic overwrite, so an at-least-once
+    * replay REPLACES its partition (the dedup sinks' discipline). CMS is
+    * LINEAR — sketch(A ∪ B) = sketch(A) + sketch(B) element-wise — so the
+    * table's sketch is just the element-wise sum of the landed rows, and
+    * estimates from the advanced state are IDENTICAL to a from-scratch
+    * sketch of the union (the q185 oracle replays the union math; the
+    * state path is result-invisible by linearity). State size:
+    * batches × d·w int64s — bytes, not data. */
+  def cmsBatch(dir: String, d: Int, w: Int)
+              (batch: DataFrame, batchId: Long): Unit = {
+    cmsSketch(batch, d, w)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+  }
+
+  /** The state's merged sketch: element-wise sum across batch partitions. */
+  def readCmsState(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(posexplode(col("sketch")).as(Seq("pos", "cell")))
+      .groupBy("pos").agg(sum(col("cell")).as("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cell")))).as("a"))
+      .select(transform(col("a"), x => x.getField("cell")).as("sketch"))
 
   /** Mergeable rank-quantile sketch (the MRL/KLL pairwise-collapse scheme,
     * Manku–Rajagopalan–Lindsay 1998 simplified to one weighted buffer) —

@@ -182,4 +182,29 @@ class SketchesSpec extends SparkSpec {
     val sk = Sketches.quantileSketch(16, Seq(0.5))
     assert(sk.finish(sk.zero) === Seq.empty)
   }
+
+  test("cmsBatch state: linearity holds exactly; replay replaces, never doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString + "/state"
+    val ev = Tables.events(spark, sf)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id").cast("string").as("k"))
+        .agg(count(lit(1)).as("n"))
+    Sketches.cmsBatch(dir, 4, 256)(counts(ev.filter(col("event_id") % 3 =!= 2)), 0L)
+    Sketches.cmsBatch(dir, 4, 256)(counts(ev.filter(col("event_id") % 3 === 2)), 1L)
+    def stateArr(): Seq[Long] = Sketches.readCmsState(spark, dir)
+      .head().getSeq[Long](0)
+    val merged = stateArr()
+    // linearity: the merged state IS the union's sketch, cell for cell
+    val single = Sketches.cmsSketch(counts(ev), 4, 256).head().getSeq[Long](0)
+    assert(merged == single)
+    // at-least-once replay of a committed batch replaces its partition
+    Sketches.cmsBatch(dir, 4, 256)(counts(ev.filter(col("event_id") % 3 === 2)), 1L)
+    assert(stateArr() == merged)
+    // probes against the state equal single-shot estimates
+    val a = Sketches.cmsProbe(counts(ev), Sketches.readCmsState(spark, dir), 4, 256)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("cms_est")).toMap
+    val b = Sketches.countMinEstimates(counts(ev), 4, 256)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("cms_est")).toMap
+    assert(a == b)
+  }
 }
