@@ -8,7 +8,8 @@ import graft.functions.{PortableHash, Rounding}
 /** Approximate query processing over deterministic hash samples.
   *
   * The reference answers its dashboards by re-aggregating full extracts per
-  * refresh (the rollup scripts re-scan everything they load); at 100 TB a
+  * refresh (`scripts/SQL/avg_daily_orders_sales.sql:2-13` — the daily
+  * rollup scans the whole fact table for two averages); at 100 TB a
   * dashboard cannot pay a table scan per refresh. A Bernoulli synopsis
   * keyed by a PORTABLE hash gives (a) a sample any engine reproduces
   * bit-for-bit ([[graft.functions.PortableHash.mixp]] — the LSH mixer, so

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * index, and incremental cell-grain re-clustering.
   *
   * The reference engine stores extracts as flat row-ordered tables and
-  * re-scans them per query (the `scripts/ETL Pipeline` extract scripts land pandas frames
-  * ordered by cursor position; every downstream predicate pays a full scan).
+  * re-scans them per query (`scripts/Python_ETL/product/product_pipeline.py:23`
+  * extracts with a bare `select *` and `:35` lands a full replace — no
+  * clustering, no file statistics; every downstream predicate pays a full
+  * scan).
   * At 100 TB the scan bill is decided by LAYOUT, not by the query engine:
   * a table clustered so that file-level min/max statistics bound each file's
   * key ranges lets a reader skip files wholesale, and a z-order (Morton)

@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Iterative graph ranking in EXACT fixed-point arithmetic.
   *
+  * The reference's deepest graph-shaped analysis is the co-occurrence
+  * self-join (`scripts/SQL/Product_Association.sql:14-23` — a pair-frequency
+  * edge list over shared baskets); centrality and closure over that edge
+  * list are the natural next questions, and at corpus scale they need a
+  * distributed iterative plan, not a self-join.
+  *
   * Web-graph importance is a standard quality prior for crawl-derived
   * training corpora (page-level centrality decides what a CC-scale pipeline
   * keeps when budgets bind), and PageRank is its canonical form. Floating
