@@ -83,6 +83,30 @@ object SessionQueries {
           withinPct(col("au"), col("exact_users"), 0.05).as("users_within_5pct"),
           withinPct(col("ae"), col("exact_events"), 0.05).as("events_within_5pct"))
         .orderBy("event_type")
+    },
+
+    // The PORTABLE HLL closes q39's gap: approx_count_distinct's sketch is
+    // engine-internal (tolerance-gated above), but these registers are the
+    // mixp hash split 8/23 with an integer-only rank, so the oracle replays
+    // them bit-for-bit AND the raw estimate exactly (all Σ2^-M terms are
+    // dyadic — the double sum is exact in any order; the ln small-range
+    // correction is deliberately omitted, v_zero says when it would bind).
+    // Registers advance through a persisted max-monoid state across two
+    // waves — the advanced state IS the union's registers, so the oracle's
+    // union replay gates the incremental path too (the q185 pattern).
+    "q186_hll_portable" -> { (s, dir) =>
+      val state = PrepQueries.scratchTempDir("graft_q186_") + "/hll"
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches.hllBatch(state, Seq("event_type"), col("user_id"))(
+        ev.filter(col("event_id") % 3 =!= 2), 0L)
+      graft.operators.Sketches.hllBatch(state, Seq("event_type"), col("user_id"))(
+        ev.filter(col("event_id") % 3 === 2), 1L)
+      val regs = graft.operators.Sketches.readHllState(s, state, Seq("event_type"))
+      graft.operators.Sketches.hllEstimate(regs, Seq("event_type"))
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_true")), Seq("event_type"))
+        .select(col("event_type"), col("n_true"), col("v_zero"), col("raw_est"))
+        .orderBy("event_type")
     }
   )
 
@@ -98,6 +122,31 @@ object SessionQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q186_hll_portable" ->
+      """WITH m1 AS (SELECT event_type, user_id,
+        |        (xor(user_id, user_id >> 16) * 73244475) % 2147483648 AS h
+        |      FROM events),
+        |m2 AS (SELECT event_type, user_id,
+        |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
+        |hx AS (SELECT event_type, xor(h, h >> 16) AS h FROM m2),
+        |jr AS (SELECT event_type, h % 256 AS j, h // 256 AS w FROM hx),
+        |regs AS (SELECT event_type, j,
+        |           max(24 - list_max(list_transform(range(0, 24),
+        |             i -> CASE WHEN (w >> i) > 0 THEN i + 1 ELSE 0 END))) AS m
+        |         FROM jr GROUP BY 1, 2),
+        |est AS (SELECT event_type,
+        |          count(*) AS present,
+        |          sum(1.0 / CAST(1 << m AS DOUBLE)) AS s2
+        |        FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_true
+        |       FROM events GROUP BY 1)
+        |SELECT est.event_type, n_true,
+        |  CAST(256 - present AS BIGINT) AS v_zero,
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0
+        |        / (s2 + CAST(256 - present AS DOUBLE)), 4) AS raw_est
+        |FROM est JOIN ex ON est.event_type = ex.event_type
+        |ORDER BY est.event_type""".stripMargin,
 
     "q38_sessionize_batch" ->
       s"""WITH marked AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -181,6 +181,81 @@ object Sketches {
       .groupBy("pos").agg(sum(col("cell")).as("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cell")))).as("a"))
       .select(transform(col("a"), x => x.getField("cell")).as("sketch"))
+
+  // -------------------------------------------------------------------
+  // Portable HLL (replayable registers, max-monoid state)
+  // -------------------------------------------------------------------
+
+  /** HLL register width: 2^8 buckets, the 31-bit mixp hash split 8/23. */
+  val HllM = 256
+
+  /** Per-(group, register) rank rows for a PORTABLE HyperLogLog — unlike
+    * `approx_count_distinct` (whose sketch is engine-internal and gated by
+    * tolerance in q39), these registers replay bit-for-bit in SQL: bucket
+    * `j = mixp(key) mod 256`, rank = position of the highest set bit of the
+    * remaining 23 bits plus one (24 for zero) — integer ops only. One
+    * map-combined groupBy; emits `(groupCols..., j, m)` with `m` the
+    * register MAX. Registers form a MAX monoid, so state merges by
+    * element-wise max — the q185 linearity story with max for sum. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   key: Column): DataFrame = {
+    val h = graft.functions.PortableHash.mixpCol(key)
+    val j = pmod(h, lit(HllM.toLong))
+    val w = call_function("div", h, lit(HllM.toLong)) // 23 bits
+    // rank = 24 - bit_length(w): highest set bit via an integer-only fold
+    // (shift amounts are columns, so the SQL shiftright via call_function)
+    val bitLen = aggregate(sequence(lit(0), lit(23)), lit(0),
+      (acc, i) =>
+        when(call_function("shiftright", w, i) > 0, i + lit(1)).otherwise(acc))
+    val rho = (lit(24) - bitLen).cast("int")
+    df.select((groupCols.map(col) :+ j.as("j") :+ rho.as("m")): _*)
+      .groupBy((groupCols.map(col) :+ col("j")): _*)
+      .agg(max(col("m")).as("m"))
+  }
+
+  /** foreachBatch sink: persisted incremental HLL — each batch's OWN
+    * registers land under `batch_id=N/` (dynamic overwrite, replay
+    * replaces); the table's registers are the element-wise MAX across
+    * batches, so the advanced state is IDENTICAL to registers built from
+    * the union. */
+  def hllBatch(dir: String, groupCols: Seq[String], key: Column)
+              (batch: DataFrame, batchId: Long): Unit =
+    hllRegisters(batch, groupCols, key)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** Merged registers of a landed HLL state (max across batches). */
+  def readHllState(spark: SparkSession, dir: String,
+                   groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy((groupCols.map(col) :+ col("j")): _*)
+      .agg(max(col("m")).as("m"))
+
+  /** Raw HLL estimates from register rows: `alpha·m²/S` with
+    * `S = Σ_j 2^(-M_j)` (absent registers contribute 1). Every term is a
+    * dyadic rational with ≥ 2^-24 granularity, so the double sum is EXACT
+    * in any order — the estimate replays bit-for-bit before the final 4dp
+    * round. The small-range `ln` correction is deliberately omitted (`ln`
+    * is not correctly-rounded across engines); `v_zero` (absent-register
+    * count) is emitted so a caller can judge when the raw estimate is
+    * biased. Emits `(groupCols..., v_zero, raw_est)`. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    val s = col("_s2") + (lit(HllM) - col("_present")).cast("double")
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("_present"),
+        sum(lit(1.0) /
+            call_function("shiftleft", lit(1L), col("m")).cast("double"))
+          .as("_s2"))
+      .select((groupCols.map(col) :+
+        (lit(HllM) - col("_present")).cast("long").as("v_zero") :+
+        graft.functions.Rounding.roundLikeC(
+          lit(alpha * HllM * HllM) / s, 4).as("raw_est")): _*)
+  }
 
   /** Mergeable rank-quantile sketch (the MRL/KLL pairwise-collapse scheme,
     * Manku–Rajagopalan–Lindsay 1998 simplified to one weighted buffer) —

@@ -207,4 +207,29 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("cms_est")).toMap
     assert(a == b)
   }
+
+  test("portable HLL: max-monoid state equals union registers; raw estimate lands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString + "/state"
+    val keys = (0L until 5000L).map(k => ("g", k)).toDF("g", "k")
+    val b0 = keys.filter(col("k") % 2 === 0)
+    val b1 = keys.filter(col("k") % 2 === 1)
+    Sketches.hllBatch(dir, Seq("g"), col("k"))(b0, 0L)
+    Sketches.hllBatch(dir, Seq("g"), col("k"))(b1, 1L)
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getAs[Long]("j") -> r.getAs[Int]("m")).toMap
+    val state = regs(Sketches.readHllState(spark, dir, Seq("g")))
+    val union = regs(Sketches.hllRegisters(keys, Seq("g"), col("k")))
+    assert(state == union, "advanced state must BE the union's registers")
+    // replaying a committed wave changes nothing
+    Sketches.hllBatch(dir, Seq("g"), col("k"))(b1, 1L)
+    assert(regs(Sketches.readHllState(spark, dir, Seq("g"))) == union)
+    // at 5000 distinct over 256 registers the raw estimate is in its
+    // working regime: no empty registers, within 10% of the truth
+    val est = Sketches.hllEstimate(
+      Sketches.readHllState(spark, dir, Seq("g")), Seq("g")).head()
+    assert(est.getAs[Long]("v_zero") == 0L)
+    val e = est.getAs[Double]("raw_est")
+    assert(math.abs(e - 5000.0) / 5000.0 < 0.10, s"raw_est $e too far from 5000")
+  }
 }
