@@ -68,8 +68,29 @@ object GraphQueries {
         .crossJoin(deg.agg(max(col("d")).as("max_degree")))
         .select(lit(n).as("n_nodes"), col("n_edges"),
           lit(tri).as("n_triangles"), col("max_degree"))
+    },
+
+    // BFS reach histogram from doc 0 over the link graph: how many nodes
+    // sit at each hop distance within 4 rounds (the frontier-relaxation
+    // plan — settled nodes never re-enter a shuffle; the oracle unrolls
+    // the same four frontiers in SQL).
+    "q187_bfs_reach" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("src"),
+          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+        .distinct()
+      Rank.bfsDistances(edges, source = 0L, rounds = BfsRounds)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
     }
   )
+
+  /** BFS rounds (unrolled identically in the oracle). */
+  private val BfsRounds = 4
 
   private def iterCte(i: Int): String =
     s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
@@ -122,6 +143,29 @@ object GraphQueries {
         |SELECT (SELECT n FROM nn) AS n_nodes,
         |       (SELECT count(*) FROM und) AS n_edges,
         |       (SELECT t FROM tri) AS n_triangles,
-        |       (SELECT max(d) FROM deg) AS max_degree""".stripMargin
+        |       (SELECT max(d) FROM deg) AS max_degree""".stripMargin,
+
+    "q187_bfs_reach" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |cand AS (SELECT doc_id AS src, x.r FROM documents
+         |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
+         |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
+         |x1 AS (SELECT src, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM x0),
+         |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
+         |edges AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
+         |          FROM x2 CROSS JOIN nn),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |f0 AS (SELECT node FROM d0),
+         |${(1 to BfsRounds).map(bfsCte).mkString(",\n")}
+         |SELECT dist, count(*) AS n_nodes FROM d$BfsRounds
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  private def bfsCte(k: Int): String =
+    s"""f$k AS (SELECT DISTINCT e.dst AS node
+       |  FROM edges e JOIN f${k - 1} f ON e.src = f.node
+       |  WHERE e.dst NOT IN (SELECT node FROM d${k - 1})),
+       |d$k AS (SELECT node, dist FROM d${k - 1}
+       |  UNION ALL SELECT node, CAST($k AS BIGINT) AS dist FROM f$k)"""
+      .stripMargin
 }

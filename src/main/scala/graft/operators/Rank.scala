@@ -69,6 +69,35 @@ object Rank {
     rank
   }
 
+  /** Bounded-round single-source BFS distances — the frontier-relaxation
+    * plan: each round joins the CURRENT frontier (only the nodes whose
+    * distance was just settled, not the whole distance table) against the
+    * edge list and folds newly-reached nodes in with a union + min. Work
+    * per round is O(frontier-out-edges); settled nodes never re-enter a
+    * shuffle. Integer distances — exact replay, the [[pageRank]] contract.
+    * Nodes unreached within `rounds` are absent from the result (callers
+    * left-join and fill the sentinel of their choice). */
+  def bfsDistances(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = dist
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next
+      r += 1
+    }
+    dist
+  }
+
   /** Exact triangle count via DEGREE-ORDERED edge orientation — the
     * standard trick that makes the wedge join survive power-law graphs:
     * orient every undirected edge from its lower-(degree, id) endpoint to

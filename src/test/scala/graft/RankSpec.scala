@@ -91,4 +91,33 @@ class RankSpec extends SparkSpec {
     assert(total >= scale - 5L * 2L * n * n, // coarse bound, parts-per-million here
       s"lost too much mass: $total of $scale")
   }
+
+  test("bfsDistances equals scalar BFS; settled nodes never regress") {
+    import spark.implicits._
+    def brute(n: Int, edges: Seq[(Long, Long)], src: Long,
+              rounds: Int): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = Map(src -> 0L)
+      var frontier = Set(src)
+      for (k <- 1 to rounds if frontier.nonEmpty) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> k.toLong)
+        frontier = next
+      }
+      dist
+    }
+    val rnd = new scala.util.Random(5)
+    val n = 60
+    val edges = (0 until n).flatMap(u =>
+      Seq.fill(2)((u.toLong, rnd.nextInt(n).toLong))).distinct
+    val got = graft.operators.Rank.bfsDistances(edges.toDF("src", "dst"), 0L, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute(n, edges, 0L, 6))
+    // chain: distances are exactly the positions, truncated by the bound
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val gotChain = graft.operators.Rank.bfsDistances(chain.toDF("src", "dst"), 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain == (0L to 4L).map(i => i -> i).toMap)
+  }
 }
