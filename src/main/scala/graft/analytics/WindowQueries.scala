@@ -19,6 +19,19 @@ object WindowQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // 2-D skyline (pareto front) of line items on (quantity, price), exact
+    // integer cents — multi-objective "best tradeoffs" without a weighting
+    // function. The operator composes bucket-local sweeps + a suffix-max
+    // carry (ONE bounded B-way shuffle, no SinglePartition window); the
+    // oracle keeps the textbook single-window form — same front.
+    "q188_skyline" -> { (s, dir) =>
+      graft.operators.Skyline.pareto2d(Tables.lineitem(s, dir),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("x").as("qty_cents"), col("ymax").as("max_price_cents"))
+        .orderBy("qty_cents")
+    },
+
     // W1 + J6 + F14: purchase sequence per customer → new-vs-repeat by month
     // (`scripts/SQL/new_v_return_plus_retention_rate.sql`).
     "q7_retention_new_vs_repeat" -> { (s, dir) =>
@@ -163,6 +176,20 @@ object WindowQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q188_skyline" ->
+      """WITH p AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (SELECT x, max(y) AS ymax FROM p GROUP BY 1),
+        |s AS (SELECT x, ymax,
+        |        max(ymax) OVER (ORDER BY x DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |      FROM g)
+        |SELECT x AS qty_cents, ymax AS max_price_cents FROM s
+        |WHERE prev IS NULL OR ymax > prev
+        |ORDER BY qty_cents""".stripMargin,
 
     "q7_retention_new_vs_repeat" ->
       """WITH seq AS (
