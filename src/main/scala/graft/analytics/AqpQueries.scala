@@ -74,6 +74,31 @@ object AqpQueries {
         .select("c_mktsegment", "est_sum", "ci_lo", "ci_hi", "n_sampled",
           "exact_cents", "within_ci")
         .orderBy("c_mktsegment")
+    },
+
+    // Priority sampling over a heavy-tailed measure: a 200-row sample of
+    // orders by priority w/u estimates revenue per order-priority class.
+    // Heavy orders are always in (w ≥ τ ⇒ kept, contributing exactly w) —
+    // the property Bernoulli HT lacks. The sample, the threshold, and the
+    // integer-cent estimator replay exactly in SQL.
+    "q189_priority_sample" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val est = Aqp.priorityEstimateSum(
+        ord.select(col("o_orderpriority"), col("o_orderkey"), cents.as("w")),
+        Seq("o_orderpriority"), col("o_orderkey"), col("w"), k = 200)
+      val exact = ord.groupBy("o_orderpriority")
+        .agg(sum(cents).as("exact_cents"))
+      exact.join(est, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"),
+          coalesce(col("est_sum"), lit(0L)).as("est_cents"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          col("exact_cents"),
+          Rounding.roundLikeC(
+            abs(coalesce(col("est_sum"), lit(0L)).cast("double") -
+              col("exact_cents").cast("double")) /
+              col("exact_cents").cast("double"), 4).as("rel_err"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -153,6 +178,37 @@ object AqpQueries {
         |  CAST(exact_cents AS DOUBLE) BETWEEN round(est_raw - half, 4)
         |    AND round(est_raw + half, 4) AS within_ci
         |FROM est JOIN ex ON est.c_mktsegment = ex.c_mktsegment
-        |ORDER BY est.c_mktsegment""".stripMargin
+        |ORDER BY est.c_mktsegment""".stripMargin,
+
+    "q189_priority_sample" ->
+      """WITH w AS (SELECT o_orderpriority, o_orderkey AS k,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |      FROM orders),
+        |m1 AS (SELECT *, (xor(k, k >> 16) * 73244475) % 2147483648 AS h FROM w),
+        |m2 AS (SELECT o_orderpriority, k, w,
+        |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
+        |pr AS (SELECT o_orderpriority, k, w,
+        |        (CAST(w AS DOUBLE) * 2147483648.0)
+        |          / CAST(xor(h, h >> 16) + 1 AS DOUBLE) AS prio
+        |      FROM m2),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY prio DESC, k) AS rn FROM pr),
+        |tau AS (SELECT CASE WHEN (SELECT count(*) FROM w) <= 200 THEN 0.0
+        |               ELSE (SELECT prio FROM rk WHERE rn = 201) END AS t),
+        |samp AS (SELECT * FROM rk WHERE rn <= 200),
+        |est AS (SELECT o_orderpriority,
+        |          CAST(sum(GREATEST(w, CAST(ceil(t) AS BIGINT))) AS BIGINT) AS est_cents,
+        |          count(*) AS n_sampled
+        |        FROM samp CROSS JOIN tau GROUP BY 1),
+        |ex AS (SELECT o_orderpriority, CAST(sum(w) AS BIGINT) AS exact_cents
+        |       FROM w GROUP BY 1)
+        |SELECT ex.o_orderpriority,
+        |  COALESCE(est_cents, 0) AS est_cents,
+        |  COALESCE(n_sampled, 0) AS n_sampled,
+        |  exact_cents,
+        |  round(abs(CAST(COALESCE(est_cents, 0) AS DOUBLE)
+        |            - CAST(exact_cents AS DOUBLE))
+        |        / CAST(exact_cents AS DOUBLE), 4) AS rel_err
+        |FROM ex LEFT JOIN est ON ex.o_orderpriority = est.o_orderpriority
+        |ORDER BY ex.o_orderpriority""".stripMargin
   )
 }

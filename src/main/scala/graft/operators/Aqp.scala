@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PortableHash, Rounding}
@@ -111,6 +111,61 @@ object Aqp {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
+  }
+
+  /** Priority sampling (Duffield–Lund–Thorup) — the HEAVY-TAIL estimator
+    * Bernoulli HT lacks: a uniform p-sample's variance blows up when a few
+    * rows carry most of the mass (exactly the shape of revenue, token
+    * counts, bytes). Each row gets priority `q = w / u` with
+    * `u = (mixp(key)+1) / 2^31` (portable — the sample replays in SQL);
+    * the k largest-priority rows are the sample, τ is the (k+1)-th
+    * priority, and a subset's estimate is `Σ max(w_i, τ)` over its sampled
+    * rows — unbiased, with near-optimal variance, and heavy rows are
+    * ALWAYS in (w ≥ τ ⇒ sampled with probability 1, contributing exactly
+    * w).
+    *
+    * Scale shape: ONE distributed top-(k+1) (TakeOrderedAndProject — no
+    * global sort) and a k-row driver fold; the sample is driver-sized by
+    * design. Determinism: τ quantizes to the next integer weight unit
+    * (`ceil`) so the per-group sums are exact integers — order-independent
+    * and oracle-replayable; using a threshold ≥ τ keeps every estimate
+    * well-defined and adds at most k weight-units of upward bias (cents
+    * here — noise at any real scale).
+    *
+    * Returns `(groupCols..., est_sum, n_sampled)` with `est_sum` an exact
+    * integer in the weight's unit; groups with no sampled row are absent
+    * (join against the group universe, as with [[estimateSum]]). */
+  def priorityEstimateSum(df: DataFrame, groupCols: Seq[String],
+                          key: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val base = df.select((groupCols.map(col) :+
+      key.cast("long").as("_k") :+ weight.cast("long").as("_w")): _*)
+    val withP = base.withColumn("_prio",
+      col("_w").cast("double") * lit(2147483648.0) /
+        (PortableHash.mixpCol(col("_k")) + lit(1L)).cast("double"))
+    val top = withP.orderBy(col("_prio").desc, col("_k").asc)
+      .limit(k + 1).collect()
+      .sortBy(r => (-r.getAs[Double]("_prio"), r.getAs[Long]("_k")))
+    val (sample, tau) =
+      if (top.length <= k) (top, 0.0)
+      else (top.take(k), top(k).getAs[Double]("_prio"))
+    val tauL = math.ceil(tau).toLong
+    val grouped = sample.toSeq
+      .groupBy(r => groupCols.map(c => r.getAs[Any](c)))
+      .map { case (g, rows) =>
+        Row.fromSeq(g ++ Seq(
+          rows.map(r => math.max(r.getAs[Long]("_w"), tauL)).sum,
+          rows.size.toLong))
+      }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => base.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("est_sum",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_sampled",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(grouped, 1), schema)
   }
 
   def estimateKeyedSum(joined: DataFrame, groupCols: Seq[String],

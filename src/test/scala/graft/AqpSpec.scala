@@ -49,6 +49,31 @@ class AqpSpec extends SparkSpec {
     assert((ids(base) ++ ids(batch)).sorted == ids(docs))
   }
 
+  test("priority sampling: heavy rows always sampled and contribute exactly w") {
+    import spark.implicits._
+    // one whale (1e9) among 10k minnows (1..100): uniform sampling at the
+    // same budget misses the whale 98% of the time; priority sampling
+    // cannot miss it (w >= tau => sampled), and its contribution is exact
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 10000L).map(i =>
+      ("g", i, if (i == 4242L) 1000000000L else 1L + rnd.nextInt(100)))
+    val df = rows.toDF("g", "k", "w")
+    val est = Aqp.priorityEstimateSum(df, Seq("g"), col("k"), col("w"), k = 200)
+      .head()
+    val exact = rows.map(_._3).sum
+    val e = est.getAs[Long]("est_sum")
+    assert(est.getAs[Long]("n_sampled") == 200L)
+    // the whale dominates the total; with it guaranteed in-sample the
+    // estimate lands within a few percent of the truth
+    assert(math.abs(e - exact).toDouble / exact < 0.05,
+      s"priority estimate $e too far from $exact")
+    // tiny input: everything sampled, tau = 0, estimate exact
+    val small = (0L until 50L).map(i => ("g", i, i + 1L)).toDF("g", "k", "w")
+    val all = Aqp.priorityEstimateSum(small, Seq("g"), col("k"), col("w"), 200).head()
+    assert(all.getAs[Long]("est_sum") == (1L to 50L).sum &&
+      all.getAs[Long]("n_sampled") == 50L)
+  }
+
   test("synopsisBatch: streaming maintenance equals a from-scratch sample; replay idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aqp_syn").toString + "/syn"
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
