@@ -99,6 +99,27 @@ object AqpQueries {
               col("exact_cents").cast("double")) /
               col("exact_cents").cast("double"), 4).as("rel_err"))
         .orderBy("o_orderpriority")
+    },
+
+    // Stratified sample with a per-group floor — the fix for the failure
+    // mode q181 exhibits on tiny groups (2-row samples, undercovering CIs):
+    // every market segment contributes its 100 lowest-hash customers, and
+    // the per-stratum expansion estimates each segment from its own rows.
+    // Segments at or under 100 customers are taken whole (exact).
+    "q190_stratified_sample" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+      val est = Aqp.stratifiedEstimateSum(
+        cust.select(col("c_mktsegment"), col("c_custkey"), cents.as("w")),
+        Seq("c_mktsegment"), col("c_custkey"), col("w"), m = 100)
+      val exact = cust.groupBy("c_mktsegment").agg(sum(cents).as("exact_cents"))
+      est.join(exact, Seq("c_mktsegment"))
+        .withColumn("rel_err", Rounding.roundLikeC(
+          abs(col("est_sum") - col("exact_cents").cast("double")) /
+            abs(col("exact_cents").cast("double")), 4))
+        .select("c_mktsegment", "est_sum", "n_group", "n_sampled",
+          "exact_cents", "rel_err")
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -209,6 +230,33 @@ object AqpQueries {
         |            - CAST(exact_cents AS DOUBLE))
         |        / CAST(exact_cents AS DOUBLE), 4) AS rel_err
         |FROM ex LEFT JOIN est ON ex.o_orderpriority = est.o_orderpriority
-        |ORDER BY ex.o_orderpriority""".stripMargin
+        |ORDER BY ex.o_orderpriority""".stripMargin,
+
+    "q190_stratified_sample" ->
+      """WITH c AS (SELECT c_mktsegment AS g, c_custkey AS k,
+        |        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |      FROM customer),
+        |m1 AS (SELECT *, (xor(k, k >> 16) * 73244475) % 2147483648 AS h FROM c),
+        |m2 AS (SELECT g, k, w,
+        |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
+        |r AS (SELECT g, k, w,
+        |        row_number() OVER (PARTITION BY g
+        |          ORDER BY xor(h, h >> 16), k) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n_group
+        |      FROM m2),
+        |s AS (SELECT g, n_group, CAST(sum(w) AS BIGINT) AS sw,
+        |        count(*) AS n_sampled
+        |      FROM r WHERE rn <= 100 GROUP BY 1, 2),
+        |ex AS (SELECT g, CAST(sum(w) AS BIGINT) AS exact_cents FROM c GROUP BY 1)
+        |SELECT s.g AS c_mktsegment,
+        |  round(CAST(sw AS DOUBLE) * CAST(n_group AS DOUBLE)
+        |        / CAST(n_sampled AS DOUBLE), 4) AS est_sum,
+        |  n_group, n_sampled, exact_cents,
+        |  round(abs(round(CAST(sw AS DOUBLE) * CAST(n_group AS DOUBLE)
+        |                  / CAST(n_sampled AS DOUBLE), 4)
+        |            - CAST(exact_cents AS DOUBLE))
+        |        / abs(CAST(exact_cents AS DOUBLE)), 4) AS rel_err
+        |FROM s JOIN ex ON s.g = ex.g
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -168,6 +168,41 @@ object Aqp {
       spark.sparkContext.parallelize(grouped, 1), schema)
   }
 
+  /** Stratified sampling with a per-group guarantee — the BlinkDB answer
+    * to the failure mode a uniform sample has on SMALL groups (q181's
+    * 2-rows-per-source CIs): every group contributes its `m`
+    * lowest-hash-order rows (groups at or under `m` rows are taken whole —
+    * their estimates are EXACT), and the per-stratum expansion
+    * `N_h · mean(sample_h)` estimates each group from its own rows only.
+    *
+    * One window shuffle (partition by group: row_number over the portable
+    * hash order + the group count from the same partition — no second
+    * pass); the sample size is `groups × m`, independent of data size.
+    * Expansion arithmetic is exact integers up to the final division
+    * (4dp-rounded double — oracle-replayable). Returns
+    * `(groupCols..., est_sum, n_group, n_sampled)`; every group present. */
+  def stratifiedEstimateSum(df: DataFrame, groupCols: Seq[String],
+                            key: Column, weight: Column, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val wOrd = w.orderBy(PortableHash.mixpCol(col("_k")), col("_k"))
+    df.select((groupCols.map(col) :+
+        key.cast("long").as("_k") :+ weight.cast("long").as("_w")): _*)
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("n_group", count(lit(1)).over(w))
+      .filter(col("_rn") <= m)
+      .groupBy((groupCols.map(col) :+ col("n_group")): _*)
+      .agg(
+        sum(col("_w").cast("decimal(38,0)")).as("_sw"),
+        count(lit(1)).as("n_sampled"))
+      .select((groupCols.map(col) :+
+        Rounding.roundLikeC(
+          col("_sw").cast("double") * col("n_group").cast("double") /
+            col("n_sampled").cast("double"), 4).as("est_sum") :+
+        col("n_group") :+ col("n_sampled")): _*)
+  }
+
   def estimateKeyedSum(joined: DataFrame, groupCols: Seq[String],
                        measure: Column, key: Column,
                        num: Int, den: Int): DataFrame = {

@@ -49,6 +49,29 @@ class AqpSpec extends SparkSpec {
     assert((ids(base) ++ ids(batch)).sorted == ids(docs))
   }
 
+  test("stratified sampling: small groups are exact, every group present") {
+    import spark.implicits._
+    // one tiny group (7 rows) + one large (4000): uniform sampling starves
+    // the tiny one; the stratified floor takes it WHOLE (exact estimate)
+    val rows = (0L until 7L).map(i => ("tiny", i, 10L + i)) ++
+      (100L until 4100L).map(i => ("big", i, 1L + (i % 50)))
+    val df = rows.toDF("g", "k", "w")
+    val est = Aqp.stratifiedEstimateSum(df, Seq("g"), col("k"), col("w"), m = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("est_sum"), r.getAs[Long]("n_group"),
+          r.getAs[Long]("n_sampled"))).toMap
+    assert(est.keySet == Set("tiny", "big"))
+    val (tinyEst, tinyN, tinySamp) = est("tiny")
+    assert(tinyN == 7L && tinySamp == 7L &&
+      tinyEst == (10L until 17L).sum.toDouble,
+      "a group at or under the floor must be estimated exactly")
+    val (bigEst, bigN, bigSamp) = est("big")
+    assert(bigN == 4000L && bigSamp == 100L)
+    val bigExact = (100L until 4100L).map(i => 1L + (i % 50)).sum.toDouble
+    assert(math.abs(bigEst - bigExact) / bigExact < 0.20,
+      s"expansion estimate $bigEst too far from $bigExact")
+  }
+
   test("priority sampling: heavy rows always sampled and contribute exactly w") {
     import spark.implicits._
     // one whale (1e9) among 10k minnows (1..100): uniform sampling at the
