@@ -120,6 +120,21 @@ object AqpQueries {
         .select("c_mktsegment", "est_sum", "n_group", "n_sampled",
           "exact_cents", "rel_err")
         .orderBy("c_mktsegment")
+    },
+
+    // Distinct users per event type from the SAME 1/20 row synopsis the
+    // sum estimates use — the GEE estimator, zero extra sketch state
+    // (q186's HLL registers are the precision path; this is the free one).
+    "q191_aqp_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val est = Aqp.estimateDistinct(ev, Seq("event_type"),
+        col("user_id"), col("event_id"), 1, 20)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("event_type"))
+        .select("event_type", "est_distinct", "f1", "d_sampled",
+          "exact_distinct")
+        .orderBy("event_type")
     }
   )
 
@@ -257,6 +272,29 @@ object AqpQueries {
         |            - CAST(exact_cents AS DOUBLE))
         |        / abs(CAST(exact_cents AS DOUBLE)), 4) AS rel_err
         |FROM s JOIN ex ON s.g = ex.g
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q191_aqp_distinct" ->
+      """WITH m1 AS (SELECT event_type, user_id, event_id,
+        |        (xor(event_id, event_id >> 16) * 73244475) % 2147483648 AS h
+        |      FROM events),
+        |m2 AS (SELECT event_type, user_id,
+        |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
+        |sampled AS (SELECT event_type, user_id FROM m2
+        |            WHERE xor(h, h >> 16) % 20 < 1),
+        |pv AS (SELECT event_type, user_id, count(*) AS c
+        |       FROM sampled GROUP BY 1, 2),
+        |f AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |        count(*) AS d_sampled
+        |      FROM pv GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |       FROM events GROUP BY 1)
+        |SELECT f.event_type,
+        |  round(sqrt(20.0) * CAST(f1 AS DOUBLE)
+        |        + CAST(d_sampled - f1 AS DOUBLE), 4) AS est_distinct,
+        |  f1, d_sampled, exact_distinct
+        |FROM f JOIN ex ON f.event_type = ex.event_type
+        |ORDER BY f.event_type""".stripMargin
   )
 }

@@ -168,6 +168,32 @@ object Aqp {
       spark.sparkContext.parallelize(grouped, 1), schema)
   }
 
+  /** Distinct-count estimate from the SAME row synopsis that answers sums —
+    * no second sketch state (the HLL registers of q186 are the
+    * precision path; this is the zero-extra-state one). The GEE estimator
+    * (Charikar–Chaudhuri–Motwani–Narasayya):
+    * `D̂ = √(1/p)·f₁ + Σ_{j≥2} f_j` — values seen once in the sample are
+    * scaled up (each may proxy for many unseen twins), values seen twice+
+    * are counted once (they are likely fully represented). Deterministic:
+    * the sample replays, f-statistics are integers, and √(den/num) is one
+    * correctly-rounded IEEE op. Returns
+    * `(groupCols..., est_distinct, f1, d_sampled)`. */
+  def estimateDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                       key: Column, num: Int, den: Int): DataFrame = {
+    val perValue = hashSample(df, key, num, den)
+      .groupBy((groupCols.map(col) :+ value.as("_v")): _*)
+      .agg(count(lit(1)).as("_c"))
+    perValue.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("_f1"),
+        count(lit(1)).as("_dt"))
+      .select((groupCols.map(col) :+
+        Rounding.roundLikeC(
+          sqrt(lit(den.toDouble / num.toDouble)) * col("_f1").cast("double") +
+            (col("_dt") - col("_f1")).cast("double"), 4).as("est_distinct") :+
+        col("_f1").as("f1") :+ col("_dt").as("d_sampled")): _*)
+  }
+
   /** Stratified sampling with a per-group guarantee — the BlinkDB answer
     * to the failure mode a uniform sample has on SMALL groups (q181's
     * 2-rows-per-source CIs): every group contributes its `m`

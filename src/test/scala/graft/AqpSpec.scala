@@ -49,6 +49,26 @@ class AqpSpec extends SparkSpec {
     assert((ids(base) ++ ids(batch)).sorted == ids(docs))
   }
 
+  test("GEE distinct estimate: repetition regimes behave, zero extra state") {
+    import spark.implicits._
+    // heavy repetition: every value appears ~100x — the sample sees nearly
+    // every value 2+ times, so the estimate sits near the true distinct
+    val rep = (0L until 10000L).map(i => ("g", i, i % 100)).toDF("g", "k", "v")
+    val r1 = Aqp.estimateDistinct(rep, Seq("g"), col("v"), col("k"), 1, 20).head()
+    val e1 = r1.getAs[Double]("est_distinct")
+    assert(math.abs(e1 - 100.0) / 100.0 < 0.25, s"repetition regime: $e1 vs 100")
+    // all-unique: everything sampled is a singleton, f1 == d_sampled and
+    // the estimate is the scaled-up sample count
+    val uniq = (0L until 10000L).map(i => ("g", i, i)).toDF("g", "k", "v")
+    val r2 = Aqp.estimateDistinct(uniq, Seq("g"), col("v"), col("k"), 1, 20).head()
+    assert(r2.getAs[Long]("f1") == r2.getAs[Long]("d_sampled"))
+    val e2 = r2.getAs[Double]("est_distinct")
+    // sqrt-scaling underestimates the all-unique worst case by design
+    // (GEE's guarantee is a bounded ratio, not unbiasedness) — pin the
+    // regime: f1-scaled, between the raw sample count and the truth
+    assert(e2 > r2.getAs[Long]("d_sampled").toDouble && e2 < 10000.0)
+  }
+
   test("stratified sampling: small groups are exact, every group present") {
     import spark.implicits._
     // one tiny group (7 rows) + one large (4000): uniform sampling starves
