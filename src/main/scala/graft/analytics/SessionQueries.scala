@@ -85,6 +85,19 @@ object SessionQueries {
         .orderBy("event_type")
     },
 
+    // Event-funnel conversion (view → click → purchase), the min-timestamp
+    // cascade: a user reaches a step iff a step event strictly follows
+    // their earliest completion of the previous one. One filtered
+    // aggregate + one entity-key join per step — no per-user event arrays.
+    "q192_event_funnel" -> { (s, dir) =>
+      graft.operators.Aggregates.funnel(Tables.events(s, dir),
+        col("user_id"), col("ts"),
+        Seq("1_view" -> (col("event_type") === "view"),
+          "2_click" -> (col("event_type") === "click"),
+          "3_purchase" -> (col("event_type") === "purchase")))
+        .orderBy("step_idx")
+    },
+
     // The PORTABLE HLL closes q39's gap: approx_count_distinct's sketch is
     // engine-internal (tolerance-gated above), but these registers are the
     // mixp hash split 8/23 with an integer-only rank, so the oracle replays
@@ -122,6 +135,22 @@ object SessionQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q192_event_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT step, step_idx, entities FROM (
+        |  SELECT '1_view' AS step, 0 AS step_idx,
+        |         (SELECT count(*) FROM t1) AS entities
+        |  UNION ALL SELECT '2_click', 1, (SELECT count(*) FROM t2)
+        |  UNION ALL SELECT '3_purchase', 2, (SELECT count(*) FROM t3))
+        |ORDER BY step_idx""".stripMargin,
 
     "q186_hll_portable" ->
       """WITH m1 AS (SELECT event_type, user_id,

@@ -71,6 +71,38 @@ object Aggregates {
     * ONE shuffle on the group key per delta batch, sized by |state| +
     * |delta| — never the base table. Deletion support is what plain
     * "append and re-sum" cannot do. */
+  /** Event-funnel conversion: for an ORDERED list of step predicates, how
+    * many entities reach each step — an entity reaches step i+1 iff some
+    * step-(i+1) event STRICTLY FOLLOWS its earliest step-i completion (the
+    * min-timestamp cascade, the standard funnel semantics). Purely
+    * relational: one filtered aggregate + one join PER STEP — no per-entity
+    * event arrays, no collect_list, no window over a user's whole history —
+    * so a 3-step funnel over 100 TB of events is three map-combined
+    * aggregates and two broadcast-or-shuffle joins on the entity key.
+    * Strict `>` makes the cascade deterministic without any tie-break
+    * ordering. Returns `(step, step_idx, entities)`, one row per step. */
+  def funnel(df: DataFrame, entity: Column, ts: Column,
+             steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select((entity.as("_e") +: ts.as("_ts") +:
+      steps.map(_._2).zipWithIndex
+        .map { case (p, i) => p.as(s"_p$i") }): _*)
+    var reached: DataFrame = null
+    val counts = steps.zipWithIndex.map { case ((name, _), i) =>
+      val hits = base.filter(col(s"_p$i"))
+      val stage =
+        if (i == 0) hits.groupBy("_e").agg(min(col("_ts")).as("_t"))
+        else hits.join(reached.withColumnRenamed("_t", "_prev"), "_e")
+          .filter(col("_ts") > col("_prev"))
+          .groupBy("_e").agg(min(col("_ts")).as("_t"))
+      reached = stage.localCheckpoint() // each stage feeds the next AND its count
+      (name, i, reached.count())
+    }
+    counts.toDF("step", "step_idx", "entities")
+  }
+
   def applyDelta(state: DataFrame, plus: DataFrame, minus: DataFrame,
                  keys: Seq[String], measures: Seq[String]): DataFrame = {
     def signed(df: DataFrame, sign: Int, preAggregated: Boolean): DataFrame = {
