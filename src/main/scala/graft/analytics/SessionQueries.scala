@@ -98,6 +98,15 @@ object SessionQueries {
         .orderBy("step_idx")
     },
 
+    // Retention cohort matrix (daily grain — the fixture spans one month):
+    // users bucket by first-activity day; each cell counts that cohort's
+    // users active N days later. The funnel's longitudinal twin.
+    "q193_retention_cohorts" -> { (s, dir) =>
+      graft.operators.Aggregates.retentionCohorts(
+          Tables.events(s, dir), col("user_id"), col("ts"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // The PORTABLE HLL closes q39's gap: approx_count_distinct's sketch is
     // engine-internal (tolerance-gated above), but these registers are the
     // mixp hash split 8/23 with an integer-only rank, so the oracle replays
@@ -135,6 +144,16 @@ object SessionQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q193_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort_day,
+        |       CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY cohort, date_diff('day', cohort, d)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q192_event_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events

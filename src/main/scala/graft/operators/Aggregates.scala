@@ -103,6 +103,24 @@ object Aggregates {
     counts.toDF("step", "step_idx", "entities")
   }
 
+  /** Retention cohort matrix at day grain: entities bucket by their FIRST
+    * activity day (the cohort), and each (cohort, day-offset) cell counts
+    * the cohort's entities active that many days later — the funnel's
+    * longitudinal twin. Two aggregates and one key join: first-day per
+    * entity (map-combined min), join back, distinct-count per cell. Output
+    * `(cohort_day TIMESTAMP, day_offset BIGINT, active_users BIGINT)`
+    * (timestamp, not date — the hash-gate convention). */
+  def retentionCohorts(df: DataFrame, entity: Column, ts: Column): DataFrame = {
+    val e = df.select(entity.as("_e"), ts.cast("date").as("_d"))
+    val first = e.groupBy("_e").agg(min(col("_d")).as("_cohort"))
+    e.join(first, "_e")
+      .groupBy(col("_cohort"),
+        datediff(col("_d"), col("_cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("_e")).as("active_users"))
+      .select(col("_cohort").cast("timestamp").as("cohort_day"),
+        col("day_offset"), col("active_users"))
+  }
+
   def applyDelta(state: DataFrame, plus: DataFrame, minus: DataFrame,
                  keys: Seq[String], measures: Seq[String]): DataFrame = {
     def signed(df: DataFrame, sign: Int, preAggregated: Boolean): DataFrame = {
