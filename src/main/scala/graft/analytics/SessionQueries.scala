@@ -98,6 +98,23 @@ object SessionQueries {
         .orderBy("step_idx")
     },
 
+    // RFM segmentation over orders: per-customer recency (days before the
+    // dataset horizon), frequency, monetary (exact cents), exact rank
+    // quintiles via the composed global row number (no SinglePartition
+    // window), customers counted per (R,F,M) cell.
+    "q194_rfm_segments" -> { (s, dir) =>
+      val per = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(
+          datediff(lit("1998-12-31").cast("date"),
+            max(col("o_orderdate")).cast("date")).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("monetary_cents"))
+      graft.operators.Aggregates.rfmSegments(per, "o_custkey",
+          "recency_days", "frequency", "monetary_cents")
+        .orderBy("r_q", "f_q", "m_q")
+    },
+
     // Retention cohort matrix (daily grain — the fixture spans one month):
     // users bucket by first-activity day; each cell counts that cohort's
     // users active N days later. The funnel's longitudinal twin.
@@ -144,6 +161,28 @@ object SessionQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q194_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |                   DATE '1998-12-31') AS BIGINT) AS r,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |rk AS (SELECT o_custkey,
+        |        row_number() OVER (ORDER BY r, o_custkey) AS kr,
+        |        row_number() OVER (ORDER BY -f, o_custkey) AS kf,
+        |        row_number() OVER (ORDER BY -m, o_custkey) AS km
+        |      FROM per)
+        |SELECT CAST((kr - 1) * 5 // nn.n + 1 AS INT) AS r_q,
+        |       CAST((kf - 1) * 5 // nn.n + 1 AS INT) AS f_q,
+        |       CAST((km - 1) * 5 // nn.n + 1 AS INT) AS m_q,
+        |       count(*) AS n_customers
+        |FROM rk CROSS JOIN nn
+        |GROUP BY 1, 2, 3
+        |ORDER BY r_q, f_q, m_q""".stripMargin,
 
     "q193_retention_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

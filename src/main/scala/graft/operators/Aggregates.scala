@@ -121,6 +121,35 @@ object Aggregates {
         col("day_offset"), col("active_users"))
   }
 
+  /** RFM segmentation: per-entity recency/frequency/monetary metrics, each
+    * cut into exact rank quintiles — `q = (rank-1)·5 div N + 1` over the
+    * total order (metric, entity) — and entities counted per (R,F,M) cell.
+    * Ranks come from [[Windows.globalRowNumberOrdered]] (the bucket+offset
+    * composition — one bounded B-way shuffle per metric, never a
+    * SinglePartition window over the entity universe); everything is
+    * integer arithmetic, so the segment assignment replays exactly.
+    * Recency ranks ASCENDING (fewer days since last activity = quintile 1);
+    * frequency and monetary rank DESCENDING via negation (bigger = quintile
+    * 1) — the conventional RFM orientation. */
+  def rfmSegments(perEntity: DataFrame, entity: String, recency: String,
+                  frequency: String, monetary: String): DataFrame = {
+    val n = perEntity.count()
+    def quintile(df: DataFrame, metric: Column, alias: String): DataFrame =
+      Windows.globalRowNumberOrdered(df, metric, Seq(metric, col(entity)),
+          "__rank")
+        .withColumn(alias,
+          (call_function("div", (col("__rank") - 1L) * 5L, lit(n)) + 1L)
+            .cast("int"))
+        .drop("__rank")
+    val cut = quintile(
+      quintile(
+        quintile(perEntity, col(recency), "r_q"),
+        -col(frequency), "f_q"),
+      -col(monetary), "m_q")
+    cut.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   def applyDelta(state: DataFrame, plus: DataFrame, minus: DataFrame,
                  keys: Seq[String], measures: Seq[String]): DataFrame = {
     def signed(df: DataFrame, sign: Int, preAggregated: Boolean): DataFrame = {
