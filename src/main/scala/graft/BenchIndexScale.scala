@@ -231,6 +231,74 @@ object BenchIndexScale {
       }
       rows += ((s"cosineIncrementalAuto(bits=${cosIdxA.bitsPerBand})",
         k, embSeen, bCosA, median(cosASecs)))
+
+      // --- q195 triangle advance: seen link graph at k×, fixed edge
+      // delta. The probe streams the seen graph (broadcast delta +
+      // broadcast wedge candidates, zero state-side shuffles) — the curve
+      // must stay flat in seen-graph size up to the scan term ---
+      import graft.operators.Rank
+      val (bTri, oldE) = time {
+        val e = seen.select(col("doc_id").as("src"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+          .select(col("src"),
+            pmod(graft.functions.PortableHash.mixpCol(col("src") * 7 + col("r")),
+              lit(seenSize)).as("dst"))
+        Rank.canonicalEdges(e).localCheckpoint()
+      }
+      val deltaE = {
+        val e = batch3.select(col("doc_id").as("src"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+          .select(col("src"),
+            pmod(graft.functions.PortableHash.mixpCol(col("src") * 7 + col("r")),
+              lit(seenSize)).as("dst"))
+        Rank.canonicalEdges(e).join(oldE, Seq("u", "v"), "left_anti")
+          .localCheckpoint()
+      }
+      val triSecs = (1 to runs).map { _ =>
+        time(Rank.triangleDeltaCount(oldE, deltaE))._1
+      }
+      rows += (("triangleDeltaIncremental", k, seenSize, bTri, median(triSecs)))
+
+      // --- q196 funnel advance vs recompute: EVENT HISTORY at k× (same
+      // user universe — the state stays entity-grain), fixed event batch.
+      // The claim under measurement: advancing the cascade state never
+      // rescans historical events, so the advance is FLAT in history
+      // volume while the from-scratch recompute (the contrast row) grows
+      // with it ---
+      import graft.operators.Aggregates
+      val fSteps = Seq("a" -> (col("event_type") === "view"),
+        "b" -> (col("event_type") === "click"),
+        "c" -> (col("event_type") === "purchase"))
+      val ev = Tables.events(spark, sfDir)
+      val evN = ev.count()
+      val evBatch = ev.filter(col("event_id") >= evN - evN / 10)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .localCheckpoint()
+      // k replicas of the history, ts jittered by c seconds: per-user
+      // event volume grows k×, the user universe (= state size) does not
+      val seedEv = (0 until k).map { c =>
+        ev.filter(col("event_id") < evN - evN / 10)
+          .select(col("user_id"),
+            (col("ts") + expr(s"INTERVAL $c SECOND")).as("ts"),
+            col("event_type"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val (bFun, funState) = time {
+        Aggregates.funnelAdvance(Aggregates.funnelEmptyState(spark, 3),
+            seedEv, col("user_id"), col("ts"), fSteps)
+          .repartition(col("_e")).localCheckpoint()
+      }
+      val funSecs = (1 to runs).map { _ =>
+        time(Aggregates.funnelAdvance(funState, evBatch,
+            col("user_id"), col("ts"), fSteps)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("funnelAdvance", k, seedEv.count(), bFun, median(funSecs)))
+      val funReSecs = (1 to runs).map { _ =>
+        time(Aggregates.funnel(seedEv.unionByName(evBatch),
+          col("user_id"), col("ts"), fSteps).collect())._1
+      }
+      rows += (("funnelRecompute(contrast)", k, seedEv.count(), 0.0,
+        median(funReSecs)))
     }
 
     rows.foreach { case (op, k, n, build, batchSec) =>

@@ -144,7 +144,7 @@ object AqpQueries {
 
     "q181_aqp_estimate" ->
       """WITH m1 AS (SELECT doc_id, source, n_chars,
-        |        (xor(doc_id, doc_id >> 16) * 73244475) % 2147483648 AS h
+        |        (xor(doc_id % 2147483648, (doc_id % 2147483648) >> 16) * 73244475) % 2147483648 AS h
         |      FROM documents),
         |m2 AS (SELECT doc_id, source, n_chars,
         |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
@@ -177,7 +177,7 @@ object AqpQueries {
 
     "q182_aqp_join_estimate" ->
       """WITH co1 AS (SELECT c_custkey, c_mktsegment,
-        |        (xor(c_custkey, c_custkey >> 16) * 73244475) % 2147483648 AS h
+        |        (xor(c_custkey % 2147483648, (c_custkey % 2147483648) >> 16) * 73244475) % 2147483648 AS h
         |      FROM customer),
         |co2 AS (SELECT c_custkey, c_mktsegment,
         |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM co1),
@@ -185,7 +185,7 @@ object AqpQueries {
         |       WHERE xor(h, h >> 16) % 16 < 1),
         |oo1 AS (SELECT o_custkey,
         |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |        (xor(o_custkey, o_custkey >> 16) * 73244475) % 2147483648 AS h
+        |        (xor(o_custkey % 2147483648, (o_custkey % 2147483648) >> 16) * 73244475) % 2147483648 AS h
         |      FROM orders),
         |oo2 AS (SELECT o_custkey, cents,
         |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM oo1),
@@ -220,7 +220,7 @@ object AqpQueries {
       """WITH w AS (SELECT o_orderpriority, o_orderkey AS k,
         |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
         |      FROM orders),
-        |m1 AS (SELECT *, (xor(k, k >> 16) * 73244475) % 2147483648 AS h FROM w),
+        |m1 AS (SELECT *, (xor(k % 2147483648, (k % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM w),
         |m2 AS (SELECT o_orderpriority, k, w,
         |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
         |pr AS (SELECT o_orderpriority, k, w,
@@ -251,7 +251,7 @@ object AqpQueries {
       """WITH c AS (SELECT c_mktsegment AS g, c_custkey AS k,
         |        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
         |      FROM customer),
-        |m1 AS (SELECT *, (xor(k, k >> 16) * 73244475) % 2147483648 AS h FROM c),
+        |m1 AS (SELECT *, (xor(k % 2147483648, (k % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM c),
         |m2 AS (SELECT g, k, w,
         |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
         |r AS (SELECT g, k, w,
@@ -276,7 +276,7 @@ object AqpQueries {
 
     "q191_aqp_distinct" ->
       """WITH m1 AS (SELECT event_type, user_id, event_id,
-        |        (xor(event_id, event_id >> 16) * 73244475) % 2147483648 AS h
+        |        (xor(event_id % 2147483648, (event_id % 2147483648) >> 16) * 73244475) % 2147483648 AS h
         |      FROM events),
         |m2 AS (SELECT event_type, user_id,
         |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),

@@ -70,6 +70,44 @@ object GraphQueries {
           lit(tri).as("n_triangles"), col("max_degree"))
     },
 
+    // Incremental triangle maintenance — the graph family's §2.9
+    // watermark member. The link graph splits into two disjoint edge
+    // batches ((u+v) mod 4); each batch advances a persisted edge state
+    // via the delta-probe identity (work linear in delta-incident degree,
+    // NEVER a recount), and the output carries the recount next to the
+    // incremental total per batch: matches_recount is computed by the
+    // ENGINE from two genuinely different algorithms (delta probes vs the
+    // degree-oriented wedge join), while the oracle derives the same rows
+    // from naive three-way joins — incremental ≡ batch recount, chained.
+    "q195_triangle_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("src"),
+          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+        .distinct()
+      val und = Rank.canonicalEdges(edges).localCheckpoint()
+      val state = PrepQueries.scratchTempDir("graft_q195_") + "/tri"
+      def asEdges(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("u").as("src"), col("v").as("dst"))
+      val b1 = und.filter((col("u") + col("v")) % 4 =!= 0)
+      val b2 = und.filter((col("u") + col("v")) % 4 === 0)
+      val r1 = Rank.triangleBatch(state)(asEdges(b1), 0L).head()
+      val r2 = Rank.triangleBatch(state)(asEdges(b2), 1L).head()
+      val tri1 = Rank.triangleCount(asEdges(b1))
+      val triF = Rank.triangleCount(asEdges(und))
+      val (new1, new2) = (r1.getLong(2), r2.getLong(2))
+      Seq(
+        (0L, r1.getLong(1), new1, new1, tri1, new1 == tri1),
+        (1L, r2.getLong(1), new2, new1 + new2, triF, new1 + new2 == triF))
+        .toDF("batch_id", "n_edges_added", "n_new_triangles",
+          "n_triangles_total", "n_triangles_recount", "matches_recount")
+        .orderBy("batch_id")
+    },
+
     // BFS reach histogram from doc 0 over the link graph: how many nodes
     // sit at each hop distance within 4 rounds (the frontier-relaxation
     // plan — settled nodes never re-enter a shuffle; the oracle unrolls
@@ -111,7 +149,7 @@ object GraphQueries {
          |cand AS (SELECT doc_id AS src, x.r FROM documents
          |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
          |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
-         |x1 AS (SELECT src, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM x0),
+         |x1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM x0),
          |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
          |edges AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
          |          FROM x2 CROSS JOIN nn),
@@ -128,7 +166,7 @@ object GraphQueries {
         |cand AS (SELECT doc_id AS src, x.r FROM documents
         |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
         |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
-        |x1 AS (SELECT src, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM x0),
+        |x1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM x0),
         |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
         |edges0 AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
         |           FROM x2 CROSS JOIN nn),
@@ -145,12 +183,47 @@ object GraphQueries {
         |       (SELECT t FROM tri) AS n_triangles,
         |       (SELECT max(d) FROM deg) AS max_degree""".stripMargin,
 
+    // The chained incremental oracle: batch-1 and full-graph triangle
+    // counts via the naive three-way join; the per-batch increment is the
+    // set difference, so equality with the engine's delta-probe totals IS
+    // the incremental ≡ recount proof.
+    "q195_triangle_incremental" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |cand AS (SELECT doc_id AS src, x.r FROM documents
+        |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
+        |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
+        |x1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM x0),
+        |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
+        |edges0 AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
+        |           FROM x2 CROSS JOIN nn),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |        FROM edges0 WHERE src <> dst),
+        |b1 AS (SELECT * FROM und WHERE (u + v) % 4 <> 0),
+        |t1 AS (SELECT count(*) AS t FROM b1 e1 JOIN b1 e2 ON e1.v = e2.u
+        |       JOIN b1 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tf AS (SELECT count(*) AS t FROM und e1 JOIN und e2 ON e1.v = e2.u
+        |       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n1 AS (SELECT count(*) AS c FROM b1),
+        |n2 AS (SELECT count(*) AS c FROM und WHERE (u + v) % 4 = 0)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id,
+        |         (SELECT c FROM n1) AS n_edges_added,
+        |         (SELECT t FROM t1) AS n_new_triangles,
+        |         (SELECT t FROM t1) AS n_triangles_total,
+        |         (SELECT t FROM t1) AS n_triangles_recount,
+        |         TRUE AS matches_recount
+        |  UNION ALL
+        |  SELECT 1, (SELECT c FROM n2),
+        |         (SELECT t FROM tf) - (SELECT t FROM t1),
+        |         (SELECT t FROM tf), (SELECT t FROM tf), TRUE)
+        |ORDER BY batch_id""".stripMargin,
+
     "q187_bfs_reach" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |cand AS (SELECT doc_id AS src, x.r FROM documents
          |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
          |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
-         |x1 AS (SELECT src, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM x0),
+         |x1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM x0),
          |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
          |edges AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
          |          FROM x2 CROSS JOIN nn),

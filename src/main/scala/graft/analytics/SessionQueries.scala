@@ -20,6 +20,11 @@ object SessionQueries {
 
   val GapMinutes = 30
 
+  /** Mid-month watermark splitting the one-month events fixture into two
+    * loads for the incremental twins (q196/q197) — mirrored verbatim in
+    * their oracles. */
+  val WatermarkSplit = "2024-01-16 00:00:00"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q38_sessionize_batch" -> { (s, dir) =>
@@ -124,6 +129,57 @@ object SessionQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // q192's incremental twin — the reference's watermark protocol (§2.9)
+    // applied to the funnel: events split at a mid-month watermark, each
+    // half advances an entity-grain cascade state by a pure min/merge
+    // fold, and the output reports the funnel AFTER EACH batch. The
+    // oracle recomputes both phases from raw events with the q192
+    // cascade — incremental ≡ recompute, chained (historical events are
+    // never rescanned by the engine; that's the 100 TB point).
+    "q196_incremental_funnel" -> { (s, dir) =>
+      val agg = graft.operators.Aggregates
+      val steps = Seq("1_view" -> (col("event_type") === "view"),
+        "2_click" -> (col("event_type") === "click"),
+        "3_purchase" -> (col("event_type") === "purchase"))
+      val ev = Tables.events(s, dir)
+      val split = lit(WatermarkSplit).cast("timestamp")
+      val st1 = agg.funnelAdvance(agg.funnelEmptyState(s, steps.length),
+          ev.filter(col("ts") < split), col("user_id"), col("ts"), steps)
+        .localCheckpoint()
+      val st2 = agg.funnelAdvance(st1,
+          ev.filter(col("ts") >= split), col("user_id"), col("ts"), steps)
+        .localCheckpoint()
+      val names = steps.map(_._1)
+      agg.funnelStateCounts(st1, names).withColumn("phase", lit("1_after_b1"))
+        .unionByName(agg.funnelStateCounts(st2, names)
+          .withColumn("phase", lit("2_after_b2")))
+        .select("phase", "step", "step_idx", "entities")
+        .orderBy("phase", "step_idx")
+    },
+
+    // q193's incremental twin: the state is the distinct entity-day frame
+    // (bounded by users × days, not event volume), advanced by an
+    // idempotent union — exact under ANY batching, not just watermark
+    // loads, because the cohort min recomputes from state. Output is the
+    // full matrix after each batch; the oracle recomputes both phases
+    // from raw events.
+    "q197_incremental_retention" -> { (s, dir) =>
+      val agg = graft.operators.Aggregates
+      val ev = Tables.events(s, dir)
+      val split = lit(WatermarkSplit).cast("timestamp")
+      val d1 = agg.retentionAdvance(agg.retentionEmptyState(s),
+          ev.filter(col("ts") < split), col("user_id"), col("ts"))
+        .localCheckpoint()
+      val d2 = agg.retentionAdvance(d1,
+          ev.filter(col("ts") >= split), col("user_id"), col("ts"))
+        .localCheckpoint()
+      agg.retentionMatrix(d1).withColumn("phase", lit("1_after_b1"))
+        .unionByName(agg.retentionMatrix(d2)
+          .withColumn("phase", lit("2_after_b2")))
+        .select("phase", "cohort_day", "day_offset", "active_users")
+        .orderBy("phase", "cohort_day", "day_offset")
+    },
+
     // The PORTABLE HLL closes q39's gap: approx_count_distinct's sketch is
     // engine-internal (tolerance-gated above), but these registers are the
     // mixp hash split 8/23 with an integer-only rank, so the oracle replays
@@ -194,6 +250,61 @@ object SessionQueries {
         |GROUP BY cohort, date_diff('day', cohort, d)
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
+    // The chained incremental-funnel oracle: the q192 cascade recomputed
+    // from raw events at BOTH watermark phases — equality with the
+    // engine's fold-only state is the incremental ≡ recompute proof.
+    "q196_incremental_funnel" ->
+      s"""WITH e1 AS (SELECT * FROM events
+         |            WHERE ts < TIMESTAMP '$WatermarkSplit'),
+         |a1 AS (SELECT user_id, min(ts) AS t FROM e1
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |a2 AS (SELECT e.user_id, min(e.ts) AS t FROM e1 e
+         |       JOIN a1 ON e.user_id = a1.user_id AND e.ts > a1.t
+         |       WHERE e.event_type = 'click' GROUP BY 1),
+         |a3 AS (SELECT e.user_id, min(e.ts) AS t FROM e1 e
+         |       JOIN a2 ON e.user_id = a2.user_id AND e.ts > a2.t
+         |       WHERE e.event_type = 'purchase' GROUP BY 1),
+         |f1 AS (SELECT user_id, min(ts) AS t FROM events
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |f2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+         |       WHERE e.event_type = 'click' GROUP BY 1),
+         |f3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+         |       WHERE e.event_type = 'purchase' GROUP BY 1)
+         |SELECT phase, step, step_idx, entities FROM (
+         |  SELECT '1_after_b1' AS phase, '1_view' AS step, 0 AS step_idx,
+         |         (SELECT count(*) FROM a1) AS entities
+         |  UNION ALL SELECT '1_after_b1', '2_click', 1, (SELECT count(*) FROM a2)
+         |  UNION ALL SELECT '1_after_b1', '3_purchase', 2, (SELECT count(*) FROM a3)
+         |  UNION ALL SELECT '2_after_b2', '1_view', 0, (SELECT count(*) FROM f1)
+         |  UNION ALL SELECT '2_after_b2', '2_click', 1, (SELECT count(*) FROM f2)
+         |  UNION ALL SELECT '2_after_b2', '3_purchase', 2, (SELECT count(*) FROM f3))
+         |ORDER BY phase, step_idx""".stripMargin,
+
+    // The chained incremental-retention oracle: the q193 matrix
+    // recomputed from raw events at both phases.
+    "q197_incremental_retention" ->
+      s"""WITH e1 AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+         |            WHERE ts < TIMESTAMP '$WatermarkSplit'),
+         |c1 AS (SELECT user_id, min(d) AS cohort FROM e1 GROUP BY 1),
+         |m1 AS (SELECT CAST(cohort AS TIMESTAMP) AS cohort_day,
+         |              CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+         |              count(DISTINCT e1.user_id) AS active_users
+         |       FROM e1 JOIN c1 ON e1.user_id = c1.user_id
+         |       GROUP BY cohort, date_diff('day', cohort, d)),
+         |ef AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         |cf AS (SELECT user_id, min(d) AS cohort FROM ef GROUP BY 1),
+         |mf AS (SELECT CAST(cohort AS TIMESTAMP) AS cohort_day,
+         |              CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+         |              count(DISTINCT ef.user_id) AS active_users
+         |       FROM ef JOIN cf ON ef.user_id = cf.user_id
+         |       GROUP BY cohort, date_diff('day', cohort, d))
+         |SELECT phase, cohort_day, day_offset, active_users FROM (
+         |  SELECT '1_after_b1' AS phase, * FROM m1
+         |  UNION ALL SELECT '2_after_b2', * FROM mf)
+         |ORDER BY phase, cohort_day, day_offset""".stripMargin,
+
     "q192_event_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
@@ -212,7 +323,7 @@ object SessionQueries {
 
     "q186_hll_portable" ->
       """WITH m1 AS (SELECT event_type, user_id,
-        |        (xor(user_id, user_id >> 16) * 73244475) % 2147483648 AS h
+        |        (xor(user_id % 2147483648, (user_id % 2147483648) >> 16) * 73244475) % 2147483648 AS h
         |      FROM events),
         |m2 AS (SELECT event_type, user_id,
         |        (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),

@@ -474,7 +474,7 @@ object SimilarityQueries {
         |pd AS (
         |  SELECT p.p, d.d, 704659998 + p.p*64 + d.d AS x
         |  FROM (SELECT unnest(range(16)) AS p) p, (SELECT unnest(range(64)) AS d) d),
-        |m1 AS (SELECT p, d, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM pd),
+        |m1 AS (SELECT p, d, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM pd),
         |m2 AS (SELECT p, d, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
         |planes AS (
         |  SELECT p, d, CASE WHEN xor(h, h >> 16) % 2 = 0 THEN 1::BIGINT ELSE -1::BIGINT END AS s
@@ -499,7 +499,7 @@ object SimilarityQueries {
          |pd AS (
          |  SELECT p.p, d.d, 704659998 + p.p*64 + d.d AS x
          |  FROM (SELECT unnest(range(48)) AS p) p, (SELECT unnest(range(64)) AS d) d),
-         |m1 AS (SELECT p, d, (xor(x, x >> 16) * 73244475) % 2147483648 AS h FROM pd),
+         |m1 AS (SELECT p, d, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM pd),
          |m2 AS (SELECT p, d, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM m1),
          |planes AS (
          |  SELECT p, d, CASE WHEN xor(h, h >> 16) % 2 = 0 THEN 1::BIGINT ELSE -1::BIGINT END AS s

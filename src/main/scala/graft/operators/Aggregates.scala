@@ -103,6 +103,117 @@ object Aggregates {
     counts.toDF("step", "step_idx", "entities")
   }
 
+  /** Empty incremental-funnel state: one row per entity, the cascade
+    * minima over everything seen so far — `(_e, _t0.._t{k-1})`, entity
+    * pinned to long (the events fixture's user grain). */
+  def funnelEmptyState(spark: org.apache.spark.sql.SparkSession,
+                       steps: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("_e", LongType, nullable = false) +:
+        (0 until steps).map(i =>
+          StructField(s"_t$i", TimestampType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Advance the incremental funnel state with one event batch — the
+    * reference's watermark protocol (§2.9, the q17 `ts > watermark`
+    * contract) applied to [[funnel]]'s min-timestamp cascade. Under
+    * watermark loads (every batch event is later than every previously
+    * seen event — the reference's 30-min micro-batch envelope), each
+    * cascade timestamp can only be SET, never moved earlier, so a pure
+    * per-step min/merge fold — in step order, the within-batch cascade
+    * thresholding against the just-advanced previous step — reproduces
+    * the full recompute exactly (q196's chained oracle and FunnelSpec's
+    * bootstrap+delta property pin it). Late out-of-order data breaks the
+    * contract exactly as it breaks q17: route late rows through a
+    * recompute, not this fold.
+    *
+    * Scale: state is entity-grain, the batch is event-grain; each step is
+    * one filtered batch aggregate plus one keyed join against state —
+    * historical events are never rescanned, which is the whole point at
+    * 100 TB of events over a bounded user universe. */
+  def funnelAdvance(state: DataFrame, batch: DataFrame, entity: Column,
+                    ts: Column, steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step required")
+    val k = steps.length
+    val base = batch.select((entity.cast("long").as("_e") +: ts.as("_ts") +:
+      steps.map(_._2).zipWithIndex
+        .map { case (p, i) => p.as(s"_p$i") }): _*)
+    def mergeMin(a: Column, b: Column): Column =
+      when(a.isNull, b).when(b.isNull, a).otherwise(least(a, b))
+    // step 0 has no threshold and is where new entities enter the state
+    val b0 = base.filter(col("_p0")).groupBy("_e").agg(min(col("_ts")).as("_b"))
+    var cur = state.join(b0, Seq("_e"), "full_outer")
+      .select((col("_e") +: mergeMin(col("_t0"), col("_b")).as("_t0") +:
+        (1 until k).map(i => col(s"_t$i"))): _*)
+    for (i <- 1 until k) {
+      val bi = base.filter(col(s"_p$i"))
+        .join(cur.select(col("_e"), col(s"_t${i - 1}").as("_prev")), "_e")
+        .filter(col("_ts") > col("_prev"))
+        .groupBy("_e").agg(min(col("_ts")).as("_b"))
+      cur = cur.join(bi, Seq("_e"), "left")
+        .select((col("_e") +: (0 until k).map { j =>
+          if (j == i) mergeMin(col(s"_t$j"), col("_b")).as(s"_t$j")
+          else col(s"_t$j")
+        }): _*)
+    }
+    cur
+  }
+
+  /** [[funnel]]-shaped report off the incremental state: ONE aggregate
+    * over the entity-grain state (count of non-null cascade minima per
+    * step) — no event data touched. */
+  def funnelStateCounts(state: DataFrame,
+                        stepNames: Seq[String]): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val aggs = stepNames.indices.map(i => count(col(s"_t$i")).as(s"_c$i"))
+    val row = state.agg(aggs.head, aggs.tail: _*).head()
+    stepNames.zipWithIndex
+      .map { case (n, i) => (n, i, row.getLong(i)) }
+      .toDF("step", "step_idx", "entities")
+  }
+
+  /** Empty incremental-retention state: the distinct `(_e, _d)`
+    * entity-day frame [[retentionAdvance]] folds batches into. */
+  def retentionEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("_e", LongType, nullable = false),
+        StructField("_d", DateType, nullable = false))))
+  }
+
+  /** Advance the incremental retention state: the state IS the distinct
+    * `(entity, activity-day)` frame — events collapse to entity-days
+    * (bounded by users × days, not event volume) and merge by an
+    * idempotent union+distinct, so a replayed batch is a no-op. Unlike
+    * the funnel fold this is exact under ANY batching, not just watermark
+    * loads: a late batch that back-fills an earlier first-activity day
+    * simply wins the min when the matrix recomputes from state. */
+  def retentionAdvance(stateDays: DataFrame, batch: DataFrame,
+                       entity: Column, ts: Column): DataFrame =
+    stateDays.unionByName(
+      batch.select(entity.cast("long").as("_e"), ts.cast("date").as("_d"))
+        .distinct())
+      .distinct()
+
+  /** [[retentionCohorts]]-shaped matrix off the incremental state: cohorts
+    * from the state's per-entity min day, cells by day offset. State rows
+    * are unique `(entity, day)` pairs, so the cell count is a plain
+    * `count(*)`. */
+  def retentionMatrix(stateDays: DataFrame): DataFrame = {
+    val first = stateDays.groupBy("_e").agg(min(col("_d")).as("_cohort"))
+    stateDays.join(first, "_e")
+      .groupBy(col("_cohort"),
+        datediff(col("_d"), col("_cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("_cohort").cast("timestamp").as("cohort_day"),
+        col("day_offset"), col("active_users"))
+  }
+
   /** Retention cohort matrix at day grain: entities bucket by their FIRST
     * activity day (the cohort), and each (cohort, day-offset) cell counts
     * the cohort's entities active that many days later — the funnel's

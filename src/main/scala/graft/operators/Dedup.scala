@@ -434,8 +434,13 @@ object Dedup {
                   k: Int = 3, broadcastNeedles: Boolean = true): DataFrame = {
     val tr = train.select(col(idCol).cast("long").as("train_id"),
       col(textCol).cast("string").as("__t"))
+    // Empty/blank needles are dropped, never matched: `contains('')` is
+    // TRUE for every row, so one degenerate needle would flag the whole
+    // corpus through the short-needle escape below (the q171 length-floor
+    // guard, mirrored here at the operator level).
     val ndl = needles.select(col(needleIdCol).cast("long").as("needle_id"),
         col(needleCol).cast("string").as("__needle"))
+      .filter(length(col("__needle")) > 0)
       .withColumn("__nt", graft.functions.Text.tokenCount(col("__needle")))
     val longN = ndl.filter(col("__nt") >= k + 2)
     // interior grams: token positions 2..n-1 → full-gram positions

@@ -48,13 +48,19 @@ object Layout {
 
   /** Exact integer bucket of `c` into [0, 2^bits) given frozen bounds.
     * Values outside [minC, maxC] clamp to the edge buckets (see scaladoc).
-    * Integer division via the SQL `div` operator — no double rounding. */
+    * Integer division via the SQL `div` operator — no double rounding.
+    * Everything is cast to long HERE so every call site inherits the
+    * overflow guard: an IntegerType dimension whose span exceeds
+    * 2^(31-bits) would otherwise wrap in the `clamped - minC` subtraction
+    * before the long-literal multiply promotes. */
   def zBucket(c: Column, minC: Column, maxC: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
-    val clamped = greatest(minC, least(maxC, c))
+    val lo = minC.cast("long")
+    val hi = maxC.cast("long")
+    val clamped = greatest(lo, least(hi, c.cast("long")))
     call_function("div",
-      (clamped - minC) * lit(1L << bits),
-      maxC - minC + lit(1L))
+      (clamped - lo) * lit(1L << bits),
+      hi - lo + lit(1L))
   }
 
   /** Morton interleave of two bucket columns (each in [0, 2^bits)): bit i of
@@ -87,10 +93,10 @@ object Layout {
     val span = math.max(bounds.aMax - bounds.aMin, bounds.bMax - bounds.bMin)
     require(span <= (Long.MaxValue >> bits),
       s"dimension span $span overflows at $bits bucket bits")
-    // Cast dims to long FIRST: zBucket's (c-min)·2^bits would overflow in
-    // IntegerType arithmetic for int columns with spans past 2^(31-bits).
-    val ab = zBucket(col(dimA).cast("long"), lit(bounds.aMin), lit(bounds.aMax), bits)
-    val bb = zBucket(col(dimB).cast("long"), lit(bounds.bMin), lit(bounds.bMax), bits)
+    // zBucket casts its operands to long itself (the overflow guard lives
+    // there so direct callers inherit it too)
+    val ab = zBucket(col(dimA), lit(bounds.aMin), lit(bounds.aMax), bits)
+    val bb = zBucket(col(dimB), lit(bounds.bMin), lit(bounds.bMax), bits)
     df.withColumn(ZVAL, zValue2(ab, bb, bits))
       .withColumn(ZCELL, shiftright(col(ZVAL), 2 * bits - cellBits))
   }
@@ -270,6 +276,44 @@ object Layout {
   def readSkipIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/$SKIPINDEX")
 
+  /** The skip index VALIDATED against the live file listing — the crash
+    * contract for [[optimizeIncremental]]: a failure between its
+    * dynamic-overwrite data commit and the `_skipindex` rewrite leaves the
+    * index referencing deleted files (a pruned read would throw
+    * FileNotFound) and missing the fresh ones (a silent FALSE NEGATIVE,
+    * violating the never-a-false-negative contract). Every pruned read
+    * already pays an O(files) listing somewhere; paying it HERE buys
+    * self-healing: dead entries drop, unknown files get fresh footer
+    * reads, and when drift was found the healed index is re-landed so the
+    * window closes instead of being re-paid forever. The happy path
+    * (no drift) adds one listing + one tiny-sidecar collect and writes
+    * nothing. */
+  def validatedSkipIndex(spark: SparkSession, dir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = listDataFiles(hconf, dir)
+    val idx = readSkipIndex(spark, dir)
+    val rows = idx.collect()
+    val fileAt = idx.columns.indexOf("file")
+    val idxFiles = rows.map(_.getString(fileAt)).toSet
+    val liveSet = live.toSet
+    if (idxFiles == liveSet) idx
+    else {
+      val statsCols = idx.columns.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      val keep = rows.filter(r => liveSet.contains(r.getString(fileAt)))
+      val kept = spark.createDataFrame(
+        spark.sparkContext.parallelize(keep.toIndexedSeq,
+          math.max(1, math.min(keep.length,
+            spark.sparkContext.defaultParallelism))),
+        skipIndexSchema(statsCols))
+      val fresh = live.filterNot(idxFiles.contains)
+      val healed = kept.unionByName(buildSkipIndexFiles(spark, fresh, statsCols))
+        .localCheckpoint()
+      healed.coalesce(1).write.mode("overwrite").parquet(s"$dir/$SKIPINDEX")
+      healed
+    }
+  }
+
   /** Read only the files whose `[min_col, max_col]` can intersect
     * `[lo, hi]`, then apply the exact predicate. Files with null stats are
     * kept (never a false negative). The index collect is O(surviving
@@ -277,7 +321,7 @@ object Layout {
     * already pays; the files NOT collected are exactly the read's win. */
   def readPruned(spark: SparkSession, dir: String, colName: String,
                  lo: Long, hi: Long): DataFrame = {
-    val idx = readSkipIndex(spark, dir)
+    val idx = validatedSkipIndex(spark, dir)
     val keep = idx.filter(
       col(s"min_$colName").isNull ||
         (col(s"max_$colName") >= lo && col(s"min_$colName") <= hi))
@@ -286,7 +330,11 @@ object Layout {
     if (keep.isEmpty)
       spark.read.parquet(dir).where(exact).where(lit(false))
     else
-      spark.read.parquet(keep.toIndexedSeq: _*).where(exact)
+      // basePath keeps the zcell partition column in the schema: the
+      // leaf-file read must return the same shape as the keep-empty
+      // directory read above
+      spark.read.option("basePath", dir)
+        .parquet(keep.toIndexedSeq: _*).where(exact)
   }
 
   /** Equality-predicate pruning for a STRING column — the case min/max
@@ -319,7 +367,9 @@ object Layout {
     if (keep.isEmpty)
       spark.read.parquet(dir).where(exact).where(lit(false))
     else
-      spark.read.parquet(keep.toIndexedSeq: _*).where(exact)
+      // same-schema contract as readPruned: retain the partition column
+      spark.read.option("basePath", dir)
+        .parquet(keep.toIndexedSeq: _*).where(exact)
   }
 
   /** Might `file` contain `value` in `colName`? Per row group: dictionary
@@ -378,7 +428,7 @@ object Layout {
     * null stats count as straddling (scanned — the safe direction). */
   def statsCount(spark: SparkSession, dir: String, colName: String,
                  lo: Long, hi: Long): DataFrame = {
-    val idx = readSkipIndex(spark, dir).select(
+    val idx = validatedSkipIndex(spark, dir).select(
       col("file"), col("n_rows"),
       col(s"min_$colName").as("mn"), col(s"max_$colName").as("mx"))
       .collect()
@@ -432,7 +482,9 @@ object Layout {
       (metaRow.getAs[Int]("bits"), metaRow.getAs[Int]("cell_bits"))
     val bloomCols = Option(metaRow.getAs[String]("bloom_cols"))
       .filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
-    val idx = readSkipIndex(spark, baseDir)
+    // validated: a prior optimize that died between its data commit and
+    // its index rewrite heals HERE, before this run plans against it
+    val idx = validatedSkipIndex(spark, baseDir)
     val statsCols = idx.columns.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 

@@ -39,4 +39,66 @@ class FunnelSpec extends SparkSpec {
     val rows = Seq((1L, ts(1), "A"), (1L, ts(2), "B"), (1L, ts(3), "A"))
     assert(run(rows) == Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
   }
+
+  private def advance(state: org.apache.spark.sql.DataFrame,
+                      rows: Seq[(Long, Timestamp, String)]) =
+    Aggregates.funnelAdvance(state, rows.toDF("u", "ts", "t"),
+      col("u"), col("ts"), steps).localCheckpoint()
+
+  private def counts(state: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    Aggregates.funnelStateCounts(state, steps.map(_._1))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("entities")).toMap
+
+  test("bootstrap+delta ≡ full recompute under watermark loads (every cross-boundary shape)") {
+    // watermark at minute 10: batch1 < ts(10) <= batch2 — every way a
+    // user's cascade can straddle the boundary
+    val all = Seq(
+      (1L, ts(1), "A"), (1L, ts(2), "B"), (1L, ts(3), "C"),   // all in b1
+      (2L, ts(1), "A"), (2L, ts(12), "B"), (2L, ts(13), "C"), // A in b1, B/C in b2
+      (3L, ts(2), "A"), (3L, ts(3), "B"), (3L, ts(14), "C"),  // C crosses alone
+      (4L, ts(11), "A"), (4L, ts(12), "B"),                   // entirely in b2
+      (5L, ts(11), "B"), (5L, ts(12), "A"),                   // B-before-A in b2: reaches a only
+      (6L, ts(2), "B"),                                       // B-only in b1: never enters state
+      (7L, ts(3), "A"), (7L, ts(3), "B"))                     // tie rejected across the protocol too
+    val (b1, b2) = all.partition(_._2.before(ts(10)))
+    val st1 = advance(Aggregates.funnelEmptyState(spark, steps.length), b1)
+    val st2 = advance(st1, b2)
+    // phase 1 equals the batch operator on b1's events alone
+    assert(counts(st1) == run(b1))
+    // phase 2 equals the batch operator on everything
+    assert(counts(st2) == run(all))
+    // a: u1,u2,u3,u4,u7 plus u5 (its A at minute 12 follows its B — B
+    // doesn't count, A still does); b: tie (u7) and B-before-A (u5) miss
+    assert(counts(st2) == Map("a" -> 6L, "b" -> 4L, "c" -> 3L))
+  }
+
+  test("within-batch cascade: a user can complete several steps in one advance") {
+    val st = advance(Aggregates.funnelEmptyState(spark, steps.length),
+      Seq((1L, ts(1), "A"), (1L, ts(2), "B"), (1L, ts(3), "C")))
+    assert(counts(st) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("retention: bootstrap+delta ≡ recompute, exact even for OUT-OF-ORDER batches") {
+    def tsd(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 10:00:00")
+    val all = Seq(
+      (1L, tsd(1), "A"), (1L, tsd(3), "B"),  // cohort day 1, active offset 0 and 2
+      (2L, tsd(2), "A"), (3L, tsd(4), "B"), (2L, tsd(5), "C"))
+    def days(rows: Seq[(Long, Timestamp, String)]) = rows.toDF("u", "ts", "t")
+    // split NOT by time: batch2 holds the EARLIEST event (back-fill) — the
+    // union+distinct state is exact anyway because cohorts re-derive
+    val b1 = all.drop(1)
+    val b2 = all.take(1)
+    val d1 = Aggregates.retentionAdvance(
+      Aggregates.retentionEmptyState(spark), days(b1), col("u"), col("ts"))
+    val d2 = Aggregates.retentionAdvance(d1, days(b2), col("u"), col("ts"))
+      .localCheckpoint()
+    val inc = Aggregates.retentionMatrix(d2)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Aggregates.retentionCohorts(days(all), col("u"), col("ts"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    // replaying a batch is a no-op (idempotent union)
+    val d3 = Aggregates.retentionAdvance(d2, days(b2), col("u"), col("ts"))
+    assert(d3.count() == d2.count())
+  }
 }

@@ -78,6 +78,66 @@ class RankSpec extends SparkSpec {
     assert(run(hubby) == brute(hubby))
   }
 
+  test("triangleDeltaCount: every delta-edge class (1/2/3 delta edges per triangle) counts once") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long)]) = e.toDF("u", "v")
+    // old graph: path 1-2, 1-3 plus edge 4-5
+    val old = Seq((1L, 2L), (1L, 3L), (4L, 5L))
+    // delta closes: {1,2,3} with ONE delta edge (2-3);
+    // {1,4,5} needs TWO delta edges (1-4, 1-5) with old 4-5;
+    // {6,7,8} is ALL-delta
+    val delta = Seq((2L, 3L), (1L, 4L), (1L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L))
+    assert(Rank.triangleDeltaCount(df(old), df(delta)) == 3L)
+    // seed case: empty old — the all-delta term is the full count
+    assert(Rank.triangleDeltaCount(df(Seq.empty), df(delta)) == 1L)
+    // no new closure: disjoint delta edge adds nothing
+    assert(Rank.triangleDeltaCount(df(old), df(Seq((10L, 11L)))) == 0L)
+  }
+
+  test("triangleDeltaCount ≡ recount difference on a random hubby graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = ((1L to 25L).map(i => (i, 0L)) ++
+      Seq.fill(80)((rnd.nextInt(26).toLong, rnd.nextInt(26).toLong)))
+      .toDF("src", "dst")
+    val und = Rank.canonicalEdges(base).localCheckpoint()
+    val oldE = und.filter((col("u") * 3 + col("v")) % 5 =!= 0).localCheckpoint()
+    val deltaE = und.filter((col("u") * 3 + col("v")) % 5 === 0).localCheckpoint()
+    def cnt(e: org.apache.spark.sql.DataFrame) =
+      Rank.triangleCount(e.select(col("u").as("src"), col("v").as("dst")))
+    assert(Rank.triangleDeltaCount(oldE, deltaE) == cnt(und) - cnt(oldE))
+  }
+
+  test("triangleBatch: chained advance ≡ recount; replay is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tristate").toString
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .toDF("src", "dst")
+    val und = Rank.canonicalEdges(edges).localCheckpoint()
+    def asE(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("u").as("src"), col("v").as("dst"))
+    val b1 = und.filter(col("v") % 3 =!= 0)
+    val b2 = und.filter(col("v") % 3 === 0)
+    val r1 = Rank.triangleBatch(dir)(asE(b1), 0L).head()
+    val r2 = Rank.triangleBatch(dir)(asE(b2), 1L).head()
+    val total = r1.getLong(2) + r2.getLong(2)
+    assert(total == Rank.triangleCount(asE(und)),
+      "incremental total must equal the batch recount")
+    val tot = Rank.triangleStateTotals(spark, dir).head()
+    assert(tot.getLong(0) == und.count() && tot.getLong(1) == total)
+    // replay batch 1: delta recomputes against strictly-earlier batches
+    // only, so the partition rewrites with identical content
+    val r2b = Rank.triangleBatch(dir)(asE(b2), 1L).head()
+    assert(r2b.getLong(1) == r2.getLong(1) && r2b.getLong(2) == r2.getLong(2))
+    val tot2 = Rank.triangleStateTotals(spark, dir).head()
+    assert(tot2.getLong(0) == tot.getLong(0) && tot2.getLong(1) == tot.getLong(1))
+    // overlapping re-send of already-seen edges: delta is empty, nothing new
+    val r3 = Rank.triangleBatch(dir)(asE(b1), 2L).head()
+    assert(r3.getLong(1) == 0L && r3.getLong(2) == 0L)
+  }
+
   test("mass is conserved up to the documented truncation loss") {
     val rnd = new scala.util.Random(7)
     val n = 25

@@ -211,6 +211,48 @@ class CanaryScanSpec extends SparkSpec {
     assert(hits === Set(1L, 3L),
       s"exact-substring semantics must be character-exact: $hits")
   }
+
+  test("q171 length floor: a short doc's truncated canary never floods the corpus") {
+    // q171 slices substring(text, 20, 40) and keeps ONLY full-length
+    // slices — a sub-20-char doc yields an EMPTY slice and contains('')
+    // is true for every row, so without the floor one short doc would
+    // flag the entire corpus as contaminated
+    val docs = Seq(
+      (0L, "short"), // canary-eligible (id % 50 == 0) but sub-window
+      (50L, "x" * 19 ++ "a full forty character canary slice okay!" ++ "tail"),
+      (7L, "an ordinary clean train document with plenty of text in it"))
+      .toDF("doc_id", "text")
+    val canaries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("canary_id"),
+        substring(col("text"), 20, 40).as("s"))
+      .filter(length(col("s")) === 40)
+    // doc 0's degenerate slice must be filtered out entirely
+    assert(canaries.filter(col("canary_id") === 0L).isEmpty)
+    val flagged = docs.crossJoin(broadcast(canaries))
+      .filter(col("text").contains(col("s")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!flagged.contains(7L),
+      s"the clean doc must not be flagged by a truncated canary: $flagged")
+    assert(flagged === Set(50L), s"only the canary's own doc self-matches: $flagged")
+  }
+
+  test("canaryPairs: an empty needle is dropped, never flags the corpus") {
+    val needles = Seq(
+      (1L, ""), // degenerate: contains('') is true everywhere
+      (2L, "   "), // whitespace-only: zero tokens, but contains matches literally
+      (3L, "genuine canary needle")).toDF("nid", "s")
+    val train = Seq(
+      (10L, "has the genuine canary needle inside"),
+      (11L, "a perfectly clean document"),
+      (12L, "another clean one")).toDF("doc_id", "text")
+    val got = Dedup.canaryPairs(train, needles, "doc_id", "text", "nid", "s")
+      .as[(Long, Long)].collect().toSet
+    assert(!got.exists(_._2 == 1L),
+      s"the empty needle must be dropped by the length floor: $got")
+    assert(got.contains((10L, 3L)), s"real needles still flag: $got")
+    assert(!got.exists(_._1 == 11L) && !got.exists(_._1 == 12L),
+      s"clean docs stay clean: $got")
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -339,6 +339,58 @@ class WebDatasetSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"no temp files may outlive the job: ${leftovers.toSeq}")
   }
 
+  test("DSv2 InputPartition stays O(path): serialized task bytes carry no conf dump") {
+    val (dir, _) = export("graft_wds_partbytes")
+    val scan = new graft.sources.v2.WebDatasetScan(
+      dir, graft.sources.v2.WebDatasetV2.Schema, Array.empty)
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    def serializedBytes(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.size()
+    }
+    // the session hadoopConf dump (what a per-partition conf embed would
+    // cost EVERY task) dwarfs any path list
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val confBytes = {
+      val it = hconf.iterator(); var n = 0
+      while (it.hasNext) { val e = it.next(); n += e.getKey.length + e.getValue.length }
+      n
+    }
+    parts.foreach { p =>
+      val files = p.asInstanceOf[graft.sources.v2.WebDatasetInputPartition].files
+      val pathBytes = files.map(_._1.length).sum
+      val bytes = serializedBytes(p)
+      assert(bytes < pathBytes + 1024,
+        s"partition serialized to $bytes B for $pathBytes B of paths — smells like an embedded conf ($confBytes B)")
+      assert(bytes < confBytes,
+        s"partition bytes $bytes must stay below the conf dump size $confBytes")
+    }
+  }
+
+  test("sweep is speculation-safe: a concurrent attempt's live temp file survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_spec").toString
+    // simulate a CONCURRENT (speculative) attempt still writing shard 0:
+    // same name pattern as a dead attempt's orphan, but under speculation
+    // the sweep cannot tell them apart — so it must not run at all
+    val live = java.nio.file.Paths.get(dir, ".shard-00000.tar.424242.tmp")
+    java.nio.file.Files.write(live, Array[Byte](9, 9, 9))
+    val env = org.apache.spark.SparkEnv.get
+    env.conf.set("spark.speculation", "true")
+    try {
+      WebDataset.writeShards(media, dir, col("doc_id"),
+        Seq("bmp" -> col("img"), "txt" -> col("txt")),
+        maxBytesPerShard = 8192L)
+      assert(java.nio.file.Files.exists(live),
+        "under speculation the sweep must leave a possibly-live concurrent temp alone")
+      // the commit itself is unaffected: shard 0 landed
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "shard-00000.tar")))
+    } finally env.conf.set("spark.speculation", "false")
+  }
+
   test("members of one sample sit adjacently inside the shard tar") {
     val (dir, _) = export("graft_wds_adj")
     val shard0 = java.nio.file.Paths.get(dir).toFile.listFiles()
