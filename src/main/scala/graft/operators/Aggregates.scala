@@ -200,6 +200,43 @@ object Aggregates {
         .distinct())
       .distinct()
 
+  /** Streaming retention sink (`foreachBatch` target) — the q193/q197
+    * family's streaming member, the [[graft.operators.Rank.triangleBatch]]
+    * persistence discipline: each micro-batch's NEW entity-days (delta
+    * against strictly-earlier batches) land under
+    * `stateDir/days/batch_id=K` via dynamic partition overwrite, so a
+    * replayed micro-batch (foreachBatch's at-least-once delivery)
+    * rewrites its own partition with identical content instead of
+    * double-counting. The cohort matrix reads with [[retentionMatrixFrom]]
+    * at any point. Returns the batch report `(batch_id, n_days_added)`. */
+  def retentionBatch(stateDir: String, entity: Column, ts: Column)
+                    (batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val daysDir = s"$stateDir/days"
+    val cand = batch.select(entity.cast("long").as("_e"),
+      ts.cast("date").as("_d")).distinct()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(daysDir)
+    val old =
+      if (p.getFileSystem(hconf).exists(p))
+        spark.read.parquet(daysDir)
+          .filter(col("batch_id") < batchId).select("_e", "_d")
+      else cand.limit(0).select("_e", "_d")
+    val delta = cand.join(old, Seq("_e", "_d"), "left_anti").localCheckpoint()
+    val nAdded = delta.count()
+    delta.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(daysDir)
+    Seq((batchId, nAdded)).toDF("batch_id", "n_days_added")
+  }
+
+  /** The cohort matrix off a [[retentionBatch]] state dir. */
+  def retentionMatrixFrom(spark: org.apache.spark.sql.SparkSession,
+                          stateDir: String): DataFrame =
+    retentionMatrix(spark.read.parquet(s"$stateDir/days").select("_e", "_d"))
+
   /** [[retentionCohorts]]-shaped matrix off the incremental state: cohorts
     * from the state's per-entity min day, cells by day offset. State rows
     * are unique `(entity, day)` pairs, so the cell count is a plain

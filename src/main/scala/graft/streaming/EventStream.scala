@@ -117,6 +117,52 @@ object EventStream {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Per-user funnel reach so far: `user_id` plus one epoch-millis cascade
+    * timestamp per step (−1 = step not reached). */
+  final case class FunnelReach(user_id: Long, step_ts: Seq[Long])
+
+  /** Streaming funnel — the q192/q196 family's Structured-Streaming member:
+    * ONE keyed state object per user (the cascade minima, k longs), folded
+    * forward by `mapGroupsWithState` as events arrive. Within a trigger the
+    * batch's events fold in ascending event-time order, which IS the exact
+    * cascade (the first qualifying event in time order is the min); across
+    * triggers the fold continues from state under the watermark contract
+    * (`Aggregates.funnelAdvance`'s min/merge discipline — Spark's
+    * watermark drops what arrives later than `watermarkDelay` behind).
+    * Update output: each trigger re-emits the CURRENT reach row for every
+    * user it touched; consumers key the latest row per user.
+    *
+    * State scales with the ACTIVE user universe (k longs per user —
+    * Spark's state store, not a snapshot rewrite), event history is never
+    * revisited: the streaming form of exactly the claim q196's chained
+    * oracle pins for the batch fold. */
+  def funnelStream(events: Dataset[Event], stepTypes: Seq[String],
+                   watermarkDelay: String = "10 minutes"): Dataset[FunnelReach] = {
+    require(stepTypes.nonEmpty, "at least one funnel step required")
+    import events.sparkSession.implicits._
+    val k = stepTypes.length
+    val idx = stepTypes.zipWithIndex.toMap
+    events
+      .filter(e => idx.contains(e.event_type))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[Event], state: GroupState[Seq[Long]]) => {
+          val cur = state.getOption.getOrElse(Seq.fill(k)(-1L)).toArray
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val i = idx(e.event_type)
+            val t = e.ts.getTime
+            if (i == 0) {
+              if (cur(0) < 0L) cur(0) = t
+            } else if (cur(i) < 0L && cur(i - 1) >= 0L && t > cur(i - 1)) {
+              cur(i) = t
+            }
+          }
+          state.update(cur.toSeq)
+          FunnelReach(uid, cur.toSeq)
+        })
+  }
+
   /** Stream-stream interval join (click attribution): every purchase joins
     * the same user's clicks from the preceding `lookback` window. The time
     * bound is what makes this scale: with both sides watermarked and the

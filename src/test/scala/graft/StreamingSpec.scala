@@ -19,6 +19,102 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("funnelStream: keyed-state cascade equals the batch funnel across trigger boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val stepTypes = Seq("view", "click", "purchase")
+    val reach = EventStream.funnelStream(input.toDS(), stepTypes)
+    val q = reach.writeStream.format("memory").queryName("funnel_reach")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: u1 completes view+click; u2 views; u3 clicks only (never
+    // enters the cascade); u4 view+click at the SAME ts (strict > rejects)
+    val b1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 0),
+      Event(3, ts("2024-01-01 10:01:00"), 2, "view", 0),
+      Event(4, ts("2024-01-01 10:02:00"), 3, "click", 0),
+      Event(5, ts("2024-01-01 10:03:00"), 4, "view", 0),
+      Event(6, ts("2024-01-01 10:03:00"), 4, "click", 0))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // batch 2 (watermark loads: strictly later): u1 purchases (completes);
+    // u2 clicks then purchases within the trigger; u4 clicks properly now
+    val b2 = Seq(
+      Event(7, ts("2024-01-01 11:00:00"), 1, "purchase", 0),
+      Event(8, ts("2024-01-01 11:01:00"), 2, "click", 0),
+      Event(9, ts("2024-01-01 11:02:00"), 2, "purchase", 0),
+      Event(10, ts("2024-01-01 11:03:00"), 4, "click", 0))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest reach row per user
+    val rows = spark.table("funnel_reach")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val latest = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+    def counts(i: Int): Long = latest.values.count(_(i) >= 0L)
+    val batchCounts = graft.operators.Aggregates.funnel(
+      (b1 ++ b2).toDF().select(col("user_id"), col("ts"), col("event_type")),
+      col("user_id"), col("ts"),
+      stepTypes.zipWithIndex.map { case (t, i) =>
+        s"s$i" -> (col("event_type") === t)
+      })
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert((0 until 3).forall(i => counts(i) == batchCounts(i)),
+      s"stream state ${latest} vs batch $batchCounts")
+    // the cross-boundary completion really happened through state
+    assert(latest(1L).forall(_ >= 0L), s"u1 must complete all steps: ${latest(1L)}")
+    assert(latest(4L)(1) == ts("2024-01-01 11:03:00").getTime,
+      "u4's same-ts click must be rejected in b1 and accepted in b2")
+  }
+
+  test("retentionBatch sink: replayed micro-batch never double-counts; matrix equals batch recompute") {
+    val dir = Files.createTempDirectory("graft_retention_sink").toString
+    def df(rows: Seq[(Long, Timestamp)]) = rows.toDF("u", "ts")
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-02 09:00:00")))
+    val b2 = Seq((1L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-02 23:00:00")),
+      (3L, ts("2024-01-04 08:00:00")))
+    val sink = graft.operators.Aggregates.retentionBatch(dir, col("u"), col("ts")) _
+    val r1 = sink(df(b1), 0L).head().getLong(1)
+    val r2 = sink(df(b2), 1L).head().getLong(1)
+    assert(r1 == 2L, s"b1 lands 2 distinct entity-days, got $r1") // u1 twice same day
+    assert(r2 == 2L, s"b2 adds u1-day3 and u3-day4; u2-day2 already seen: $r2")
+    // replay batch 1: identical content, nothing doubles
+    val r1b = sink(df(b1), 0L).head().getLong(1)
+    assert(r1b == 2L)
+    val inc = graft.operators.Aggregates.retentionMatrixFrom(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.operators.Aggregates.retentionCohorts(
+        df(b1 ++ b2), col("u"), col("ts"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full, s"$inc vs $full")
+  }
+
+  test("triangleBatch as a foreachBatch sink: edge stream maintains exact triangle totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_tri_sink").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDS().toDF("src", "dst").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.Rank.triangleBatch(dir)(batch, id); ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val wave1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)) // 4-cycle: 0 triangles
+    val wave2 = Seq((1L, 3L), (2L, 4L)) // both chords: closes 4 triangles
+    input.addData(wave1: _*)
+    q.processAllAvailable()
+    input.addData(wave2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val tot = graft.operators.Rank.triangleStateTotals(spark, dir).head()
+    assert(tot.getLong(0) == 6L && tot.getLong(1) == 4L,
+      s"expected 6 edges / 4 triangles, got $tot")
+    val recount = graft.operators.Rank.triangleCount(
+      (wave1 ++ wave2).toDF("src", "dst"))
+    assert(tot.getLong(1) == recount)
+  }
+
   test("Trigger.AvailableNow drains a file backlog across micro-batches then stops (T1 catch-up)") {
     // the reference's scheduled 30-min DAG loop is "process whatever landed,
     // then exit" — AvailableNow is that contract on a streaming source
