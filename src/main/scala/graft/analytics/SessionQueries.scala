@@ -180,6 +180,36 @@ object SessionQueries {
         .orderBy("phase", "cohort_day", "day_offset")
     },
 
+    // q194's incremental twin: per-customer (last-order date, frequency,
+    // cents) is a pure MONOID (max/sum/sum), so the state advances exactly
+    // under ANY batching — the quintile ranks (global properties that
+    // cannot fold) recompute from the ENTITY-GRAIN state, never from order
+    // history. Output is the segment matrix after each batch; the oracle
+    // recomputes both phases from raw orders.
+    "q199_incremental_rfm" -> { (s, dir) =>
+      val agg = graft.operators.Aggregates
+      val ord = Tables.orders(s, dir)
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      def seg(state: org.apache.spark.sql.DataFrame) =
+        agg.rfmSegments(
+          state.select(col("_e").as("o_custkey"),
+            datediff(lit("1998-12-31").cast("date"), col("_last"))
+              .cast("long").as("recency_days"),
+            col("_freq").as("frequency"), col("_cents").as("monetary_cents")),
+          "o_custkey", "recency_days", "frequency", "monetary_cents")
+      val st1 = agg.rfmAdvance(agg.rfmEmptyState(s),
+          ord.filter(col("o_orderkey") % 3 =!= 0),
+          col("o_custkey"), col("o_orderdate"), cents)
+        .localCheckpoint()
+      val st2 = agg.rfmAdvance(st1, ord.filter(col("o_orderkey") % 3 === 0),
+          col("o_custkey"), col("o_orderdate"), cents)
+        .localCheckpoint()
+      seg(st1).withColumn("phase", lit("1_after_b1"))
+        .unionByName(seg(st2).withColumn("phase", lit("2_after_b2")))
+        .select("phase", "r_q", "f_q", "m_q", "n_customers")
+        .orderBy("phase", "r_q", "f_q", "m_q")
+    },
+
     // The PORTABLE HLL closes q39's gap: approx_count_distinct's sketch is
     // engine-internal (tolerance-gated above), but these registers are the
     // mixp hash split 8/23 with an integer-only rank, so the oracle replays
@@ -239,6 +269,51 @@ object SessionQueries {
         |FROM rk CROSS JOIN nn
         |GROUP BY 1, 2, 3
         |ORDER BY r_q, f_q, m_q""".stripMargin,
+
+    // The chained incremental-RFM oracle: the q194 pipeline recomputed
+    // from raw orders at both phases.
+    "q199_incremental_rfm" ->
+      """WITH per1 AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |                   DATE '1998-12-31') AS BIGINT) AS r,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+        |n1 AS (SELECT count(*) AS n FROM per1),
+        |rk1 AS (SELECT o_custkey,
+        |        row_number() OVER (ORDER BY r, o_custkey) AS kr,
+        |        row_number() OVER (ORDER BY -f, o_custkey) AS kf,
+        |        row_number() OVER (ORDER BY -m, o_custkey) AS km
+        |      FROM per1),
+        |perf AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |                   DATE '1998-12-31') AS BIGINT) AS r,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |nf AS (SELECT count(*) AS n FROM perf),
+        |rkf AS (SELECT o_custkey,
+        |        row_number() OVER (ORDER BY r, o_custkey) AS kr,
+        |        row_number() OVER (ORDER BY -f, o_custkey) AS kf,
+        |        row_number() OVER (ORDER BY -m, o_custkey) AS km
+        |      FROM perf)
+        |SELECT phase, r_q, f_q, m_q, n_customers FROM (
+        |  SELECT '1_after_b1' AS phase,
+        |         CAST((kr - 1) * 5 // n1.n + 1 AS INT) AS r_q,
+        |         CAST((kf - 1) * 5 // n1.n + 1 AS INT) AS f_q,
+        |         CAST((km - 1) * 5 // n1.n + 1 AS INT) AS m_q,
+        |         count(*) AS n_customers
+        |  FROM rk1 CROSS JOIN n1 GROUP BY 1, 2, 3, 4
+        |  UNION ALL
+        |  SELECT '2_after_b2',
+        |         CAST((kr - 1) * 5 // nf.n + 1 AS INT),
+        |         CAST((kf - 1) * 5 // nf.n + 1 AS INT),
+        |         CAST((km - 1) * 5 // nf.n + 1 AS INT),
+        |         count(*)
+        |  FROM rkf CROSS JOIN nf GROUP BY 1, 2, 3, 4)
+        |ORDER BY phase, r_q, f_q, m_q""".stripMargin,
 
     "q193_retention_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -32,6 +32,29 @@ object WindowQueries {
         .orderBy("qty_cents")
     },
 
+    // q188's incremental twin: the state IS the carried pareto front
+    // (sky(A∪B) = sky(sky(A)∪B) — dominance is transitive), advanced per
+    // batch with O(batch + |front|) work and exact under ANY batching.
+    // Output is the front after each batch; the oracle recomputes both
+    // phases from raw rows with q188's textbook window.
+    "q198_incremental_skyline" -> { (s, dir) =>
+      val sky = graft.operators.Skyline
+      val li = Tables.lineitem(s, dir)
+      val xc = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+      val yc = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+      val st1 = sky.pareto2dAdvance(sky.pareto2dEmptyState(s),
+          li.filter(col("l_orderkey") % 3 =!= 0), xc, yc)
+        .localCheckpoint()
+      val st2 = sky.pareto2dAdvance(st1,
+          li.filter(col("l_orderkey") % 3 === 0), xc, yc)
+        .localCheckpoint()
+      st1.withColumn("phase", lit("1_after_b1"))
+        .unionByName(st2.withColumn("phase", lit("2_after_b2")))
+        .select(col("phase"), col("x").as("qty_cents"),
+          col("ymax").as("max_price_cents"))
+        .orderBy("phase", "qty_cents")
+    },
+
     // W1 + J6 + F14: purchase sequence per customer → new-vs-repeat by month
     // (`scripts/SQL/new_v_return_plus_retention_rate.sql`).
     "q7_retention_new_vs_repeat" -> { (s, dir) =>
@@ -190,6 +213,34 @@ object WindowQueries {
         |SELECT x AS qty_cents, ymax AS max_price_cents FROM s
         |WHERE prev IS NULL OR ymax > prev
         |ORDER BY qty_cents""".stripMargin,
+
+    "q198_incremental_skyline" ->
+      """WITH p1 AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem WHERE l_orderkey % 3 <> 0),
+        |g1 AS (SELECT x, max(y) AS ymax FROM p1 GROUP BY 1),
+        |s1 AS (SELECT x, ymax,
+        |        max(ymax) OVER (ORDER BY x DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |      FROM g1),
+        |pf AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |gf AS (SELECT x, max(y) AS ymax FROM pf GROUP BY 1),
+        |sf AS (SELECT x, ymax,
+        |        max(ymax) OVER (ORDER BY x DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |      FROM gf)
+        |SELECT phase, qty_cents, max_price_cents FROM (
+        |  SELECT '1_after_b1' AS phase, x AS qty_cents,
+        |         ymax AS max_price_cents
+        |  FROM s1 WHERE prev IS NULL OR ymax > prev
+        |  UNION ALL
+        |  SELECT '2_after_b2', x, ymax
+        |  FROM sf WHERE prev IS NULL OR ymax > prev)
+        |ORDER BY phase, qty_cents""".stripMargin,
 
     "q7_retention_new_vs_repeat" ->
       """WITH seq AS (

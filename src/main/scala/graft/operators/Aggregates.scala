@@ -269,6 +269,43 @@ object Aggregates {
         col("day_offset"), col("active_users"))
   }
 
+  /** Empty incremental-RFM state: one row per entity —
+    * `(_e, _last DATE, _freq, _cents)`. */
+  def rfmEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("_e", LongType, nullable = false),
+        StructField("_last", DateType, nullable = true),
+        StructField("_freq", LongType, nullable = false),
+        StructField("_cents", LongType, nullable = false))))
+  }
+
+  /** Advance the incremental RFM state with one order batch — a pure
+    * MONOID merge (max last-activity date, sum frequency, sum cents), so
+    * unlike the funnel fold this is exact under ANY batching, late
+    * back-fills included. The batch collapses to entity grain map-side
+    * before the one keyed state join; order history is never rescanned.
+    * Quintile segments recompute from the entity-grain state
+    * ([[rfmSegments]]) — ranks are global properties and cannot fold, but
+    * their input is the state, not the history. */
+  def rfmAdvance(state: DataFrame, batch: DataFrame, entity: Column,
+                 orderDate: Column, cents: Column): DataFrame = {
+    val b = batch.groupBy(entity.cast("long").as("_e"))
+      .agg(max(orderDate.cast("date")).as("_bl"),
+        count(lit(1)).as("_bf"),
+        sum(cents.cast("long")).as("_bc"))
+    state.join(b, Seq("_e"), "full_outer")
+      .select(col("_e"),
+        when(col("_last").isNull, col("_bl"))
+          .when(col("_bl").isNull, col("_last"))
+          .otherwise(greatest(col("_last"), col("_bl"))).as("_last"),
+        (coalesce(col("_freq"), lit(0L)) + coalesce(col("_bf"), lit(0L)))
+          .as("_freq"),
+        (coalesce(col("_cents"), lit(0L)) + coalesce(col("_bc"), lit(0L)))
+          .as("_cents"))
+  }
+
   /** RFM segmentation: per-entity recency/frequency/monetary metrics, each
     * cut into exact rank quintiles — `q = (rank-1)·5 div N + 1` over the
     * total order (metric, entity) — and entities counted per (R,F,M) cell.

@@ -24,6 +24,30 @@ import org.apache.spark.sql.functions._
   * dominance: a point equal on one axis and worse on the other is out. */
 object Skyline {
 
+  /** Empty incremental-skyline state: the front rows `(x, ymax)`. */
+  def pareto2dEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("x", LongType, nullable = false),
+        StructField("ymax", LongType, nullable = false))))
+  }
+
+  /** Incremental pareto-front maintenance — the skyline family's §2.9
+    * member. The state IS the front: `sky(A ∪ B) = sky(sky(A) ∪ B)` holds
+    * because dominance is transitive (a point dominated in A stays
+    * dominated in any superset), so folding each batch against the
+    * carried front is EXACT under ANY batching — no watermark contract
+    * needed, no history rescan ever. Work per advance is
+    * O(batch + |front|); the front is bounded by the distinct maximal-x
+    * cohort, microscopic next to the data. */
+  def pareto2dAdvance(state: DataFrame, batch: DataFrame, x: Column,
+                      y: Column, buckets: Int = 64): DataFrame =
+    pareto2d(
+      batch.select(x.cast("long").as("x"), y.cast("long").as("y"))
+        .unionByName(state.select(col("x"), col("ymax").as("y"))),
+      col("x"), col("y"), buckets)
+
   /** The pareto front of (`x` maximize, `y` maximize) as distinct rows
     * `(x, ymax)` — both columns must be integral (exactness contract). */
   def pareto2d(df: DataFrame, x: Column, y: Column,

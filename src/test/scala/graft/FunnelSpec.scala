@@ -78,6 +78,34 @@ class FunnelSpec extends SparkSpec {
     assert(counts(st) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("rfmAdvance: monoid merge ≡ recompute, exact under out-of-order back-fill") {
+    def tsd(d: Int) = java.sql.Date.valueOf(f"1998-06-$d%02d")
+    val all = Seq(
+      (1L, tsd(10), 1000L), (1L, tsd(20), 500L), // two orders, later wins recency
+      (2L, tsd(5), 2500L),
+      (3L, tsd(15), 100L), (3L, tsd(1), 900L))   // back-filled earlier order
+    def df(rows: Seq[(Long, java.sql.Date, Long)]) =
+      rows.toDF("cust", "d", "cents")
+    // out-of-order split: the back-fill and the LATEST order land in batch 2
+    val b1 = Seq(all(0), all(2), all(3))
+    val b2 = Seq(all(1), all(4))
+    val st1 = Aggregates.rfmAdvance(Aggregates.rfmEmptyState(spark),
+      df(b1), col("cust"), col("d"), col("cents")).localCheckpoint()
+    val st2 = Aggregates.rfmAdvance(st1, df(b2),
+      col("cust"), col("d"), col("cents"))
+    val got = st2.collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Aggregates.rfmAdvance(Aggregates.rfmEmptyState(spark),
+        df(all), col("cust"), col("d"), col("cents")).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == full, s"$got vs $full")
+    assert(got == Set(
+      (1L, tsd(20), 2L, 1500L),
+      (2L, tsd(5), 1L, 2500L),
+      (3L, tsd(15), 2L, 1000L)),
+      s"hand check: $got")
+  }
+
   test("retention: bootstrap+delta ≡ recompute, exact even for OUT-OF-ORDER batches") {
     def tsd(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 10:00:00")
     val all = Seq(

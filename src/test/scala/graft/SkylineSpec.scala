@@ -40,6 +40,25 @@ class SkylineSpec extends SparkSpec {
     assert(run(stairs) == stairs.toSet)
   }
 
+  test("pareto2dAdvance: carried front ≡ recompute under any split; a later dominator evicts front points") {
+    val rnd = new scala.util.Random(19)
+    val pts = Seq.fill(300)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+    def df(p: Seq[(Long, Long)]) = p.toDF("x", "y")
+    // adversarial split: batch 2 gets the GLOBALLY dominating point, so
+    // much of batch 1's carried front must be evicted on advance
+    val dom = (101L, 101L)
+    val (b1, b2raw) = pts.splitAt(200)
+    val b2 = b2raw :+ dom
+    val st1 = Skyline.pareto2dAdvance(Skyline.pareto2dEmptyState(spark),
+      df(b1), col("x"), col("y")).localCheckpoint()
+    assert(st1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == brute(b1), "phase 1 front must equal brute force on batch 1")
+    val st2 = Skyline.pareto2dAdvance(st1, df(b2), col("x"), col("y"))
+    val got = st2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute(b1 ++ b2), "carried front ≡ recompute on the union")
+    assert(got == Set(dom), "the global dominator must evict everything")
+  }
+
   test("cross-bucket carry: a high-bucket dominator kills low-bucket points") {
     // (100, 100) dominates everything below; with 4 buckets the losers sit
     // in buckets the dominator never shares a window with
