@@ -108,6 +108,36 @@ object GraphQueries {
         .orderBy("batch_id")
     },
 
+    // q187's incremental twin — distances under edge ADDITIONS only ever
+    // decrease, so relaxation seeded at the delta edges' settled sources
+    // converges to the exact bounded-round BFS of the union while touching
+    // only the affected region (never a from-source recount). The edge set
+    // splits (src+dst) mod 5; output is the hop histogram after each
+    // phase; the oracle unrolls BOTH frontiers from scratch.
+    "q200_incremental_bfs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("src"),
+          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val b1 = edges.filter((col("src") + col("dst")) % 5 =!= 0)
+      val b2 = edges.filter((col("src") + col("dst")) % 5 === 0)
+      val d1 = Rank.bfsDistances(b1, source = 0L, rounds = BfsRounds)
+        .localCheckpoint()
+      val d2 = Rank.bfsAdvance(b1, d1, b2, rounds = BfsRounds)
+        .localCheckpoint()
+      def hist(d: org.apache.spark.sql.DataFrame, phase: String) =
+        d.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .withColumn("phase", lit(phase))
+      hist(d1, "1_after_b1").unionByName(hist(d2, "2_after_b2"))
+        .select("phase", "dist", "n_nodes")
+        .orderBy("phase", "dist")
+    },
+
     // BFS reach histogram from doc 0 over the link graph: how many nodes
     // sit at each hop distance within 4 rounds (the frontier-relaxation
     // plan — settled nodes never re-enter a shuffle; the oracle unrolls
@@ -218,6 +248,32 @@ object GraphQueries {
         |         (SELECT t FROM tf), (SELECT t FROM tf), TRUE)
         |ORDER BY batch_id""".stripMargin,
 
+    // The chained incremental-BFS oracle: both phases' frontiers unrolled
+    // from scratch — equality with the engine's relaxation-from-delta
+    // state IS the incremental ≡ recount proof.
+    "q200_incremental_bfs" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |cand AS (SELECT doc_id AS src, x.r FROM documents
+         |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
+         |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
+         |x1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM x0),
+         |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
+         |edges AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
+         |          FROM x2 CROSS JOIN nn),
+         |b1 AS (SELECT * FROM edges WHERE (src + dst) % 5 <> 0),
+         |pd0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |pf0 AS (SELECT node FROM pd0),
+         |${(1 to BfsRounds).map(k => bfsCteOn("p", "b1", k)).mkString(",\n")},
+         |qd0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |qf0 AS (SELECT node FROM qd0),
+         |${(1 to BfsRounds).map(k => bfsCteOn("q", "edges", k)).mkString(",\n")}
+         |SELECT phase, dist, n_nodes FROM (
+         |  SELECT '1_after_b1' AS phase, dist, count(*) AS n_nodes
+         |  FROM pd$BfsRounds GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT '2_after_b2', dist, count(*) FROM qd$BfsRounds GROUP BY 1, 2)
+         |ORDER BY phase, dist""".stripMargin,
+
     "q187_bfs_reach" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |cand AS (SELECT doc_id AS src, x.r FROM documents
@@ -233,6 +289,16 @@ object GraphQueries {
          |SELECT dist, count(*) AS n_nodes FROM d$BfsRounds
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** [[bfsCte]] parameterized over the edge CTE and a name prefix — q200
+    * unrolls TWO frontiers (batch-1 graph, union graph) in one oracle. */
+  private def bfsCteOn(p: String, edgesCte: String, k: Int): String =
+    s"""${p}f$k AS (SELECT DISTINCT e.dst AS node
+       |  FROM $edgesCte e JOIN ${p}f${k - 1} f ON e.src = f.node
+       |  WHERE e.dst NOT IN (SELECT node FROM ${p}d${k - 1})),
+       |${p}d$k AS (SELECT node, dist FROM ${p}d${k - 1}
+       |  UNION ALL SELECT node, CAST($k AS BIGINT) AS dist FROM ${p}f$k)"""
+      .stripMargin
 
   private def bfsCte(k: Int): String =
     s"""f$k AS (SELECT DISTINCT e.dst AS node

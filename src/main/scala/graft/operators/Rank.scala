@@ -98,6 +98,65 @@ object Rank {
     dist
   }
 
+  /** Incremental BFS-distance maintenance under edge ADDITIONS — the
+    * frontier-relaxation plan applied to a delta: distances only ever
+    * DECREASE when edges arrive, so relaxation seeded from the delta
+    * edges' reachable sources converges to the exact bounded-round BFS of
+    * the union, touching only the affected region (work is
+    * O(improved-nodes' out-edges), never a from-source recount).
+    *
+    * `dist` is the settled `(node, dist)` table on the SEEN graph (the
+    * [[bfsDistances]] output — nodes beyond `rounds` hops absent);
+    * `edges`/`delta` are directed `(src, dst)`. Each relaxation round:
+    * candidates = the current improvement frontier joined forward along
+    * the UNION edge set, folded in with a min — a node enters the
+    * frontier iff its distance strictly improved (or it just became
+    * reachable within the bound), so the loop terminates: distances are
+    * non-negative integers that strictly decrease per re-entry. The
+    * initial frontier is delta edges whose source is settled — the only
+    * places a new edge can change anything. */
+  def bfsAdvance(edges: DataFrame, dist: DataFrame, delta: DataFrame,
+                 rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val all = edges.select(col("src"), col("dst"))
+      .unionByName(delta.select(col("src"), col("dst")))
+      .localCheckpoint()
+    var cur = dist.select(col("node"), col("dist")).localCheckpoint()
+    // seed: relax every delta edge once from its settled source
+    var frontier = delta.select(col("src"), col("dst"))
+      .join(cur.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      .filter(col("dist") <= rounds)
+      .groupBy("node").agg(min(col("dist")).as("dist"))
+      .join(cur.select(col("node"), col("dist").as("_old")),
+        Seq("node"), "left")
+      .filter(col("_old").isNull || col("dist") < col("_old"))
+      .select(col("node"), col("dist"))
+      .localCheckpoint()
+    var r = 0
+    while (r <= rounds && !frontier.isEmpty) {
+      // fold improvements in, then push them one hop along the union
+      cur = cur.join(frontier.withColumnRenamed("dist", "_new"),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          when(col("dist").isNull, col("_new"))
+            .when(col("_new").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("_new"))).as("dist"))
+        .localCheckpoint()
+      frontier = all.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .filter(col("dist") <= rounds)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .join(cur.select(col("node"), col("dist").as("_old")),
+          Seq("node"), "left")
+        .filter(col("_old").isNull || col("dist") < col("_old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint()
+      r += 1
+    }
+    cur
+  }
+
   /** Canonical simple undirected edges: self-loops dropped, endpoints
     * ordered `u < v`, duplicates collapsed — the shared input contract of
     * [[triangleCount]], [[triangleDeltaCount]] and the persisted

@@ -138,6 +138,32 @@ class RankSpec extends SparkSpec {
     assert(r3.getLong(1) == 0L && r3.getLong(2) == 0L)
   }
 
+  test("bfsAdvance: relaxation from delta edges equals from-scratch BFS of the union") {
+    import spark.implicits._
+    def dists(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand case: a chain 0->1->2->3 plus a delta shortcut 0->3 (improves 3)
+    // and a delta-only branch 3->4->5 (4,5 newly reachable THROUGH delta)
+    val oldE = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val delta = Seq((0L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val d0 = Rank.bfsDistances(oldE, 0L, 4)
+    val adv = dists(Rank.bfsAdvance(oldE, d0, delta, 4))
+    assert(adv == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L),
+      s"shortcut + delta-chain reach: $adv")
+    // random graph, random split — equality with the recount at the bound
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val all = edges.toDF("src", "dst").distinct().localCheckpoint()
+    val b1 = all.filter((col("src") * 7 + col("dst")) % 3 =!= 0)
+    val b2 = all.filter((col("src") * 7 + col("dst")) % 3 === 0)
+    val seed = Rank.bfsDistances(b1, 0L, 4).localCheckpoint()
+    val got = dists(Rank.bfsAdvance(b1, seed, b2, 4))
+    val want = dists(Rank.bfsDistances(all, 0L, 4))
+    assert(got == want, s"incremental ${got.size} vs recount ${want.size}")
+    // empty delta: state unchanged
+    assert(dists(Rank.bfsAdvance(b1, seed, b2.limit(0), 4)) == dists(seed))
+  }
+
   test("mass is conserved up to the documented truncation loss") {
     val rnd = new scala.util.Random(7)
     val n = 25
