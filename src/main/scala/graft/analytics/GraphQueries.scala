@@ -18,6 +18,9 @@ object GraphQueries {
   /** PageRank iterations to run (unrolled identically in the oracle). */
   private val Iters = 5
 
+  /** Warm-start iterations after the graph grows (q201). */
+  private val WarmIters = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Fixed-point PageRank over a deterministic synthetic link graph on
@@ -106,6 +109,64 @@ object GraphQueries {
         .toDF("batch_id", "n_edges_added", "n_new_triangles",
           "n_triangles_total", "n_triangles_recount", "matches_recount")
         .orderBy("batch_id")
+    },
+
+    // PageRank's incremental form is a WARM START: exact per-edge delta
+    // maintenance of an eigenvector doesn't exist, so production ranking
+    // absorbs a crawl delta by resuming the fixed-point recurrence on the
+    // grown graph from the persisted vector. Integer fixed point keeps
+    // every warm round exactly replayable — the oracle unrolls the cold
+    // chain on batch-1 edges, then the warm chain on the full graph FROM
+    // that vector. Top-20 per phase.
+    "q201_pagerank_warmstart" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id").as("node"))
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("src"),
+          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val b1 = edges.filter((col("src") + col("dst")) % 4 =!= 0)
+      val v1 = Rank.pageRank(nodes, b1, Iters).localCheckpoint()
+      val v2 = Rank.pageRankFrom(nodes, edges, v1, WarmIters).localCheckpoint()
+      def top(v: org.apache.spark.sql.DataFrame, phase: String) =
+        v.orderBy(col("rank").desc, col("node")).limit(20)
+          .withColumn("phase", lit(phase))
+      top(v1, "1_after_b1").unionByName(top(v2, "2_after_b2"))
+        .select("phase", "node", "rank")
+        .orderBy(col("phase"), col("rank").desc, col("node"))
+    },
+
+    // Incremental connected components: which components FUSE is decided
+    // entirely by the delta edges' endpoint labels, so the fixed point
+    // (pointer-doubling min-label) runs on the LABEL graph — one node per
+    // touched component — instead of the data graph; the seen edges are
+    // never touched again. Sparse fixture (one out-edge per 7th doc) keeps
+    // components honest-sized for the oracle's recursive reach.
+    "q202_incremental_components" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("src"),
+          pmod(PortableHash.mixpCol(col("doc_id") * 11 + 1), lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val b1 = edges.filter((col("src") + col("dst")) % 3 =!= 0)
+      val b2 = edges.filter((col("src") + col("dst")) % 3 === 0)
+      val st1 = graft.operators.Dedup.dupClusters(
+          docs.select(col("doc_id").as("node")), "node",
+          Rank.canonicalEdges(b1), "u", "v")
+        .select(col("node"), col("cluster_id").as("label"))
+        .localCheckpoint()
+      val st2 = Rank.componentsAdvance(st1, b2).localCheckpoint()
+      def ph(st: org.apache.spark.sql.DataFrame, phase: String) =
+        st.withColumn("phase", lit(phase))
+      ph(st1, "1_after_b1").unionByName(ph(st2, "2_after_b2"))
+        .select(col("phase"), col("node"), col("label").as("component_id"))
+        .orderBy("phase", "node")
     },
 
     // q187's incremental twin — distances under edge ADDITIONS only ever
@@ -248,6 +309,68 @@ object GraphQueries {
         |         (SELECT t FROM tf), (SELECT t FROM tf), TRUE)
         |ORDER BY batch_id""".stripMargin,
 
+    // The warm-start oracle: the cold 5-round chain on batch-1 edges, then
+    // the warm 3-round chain on the FULL graph seeded from the cold
+    // vector — integer fixed point makes the handoff exact.
+    "q201_pagerank_warmstart" ->
+      s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |cand AS (SELECT doc_id AS src, x.r FROM documents
+         |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
+         |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
+         |x1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM x0),
+         |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
+         |edges AS (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
+         |          FROM x2 CROSS JOIN nn),
+         |b1e AS (SELECT * FROM edges WHERE (src + dst) % 4 <> 0),
+         |adeg AS (SELECT src, count(*) AS deg FROM b1e GROUP BY 1),
+         |bdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |ar0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+         |        FROM nodes CROSS JOIN nn),
+         |${(1 to Iters).map(i => iterCteOn("a", "b1e", "adeg", i)).mkString(",\n")},
+         |br0 AS (SELECT node, rank FROM ar$Iters),
+         |${(1 to WarmIters).map(i => iterCteOn("b", "edges", "bdeg", i)).mkString(",\n")}
+         |SELECT phase, node, rank FROM (
+         |  SELECT '1_after_b1' AS phase, node, rank FROM
+         |    (SELECT node, rank FROM ar$Iters ORDER BY rank DESC, node LIMIT 20)
+         |  UNION ALL
+         |  SELECT '2_after_b2', node, rank FROM
+         |    (SELECT node, rank FROM br$WarmIters ORDER BY rank DESC, node LIMIT 20))
+         |ORDER BY phase, rank DESC, node""".stripMargin,
+
+    // The chained incremental-components oracle: recursive min-reachable
+    // label on the batch-1 graph and on the union — exactly the state the
+    // label-graph merge must reproduce.
+    "q202_incremental_components" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id FROM documents),
+        |y0 AS (SELECT doc_id AS src, doc_id * 11 + 1 AS x FROM d
+        |       WHERE doc_id % 7 = 0),
+        |y1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM y0),
+        |y2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM y1),
+        |e0 AS (SELECT src, xor(h, h >> 16) % nn.n AS dst FROM y2 CROSS JOIN nn
+        |       WHERE src <> xor(h, h >> 16) % nn.n),
+        |b1u AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |        FROM e0 WHERE (src + dst) % 3 <> 0),
+        |fu AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |       FROM e0),
+        |e1 AS (SELECT u AS src, v AS dst FROM b1u UNION SELECT v, u FROM b1u),
+        |ef AS (SELECT u AS src, v AS dst FROM fu UNION SELECT v, u FROM fu),
+        |r1(id, r) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT r1.id, e.dst FROM r1 JOIN e1 e ON r1.r = e.src),
+        |rf(id, r) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT rf.id, e.dst FROM rf JOIN ef e ON rf.r = e.src)
+        |SELECT phase, node, component_id FROM (
+        |  SELECT '1_after_b1' AS phase, id AS node, MIN(r) AS component_id
+        |  FROM r1 GROUP BY id
+        |  UNION ALL
+        |  SELECT '2_after_b2', id, MIN(r) FROM rf GROUP BY id)
+        |ORDER BY phase, node""".stripMargin,
+
     // The chained incremental-BFS oracle: both phases' frontiers unrolled
     // from scratch — equality with the engine's relaxation-from-delta
     // state IS the incremental ≡ recount proof.
@@ -289,6 +412,21 @@ object GraphQueries {
          |SELECT dist, count(*) AS n_nodes FROM d$BfsRounds
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** [[iterCte]] parameterized over prefix/edges/degree CTE names — q201
+    * unrolls a cold chain on batch-1 edges and a warm chain on the full
+    * graph from the cold chain's final vector. */
+  private def iterCteOn(p: String, edgesCte: String, degCte: String,
+                        i: Int): String =
+    s"""${p}c$i AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+       |  FROM $edgesCte e JOIN ${p}r${i - 1} r ON e.src = r.node
+       |  JOIN $degCte d ON e.src = d.src
+       |  GROUP BY 1),
+       |${p}r$i AS (SELECT nodes.node,
+       |    CAST((1000000000000 * 15) // (100 * nn.n)
+       |         + (85 * COALESCE(${p}c$i.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes CROSS JOIN nn LEFT JOIN ${p}c$i ON nodes.node = ${p}c$i.node)"""
+      .stripMargin
 
   /** [[bfsCte]] parameterized over the edge CTE and a name prefix — q200
     * unrolls TWO frontiers (batch-1 graph, union graph) in one oracle. */

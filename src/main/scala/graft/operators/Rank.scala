@@ -45,6 +45,28 @@ object Rank {
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "empty node set")
+    pageRankFrom(nodes, edges,
+      nodes.select(col("node"), lit(scale / n).as("rank")),
+      iters, scale, dampNum, dampDen)
+  }
+
+  /** WARM-START fixed-point iterations — the practical incremental form
+    * of an iterative rank: exact per-edge delta maintenance of PageRank
+    * does not exist (every edge perturbs every rank), but RESUMING the
+    * fixed-point recurrence on the grown graph from the PERSISTED rank
+    * vector is how production ranking absorbs a crawl delta — the warm
+    * vector is already near the new fixed point, so far fewer rounds
+    * close the gap than a cold scale/n restart (RankSpec measures the
+    * contraction). The recurrence is the same int64 fixed-point integer
+    * arithmetic as [[pageRank]], so every warm round replays EXACTLY in
+    * the oracle's unrolled CTEs — determinism survives the warm start.
+    * Nodes absent from `init` fold in at rank 0 (a conservative floor:
+    * one round assigns them base + inflow). */
+  def pageRankFrom(nodes: DataFrame, edges: DataFrame, init: DataFrame,
+                   iters: Int, scale: Long = 1000000000000L,
+                   dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < damping < 1")
     val n = nodes.count()
@@ -52,7 +74,9 @@ object Rank {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
-    var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
+    var rank = nodes.join(init.select(col("node"), col("rank")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("rank"), lit(0L)).as("rank"))
     for (_ <- 0 until iters) {
       val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
@@ -67,6 +91,52 @@ object Rank {
         .localCheckpoint()
     }
     rank
+  }
+
+  /** Incremental connected components under edge ADDITIONS — the
+    * min-label state advanced by a LABEL-GRAPH merge: components can only
+    * fuse when edges arrive, and which ones fuse is decided entirely by
+    * the delta edges' endpoint labels, so the expensive fixed-point
+    * (pointer-doubling min-label propagation) runs on the LABEL GRAPH —
+    * one node per touched component, one edge per delta edge — instead of
+    * the data graph. Cost: two entity-keyed joins to label the delta, a
+    * components pass over a delta-sized graph, and one keyed relabel join
+    * against state; the seen graph's edges are never touched again.
+    *
+    * `state` is `(node, label)` with label = the component's minimum node
+    * id ([[graft.operators.Dedup.dupClusters]]'s contract); delta nodes
+    * absent from state enter as singletons first, so the result is
+    * exactly the components of (state's partition ∪ delta edges) — exact
+    * under ANY batching (merging is order-free). */
+  def componentsAdvance(state: DataFrame, delta: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    val d = canonicalEdges(delta).localCheckpoint()
+    // fold unseen endpoints in as singletons
+    val dNodes = d.select(col("u").as("node"))
+      .unionAll(d.select(col("v").as("node"))).distinct()
+    val st = state.select(col("node"), col("label"))
+      .unionByName(
+        dNodes.join(state.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("label")))
+      .localCheckpoint()
+    // delta edges in label space: which components fuse
+    val lab = st.withColumnRenamed("node", "_n").withColumnRenamed("label", "_l")
+    val labelPairs = d
+      .join(lab.select(col("_n").as("u"), col("_l").as("la")), "u")
+      .join(lab.select(col("_n").as("v"), col("_l").as("lb")), "v")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    if (labelPairs.isEmpty) return st
+    val labelNodes = labelPairs.select(col("id_a").as("lbl"))
+      .unionAll(labelPairs.select(col("id_b").as("lbl"))).distinct()
+    // the fixed point runs on the tiny label graph, not the data graph
+    val merged = graft.operators.Dedup.dupClusters(
+        labelNodes, "lbl", labelPairs)
+      .select(col("lbl").as("label"), col("cluster_id").as("_new"))
+    st.join(merged, Seq("label"), "left")
+      .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
   }
 
   /** Bounded-round single-source BFS distances — the frontier-relaxation

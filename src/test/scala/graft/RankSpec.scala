@@ -138,6 +138,62 @@ class RankSpec extends SparkSpec {
     assert(r3.getLong(1) == 0L && r3.getLong(2) == 0L)
   }
 
+  test("pageRankFrom: warm start is exact fixed-point arithmetic and converges faster than cold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val all = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (0L until 40L).toDF("node")
+    val delta = all.filter(e => (e._1 + e._2) % 6 == 0)
+    val oldE = all.diff(delta)
+    def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
+    def vec(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // determinism: warm from the uniform init == the cold path itself
+    val uniform = nodes.select(col("node"),
+      lit(1000000000000L / 40L).as("rank"))
+    assert(vec(Rank.pageRankFrom(nodes, df(all), uniform, 5))
+      == vec(Rank.pageRank(nodes, df(all), 5)))
+    // contraction: 3 warm rounds from the old graph's vector land closer
+    // to the new graph's fixed point than 3 cold rounds
+    val fix = vec(Rank.pageRank(nodes, df(all), 40))
+    val warmInit = Rank.pageRank(nodes, df(oldE), 10).localCheckpoint()
+    val warm = vec(Rank.pageRankFrom(nodes, df(all), warmInit, 3))
+    val cold = vec(Rank.pageRank(nodes, df(all), 3))
+    def dist(v: Map[Long, Long]) = fix.map { case (k, r) => math.abs(v(k) - r) }.sum
+    assert(dist(warm) < dist(cold),
+      s"warm ${dist(warm)} must beat cold ${dist(cold)}")
+  }
+
+  test("componentsAdvance: label-graph merge equals recompute; unseen nodes and replays handled") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val all = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val (b2raw, b1) = all.partition(e => (e._1 + e._2) % 3 == 0)
+    // delta also introduces nodes the state has never seen (ids 100+)
+    val b2 = b2raw ++ Seq((100L, 101L), (101L, 5L))
+    val nodes = ((0L until 30L) ++ Seq(100L, 101L)).toDF("node")
+    def und(e: Seq[(Long, Long)]) = Rank.canonicalEdges(e.toDF("src", "dst"))
+    def labels(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seed on b1 over ONLY the 0..29 universe (100/101 unseen until b2)
+    val seed = graft.operators.Dedup.dupClusters(
+        (0L until 30L).toDF("node"), "node", und(b1), "u", "v")
+      .select(col("node"), col("cluster_id").as("label")).localCheckpoint()
+    val adv = Rank.componentsAdvance(seed, b2.toDF("src", "dst"))
+      .localCheckpoint()
+    val want = labels(graft.operators.Dedup.dupClusters(
+        nodes, "node", und(all ++ Seq((100L, 101L), (101L, 5L))), "u", "v")
+      .select(col("node"), col("cluster_id")))
+    assert(labels(adv) == want, "advance must equal the recompute on the union")
+    // replaying the same delta changes nothing
+    assert(labels(Rank.componentsAdvance(adv, b2.toDF("src", "dst"))) == want)
+    // empty delta: state unchanged
+    assert(labels(Rank.componentsAdvance(adv,
+      Seq.empty[(Long, Long)].toDF("src", "dst"))) == want)
+  }
+
   test("bfsAdvance: relaxation from delta edges equals from-scratch BFS of the union") {
     import spark.implicits._
     def dists(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
