@@ -259,6 +259,47 @@ object BenchIndexScale {
       }
       rows += (("triangleDeltaIncremental", k, seenSize, bTri, median(triSecs)))
 
+      // --- q200 BFS advance: settled-distance state on the k× seen graph,
+      // fixed edge delta; relaxation touches only the affected region ---
+      val (bBfs, bfsState) = time {
+        Rank.bfsDistances(
+            oldE.select(col("u").as("src"), col("v").as("dst")), 0L, 4)
+          .localCheckpoint()
+      }
+      val bfsSecs = (1 to runs).map { _ =>
+        time(Rank.bfsAdvance(
+            oldE.select(col("u").as("src"), col("v").as("dst")), bfsState,
+            deltaE.select(col("u").as("src"), col("v").as("dst")), 4)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("bfsAdvanceIncremental", k, seenSize, bBfs, median(bfsSecs)))
+
+      // --- q202 components advance: min-label state on a k× sparse graph,
+      // fixed delta; the fixed point runs on the LABEL graph only ---
+      val (bCmp, cmpState) = time {
+        val sparse = seen.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("src"),
+            pmod(graft.functions.PortableHash.mixpCol(col("doc_id") * 11 + 1),
+              lit(seenSize)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.Dedup.dupClusters(
+            seen.select(col("doc_id").as("node")), "node",
+            Rank.canonicalEdges(sparse), "u", "v")
+          .select(col("node"), col("cluster_id").as("label"))
+          .repartition(col("node")).localCheckpoint()
+      }
+      val cmpDelta = batch3.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("src"),
+          pmod(graft.functions.PortableHash.mixpCol(col("doc_id") * 11 + 1),
+            lit(seenSize)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val cmpSecs = (1 to runs).map { _ =>
+        time(Rank.componentsAdvance(cmpState, cmpDelta)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("componentsAdvanceIncremental", k, seenSize, bCmp, median(cmpSecs)))
+
       // --- q196 funnel advance vs recompute: EVENT HISTORY at k× (same
       // user universe — the state stays entity-grain), fixed event batch.
       // The claim under measurement: advancing the cascade state never

@@ -306,6 +306,48 @@ object Aggregates {
           .as("_cents"))
   }
 
+  /** Streaming RFM sink (`foreachBatch` target) — snapshot-per-batch
+    * persistence (the SCD2-sink discipline, not the delta-append one,
+    * because a monoid STATE has no append form): advance(K) reads the
+    * latest snapshot STRICTLY BELOW K and lands the merged state under
+    * `state/bid=K` via dynamic partition overwrite, so a replayed
+    * micro-batch re-derives from the same predecessor and rewrites its
+    * own partition with identical content. Snapshots below the replay
+    * barrier are compactable (delete `bid < K-1`); the entity-grain
+    * snapshot is the honest floor for a global-rank workload. Returns
+    * `(batch_id, n_entities)`. */
+  def rfmBatch(stateDir: String, entity: Column, orderDate: Column,
+               cents: Column)(batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val dir = s"$stateDir/state"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val prior =
+      if (p.getFileSystem(hconf).exists(p)) {
+        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
+        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
+        if (prev == null) rfmEmptyState(spark)
+        else snaps.filter(col("bid") === prev.toString.toLong)
+          .select("_e", "_last", "_freq", "_cents")
+      } else rfmEmptyState(spark)
+    val next = rfmAdvance(prior, batch, entity, orderDate, cents)
+      .localCheckpoint()
+    next.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(dir)
+    Seq((batchId, next.count())).toDF("batch_id", "n_entities")
+  }
+
+  /** The latest persisted [[rfmBatch]] snapshot. */
+  def rfmStateFrom(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String): DataFrame = {
+    val snaps = spark.read.parquet(s"$stateDir/state")
+    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0).longValue
+    snaps.filter(col("bid") === last).select("_e", "_last", "_freq", "_cents")
+  }
+
   /** RFM segmentation: per-entity recency/frequency/monetary metrics, each
     * cut into exact rank quintiles — `q = (rank-1)·5 div N + 1` over the
     * total order (metric, entity) — and entities counted per (R,F,M) cell.

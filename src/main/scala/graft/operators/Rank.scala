@@ -109,21 +109,26 @@ object Rank {
     * exactly the components of (state's partition ∪ delta edges) — exact
     * under ANY batching (merging is order-free). */
   def componentsAdvance(state: DataFrame, delta: DataFrame): DataFrame = {
-    val spark = state.sparkSession
     val d = canonicalEdges(delta).localCheckpoint()
-    // fold unseen endpoints in as singletons
     val dNodes = d.select(col("u").as("node"))
-      .unionAll(d.select(col("v").as("node"))).distinct()
-    val st = state.select(col("node"), col("label"))
-      .unionByName(
-        dNodes.join(state.select("node"), Seq("node"), "left_anti")
-          .select(col("node"), col("node").as("label")))
-      .localCheckpoint()
-    // delta edges in label space: which components fuse
-    val lab = st.withColumnRenamed("node", "_n").withColumnRenamed("label", "_l")
-    val labelPairs = d
-      .join(lab.select(col("_n").as("u"), col("_l").as("la")), "u")
-      .join(lab.select(col("_n").as("v"), col("_l").as("lb")), "v")
+      .unionAll(d.select(col("v").as("node"))).distinct().localCheckpoint()
+    // which delta endpoints the state already knows: the state STREAMS
+    // with the delta node set broadcast — the advance never shuffles or
+    // copies the (possibly huge) state; every state touch below is a
+    // streamed scan against a broadcast delta-sized frame
+    val seenD = state.join(broadcast(dNodes), Seq("node"), "left_semi")
+      .select("node").localCheckpoint()
+    val fresh = dNodes.join(broadcast(seenD), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    val st = state.select(col("node"), col("label")).unionByName(fresh)
+    // delta edges in label space: which components fuse. Two streamed
+    // passes — u-endpoint labels first (delta-sized output), then that
+    // result broadcast into the v-endpoint pass.
+    val dl = st.select(col("node").as("u"), col("label").as("la"))
+      .join(broadcast(d), "u")
+      .select(col("v"), col("la")).localCheckpoint()
+    val labelPairs = st.select(col("node").as("v"), col("label").as("lb"))
+      .join(broadcast(dl), "v")
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("id_a"), col("lb").as("id_b"))
       .distinct()
@@ -135,7 +140,7 @@ object Rank {
     val merged = graft.operators.Dedup.dupClusters(
         labelNodes, "lbl", labelPairs)
       .select(col("lbl").as("label"), col("cluster_id").as("_new"))
-    st.join(merged, Seq("label"), "left")
+    st.join(broadcast(merged), Seq("label"), "left")
       .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
   }
 
@@ -188,9 +193,12 @@ object Rank {
   def bfsAdvance(edges: DataFrame, dist: DataFrame, delta: DataFrame,
                  rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    // NOT checkpointed: the union is scanned once per round (≤ rounds
+    // scans of frames the caller already has materialized or on disk);
+    // pinning it here would copy the whole seen edge set per ADVANCE —
+    // a state-sized write for a delta-sized operation
     val all = edges.select(col("src"), col("dst"))
       .unionByName(delta.select(col("src"), col("dst")))
-      .localCheckpoint()
     var cur = dist.select(col("node"), col("dist")).localCheckpoint()
     // seed: relax every delta edge once from its settled source
     var frontier = delta.select(col("src"), col("dst"))

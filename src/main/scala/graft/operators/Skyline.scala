@@ -48,6 +48,44 @@ object Skyline {
         .unionByName(state.select(col("x"), col("ymax").as("y"))),
       col("x"), col("y"), buckets)
 
+  /** Streaming skyline sink (`foreachBatch` target): the carried front is
+    * microscopic, so snapshot-per-batch persistence costs front-sized
+    * writes — advance(K) folds the batch against the latest snapshot
+    * strictly below K and lands under `front/bid=K` by dynamic partition
+    * overwrite (replay re-derives from the same predecessor → identical
+    * rewrite). Returns `(batch_id, front_size)`. */
+  def paretoBatch(stateDir: String, x: Column, y: Column,
+                  buckets: Int = 64)(batch: DataFrame,
+                                     batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val dir = s"$stateDir/front"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val prior =
+      if (p.getFileSystem(hconf).exists(p)) {
+        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
+        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
+        if (prev == null) pareto2dEmptyState(spark)
+        else snaps.filter(col("bid") === prev.toString.toLong)
+          .select("x", "ymax")
+      } else pareto2dEmptyState(spark)
+    val next = pareto2dAdvance(prior, batch, x, y, buckets).localCheckpoint()
+    next.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(dir)
+    Seq((batchId, next.count())).toDF("batch_id", "front_size")
+  }
+
+  /** The latest persisted [[paretoBatch]] front. */
+  def frontFrom(spark: org.apache.spark.sql.SparkSession,
+                stateDir: String): DataFrame = {
+    val snaps = spark.read.parquet(s"$stateDir/front")
+    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0).longValue
+    snaps.filter(col("bid") === last).select("x", "ymax")
+  }
+
   /** The pareto front of (`x` maximize, `y` maximize) as distinct rows
     * `(x, ymax)` — both columns must be integral (exactness contract). */
   def pareto2d(df: DataFrame, x: Column, y: Column,

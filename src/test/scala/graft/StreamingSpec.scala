@@ -91,6 +91,45 @@ class StreamingSpec extends SparkSpec {
     assert(inc == full, s"$inc vs $full")
   }
 
+  test("rfmBatch sink: snapshot-per-batch monoid state; replay rewrites identically") {
+    val dir = Files.createTempDirectory("graft_rfm_sink").toString
+    def df(rows: Seq[(Long, String, Long)]) = rows.toDF("cust", "d", "cents")
+      .select(col("cust"), col("d").cast("date").as("d"), col("cents"))
+    val b1 = Seq((1L, "1998-06-10", 1000L), (2L, "1998-06-05", 2500L))
+    val b2 = Seq((1L, "1998-06-20", 500L), (3L, "1998-06-15", 100L))
+    val sink = graft.operators.Aggregates.rfmBatch(
+      dir, col("cust"), col("d"), col("cents")) _
+    sink(df(b1), 0L)
+    sink(df(b2), 1L)
+    def snap = graft.operators.Aggregates.rfmStateFrom(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    val after = snap
+    assert(after == Set((1L, "1998-06-20", 2L, 1500L),
+      (2L, "1998-06-05", 1L, 2500L), (3L, "1998-06-15", 1L, 100L)), s"$after")
+    // replay of batch 1 re-derives from snapshot 0 — same content
+    sink(df(b2), 1L)
+    assert(snap == after, "replay must rewrite the same snapshot")
+  }
+
+  test("paretoBatch sink: carried front persists per batch; late dominator evicts") {
+    val dir = Files.createTempDirectory("graft_sky_sink").toString
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
+    val sink = graft.operators.Skyline.paretoBatch(dir, col("x"), col("y")) _
+    sink(df(Seq((1L, 9L), (5L, 5L), (9L, 1L), (3L, 3L))), 0L)
+    val f0 = graft.operators.Skyline.frontFrom(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f0 == Set((1L, 9L), (5L, 5L), (9L, 1L)), s"$f0")
+    sink(df(Seq((10L, 10L))), 1L) // dominates everything
+    val f1 = graft.operators.Skyline.frontFrom(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f1 == Set((10L, 10L)), s"$f1")
+    // replay: same predecessor, same result
+    sink(df(Seq((10L, 10L))), 1L)
+    assert(graft.operators.Skyline.frontFrom(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 10L)))
+  }
+
   test("triangleBatch as a foreachBatch sink: edge stream maintains exact triangle totals") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_tri_sink").toString
