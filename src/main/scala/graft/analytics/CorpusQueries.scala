@@ -317,6 +317,32 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // q128's incremental twin: the NB model state (per-token class counts
+    // + doc priors) is a pure MONOID of integer sums, so labeled slices
+    // fold in by addition — advance ≡ joint retrain exactly, under any
+    // batching. The labeled train slice splits in two; the WHOLE corpus
+    // scores from the state after each fold; the oracle re-trains both
+    // phases from raw text.
+    "q203_incremental_nb" -> { (s, dir) =>
+      import graft.operators.Classify
+      val labeled = messyDocs(s, dir)
+        .withColumn("is_dirty", col("doc_id") % 5 =!= 4)
+      val train = labeled.filter(col("doc_id") % 3 === 0)
+      val (c1r, d1r) = Classify.nbTrainCounts(
+        train.filter(col("doc_id") % 2 === 0), "text", "is_dirty")
+      val (c1, d1) = (c1r.localCheckpoint(), d1r.localCheckpoint())
+      val (c2r, d2r) = Classify.nbCountsAdvance(c1, d1,
+        train.filter(col("doc_id") % 2 =!= 0), "text", "is_dirty")
+      val (c2, d2) = (c2r.localCheckpoint(), d2r.localCheckpoint())
+      def ph(c: org.apache.spark.sql.DataFrame,
+             d: org.apache.spark.sql.DataFrame, phase: String) =
+        Classify.naiveBayesScore(labeled, "doc_id", "text", "is_dirty", c, d)
+          .withColumn("phase", lit(phase))
+      ph(c1, d1, "1_after_b1").unionByName(ph(c2, d2, "2_after_b2"))
+        .select("phase", "doc_id", "label", "pred", "log_odds", "correct")
+        .orderBy("phase", "doc_id")
+    },
+
     // Classifier-vs-heuristic gate report: precision/recall/F1 of the q128
     // Naive Bayes and the q107 Gopher rule ensemble against the same labels
     // on the same corpus — the audit that justifies (or blocks) swapping a
@@ -790,43 +816,53 @@ object CorpusQueries {
        |  FROM documents)""".stripMargin
   }
 
-  /** [[Classify.naiveBayes]] replay as a CTE chain ending in `sc(doc_id,
-    * label, odds)` — labels from the messyDocs rule, training slice
-    * doc_id % 3 == 0, add-one smoothing, position-ordered ln folds.
-    * Shared by the q128 prediction table and the q131 report. */
-  private def nbChainSql: String =
+  /** The tokenization CTEs shared by every NB chain instantiation:
+    * `lab(doc_id, t, y)`, `tk(doc_id, y, w)`, `toks(doc_id, pos, tok)`. */
+  private def nbSharedSql: String =
     """lab AS (SELECT doc_id, t, (doc_id % 5) <> 4 AS y FROM messy),
       |tk AS (
       |  SELECT doc_id, y, list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS w
       |  FROM lab),
       |toks AS (
       |  SELECT doc_id, i.i - 1 AS pos, w[i.i] AS tok
-      |  FROM tk, unnest(range(1, len(w) + 1)) AS i(i)),
-      |ttoks AS (SELECT y, unnest(w) AS tok FROM tk WHERE doc_id % 3 = 0),
-      |cnt AS (
-      |  SELECT tok, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
-      |         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
-      |  FROM ttoks GROUP BY tok),
-      |ts AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v FROM cnt),
-      |ds AS (
-      |  SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS d_pos,
-      |         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS d_neg
-      |  FROM tk WHERE doc_id % 3 = 0),
-      |lp AS (
-      |  SELECT toks.doc_id, toks.pos,
-      |         ln((COALESCE(c.c_pos, 0) + 1)::DOUBLE / (s.n_pos + s.v)::DOUBLE) AS lpp,
-      |         ln((COALESCE(c.c_neg, 0) + 1)::DOUBLE / (s.n_neg + s.v)::DOUBLE) AS lpn
-      |  FROM toks LEFT JOIN cnt c USING (tok) CROSS JOIN ts s),
-      |ag AS (
-      |  SELECT doc_id,
-      |         list_reduce(list_prepend(0.0, list(lpp ORDER BY pos)), (a, x) -> a + x) AS spos,
-      |         list_reduce(list_prepend(0.0, list(lpn ORDER BY pos)), (a, x) -> a + x) AS sneg
-      |  FROM lp GROUP BY doc_id),
-      |sc AS (
-      |  SELECT l.doc_id, l.y AS label,
-      |         ln(d.d_pos::DOUBLE / d.d_neg::DOUBLE)
-      |           + COALESCE(a.spos, 0.0) - COALESCE(a.sneg, 0.0) AS odds
-      |  FROM lab l LEFT JOIN ag a USING (doc_id) CROSS JOIN ds d)""".stripMargin
+      |  FROM tk, unnest(range(1, len(w) + 1)) AS i(i))""".stripMargin
+
+  /** One NB train+score chain over the shared tokenization, name-prefixed
+    * so q203 instantiates TWO training slices in one oracle; ends in
+    * `<p>sc(doc_id, label, odds)`. */
+  private def nbChainSqlOn(p: String, trainWhere: String): String =
+    s"""${p}ttoks AS (SELECT y, unnest(w) AS tok FROM tk WHERE $trainWhere),
+       |${p}cnt AS (
+       |  SELECT tok, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+       |         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+       |  FROM ${p}ttoks GROUP BY tok),
+       |${p}ts AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v FROM ${p}cnt),
+       |${p}ds AS (
+       |  SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS d_pos,
+       |         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS d_neg
+       |  FROM tk WHERE $trainWhere),
+       |${p}lp AS (
+       |  SELECT toks.doc_id, toks.pos,
+       |         ln((COALESCE(c.c_pos, 0) + 1)::DOUBLE / (s.n_pos + s.v)::DOUBLE) AS lpp,
+       |         ln((COALESCE(c.c_neg, 0) + 1)::DOUBLE / (s.n_neg + s.v)::DOUBLE) AS lpn
+       |  FROM toks LEFT JOIN ${p}cnt c USING (tok) CROSS JOIN ${p}ts s),
+       |${p}ag AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(0.0, list(lpp ORDER BY pos)), (a, x) -> a + x) AS spos,
+       |         list_reduce(list_prepend(0.0, list(lpn ORDER BY pos)), (a, x) -> a + x) AS sneg
+       |  FROM ${p}lp GROUP BY doc_id),
+       |${p}sc AS (
+       |  SELECT l.doc_id, l.y AS label,
+       |         ln(d.d_pos::DOUBLE / d.d_neg::DOUBLE)
+       |           + COALESCE(a.spos, 0.0) - COALESCE(a.sneg, 0.0) AS odds
+       |  FROM lab l LEFT JOIN ${p}ag a USING (doc_id) CROSS JOIN ${p}ds d)""".stripMargin
+
+  /** [[Classify.naiveBayes]] replay as a CTE chain ending in `sc(doc_id,
+    * label, odds)` — labels from the messyDocs rule, training slice
+    * doc_id % 3 == 0, add-one smoothing, position-ordered ln folds.
+    * Shared by the q128 prediction table and the q131 report. */
+  private def nbChainSql: String =
+    nbSharedSql + ",\n" + nbChainSqlOn("", "doc_id % 3 = 0")
 
   /** The q130 Kneser-Ney train+score CTE chain (WITH ... agg), shared by
     * the q130 prediction table and q135's curriculum ordering. */
@@ -1597,6 +1633,25 @@ out_$k AS (
          |       ROUND(odds, 4) + 0.0 AS log_odds,
          |       (odds > 0.0) = label AS correct
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // The chained incremental-NB oracle: the full train+score chain
+    // instantiated at BOTH cumulative training slices — equality with the
+    // engine's count-fold state is the advance ≡ retrain proof.
+    "q203_incremental_nb" ->
+      s"""WITH $messySql,
+         |$nbSharedSql,
+         |${nbChainSqlOn("p", "doc_id % 3 = 0 AND doc_id % 2 = 0")},
+         |${nbChainSqlOn("q", "doc_id % 3 = 0")}
+         |SELECT phase, doc_id, label, pred, log_odds, correct FROM (
+         |  SELECT '1_after_b1' AS phase, doc_id, label, odds > 0.0 AS pred,
+         |         ROUND(odds, 4) + 0.0 AS log_odds,
+         |         (odds > 0.0) = label AS correct
+         |  FROM psc
+         |  UNION ALL
+         |  SELECT '2_after_b2', doc_id, label, odds > 0.0,
+         |         ROUND(odds, 4) + 0.0, (odds > 0.0) = label
+         |  FROM qsc)
+         |ORDER BY phase, doc_id""".stripMargin,
 
     // q131: the q128 NB chain + the q107 gopher keep verdict, folded into a
     // two-row precision/recall/F1 report (zero-denominator ratios define to

@@ -594,6 +594,27 @@ object TextQueries {
     "q78_unigram_nll" -> { (s, dir) =>
       graft.operators.LmScore.unigramNll(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // q77's incremental twin: the BM25 corpus stats (N, Σlen, per-term df)
+    // are ONE row of integer sums — a monoid — so each ingest batch folds
+    // in by addition without rescanning the corpus (the incremental
+    // search-index discipline). Top-20 scored from the state after each
+    // fold; the oracle recomputes stats from both cumulative slices.
+    "q204_incremental_bm25" -> { (s, dir) =>
+      val bm = graft.operators.Bm25
+      val docs = Tables.documents(s, dir)
+      val st1 = bm.statsOf(docs.filter(col("doc_id") % 2 === 0),
+        "text", Bm25Terms).localCheckpoint()
+      val st2 = bm.statsAdvance(st1, docs.filter(col("doc_id") % 2 =!= 0),
+        "text", Bm25Terms).localCheckpoint()
+      def top(stats: org.apache.spark.sql.DataFrame, phase: String) =
+        bm.scoreWith(docs, "doc_id", "text", Bm25Terms, stats)
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .withColumn("phase", lit(phase))
+      top(st1, "1_after_b1").unionByName(top(st2, "2_after_b2"))
+        .select("phase", "doc_id", "score")
+        .orderBy(col("phase"), col("score").desc, col("doc_id"))
     }
   )
 
@@ -606,6 +627,33 @@ object TextQueries {
     * place). Identical IEEE op order to Bm25.score: ((idf * tf) * (k1+1)) /
     * (tf + k1*((1-b) + b*len/avglen)); all literals exact doubles; raw
     * (unrounded) score so callers replicate the raw-positivity filter. */
+  /** One BM25 stats+score chain over the shared `w` tf projection, names
+    * prefixed so q204 instantiates TWO stats slices (scoring ALL docs each
+    * time) in one oracle; ends in `<p>sc(doc_id, raw)`. */
+  private def bm25ChainOn(p: String, statsWhere: String): String =
+    s"""${p}s AS (
+       |  SELECT COUNT(*) AS n, SUM(dlen) AS sumlen,
+       |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+       |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+       |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+       |  FROM w WHERE $statsWhere),
+       |${p}p AS (
+       |  SELECT doc_id,
+       |         CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+       |           + CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE)
+       |             / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))) AS nrm,
+       |         CAST(tf0 AS DOUBLE) AS d0, CAST(tf1 AS DOUBLE) AS d1, CAST(tf2 AS DOUBLE) AS d2,
+       |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) AS idf0,
+       |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) AS idf1,
+       |         LN(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) AS idf2
+       |  FROM w CROSS JOIN ${p}s),
+       |${p}sc AS (
+       |  SELECT doc_id,
+       |         idf0 * d0 * CAST(2.2 AS DOUBLE) / (d0 + nrm)
+       |             + idf1 * d1 * CAST(2.2 AS DOUBLE) / (d1 + nrm)
+       |             + idf2 * d2 * CAST(2.2 AS DOUBLE) / (d2 + nrm) AS raw
+       |  FROM ${p}p)""".stripMargin
+
   private[analytics] val Bm25OracleCtes: String =
     """WITH t AS (
       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
@@ -1691,6 +1739,30 @@ object TextQueries {
          |WHERE raw > 0
          |ORDER BY score DESC, doc_id
          |LIMIT 20""".stripMargin,
+
+    // The chained incremental-BM25 oracle: stats recomputed from both
+    // cumulative slices, all docs scored against each — equality with the
+    // engine's folded 1-row state is the advance ≡ recompute proof.
+    "q204_incremental_bm25" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+         |w AS (
+         |  SELECT doc_id, len(toks) AS dlen,
+         |         len(list_filter(toks, x -> x = 'table')) AS tf0,
+         |         len(list_filter(toks, x -> x = 'merge')) AS tf1,
+         |         len(list_filter(toks, x -> x = 'spark')) AS tf2
+         |  FROM t),
+         |${bm25ChainOn("u", "doc_id % 2 = 0")},
+         |${bm25ChainOn("v", "TRUE")}
+         |SELECT phase, doc_id, score FROM (
+         |  SELECT '1_after_b1' AS phase, doc_id, score FROM (
+         |    SELECT doc_id, ROUND(raw, 4) AS score FROM usc
+         |    WHERE raw > 0 ORDER BY score DESC, doc_id LIMIT 20)
+         |  UNION ALL
+         |  SELECT '2_after_b2', doc_id, score FROM (
+         |    SELECT doc_id, ROUND(raw, 4) AS score FROM vsc
+         |    WHERE raw > 0 ORDER BY score DESC, doc_id LIMIT 20))
+         |ORDER BY phase, score DESC, doc_id""".stripMargin,
 
     // same ordered fold as LmScore.unigramNll: nll list in pos order,
     // list_reduce left fold seeded with 0.0, divide by n, round 4dp

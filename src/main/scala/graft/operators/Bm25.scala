@@ -28,22 +28,63 @@ object Bm25 {
   /** Per-document BM25 scores for `terms` (exact token match); rows with
     * score 0 (no term present) are dropped. Output: (idCol, score). */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "BM25 needs at least one query term")
-    val toks = docs.select(col(idCol),
-      graft.functions.Text.tokens(col(textCol)).as("__w"))
+            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreWith(docs, idCol, textCol, terms,
+      statsOf(docs, textCol, terms), k1, b)
+
+  /** Per-doc document length + per-term term frequencies — the projection
+    * both the stats pass and the scoring pass share. */
+  private def withTfOf(docs: DataFrame, idCol: Option[String],
+                       textCol: String, terms: Seq[String]): DataFrame = {
+    val toks = docs.select(
+      (idCol.map(col).toSeq :+
+        graft.functions.Text.tokens(col(textCol)).as("__w")): _*)
     def tf(t: String): Column =
       size(filter(col("__w"), x => x === lit(t)))
-    val withTf = toks.select(
-      col(idCol) +: size(col("__w")).as("__len") +:
-        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
+    toks.select(
+      (idCol.map(col).toSeq ++ (size(col("__w")).as("__len") +:
+        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") })): _*)
+  }
 
-    // one row of corpus stats: N, Σlen, df per term
+  /** The BM25 corpus-stats STATE for `terms`: ONE row `(__n, __sumlen,
+    * __df0..__df{k-1})` — all exact integer sums, i.e. a monoid:
+    * [[statsAdvance]] folds a new document batch in by addition, landing
+    * exactly the state a full recompute would build (q204's chained
+    * oracle). At 100 TB this is the incremental search-index discipline:
+    * df/N/avglen maintain per ingest batch without rescanning the corpus;
+    * only the slice being SCORED is ever scanned at query time. */
+  def statsOf(docs: DataFrame, textCol: String,
+              terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val withTf = withTfOf(docs, None, textCol, terms)
     val aggs = count(lit(1)).as("__n") +: sum(col("__len")).as("__sumlen") +:
       terms.indices.map(i =>
         sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
-    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    withTf.agg(aggs.head, aggs.tail: _*)
+  }
 
+  /** Advance the stats state with one document batch — 1-row + 1-row
+    * integer addition, exact under any batching. */
+  def statsAdvance(state: DataFrame, batch: DataFrame, textCol: String,
+                   terms: Seq[String]): DataFrame = {
+    val b = statsOf(batch, textCol, terms)
+      .select((col("__n").as("_bn") +: col("__sumlen").as("_bs") +:
+        terms.indices.map(i => col(s"__df$i").as(s"_bd$i"))): _*)
+    state.crossJoin(b)
+      .select(((col("__n") + col("_bn")).as("__n") +:
+        (col("__sumlen") + col("_bs")).as("__sumlen") +:
+        terms.indices.map(i =>
+          (col(s"__df$i") + col(s"_bd$i")).as(s"__df$i"))): _*)
+  }
+
+  /** Score `docs` against a GIVEN stats state (freshly aggregated or
+    * incrementally advanced) — the [[score]] math, replay contract
+    * unchanged. */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], stats: DataFrame,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val withTf = withTfOf(docs, Some(idCol), textCol, terms)
     val scored = withTf.crossJoin(broadcast(stats))
       .withColumn("__avglen",
         col("__sumlen").cast("double") / col("__n").cast("double"))

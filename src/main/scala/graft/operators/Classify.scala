@@ -50,19 +50,66 @@ object Classify {
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: String, trainPred: Column,
                  broadcastVocab: Boolean = true): DataFrame = {
-    val train = docs.filter(trainPred)
+    val (counts, docStats) =
+      nbTrainCounts(docs.filter(trainPred), textCol, labelCol)
+    naiveBayesScore(docs, idCol, textCol, labelCol, counts, docStats,
+      broadcastVocab)
+  }
+
+  /** The NB model STATE from one labeled slice: the vocabulary-sized
+    * per-token class counts and the 1-row doc priors — all exact integer
+    * SUMS, i.e. a monoid: states from disjoint slices merge by addition
+    * ([[nbCountsAdvance]]) into exactly the state a joint train would
+    * build, which is what makes the classifier §2.9-incremental under any
+    * batching. */
+  def nbTrainCounts(train: DataFrame, textCol: String,
+                    labelCol: String): (DataFrame, DataFrame) = {
     val counts = train
       .select(col(labelCol).as("__y"), explode(Text.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("c_neg"))
-    // one-row stats: class token totals + vocab size, and doc priors
-    val tokStats = counts.agg(
-      sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
-      count(lit(1)).as("v"))
     val docStats = train.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("d_pos"),
       sum(when(!col(labelCol), 1L).otherwise(0L)).as("d_neg"))
+    (counts, docStats)
+  }
+
+  /** Advance the NB state with one labeled batch: per-token counts merge
+    * by a full-outer SUM (one shuffle sized by |vocab state| + |batch
+    * vocab|, never the corpus), priors add — a pure monoid, exact under
+    * any batching including out-of-order late labels. Returns the merged
+    * `(counts, docStats)`. */
+  def nbCountsAdvance(stateCounts: DataFrame, stateDocStats: DataFrame,
+                      batch: DataFrame, textCol: String,
+                      labelCol: String): (DataFrame, DataFrame) = {
+    val (bc, bd) = nbTrainCounts(batch, textCol, labelCol)
+    val counts = stateCounts.join(
+        bc.withColumnRenamed("c_pos", "_bp").withColumnRenamed("c_neg", "_bn"),
+        Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("c_pos"), lit(0L)) + coalesce(col("_bp"), lit(0L)))
+          .as("c_pos"),
+        (coalesce(col("c_neg"), lit(0L)) + coalesce(col("_bn"), lit(0L)))
+          .as("c_neg"))
+    val ds = stateDocStats.select(col("d_pos").as("_sp"), col("d_neg").as("_sn"))
+      .crossJoin(bd)
+      .select((col("_sp") + col("d_pos")).as("d_pos"),
+        (col("_sn") + col("d_neg")).as("d_neg"))
+    (counts, ds)
+  }
+
+  /** Score `docs` from a given NB state (trained or incrementally
+    * advanced) — the [[naiveBayes]] scoring half, exact-replay contract
+    * unchanged. */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, counts: DataFrame,
+                      docStats: DataFrame,
+                      broadcastVocab: Boolean = true): DataFrame = {
+    // one-row stats: class token totals + vocab size
+    val tokStats = counts.agg(
+      sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+      count(lit(1)).as("v"))
     val toks = docs.select(col(idCol),
       posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
     // the count table is vocab-sized, which on a labeled WEB-scale slice

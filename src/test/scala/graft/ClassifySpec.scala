@@ -67,6 +67,60 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(got._4 - 0.6931) < 1e-9) // roundLikeC(ln 2, 4)
   }
 
+  test("nbCountsAdvance: monoid fold ≡ joint train; scores from advanced state ≡ one-shot") {
+    import graft.operators.Classify
+    val docs = Seq(
+      (1L, "spam spam buy now", true),
+      (2L, "hello friendly letter", false),
+      (3L, "buy spam cheap", true),
+      (4L, "friendly hello again", false),
+      (5L, "spam hello", true),
+      (6L, "a clean note", false)).toDF("id", "text", "y")
+    // adversarial split: classes unbalanced per batch, shared vocab across
+    val b1 = docs.filter(col("id") <= 2)
+    val b2 = docs.filter(col("id") > 2)
+    val (c1, d1) = Classify.nbTrainCounts(b1, "text", "y")
+    val (cAdv, dAdv) = Classify.nbCountsAdvance(
+      c1.localCheckpoint(), d1.localCheckpoint(), b2, "text", "y")
+    val (cJoint, dJoint) = Classify.nbTrainCounts(docs, "text", "y")
+    def cnt(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cnt(cAdv) == cnt(cJoint), "advanced counts must equal joint train")
+    assert(dAdv.head() == dJoint.head())
+    // and the classifier built from the advanced state is row-identical
+    val fromAdv = Classify.naiveBayesScore(docs, "id", "text", "y",
+      cAdv.localCheckpoint(), dAdv.localCheckpoint()).collect().toSeq
+    val oneShot = Classify.naiveBayes(docs, "id", "text", "y",
+      lit(true)).collect().toSeq
+    assert(fromAdv.sortBy(_.getLong(0)) == oneShot.sortBy(_.getLong(0)))
+    // reversed batch order: same state (monoid commutes)
+    val (c1b, d1b) = Classify.nbTrainCounts(b2, "text", "y")
+    val (cRev, dRev) = Classify.nbCountsAdvance(
+      c1b.localCheckpoint(), d1b.localCheckpoint(), b1, "text", "y")
+    assert(cnt(cRev) == cnt(cJoint) && dRev.head() == dJoint.head())
+  }
+
+  test("Bm25.statsAdvance: folded stats ≡ recompute; scores from the state ≡ one-shot") {
+    import graft.operators.Bm25
+    val docs = Seq(
+      (1L, "spark table merge table"),
+      (2L, "merge only here"),
+      (3L, "nothing relevant"),
+      (4L, "spark spark table")).toDF("id", "text")
+    val terms = Seq("table", "merge", "spark")
+    val s1 = Bm25.statsOf(docs.filter(col("id") <= 2), "text", terms)
+      .localCheckpoint()
+    val adv = Bm25.statsAdvance(s1, docs.filter(col("id") > 2), "text", terms)
+    assert(adv.head() == Bm25.statsOf(docs, "text", terms).head(),
+      "folded stats must equal the recompute")
+    val fromState = Bm25.scoreWith(docs, "id", "text", terms,
+        adv.localCheckpoint())
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val oneShot = Bm25.score(docs, "id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(fromState == oneShot)
+  }
+
   test("prReport: counts, ratios, and zero-denominator definitions") {
     val rows = Seq(
       (true, true, false), (true, true, false), (true, false, false),
