@@ -194,6 +194,23 @@ class RankSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst"))) == want)
   }
 
+  test("componentsAdvance plan guard: the state only streams — no sort-merge join touches it") {
+    import spark.implicits._
+    val state = (0L until 2000L).map(i => (i, i)).toDF("node", "label")
+      .localCheckpoint()
+    val delta = Seq((1L, 2L), (3L, 4L), (5L, 2001L)).toDF("src", "dst")
+    val adv = Rank.componentsAdvance(state, delta)
+    val plan = adv.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"every state touch must be a broadcast-streamed scan: $plan")
+    // and the result is still the recompute
+    val want = graft.operators.Dedup.dupClusters(
+        state.select("node").unionByName(Seq(2001L).toDF("node")), "node",
+        Rank.canonicalEdges(delta), "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+  }
+
   test("bfsAdvance: relaxation from delta edges equals from-scratch BFS of the union") {
     import spark.implicits._
     def dists(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
