@@ -129,6 +129,30 @@ object SessionQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // q38's incremental twin: each watermark load re-sessionizes ONLY the
+    // batch, then stitches at the boundary — each user's last state
+    // session vs first batch session, one merge-or-not decision by
+    // exactly q38's gap rule (a merge cannot cascade: state sessions are
+    // already gap-separated, and so are batch sessions). Totals carry as
+    // exact DECIMAL inside the state so stitched sums equal a recompute's.
+    // Output is the full session table after each phase; the oracle
+    // recomputes q38 from raw events at both.
+    "q205_incremental_sessions" -> { (s, dir) =>
+      val sess = graft.operators.Sessions
+      val ev = Tables.events(s, dir)
+      val split = lit(WatermarkSplit).cast("timestamp")
+      val gapSec = GapMinutes * 60L
+      val st1 = sess.advance(sess.emptyState(s), ev.filter(col("ts") < split),
+        col("user_id"), col("ts"), col("value"), gapSec).localCheckpoint()
+      val st2 = sess.advance(st1, ev.filter(col("ts") >= split),
+        col("user_id"), col("ts"), col("value"), gapSec).localCheckpoint()
+      sess.report(st1).withColumn("phase", lit("1_after_b1"))
+        .unionByName(sess.report(st2).withColumn("phase", lit("2_after_b2")))
+        .select("phase", "user_id", "session_no", "session_start",
+          "session_end", "n_events", "total_value")
+        .orderBy("phase", "user_id", "session_no")
+    },
+
     // q192's incremental twin — the reference's watermark protocol (§2.9)
     // applied to the funnel: events split at a mid-month watermark, each
     // half advances an entity-grain cascade state by a pure min/merge
@@ -237,6 +261,30 @@ object SessionQueries {
 
   def rowsOnly: Set[String] = Set.empty
 
+  /** One q38 sessionization chain, name-prefixed so q205 instantiates two
+    * event slices in one oracle; ends in `<p>r(user_id, session_no,
+    * session_start, session_end, n_events, total_value)`. */
+  private def sessChainOn(p: String, whereClause: String): String =
+    s"""${p}m AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+       |  FROM events $whereClause),
+       |${p}f AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |                   OR date_diff('second', prev_ts, ts) > ${GapMinutes * 60}
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM ${p}m),
+       |${p}n AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM ${p}f),
+       |${p}r AS (
+       |  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       |         MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |         COUNT(*) AS n_events,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |  FROM ${p}n GROUP BY user_id, session_no)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q39_approx_distinct" ->
       """SELECT event_type,
@@ -324,6 +372,19 @@ object SessionQueries {
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY cohort, date_diff('day', cohort, d)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // The chained incremental-sessions oracle: q38 recomputed from raw
+    // events at both watermark phases — equality with the engine's
+    // stitched state is the incremental ≡ recompute proof.
+    "q205_incremental_sessions" ->
+      s"""WITH ${sessChainOn("u", s"WHERE ts < TIMESTAMP '$WatermarkSplit'")},
+         |${sessChainOn("v", "")}
+         |SELECT phase, user_id, session_no, session_start, session_end,
+         |       n_events, total_value FROM (
+         |  SELECT '1_after_b1' AS phase, * FROM ur
+         |  UNION ALL
+         |  SELECT '2_after_b2', * FROM vr)
+         |ORDER BY phase, user_id, session_no""".stripMargin,
 
     // The chained incremental-funnel oracle: the q192 cascade recomputed
     // from raw events at BOTH watermark phases — equality with the

@@ -78,6 +78,42 @@ class FunnelSpec extends SparkSpec {
     assert(counts(st) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("Sessions.advance: boundary sessions stitch exactly; separated ones don't; chain ≡ recompute") {
+    import graft.operators.Sessions
+    val gapSec = 30 * 60L
+    def ev(rows: Seq[(Long, Timestamp, Double)]) = rows.toDF("u", "ts", "v")
+    val all = Seq(
+      // u1: one session spanning the boundary (14 min gap at the split)
+      (1L, ts2("10:00"), 1.0), (1L, ts2("10:20"), 2.0),
+      (1L, ts2("10:34"), 3.0), (1L, ts2("10:50"), 4.0),
+      // u2: boundary gap of exactly 31 min — stays TWO sessions
+      (2L, ts2("10:00"), 5.0), (2L, ts2("10:55"), 6.0),
+      // u3: all activity before the boundary
+      (3L, ts2("09:30"), 7.0),
+      // u4: all activity after, two sessions within the batch
+      (4L, ts2("11:00"), 8.0), (4L, ts2("12:00"), 9.0))
+    val split = ts2("10:24")
+    val (b1, b2) = all.partition(_._2.before(split))
+    val st1 = Sessions.advance(Sessions.emptyState(spark), ev(b1),
+      col("u"), col("ts"), col("v"), gapSec).localCheckpoint()
+    val st2 = Sessions.advance(st1, ev(b2),
+      col("u"), col("ts"), col("v"), gapSec).localCheckpoint()
+    def rows(d: org.apache.spark.sql.DataFrame) = Sessions.report(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getDouble(5))).toSet
+    val want = rows(Sessions.advance(Sessions.emptyState(spark), ev(all),
+      col("u"), col("ts"), col("v"), gapSec))
+    assert(rows(st2) == want, "chained ≡ one-shot recompute")
+    val u1 = rows(st2).filter(_._1 == 1L)
+    assert(u1.size == 1 && u1.head._5 == 4L && u1.head._6 == 10.0,
+      s"u1's boundary session must stitch into one 4-event session: $u1")
+    assert(rows(st2).count(_._1 == 2L) == 2,
+      "u2's 31-min boundary gap must stay two sessions")
+    assert(rows(st2).count(_._1 == 4L) == 2)
+  }
+
+  private def ts2(hm: String) = Timestamp.valueOf(s"2026-01-01 $hm:00")
+
   test("rfmAdvance: monoid merge ≡ recompute, exact under out-of-order back-fill") {
     def tsd(d: Int) = java.sql.Date.valueOf(f"1998-06-$d%02d")
     val all = Seq(
