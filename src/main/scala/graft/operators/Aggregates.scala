@@ -340,12 +340,18 @@ object Aggregates {
     Seq((batchId, next.count())).toDF("batch_id", "n_entities")
   }
 
-  /** The latest persisted [[rfmBatch]] snapshot. */
+  /** The latest persisted [[rfmBatch]] snapshot — or the empty state when
+    * the dir exists but holds no snapshot yet (read before the first batch
+    * commits, or after a compaction emptied it): max(bid) over zero rows is
+    * NULL, and the same null-check [[rfmBatch]]'s own prior-read applies
+    * must hold here too instead of an NPE. */
   def rfmStateFrom(spark: org.apache.spark.sql.SparkSession,
                    stateDir: String): DataFrame = {
     val snaps = spark.read.parquet(s"$stateDir/state")
-    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0).longValue
-    snaps.filter(col("bid") === last).select("_e", "_last", "_freq", "_cents")
+    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
+    if (last == null) rfmEmptyState(spark)
+    else snaps.filter(col("bid") === last.longValue)
+      .select("_e", "_last", "_freq", "_cents")
   }
 
   /** RFM segmentation: per-entity recency/frequency/monetary metrics, each

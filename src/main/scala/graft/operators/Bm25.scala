@@ -57,9 +57,15 @@ object Bm25 {
               terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     val withTf = withTfOf(docs, None, textCol, terms)
-    val aggs = count(lit(1)).as("__n") +: sum(col("__len")).as("__sumlen") +:
+    // coalesce(sum, 0): SUM over zero rows is NULL, so without it an empty
+    // batch would be (__n=0, __sumlen=NULL, __df*=NULL) and statsAdvance's
+    // additions would null-poison the folded state — with it, the empty
+    // batch is exactly the monoid identity the advance contract promises
+    val aggs = count(lit(1)).as("__n") +:
+      coalesce(sum(col("__len")), lit(0L)).as("__sumlen") +:
       terms.indices.map(i =>
-        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+        coalesce(sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)), lit(0L))
+          .as(s"__df$i"))
     withTf.agg(aggs.head, aggs.tail: _*)
   }
 

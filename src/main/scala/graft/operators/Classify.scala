@@ -69,9 +69,12 @@ object Classify {
       .groupBy("tok").agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("c_neg"))
+    // coalesce(sum, 0): an EMPTY labeled batch must be the monoid identity
+    // (d_pos=0, d_neg=0), not a NULL row that would poison the crossJoin
+    // addition in [[nbCountsAdvance]] and silently corrupt the prior state
     val docStats = train.agg(
-      sum(when(col(labelCol), 1L).otherwise(0L)).as("d_pos"),
-      sum(when(!col(labelCol), 1L).otherwise(0L)).as("d_neg"))
+      coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L)).as("d_pos"),
+      coalesce(sum(when(!col(labelCol), 1L).otherwise(0L)), lit(0L)).as("d_neg"))
     (counts, docStats)
   }
 

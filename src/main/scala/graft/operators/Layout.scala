@@ -287,8 +287,20 @@ object Layout {
     * reads, and when drift was found the healed index is re-landed so the
     * window closes instead of being re-paid forever. The happy path
     * (no drift) adds one listing + one tiny-sidecar collect and writes
-    * nothing. */
-  def validatedSkipIndex(spark: SparkSession, dir: String): DataFrame = {
+    * nothing.
+    *
+    * READ paths get the healed frame IN-MEMORY ONLY (`persistHealed` =
+    * false, the default): a pruned scan must never require write
+    * permission on the dataset directory, and two concurrent readers
+    * healing the same drift must not race each other's overwrite of
+    * `_skipindex`. Only the explicit maintenance entry point
+    * ([[optimizeIncremental]], which already owns the single-writer
+    * window) passes `persistHealed = true`, and the landing is staged:
+    * the healed index is written to a temp sidecar and swapped in with
+    * two renames, so a concurrent reader sees either the old index or
+    * the new one, never a partially-written directory. */
+  def validatedSkipIndex(spark: SparkSession, dir: String,
+                         persistHealed: Boolean = false): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = listDataFiles(hconf, dir)
     val idx = readSkipIndex(spark, dir)
@@ -309,7 +321,21 @@ object Layout {
       val fresh = live.filterNot(idxFiles.contains)
       val healed = kept.unionByName(buildSkipIndexFiles(spark, fresh, statsCols))
         .localCheckpoint()
-      healed.coalesce(1).write.mode("overwrite").parquet(s"$dir/$SKIPINDEX")
+      if (persistHealed) {
+        // stage-then-swap: land the healed index beside the live one, then
+        // rename old→trash, new→live, trash deleted last — a reader racing
+        // this sees a complete directory at every instant
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val liveP = new org.apache.hadoop.fs.Path(s"$dir/$SKIPINDEX")
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val stageP = new org.apache.hadoop.fs.Path(s"$dir/${SKIPINDEX}__stage-$stamp")
+        val trashP = new org.apache.hadoop.fs.Path(s"$dir/${SKIPINDEX}__old-$stamp")
+        healed.coalesce(1).write.mode("overwrite").parquet(stageP.toString)
+        if (fs.exists(liveP)) fs.rename(liveP, trashP)
+        fs.rename(stageP, liveP)
+        fs.delete(trashP, true)
+      }
       healed
     }
   }
@@ -483,8 +509,10 @@ object Layout {
     val bloomCols = Option(metaRow.getAs[String]("bloom_cols"))
       .filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil)
     // validated: a prior optimize that died between its data commit and
-    // its index rewrite heals HERE, before this run plans against it
-    val idx = validatedSkipIndex(spark, baseDir)
+    // its index rewrite heals HERE, before this run plans against it —
+    // and this maintenance entry point is the ONE place the healed index
+    // persists back to disk (read paths heal in-memory only)
+    val idx = validatedSkipIndex(spark, baseDir, persistHealed = true)
     val statsCols = idx.columns.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 

@@ -51,7 +51,10 @@ object Sessions {
       .agg(min(col("_ts")).as("session_start"),
         max(col("_ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("_v")).as("total"))
+        // cast the SUM-widened decimal(28,2) back to the state grain so the
+        // schema [[advance]] returns never drifts from [[emptyState]]'s
+        // contract (a hazard for persisted state / strict unionByName)
+        sum(col("_v")).cast("decimal(18,2)").as("total"))
       .drop("_sno")
   }
 

@@ -78,12 +78,15 @@ object Skyline {
     Seq((batchId, next.count())).toDF("batch_id", "front_size")
   }
 
-  /** The latest persisted [[paretoBatch]] front. */
+  /** The latest persisted [[paretoBatch]] front — or the empty front when
+    * the dir exists but holds no snapshot yet (max(bid) over zero rows is
+    * NULL; the same null-check the batch path's prior-read applies). */
   def frontFrom(spark: org.apache.spark.sql.SparkSession,
                 stateDir: String): DataFrame = {
     val snaps = spark.read.parquet(s"$stateDir/front")
-    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0).longValue
-    snaps.filter(col("bid") === last).select("x", "ymax")
+    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
+    if (last == null) pareto2dEmptyState(spark)
+    else snaps.filter(col("bid") === last.longValue).select("x", "ymax")
   }
 
   /** The pareto front of (`x` maximize, `y` maximize) as distinct rows

@@ -121,6 +121,27 @@ class ClassifySpec extends SparkSpec {
     assert(fromState == oneShot)
   }
 
+  test("empty batch is the monoid IDENTITY for statsAdvance / nbCountsAdvance (no null poison)") {
+    import graft.operators.{Bm25, Classify}
+    val docs = Seq((1L, "spark table", true), (2L, "merge here", false))
+      .toDF("id", "text", "y")
+    val none = docs.filter(lit(false))
+    // BM25: advancing with an empty ingest batch must leave the state
+    // bit-identical — a NULL sum would poison every later scoreWith
+    val terms = Seq("table", "merge")
+    val s = Bm25.statsOf(docs, "text", terms).localCheckpoint()
+    val sAdv = Bm25.statsAdvance(s, none, "text", terms).head()
+    assert(sAdv == s.head(), s"empty-batch advance drifted: $sAdv")
+    assert(!sAdv.anyNull, "state must stay non-null after an empty batch")
+    // NB: same contract for the prior state
+    val (c, d) = Classify.nbTrainCounts(docs, "text", "y")
+    val (cAdv, dAdv) = Classify.nbCountsAdvance(
+      c.localCheckpoint(), d.localCheckpoint(), none, "text", "y")
+    assert(dAdv.head() == d.head() && !dAdv.head().anyNull)
+    assert(cAdv.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      c.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("prReport: counts, ratios, and zero-denominator definitions") {
     val rows = Seq(
       (true, true, false), (true, true, false), (true, false, false),

@@ -110,6 +110,12 @@ class FunnelSpec extends SparkSpec {
     assert(rows(st2).count(_._1 == 2L) == 2,
       "u2's 31-min boundary gap must stay two sessions")
     assert(rows(st2).count(_._1 == 4L) == 2)
+    // schema stability: the advance must not let SUM widen the state's
+    // total past the emptyState contract (decimal(18,2) forever)
+    val want18 = org.apache.spark.sql.types.DecimalType(18, 2)
+    assert(st1.schema("total").dataType == want18 &&
+      st2.schema("total").dataType == want18,
+      s"state total drifted: ${st2.schema("total").dataType}")
   }
 
   private def ts2(hm: String) = Timestamp.valueOf(s"2026-01-01 $hm:00")

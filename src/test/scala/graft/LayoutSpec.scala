@@ -267,4 +267,49 @@ class LayoutSpec extends SparkSpec {
       "event_id", "user_id", key = Seq("event_id"))
     assert(ids() == want, "keyed replay of the same batch must be a no-op")
   }
+
+  test("drift heal: read paths heal IN-MEMORY only; persistHealed lands the index via staged swap") {
+    val dir = tmp("heal")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Layout.clusterByZOrder(ev, "event_id", "user_id", dir)
+
+    def idxState(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir, "_skipindex")).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(p => p.toString -> Files.size(p))
+        .toMap
+    }
+    // create drift: delete one data file out from under the landed index
+    val victim = spark.read.parquet(dir).inputFiles.head
+    Files.delete(Paths.get(new java.net.URI(victim)))
+    val before = idxState()
+
+    // a pruned read over the FULL key range: correct rows (dead entry
+    // dropped in-memory — no FileNotFound), and the on-disk index is
+    // untouched (read paths must not need write permission, and two
+    // concurrent readers must not race an overwrite)
+    val maxE = ev.agg(max("event_id")).head().getLong(0)
+    val got = Layout.readPruned(spark, dir, "event_id", 0L, maxE).count()
+    val live = spark.read.parquet(dir).count()
+    assert(got == live, s"healed read returned $got of $live live rows")
+    assert(idxState() == before, "a READ path rewrote _skipindex")
+
+    // the maintenance entry point persists the heal; the landed index
+    // matches the live listing exactly
+    Layout.validatedSkipIndex(spark, dir, persistHealed = true)
+    assert(idxState() != before, "persistHealed must land the healed index")
+    def norm(s: String): String = s.replaceFirst("^file:/+", "/")
+    val idxFiles = Layout.readSkipIndex(spark, dir)
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    val liveFiles = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    assert(idxFiles == liveFiles)
+    // and no stage/trash residue from the swap
+    locally {
+      import scala.jdk.CollectionConverters._
+      assert(!Files.list(Paths.get(dir)).iterator().asScala
+        .exists(_.getFileName.toString.contains("__")),
+        "staged-swap residue left behind")
+    }
+  }
 }

@@ -112,6 +112,23 @@ class StreamingSpec extends SparkSpec {
     assert(snap == after, "replay must rewrite the same snapshot")
   }
 
+  test("rfmStateFrom/frontFrom: a state dir with NO snapshots reads as the empty state, not an NPE") {
+    // simulates a read before the first batch commits / after compaction
+    // emptied the dir: schema present, zero rows → max(bid) is NULL
+    val rdir = Files.createTempDirectory("graft_rfm_empty").toString
+    graft.operators.Aggregates.rfmEmptyState(spark)
+      .withColumn("bid", org.apache.spark.sql.functions.lit(0L))
+      .filter(org.apache.spark.sql.functions.lit(false))
+      .write.parquet(s"$rdir/state")
+    assert(graft.operators.Aggregates.rfmStateFrom(spark, rdir).count() == 0L)
+    val sdir = Files.createTempDirectory("graft_sky_empty").toString
+    graft.operators.Skyline.pareto2dEmptyState(spark)
+      .withColumn("bid", org.apache.spark.sql.functions.lit(0L))
+      .filter(org.apache.spark.sql.functions.lit(false))
+      .write.parquet(s"$sdir/front")
+    assert(graft.operators.Skyline.frontFrom(spark, sdir).count() == 0L)
+  }
+
   test("paretoBatch sink: carried front persists per batch; late dominator evicts") {
     val dir = Files.createTempDirectory("graft_sky_sink").toString
     def df(rows: Seq[(Long, Long)]) = rows.toDF("x", "y")
