@@ -166,11 +166,18 @@ object LayoutQueries {
     // bounds (out-of-range ids clamp to edge buckets) — the property that
     // makes the layout incrementally maintainable at all.
     "q178_zorder_optimize" -> { (s, dir) =>
-      val base = PrepQueries.scratchTempDir("graft_q178_")
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Layout.clusterByZOrder(ev.filter(col("event_id") % 10 =!= 0),
-        "event_id", "user_id", base, Bits, CellBits)
+      // the pristine 90% base z-layout is deterministic in the data:
+      // build it ONCE per suite, and since optimizeIncremental MUTATES
+      // its base, restore a fresh copy per run by plain file copy — the
+      // suite then measures the optimize, not the base's rebuild
+      // (shuffle + z-sort + footer index) on every warmup+run
+      val pristine = PrepQueries.cachedFixture("q178_base", dir) { d =>
+        Layout.clusterByZOrder(ev.filter(col("event_id") % 10 =!= 0),
+          "event_id", "user_id", d, Bits, CellBits)
+      }
+      val base = PrepQueries.copyFixtureToScratch(pristine, "graft_q178_")
       val batch = ev.filter(col("event_id") % 10 === 0)
       Layout.optimizeIncremental(s, base, batch, "event_id", "user_id")
         .select(col("zcell"), col("rows_base"), col("rows_added"),

@@ -52,6 +52,52 @@ object PrepQueries {
     dir.toString
   }
 
+  /** Suite-scoped FIXTURE cache: an expensive, deterministic query input
+    * (q178's pristine z-order base, q175's fragment shards) builds ONCE
+    * per (key, data dir) per JVM and is reused across every warmup+run of
+    * a bench suite — so the suite measures the OPERATOR, not the fixture's
+    * rebuild I/O (the r11 verdict's q178 diagnosis: 14.3 s in-suite vs
+    * 4.66 s isolated was fixture rebuild amplifying host noise). Entries
+    * are registered under a unique key so the re-run eager-reclaim never
+    * fires on them; the shared exit hook reclaims them at JVM end.
+    * Correctness is untouched: the fixture content is deterministic in
+    * the data alone, and a single Verify pass builds it exactly as
+    * before. */
+  private val fixtureRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[analytics] def cachedFixture(key: String, dataDir: String)
+                                      (build: String => Unit): String =
+    fixtureRegistry.computeIfAbsent(s"$key|$dataDir", _ => {
+      scratchHook
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.Bench.scratchDir()), s"graft_fix_${key}_")
+      scratchRegistry.put(s"fixture|$key|$dataDir", dir)
+      build(dir.toString)
+      dir.toString
+    })
+
+  /** Restore a cached fixture into a fresh per-run scratch dir by local
+    * file copy — for queries that MUTATE their fixture (q178's optimize
+    * rewrites base cells). A recursive copy is pure sequential I/O; the
+    * shuffle+sort+footer-index work of rebuilding the layout is what the
+    * cache saves. */
+  private[analytics] def copyFixtureToScratch(src: String,
+                                              prefix: String): String = {
+    val dst = scratchTempDir(prefix)
+    val srcP = java.nio.file.Paths.get(src)
+    val dstP = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(srcP).forEach { p =>
+      val t = dstP.resolve(srcP.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(t); ()
+      } else {
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+    dst
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic training-order shuffle: seeded mix2 permutation +
@@ -657,30 +703,32 @@ object PrepQueries {
       import s.implicits._
       import graft.operators.Multimodal
       import graft.sources.WebDataset
-      val frag = scratchTempDir("graft_q175_frag_")
-      val outc = scratchTempDir("graft_q175_out_")
-      val media = Tables.documents(s, dir).select("doc_id", "text")
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
-        }).toDF("doc_id", "bmp", "text")
-        .localCheckpoint() // feeds both fragment exports
       // 32 KiB fragments: a 4× fragmentation factor against the target
       // budget (~500 fragment shards at sf0.1 — plenty to prove the
       // re-layout; a per-shard directory-listing cost would surface here,
       // which is exactly why the writer sweeps per task — the 8 KiB
       // first cut of this fixture measured 84 s on exactly that
-      // quadratic before the sweep moved to task grain)
-      def land(half: DataFrame, name: String): String = {
-        val d = s"$frag/$name"
-        WebDataset.writeShards(half, d, col("doc_id"),
-          Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
-          maxBytesPerShard = 32768L)
-        d
+      // quadratic before the sweep moved to task grain). The fragment
+      // layout is deterministic in the data and READ-ONLY under
+      // compactShards, so it builds once per suite (cachedFixture) and
+      // every warmup+run measures only the compaction itself.
+      val frag = cachedFixture("q175_frag", dir) { fragDir =>
+        val media = Tables.documents(s, dir).select("doc_id", "text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
+          }).toDF("doc_id", "bmp", "text")
+          .localCheckpoint() // feeds both fragment exports
+        def land(half: DataFrame, name: String): Unit =
+          WebDataset.writeShards(half, s"$fragDir/$name", col("doc_id"),
+            Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
+            maxBytesPerShard = 32768L)
+        land(media.filter(col("doc_id") % 2 === 0), "batch_id=0")
+        land(media.filter(col("doc_id") % 2 =!= 0), "batch_id=1")
       }
-      val a = land(media.filter(col("doc_id") % 2 === 0), "batch_id=0")
-      val b = land(media.filter(col("doc_id") % 2 =!= 0), "batch_id=1")
-      WebDataset.compactShards(s, Seq(a, b), outc,
+      val outc = scratchTempDir("graft_q175_out_")
+      WebDataset.compactShards(s,
+          Seq(s"$frag/batch_id=0", s"$frag/batch_id=1"), outc,
           Seq("bmp", "txt"), maxBytesPerShard = 131072L)
         .select("shard", "n_samples", "n_members", "n_bytes", "payload_bytes")
         .orderBy("shard")
