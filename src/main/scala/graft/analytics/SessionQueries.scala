@@ -234,6 +234,60 @@ object SessionQueries {
         .orderBy("phase", "r_q", "f_q", "m_q")
     },
 
+    // q196's LATE-DATA twin: batch 2 deliberately contains events EARLIER
+    // than batch 1's max (the event_id % 7 == 3 stragglers held back past
+    // the watermark), which the pure min/merge fold cannot absorb — the
+    // late-aware advance detects them, recomputes ONLY the affected
+    // entities from an entity-scoped history rescan, and merges back. The
+    // oracle recomputes both phases from raw events: late-aware
+    // incremental ≡ recompute, under out-of-order delivery.
+    "q207_funnel_late" -> { (s, dir) =>
+      val agg = graft.operators.Aggregates
+      val steps = Seq("1_view" -> (col("event_type") === "view"),
+        "2_click" -> (col("event_type") === "click"),
+        "3_purchase" -> (col("event_type") === "purchase"))
+      val ev = Tables.events(s, dir)
+      val split = lit(WatermarkSplit).cast("timestamp")
+      val b1 = ev.filter(col("ts") < split && col("event_id") % 7 =!= 3)
+      val b2 = ev.filter(col("ts") >= split || col("event_id") % 7 === 3)
+      val st1 = agg.funnelAdvance(agg.funnelEmptyState(s, steps.length),
+          b1, col("user_id"), col("ts"), steps)
+        .localCheckpoint()
+      val st2 = agg.funnelAdvanceLate(st1, b2, b1, col("user_id"), col("ts"),
+          steps, java.sql.Timestamp.valueOf(WatermarkSplit))
+        .localCheckpoint()
+      val names = steps.map(_._1)
+      agg.funnelStateCounts(st1, names).withColumn("phase", lit("1_after_b1"))
+        .unionByName(agg.funnelStateCounts(st2, names)
+          .withColumn("phase", lit("2_after_b2")))
+        .select("phase", "step", "step_idx", "entities")
+        .orderBy("phase", "step_idx")
+    },
+
+    // q205's LATE-DATA twin: the held-back stragglers can extend, bridge,
+    // or chain-merge their users' EXISTING sessions — the boundary stitch
+    // cannot express that, so the late-aware advance re-sessionizes only
+    // the affected users from entity-scoped history and replaces their
+    // rows. Oracle: full re-sessionization at both phases.
+    "q208_sessions_late" -> { (s, dir) =>
+      val sess = graft.operators.Sessions
+      val ev = Tables.events(s, dir)
+      val split = lit(WatermarkSplit).cast("timestamp")
+      val gapSec = GapMinutes * 60L
+      val b1 = ev.filter(col("ts") < split && col("event_id") % 7 =!= 3)
+      val b2 = ev.filter(col("ts") >= split || col("event_id") % 7 === 3)
+      val st1 = sess.advance(sess.emptyState(s), b1,
+        col("user_id"), col("ts"), col("value"), gapSec).localCheckpoint()
+      val st2 = sess.advanceLate(st1, b2, b1, col("user_id"), col("ts"),
+          col("value"), gapSec, java.sql.Timestamp.valueOf(WatermarkSplit))
+        .localCheckpoint()
+      sess.report(st1).withColumn("phase", lit("1_after_b1"))
+        .unionByName(sess.report(st2).withColumn("phase", lit("2_after_b2")))
+        .select("phase", "user_id", "session_no", "session_start",
+          "session_end", "n_events", "total_value")
+        .orderBy("phase", "user_id", "session_no")
+    },
+
     // The PORTABLE HLL closes q39's gap: approx_count_distinct's sketch is
     // engine-internal (tolerance-gated above), but these registers are the
     // mixp hash split 8/23 with an integer-only rank, so the oracle replays
@@ -417,6 +471,53 @@ object SessionQueries {
          |  UNION ALL SELECT '2_after_b2', '2_click', 1, (SELECT count(*) FROM f2)
          |  UNION ALL SELECT '2_after_b2', '3_purchase', 2, (SELECT count(*) FROM f3))
          |ORDER BY phase, step_idx""".stripMargin,
+
+    // Late-funnel oracle: phase 1 excludes the held-back stragglers,
+    // phase 2 is the full recompute — the late-aware advance must land
+    // exactly there despite folding, not rescanning, the on-time rows.
+    "q207_funnel_late" ->
+      s"""WITH e1 AS (SELECT * FROM events
+         |            WHERE ts < TIMESTAMP '$WatermarkSplit'
+         |              AND event_id % 7 != 3),
+         |a1 AS (SELECT user_id, min(ts) AS t FROM e1
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |a2 AS (SELECT e.user_id, min(e.ts) AS t FROM e1 e
+         |       JOIN a1 ON e.user_id = a1.user_id AND e.ts > a1.t
+         |       WHERE e.event_type = 'click' GROUP BY 1),
+         |a3 AS (SELECT e.user_id, min(e.ts) AS t FROM e1 e
+         |       JOIN a2 ON e.user_id = a2.user_id AND e.ts > a2.t
+         |       WHERE e.event_type = 'purchase' GROUP BY 1),
+         |f1 AS (SELECT user_id, min(ts) AS t FROM events
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |f2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+         |       WHERE e.event_type = 'click' GROUP BY 1),
+         |f3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+         |       WHERE e.event_type = 'purchase' GROUP BY 1)
+         |SELECT phase, step, step_idx, entities FROM (
+         |  SELECT '1_after_b1' AS phase, '1_view' AS step, 0 AS step_idx,
+         |         (SELECT count(*) FROM a1) AS entities
+         |  UNION ALL SELECT '1_after_b1', '2_click', 1, (SELECT count(*) FROM a2)
+         |  UNION ALL SELECT '1_after_b1', '3_purchase', 2, (SELECT count(*) FROM a3)
+         |  UNION ALL SELECT '2_after_b2', '1_view', 0, (SELECT count(*) FROM f1)
+         |  UNION ALL SELECT '2_after_b2', '2_click', 1, (SELECT count(*) FROM f2)
+         |  UNION ALL SELECT '2_after_b2', '3_purchase', 2, (SELECT count(*) FROM f3))
+         |ORDER BY phase, step_idx""".stripMargin,
+
+    // Late-sessions oracle: phase 1 sessionizes the on-time slice, phase 2
+    // the FULL event set — the engine's state after the late-aware advance
+    // must equal that full re-sessionization row for row.
+    "q208_sessions_late" ->
+      s"""WITH ${sessChainOn("u",
+             s"WHERE ts < TIMESTAMP '$WatermarkSplit' AND event_id % 7 != 3")},
+         |${sessChainOn("v", "")}
+         |SELECT phase, user_id, session_no, session_start, session_end,
+         |       n_events, total_value FROM (
+         |  SELECT '1_after_b1' AS phase, * FROM ur
+         |  UNION ALL
+         |  SELECT '2_after_b2', * FROM vr)
+         |ORDER BY phase, user_id, session_no""".stripMargin,
 
     // The chained incremental-retention oracle: the q193 matrix
     // recomputed from raw events at both phases.

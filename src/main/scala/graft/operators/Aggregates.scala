@@ -127,8 +127,9 @@ object Aggregates {
     * thresholding against the just-advanced previous step — reproduces
     * the full recompute exactly (q196's chained oracle and FunnelSpec's
     * bootstrap+delta property pin it). Late out-of-order data breaks the
-    * contract exactly as it breaks q17: route late rows through a
-    * recompute, not this fold.
+    * contract exactly as it breaks q17 — [[funnelAdvanceLate]] is the
+    * late-aware route: it detects the violating rows and recomputes ONLY
+    * the affected entities from an entity-scoped history rescan.
     *
     * Scale: state is entity-grain, the batch is event-grain; each step is
     * one filtered batch aggregate plus one keyed join against state —
@@ -160,6 +161,48 @@ object Aggregates {
         }): _*)
     }
     cur
+  }
+
+  /** LATE-AWARE funnel advance — [[funnelAdvance]] plus the recompute
+    * route its watermark contract demands (the reference re-extracts
+    * anything `created_at > wm` regardless of event order; this keeps the
+    * same robustness for the fold). Semantics: the result equals a full
+    * recompute over `history ∪ batch`, for ANY batch — including one
+    * carrying events EARLIER than previously folded ones.
+    *
+    * Mechanics: rows with `ts <= watermark` (the max event time folded
+    * before this batch — the caller's extract-log value, the q17
+    * protocol) violate the fold's ordering assumption. Their entities are
+    * collected as the AFFECTED set; everyone else's fold is exact, so the
+    * plain [[funnelAdvance]] runs on the whole batch and only the
+    * affected entities' rows are then REPLACED by a from-scratch cascade
+    * over `history ∪ batch` restricted to those entities — a left-semi
+    * join against the broadcast affected set, so the rescan's row volume
+    * scales with the affected entities' event counts, never the corpus
+    * (and when the history table is bucketed or clustered by entity the
+    * scan prunes too). No late rows ⇒ the history scan never runs at all
+    * (the empty-check short-circuit — at 100 TB an always-on rescan join
+    * would silently re-read the archive every batch). */
+  def funnelAdvanceLate(state: DataFrame, batch: DataFrame,
+                        history: DataFrame, entity: Column, ts: Column,
+                        steps: Seq[(String, Column)],
+                        watermark: java.sql.Timestamp): DataFrame = {
+    val spark = state.sparkSession
+    val lateE = batch.filter(ts <= lit(watermark))
+      .select(entity.cast("long").as("_e")).distinct().localCheckpoint()
+    val folded = funnelAdvance(state, batch, entity, ts, steps)
+    if (lateE.head(1).isEmpty) folded
+    else {
+      def sliceOf(df: DataFrame): DataFrame =
+        df.join(broadcast(lateE), entity.cast("long") === lateE("_e"),
+          "left_semi")
+      val affected = sliceOf(history).unionByName(sliceOf(batch))
+      // fold-from-empty over one frame IS the recompute (the within-batch
+      // cascade thresholds each step against the just-advanced previous)
+      val recomputed = funnelAdvance(
+        funnelEmptyState(spark, steps.length), affected, entity, ts, steps)
+      folded.join(lateE, Seq("_e"), "left_anti").unionByName(recomputed)
+    }
   }
 
   /** [[funnel]]-shaped report off the incremental state: ONE aggregate

@@ -106,6 +106,35 @@ object Sessions {
     stateKeep.unionByName(batchKeep).unionByName(merged)
   }
 
+  /** LATE-AWARE advance — [[advance]] plus the recompute route its
+    * watermark contract demands. A batch row with `ts <= watermark` (the
+    * max event time folded before this batch, the caller's extract-log
+    * value) can extend, bridge, or chain-merge that user's EXISTING
+    * sessions — none of which the boundary stitch can express — so those
+    * users re-sessionize from scratch over `history ∪ batch` restricted
+    * to them (left-semi join against the broadcast affected-user set: the
+    * rescan's row volume scales with the affected users' event counts,
+    * never the archive) and REPLACE their rows in the folded state.
+    * Everyone else's boundary stitch is exact. Result ≡ a full
+    * re-sessionization of `history ∪ batch`, for any batch; no late rows
+    * ⇒ the history scan never runs (empty-check short-circuit). */
+  def advanceLate(state: DataFrame, batch: DataFrame, history: DataFrame,
+                  user: Column, ts: Column, value: Column, gapSec: Long,
+                  watermark: java.sql.Timestamp): DataFrame = {
+    val lateU = batch.filter(ts <= lit(watermark))
+      .select(user.cast("long").as("_u")).distinct().localCheckpoint()
+    val folded = advance(state, batch, user, ts, value, gapSec)
+    if (lateU.head(1).isEmpty) folded
+    else {
+      def sliceOf(df: DataFrame): DataFrame =
+        df.join(broadcast(lateU), user.cast("long") === lateU("_u"),
+          "left_semi")
+      val recomputed = sessionsOf(
+        sliceOf(history).unionByName(sliceOf(batch)), user, ts, value, gapSec)
+      folded.join(lateU, Seq("_u"), "left_anti").unionByName(recomputed)
+    }
+  }
+
   /** q38-shaped report off the state: per-user session numbering from the
     * interval order, totals cast to double at the edge. */
   def report(state: DataFrame): DataFrame =

@@ -72,6 +72,72 @@ class FunnelSpec extends SparkSpec {
     assert(counts(st2) == Map("a" -> 6L, "b" -> 4L, "c" -> 3L))
   }
 
+  test("funnelAdvanceLate: a late batch ≡ full recompute; no late rows ≡ the plain fold") {
+    // watermark = minute 10. b2 carries LATE rows (ts <= wm) that the pure
+    // fold cannot absorb — each shape below would come out wrong without
+    // the recompute route:
+    val all = Seq(
+      // u1: late A at minute 1 UNLOCKS a history B at minute 2 that the
+      // phase-1 fold discarded (no A yet) — fold-only would miss b
+      (1L, ts(2), "B"), (1L, ts(1), "A"),
+      // u2: late A EARLIER than its state _t0 re-anchors the cascade: the
+      // history B at minute 3 then counts (old anchor was minute 5)
+      (2L, ts(5), "A"), (2L, ts(3), "B"), (2L, ts(1), "A"),
+      // u3: on-time rows only — must take the plain fold path untouched
+      (3L, ts(4), "A"), (3L, ts(12), "B"),
+      // u4: late row for an entity the state never saw
+      (4L, ts(6), "A"))
+    val b1 = Seq(all(0), all(2), all(3), all(5))            // history: ts <= 10 on time
+    val b2 = Seq(all(1), all(4), all(6), all(7))            // late A's + u3's fresh B + u4
+    val hist = b1.toDF("u", "ts", "t")
+    val st1 = advance(Aggregates.funnelEmptyState(spark, steps.length), b1)
+    val st2 = Aggregates.funnelAdvanceLate(st1, b2.toDF("u", "ts", "t"), hist,
+      col("u"), col("ts"), steps, ts(10)).localCheckpoint()
+    assert(counts(st2) == run(all), s"late advance must equal recompute: ${counts(st2)} vs ${run(all)}")
+    // u1 and u2 reach b ONLY via the recompute route
+    val byU = st2.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byU(1L).getTimestamp(2) != null, "u1's unlocked history B must count")
+    assert(byU(2L).getTimestamp(1) == ts(1), "u2's anchor must move to the late A")
+    assert(byU(2L).getTimestamp(2) == ts(3), "u2's history B must count off the new anchor")
+    // and a batch with NO late rows short-circuits to the plain fold
+    val fresh = Seq((3L, ts(15), "C"))
+    val viaLate = Aggregates.funnelAdvanceLate(st2, fresh.toDF("u", "ts", "t"),
+      all.toDF("u", "ts", "t"), col("u"), col("ts"), steps, ts(12))
+    val viaFold = advance(st2, fresh)
+    assert(viaLate.collect().toSet == viaFold.collect().toSet)
+  }
+
+  test("Sessions.advanceLate: late rows bridge/extend existing sessions ≡ full re-sessionization") {
+    import graft.operators.Sessions
+    val gapSec = 30 * 60L
+    def ev(rows: Seq[(Long, Timestamp, Double)]) = rows.toDF("u", "ts", "v")
+    val all = Seq(
+      // u1: two phase-1 sessions 40 min apart; a LATE bridge event at
+      // 10:20 lands within the gap of both → they chain-merge into one
+      (1L, ts2("10:00"), 1.0), (1L, ts2("10:40"), 2.0), (1L, ts2("10:20"), 3.0),
+      // u2: a late event BEFORE its first session, past the gap → a new
+      // earlier session appears (session_no renumbers)
+      (2L, ts2("10:00"), 4.0), (2L, ts2("08:00"), 5.0),
+      // u3: on-time only — plain boundary stitch must still apply
+      (3L, ts2("10:00"), 6.0), (3L, ts2("11:10"), 7.0))
+    val wm = ts2("10:45")
+    val b1 = Seq(all(0), all(1), all(3), all(5))
+    val b2 = Seq(all(2), all(4), all(6))
+    val st1 = Sessions.advance(Sessions.emptyState(spark), ev(b1),
+      col("u"), col("ts"), col("v"), gapSec).localCheckpoint()
+    val st2 = Sessions.advanceLate(st1, ev(b2), ev(b1),
+      col("u"), col("ts"), col("v"), gapSec, wm).localCheckpoint()
+    def rows(d: org.apache.spark.sql.DataFrame) = Sessions.report(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getDouble(5))).toSet
+    val want = rows(Sessions.advance(Sessions.emptyState(spark), ev(all),
+      col("u"), col("ts"), col("v"), gapSec))
+    assert(rows(st2) == want, s"late advance ≠ recompute:\n${rows(st2)}\nvs\n$want")
+    assert(rows(st2).count(_._1 == 1L) == 1, "u1's bridge must chain-merge to ONE session")
+    assert(rows(st2).filter(_._1 == 2L).map(_._2) == Set(1L, 2L),
+      "u2's late earlier session must renumber to session 1")
+  }
+
   test("within-batch cascade: a user can complete several steps in one advance") {
     val st = advance(Aggregates.funnelEmptyState(spark, steps.length),
       Seq((1L, ts(1), "A"), (1L, ts(2), "B"), (1L, ts(3), "C")))
