@@ -56,6 +56,47 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // q105's incremental twin — mini-batch k-means via the IVF
+    // train-then-add discipline: centroids train ONCE on the seed corpus
+    // and FREEZE; each batch folds per-(cell, dim) exact-integer
+    // sum/count statistics into a k×dim monoid state (never rescanning
+    // prior batches); one frozen-init Lloyd step off the folded state
+    // yields exactly the update a full sweep over the union would give.
+    // Output: the phase-tagged reassignment-drift matrix of the
+    // incremental centroids' assignment vs the FULL Lloyd retrain —
+    // diagonal rows are agreement, off-diagonal the drift a pipeline
+    // monitors to decide when to retrain the quantizer. Exact integers
+    // end to end, so the whole chain (train, fold, step, both
+    // assignments) replays in the oracle.
+    "q206_kmeans_advance" -> { (s, dir) =>
+      val f = graft.operators.Features
+      val emb = Tables.embeddings(s, dir)
+      val seed = emb.filter(col("vec_id") % 3 =!= 0)
+      val b2 = emb.filter(col("vec_id") % 3 === 0)
+      val frozen = f.kmeansCentroids(seed, "vec_id", "embedding", 8, 2)
+      val st1 = f.kmeansCellStats(seed, "vec_id", "embedding", frozen)
+        .localCheckpoint()
+      val st2 = f.kmeansStatsAdvance(st1, b2, "vec_id", "embedding", frozen)
+        .localCheckpoint()
+      val c1 = f.kmeansCentroidsFrom(st1, frozen)
+      val c2 = f.kmeansCentroidsFrom(st2, frozen)
+      def drift(scope: org.apache.spark.sql.DataFrame,
+                inc: Seq[(Int, Seq[Long])], phase: String) = {
+        val i = f.kmeansAssignWith(scope, "vec_id", "embedding", inc)
+          .select(col("vec_id"), col("cell").as("cell_inc"),
+            col("dist").as("d_inc"))
+        val r = f.kmeansAssign(scope, "vec_id", "embedding", 8, 2)
+          .select(col("vec_id"), col("cell").as("cell_full"))
+        i.join(r, "vec_id").groupBy("cell_inc", "cell_full")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("d_inc")).as("dist_sum"))
+          .withColumn("phase", lit(phase))
+      }
+      drift(seed, c1, "1_after_b1")
+        .unionByName(drift(emb, c2, "2_after_b2"))
+        .select("phase", "cell_inc", "cell_full", "n_vecs", "dist_sum")
+        .orderBy("phase", "cell_inc", "cell_full")
+    },
+
     // Per-cell clustering-quality audit: population, mean distance, mean
     // SIMPLIFIED silhouette ((b-a)/max(a,b), the linear-time variant) —
     // run before trusting q106 sampling or q73 SemDeDup cells.
@@ -319,44 +360,65 @@ object SimilarityQueries {
     * L2 argmin assignment (a_t, ties to lowest cell) and a
     * round(sum/count) centroid update (c_t, empty cells keep the old
     * centroid), ending with the final assignment CTE `a${iters+1}`. */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String =
+    "WITH " + kmeansCtesP("", "embeddings", k, iters, dim)
+
+  /** [[kmeansCtes]] as a composable fragment: every CTE name prefixed with
+    * `p` (so several chains — seed-train, full-corpus train — can share
+    * one WITH), sourced from `src`, and WITHOUT the leading WITH. */
+  private def kmeansCtesP(p: String, src: String, k: Int, iters: Int,
+                          dim: Int): String = {
     val d1 = dim + 1
-    def assign(t: Int): String =
-      s"""a$t AS (
-         |  SELECT vec_id, cell, q, d FROM (
-         |    SELECT vec_id, cell, q, d,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |    FROM (SELECT x.vec_id, c.cell, x.q,
-         |                 list_sum(list_transform(range(1, $d1),
-         |                   i -> (x.q[i]-c.cvec[i])*(x.q[i]-c.cvec[i]))) AS d
-         |          FROM qx x CROSS JOIN c${t - 1} c))
-         |  WHERE rn = 1)""".stripMargin
+    def assign(t: Int): String = kmeansAssignCte(s"${p}a$t", s"${p}qx",
+      s"${p}c${t - 1}", dim)
     def update(t: Int): String =
-      s"""s$t AS (
-         |  SELECT cell, i.i AS pos, SUM(q[i.i]) AS s, COUNT(*) AS n
-         |  FROM a$t, (SELECT unnest(range(1, $d1)) AS i) i
-         |  GROUP BY cell, i.i),
-         |n$t AS (
-         |  SELECT cell, list(CAST(round(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY pos) AS nvec
-         |  FROM s$t GROUP BY cell),
-         |c$t AS (
-         |  SELECT p.cell, COALESCE(m.nvec, p.cvec) AS cvec
-         |  FROM c${t - 1} p LEFT JOIN n$t m ON p.cell = m.cell)""".stripMargin
+      kmeansUpdateCtes(s"${p}s$t", s"${p}n$t", s"${p}c$t", s"${p}a$t",
+        s"${p}c${t - 1}", dim)
     val sweeps = (1 to iters).map(t => assign(t) + ",\n" + update(t))
     val chain = (sweeps :+ assign(iters + 1)).mkString(",\n")
-    s"""WITH qx AS (
+    s"""${p}qx AS (
        |  SELECT vec_id,
        |         list_transform(CAST(embedding AS DOUBLE[]),
        |                        x -> CAST(round(x*10000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |hashed AS (
-       |  SELECT vec_id, q, $Mix2Sql AS h FROM qx),
-       |c0 AS (
+       |  FROM $src),
+       |${p}hashed AS (
+       |  SELECT vec_id, q, $Mix2Sql AS h FROM ${p}qx),
+       |${p}c0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, q AS cvec
-       |  FROM hashed
+       |  FROM ${p}hashed
        |  QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $k),
        |$chain""".stripMargin
   }
+
+  /** One exact-int64 argmin assignment CTE: `name` assigns `qxCte`'s
+    * vectors to `centCte`'s centroids (ties to the lowest cell). */
+  private def kmeansAssignCte(name: String, qxCte: String, centCte: String,
+                              dim: Int): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell, q, d FROM (
+       |    SELECT vec_id, cell, q, d,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM (SELECT x.vec_id, c.cell, x.q,
+       |                 list_sum(list_transform(range(1, ${dim + 1}),
+       |                   i -> (x.q[i]-c.cvec[i])*(x.q[i]-c.cvec[i]))) AS d
+       |          FROM $qxCte x CROSS JOIN $centCte c))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The round(sum/count) centroid-update CTE triplet off an assignment
+    * CTE (empty cells keep the previous centroid). */
+  private def kmeansUpdateCtes(sName: String, nName: String, cName: String,
+                               assignCte: String, prevCent: String,
+                               dim: Int): String =
+    s"""$sName AS (
+       |  SELECT cell, i.i AS pos, SUM(q[i.i]) AS s, COUNT(*) AS n
+       |  FROM $assignCte, (SELECT unnest(range(1, ${dim + 1})) AS i) i
+       |  GROUP BY cell, i.i),
+       |$nName AS (
+       |  SELECT cell, list(CAST(round(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY pos) AS nvec
+       |  FROM $sName GROUP BY cell),
+       |$cName AS (
+       |  SELECT p.cell, COALESCE(m.nvec, p.cvec) AS cvec
+       |  FROM $prevCent p LEFT JOIN $nName m ON p.cell = m.cell)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -367,6 +429,41 @@ object SimilarityQueries {
       s"""${kmeansCtes(k = 8, iters = 2, dim = Dim)}
          |SELECT vec_id, CAST(cell AS INT) AS cell, CAST(d AS BIGINT) AS dist
          |FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // q206: three composed chains in one WITH — t* trains on the seed with
+    // a THIRD sweep (ta3 = full-Lloyd-on-seed reference; tc3 = the
+    // incremental phase-1 centroids, because the folded seed state IS
+    // sweep 3's aggregate; ta4 = assignment under them), g* is the full
+    // Lloyd retrain on everything, f* replays the phase-2 fold: assign the
+    // FULL corpus to the frozen tc2, one update step, re-assign. Drift
+    // matrices join inc vs full per phase; every quantity an exact BIGINT.
+    "q206_kmeans_advance" -> {
+      val seedSrc = "(SELECT * FROM embeddings WHERE vec_id % 3 != 0)"
+      s"""WITH ${kmeansCtesP("t", seedSrc, 8, 3, Dim)},
+         |${kmeansCtesP("g", "embeddings", 8, 2, Dim)},
+         |fqx AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round(x*10000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |${kmeansAssignCte("fa", "fqx", "tc2", Dim)},
+         |${kmeansUpdateCtes("fs", "fn", "fc", "fa", "tc2", Dim)},
+         |${kmeansAssignCte("fu", "fqx", "fc", Dim)},
+         |p1 AS (
+         |  SELECT '1_after_b1' AS phase, i.cell AS cell_inc, r.cell AS cell_full,
+         |         COUNT(*) AS n_vecs, SUM(CAST(i.d AS BIGINT)) AS dist_sum
+         |  FROM ta4 i JOIN ta3 r USING (vec_id) GROUP BY 2, 3),
+         |p2 AS (
+         |  SELECT '2_after_b2' AS phase, i.cell AS cell_inc, r.cell AS cell_full,
+         |         COUNT(*) AS n_vecs, SUM(CAST(i.d AS BIGINT)) AS dist_sum
+         |  FROM fu i JOIN ga3 r USING (vec_id) GROUP BY 2, 3)
+         |SELECT phase, CAST(cell_inc AS INT) AS cell_inc,
+         |       CAST(cell_full AS INT) AS cell_full,
+         |       CAST(n_vecs AS BIGINT) AS n_vecs,
+         |       CAST(dist_sum AS BIGINT) AS dist_sum
+         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         |ORDER BY phase, cell_inc, cell_full""".stripMargin
+    },
 
     // q144: q105's trained centroids (c2), all-centroid distances per vec,
     // argmin + nearest-other via the same (d, cell) tie rule, simplified

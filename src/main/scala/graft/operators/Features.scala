@@ -158,6 +158,69 @@ object Features {
     cents
   }
 
+  /** The trained k×dim integer centroid matrix alone — the FROZEN
+    * quantizer for the mini-batch path ([[kmeansCellStats]] /
+    * [[kmeansStatsAdvance]] / [[kmeansCentroidsFrom]]), the IVF
+    * train-then-add discipline applied to k-means. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Seq[(Int, Seq[Long])] =
+    kmeansTrain(quantized(df, idCol, vecCol), k, iters)
+
+  /** Per-(cell, dim) EXACT sufficient statistics of one batch under a
+    * frozen centroid matrix: `(cell, pos, s, n)` — integer component sums
+    * and counts from the exact-int64 argmin assignment. This is the
+    * k-means STATE: a pure monoid (sums add), so states from disjoint
+    * batches merge into exactly what a single pass over their union would
+    * compute — the NB/BM25 incremental discipline applied to clustering. */
+  def kmeansCellStats(df: DataFrame, idCol: String, vecCol: String,
+                      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    assignQuantized(quantized(df, idCol, vecCol), cents)
+      .select(col("cell"), posexplode(col("__q")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+
+  /** Advance the k-means state with one vector batch: per-(cell, pos)
+    * full-outer SUM merge — one shuffle sized k·dim + k·dim, never the
+    * corpus. An empty batch is the monoid identity by construction (its
+    * stats frame is empty; coalesce keeps the state side). */
+  def kmeansStatsAdvance(state: DataFrame, batch: DataFrame, idCol: String,
+                         vecCol: String,
+                         cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val b = kmeansCellStats(batch, idCol, vecCol, cents)
+      .withColumnRenamed("s", "_bs").withColumnRenamed("n", "_bn")
+    state.join(b, Seq("cell", "pos"), "full_outer")
+      .select(col("cell"), col("pos"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("_bs"), lit(0L))).as("s"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_bn"), lit(0L))).as("n"))
+  }
+
+  /** One frozen-init Lloyd step off the folded state: centroid =
+    * `round(s/n)` per (cell, pos) — exactly the update a full sweep over
+    * every batch's union would produce from the frozen matrix, because
+    * the state IS that sweep's aggregate. Cells no batch row ever reached
+    * keep their frozen centroid (the empty-cell rule of the batch
+    * trainer). Only k×dim longs reach the driver. */
+  def kmeansCentroidsFrom(state: DataFrame,
+                          frozen: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] = {
+    val rows = state.select(col("cell").cast("int"), col("pos").cast("int"),
+        col("s"), col("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byCell = rows.groupBy(_._1).view.mapValues { rs =>
+      rs.sortBy(_._2).map { case (_, _, s, n) =>
+        roundHalfAway(s.toDouble / n)
+      }.toSeq
+    }.toMap
+    frozen.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
+  }
+
+  /** Assignment under a GIVEN centroid matrix (frozen or incrementally
+    * advanced) — [[kmeansAssign]]'s scoring half, same exact-integer
+    * distances and tie rule. */
+  def kmeansAssignWith(df: DataFrame, idCol: String, vecCol: String,
+                       cents: Seq[(Int, Seq[Long])]): DataFrame =
+    assignQuantized(quantized(df, idCol, vecCol), cents)
+      .select(col("__id").as(idCol), col("cell"), col("dist"))
+
   /** Candidate-set quality report — the measurement half of approximate
     * dedup: given CANDIDATE pairs (e.g. MinHash-LSH) and GROUND-TRUTH pairs
     * (exact Jaccard ≥ τ on the same corpus), emit one row of

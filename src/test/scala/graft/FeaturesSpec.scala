@@ -99,6 +99,40 @@ class FeaturesSpec extends SparkSpec {
     assert(o2 <= o0, s"Lloyd sweeps should not raise total distortion: $o0 -> $o2")
   }
 
+  test("kmeans mini-batch advance: folded stats ≡ one-pass stats; frozen step ≡ full sweep; empty batch is identity") {
+    val rows = (0 until 24).map { i =>
+      val base = if (i < 12) -1.0f else 1.0f
+      (i.toLong, Seq(base + i * 0.001f, 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val b1 = df.filter(col("vec_id") % 3 =!= 0)
+    val b2 = df.filter(col("vec_id") % 3 === 0)
+    val frozen = Features.kmeansCentroids(b1, "vec_id", "embedding", 2, 2)
+    def statsSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val st1 = Features.kmeansCellStats(b1, "vec_id", "embedding", frozen)
+      .localCheckpoint()
+    val st2 = Features.kmeansStatsAdvance(st1, b2, "vec_id", "embedding", frozen)
+    // monoid: the two-batch fold equals the one-pass stats over the union
+    assert(statsSet(st2) ==
+      statsSet(Features.kmeansCellStats(df, "vec_id", "embedding", frozen)))
+    // and the frozen-init step off the folded state equals a direct full
+    // sweep: assignments under both centroid sets are identical
+    val viaState = Features.kmeansCentroidsFrom(st2.localCheckpoint(), frozen)
+    val direct = Features.kmeansCentroidsFrom(
+      Features.kmeansCellStats(df, "vec_id", "embedding", frozen), frozen)
+    assert(viaState == direct)
+    // empty batch: the monoid identity
+    val stSame = Features.kmeansStatsAdvance(st1, df.filter(lit(false)),
+      "vec_id", "embedding", frozen)
+    assert(statsSet(stSame) == statsSet(st1))
+    // assignment under the advanced centroids still separates the blobs
+    val got = Features.kmeansAssignWith(df, "vec_id", "embedding", viaState)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(got.take(12).distinct.size == 1 && got.drop(12).distinct.size == 1 &&
+      got.head != got.last)
+  }
+
   test("roundHalfAway matches std::round on halves and on the largest double below 0.5") {
     assert(Features.roundHalfAway(2.5) === 3L)
     assert(Features.roundHalfAway(-2.5) === -3L)
