@@ -1007,6 +1007,29 @@ object PrepQueries {
       graft.operators.Dsir.importanceWeights(Tables.documents(s, dir),
           "doc_id", "text", targetPred = col("doc_id") % 10 === 0, buckets = 64)
         .orderBy("doc_id")
+    },
+
+    // q97's incremental twin: the 64-row bucket histograms are monoid sums
+    // (the q185 CMS linearity argument), so the state advances per ingest
+    // batch by a bucket-keyed addition and each batch is scored against
+    // the state as of its own fold — prior batches are never re-bigrammed.
+    // Phase 1 scores batch 1 under its own histograms; phase 2 scores
+    // batch 2 under the folded union. The oracle rebuilds both phases'
+    // histograms and scores from raw documents.
+    "q209_dsir_advance" -> { (s, dir) =>
+      val dsir = graft.operators.Dsir
+      val docs = Tables.documents(s, dir)
+      val tgt = col("doc_id") % 10 === 0
+      val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+      val b2 = docs.filter(col("doc_id") % 3 === 0)
+      val h1 = dsir.histOf(b1, "text", tgt).localCheckpoint()
+      val h2 = dsir.histAdvance(h1, b2, "text", tgt).localCheckpoint()
+      dsir.scoreWith(b1, "doc_id", "text", h1)
+        .withColumn("phase", lit("1_after_b1"))
+        .unionByName(dsir.scoreWith(b2, "doc_id", "text", h2)
+          .withColumn("phase", lit("2_after_b2")))
+        .select("phase", "doc_id", "n_bigrams", "avg_logratio")
+        .orderBy("phase", "doc_id")
     }
   )
 
@@ -1912,6 +1935,73 @@ object PrepQueries {
         |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
         |       COALESCE(pd.avg_logratio, 0.0) AS avg_logratio
         |FROM documents d LEFT JOIN pd USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q209: the q97 replay split into two phases — s1/lam1 are batch-1-only
+    // histograms scoring batch 1; s2/lam2 are the union histograms scoring
+    // batch 2. Equality with the engine's folded state is the
+    // incremental ≡ recompute proof at the bucket grain.
+    "q209_dsir_advance" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 10 = 0) AS tgt,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tgt,
+        |         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
+        |  FROM t WHERE len(w) >= 2),
+        |b AS (
+        |  SELECT doc_id, tgt, generate_subscripts(bgs, 1) - 1 AS pos, unnest(bgs) AS bg
+        |  FROM g),
+        |hh AS (
+        |  SELECT doc_id, tgt, pos,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(range(1, length(bg)+1), i -> ascii(substr(bg,i,1))::BIGINT)),
+        |           (acc, x) -> (acc*31 + x) % 1000000007) % 64 AS hb
+        |  FROM b),
+        |s1 AS (
+        |  SELECT hb, count(*) AS n_raw,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM hh WHERE doc_id % 3 != 0 GROUP BY hb),
+        |tot1 AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM s1),
+        |lam1 AS (
+        |  SELECT hb, LN(CAST(n_tgt + 1 AS DOUBLE) / CAST(tot_tgt + 64 AS DOUBLE))
+        |           - LN(CAST(n_raw + 1 AS DOUBLE) / CAST(tot_raw + 64 AS DOUBLE)) AS lam
+        |  FROM s1 CROSS JOIN tot1),
+        |a1 AS (
+        |  SELECT doc_id, list(lam ORDER BY pos) AS arr
+        |  FROM hh JOIN lam1 USING (hb) WHERE doc_id % 3 != 0 GROUP BY doc_id),
+        |pd1 AS (
+        |  SELECT doc_id, CAST(len(arr) AS INT) AS n_bigrams,
+        |         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+        |                           (acc, x) -> acc + x) / CAST(len(arr) AS DOUBLE), 4) + 0.0 AS avg_logratio
+        |  FROM a1),
+        |s2 AS (
+        |  SELECT hb, count(*) AS n_raw,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM hh GROUP BY hb),
+        |tot2 AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM s2),
+        |lam2 AS (
+        |  SELECT hb, LN(CAST(n_tgt + 1 AS DOUBLE) / CAST(tot_tgt + 64 AS DOUBLE))
+        |           - LN(CAST(n_raw + 1 AS DOUBLE) / CAST(tot_raw + 64 AS DOUBLE)) AS lam
+        |  FROM s2 CROSS JOIN tot2),
+        |a2 AS (
+        |  SELECT doc_id, list(lam ORDER BY pos) AS arr
+        |  FROM hh JOIN lam2 USING (hb) WHERE doc_id % 3 = 0 GROUP BY doc_id),
+        |pd2 AS (
+        |  SELECT doc_id, CAST(len(arr) AS INT) AS n_bigrams,
+        |         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+        |                           (acc, x) -> acc + x) / CAST(len(arr) AS DOUBLE), 4) + 0.0 AS avg_logratio
+        |  FROM a2)
+        |SELECT phase, doc_id, n_bigrams, avg_logratio FROM (
+        |  SELECT '1_after_b1' AS phase, d.doc_id,
+        |         COALESCE(pd1.n_bigrams, 0) AS n_bigrams,
+        |         COALESCE(pd1.avg_logratio, 0.0) AS avg_logratio
+        |  FROM documents d LEFT JOIN pd1 USING (doc_id) WHERE d.doc_id % 3 != 0
+        |  UNION ALL
+        |  SELECT '2_after_b2', d.doc_id,
+        |         COALESCE(pd2.n_bigrams, 0), COALESCE(pd2.avg_logratio, 0.0)
+        |  FROM documents d LEFT JOIN pd2 USING (doc_id) WHERE d.doc_id % 3 = 0)
+        |ORDER BY phase, doc_id""".stripMargin
   )
 }

@@ -34,27 +34,80 @@ object Dsir {
     * comes back (docs with < 2 tokens have no bigrams → weight 0.0).
     * avg_logratio > 0 ⇒ the document looks more target-like than raw. */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-                        targetPred: Column, buckets: Int = 64): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val toks = docs.select(col(idCol), targetPred.as("__tgt"),
-      graft.functions.Text.tokens(col(textCol)).as("__w"))
-    val bg = toks.filter(size(col("__w")) >= 2)
-      .select(col(idCol), col("__tgt"),
+                        targetPred: Column, buckets: Int = 64): DataFrame =
+    scoreWith(docs, idCol, textCol,
+      histOf(docs, textCol, targetPred, buckets), buckets)
+
+  /** The hashed-bigram stream: one row per (doc, bigram position) with its
+    * bucket id — shared by histogram build and scoring so the two can
+    * never disagree on tokenization or hashing. */
+  private def bigramsOf(docs: DataFrame, keep: Seq[String],
+                        textCol: String, buckets: Int): DataFrame = {
+    val toks = docs.select((keep.map(col) :+
+      graft.functions.Text.tokens(col(textCol)).as("__w")): _*)
+    toks.filter(size(col("__w")) >= 2)
+      .select((keep.map(col) :+
         posexplode(expr(
           "transform(sequence(1, size(__w)-1), i -> concat(element_at(__w,i), ' ', element_at(__w,i+1)))"))
-          .as(Seq("pos", "bg")))
+          .as(Seq("pos", "bg"))): _*)
       .withColumn("__h", expr(s"(${PortableHash.polySql("bg")}) % ${buckets}L"))
-    val stats = bg.groupBy("__h").agg(
-      count(lit(1)).as("__r"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t"))
+  }
+
+  /** The DSIR STATE from one document batch: the `(__h, __r, __t)` bucket
+    * histogram — raw and target bigram counts per bucket, ≤ `buckets`
+    * rows of exact integer sums, i.e. a monoid: [[histAdvance]] folds a
+    * new batch in by addition, landing exactly the histograms a joint
+    * build over the batches' union would produce (the q185 CMS linearity
+    * argument verbatim). An empty batch yields the empty frame — the
+    * identity under the full-outer merge. */
+  def histOf(docs: DataFrame, textCol: String, targetPred: Column,
+             buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    bigramsOf(docs.withColumn("__tgt", targetPred),
+        Seq("__tgt"), textCol, buckets)
+      .groupBy("__h").agg(
+        count(lit(1)).as("__r"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t"))
+  }
+
+  /** Advance the bucket-histogram state with one document batch: a
+    * full-outer SUM merge on the bucket id — a `buckets`-row shuffle,
+    * never the corpus. */
+  def histAdvance(state: DataFrame, batch: DataFrame, textCol: String,
+                  targetPred: Column, buckets: Int = 64): DataFrame = {
+    val b = histOf(batch, textCol, targetPred, buckets)
+      .withColumnRenamed("__r", "_br").withColumnRenamed("__t", "_bt")
+    state.join(b, Seq("__h"), "full_outer")
+      .select(col("__h"),
+        (coalesce(col("__r"), lit(0L)) + coalesce(col("_br"), lit(0L))).as("__r"),
+        (coalesce(col("__t"), lit(0L)) + coalesce(col("_bt"), lit(0L))).as("__t"))
+  }
+
+  /** Score `docs` against a GIVEN histogram state (freshly built or
+    * incrementally advanced) — the [[importanceWeights]] math, replay
+    * contract unchanged. The state densifies over the full bucket spine
+    * first: a batch bigram can land in a bucket the state never counted
+    * (smoothed lam with zero counts), which an inner join against a
+    * sparse state would silently DROP. Only the batch being scored is
+    * ever scanned — the incremental point at 100 TB. */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                hist: DataFrame, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = docs.sparkSession
+    val dense = spark.range(buckets).select(col("id").as("__h"))
+      .join(hist, Seq("__h"), "left")
+      .select(col("__h"),
+        coalesce(col("__r"), lit(0L)).as("__r"),
+        coalesce(col("__t"), lit(0L)).as("__t"))
     // names must differ case-insensitively from __r/__t: Spark's default
     // resolver treats __t and __T as the same name (ambiguous reference)
-    val totals = stats.agg(sum("__r").as("__rtot"), sum("__t").as("__ttot"))
-    val lam = stats.crossJoin(broadcast(totals))
+    val totals = dense.agg(sum("__r").as("__rtot"), sum("__t").as("__ttot"))
+    val lam = dense.crossJoin(broadcast(totals))
       .withColumn("lam",
         log((col("__t") + lit(1L)).cast("double") / (col("__ttot") + lit(buckets.toLong)).cast("double")) -
           log((col("__r") + lit(1L)).cast("double") / (col("__rtot") + lit(buckets.toLong)).cast("double")))
       .select("__h", "lam")
+    val bg = bigramsOf(docs, Seq(idCol), textCol, buckets)
     val perDoc = bg.join(broadcast(lam), "__h")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("pos"), col("lam")))).as("__a"))
