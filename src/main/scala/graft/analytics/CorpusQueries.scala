@@ -700,6 +700,30 @@ object CorpusQueries {
         .orderBy("source")
     },
 
+    // q151's TIME-TRAVEL twin: the fingerprint names a corpus state;
+    // versioned manifests make it recoverable. Two commits (v1 = the
+    // on-time slice; v2 = append of the rest — v2 reuses v1's files by
+    // reference, never rewriting them), then the q151 fingerprint of each
+    // version read back through its pinned manifest. The oracle recomputes
+    // both versions' fingerprints from the raw slices — manifest reads
+    // must be exactly the data each version committed.
+    "q210_snapshot_versions" -> { (s, dir) =>
+      val snap = PrepQueries.scratchTempDir("graft_q210_")
+      val vs = graft.etl.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      vs.commit(s, docs.filter(col("doc_id") % 3 =!= 0), snap)
+      vs.commitAppend(s, docs.filter(col("doc_id") % 3 === 0), snap)
+      Seq(1L, 2L).map { v =>
+        graft.operators.Curate.datasetFingerprint(
+            vs.readAt(s, snap, v).select("source", "text"), "text", "source")
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .withColumn("content_hash", col("content_hash").cast("double"))
+        .select("version", "source", "n_docs", "n_tokens", "n_chars",
+          "content_hash")
+        .orderBy("version", "source")
+    },
+
     // Cross-source overlap matrix: pairwise distinct-trigram Jaccard over
     // every source pair — the between-source leakage/diversity diagnostic
     // (q118 is the within-source axis). All 190 pairs, zero-overlap rows
@@ -2286,6 +2310,40 @@ out_$k AS (
         |       CAST(SUM(h) AS DOUBLE) AS content_hash
         |FROM h GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // q210: the q151 fingerprint replay per version — v1 over the on-time
+    // slice, v2 over everything (v1's files plus the appended delta).
+    "q210_snapshot_versions" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS nt,
+        |         CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source, nt, nc,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, length(fp)+1), i -> ascii(substr(fp, i, 1))::BIGINT)),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM f),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |         CAST(SUM(h) AS DOUBLE) AS content_hash
+        |  FROM h WHERE doc_id % 3 != 0 GROUP BY source),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, source,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |         CAST(SUM(h) AS DOUBLE) AS content_hash
+        |  FROM h GROUP BY source)
+        |SELECT version, source, n_docs, n_tokens, n_chars, content_hash
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY version, source""".stripMargin,
 
     // q149: the q118 trigram CTE (with its under-3-token fallback), made
     // distinct per source; inverted self-join on the gram; all-pairs frame

@@ -1,0 +1,172 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Version-pinned snapshot reads (time travel) over immutable data files —
+  * the history [[SnapshotIO]]'s atomic swap deliberately discards, and the
+  * snapshot-grain twin of the reference's audit discipline (every load
+  * recorded in `etl_extract_log`, `dags/hanger_lane.py:510-537`): a
+  * `datasetFingerprint` (q151) names a corpus state; this makes that state
+  * RECOVERABLE.
+  *
+  * Layout (the Delta/Iceberg manifest idea reduced to its core):
+  *
+  * {{{
+  *   dir/_versions/v{N}.manifest   // schema line + relative data-file list
+  *   dir/data/c{token}/part-*.parquet   // immutable; never rewritten
+  * }}}
+  *
+  * The manifest RENAME is the commit point: data files land first under a
+  * fresh `c{token}` subdir (invisible — no manifest references them), then
+  * the manifest appears atomically, so a reader sees every version fully or
+  * not at all, and a crash before the rename leaves only unreferenced files
+  * for the next vacuum. Single-writer contract (the reference's Airflow
+  * DAGs serialize loads the same way); readers never write.
+  *
+  * Scale: a new version costs exactly its NEW bytes — [[commitAppend]]
+  * reuses every prior file by reference (the append-only ingest case: a
+  * 100 TB corpus grows by manifests + deltas, never rewrites);
+  * [[commit]] pins a full-replacement version. [[vacuum]] deletes data
+  * files referenced ONLY by versions below the caller's retention barrier
+  * (files shared with surviving versions stay — reference counting over
+  * manifest lists, a driver-side set union over file NAMES, never data).
+  */
+object VersionedSnapshot {
+
+  private val VersionsDir = "_versions"
+  private val ManifestRe = """v(\d+)\.manifest""".r
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The latest committed version, 0 when none. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val vd = new Path(dir, VersionsDir)
+    if (!f.exists(vd)) 0L
+    else f.listStatus(vd).toSeq.map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toLong
+    }.foldLeft(0L)(math.max)
+  }
+
+  private def manifestPath(dir: String, v: Long) =
+    new Path(s"$dir/$VersionsDir/v$v.manifest")
+
+  private def writeManifest(spark: SparkSession, dir: String, v: Long,
+                            schema: StructType, files: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$dir/$VersionsDir/.tmp-v$v-$token")
+    val out = f.create(tmp, false)
+    try out.write((s"#schema:${schema.json}\n" + files.mkString("\n"))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(dir, v))) {
+      f.delete(tmp, true)
+      throw new java.io.IOException(
+        s"version $v already committed at $dir (concurrent writer?)")
+    }
+  }
+
+  private def readManifest(spark: SparkSession, dir: String,
+                           v: Long): (StructType, Seq[String]) = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, v)
+    require(f.exists(p), s"no version $v at $dir (vacuumed or never committed)")
+    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    val text =
+      try { in.readFully(0, buf); new String(buf, StandardCharsets.UTF_8) }
+      finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val schema = DataType.fromJson(lines.head.stripPrefix("#schema:"))
+      .asInstanceOf[StructType]
+    (schema, lines.tail)
+  }
+
+  /** Land `df`'s files under a fresh immutable commit dir; returns their
+    * dir-relative paths. */
+  private def landFiles(spark: SparkSession, df: DataFrame,
+                        dir: String): Seq[String] = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = s"data/c$token"
+    df.write.parquet(s"$dir/$rel")
+    val f = fs(spark, dir)
+    f.listStatus(new Path(s"$dir/$rel")).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$rel/${s.getPath.getName}")
+  }
+
+  /** Commit `df` as the next version's FULL content (replacement
+    * semantics — e.g. an upserted snapshot). Prior versions stay readable
+    * until vacuumed. Returns the new version number. */
+  def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val v = currentVersion(spark, dir) + 1
+    writeManifest(spark, dir, v, df.schema, landFiles(spark, df, dir))
+    v
+  }
+
+  /** Commit `df` as an APPEND to the latest version: the new manifest
+    * reuses every prior file by reference and adds only the batch's own —
+    * the append-only ingest path where a version costs its new bytes. */
+  def commitAppend(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val cur = currentVersion(spark, dir)
+    val prior = if (cur == 0) Nil else readManifest(spark, dir, cur)._2
+    writeManifest(spark, dir, cur + 1, df.schema,
+      prior ++ landFiles(spark, df, dir))
+    cur + 1
+  }
+
+  /** The snapshot AS OF `version` — the manifest's exact file set under
+    * its pinned schema (schema evolution in later versions cannot leak
+    * backwards). An empty version reads as an empty frame of its schema. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val (schema, files) = readManifest(spark, dir, version)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** The latest version. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, dir, currentVersion(spark, dir))
+
+  /** Drop history strictly below `keepFrom` (the caller-owned retention /
+    * replay barrier, the compactMediaIndex discipline): manifests below it
+    * delete, and a data file deletes only when NO surviving manifest
+    * references it — shared files (the commitAppend case) stay readable
+    * from every surviving version. Unreferenced leftovers from crashed
+    * commits are swept too. Returns the number of data files deleted. */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Long = {
+    val cur = currentVersion(spark, dir)
+    require(keepFrom >= 1 && keepFrom <= cur,
+      s"vacuum barrier $keepFrom outside committed range [1, $cur]")
+    val f = fs(spark, dir)
+    val survivors = (keepFrom to cur)
+      .filter(v => f.exists(manifestPath(dir, v)))
+    val referenced = survivors
+      .flatMap(v => readManifest(spark, dir, v)._2).toSet
+    var deleted = 0L
+    val dataRoot = new Path(s"$dir/data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { cdir =>
+        val cname = cdir.getPath.getName
+        f.listStatus(cdir.getPath).toSeq.foreach { st =>
+          val rel = s"data/$cname/${st.getPath.getName}"
+          val isData = st.getPath.getName.endsWith(".parquet")
+          if (!referenced.contains(rel) && (isData || !st.isDirectory)) {
+            if (f.delete(st.getPath, false) && isData) deleted += 1
+          }
+        }
+        if (f.listStatus(cdir.getPath).isEmpty) f.delete(cdir.getPath, true)
+      }
+    }
+    (1L until keepFrom).foreach(v => f.delete(manifestPath(dir, v), false))
+    deleted
+  }
+}
