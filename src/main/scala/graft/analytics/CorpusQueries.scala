@@ -436,6 +436,20 @@ object CorpusQueries {
         .orderBy("merge_rank")
     },
 
+    // Unigram-LM (SentencePiece-style) tokenizer training — the
+    // PRUNING-based alternative to q109's merge-based BPE: seed the top-60
+    // multi-char substrings of the word-frequency table (plus the
+    // single-char floor), then three rounds of likelihood-loss pruning
+    // (exact-integer usage counts under greedy leftmost-longest
+    // segmentation), 12 pieces per round. Output: the shipped vocabulary
+    // with final usage. The oracle replays every round — seeding, the
+    // per-position bestLen table, the segmentation fold, usage, the prune
+    // cut — as vocabulary-sized CTEs (the q109 discipline).
+    "q211_unigram_train" -> { (s, dir) =>
+      Vocab.unigramTrain(Tables.documents(s, dir), "text")
+        .orderBy(col("usage").desc, col("piece"))
+    },
+
     // Curriculum ordering: KN-trigram difficulty scores cut into 10
     // equal-population stages (composed global rank — no single-partition
     // window), mix2-shuffled within each stage; consume in
@@ -798,6 +812,38 @@ object CorpusQueries {
           perKt(col("n_emails")).as("emails_per_kilotoken"),
           perKt(col("n_phones")).as("phones_per_kilotoken"))
         .orderBy("source")
+    },
+
+    // Tokenizer-family fertility comparison (the q112 report shape, one
+    // row per tokenizer × source): the q109 BPE merges vs the q211
+    // unigram-LM vocabulary segmenting the SAME word table — the eval a
+    // team runs before picking a tokenizer (unigram's pruning keeps whole
+    // frequent substrings, so its fertility floor differs from BPE's
+    // merge-reachable set).
+    "q212_unigram_fertility" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val srcw = docs.select(col("source"),
+        explode(Text.tokens(col("text"))).as("w"))
+      val merges = Vocab.bpeTrain(docs, "text", numMerges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val distinctW = srcw.select("w").distinct()
+      val bpeSegs = distinctW.select(col("w"),
+        size(Vocab.bpeApply(Vocab.charSyms(col("w")), merges)).as("nseg"))
+      val uniVocab = Vocab.unigramTrain(docs, "text").select("piece")
+      val uniSegs = Vocab.unigramSegment(distinctW, uniVocab, 4)
+        .select(col("w"), size(col("segs")).as("nseg"))
+      def fert(segs: org.apache.spark.sql.DataFrame, tag: String) =
+        srcw.join(broadcast(segs), "w")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("n_tokens"))
+          .select(lit(tag).as("tokenizer"), col("source"), col("n_words"),
+            col("n_tokens"),
+            graft.functions.Rounding.roundLikeC(
+              col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
+              .as("fertility"))
+      fert(bpeSegs, "bpe").unionByName(fert(uniSegs, "unigram"))
+        .orderBy("tokenizer", "source")
     },
 
     // Tokenizer fertility report (tokens-per-word by source) with the q109
@@ -2512,6 +2558,37 @@ out_$k AS (
          |FROM srcw JOIN segs USING (w)
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // q211: the full pruning loop replayed — final vocab joined to its
+    // recomputed usage.
+    "q211_unigram_train" ->
+      s"""WITH ${unigramOracle(seedSize = 60, maxPieceLen = 4, pruneN = 12, rounds = 3)}
+         |SELECT t.piece, CAST(length(t.piece) AS INT) AS piece_len,
+         |       CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage
+         |FROM v3 t LEFT JOIN useF u ON t.piece = u.piece
+         |ORDER BY usage DESC, t.piece""".stripMargin,
+
+    // q212: the q109 BPE chain (word identity carried) and the q211
+    // unigram chain segmenting the same word table, fertility per
+    // tokenizer × source.
+    "q212_unigram_fertility" ->
+      s"""${bpeOracle(numMerges = 8, carryWord = true, noFinal = true)}
+         |${unigramOracle(seedSize = 60, maxPieceLen = 4, pruneN = 12, rounds = 3)},
+         |srcw AS (
+         |  SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |bsegs AS (SELECT w, len(syms) AS nseg FROM w8),
+         |usegs AS (SELECT w, len(segs) AS nseg FROM segF)
+         |SELECT tokenizer, source, n_words, n_tokens,
+         |       ROUND(CAST(n_tokens AS DOUBLE) / n_words, 4) AS fertility
+         |FROM (
+         |  SELECT 'bpe' AS tokenizer, source, COUNT(*) AS n_words,
+         |         CAST(SUM(nseg) AS BIGINT) AS n_tokens
+         |  FROM srcw JOIN bsegs USING (w) GROUP BY source
+         |  UNION ALL
+         |  SELECT 'unigram', source, COUNT(*), CAST(SUM(nseg) AS BIGINT)
+         |  FROM srcw JOIN usegs USING (w) GROUP BY source)
+         |ORDER BY tokenizer, source""".stripMargin,
+
     // q130: the q110 fold one level up — trigram counts, continuation-type
     // tables (bt = distinct (w2,w3) trigram-derived bigram types), the KN
     // interpolation written in the identical left-to-right association.
@@ -2779,6 +2856,84 @@ out_$k AS (
     * word count), takes the (c DESC, a, b) argmax, and re-folds every word
     * with DuckDB's list_reduce running the IDENTICAL string-accumulator
     * merge fold (chr(31) separator) as the Spark expression. */
+  /** Unigram-LM oracle fragment (no leading WITH): replays
+    * [[graft.operators.Vocab.unigramTrain]] round by round — word counts,
+    * substring seeding, per-round (bestLen table → leftmost-longest fold →
+    * usage → prune cut) — landing the final vocabulary in CTE
+    * `v$rounds` and its recomputed usage in `useF`. Each round's CTEs are
+    * vocabulary-sized; the fold is the chr(31) string-accumulator idiom
+    * with a `pos|segs` carrier (skipped positions pass the accumulator
+    * through). */
+  private def unigramOracle(seedSize: Int, maxPieceLen: Int, pruneN: Int,
+                            rounds: Int): String = {
+    def segChain(r: String, vocab: String): String =
+      s"""bl$r AS (
+         |  SELECT c.w, c.p, MAX(c.l) AS bl
+         |  FROM cpc c JOIN $vocab t ON c.piece = t.piece
+         |  GROUP BY c.w, c.p),
+         |bla$r AS (
+         |  -- per-position (index, bestLen, piece) packs RELATIONALLY into
+         |  -- the element list (plain column expressions, no lambda): the
+         |  -- walk's fold below then touches only acc and x — DuckDB 1.0
+         |  -- lambdas that reference outer columns mis-bind across rows
+         |  -- when the list length itself varies per row
+         |  SELECT p.w,
+         |         list(CAST(p.p AS VARCHAR) || chr(30) ||
+         |              CAST(COALESCE(b.bl, 1) AS VARCHAR) || chr(30) ||
+         |              substr(p.w, p.p, COALESCE(b.bl, 1)) ORDER BY p.p) AS els
+         |  FROM upos p LEFT JOIN bl$r b ON p.w = b.w AND p.p = b.p
+         |  GROUP BY p.w),
+         |seg$r AS (
+         |  SELECT d.w, d.cnt,
+         |    string_split(split_part(list_reduce(list_prepend('1|', a.els),
+         |      -- the skip branch REBUILDS acc instead of returning it:
+         |      -- DuckDB 1.0's list_reduce corrupts row alignment when a
+         |      -- lambda branch passes the accumulator through unchanged
+         |      (acc, x) -> CASE
+         |        WHEN CAST(split_part(x, chr(30), 1) AS INT)
+         |             != CAST(split_part(acc, '|', 1) AS INT)
+         |          THEN split_part(acc, '|', 1) || '|' || split_part(acc, '|', 2)
+         |        ELSE CAST(CAST(split_part(acc, '|', 1) AS INT)
+         |               + CAST(split_part(x, chr(30), 2) AS INT) AS VARCHAR) || '|' ||
+         |          CASE WHEN split_part(acc, '|', 2) = ''
+         |               THEN split_part(x, chr(30), 3)
+         |               ELSE split_part(acc, '|', 2) || chr(31) ||
+         |                    split_part(x, chr(30), 3)
+         |          END
+         |      END), '|', 2), chr(31)) AS segs
+         |  FROM wds d JOIN bla$r a ON d.w = a.w),
+         |use$r AS (
+         |  SELECT piece, SUM(cnt) AS usage
+         |  FROM (SELECT unnest(segs) AS piece, cnt FROM seg$r)
+         |  GROUP BY piece)""".stripMargin
+    def pruneRound(r: Int): String =
+      s"""${segChain(r.toString, s"v$r")},
+         |scored$r AS (
+         |  SELECT t.piece, COALESCE(u.usage, 0) AS usage
+         |  FROM v$r t LEFT JOIN use$r u ON t.piece = u.piece),
+         |prune$r AS (
+         |  SELECT piece FROM scored$r WHERE length(piece) >= 2
+         |  ORDER BY usage ASC, length(piece) DESC, piece LIMIT $pruneN),
+         |v${r + 1} AS (
+         |  SELECT piece FROM v$r
+         |  WHERE piece NOT IN (SELECT piece FROM prune$r))""".stripMargin
+    s"""wds AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                              x -> x <> '')) AS w
+       |    FROM documents) GROUP BY w),
+       |upos AS (SELECT w, cnt, unnest(range(1, len(w)+1)) AS p FROM wds),
+       |ucnd AS (SELECT w, cnt, p, unnest(range(2, ${maxPieceLen + 1})) AS l FROM upos),
+       |cpc AS (SELECT w, cnt, p, l, substr(w, p, l) AS piece FROM ucnd
+       |        WHERE p + l - 1 <= len(w)),
+       |subs AS (SELECT piece, SUM(cnt) AS freq FROM cpc GROUP BY piece),
+       |top0 AS (SELECT piece FROM subs ORDER BY freq DESC, piece LIMIT $seedSize),
+       |chr0 AS (SELECT DISTINCT substr(w, p, 1) AS piece FROM upos),
+       |v0 AS (SELECT piece FROM top0 UNION ALL SELECT piece FROM chr0),
+       |${(0 until rounds).map(pruneRound).mkString(",\n")},
+       |${segChain("F", s"v$rounds")}""".stripMargin
+  }
+
   private def bpeOracle(numMerges: Int, carryWord: Boolean = false,
                         noFinal: Boolean = false): String = {
     val wSel = if (carryWord) "w, " else ""

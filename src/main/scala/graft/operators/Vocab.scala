@@ -216,6 +216,122 @@ object Vocab {
     (table, rounds)
   }
 
+  // -------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the PRUNING-based
+  // alternative to BPE's merge-based training (Kudo 2018): seed a large
+  // candidate vocabulary from frequent substrings of the word-frequency
+  // table, then iteratively DROP the pieces that contribute least, keeping
+  // the single-character floor so every word stays segmentable.
+  // -------------------------------------------------------------------
+
+  /** Greedy leftmost-longest segmentation of the distinct-word frame `words`
+    * (column `w`) under `vocab` (column `piece`) — the WordPiece inference
+    * rule, chosen over Viterbi because it is exactly replayable as a pure
+    * fold in any engine (float-free: every decision is a substring
+    * membership test). Returns `(w, segs array<string>)`.
+    *
+    * Shape: candidate matches are relational — (position × length) explode
+    * over the VOCABULARY-sized word table, one broadcast semi-join against
+    * the piece set, a per-position MAX — and the walk itself is one
+    * expression fold over the word's positions carrying (next-match
+    * position | segments) in a string accumulator (the [[applyMergeExpr]]
+    * discipline), skipping positions inside an already-matched piece.
+    * Single characters are always in a trained vocab, so `bestLen`
+    * defaults to 1 and the walk never sticks. */
+  def unigramSegment(words: DataFrame, vocab: DataFrame,
+                     maxPieceLen: Int): DataFrame = {
+    val poss = words.select(col("w"),
+      explode(sequence(lit(1), length(col("w")))).as("__p"))
+    val best = poss
+      .select(col("w"), col("__p"),
+        explode(sequence(lit(2), lit(maxPieceLen))).as("__l"))
+      .filter(col("__p") + col("__l") - 1 <= length(col("w")))
+      .withColumn("piece", col("w").substr(col("__p"), col("__l")))
+      .join(broadcast(vocab.select("piece")), Seq("piece"), "left_semi")
+      .groupBy("w", "__p").agg(max(col("__l")).as("__bl"))
+    val bls = poss.join(best, Seq("w", "__p"), "left")
+      .select(col("w"), col("__p"), coalesce(col("__bl"), lit(1)).as("__bl"))
+      .groupBy("w")
+      .agg(transform(sort_array(collect_list(struct(col("__p"), col("__bl")))),
+        s => s.getField("__bl")).as("__bls"))
+    def part(acc: Column, i: Int): Column =
+      call_function("split_part", acc, lit("|"), lit(i))
+    val fold = aggregate(
+      transform(sequence(lit(1), length(col("w"))), i => i.cast("string")),
+      lit("1|"),
+      (acc, x) => {
+        val pos = part(acc, 1).cast("int")
+        val segs = part(acc, 2)
+        val bl = element_at(col("__bls"), pos)
+        val piece = col("w").substr(pos, bl)
+        when(x.cast("int") =!= pos, acc)
+          .otherwise(concat((pos + bl).cast("string"), lit("|"),
+            when(segs === lit(""), piece)
+              .otherwise(concat(segs, lit(BpeSep), piece))))
+      })
+    words.select("w").join(bls, "w")
+      .select(col("w"),
+        split(part(fold, 2), java.util.regex.Pattern.quote(BpeSep)).as("segs"))
+  }
+
+  /** Unigram-LM tokenizer training: seed with the `seedSize` most frequent
+    * multi-character substrings (length 2..`maxPieceLen`, occurrence-
+    * weighted by word count, ties (freq DESC, piece ASC)) plus EVERY
+    * single character (the never-pruned segmentability floor), then run
+    * `rounds` pruning rounds: segment the word table under the current
+    * vocabulary, count each piece's corpus usage (exact integer,
+    * word-count-weighted — the unigram model's sufficient statistic), and
+    * drop the `pruneN` multi-char pieces whose removal costs the least
+    * likelihood, ties (usage ASC, length DESC, piece ASC). Returns the
+    * shipped vocabulary `(piece, piece_len, usage)` with usage recomputed
+    * under the final vocabulary.
+    *
+    * Scale: like [[bpeTrain]], the corpus is scanned ONCE (the word
+    * count); every round runs on the VOCABULARY-sized word table — at
+    * 100 TB of text that is a few million rows per round, each round one
+    * broadcast semi-join + one fold projection + one piece-keyed
+    * aggregate, re-pinned per round (localCheckpoint) so the loop's plan
+    * never nests. Only the pruneN pruned piece strings reach the driver
+    * per round. The q109 oracle-replay discipline holds: every round is a
+    * vocabulary-sized CTE in the q211 oracle. */
+  def unigramTrain(df: DataFrame, textCol: String, seedSize: Int = 60,
+                   maxPieceLen: Int = 4, pruneN: Int = 12,
+                   rounds: Int = 3): DataFrame = {
+    require(seedSize > pruneN * rounds,
+      s"seedSize $seedSize must exceed pruneN*rounds = ${pruneN * rounds}")
+    val words = df.select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val subs = words
+      .select(explode(flatten(transform(sequence(lit(1), length(col("w"))), p =>
+        filter(transform(sequence(lit(2), lit(maxPieceLen)), l =>
+          when(p + l - 1 <= length(col("w")), col("w").substr(p, l))),
+          x => x.isNotNull)))).as("piece"),
+        col("cnt"))
+      .groupBy("piece").agg(sum(col("cnt")).as("freq"))
+    val topMulti = subs.orderBy(col("freq").desc, col("piece"))
+      .limit(seedSize).select("piece")
+    val chars = words.select(explode(charSyms(col("w"))).as("piece")).distinct()
+    var vocab = topMulti.unionByName(chars).localCheckpoint()
+    def usageUnder(v: DataFrame): DataFrame =
+      unigramSegment(words, v, maxPieceLen)
+        .join(words, "w")
+        .select(explode(col("segs")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).as("usage"))
+    for (_ <- 1 to rounds) {
+      val scored = vocab.join(usageUnder(vocab), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+      val pruned = scored.filter(length(col("piece")) >= 2)
+        .orderBy(col("usage").asc, length(col("piece")).desc, col("piece").asc)
+        .limit(pruneN)
+        .select("piece").collect().map(_.getString(0)).toSeq
+      vocab = vocab.filter(!col("piece").isin(pruned: _*)).localCheckpoint()
+    }
+    vocab.join(usageUnder(vocab), Seq("piece"), "left")
+      .select(col("piece"), length(col("piece")).as("piece_len"),
+        coalesce(col("usage"), lit(0L)).as("usage"))
+  }
+
   /** Encode documents against `vocab` (a [[build]] result): one
     * (id, pos, token_id) row per token, pos 0-based within the document.
     * Unknown tokens encode as `oovId` (left join — an inner join would

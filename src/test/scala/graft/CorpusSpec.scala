@@ -301,6 +301,50 @@ class CorpusSpec extends SparkSpec {
     assert(bad === 0L, "BPE segmentation lost or reordered characters")
   }
 
+  test("unigramSegment: greedy leftmost-longest on a hand-built vocab; lossless; single-char floor") {
+    val words = Seq("lowest", "lower", "xyz", "a").toDF("w")
+    val vocab = Seq("low", "lowe", "est", "we", "er").toDF("piece")
+    val got = Vocab.unigramSegment(words, vocab, maxPieceLen = 4)
+      .as[(String, Seq[String])].collect().toMap
+    // leftmost-LONGEST: 'lowe' (4) beats 'low' (3) at position 1, which
+    // forces 'est'/'er' to be consumed from position 5 onward
+    assert(got("lowest") == Seq("lowe", "s", "t"),
+      s"greedy must take the longest match first: ${got("lowest")}")
+    assert(got("lower") == Seq("lowe", "r"))
+    // no vocab piece matches anywhere: the single-char floor segments it
+    assert(got("xyz") == Seq("x", "y", "z"))
+    assert(got("a") == Seq("a"))
+    // lossless on the corpus fixture under a trained vocab
+    val docs = Tables.documents(spark, sf).limit(100)
+    val trained = Vocab.unigramTrain(docs, "text",
+      seedSize = 20, maxPieceLen = 4, pruneN = 4, rounds = 2)
+    val corpusW = docs
+      .select(explode(Text.tokens(col("text"))).as("w")).distinct()
+    val bad = Vocab.unigramSegment(corpusW, trained.select("piece"), 4)
+      .select(col("w"), concat_ws("", col("segs")).as("rt"))
+      .filter(col("w") =!= col("rt")).count()
+    assert(bad === 0L, "unigram segmentation lost or reordered characters")
+  }
+
+  test("unigramTrain: pruning drops exactly pruneN multi-char pieces per round, chars never prune") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val words = docs.select(explode(Text.tokens(col("text"))).as("w")).distinct()
+    val nChars = words
+      .select(explode(Vocab.charSyms(col("w"))).as("c")).distinct().count()
+    val seedSize = 20; val pruneN = 4; val rounds = 3
+    val vocab = Vocab.unigramTrain(docs, "text", seedSize, 4, pruneN, rounds)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val multi = vocab.filter(_._2 >= 2)
+    val single = vocab.filter(_._2 == 1)
+    assert(multi.length == seedSize - pruneN * rounds,
+      s"expected ${seedSize - pruneN * rounds} multi-char pieces, got ${multi.length}")
+    assert(single.length == nChars, "the single-char floor must never prune")
+    // usage is the word-count-weighted corpus statistic: every piece that
+    // survives with usage 0 must be multi-char (a char can be shadowed by
+    // longer matches, but chars stay for segmentability)
+    assert(vocab.filter(v => v._3 > 0).nonEmpty)
+  }
+
   test("bigramNll: hand-computed interpolation; short docs emit 0 bigrams") {
     // corpus tokens: a b a -> N=3, c(a)=2, c(b)=1; doc 1 has one bigram
     // (a,b): p = 0.75*(1/2) + 0.25*(1/3)
