@@ -340,6 +340,89 @@ object BenchIndexScale {
       }
       rows += (("funnelRecompute(contrast)", k, seedEv.count(), 0.0,
         median(funReSecs)))
+
+      // --- q207 late-data funnel advance: ALL-LATE fixed batches against
+      // the k× history. The claim: cost tracks the AFFECTED-ENTITY volume
+      // (the ×4 pair at each k), not history size — the entity-scoped
+      // rescan is one semi-filtered pass, vs the recompute contrast's full
+      // cascade over history ---
+      val wmLate = java.sql.Timestamp.valueOf("2099-01-01 00:00:00")
+      def lateBatchOf(mod: Int): DataFrame = ev
+        .filter(col("event_id") % 199 < mod)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .localCheckpoint()
+      val late1 = lateBatchOf(1)
+      val late4 = lateBatchOf(4)
+      def lateSecs(b: DataFrame): Double = median((1 to runs).map { _ =>
+        time(Aggregates.funnelAdvanceLate(funState, b, seedEv,
+            col("user_id"), col("ts"), fSteps, wmLate)
+          .queryExecution.toRdd.count())._1
+      })
+      rows += (("funnelAdvanceLate", k, seedEv.count(), 0.0, lateSecs(late1)))
+      rows += (("funnelAdvanceLate(x4entities)", k, seedEv.count(), 0.0,
+        lateSecs(late4)))
+
+      // --- q201 PageRank warm resume: persisted rank vector on the k×
+      // graph, fixed edge delta folds in, TWO warm rounds close the gap
+      // vs the FIVE-round cold restart (contrast). Per-round cost is O(E)
+      // by construction; the warm win is the round count, and the
+      // per-iteration localCheckpoint keeps lineage flat across rounds ---
+      val prNodes = seen.select(col("doc_id").as("node")).localCheckpoint()
+      val prEdges = oldE.select(col("u").as("src"), col("v").as("dst"))
+      val (bPr, prState) = time {
+        Rank.pageRank(prNodes, prEdges, iters = 5).localCheckpoint()
+      }
+      val grown = prEdges
+        .unionByName(deltaE.select(col("u").as("src"), col("v").as("dst")))
+        .localCheckpoint()
+      val prWarmSecs = (1 to runs).map { _ =>
+        time(Rank.pageRankFrom(prNodes, grown, prState, iters = 2)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("pageRankWarmResume(2it)", k, seenSize, bPr, median(prWarmSecs)))
+      val prColdSecs = (1 to runs).map { _ =>
+        time(Rank.pageRank(prNodes, grown, iters = 5)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("pageRankColdRestart(5it,contrast)", k, seenSize, 0.0,
+        median(prColdSecs)))
+
+      // --- q206 k-means advance: frozen centroids trained on the k×
+      // corpus (build), then a FIXED vector batch folds into the k×dim
+      // stat state — the advance touches only the batch and the 512-row
+      // state, so the curve must be flat in corpus size ---
+      import graft.operators.Features
+      val (bKm, kmArtifacts) = time {
+        val frozen = Features.kmeansCentroids(seenEmb, "vec_id", "embedding", 8, 2)
+        val st = Features.kmeansCellStats(seenEmb, "vec_id", "embedding", frozen)
+          .localCheckpoint()
+        (frozen, st)
+      }
+      val (kmFrozen, kmState) = kmArtifacts
+      val kmSecs = (1 to runs).map { _ =>
+        time(Features.kmeansStatsAdvance(kmState, batchE, "vec_id", "embedding",
+            kmFrozen)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("kmeansStatsAdvance", k, embSeen, bKm, median(kmSecs)))
+
+      // --- q209 DSIR advance + batch rescore: 64-row histogram state from
+      // the k× corpus (build), fixed document batch advances the state and
+      // rescores ONLY itself — flat in corpus size ---
+      import graft.operators.Dsir
+      val dsirTgt = col("doc_id") % 10 === 0
+      val (bDsir, dsirState) = time {
+        Dsir.histOf(seen, "text", dsirTgt).localCheckpoint()
+      }
+      val dsirSecs = (1 to runs).map { _ =>
+        time {
+          val adv = Dsir.histAdvance(dsirState, batch2, "text",
+            col("doc_id") % 10 === 0).localCheckpoint()
+          Dsir.scoreWith(batch2, "doc_id", "text", adv)
+            .queryExecution.toRdd.count()
+        }._1
+      }
+      rows += (("dsirAdvanceRescore", k, seenSize, bDsir, median(dsirSecs)))
     }
 
     rows.foreach { case (op, k, n, build, batchSec) =>
