@@ -57,12 +57,15 @@ object VersionedSnapshot {
     new Path(s"$dir/$VersionsDir/v$v.manifest")
 
   private def writeManifest(spark: SparkSession, dir: String, v: Long,
-                            schema: StructType, files: Seq[String]): Unit = {
+                            schema: StructType, files: Seq[String],
+                            batchId: Option[Long] = None): Unit = {
     val f = fs(spark, dir)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"$dir/$VersionsDir/.tmp-v$v-$token")
+    val header = s"#schema:${schema.json}\n" +
+      batchId.map(b => s"#batch:$b\n").getOrElse("")
     val out = f.create(tmp, false)
-    try out.write((s"#schema:${schema.json}\n" + files.mkString("\n"))
+    try out.write((header + files.mkString("\n"))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, manifestPath(dir, v))) {
@@ -83,9 +86,26 @@ object VersionedSnapshot {
       try { in.readFully(0, buf); new String(buf, StandardCharsets.UTF_8) }
       finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    val schema = DataType.fromJson(lines.head.stripPrefix("#schema:"))
+    val schema = DataType.fromJson(
+      lines.find(_.startsWith("#schema:")).get.stripPrefix("#schema:"))
       .asInstanceOf[StructType]
-    (schema, lines.tail)
+    (schema, lines.filterNot(_.startsWith("#")))
+  }
+
+  /** The `#batch:` stamp of version `v`, if it was committed by
+    * [[commitBatch]]. */
+  private def batchStampOf(spark: SparkSession, dir: String,
+                           v: Long): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, v)
+    if (!f.exists(p)) return None
+    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    val text =
+      try { in.readFully(0, buf); new String(buf, StandardCharsets.UTF_8) }
+      finally in.close()
+    text.split("\n").find(_.startsWith("#batch:"))
+      .map(_.stripPrefix("#batch:").trim.toLong)
   }
 
   /** Land `df`'s files under a fresh immutable commit dir; returns their
@@ -119,6 +139,28 @@ object VersionedSnapshot {
     writeManifest(spark, dir, cur + 1, df.schema,
       prior ++ landFiles(spark, df, dir))
     cur + 1
+  }
+
+  /** `foreachBatch` sink: append each micro-batch as ONE new version,
+    * idempotently — the streaming member of the family. Every
+    * [[commitBatch]]-made manifest carries a `#batch:` stamp; an
+    * at-least-once REPLAY of batch K finds a manifest already stamped K
+    * and becomes a no-op (its data files were landed under the prior
+    * attempt's commit; a replay whose first attempt died BEFORE the
+    * manifest rename re-lands files and commits — the orphans from the
+    * dead attempt stay unreferenced until vacuum sweeps them, the
+    * documented crash contract). Returns the version holding batch K. */
+  def commitBatch(spark: SparkSession, df: DataFrame, dir: String,
+                  batchId: Long): Long = {
+    val cur = currentVersion(spark, dir)
+    val already = (1L to cur)
+      .find(v => batchStampOf(spark, dir, v).contains(batchId))
+    already.getOrElse {
+      val prior = if (cur == 0) Nil else readManifest(spark, dir, cur)._2
+      writeManifest(spark, dir, cur + 1, df.schema,
+        prior ++ landFiles(spark, df, dir), batchId = Some(batchId))
+      cur + 1
+    }
   }
 
   /** The snapshot AS OF `version` — the manifest's exact file set under

@@ -83,6 +83,60 @@ object Dsir {
         (coalesce(col("__t"), lit(0L)) + coalesce(col("_bt"), lit(0L))).as("__t"))
   }
 
+  /** Empty DSIR histogram state: `(__h, __r, __t)`. */
+  def histEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__h", LongType, nullable = false),
+        StructField("__r", LongType, nullable = false),
+        StructField("__t", LongType, nullable = false))))
+  }
+
+  /** `foreachBatch` sink maintaining the DSIR bucket-histogram state —
+    * the streaming member of the family ([[importanceWeights]] batch,
+    * [[histAdvance]] incremental): snapshot-per-batch (the rfmBatch
+    * discipline), advance(K) re-derives from the latest snapshot strictly
+    * below K and dynamic-overwrites `state/bid=K` — at-least-once replay
+    * rewrites identically; each snapshot is ≤ `buckets` rows. A caller
+    * scores any batch against [[histStateFrom]] with [[scoreWith]].
+    * Returns `(batch_id, n_buckets)`. */
+  def histBatch(stateDir: String, textCol: String, targetPred: Column,
+                buckets: Int = 64)(batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val dir = s"$stateDir/state"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val prior =
+      if (p.getFileSystem(hconf).exists(p)) {
+        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
+        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
+        if (prev == null) histEmptyState(spark)
+        else snaps.filter(col("bid") === prev.toString.toLong)
+          .select("__h", "__r", "__t")
+      } else histEmptyState(spark)
+    val next = histAdvance(prior, batch, textCol, targetPred, buckets)
+      .localCheckpoint()
+    next.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(dir)
+    Seq((batchId, next.count())).toDF("batch_id", "n_buckets")
+  }
+
+  /** The latest persisted [[histBatch]] snapshot — the empty state when
+    * the dir holds no snapshots yet (the frontFrom null-check
+    * discipline). */
+  def histStateFrom(spark: org.apache.spark.sql.SparkSession,
+                    stateDir: String): DataFrame = {
+    val snaps = spark.read.parquet(s"$stateDir/state")
+    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
+    if (last == null) histEmptyState(spark)
+    else snaps.filter(col("bid") === last.longValue)
+      .select("__h", "__r", "__t")
+  }
+
   /** Score `docs` against a GIVEN histogram state (freshly built or
     * incrementally advanced) — the [[importanceWeights]] math, replay
     * contract unchanged. The state densifies over the full bucket spine

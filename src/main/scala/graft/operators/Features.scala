@@ -213,6 +213,63 @@ object Features {
     frozen.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
   }
 
+  /** Empty k-means stat state: `(cell, pos, s, n)`. */
+  def kmeansEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("s", LongType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+  }
+
+  /** `foreachBatch` sink maintaining the mini-batch k-means stat state —
+    * the streaming member of the family ([[kmeansAssign]] batch,
+    * [[kmeansStatsAdvance]] incremental): snapshot-per-batch persistence
+    * (the rfmBatch discipline — a monoid state has no append form):
+    * advance(K) re-derives from the latest snapshot STRICTLY BELOW K and
+    * dynamic-overwrites `state/bid=K`, so an at-least-once replay rewrites
+    * identically. Snapshots are k×dim rows — bytes per batch. Returns
+    * `(batch_id, n_cells)`. */
+  def kmeansBatch(stateDir: String, idCol: String, vecCol: String,
+                  cents: Seq[(Int, Seq[Long])])
+                 (batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val dir = s"$stateDir/state"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val prior =
+      if (p.getFileSystem(hconf).exists(p)) {
+        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
+        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
+        if (prev == null) kmeansEmptyState(spark)
+        else snaps.filter(col("bid") === prev.toString.toLong)
+          .select("cell", "pos", "s", "n")
+      } else kmeansEmptyState(spark)
+    val next = kmeansStatsAdvance(prior, batch, idCol, vecCol, cents)
+      .localCheckpoint()
+    next.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(dir)
+    Seq((batchId, next.select("cell").distinct().count()))
+      .toDF("batch_id", "n_cells")
+  }
+
+  /** The latest persisted [[kmeansBatch]] snapshot — the empty state when
+    * the dir holds no snapshots yet (the frontFrom null-check
+    * discipline). */
+  def kmeansStateFrom(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String): DataFrame = {
+    val snaps = spark.read.parquet(s"$stateDir/state")
+    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
+    if (last == null) kmeansEmptyState(spark)
+    else snaps.filter(col("bid") === last.longValue)
+      .select("cell", "pos", "s", "n")
+  }
+
   /** Assignment under a GIVEN centroid matrix (frozen or incrementally
     * advanced) — [[kmeansAssign]]'s scoring half, same exact-integer
     * distances and tie rule. */

@@ -112,6 +112,55 @@ class StreamingSpec extends SparkSpec {
     assert(snap == after, "replay must rewrite the same snapshot")
   }
 
+  test("kmeansBatch sink: snapshot-per-batch monoid state; centroids from state ≡ one-pass; replay identical") {
+    import graft.operators.Features
+    val dir = Files.createTempDirectory("graft_km_sink").toString
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Seq((if (i % 2 == 0) -1.0f else 1.0f) + i * 0.001f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    val all = vecs(0L until 24L)
+    val frozen = Features.kmeansCentroids(all, "vec_id", "embedding", 2, 2)
+    val sink = Features.kmeansBatch(dir, "vec_id", "embedding", frozen) _
+    sink(vecs(0L until 12L), 0L)
+    sink(vecs(12L until 24L), 1L)
+    def state = Features.kmeansStateFrom(spark, dir)
+    def sset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = sset(Features.kmeansCellStats(all, "vec_id", "embedding", frozen))
+    assert(sset(state) == want, "streamed state must equal the one-pass stats")
+    assert(Features.kmeansCentroidsFrom(state, frozen) ==
+      Features.kmeansCentroidsFrom(
+        Features.kmeansCellStats(all, "vec_id", "embedding", frozen), frozen))
+    // replay of batch 1: re-derives from snapshot 0, rewrites identically
+    sink(vecs(12L until 24L), 1L)
+    assert(sset(state) == want, "replay must rewrite the same snapshot")
+  }
+
+  test("Dsir.histBatch sink: snapshot-per-batch histogram state; scores from state ≡ one-shot; replay identical") {
+    import graft.operators.Dsir
+    val dir = Files.createTempDirectory("graft_dsir_sink").toString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta alpha"), (4L, "delta alpha beta"))
+      .toDF("doc_id", "text")
+    val tgt = org.apache.spark.sql.functions.col("doc_id") % 2 === 0
+    val sink = Dsir.histBatch(dir, "text", tgt) _
+    sink(docs.filter(org.apache.spark.sql.functions.col("doc_id") <= 2), 0L)
+    sink(docs.filter(org.apache.spark.sql.functions.col("doc_id") > 2), 1L)
+    def hset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = hset(Dsir.histOf(docs, "text", tgt))
+    assert(hset(Dsir.histStateFrom(spark, dir)) == want)
+    val fromState = Dsir.scoreWith(docs, "doc_id", "text",
+        Dsir.histStateFrom(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val oneShot = Dsir.importanceWeights(docs, "doc_id", "text", tgt)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(fromState == oneShot)
+    sink(docs.filter(org.apache.spark.sql.functions.col("doc_id") > 2), 1L)
+    assert(hset(Dsir.histStateFrom(spark, dir)) == want,
+      "replay must rewrite the same snapshot")
+  }
+
   test("rfmStateFrom/frontFrom: a state dir with NO snapshots reads as the empty state, not an NPE") {
     // simulates a read before the first batch commits / after compaction
     // emptied the dir: schema present, zero rows → max(bid) is NULL

@@ -74,6 +74,26 @@ class VersionedSnapshotSpec extends SparkSpec {
       VersionedSnapshot.readAt(spark, dir, 1).collect())
   }
 
+  test("commitBatch: one version per micro-batch, at-least-once replay is a no-op") {
+    val dir = tmp()
+    val v0 = VersionedSnapshot.commitBatch(spark,
+      Seq((1L, "a")).toDF("k", "v"), dir, batchId = 0L)
+    val v1 = VersionedSnapshot.commitBatch(spark,
+      Seq((2L, "b")).toDF("k", "v"), dir, batchId = 1L)
+    assert(v0 == 1L && v1 == 2L)
+    assert(VersionedSnapshot.read(spark, dir).count() == 2L)
+    // replay of batch 1: finds its stamped manifest, commits nothing new
+    val vReplay = VersionedSnapshot.commitBatch(spark,
+      Seq((2L, "b")).toDF("k", "v"), dir, batchId = 1L)
+    assert(vReplay == 2L, "replay must return the existing version")
+    assert(VersionedSnapshot.currentVersion(spark, dir) == 2L)
+    assert(VersionedSnapshot.read(spark, dir).count() == 2L,
+      "replay must not duplicate rows")
+    // history intact: version 1 still reads as batch 0 alone
+    assert(VersionedSnapshot.readAt(spark, dir, 1).collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(1L, "a")))
+  }
+
   test("schema pins per version; empty commit reads as an empty frame of its schema") {
     val dir = tmp()
     VersionedSnapshot.commit(spark, Seq((1L, "x")).toDF("k", "v"), dir)
