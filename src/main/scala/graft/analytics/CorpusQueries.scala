@@ -2885,22 +2885,22 @@ out_$k AS (
          |  GROUP BY p.w),
          |seg$r AS (
          |  SELECT d.w, d.cnt,
-         |    string_split(split_part(list_reduce(list_prepend('1|', a.els),
+         |    string_split(split_part(list_reduce(list_prepend('1' || chr(29), a.els),
          |      -- the skip branch REBUILDS acc instead of returning it:
          |      -- DuckDB 1.0's list_reduce corrupts row alignment when a
          |      -- lambda branch passes the accumulator through unchanged
          |      (acc, x) -> CASE
          |        WHEN CAST(split_part(x, chr(30), 1) AS INT)
-         |             != CAST(split_part(acc, '|', 1) AS INT)
-         |          THEN split_part(acc, '|', 1) || '|' || split_part(acc, '|', 2)
-         |        ELSE CAST(CAST(split_part(acc, '|', 1) AS INT)
-         |               + CAST(split_part(x, chr(30), 2) AS INT) AS VARCHAR) || '|' ||
-         |          CASE WHEN split_part(acc, '|', 2) = ''
+         |             != CAST(split_part(acc, chr(29), 1) AS INT)
+         |          THEN split_part(acc, chr(29), 1) || chr(29) || split_part(acc, chr(29), 2)
+         |        ELSE CAST(CAST(split_part(acc, chr(29), 1) AS INT)
+         |               + CAST(split_part(x, chr(30), 2) AS INT) AS VARCHAR) || chr(29) ||
+         |          CASE WHEN split_part(acc, chr(29), 2) = ''
          |               THEN split_part(x, chr(30), 3)
-         |               ELSE split_part(acc, '|', 2) || chr(31) ||
+         |               ELSE split_part(acc, chr(29), 2) || chr(31) ||
          |                    split_part(x, chr(30), 3)
          |          END
-         |      END), '|', 2), chr(31)) AS segs
+         |      END), chr(29), 2), chr(31)) AS segs
          |  FROM wds d JOIN bla$r a ON d.w = a.w),
          |use$r AS (
          |  SELECT piece, SUM(cnt) AS usage

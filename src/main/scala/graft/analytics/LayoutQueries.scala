@@ -178,6 +178,12 @@ object LayoutQueries {
           "event_id", "user_id", d, Bits, CellBits)
       }
       val base = PrepQueries.copyFixtureToScratch(pristine, "graft_q178_")
+      // the skip index stores ABSOLUTE file paths: rebase them onto the
+      // copy, or validatedSkipIndex would see zero overlap with the live
+      // listing and silently rebuild the WHOLE index from footers inside
+      // the measured optimize — re-importing the fixture cost the cache
+      // exists to remove
+      Layout.rebaseSkipIndex(s, base, pristine, base)
       val batch = ev.filter(col("event_id") % 10 === 0)
       Layout.optimizeIncremental(s, base, batch, "event_id", "user_id")
         .select(col("zcell"), col("rows_base"), col("rows_added"),

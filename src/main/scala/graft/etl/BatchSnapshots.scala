@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** THE snapshot-per-batch state discipline, in one place — shared by every
+  * `foreachBatch` sink whose state is a monoid (RFM, skyline, k-means
+  * stats, DSIR histograms) and therefore has no append form: advance(K)
+  * re-derives from the latest snapshot STRICTLY BELOW K and
+  * dynamic-overwrites `bid=K`, so an at-least-once replay re-derives from
+  * the same predecessor and rewrites its own partition with identical
+  * content; snapshots below the caller's replay barrier compact via
+  * [[SnapshotIO.compactBatchPartitions]]-style folding or plain deletes.
+  *
+  * Extracted after the pattern's FOURTH copy: the max(bid)-over-zero-rows
+  * NPE had to be patched per copy in round 12 (rfmStateFrom, frontFrom) —
+  * a drift class this single implementation retires. Two deliberate
+  * details every caller inherits:
+  *   - `bid` is a PARTITION column, so small values read back as INT —
+  *     reads go through `Number.longValue`, never a long cast;
+  *   - a dir with no snapshots (pre-first-commit, post-compaction) reads
+  *     as the caller's EMPTY state, never an NPE. */
+object BatchSnapshots {
+
+  /** The latest snapshot under `dir` (optionally strictly below
+    * `belowBid`), projected to `cols` — or `empty` when the dir is absent
+    * or holds no qualifying snapshot. */
+  def latest(spark: SparkSession, dir: String, cols: Seq[String],
+             empty: => DataFrame, belowBid: Option[Long] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return empty
+    val all = spark.read.parquet(dir)
+    val snaps = belowBid.fold(all)(b => all.filter(col("bid") < b))
+    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
+    if (last == null) empty
+    else snaps.filter(col("bid") === last.longValue).select(cols.map(col): _*)
+  }
+
+  /** One sink step: advance the latest-below-`batchId` snapshot with
+    * `advance`, land the result under `dir/bid=batchId` via dynamic
+    * partition overwrite, return the landed (checkpointed) state. */
+  def advanceAndLand(spark: SparkSession, dir: String, batchId: Long,
+                     cols: Seq[String], empty: => DataFrame)
+                    (advance: DataFrame => DataFrame): DataFrame = {
+    val prior = latest(spark, dir, cols, empty, belowBid = Some(batchId))
+    val next = advance(prior).localCheckpoint()
+    next.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(dir)
+    next
+  }
+}

@@ -135,10 +135,26 @@ object VersionedSnapshot {
     * the append-only ingest path where a version costs its new bytes. */
   def commitAppend(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val cur = currentVersion(spark, dir)
-    val prior = if (cur == 0) Nil else readManifest(spark, dir, cur)._2
+    val prior = if (cur == 0) Nil else priorFilesChecked(spark, df, dir, cur)
     writeManifest(spark, dir, cur + 1, df.schema,
       prior ++ landFiles(spark, df, dir))
     cur + 1
+  }
+
+  /** The latest manifest's file list, with the append-schema guard: the
+    * new manifest stamps the BATCH's schema over every reused prior file,
+    * so a drifted batch (renamed/added column) would silently null-fill
+    * historical rows on read — refuse loudly instead; evolve schemas
+    * through a full [[commit]], which reuses no files. */
+  private def priorFilesChecked(spark: SparkSession, df: DataFrame,
+                                dir: String, cur: Long): Seq[String] = {
+    val (priorSchema, files) = readManifest(spark, dir, cur)
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(shape(df.schema) == shape(priorSchema),
+      s"commitAppend schema drift at $dir: batch ${df.schema.simpleString} " +
+        s"vs version $cur ${priorSchema.simpleString} — appended versions " +
+        "reuse prior files under the batch's schema; use commit() to evolve")
+    files
   }
 
   /** `foreachBatch` sink: append each micro-batch as ONE new version,
@@ -149,14 +165,19 @@ object VersionedSnapshot {
     * attempt's commit; a replay whose first attempt died BEFORE the
     * manifest rename re-lands files and commits — the orphans from the
     * dead attempt stay unreferenced until vacuum sweeps them, the
-    * documented crash contract). Returns the version holding batch K. */
+    * documented crash contract). The stamp check scans manifests
+    * NEWEST-FIRST: Structured Streaming only ever replays the most recent
+    * uncommitted epoch, so the replay case resolves in O(1) manifest
+    * reads; the fresh-commit case pays one pass over tiny manifest files
+    * (O(versions) driver-side reads, bounded by retention/vacuum).
+    * Returns the version holding batch K. */
   def commitBatch(spark: SparkSession, df: DataFrame, dir: String,
                   batchId: Long): Long = {
     val cur = currentVersion(spark, dir)
-    val already = (1L to cur)
+    val already = (cur to 1L by -1L)
       .find(v => batchStampOf(spark, dir, v).contains(batchId))
     already.getOrElse {
-      val prior = if (cur == 0) Nil else readManifest(spark, dir, cur)._2
+      val prior = if (cur == 0) Nil else priorFilesChecked(spark, df, dir, cur)
       writeManifest(spark, dir, cur + 1, df.schema,
         prior ++ landFiles(spark, df, dir), batchId = Some(batchId))
       cur + 1
@@ -201,8 +222,12 @@ object VersionedSnapshot {
         f.listStatus(cdir.getPath).toSeq.foreach { st =>
           val rel = s"data/$cname/${st.getPath.getName}"
           val isData = st.getPath.getName.endsWith(".parquet")
-          if (!referenced.contains(rel) && (isData || !st.isDirectory)) {
-            if (f.delete(st.getPath, false) && isData) deleted += 1
+          // manifests reference exactly depth-1 files, so any DIRECTORY
+          // here (a dead write's _temporary tree) is unreferenced by
+          // construction — sweep it recursively, or crashed commits
+          // accumulate forever
+          if (!referenced.contains(rel)) {
+            if (f.delete(st.getPath, st.isDirectory) && isData) deleted += 1
           }
         }
         if (f.listStatus(cdir.getPath).isEmpty) f.delete(cdir.getPath, true)

@@ -201,7 +201,8 @@ object Aggregates {
       // cascade thresholds each step against the just-advanced previous)
       val recomputed = funnelAdvance(
         funnelEmptyState(spark, steps.length), affected, entity, ts, steps)
-      folded.join(lateE, Seq("_e"), "left_anti").unionByName(recomputed)
+      folded.join(broadcast(lateE), Seq("_e"), "left_anti")
+        .unionByName(recomputed)
     }
   }
 
@@ -363,23 +364,10 @@ object Aggregates {
                cents: Column)(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val dir = s"$stateDir/state"
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val prior =
-      if (p.getFileSystem(hconf).exists(p)) {
-        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
-        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
-        if (prev == null) rfmEmptyState(spark)
-        else snaps.filter(col("bid") === prev.toString.toLong)
-          .select("_e", "_last", "_freq", "_cents")
-      } else rfmEmptyState(spark)
-    val next = rfmAdvance(prior, batch, entity, orderDate, cents)
-      .localCheckpoint()
-    next.withColumn("bid", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(dir)
+    val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
+        s"$stateDir/state", batchId, Seq("_e", "_last", "_freq", "_cents"),
+        rfmEmptyState(spark))(
+      prior => rfmAdvance(prior, batch, entity, orderDate, cents))
     Seq((batchId, next.count())).toDF("batch_id", "n_entities")
   }
 
@@ -389,13 +377,9 @@ object Aggregates {
     * NULL, and the same null-check [[rfmBatch]]'s own prior-read applies
     * must hold here too instead of an NPE. */
   def rfmStateFrom(spark: org.apache.spark.sql.SparkSession,
-                   stateDir: String): DataFrame = {
-    val snaps = spark.read.parquet(s"$stateDir/state")
-    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
-    if (last == null) rfmEmptyState(spark)
-    else snaps.filter(col("bid") === last.longValue)
-      .select("_e", "_last", "_freq", "_cents")
-  }
+                   stateDir: String): DataFrame =
+    graft.etl.BatchSnapshots.latest(spark, s"$stateDir/state",
+      Seq("_e", "_last", "_freq", "_cents"), rfmEmptyState(spark))
 
   /** RFM segmentation: per-entity recency/frequency/monetary metrics, each
     * cut into exact rank quintiles — `q = (rank-1)·5 div N + 1` over the

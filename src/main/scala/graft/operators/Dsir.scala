@@ -105,23 +105,10 @@ object Dsir {
                 buckets: Int = 64)(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val dir = s"$stateDir/state"
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val prior =
-      if (p.getFileSystem(hconf).exists(p)) {
-        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
-        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
-        if (prev == null) histEmptyState(spark)
-        else snaps.filter(col("bid") === prev.toString.toLong)
-          .select("__h", "__r", "__t")
-      } else histEmptyState(spark)
-    val next = histAdvance(prior, batch, textCol, targetPred, buckets)
-      .localCheckpoint()
-    next.withColumn("bid", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(dir)
+    val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
+        s"$stateDir/state", batchId, Seq("__h", "__r", "__t"),
+        histEmptyState(spark))(
+      prior => histAdvance(prior, batch, textCol, targetPred, buckets))
     Seq((batchId, next.count())).toDF("batch_id", "n_buckets")
   }
 
@@ -129,13 +116,9 @@ object Dsir {
     * the dir holds no snapshots yet (the frontFrom null-check
     * discipline). */
   def histStateFrom(spark: org.apache.spark.sql.SparkSession,
-                    stateDir: String): DataFrame = {
-    val snaps = spark.read.parquet(s"$stateDir/state")
-    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
-    if (last == null) histEmptyState(spark)
-    else snaps.filter(col("bid") === last.longValue)
-      .select("__h", "__r", "__t")
-  }
+                    stateDir: String): DataFrame =
+    graft.etl.BatchSnapshots.latest(spark, s"$stateDir/state",
+      Seq("__h", "__r", "__t"), histEmptyState(spark))
 
   /** Score `docs` against a GIVEN histogram state (freshly built or
     * incrementally advanced) — the [[importanceWeights]] math, replay

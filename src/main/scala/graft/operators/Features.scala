@@ -142,21 +142,24 @@ object Features {
       .select(col("__q")).as[Seq[Long]].collect()
     require(init.nonEmpty, "corpus too small to sample centroids")
     var cents: Seq[(Int, Seq[Long])] = init.toSeq.zipWithIndex.map(_.swap)
-    for (_ <- 0 until iters) {
-      val sums = assignQuantized(qx, cents)
-        .select(col("cell"), posexplode(col("__q")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .as[(Int, Int, Long, Long)].collect()
-      val byCell = sums.groupBy(_._1).view.mapValues { rows =>
-        rows.sortBy(_._2).map { case (_, _, s, n) =>
-          roundHalfAway(s.toDouble / n)
-        }.toSeq
-      }.toMap
-      cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
-    }
+    // each sweep IS the incremental pair (stats → frozen-init step): ONE
+    // implementation of the update rule, so batch training and the
+    // mini-batch advance can never disagree on rounding or the
+    // empty-cell rule (the quantized/assignQuantized sharing argument)
+    for (_ <- 0 until iters)
+      cents = kmeansCentroidsFrom(cellStatsQuantized(qx, cents), cents)
     cents
   }
+
+  /** Per-(cell, dim) exact sums/counts of an already-quantized frame under
+    * `cents` — shared by [[kmeansTrain]]'s sweeps and
+    * [[kmeansCellStats]]. */
+  private def cellStatsQuantized(qx: DataFrame,
+                                 cents: Seq[(Int, Seq[Long])]): DataFrame =
+    assignQuantized(qx, cents)
+      .select(col("cell"), posexplode(col("__q")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
 
   /** The trained k×dim integer centroid matrix alone — the FROZEN
     * quantizer for the mini-batch path ([[kmeansCellStats]] /
@@ -174,10 +177,7 @@ object Features {
     * compute — the NB/BM25 incremental discipline applied to clustering. */
   def kmeansCellStats(df: DataFrame, idCol: String, vecCol: String,
                       cents: Seq[(Int, Seq[Long])]): DataFrame =
-    assignQuantized(quantized(df, idCol, vecCol), cents)
-      .select(col("cell"), posexplode(col("__q")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    cellStatsQuantized(quantized(df, idCol, vecCol), cents)
 
   /** Advance the k-means state with one vector batch: per-(cell, pos)
     * full-outer SUM merge — one shuffle sized k·dim + k·dim, never the
@@ -237,23 +237,10 @@ object Features {
                  (batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val dir = s"$stateDir/state"
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val prior =
-      if (p.getFileSystem(hconf).exists(p)) {
-        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
-        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
-        if (prev == null) kmeansEmptyState(spark)
-        else snaps.filter(col("bid") === prev.toString.toLong)
-          .select("cell", "pos", "s", "n")
-      } else kmeansEmptyState(spark)
-    val next = kmeansStatsAdvance(prior, batch, idCol, vecCol, cents)
-      .localCheckpoint()
-    next.withColumn("bid", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(dir)
+    val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
+        s"$stateDir/state", batchId, Seq("cell", "pos", "s", "n"),
+        kmeansEmptyState(spark))(
+      prior => kmeansStatsAdvance(prior, batch, idCol, vecCol, cents))
     Seq((batchId, next.select("cell").distinct().count()))
       .toDF("batch_id", "n_cells")
   }
@@ -262,13 +249,9 @@ object Features {
     * the dir holds no snapshots yet (the frontFrom null-check
     * discipline). */
   def kmeansStateFrom(spark: org.apache.spark.sql.SparkSession,
-                      stateDir: String): DataFrame = {
-    val snaps = spark.read.parquet(s"$stateDir/state")
-    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
-    if (last == null) kmeansEmptyState(spark)
-    else snaps.filter(col("bid") === last.longValue)
-      .select("cell", "pos", "s", "n")
-  }
+                      stateDir: String): DataFrame =
+    graft.etl.BatchSnapshots.latest(spark, s"$stateDir/state",
+      Seq("cell", "pos", "s", "n"), kmeansEmptyState(spark))
 
   /** Assignment under a GIVEN centroid matrix (frozen or incrementally
     * advanced) — [[kmeansAssign]]'s scoring half, same exact-integer

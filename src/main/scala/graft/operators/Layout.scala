@@ -276,6 +276,22 @@ object Layout {
   def readSkipIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/$SKIPINDEX")
 
+  /** Rewrite the landed skip index's absolute `file` paths from
+    * `fromPrefix` to `toPrefix` — the relocation hook for a layout that
+    * was MOVED wholesale (a restored backup, a fixture copy): the index's
+    * stats are location-independent, only the path strings go stale, and
+    * without the rebase a validated read would see zero overlap with the
+    * live listing and pay a full footer rebuild. One tiny-sidecar rewrite;
+    * stats untouched. */
+  def rebaseSkipIndex(spark: SparkSession, dir: String,
+                      fromPrefix: String, toPrefix: String): Unit = {
+    val rebased = readSkipIndex(spark, dir)
+      .withColumn("file", regexp_replace(col("file"),
+        java.util.regex.Pattern.quote(fromPrefix), toPrefix))
+      .localCheckpoint()
+    rebased.coalesce(1).write.mode("overwrite").parquet(s"$dir/$SKIPINDEX")
+  }
+
   /** The skip index VALIDATED against the live file listing — the crash
     * contract for [[optimizeIncremental]]: a failure between its
     * dynamic-overwrite data commit and the `_skipindex` rewrite leaves the
@@ -323,8 +339,11 @@ object Layout {
         .localCheckpoint()
       if (persistHealed) {
         // stage-then-swap: land the healed index beside the live one, then
-        // rename old→trash, new→live, trash deleted last — a reader racing
-        // this sees a complete directory at every instant
+        // rename old→trash, new→live, trash deleted last — a racing reader
+        // sees the old index or the new one, never a partially-written
+        // directory (between the two renames the index is briefly ABSENT,
+        // but this branch runs only inside optimizeIncremental's
+        // single-writer maintenance window, which already owns the table)
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val liveP = new org.apache.hadoop.fs.Path(s"$dir/$SKIPINDEX")

@@ -131,7 +131,8 @@ object Sessions {
           "left_semi")
       val recomputed = sessionsOf(
         sliceOf(history).unionByName(sliceOf(batch)), user, ts, value, gapSec)
-      folded.join(lateU, Seq("_u"), "left_anti").unionByName(recomputed)
+      folded.join(broadcast(lateU), Seq("_u"), "left_anti")
+        .unionByName(recomputed)
     }
   }
 

@@ -59,22 +59,10 @@ object Skyline {
                                      batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val dir = s"$stateDir/front"
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val prior =
-      if (p.getFileSystem(hconf).exists(p)) {
-        val snaps = spark.read.parquet(dir).filter(col("bid") < batchId)
-        val prev = snaps.agg(max(col("bid"))).head().getAs[Any](0)
-        if (prev == null) pareto2dEmptyState(spark)
-        else snaps.filter(col("bid") === prev.toString.toLong)
-          .select("x", "ymax")
-      } else pareto2dEmptyState(spark)
-    val next = pareto2dAdvance(prior, batch, x, y, buckets).localCheckpoint()
-    next.withColumn("bid", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(dir)
+    val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
+        s"$stateDir/front", batchId, Seq("x", "ymax"),
+        pareto2dEmptyState(spark))(
+      prior => pareto2dAdvance(prior, batch, x, y, buckets))
     Seq((batchId, next.count())).toDF("batch_id", "front_size")
   }
 
@@ -82,12 +70,9 @@ object Skyline {
     * the dir exists but holds no snapshot yet (max(bid) over zero rows is
     * NULL; the same null-check the batch path's prior-read applies). */
   def frontFrom(spark: org.apache.spark.sql.SparkSession,
-                stateDir: String): DataFrame = {
-    val snaps = spark.read.parquet(s"$stateDir/front")
-    val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
-    if (last == null) pareto2dEmptyState(spark)
-    else snaps.filter(col("bid") === last.longValue).select("x", "ymax")
-  }
+                stateDir: String): DataFrame =
+    graft.etl.BatchSnapshots.latest(spark, s"$stateDir/front",
+      Seq("x", "ymax"), pareto2dEmptyState(spark))
 
   /** The pareto front of (`x` maximize, `y` maximize) as distinct rows
     * `(x, ymax)` — both columns must be integral (exactness contract). */

@@ -254,18 +254,23 @@ object Vocab {
       .groupBy("w")
       .agg(transform(sort_array(collect_list(struct(col("__p"), col("__bl")))),
         s => s.getField("__bl")).as("__bls"))
+    // the pos/segs carrier delimiter is a CONTROL char (U+001D), same
+    // argument as BpeSep: tokens come from whitespace splitting and can
+    // contain any printable char — a '|' in a word would corrupt the
+    // carrier in both engines
+    val Carrier = "\u001d"
     def part(acc: Column, i: Int): Column =
-      call_function("split_part", acc, lit("|"), lit(i))
+      call_function("split_part", acc, lit(Carrier), lit(i))
     val fold = aggregate(
       transform(sequence(lit(1), length(col("w"))), i => i.cast("string")),
-      lit("1|"),
+      lit("1" + Carrier),
       (acc, x) => {
         val pos = part(acc, 1).cast("int")
         val segs = part(acc, 2)
         val bl = element_at(col("__bls"), pos)
         val piece = col("w").substr(pos, bl)
         when(x.cast("int") =!= pos, acc)
-          .otherwise(concat((pos + bl).cast("string"), lit("|"),
+          .otherwise(concat((pos + bl).cast("string"), lit(Carrier),
             when(segs === lit(""), piece)
               .otherwise(concat(segs, lit(BpeSep), piece))))
       })
