@@ -96,12 +96,15 @@ object Sessions {
       col("_ts0").as("session_start"), col("_he").as("session_end"),
       (col("_tn") + col("_hn")).as("n_events"),
       (col("_tt") + col("_ht")).cast("decimal(18,2)").as("total"))
-    // survivors: state minus consumed tails, batch minus consumed heads
+    // survivors: state minus consumed tails, batch minus consumed heads.
+    // `paired` is one row per user that stitches — bounded by the BATCH's
+    // user set, so it broadcasts: the session state is never shuffled for
+    // the consumption check (at 100 TB the state is the big side)
     val stateKeep = state.join(
-      paired.select(col("_u"), col("_ts0").as("session_start")),
+      broadcast(paired.select(col("_u"), col("_ts0").as("session_start"))),
       Seq("_u", "session_start"), "left_anti")
     val batchKeep = bs.join(
-      paired.select(col("_u"), col("_hs").as("session_start")),
+      broadcast(paired.select(col("_u"), col("_hs").as("session_start"))),
       Seq("_u", "session_start"), "left_anti")
     stateKeep.unionByName(batchKeep).unionByName(merged)
   }

@@ -554,6 +554,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("late-data advances: the affected-entity set BROADCASTS into every state/history join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Aggregates, Sessions}
+    val ev = Tables.events(spark, sf)
+    val wm = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val steps = Seq("a" -> (col("event_type") === "view"),
+      "b" -> (col("event_type") === "click"),
+      "c" -> (col("event_type") === "purchase"))
+    val hist = ev.filter(col("ts") < lit(wm))
+    val st = Aggregates.funnelAdvance(
+      Aggregates.funnelEmptyState(spark, 3), hist,
+      col("user_id"), col("ts"), steps).localCheckpoint()
+    val late = ev.filter(col("ts") >= lit(wm) || col("event_id") % 97 === 0)
+    val pF = Aggregates.funnelAdvanceLate(st, late, hist,
+        col("user_id"), col("ts"), steps, wm)
+      .queryExecution.executedPlan.toString
+    // the LATE machinery's joins — the history/batch rescans (LeftSemi)
+    // and the state-side replace (LeftAnti) — must all broadcast the
+    // affected set; the plain fold's keyed state merge inside is the
+    // operator's own documented shuffle and stays
+    def lateJoinsBroadcast(p: String, tag: String): Unit = {
+      assert(!"SortMergeJoin.*Left(Semi|Anti)".r.findFirstIn(p).isDefined,
+        s"$tag: an affected-set join degraded to sort-merge:\n" + p.take(3000))
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+        s"$tag: state-side replace is not a broadcast anti-join:\n" + p.take(2000))
+      assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+        s"$tag: entity-scoped rescan is not a broadcast semi-join:\n" + p.take(2000))
+    }
+    lateJoinsBroadcast(pF, "funnelAdvanceLate")
+    val sSt = Sessions.advance(Sessions.emptyState(spark), hist,
+      col("user_id"), col("ts"), col("value"), 1800L).localCheckpoint()
+    val pS = Sessions.advanceLate(sSt, late, hist,
+        col("user_id"), col("ts"), col("value"), 1800L, wm)
+      .queryExecution.executedPlan.toString
+    lateJoinsBroadcast(pS, "Sessions.advanceLate")
+  }
+
+  test("kmeansStatsAdvance: batch-only scan, k*dim-bounded state merge — never the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Features
+    val emb = Tables.embeddings(spark, sf)
+    val frozen = Features.kmeansCentroids(emb, "vec_id", "embedding", 4, 1)
+    val st = Features.kmeansCellStats(emb, "vec_id", "embedding", frozen)
+      .localCheckpoint()
+    val batch = emb.limit(50)
+    val df = Features.kmeansStatsAdvance(st, batch, "vec_id", "embedding", frozen)
+    val p = df.queryExecution.executedPlan.toString
+    // assignment is a pure broadcast-literal projection; the only hash
+    // exchanges are the batch's (cell,pos) aggregate and the tiny
+    // full-outer state merge
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"$exchanges hash exchanges — the advance must not shuffle the corpus:\n" + p.take(3000))
+  }
+
   test("q140 incremental IVF: append is a projection — no corpus shuffle before the probe join") {
     // frozen-quantizer assignment is a broadcast projection pass; the only
     // exchanges allowed are the cell-keyed probe join and the per-query
