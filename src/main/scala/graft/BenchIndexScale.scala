@@ -362,6 +362,26 @@ object BenchIndexScale {
       rows += (("funnelAdvanceLate(x4entities)", k, seedEv.count(), 0.0,
         lateSecs(late4)))
 
+      // --- q208 late-data sessions advance: same protocol — the k×
+      // session history's state, a fixed all-late batch, affected users
+      // re-sessionize from the entity-scoped history slice ---
+      import graft.operators.Sessions
+      val (bSess, sessState) = time {
+        Sessions.advance(Sessions.emptyState(spark),
+            seedEv.withColumn("value", lit(1.0)),
+            col("user_id"), col("ts"), col("value"), 1800L)
+          .repartition(col("_u")).localCheckpoint()
+      }
+      val sessLateSecs = (1 to runs).map { _ =>
+        time(Sessions.advanceLate(sessState,
+            late1.withColumn("value", lit(1.0)),
+            seedEv.withColumn("value", lit(1.0)),
+            col("user_id"), col("ts"), col("value"), 1800L, wmLate)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("sessionsAdvanceLate", k, seedEv.count(), bSess,
+        median(sessLateSecs)))
+
       // --- q201 PageRank warm resume: persisted rank vector on the k×
       // graph, fixed edge delta folds in, TWO warm rounds close the gap
       // vs the FIVE-round cold restart (contrast). Per-round cost is O(E)

@@ -94,6 +94,28 @@ class VersionedSnapshotSpec extends SparkSpec {
       Seq(org.apache.spark.sql.Row(1L, "a")))
   }
 
+  test("append schema drift refuses loudly; the refused snapshot is untouched") {
+    val dir = tmp()
+    VersionedSnapshot.commit(spark, Seq((1L, "a")).toDF("k", "v"), dir)
+    // appends refuse schema drift instead of null-filling history (a
+    // drifted batch's schema would be stamped over the reused v1 files)
+    intercept[IllegalArgumentException](
+      VersionedSnapshot.commitAppend(spark,
+        Seq((2L, "b", true)).toDF("k", "v", "extra"), dir))
+    intercept[IllegalArgumentException](
+      VersionedSnapshot.commitBatch(spark,
+        Seq((2L, "b", true)).toDF("k", "v", "extra"), dir, batchId = 5L))
+    // the snapshot is untouched by both refusals
+    assert(VersionedSnapshot.currentVersion(spark, dir) == 1L)
+    assert(VersionedSnapshot.read(spark, dir).collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(1L, "a")))
+    // ...and a full commit() is the sanctioned evolution path
+    assert(VersionedSnapshot.commit(spark,
+      Seq((2L, "b", true)).toDF("k", "v", "extra"), dir) == 2L)
+    assert(VersionedSnapshot.read(spark, dir).columns.toSeq ==
+      Seq("k", "v", "extra"))
+  }
+
   test("schema pins per version; empty commit reads as an empty frame of its schema") {
     val dir = tmp()
     VersionedSnapshot.commit(spark, Seq((1L, "x")).toDF("k", "v"), dir)
