@@ -81,18 +81,23 @@ object SimilarityQueries {
       val c1 = f.kmeansCentroidsFrom(st1, frozen)
       val c2 = f.kmeansCentroidsFrom(st2, frozen)
       def drift(scope: org.apache.spark.sql.DataFrame,
-                inc: Seq[(Int, Seq[Long])], phase: String) = {
+                inc: Seq[(Int, Seq[Long])], ref: Seq[(Int, Seq[Long])],
+                phase: String) = {
         val i = f.kmeansAssignWith(scope, "vec_id", "embedding", inc)
           .select(col("vec_id"), col("cell").as("cell_inc"),
             col("dist").as("d_inc"))
-        val r = f.kmeansAssign(scope, "vec_id", "embedding", 8, 2)
+        val r = f.kmeansAssignWith(scope, "vec_id", "embedding", ref)
           .select(col("vec_id"), col("cell").as("cell_full"))
         i.join(r, "vec_id").groupBy("cell_inc", "cell_full")
           .agg(count(lit(1)).as("n_vecs"), sum(col("d_inc")).as("dist_sum"))
           .withColumn("phase", lit(phase))
       }
-      drift(seed, c1, "1_after_b1")
-        .unionByName(drift(emb, c2, "2_after_b2"))
+      // phase 1's full-Lloyd reference IS the frozen matrix (both are the
+      // seed train at iters=2) — reusing it saves a redundant 2-sweep
+      // retrain; phase 2 genuinely retrains on the full corpus
+      val fullRetrain = f.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      drift(seed, c1, frozen, "1_after_b1")
+        .unionByName(drift(emb, c2, fullRetrain, "2_after_b2"))
         .select("phase", "cell_inc", "cell_full", "n_vecs", "dist_sum")
         .orderBy("phase", "cell_inc", "cell_full")
     },
