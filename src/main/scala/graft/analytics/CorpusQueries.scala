@@ -450,6 +450,29 @@ object CorpusQueries {
         .orderBy(col("usage").desc, col("piece"))
     },
 
+    // Incremental TOKENIZER training — the family's §2.9 member: the only
+    // corpus-sized input BPE consumes is the word-frequency table, a
+    // count monoid, so the state folds per ingest batch (word-keyed
+    // addition — prior batches never re-tokenized) and the trainer
+    // re-runs off the folded table at vocabulary cost. Phase 1 trains
+    // from batch 1's counts; phase 2 from the folded union — the oracle
+    // retrains both phases from raw documents, so equality proves
+    // fold-then-train ≡ scan-then-train (the strongest incremental
+    // contract: the shipped artifact is IDENTICAL).
+    "q213_bpe_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+      val b2 = docs.filter(col("doc_id") % 3 === 0)
+      val c1 = Vocab.wordCounts(b1, "text").localCheckpoint()
+      val c2 = Vocab.wordCountsAdvance(c1, b2, "text").localCheckpoint()
+      Vocab.bpeTrainFromCounts(c1, 8).withColumn("phase", lit("1_after_b1"))
+        .unionByName(Vocab.bpeTrainFromCounts(c2, 8)
+          .withColumn("phase", lit("2_after_b2")))
+        .select("phase", "merge_rank", "left", "right", "merged",
+          "pair_count")
+        .orderBy("phase", "merge_rank")
+    },
+
     // Curriculum ordering: KN-trigram difficulty scores cut into 10
     // equal-population stages (composed global rank — no single-partition
     // window), mix2-shuffled within each stage; consume in
@@ -2558,6 +2581,20 @@ out_$k AS (
          |FROM srcw JOIN segs USING (w)
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // q213: two independent BPE trains from raw documents — the batch-1
+    // slice and the full corpus (= the folded union's counts) — equality
+    // with the engine's fold-then-train chain is the proof.
+    "q213_bpe_incremental" ->
+      s"""WITH ${bpeOracleP("x", "WHERE doc_id % 3 != 0", 8)},
+         |${bpeOracleP("", "", 8)}
+         |SELECT phase, merge_rank, "left", "right", merged, pair_count FROM (
+         |  SELECT '1_after_b1' AS phase, * FROM (
+         |  ${bpeMergeSel("x", 8)})
+         |  UNION ALL
+         |  SELECT '2_after_b2', * FROM (
+         |  ${bpeMergeSel("", 8)}))
+         |ORDER BY phase, merge_rank""".stripMargin,
+
     // q211: the full pruning loop replayed — final vocab joined to its
     // recomputed usage.
     "q211_unigram_train" ->
@@ -2936,36 +2973,46 @@ out_$k AS (
 
   private def bpeOracle(numMerges: Int, carryWord: Boolean = false,
                         noFinal: Boolean = false): String = {
+    val chain = "WITH " + bpeOracleP("", "", numMerges, carryWord)
+    if (noFinal) chain + ","
+    else
+      s"""$chain
+         |SELECT * FROM (
+         |  ${bpeMergeSel("", numMerges)})
+         |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** [[bpeOracle]]'s chain as a composable fragment: every CTE name
+    * prefixed with `p` (so several chains — per-batch and full-corpus
+    * trains — can share one WITH), the corpus restricted by
+    * `whereClause`, no leading WITH, no final select. */
+  private def bpeOracleP(p: String, whereClause: String, numMerges: Int,
+                         carryWord: Boolean = false): String = {
     val wSel = if (carryWord) "w, " else ""
     def round(t: Int): String =
-      s"""p$t AS (
+      s"""${p}p$t AS (
          |  SELECT syms[i.i] AS a, syms[i.i+1] AS b, SUM(cnt) AS c
-         |  FROM w${t - 1}, unnest(range(1, len(syms))) AS i(i)
+         |  FROM ${p}w${t - 1}, unnest(range(1, len(syms))) AS i(i)
          |  GROUP BY 1, 2),
-         |m$t AS (SELECT a, b, c FROM p$t ORDER BY c DESC, a, b LIMIT 1),
-         |w$t AS (
+         |${p}m$t AS (SELECT a, b, c FROM ${p}p$t ORDER BY c DESC, a, b LIMIT 1),
+         |${p}w$t AS (
          |  SELECT ${wSel}string_split(list_reduce(list_prepend('', syms), (acc, x) ->
          |    CASE WHEN acc = '' THEN x
          |         WHEN x = m.b AND (acc = m.a OR ends_with(acc, chr(31) || m.a)) THEN acc || x
          |         ELSE acc || chr(31) || x END), chr(31)) AS syms, cnt
-         |  FROM w${t - 1}, m$t m)""".stripMargin
+         |  FROM ${p}w${t - 1}, ${p}m$t m)""".stripMargin
     val rounds = (1 to numMerges).map(round).mkString(",\n")
-    val chain =
-      s"""WITH toks AS (
-         |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
-         |  FROM documents),
-         |w0 AS (
-         |  SELECT ${wSel}string_split(w, '') AS syms, COUNT(*) AS cnt FROM toks GROUP BY w),
-         |$rounds""".stripMargin
-    if (noFinal) chain + ","
-    else {
-      val sel = (1 to numMerges).map(t =>
-        s"""SELECT $t AS merge_rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM m$t""")
-        .mkString("\n  UNION ALL ")
-      s"""$chain
-         |SELECT * FROM (
-         |  $sel)
-         |ORDER BY merge_rank""".stripMargin
-    }
+    s"""${p}toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM documents $whereClause),
+       |${p}w0 AS (
+       |  SELECT ${wSel}string_split(w, '') AS syms, COUNT(*) AS cnt FROM ${p}toks GROUP BY w),
+       |$rounds""".stripMargin
   }
+
+  /** The per-merge final-select union off a (possibly prefixed) chain. */
+  private def bpeMergeSel(p: String, numMerges: Int): String =
+    (1 to numMerges).map(t =>
+      s"""SELECT $t AS merge_rank, a AS "left", b AS "right", a||b AS merged, CAST(c AS BIGINT) AS pair_count FROM ${p}m$t""")
+      .mkString("\n  UNION ALL ")
 }

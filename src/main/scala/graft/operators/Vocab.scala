@@ -117,17 +117,87 @@ object Vocab {
                maxMergesPerRound: Int = 16): DataFrame =
     bpeTrainWithRounds(df, textCol, numMerges, maxMergesPerRound)._1
 
+  // -------------------------------------------------------------------
+  // Incremental tokenizer training. The ONLY corpus-sized input either
+  // trainer consumes is the word-frequency table — a COUNT MONOID: fold
+  // per-batch word counts into a persisted state (never re-scanning prior
+  // batches) and retrain from the folded table; training itself is
+  // vocabulary-sized, so retrain-per-batch costs vocab work, not corpus
+  // scans. States from any batching fold to exactly the joint corpus
+  // counts, so the trained artifact (merge table / pruned vocabulary) is
+  // IDENTICAL to a full retrain — the strongest incremental contract.
+  // -------------------------------------------------------------------
+
+  /** The corpus word-frequency table `(w, cnt)` — the trainers'
+    * sufficient statistic. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Advance the word-count state with one document batch: a full-outer
+    * SUM merge on the word key — one shuffle sized |vocab| + |batch
+    * vocab|, never the corpus; an empty batch is the identity. */
+  def wordCountsAdvance(state: DataFrame, batch: DataFrame,
+                        textCol: String): DataFrame = {
+    val b = wordCounts(batch, textCol).withColumnRenamed("cnt", "_bc")
+    state.join(b, Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("_bc"), lit(0L)))
+          .as("cnt"))
+  }
+
+  /** `foreachBatch` sink for the word-count state (the
+    * [[graft.etl.BatchSnapshots]] discipline): snapshot-per-batch,
+    * replay rewrites identically. Returns `(batch_id, n_words)`. */
+  def wordCountsBatch(stateDir: String, textCol: String)
+                     (batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
+        s"$stateDir/state", batchId, Seq("w", "cnt"),
+        wordCountsEmptyState(spark))(
+      prior => wordCountsAdvance(prior, batch, textCol))
+    Seq((batchId, next.count())).toDF("batch_id", "n_words")
+  }
+
+  /** Empty word-count state. */
+  def wordCountsEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("w", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+
+  /** The latest persisted [[wordCountsBatch]] snapshot. */
+  def wordCountsFrom(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String): DataFrame =
+    graft.etl.BatchSnapshots.latest(spark, s"$stateDir/state",
+      Seq("w", "cnt"), wordCountsEmptyState(spark))
+
+  /** [[bpeTrain]] off a word-count state instead of raw documents —
+    * the incremental retrain path. */
+  def bpeTrainFromCounts(counts: DataFrame, numMerges: Int,
+                         maxMergesPerRound: Int = 16): DataFrame =
+    bpeTrainCore(counts, numMerges, maxMergesPerRound)._1
+
   /** [[bpeTrain]] exposing the executed round count (spec/measurement
     * hook: sequential = `numMerges` rounds; batched ≤ that, ~16× fewer at
     * the default on merge-rich corpora). */
   private[graft] def bpeTrainWithRounds(df: DataFrame, textCol: String,
                                         numMerges: Int,
-                                        maxMergesPerRound: Int = 16): (DataFrame, Int) = {
+                                        maxMergesPerRound: Int = 16): (DataFrame, Int) =
+    bpeTrainCore(wordCounts(df, textCol), numMerges, maxMergesPerRound)
+
+  /** The training loop proper, off a `(w, cnt)` frame — shared by the
+    * from-documents and from-folded-state entry points so the two can
+    * never diverge. */
+  private def bpeTrainCore(counts: DataFrame, numMerges: Int,
+                           maxMergesPerRound: Int): (DataFrame, Int) = {
     require(maxMergesPerRound >= 1, "maxMergesPerRound must be >= 1")
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
-    var words = df.select(explode(Text.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var words = counts
       .select(charSyms(col("w")).as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -301,12 +371,20 @@ object Vocab {
     * vocabulary-sized CTE in the q211 oracle. */
   def unigramTrain(df: DataFrame, textCol: String, seedSize: Int = 60,
                    maxPieceLen: Int = 4, pruneN: Int = 12,
-                   rounds: Int = 3): DataFrame = {
+                   rounds: Int = 3): DataFrame =
+    unigramTrainFromCounts(wordCounts(df, textCol), seedSize, maxPieceLen,
+      pruneN, rounds)
+
+  /** [[unigramTrain]] off a word-count state instead of raw documents —
+    * the incremental retrain path (the [[wordCountsAdvance]] monoid makes
+    * the folded table equal the joint corpus counts, so the pruned
+    * vocabulary is identical to a full retrain). */
+  def unigramTrainFromCounts(counts: DataFrame, seedSize: Int = 60,
+                             maxPieceLen: Int = 4, pruneN: Int = 12,
+                             rounds: Int = 3): DataFrame = {
     require(seedSize > pruneN * rounds,
       s"seedSize $seedSize must exceed pruneN*rounds = ${pruneN * rounds}")
-    val words = df.select(explode(Text.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val words = counts.localCheckpoint()
     val subs = words
       .select(explode(flatten(transform(sequence(lit(1), length(col("w"))), p =>
         filter(transform(sequence(lit(2), lit(maxPieceLen)), l =>

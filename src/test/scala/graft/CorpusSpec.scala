@@ -301,6 +301,35 @@ class CorpusSpec extends SparkSpec {
     assert(bad === 0L, "BPE segmentation lost or reordered characters")
   }
 
+  test("word-count state: monoid fold ≡ one-pass; trainers from folded state ≡ full retrain; sink replay identical") {
+    val docs = Tables.documents(spark, sf).limit(300)
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+    def wset(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val folded = Vocab.wordCountsAdvance(
+      Vocab.wordCounts(b1, "text").localCheckpoint(), b2, "text")
+      .localCheckpoint()
+    assert(wset(folded) == wset(Vocab.wordCounts(docs, "text")))
+    // fold-then-train ships the IDENTICAL artifact for both trainers
+    def merges(d: org.apache.spark.sql.DataFrame) = d.orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(merges(Vocab.bpeTrainFromCounts(folded, 5)) ==
+      merges(Vocab.bpeTrain(docs, "text", 5)))
+    def vocabSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(vocabSet(Vocab.unigramTrainFromCounts(folded, 20, 4, 4, 2)) ==
+      vocabSet(Vocab.unigramTrain(docs, "text", 20, 4, 4, 2)))
+    // streaming sink: two batches + replay land the same state
+    val dir = java.nio.file.Files.createTempDirectory("graft_wc_sink").toString
+    val sink = Vocab.wordCountsBatch(dir, "text") _
+    sink(b1, 0L); sink(b2, 1L)
+    assert(wset(Vocab.wordCountsFrom(spark, dir)) == wset(folded))
+    sink(b2, 1L)
+    assert(wset(Vocab.wordCountsFrom(spark, dir)) == wset(folded),
+      "replay must rewrite the same snapshot")
+  }
+
   test("unigramSegment: greedy leftmost-longest on a hand-built vocab; lossless; single-char floor") {
     val words = Seq("lowest", "lower", "xyz", "a").toDF("w")
     val vocab = Seq("low", "lowe", "est", "we", "er").toDF("piece")
