@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * content; snapshots below the caller's replay barrier compact via
   * [[SnapshotIO.compactBatchPartitions]]-style folding or plain deletes.
   *
+  * Versioning note (why bid partitions suffice where
+  * [[VersionedSnapshot]] needs manifests): a snapshot-per-batch state is
+  * REWRITTEN WHOLE each batch, so every `bid=K` partition already IS a
+  * complete, immutable version — `latest(belowBid = K+1)` is exact time
+  * travel to the state after batch K (BatchSnapshotsSpec pins it), the
+  * replay barrier is the retention policy, and dynamic partition
+  * overwrite is the commit. [[VersionedSnapshot]]'s manifest layer earns
+  * its cost only for APPEND-form tables, where a version is a file SET
+  * no single directory captures.
+  *
   * Extracted after the pattern's FOURTH copy: the max(bid)-over-zero-rows
   * NPE had to be patched per copy in round 12 (rfmStateFrom, frontFrom) —
   * a drift class this single implementation retires. Two deliberate
@@ -30,12 +40,29 @@ object BatchSnapshots {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return empty
+    // a dir that EXISTS but holds no parquet footers (every bid= partition
+    // compacted away, only _SUCCESS/markers left) must read as the empty
+    // state too — spark.read.parquet would throw schema-inference instead
+    if (!hasParquetFile(f, p)) return empty
     val all = spark.read.parquet(dir)
     val snaps = belowBid.fold(all)(b => all.filter(col("bid") < b))
     val last = snaps.agg(max(col("bid"))).head().getAs[Number](0)
     if (last == null) empty
     else snaps.filter(col("bid") === last.longValue).select(cols.map(col): _*)
   }
+
+  /** Any non-hidden `.parquet` file under `p`, recursively — the
+    * schema-inference guard for [[latest]]. The walk short-circuits on the
+    * first hit and the dir is snapshot-sized (a handful of `bid=`
+    * partitions between compactions), so this is not an O(table) listing. */
+  private def hasParquetFile(f: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Boolean =
+    f.listStatus(p).exists { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) false
+      else if (st.isDirectory) hasParquetFile(f, st.getPath)
+      else name.endsWith(".parquet")
+    }
 
   /** One sink step: advance the latest-below-`batchId` snapshot with
     * `advance`, land the result under `dir/bid=batchId` via dynamic

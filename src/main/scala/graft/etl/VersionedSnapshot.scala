@@ -56,6 +56,13 @@ object VersionedSnapshot {
   private def manifestPath(dir: String, v: Long) =
     new Path(s"$dir/$VersionsDir/v$v.manifest")
 
+  /** Filesystem contract for the commit point: the rename below must be
+    * ATOMIC and FAIL when the destination exists (HDFS / local-FS
+    * semantics). On an object store whose rename is copy+delete and can
+    * clobber (S3A), the 'concurrent writer?' detection degrades to
+    * last-writer-wins — deploy there behind the documented single-writer
+    * contract, or add a create-with-overwrite=false marker beside the
+    * manifest as the commit gate. */
   private def writeManifest(spark: SparkSession, dir: String, v: Long,
                             schema: StructType, files: Seq[String],
                             batchId: Option[Long] = None): Unit = {

@@ -132,18 +132,21 @@ object Layout {
     // _zmeta lands LAST: it is the layout's commit marker — a streaming
     // replay that finds no _zmeta re-clusters from scratch (overwrite), one
     // that finds it routes through the idempotent optimize path.
-    writeZMeta(df.sparkSession, outDir, bounds, bits, cellBits, bloomCols)
+    writeZMeta(df.sparkSession, outDir, bounds, bits, cellBits, bloomCols,
+      idxCols)
     bounds
   }
 
   private def writeZMeta(spark: SparkSession, dir: String, bounds: ZBounds,
-                         bits: Int, cellBits: Int,
-                         bloomCols: Seq[String]): Unit = {
+                         bits: Int, cellBits: Int, bloomCols: Seq[String],
+                         indexCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
+    // index_cols makes an ABSENT _skipindex recoverable: validatedSkipIndex
+    // rebuilds from footers with exactly the columns the layout indexed
     Seq((bounds.aMin, bounds.aMax, bounds.bMin, bounds.bMax, bits, cellBits,
-        bloomCols.mkString(",")))
+        bloomCols.mkString(","), indexCols.mkString(",")))
       .toDF("a_min", "a_max", "b_min", "b_max", "bits", "cell_bits",
-        "bloom_cols")
+        "bloom_cols", "index_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$ZMETA")
   }
 
@@ -285,9 +288,13 @@ object Layout {
     * stats untouched. */
   def rebaseSkipIndex(spark: SparkSession, dir: String,
                       fromPrefix: String, toPrefix: String): Unit = {
+    // anchored + replacement-quoted: only a path's LEADING fromPrefix may
+    // rewrite — an unanchored pattern would corrupt a data file whose
+    // relative path happened to contain the prefix string mid-path
     val rebased = readSkipIndex(spark, dir)
       .withColumn("file", regexp_replace(col("file"),
-        java.util.regex.Pattern.quote(fromPrefix), toPrefix))
+        "^" + java.util.regex.Pattern.quote(fromPrefix),
+        java.util.regex.Matcher.quoteReplacement(toPrefix)))
       .localCheckpoint()
     rebased.coalesce(1).write.mode("overwrite").parquet(s"$dir/$SKIPINDEX")
   }
@@ -316,9 +323,29 @@ object Layout {
     * two renames, so a concurrent reader sees either the old index or
     * the new one, never a partially-written directory. */
   def validatedSkipIndex(spark: SparkSession, dir: String,
-                         persistHealed: Boolean = false): DataFrame = {
+                         persistHealed: Boolean = false,
+                         colsIfAbsent: Seq[String] = Nil): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = listDataFiles(hconf, dir)
+    val fsys = new Path(dir).getFileSystem(hconf)
+    if (persistHealed) sweepStaleIndexDirs(fsys, dir)
+    // ABSENT index (a crashed swap between persistHealed's two renames, or
+    // a never-indexed dir): rebuild wholesale from footers — the heal path
+    // with nothing to keep — instead of throwing. The stats columns come
+    // from the caller (readPruned/statsCount know their column) or the
+    // `_zmeta` sidecar; with neither, the absence is unrecoverable here.
+    if (!fsys.exists(new Path(s"$dir/$SKIPINDEX"))) {
+      val cols =
+        if (colsIfAbsent.nonEmpty) colsIfAbsent else zmetaIndexCols(spark, dir)
+      require(cols.nonEmpty,
+        s"$dir/$SKIPINDEX is absent and no stats columns are recoverable " +
+          "(pass colsIfAbsent or rebuild via writeSkipIndex)")
+      val rebuilt = buildSkipIndexFiles(spark, live, cols).localCheckpoint()
+      if (persistHealed)
+        rebuilt.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/$SKIPINDEX")
+      return rebuilt
+    }
     val idx = readSkipIndex(spark, dir)
     val rows = idx.collect()
     val fileAt = idx.columns.indexOf("file")
@@ -351,12 +378,49 @@ object Layout {
         val stageP = new org.apache.hadoop.fs.Path(s"$dir/${SKIPINDEX}__stage-$stamp")
         val trashP = new org.apache.hadoop.fs.Path(s"$dir/${SKIPINDEX}__old-$stamp")
         healed.coalesce(1).write.mode("overwrite").parquet(stageP.toString)
-        if (fs.exists(liveP)) fs.rename(liveP, trashP)
-        fs.rename(stageP, liveP)
+        // rename results CHECKED: a silently failed swap would leave the
+        // live index stale (or absent) while this call reports healed
+        if (fs.exists(liveP) && !fs.rename(liveP, trashP))
+          throw new java.io.IOException(
+            s"skip-index swap failed: cannot move $liveP aside")
+        if (!fs.rename(stageP, liveP))
+          throw new java.io.IOException(
+            s"skip-index swap failed: cannot land $stageP as $liveP " +
+              "(live index is ABSENT; the next validated read self-heals)")
         fs.delete(trashP, true)
       }
       healed
     }
+  }
+
+  /** Sweep `_skipindex__stage-*` / `_skipindex__old-*` leftovers of a
+    * swap that crashed mid-flight — called only from the single-writer
+    * maintenance window (`persistHealed = true`), where no concurrent
+    * swap can own them. */
+  private def sweepStaleIndexDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: String): Unit = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"${SKIPINDEX}__stage-") ||
+          n.startsWith(s"${SKIPINDEX}__old-")) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+  }
+
+  /** The `index_cols` list frozen in `_zmeta` (layouts written by a
+    * [[clusterByZOrder]] that records it) — `Nil` when the sidecar or the
+    * field is absent. */
+  private def zmetaIndexCols(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(s"$dir/$ZMETA")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Nil
+    val df = spark.read.parquet(p.toString)
+    if (!df.columns.contains("index_cols")) Nil
+    else Option(df.select("index_cols").head().getString(0))
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
   }
 
   /** Read only the files whose `[min_col, max_col]` can intersect
@@ -366,7 +430,7 @@ object Layout {
     * already pays; the files NOT collected are exactly the read's win. */
   def readPruned(spark: SparkSession, dir: String, colName: String,
                  lo: Long, hi: Long): DataFrame = {
-    val idx = validatedSkipIndex(spark, dir)
+    val idx = validatedSkipIndex(spark, dir, colsIfAbsent = Seq(colName))
     val keep = idx.filter(
       col(s"min_$colName").isNull ||
         (col(s"max_$colName") >= lo && col(s"min_$colName") <= hi))
@@ -473,7 +537,8 @@ object Layout {
     * null stats count as straddling (scanned — the safe direction). */
   def statsCount(spark: SparkSession, dir: String, colName: String,
                  lo: Long, hi: Long): DataFrame = {
-    val idx = validatedSkipIndex(spark, dir).select(
+    val idx = validatedSkipIndex(spark, dir,
+      colsIfAbsent = Seq(colName)).select(
       col("file"), col("n_rows"),
       col(s"min_$colName").as("mn"), col(s"max_$colName").as("mx"))
       .collect()

@@ -312,4 +312,68 @@ class LayoutSpec extends SparkSpec {
         "staged-swap residue left behind")
     }
   }
+
+  test("absent _skipindex self-heals: pruned reads rebuild from footers, " +
+       "persistHealed re-lands the index and sweeps stale swap dirs") {
+    val dir = tmp("absent")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Layout.clusterByZOrder(ev, "event_id", "user_id", dir)
+    // simulate a swap that crashed between rename(live->trash) and
+    // rename(stage->live): no _skipindex, stale trash + stage residue
+    def rmTree(root: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    rmTree(Paths.get(s"$dir/_skipindex"))
+    Files.createDirectories(Paths.get(s"$dir/_skipindex__old-deadbeef"))
+    Files.createDirectories(Paths.get(s"$dir/_skipindex__stage-deadbeef"))
+
+    // read path: rebuilds in memory (colsIfAbsent), correct rows, no write
+    val got = Layout.readPruned(spark, dir, "event_id", 100L, 199L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ev.filter(col("event_id").between(100L, 199L))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    assert(!Files.exists(Paths.get(s"$dir/_skipindex")),
+      "a READ path must not write the index")
+
+    // maintenance path: index_cols recovered from _zmeta, index re-landed,
+    // stale __stage-/__old- residue swept
+    Layout.validatedSkipIndex(spark, dir, persistHealed = true)
+    assert(Files.exists(Paths.get(s"$dir/_skipindex")))
+    assert(!Files.exists(Paths.get(s"$dir/_skipindex__old-deadbeef")))
+    assert(!Files.exists(Paths.get(s"$dir/_skipindex__stage-deadbeef")))
+    val n = Layout.readSkipIndex(spark, dir).count()
+    assert(n == spark.read.parquet(dir).inputFiles.length.toLong)
+  }
+
+  test("rebaseSkipIndex rewrites only the LEADING prefix of each path") {
+    val dir = tmp("rebase")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    Layout.clusterByZOrder(ev, "event_id", "user_id", dir)
+    // adversarial: the from-prefix string also occurs mid-path
+    val before = Layout.readSkipIndex(spark, dir)
+      .select("file").collect().map(_.getString(0)).sorted.toSeq
+    val from = "/old/base"
+    val crafted = before.map(p => s"$from/x$from/y/" + p.split('/').last)
+    import spark.implicits._
+    val idx = Layout.readSkipIndex(spark, dir).drop("file").collect()
+    // rewrite the landed index with crafted paths, preserving schema
+    val craftedDf = Layout.readSkipIndex(spark, dir)
+      .orderBy("file")
+      .withColumn("file",
+        element_at(typedlit(crafted),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("file"))).cast("int")))
+      .localCheckpoint()
+    craftedDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/_skipindex")
+    Layout.rebaseSkipIndex(spark, dir, from, "/new/base")
+    val after = Layout.readSkipIndex(spark, dir)
+      .select("file").collect().map(_.getString(0)).sorted.toSeq
+    // leading occurrence rewritten, the mid-path one untouched
+    assert(after.forall(_.startsWith(s"/new/base/x$from/y/")), after.take(2))
+    assert(idx.nonEmpty && after.length == before.length)
+  }
 }
