@@ -362,6 +362,30 @@ object BenchIndexScale {
       rows += (("funnelAdvanceLate(x4entities)", k, seedEv.count(), 0.0,
         lateSecs(late4)))
 
+      // --- q207 against a CLUSTERED parquet history (the r12 verdict's
+      // remaining scan term): history persisted repartitioned+sorted by
+      // entity, so the pushdown tier's In(user_id) reaches the scan and
+      // prunes at row-group/page grain from footer statistics. The claim:
+      // the late advance is FLAT in history volume — the semi-filtered
+      // rescan reads O(affected users' events), not O(history). Build time
+      // (the clustering write) is reported as the amortized index column ---
+      val histDir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(Bench.scratchDir()), s"graft_funhist_$k")
+        .toString
+      val (bHist, _) = time {
+        seedEv.repartition(32, col("user_id"))
+          .sortWithinPartitions("user_id", "ts")
+          .write.mode("overwrite").parquet(histDir)
+      }
+      val histPq = spark.read.parquet(histDir)
+      val lateBucketedSecs = median((1 to runs).map { _ =>
+        time(Aggregates.funnelAdvanceLate(funState, late1, histPq,
+            col("user_id"), col("ts"), fSteps, wmLate)
+          .queryExecution.toRdd.count())._1
+      })
+      rows += (("funnelAdvanceLate(bucketed)", k, seedEv.count(), bHist,
+        lateBucketedSecs))
+
       // --- q208 late-data sessions advance: same protocol — the k×
       // session history's state, a fixed all-late batch, affected users
       // re-sessionize from the entity-scoped history slice ---
@@ -406,6 +430,55 @@ object BenchIndexScale {
       }
       rows += (("pageRankColdRestart(5it,contrast)", k, seenSize, 0.0,
         median(prColdSecs)))
+
+      // --- q214 residual-push advance: FIXED node universe, edge volume
+      // grows k× (3k hash out-edges per node) — the state stays
+      // node-grain (the small axis), E is the big axis. The claim: the
+      // fold + push cost tracks the DELTA's neighborhood — the
+      // pushed-isin lookups prune the src-clustered parquet edge table at
+      // row-group grain — while the warm-resume contrast pays one O(E)
+      // join per round on the same fixture ---
+      val pnNodes = docs.select(col("doc_id").as("node")).localCheckpoint()
+      val pEdgesMem = docs
+        .select(col("doc_id").as("src"),
+          explode(array((0 until 3 * k).map(i => lit(i.toLong)): _*)).as("r"))
+        .select(col("src"),
+          pmod(graft.functions.PortableHash.mixpCol(col("src") * 7 + col("r")),
+            lit(nDocs)).as("dst"))
+        .distinct()
+      val peDir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(Bench.scratchDir()), s"graft_predge_$k").toString
+      val (bPushEdges, _) = time {
+        pEdgesMem.repartition(32, col("src")).sortWithinPartitions("src", "dst")
+          .write.mode("overwrite").parquet(peDir)
+      }
+      val pePq = spark.read.parquet(peDir)
+      val pDelta = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("src"),
+          pmod(graft.functions.PortableHash.mixpCol(col("doc_id") * 13 + 999),
+            lit(nDocs)).as("dst"))
+        .localCheckpoint()
+      val pEps = math.max(1L, 1000000000000L / (nDocs * 8L))
+      val (bPushState, pushState) = time {
+        graft.operators.Rank.pageRankResidualState(pnNodes, pePq,
+            graft.operators.Rank.pageRank(pnNodes, pePq, 5))
+          .repartition(col("node")).localCheckpoint()
+      }
+      val pushSecs = (1 to runs).map { _ =>
+        time(graft.operators.Rank.pageRankPushAdvance(pushState, pePq, pDelta,
+            pEps, maxRounds = 6)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("pageRankPushAdvance(bucketed)", k, nDocs * 3 * k,
+        bPushEdges + bPushState, median(pushSecs)))
+      val pushWarmSecs = (1 to runs).map { _ =>
+        time(graft.operators.Rank.pageRankFrom(pnNodes,
+            pePq.unionByName(pDelta),
+            pushState.select(col("node"), col("x").as("rank")), iters = 2)
+          .queryExecution.toRdd.count())._1
+      }
+      rows += (("pageRankFromSameFixture(2it,contrast)", k, nDocs * 3 * k,
+        0.0, median(pushWarmSecs)))
 
       // --- q206 k-means advance: frozen centroids trained on the k×
       // corpus (build), then a FIXED vector batch folds into the k×dim

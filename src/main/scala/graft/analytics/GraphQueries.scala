@@ -21,6 +21,15 @@ object GraphQueries {
   /** Warm-start iterations after the graph grows (q201). */
   private val WarmIters = 3
 
+  /** q214 residual-push parameters: bootstrap power iterations (enough
+    * that the pre-delta residuals sit under eps — 0.85^12 ≈ 0.14 of the
+    * initial gap), synchronous push rounds after the delta folds in, and
+    * the eps denominator (eps = scale/(8n) ≈ 12% of the per-node mass —
+    * above the bootstrap's leftover residual, below the ~28% kick a moved
+    * edge gives its target). All three replay verbatim in the oracle. */
+  private val PushIters = 12
+  private val PushRounds = 6
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Fixed-point PageRank over a deterministic synthetic link graph on
@@ -137,6 +146,43 @@ object GraphQueries {
           .withColumn("phase", lit(phase))
       top(v1, "1_after_b1").unionByName(top(v2, "2_after_b2"))
         .select("phase", "node", "rank")
+        .orderBy(col("phase"), col("rank").desc, col("node"))
+    },
+
+    // DELTA-SCOPED PageRank: the residual-push (Gauss–Southwell) advance —
+    // q201's warm resume still pays one O(E) join per round; here the
+    // state carries each node's EXACT integer in-sum, a sparse (~1%) edge
+    // delta re-splits only its sources' already-absorbed mass, and the
+    // synchronous push rounds touch only the |residual| > eps frontier's
+    // out-neighborhoods. Same int64 fixed-point discipline (truncating
+    // div matches DuckDB // on negatives too), so bootstrap, fold, and
+    // every push round replay verbatim in the oracle. Output: top-20
+    // (rank, residual) per phase.
+    "q214_pagerank_push" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id").as("node"))
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("src"),
+          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val b1 = edges.filter((col("src") + col("dst")) % 97 =!= 0)
+      val delta = edges.filter((col("src") + col("dst")) % 97 === 0)
+      val eps = math.max(1L, 1000000000000L / (n * 8L))
+      val st1 = Rank.pageRankResidualState(nodes, b1,
+          Rank.pageRank(nodes, b1, PushIters))
+        .localCheckpoint()
+      val adv = Rank.pageRankPushAdvance(st1, b1, delta, eps, PushRounds)
+        .localCheckpoint()
+      def top(st: org.apache.spark.sql.DataFrame, phase: String) =
+        Rank.withResidual(st, n)
+          .orderBy(col("x").desc, col("node")).limit(20)
+          .select(lit(phase).as("phase"), col("node"),
+            col("x").as("rank"), col("res").as("resid"))
+      top(st1, "1_after_b1").unionByName(top(adv, "2_after_b2"))
         .orderBy(col("phase"), col("rank").desc, col("node"))
     },
 
@@ -338,6 +384,69 @@ object GraphQueries {
          |    (SELECT node, rank FROM br$WarmIters ORDER BY rank DESC, node LIMIT 20))
          |ORDER BY phase, rank DESC, node""".stripMargin,
 
+    // The residual-push chain replayed end to end: bootstrap power
+    // iterations on the b1 graph, the exact in-sum/degree state, the
+    // delta fold's re-split + gains, then every synchronous push round.
+    "q214_pagerank_push" ->
+      s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+         |cand AS (SELECT doc_id AS src, x.r FROM documents
+         |         CROSS JOIN (SELECT unnest(range(3)) AS r) x),
+         |x0 AS (SELECT src, src * 7 + r AS x FROM cand),
+         |x1 AS (SELECT src, (xor(x % 2147483648, (x % 2147483648) >> 16) * 73244475) % 2147483648 AS h FROM x0),
+         |x2 AS (SELECT src, (xor(h, h >> 13) * 73244475) % 2147483648 AS h FROM x1),
+         |edges AS MATERIALIZED (SELECT DISTINCT src, xor(h, h >> 16) % nn.n AS dst
+         |          FROM x2 CROSS JOIN nn),
+         |b1e AS MATERIALIZED (SELECT * FROM edges WHERE (src + dst) % 97 <> 0),
+         |adeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM b1e GROUP BY 1),
+         |bs AS MATERIALIZED (SELECT (1000000000000 * 15) // (100 * n) AS b,
+         |              GREATEST(1, 1000000000000 // (n * 8)) AS e FROM nn),
+         |ar0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank
+         |        FROM nodes CROSS JOIN nn),
+         |${(1 to PushIters).map(i => iterCteOn("a", "b1e", "adeg", i)).mkString(",\n")},
+         |s0 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+         |       FROM b1e e JOIN ar$PushIters r ON e.src = r.node
+         |       JOIN adeg d ON e.src = d.src
+         |       GROUP BY 1),
+         |st0 AS MATERIALIZED (SELECT n2.node, r.rank AS x, COALESCE(s0.s, 0) AS s,
+         |               COALESCE(ad.deg, 0) AS deg
+         |        FROM nodes n2 JOIN ar$PushIters r ON n2.node = r.node
+         |        LEFT JOIN s0 ON n2.node = s0.node
+         |        LEFT JOIN adeg ad ON n2.node = ad.src),
+         |dd AS (SELECT src, count(*) AS dd FROM edges
+         |       WHERE (src + dst) % 97 = 0 GROUP BY 1),
+         |srcst AS (SELECT st.node AS src, st.x, st.deg AS old_deg,
+         |                 st.deg + dd.dd AS new_deg
+         |          FROM st0 st JOIN dd ON st.node = dd.src),
+         |resplit AS (SELECT e.dst AS node,
+         |    CAST(SUM(s.x // s.new_deg - s.x // s.old_deg) AS BIGINT) AS d
+         |  FROM b1e e JOIN srcst s ON e.src = s.src GROUP BY 1),
+         |gains AS (SELECT e.dst AS node,
+         |    CAST(SUM(s.x // s.new_deg) AS BIGINT) AS d
+         |  FROM edges e JOIN srcst s ON e.src = s.src
+         |  WHERE (e.src + e.dst) % 97 = 0 GROUP BY 1),
+         |dsum AS (SELECT node, CAST(SUM(d) AS BIGINT) AS d FROM
+         |           (SELECT * FROM resplit UNION ALL SELECT * FROM gains)
+         |         GROUP BY 1),
+         |p0 AS MATERIALIZED (SELECT st.node, st.x,
+         |              st.s + COALESCE(ds.d, 0) AS s,
+         |              st.deg + COALESCE(dd.dd, 0) AS deg
+         |       FROM st0 st LEFT JOIN dsum ds ON st.node = ds.node
+         |       LEFT JOIN dd ON st.node = dd.src),
+         |${(1 to PushRounds).map(pushCte).mkString(",\n")}
+         |SELECT phase, node, rank, resid FROM (
+         |  SELECT '1_after_b1' AS phase, node, rank, resid FROM
+         |    (SELECT st.node, st.x AS rank,
+         |            bs.b + (85 * st.s) // 100 - st.x AS resid
+         |     FROM st0 st CROSS JOIN bs ORDER BY st.x DESC, st.node LIMIT 20)
+         |  UNION ALL
+         |  SELECT '2_after_b2', node, rank, resid FROM
+         |    (SELECT p.node, p.x AS rank,
+         |            bs.b + (85 * p.s) // 100 - p.x AS resid
+         |     FROM p$PushRounds p CROSS JOIN bs
+         |     ORDER BY p.x DESC, p.node LIMIT 20))
+         |ORDER BY phase, rank DESC, node""".stripMargin,
+
     // The chained incremental-components oracle: recursive min-reachable
     // label on the batch-1 graph and on the union — exactly the state the
     // label-graph merge must reproduce.
@@ -426,6 +535,26 @@ object GraphQueries {
        |    CAST((1000000000000 * 15) // (100 * nn.n)
        |         + (85 * COALESCE(${p}c$i.s, 0)) // 100 AS BIGINT) AS rank
        |  FROM nodes CROSS JOIN nn LEFT JOIN ${p}c$i ON nodes.node = ${p}c$i.node)"""
+      .stripMargin
+
+  /** One synchronous residual-push round for the q214 oracle: the heavy
+    * set absorbs its residual, its out-neighbors' in-sums absorb the
+    * DIFFERENCE of truncated contributions — the bit-exact twin of
+    * [[graft.operators.Rank.pageRankPush]]'s round. */
+  private def pushCte(i: Int): String =
+    s"""h$i AS (SELECT p.node, p.x, p.deg,
+       |    bs.b + (85 * p.s) // 100 - p.x AS r
+       |  FROM p${i - 1} p CROSS JOIN bs
+       |  WHERE abs(bs.b + (85 * p.s) // 100 - p.x) > bs.e),
+       |hds$i AS (SELECT e.dst AS node,
+       |    CAST(SUM((h.x + h.r) // h.deg - h.x // h.deg) AS BIGINT) AS d
+       |  FROM edges e JOIN h$i h ON e.src = h.node
+       |  GROUP BY 1),
+       |p$i AS (SELECT p.node,
+       |    p.x + COALESCE(h.r, 0) AS x,
+       |    p.s + COALESCE(d.d, 0) AS s, p.deg
+       |  FROM p${i - 1} p LEFT JOIN h$i h ON p.node = h.node
+       |  LEFT JOIN hds$i d ON p.node = d.node)"""
       .stripMargin
 
   /** [[bfsCte]] parameterized over the edge CTE and a name prefix — q200

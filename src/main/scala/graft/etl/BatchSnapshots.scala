@@ -64,6 +64,19 @@ object BatchSnapshots {
       else name.endsWith(".parquet")
     }
 
+  /** ALL rows landed by batches STRICTLY below `belowBid` — for APPEND
+    * dirs (one partition per batch, each batch its own rows: the raw-event
+    * history the late-data sinks rescan), where [[latest]]'s
+    * one-snapshot-wins read would be wrong. Empty-safe like [[latest]]. */
+  def allBelow(spark: SparkSession, dir: String, belowBid: Long,
+               cols: Seq[String], empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p) || !hasParquetFile(f, p)) return empty
+    spark.read.parquet(dir).filter(col("bid") < belowBid)
+      .select(cols.map(col): _*)
+  }
+
   /** One sink step: advance the latest-below-`batchId` snapshot with
     * `advance`, land the result under `dir/bid=batchId` via dynamic
     * partition overwrite, return the landed (checkpointed) state. */

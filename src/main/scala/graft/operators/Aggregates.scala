@@ -139,7 +139,7 @@ object Aggregates {
                     ts: Column, steps: Seq[(String, Column)]): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step required")
     val k = steps.length
-    val base = batch.select((entity.cast("long").as("_e") +: ts.as("_ts") +:
+    val base = batch.select((StateKeys.asLong(entity).as("_e") +: ts.as("_ts") +:
       steps.map(_._2).zipWithIndex
         .map { case (p, i) => p.as(s"_p$i") }): _*)
     def mergeMin(a: Column, b: Column): Column =
@@ -186,22 +186,33 @@ object Aggregates {
   def funnelAdvanceLate(state: DataFrame, batch: DataFrame,
                         history: DataFrame, entity: Column, ts: Column,
                         steps: Seq[(String, Column)],
-                        watermark: java.sql.Timestamp): DataFrame = {
+                        watermark: java.sql.Timestamp,
+                        maxPushdown: Int = 10000,
+                        maxBroadcast: Long = 5000000L): DataFrame = {
     val spark = state.sparkSession
     val lateE = batch.filter(ts <= lit(watermark))
-      .select(entity.cast("long").as("_e")).distinct().localCheckpoint()
+      .select(StateKeys.asLong(entity).as("_e")).distinct().localCheckpoint()
     val folded = funnelAdvance(state, batch, entity, ts, steps)
-    if (lateE.head(1).isEmpty) folded
+    val nLate = lateE.count()
+    if (nLate == 0L) folded
     else {
+      // tiered by late-entity count (Joins.keyedSlice): the normal trickle
+      // collects the ids and slices with a PUSHED isin — against a history
+      // persisted clustered/sorted by entity the scan prunes at
+      // row-group/page grain, reading O(affected events), not O(history);
+      // bigger sets broadcast-semi (stream the history, never shuffle it);
+      // a backfill-sized set falls back to a shuffle semi rather than
+      // building an unbounded driver-side broadcast
       def sliceOf(df: DataFrame): DataFrame =
-        df.join(broadcast(lateE), entity.cast("long") === lateE("_e"),
-          "left_semi")
+        Joins.keyedSlice(df, entity.cast("long"), lateE, nLate,
+          maxPushdown, maxBroadcast)
       val affected = sliceOf(history).unionByName(sliceOf(batch))
       // fold-from-empty over one frame IS the recompute (the within-batch
       // cascade thresholds each step against the just-advanced previous)
       val recomputed = funnelAdvance(
         funnelEmptyState(spark, steps.length), affected, entity, ts, steps)
-      folded.join(broadcast(lateE), Seq("_e"), "left_anti")
+      Joins.keyedAntiSlice(folded, col("_e"), lateE, nLate,
+          maxPushdown, maxBroadcast)
         .unionByName(recomputed)
     }
   }
@@ -218,6 +229,58 @@ object Aggregates {
     stepNames.zipWithIndex
       .map { case (n, i) => (n, i, row.getLong(i)) }
       .toDF("step", "step_idx", "entities")
+  }
+
+  /** Epoch floor for the streaming sinks' first batch: nothing can be
+    * "late" before anything was folded. */
+  private val TsFloor = java.sql.Timestamp.valueOf("0001-01-01 00:00:00")
+
+  /** `foreachBatch` sink: LATE-AWARE incremental funnel — the streaming
+    * member of the q196/q207 family. The pre-r13 gap this closes: a
+    * snapshot-per-batch fold of [[funnelAdvance]] alone silently corrupts
+    * the cascade when a micro-batch carries events at or before the
+    * already-folded maximum (foreachBatch makes no cross-batch order
+    * promise); here every batch routes through [[funnelAdvanceLate]] with
+    * `history` = the raw events persisted by STRICTLY EARLIER batches
+    * (`stateDir/events/bid=K`, dynamic partition overwrite) and
+    * `watermark` = their running max event time (a 1-row
+    * [[graft.etl.BatchSnapshots]] snapshot), so the drained state equals
+    * the batch recompute for ANY event-time interleaving.
+    *
+    * Replay (at-least-once) safety: every read is strictly-below-K
+    * (state, watermark, history), every write dynamic-overwrites its own
+    * `bid=K` partition — a replayed batch re-derives from the same
+    * predecessors and rewrites identical bytes. Returns
+    * `(batch_id, n_entities)`. */
+  def funnelBatch(stateDir: String, entity: Column, ts: Column,
+                  steps: Seq[(String, Column)])
+                 (batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch.localCheckpoint() // foreachBatch inputs are not re-readable
+    // raw events land first: history reads filter bid < K, so a crash
+    // between this write and the state landing replays cleanly
+    b.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(s"$stateDir/events")
+    val wmPrior = graft.etl.BatchSnapshots.latest(spark, s"$stateDir/wm",
+        Seq("wm"), Seq(TsFloor).toDF("wm"), belowBid = Some(batchId))
+      .head().getTimestamp(0)
+    val cols = "_e" +: steps.indices.map(i => s"_t$i")
+    val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
+        s"$stateDir/state", batchId, cols,
+        funnelEmptyState(spark, steps.length))(prior =>
+      funnelAdvanceLate(prior, b,
+        graft.etl.BatchSnapshots.allBelow(spark, s"$stateDir/events",
+          batchId, b.columns.toSeq, b.filter(lit(false))),
+        entity, ts, steps, wmPrior))
+    graft.etl.BatchSnapshots.advanceAndLand(spark, s"$stateDir/wm", batchId,
+      Seq("wm"), Seq(TsFloor).toDF("wm"))(prior =>
+      prior.unionByName(b.select(ts.as("wm")))
+        .agg(max(col("wm")).as("wm"))
+        .select(coalesce(col("wm"), lit(TsFloor)).as("wm")))
+    Seq((batchId, next.count())).toDF("batch_id", "n_entities")
   }
 
   /** Empty incremental-retention state: the distinct `(_e, _d)`
@@ -240,7 +303,7 @@ object Aggregates {
   def retentionAdvance(stateDays: DataFrame, batch: DataFrame,
                        entity: Column, ts: Column): DataFrame =
     stateDays.unionByName(
-      batch.select(entity.cast("long").as("_e"), ts.cast("date").as("_d"))
+      batch.select(StateKeys.asLong(entity).as("_e"), ts.cast("date").as("_d"))
         .distinct())
       .distinct()
 
@@ -258,7 +321,7 @@ object Aggregates {
     val spark = batch.sparkSession
     import spark.implicits._
     val daysDir = s"$stateDir/days"
-    val cand = batch.select(entity.cast("long").as("_e"),
+    val cand = batch.select(StateKeys.asLong(entity).as("_e"),
       ts.cast("date").as("_d")).distinct()
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(daysDir)
@@ -335,7 +398,7 @@ object Aggregates {
     * their input is the state, not the history. */
   def rfmAdvance(state: DataFrame, batch: DataFrame, entity: Column,
                  orderDate: Column, cents: Column): DataFrame = {
-    val b = batch.groupBy(entity.cast("long").as("_e"))
+    val b = batch.groupBy(StateKeys.asLong(entity).as("_e"))
       .agg(max(orderDate.cast("date")).as("_bl"),
         count(lit(1)).as("_bf"),
         sum(cents.cast("long")).as("_bc"))

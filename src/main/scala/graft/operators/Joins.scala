@@ -130,6 +130,64 @@ object Joins {
   def anti(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
     df.join(keys, on, "left_anti")
 
+  /** Size-tiered key-membership slice of a BIG table — the late-data
+    * rescan's read strategy, shared by the behavioral advances
+    * ([[graft.operators.Aggregates.funnelAdvanceLate]],
+    * [[graft.operators.Sessions.advanceLate]]). `keys` is a single-column
+    * distinct key frame the caller has pinned and counted (`nKeys`); `key`
+    * is the matching expression over `df`. Non-null keys only (the
+    * [[StateKeys.asLong]] contract) — isin and semi-join equality then
+    * agree exactly.
+    *
+    * Tiers, chosen by `nKeys`:
+    *  1. `<= maxPushdown`: collect the ids and slice with `key.isin(ids)` —
+    *     a PUSHABLE predicate: against a parquet history clustered/sorted
+    *     by the key, the scan prunes at row-group/page grain from footer
+    *     statistics, so the read is O(affected keys' rows), not O(history).
+    *     This is the 100 TB path for the normal trickle of late data.
+    *  2. `<= maxBroadcast`: broadcast left-semi — no pushdown (the scan
+    *     reads everything) but the big side streams, never shuffles.
+    *  3. above: plain shuffle left-semi — a backfill-sized key set must
+    *     not be collected or broadcast (an unbounded driver-side build is
+    *     the OOM the 100 TB framing forbids).
+    */
+  def keyedSlice(df: DataFrame, key: Column, keys: DataFrame, nKeys: Long,
+                 maxPushdown: Int = 10000,
+                 maxBroadcast: Long = 5000000L): DataFrame = {
+    if (nKeys == 0L) return df.filter(lit(false))
+    if (nKeys <= maxPushdown) {
+      val ids = keys.collect().map(_.get(0))
+      df.filter(key.isin(ids.toIndexedSeq: _*))
+    } else {
+      // the key frame's column gets an internal name so the join condition
+      // can never be ambiguous against a same-named column of `df`
+      val k2 = keys.toDF("__slice_key")
+      if (nKeys <= maxBroadcast)
+        df.join(broadcast(k2), key === k2("__slice_key"), "left_semi")
+      else df.join(k2, key === k2("__slice_key"), "left_semi")
+    }
+  }
+
+  /** [[keyedSlice]]'s complement: everything whose key is NOT in `keys`.
+    * Same tiers; the pushdown tier is a pure NOT-isin filter (no join at
+    * all). Requires non-null `key` values on the kept side — a null key
+    * would survive a left-anti join but not a NOT-isin filter, so the
+    * caller's state keys must be guarded ([[StateKeys.asLong]]). */
+  def keyedAntiSlice(df: DataFrame, key: Column, keys: DataFrame,
+                     nKeys: Long, maxPushdown: Int = 10000,
+                     maxBroadcast: Long = 5000000L): DataFrame = {
+    if (nKeys == 0L) return df
+    if (nKeys <= maxPushdown) {
+      val ids = keys.collect().map(_.get(0))
+      df.filter(!key.isin(ids.toIndexedSeq: _*))
+    } else {
+      val k2 = keys.toDF("__slice_key")
+      if (nKeys <= maxBroadcast)
+        df.join(broadcast(k2), key === k2("__slice_key"), "left_anti")
+      else df.join(k2, key === k2("__slice_key"), "left_anti")
+    }
+  }
+
   /** J9: as-of / argmax lookup — the row at max(orderCols) per group
     * (`scripts/test/item_valuation_update.py:98-120`, correlated subquery
     * decorrelated into a window). One shuffle on the group keys; at scale

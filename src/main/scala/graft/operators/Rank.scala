@@ -144,6 +144,185 @@ object Rank {
       .select(col("node"), coalesce(col("_new"), col("label")).as("label"))
   }
 
+  // -------------------------------------------------------------------
+  // Residual-push (Gauss–Southwell) PageRank — the DELTA-SCOPED advance
+  // -------------------------------------------------------------------
+
+  /** Residual state `(node, x, s, deg)` for the [[pageRank]] recurrence:
+    * `x` the current rank estimate, `s(v) = Σ_{u→v} div(x(u), deg(u))`
+    * the EXACT integer in-sum under `edges`, `deg` the out-degree (0 for
+    * sinks). The residual is a pure projection off this state —
+    * `res(v) = base + div(dampNum·s(v), dampDen) − x(v)` — so "how far is
+    * v from its own fixed-point equation" never needs an edge scan.
+    *
+    * This is the state that makes PageRank's advance DELTA-SCOPED:
+    * [[pageRankFrom]] (the warm resume) must pay one O(E) join per round
+    * because it re-derives every in-sum from scratch; maintaining `s`
+    * incrementally turns both an edge delta ([[pageRankResidualAdvance]])
+    * and each correction round ([[pageRankPush]]) into work proportional
+    * to the TOUCHED nodes' out-neighborhoods — the Gauss–Southwell /
+    * local-push family (Andersen–Chung–Lang-style forward push applied to
+    * global PageRank), in the same exact int64 fixed-point arithmetic as
+    * [[pageRank]] (truncating `div` matches DuckDB `//` on negatives too,
+    * so every push round replays in the oracle). Built ONCE per graph —
+    * one O(E) pass, amortized over every future delta. */
+  def pageRankResidualState(nodes: DataFrame, edges: DataFrame,
+                            init: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val x = nodes.join(init.select(col("node"), col("rank")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("rank"), lit(0L)).as("x"))
+    val sums = e.join(x.withColumnRenamed("node", "src"), "src")
+      .join(deg, "src")
+      .select(col("dst").as("node"),
+        call_function("div", col("x"), col("deg")).as("c"))
+      .groupBy("node").agg(sum(col("c")).as("s"))
+    x.join(sums, Seq("node"), "left")
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("x"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
+  /** The residual projection off a residual state (diagnostic/report). */
+  def withResidual(state: DataFrame, n: Long, scale: Long = 1000000000000L,
+                   dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    state.withColumn("res",
+      lit(base) + call_function("div",
+        lit(dampNum) * col("s"), lit(dampDen)) - col("x"))
+  }
+
+  /** Synchronous residual-push rounds until every |residual| ≤ `eps` (or
+    * `maxRounds`). Each round: the HEAVY set `H = {v : |res(v)| > eps}`
+    * absorbs its residual into `x`, and the in-sums of H's out-neighbors
+    * absorb the contribution change
+    * `div(x+res, deg) − div(x, deg)` — maintained as an exact DIFFERENCE
+    * of truncated terms, so the invariant `s(v) = Σ div(x(u), deg(u))`
+    * holds bit-exactly at every round in any engine.
+    *
+    * Scale shape per round: H is frontier-sized (collected/broadcast via
+    * the [[Joins.keyedSlice]] tiers — the pushed isin prunes a
+    * src-clustered parquet edge table at row-group grain, so the lookup
+    * reads O(H's out-edges), not O(E)); the state updates are
+    * broadcast-build left joins the node-keyed state STREAMS through.
+    * Residual mass contracts by the damping factor per absorbed unit, so
+    * rounds drain geometrically; an empty H short-circuits — running
+    * extra fixed rounds is a no-op, which is what lets a fixed-round
+    * oracle replay an early-terminating engine exactly. */
+  def pageRankPush(state: DataFrame, edges: DataFrame, eps: Long,
+                   maxRounds: Int, scale: Long = 1000000000000L,
+                   dampNum: Long = 85L, dampDen: Long = 100L,
+                   maxPushdown: Int = 10000,
+                   maxBroadcast: Long = 5000000L): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds out of range: $maxRounds")
+    require(eps >= 1L, "eps must be a positive fixed-point threshold")
+    var st = state.localCheckpoint()
+    val n = st.count()
+    require(n > 0, "empty state")
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    val resCol = lit(base) + call_function("div",
+      lit(dampNum) * col("s"), lit(dampDen)) - col("x")
+    var r = 0
+    var drained = false
+    while (r < maxRounds && !drained) {
+      val heavy = st.withColumn("_r", resCol)
+        .filter(abs(col("_r")) > eps)
+        .select(col("node"), col("x"), col("_r"), col("deg"))
+        .localCheckpoint()
+      val nH = heavy.count()
+      if (nH == 0L) drained = true
+      else {
+        // contribution deltas along H's out-edges (deg > 0 by membership
+        // in the edge list's src side)
+        val eH = Joins.keyedSlice(edges.select(col("src"), col("dst")),
+          col("src"), heavy.select("node"), nH, maxPushdown, maxBroadcast)
+        val dS = eH
+          .join(broadcast(heavy.withColumnRenamed("node", "src")), "src")
+          .select(col("dst").as("node"),
+            (call_function("div", col("x") + col("_r"), col("deg")) -
+              call_function("div", col("x"), col("deg"))).as("_d"))
+          .groupBy("node").agg(sum(col("_d")).as("_ds"))
+        st = st
+          .join(broadcast(heavy.select(col("node"), col("_r"))),
+            Seq("node"), "left")
+          .join(broadcast(dS), Seq("node"), "left")
+          .select(col("node"),
+            (col("x") + coalesce(col("_r"), lit(0L))).as("x"),
+            (col("s") + coalesce(col("_ds"), lit(0L))).as("s"),
+            col("deg"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    st
+  }
+
+  /** DELTA-SCOPED PageRank advance: fold NEW edges into the residual
+    * state, then push. The fold touches only the delta sources'
+    * out-neighborhoods: a source u gaining `k` edges re-splits its
+    * already-absorbed mass — every OLD out-neighbor's in-sum moves by
+    * `div(x(u), degNew) − div(x(u), degOld)` and every NEW one gains
+    * `div(x(u), degNew)` — so the advance's cost tracks the DELTA's
+    * neighborhood, never E (the [[pageRankFrom]] warm resume's O(E)/round
+    * is exactly what this replaces; BenchIndexScale contrasts them).
+    * Endpoints absent from the state enter as `x = 0, s = 0` singletons
+    * (the [[pageRankFrom]] cold-entry floor). `delta` must be new edges
+    * (not already in the state's graph); `edges` is the OLD edge set,
+    * used only for the delta sources' old-neighbor lookup — sliced via
+    * the pushed-isin tiers, O(delta sources' degree) against a
+    * src-clustered table. Push then runs over `edges ∪ delta`. */
+  def pageRankPushAdvance(state: DataFrame, edges: DataFrame,
+                          delta: DataFrame, eps: Long, maxRounds: Int,
+                          scale: Long = 1000000000000L,
+                          dampNum: Long = 85L, dampDen: Long = 100L,
+                          maxPushdown: Int = 10000,
+                          maxBroadcast: Long = 5000000L): DataFrame = {
+    val d = delta.select(col("src"), col("dst")).localCheckpoint()
+    val spark = state.sparkSession
+    // fresh endpoints enter as rank-0 singletons before any in-sum lands
+    val dNodes = d.select(col("src").as("node"))
+      .unionAll(d.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    // delta-sized left vs state-sized right: a plain anti join (Spark's
+    // stats pick the build side; the BIG state must never broadcast)
+    val fresh = dNodes.join(state.select("node"), Seq("node"), "left_anti")
+    val st0 = state.select(col("node"), col("x"), col("s"), col("deg"))
+      .unionByName(fresh.select(col("node"), lit(0L).as("x"),
+        lit(0L).as("s"), lit(0L).as("deg")))
+    // delta sources: old degree + delta out-count + current x
+    val dDeg = d.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("_dd")).localCheckpoint()
+    val nSrc = dDeg.count()
+    val srcState = Joins.keyedSlice(st0, col("node"), dDeg.select("node"),
+        nSrc, maxPushdown, maxBroadcast)
+      .join(broadcast(dDeg), Seq("node"))
+      .select(col("node").as("src"), col("x"), col("deg").as("_old"),
+        (col("deg") + col("_dd")).as("_new"))
+      .localCheckpoint()
+    // in-sum deltas: old out-neighbors re-split, new out-neighbors gain
+    val eOld = Joins.keyedSlice(edges.select(col("src"), col("dst")),
+      col("src"), dDeg.select("node"), nSrc, maxPushdown, maxBroadcast)
+    val reSplit = eOld.join(broadcast(srcState), "src")
+      .select(col("dst").as("node"),
+        (call_function("div", col("x"), col("_new")) -
+          call_function("div", col("x"), col("_old"))).as("_d"))
+    val gains = d.join(broadcast(srcState), "src")
+      .select(col("dst").as("node"),
+        call_function("div", col("x"), col("_new")).as("_d"))
+    val dS = reSplit.unionByName(gains)
+      .groupBy("node").agg(sum(col("_d")).as("_ds"))
+    val advanced = st0
+      .join(broadcast(dDeg), Seq("node"), "left")
+      .join(broadcast(dS), Seq("node"), "left")
+      .select(col("node"), col("x"),
+        (col("s") + coalesce(col("_ds"), lit(0L))).as("s"),
+        (col("deg") + coalesce(col("_dd"), lit(0L))).as("deg"))
+    pageRankPush(advanced, edges.select(col("src"), col("dst")).unionByName(d),
+      eps, maxRounds, scale, dampNum, dampDen, maxPushdown, maxBroadcast)
+  }
+
   /** Bounded-round single-source BFS distances — the frontier-relaxation
     * plan: each round joins the CURRENT frontier (only the nodes whose
     * distance was just settled, not the whole distance table) against the

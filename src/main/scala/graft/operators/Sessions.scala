@@ -38,7 +38,7 @@ object Sessions {
   def sessionsOf(events: DataFrame, user: Column, ts: Column, value: Column,
                  gapSec: Long): DataFrame = {
     val byUser = Window.partitionBy("_u").orderBy("_ts")
-    events.select(user.cast("long").as("_u"), ts.as("_ts"),
+    events.select(StateKeys.asLong(user).as("_u"), ts.as("_ts"),
         value.cast("decimal(18,2)").as("_v"))
       .withColumn("_prev", lag(col("_ts"), 1).over(byUser))
       .withColumn("_new",
@@ -123,20 +123,69 @@ object Sessions {
     * ⇒ the history scan never runs (empty-check short-circuit). */
   def advanceLate(state: DataFrame, batch: DataFrame, history: DataFrame,
                   user: Column, ts: Column, value: Column, gapSec: Long,
-                  watermark: java.sql.Timestamp): DataFrame = {
+                  watermark: java.sql.Timestamp,
+                  maxPushdown: Int = 10000,
+                  maxBroadcast: Long = 5000000L): DataFrame = {
     val lateU = batch.filter(ts <= lit(watermark))
-      .select(user.cast("long").as("_u")).distinct().localCheckpoint()
+      .select(StateKeys.asLong(user).as("_u")).distinct().localCheckpoint()
     val folded = advance(state, batch, user, ts, value, gapSec)
-    if (lateU.head(1).isEmpty) folded
+    val nLate = lateU.count()
+    if (nLate == 0L) folded
     else {
+      // same tiered read strategy as funnelAdvanceLate (Joins.keyedSlice):
+      // pushed isin against a clustered history for the normal trickle,
+      // broadcast semi for bigger sets, shuffle semi above the broadcast
+      // bound — a backfill must never build an unbounded driver broadcast
       def sliceOf(df: DataFrame): DataFrame =
-        df.join(broadcast(lateU), user.cast("long") === lateU("_u"),
-          "left_semi")
+        Joins.keyedSlice(df, user.cast("long"), lateU, nLate,
+          maxPushdown, maxBroadcast)
       val recomputed = sessionsOf(
         sliceOf(history).unionByName(sliceOf(batch)), user, ts, value, gapSec)
-      folded.join(broadcast(lateU), Seq("_u"), "left_anti")
+      Joins.keyedAntiSlice(folded, col("_u"), lateU, nLate,
+          maxPushdown, maxBroadcast)
         .unionByName(recomputed)
     }
+  }
+
+  /** `foreachBatch` sink: LATE-AWARE incremental sessionization — the
+    * streaming member of the q38/q51/q208 family, [[Aggregates.funnelBatch]]'s
+    * discipline applied to the session state. A blind snapshot-per-batch
+    * fold of [[advance]] corrupts sessions whenever a micro-batch carries
+    * events at or before the already-folded maximum (the boundary stitch
+    * assumes watermark order); here every batch routes through
+    * [[advanceLate]] with `history` = the raw events persisted by strictly
+    * earlier batches and `watermark` = their running max event time, so
+    * the drained state equals a full re-sessionization for ANY event-time
+    * interleaving. All reads strictly-below-K, all writes dynamic-overwrite
+    * `bid=K` — an at-least-once replay rewrites identical bytes. Returns
+    * `(batch_id, n_sessions)`. */
+  def sessionsBatch(stateDir: String, user: Column, ts: Column,
+                    value: Column, gapSec: Long)
+                   (batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val tsFloor = java.sql.Timestamp.valueOf("0001-01-01 00:00:00")
+    val b = batch.localCheckpoint()
+    b.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(s"$stateDir/events")
+    val wmPrior = graft.etl.BatchSnapshots.latest(spark, s"$stateDir/wm",
+        Seq("wm"), Seq(tsFloor).toDF("wm"), belowBid = Some(batchId))
+      .head().getTimestamp(0)
+    val cols = Seq("_u", "session_start", "session_end", "n_events", "total")
+    val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
+        s"$stateDir/state", batchId, cols, emptyState(spark))(prior =>
+      advanceLate(prior, b,
+        graft.etl.BatchSnapshots.allBelow(spark, s"$stateDir/events",
+          batchId, b.columns.toSeq, b.filter(lit(false))),
+        user, ts, value, gapSec, wmPrior))
+    graft.etl.BatchSnapshots.advanceAndLand(spark, s"$stateDir/wm", batchId,
+      Seq("wm"), Seq(tsFloor).toDF("wm"))(prior =>
+      prior.unionByName(b.select(ts.as("wm")))
+        .agg(max(col("wm")).as("wm"))
+        .select(coalesce(col("wm"), lit(tsFloor)).as("wm")))
+    Seq((batchId, next.count())).toDF("batch_id", "n_sessions")
   }
 
   /** q38-shaped report off the state: per-user session numbering from the

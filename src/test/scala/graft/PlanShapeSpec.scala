@@ -554,7 +554,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("late-data advances: the affected-entity set BROADCASTS into every state/history join") {
+  test("late-data advances: tiered affected-set strategy — pushed isin, then broadcast, never an accidental sort-merge") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Aggregates, Sessions}
     val ev = Tables.events(spark, sf)
@@ -567,13 +567,20 @@ class PlanShapeSpec extends SparkSpec {
       Aggregates.funnelEmptyState(spark, 3), hist,
       col("user_id"), col("ts"), steps).localCheckpoint()
     val late = ev.filter(col("ts") >= lit(wm) || col("event_id") % 97 === 0)
-    val pF = Aggregates.funnelAdvanceLate(st, late, hist,
+
+    // tier 1 (defaults, small late set): the rescan slices are PUSHABLE
+    // isin filters — no semi/anti join exists at all
+    val p1 = Aggregates.funnelAdvanceLate(st, late, hist,
         col("user_id"), col("ts"), steps, wm)
       .queryExecution.executedPlan.toString
-    // the LATE machinery's joins — the history/batch rescans (LeftSemi)
-    // and the state-side replace (LeftAnti) — must all broadcast the
-    // affected set; the plain fold's keyed state merge inside is the
-    // operator's own documented shuffle and stays
+    assert(!"Left(Semi|Anti)".r.findFirstIn(p1).isDefined,
+      s"pushdown tier must slice with isin filters, not joins:\n" + p1.take(3000))
+    assert(p1.contains("user_id#") && p1.contains(" IN "),
+      s"pushdown tier lost its isin predicate:\n" + p1.take(3000))
+
+    // tier 2 (maxPushdown = 0): the affected set BROADCASTS into every
+    // state/history join; the plain fold's keyed state merge inside is
+    // the operator's own documented shuffle and stays
     def lateJoinsBroadcast(p: String, tag: String): Unit = {
       assert(!"SortMergeJoin.*Left(Semi|Anti)".r.findFirstIn(p).isDefined,
         s"$tag: an affected-set join degraded to sort-merge:\n" + p.take(3000))
@@ -582,13 +589,74 @@ class PlanShapeSpec extends SparkSpec {
       assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
         s"$tag: entity-scoped rescan is not a broadcast semi-join:\n" + p.take(2000))
     }
+    val pF = Aggregates.funnelAdvanceLate(st, late, hist,
+        col("user_id"), col("ts"), steps, wm, maxPushdown = 0)
+      .queryExecution.executedPlan.toString
     lateJoinsBroadcast(pF, "funnelAdvanceLate")
     val sSt = Sessions.advance(Sessions.emptyState(spark), hist,
       col("user_id"), col("ts"), col("value"), 1800L).localCheckpoint()
     val pS = Sessions.advanceLate(sSt, late, hist,
-        col("user_id"), col("ts"), col("value"), 1800L, wm)
+        col("user_id"), col("ts"), col("value"), 1800L, wm, maxPushdown = 0)
       .queryExecution.executedPlan.toString
     lateJoinsBroadcast(pS, "Sessions.advanceLate")
+
+    // tier 3 (maxBroadcast = 0 too): a backfill-sized affected set must
+    // never be FORCED to broadcast — the hint is withheld (Spark's own
+    // size statistics may still pick BHJ for a genuinely small set, which
+    // is exactly the adaptive behavior the fallback wants; what the tier
+    // guarantees is no unconditional driver-side build)
+    val q3 = Aggregates.funnelAdvanceLate(st, late, hist,
+        col("user_id"), col("ts"), steps, wm,
+        maxPushdown = 0, maxBroadcast = 0L)
+    val l3 = q3.queryExecution.analyzed.toString
+    assert(!l3.contains("ResolvedHint"),
+      s"backfill tier must not hint a broadcast:\n" + l3.take(3000))
+    val l2 = Aggregates.funnelAdvanceLate(st, late, hist,
+        col("user_id"), col("ts"), steps, wm, maxPushdown = 0)
+      .queryExecution.analyzed.toString
+    assert(l2.contains("ResolvedHint"),
+      s"broadcast tier lost its hint:\n" + l2.take(3000))
+  }
+
+  test("late-data rescan against a CLUSTERED parquet history: the isin slice reaches the scan as a pushed filter") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Aggregates
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_clustered").toString
+    val ev = Tables.events(spark, sf)
+    val wm = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val steps = Seq("a" -> (col("event_type") === "view"),
+      "b" -> (col("event_type") === "click"),
+      "c" -> (col("event_type") === "purchase"))
+    // history persisted clustered+sorted by entity — the layout the
+    // scaladoc's pruning claim assumes (SinkV2 clusterBy/sortBy land the
+    // same shape; plain parquet keeps the spec self-contained)
+    ev.filter(col("ts") < lit(wm))
+      .select("user_id", "ts", "event_type")
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val hist = spark.read.parquet(dir)
+    val st = Aggregates.funnelAdvance(
+      Aggregates.funnelEmptyState(spark, 3), hist,
+      col("user_id"), col("ts"), steps).localCheckpoint()
+    val lateUsers = ev.select("user_id").distinct().limit(3)
+      .collect().map(_.getLong(0))
+    val late = ev.filter(col("user_id").isin(lateUsers.toIndexedSeq: _*))
+      .select("user_id", "ts", "event_type")
+    val out = Aggregates.funnelAdvanceLate(st, late, hist,
+      col("user_id"), col("ts"), steps, wm)
+    val p = out.queryExecution.executedPlan.toString
+    // the slice must reach the parquet scan as a PushedFilters In — that
+    // is what prunes row groups/pages on the clustered layout at 100 TB
+    assert("PushedFilters: \\[.*In\\(user_id".r.findFirstIn(p).isDefined,
+      s"history rescan's isin did not push to the parquet scan:\n" + p.take(4000))
+    // and the route stays EXACT: equals the from-scratch cascade state
+    val full = Aggregates.funnelAdvance(
+      Aggregates.funnelEmptyState(spark, 3),
+      hist.unionByName(late), col("user_id"), col("ts"), steps)
+    val a = out.orderBy("_e").collect().map(_.toString).toSeq
+    val b = full.orderBy("_e").collect().map(_.toString).toSeq
+    assert(a == b)
   }
 
   test("kmeansStatsAdvance: batch-only scan, k*dim-bounded state merge — never the corpus") {

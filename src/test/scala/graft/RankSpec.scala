@@ -279,4 +279,151 @@ class RankSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotChain == (0L to 4L).map(i => i -> i).toMap)
   }
+
+  // ----- residual-push (Gauss–Southwell) PageRank -----
+
+  /** Scalar twin of the residual state + synchronous push rounds — same
+    * truncating divisions, same round structure, EXACT equality expected. */
+  private case class PState(x: Map[Long, Long], s: Map[Long, Long],
+                            deg: Map[Long, Long])
+
+  private def refState(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                       init: Map[Long, Long]): PState = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val x = nodes.map(v => v -> init.getOrElse(v, 0L)).toMap
+    val s = nodes.map { v =>
+      v -> edges.filter(_._2 == v).map { case (u, _) => x(u) / deg(u) }.sum
+    }.toMap
+    PState(x, s, nodes.map(v => v -> deg.getOrElse(v, 0L)).toMap)
+  }
+
+  private def refPush(st0: PState, edges: Seq[(Long, Long)], eps: Long,
+                      maxRounds: Int,
+                      scale: Long = 1000000000000L): PState = {
+    val n = st0.x.size
+    val base = (scale * 15L) / (100L * n)
+    var st = st0
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      def res(v: Long) = base + (85L * st.s(v)) / 100L - st.x(v)
+      val heavy = st.x.keys.filter(v => math.abs(res(v)) > eps).toSet
+      if (heavy.isEmpty) done = true
+      else {
+        val ds = edges.filter(e => heavy(e._1)).groupBy(_._2).view.mapValues {
+          es => es.map { case (u, _) =>
+            (st.x(u) + res(u)) / st.deg(u) - st.x(u) / st.deg(u)
+          }.sum
+        }.toMap
+        st = PState(
+          st.x.map { case (v, xv) => v -> (if (heavy(v)) xv + res(v) else xv) },
+          st.s.map { case (v, sv) => v -> (sv + ds.getOrElse(v, 0L)) },
+          st.deg)
+        r += 1
+      }
+    }
+    st
+  }
+
+  private def stateOf(df: org.apache.spark.sql.DataFrame): PState = {
+    val rows = df.select("node", "x", "s", "deg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    PState(rows.map(t => t._1 -> t._2).toMap,
+      rows.map(t => t._1 -> t._3).toMap,
+      rows.map(t => t._1 -> t._4).toMap)
+  }
+
+  test("pageRankPush exactly equals the scalar push model, round for round") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val edges = (0 until n).flatMap { u =>
+      Seq.fill(3)((u.toLong, rnd.nextInt(n).toLong))
+    }.distinct
+    val nodes = (0L until n.toLong).toDF("node")
+    val e = edges.toDF("src", "dst")
+    val init = Rank.pageRank(nodes, e, 2)
+    val st = Rank.pageRankResidualState(nodes, e, init)
+    val refInit = refRanks(n, edges, 2)
+    assert(stateOf(st) == refState(0L until n.toLong, edges, refInit),
+      "residual-state bootstrap drifted from the scalar model")
+    for (rounds <- Seq(1, 3, 8)) {
+      val got = stateOf(Rank.pageRankPush(st, e, eps = 100000L,
+        maxRounds = rounds))
+      val want = refPush(refState(0L until n.toLong, edges, refInit),
+        edges, 100000L, rounds)
+      assert(got == want, s"push diverged from scalar model at $rounds rounds")
+    }
+  }
+
+  test("pageRankPush converges: every residual ≤ eps, and ranks match converged power iteration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val n = 30
+    val edges = (0 until n).flatMap { u =>
+      Seq.fill(2)((u.toLong, rnd.nextInt(n).toLong))
+    }.distinct
+    val nodes = (0L until n.toLong).toDF("node")
+    val e = edges.toDF("src", "dst")
+    val eps = 100000000L // 0.3% of the ~3.3e10 per-node mass at n = 30
+    val st = Rank.pageRankResidualState(nodes, e,
+      Rank.pageRank(nodes, e, 3))
+    val pushed = Rank.pageRankPush(st, e, eps, maxRounds = 40)
+    val res = Rank.withResidual(pushed, n).select("res")
+      .collect().map(r => math.abs(r.getLong(0)))
+    assert(res.max <= eps, s"push did not drain: max residual ${res.max}")
+    // contraction bound: |x* - pow21| ≤ d/(1-d)·|pow21 - pow20|,
+    // |x* - push| ≤ eps/(1-d) — generous slack on top
+    def ranks(iters: Int) = Rank.pageRank(nodes, e, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (p20, p21) = (ranks(20), ranks(21))
+    val powErr = p21.map { case (k, v) => math.abs(v - p20(k)) }.max
+    val bound = (powErr * 85L) / 15L + (eps * 100L) / 15L + n.toLong * 50L
+    val push = stateOf(pushed).x
+    val maxDiff = p21.map { case (k, v) => math.abs(push(k) - v) }.max
+    assert(maxDiff <= bound,
+      s"push ranks off converged power iteration: $maxDiff > $bound")
+  }
+
+  test("pageRankPushAdvance: delta fold + push equals the scalar pipeline; invariants hold on the grown graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val n = 36
+    val all = (0 until n).flatMap { u =>
+      Seq.fill(3)((u.toLong, rnd.nextInt(n).toLong))
+    }.distinct
+    val (delta, b1) = all.partition { case (u, v) => (u + v) % 4 == 0 }
+    val nodes = (0L until n.toLong).toDF("node")
+    val e1 = b1.toDF("src", "dst")
+    val d = delta.toDF("src", "dst")
+    val eps = 100000L
+    val st1 = Rank.pageRankResidualState(nodes, e1,
+      Rank.pageRank(nodes, e1, 5)).localCheckpoint()
+    val adv = Rank.pageRankPushAdvance(st1, e1, d, eps, maxRounds = 6)
+    // scalar pipeline: same bootstrap, same fold, same pushes
+    val refInit = refRanks(n, b1, 5)
+    val s1 = refState(0L until n.toLong, b1, refInit)
+    val degN = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val foldS = s1.s.map { case (v, sv) =>
+      val reSplit = b1.filter(e => delta.exists(_._1 == e._1) && e._2 == v)
+        .map { case (u, _) => s1.x(u) / degN(u) - s1.x(u) / s1.deg(u) }.sum
+      val gains = delta.filter(_._2 == v)
+        .map { case (u, _) => s1.x(u) / degN(u) }.sum
+      v -> (sv + reSplit + gains)
+    }
+    val s2 = PState(s1.x, foldS,
+      (0L until n.toLong).map(v => v -> degN.getOrElse(v, 0L)).toMap)
+    val want = refPush(s2, all, eps, 6)
+    assert(stateOf(adv) == want, "advance diverged from the scalar pipeline")
+    // structural invariants on the result: deg matches the grown graph,
+    // s(v) is EXACTLY the from-scratch in-sum of the final x
+    val got = stateOf(adv)
+    val deg = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    (0L until n.toLong).foreach { v =>
+      assert(got.deg(v) == deg.getOrElse(v, 0L))
+      val sFresh = all.filter(_._2 == v)
+        .map { case (u, _) => got.x(u) / deg(u) }.sum
+      assert(got.s(v) == sFresh, s"in-sum invariant broken at node $v")
+    }
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Aggregates, Sessions, StateKeys}
+
+/** Fail-loud contract of the behavioral family's long state keys: a
+  * non-integral entity id must RAISE, never silently cast to a null key —
+  * a null key would collapse entities in the plain folds and make the
+  * late routes silently skip their repair (the r12 verdict's robustness
+  * demerit #3).
+  */
+class StateKeysSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val steps = Seq(
+    "a" -> (col("event_type") === "view"),
+    "b" -> (col("event_type") === "click"))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("integral-STRING ids round-trip: the guard accepts anything that casts") {
+    val batch = Seq(
+      ("42", ts("2024-01-01 10:00:00"), "view"),
+      ("42", ts("2024-01-01 10:05:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val st = Aggregates.funnelAdvance(
+      Aggregates.funnelEmptyState(spark, 2), batch,
+      col("user_id"), col("ts"), steps)
+    val row = st.collect().head
+    assert(row.getLong(0) == 42L && !row.isNullAt(1) && !row.isNullAt(2))
+  }
+
+  // Under Spark 4's default ANSI mode the malformed-string cast itself
+  // raises (CAST_INVALID_INPUT) before the guard's raise_error; in
+  // non-ANSI deployments the cast yields null and the guard fires. Either
+  // way the failure is LOUD — that is the contract under test.
+  private def raisesLoud(e: Throwable): Boolean = {
+    val all = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    all.contains("non-integral entity id") ||
+      all.contains("CAST_INVALID_INPUT")
+  }
+
+  test("non-integral id raises in funnelAdvance instead of becoming a null key") {
+    val batch = Seq(("u42", ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val e = intercept[Exception] {
+      Aggregates.funnelAdvance(Aggregates.funnelEmptyState(spark, 2),
+        batch, col("user_id"), col("ts"), steps).collect()
+    }
+    assert(raisesLoud(e), s"wrong failure: ${e.getMessage}")
+  }
+
+  test("a NULL id raises the guard's own error (the one case ANSI cast passes through)") {
+    val batch = Seq((java.lang.Long.valueOf(7L), ts("2024-01-01 10:00:00"), "view"),
+        (null.asInstanceOf[java.lang.Long], ts("2024-01-01 10:01:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val e = intercept[Exception] {
+      Aggregates.funnelAdvance(Aggregates.funnelEmptyState(spark, 2),
+        batch, col("user_id"), col("ts"), steps).collect()
+    }
+    val all = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(all.contains("non-integral entity id"), s"wrong failure: $all")
+  }
+
+  test("a LATE row with a non-integral id raises in the late routes (never a silent skipped repair)") {
+    val hist = Seq((1L, ts("2024-01-01 10:00:00"), "view", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val wm = ts("2024-01-02 00:00:00")
+    val badLate = Seq(("x9", ts("2024-01-01 09:00:00"), "click", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val fSt = Aggregates.funnelAdvance(Aggregates.funnelEmptyState(spark, 2),
+      hist, col("user_id"), col("ts"), steps).localCheckpoint()
+    val eF = intercept[Exception] {
+      Aggregates.funnelAdvanceLate(fSt, badLate, hist,
+        col("user_id"), col("ts"), steps, wm).collect()
+    }
+    assert(raisesLoud(eF), s"wrong failure: ${eF.getMessage}")
+    val sSt = Sessions.advance(Sessions.emptyState(spark), hist,
+      col("user_id"), col("ts"), col("value"), 1800L).localCheckpoint()
+    val eS = intercept[Exception] {
+      Sessions.advanceLate(sSt, badLate, hist,
+        col("user_id"), col("ts"), col("value"), 1800L, wm).collect()
+    }
+    assert(raisesLoud(eS), s"wrong failure: ${eS.getMessage}")
+  }
+
+  test("StateKeys.asLong is a pure projection on valid ids") {
+    val got = Seq(1L, -7L, 0L).toDF("k")
+      .select(StateKeys.asLong(col("k")).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, -7L, 0L))
+  }
+}

@@ -1103,4 +1103,72 @@ class StreamingSpec extends SparkSpec {
       server.close()
     }
   }
+
+  test("funnelBatch sink: a LATE micro-batch repairs the cascade; drained state equals batch recompute; replay identical") {
+    import graft.operators.Aggregates
+    val dir = Files.createTempDirectory("graft_funnel_sink").toString
+    val steps = Seq("a" -> (col("event_type") === "view"),
+      "b" -> (col("event_type") === "click"))
+    def df(rows: Seq[(Long, Timestamp, String)]) =
+      rows.toDF("u", "ts", "event_type")
+    // batch 1 folds u1's click FIRST; batch 2 carries u1's view EARLIER
+    // than batch 1's max — the order a blind fold silently corrupts
+    // (strict-> cascade would never see view-before-click)
+    val b1 = Seq((1L, ts("2024-01-01 12:00:00"), "click"),
+      (2L, ts("2024-01-01 11:00:00"), "view"))
+    val b2 = Seq((1L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 13:00:00"), "click"))
+    val sink = Aggregates.funnelBatch(dir, col("u"), col("ts"), steps) _
+    sink(df(b1), 0L)
+    sink(df(b2), 1L)
+    def state = graft.etl.BatchSnapshots.latest(spark, s"$dir/state",
+        Seq("_e", "_t0", "_t1"), Aggregates.funnelEmptyState(spark, 2))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    val drained = state
+    val want = Aggregates.funnelAdvance(Aggregates.funnelEmptyState(spark, 2),
+        df(b1 ++ b2), col("u"), col("ts"), steps)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    assert(drained == want, s"$drained vs $want")
+    // u1's late view must have repaired the cascade: click follows view
+    assert(drained.exists(t => t._1 == 1L && t._2 != null && t._3 != null),
+      s"late repair missing: $drained")
+    // at-least-once replay of batch 2 rewrites identical state
+    sink(df(b2), 1L)
+    assert(state == drained, "replay must rewrite the same snapshot")
+  }
+
+  test("sessionsBatch sink: a LATE micro-batch re-sessionizes its users; state equals full recompute; replay identical") {
+    import graft.operators.Sessions
+    val dir = Files.createTempDirectory("graft_sessions_sink").toString
+    def df(rows: Seq[(Long, Timestamp, Double)]) =
+      rows.toDF("u", "ts", "v")
+    // batch 2's late event BRIDGES u1's two batch-1 sessions (gap 30 min)
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (2L, ts("2024-01-01 10:00:00"), 5.0))
+    val b2 = Seq((1L, ts("2024-01-01 10:30:00"), 3.0),
+      (2L, ts("2024-01-01 12:00:00"), 7.0))
+    val sink = Sessions.sessionsBatch(dir, col("u"), col("ts"), col("v"),
+      gapSec = 1800L) _
+    sink(df(b1), 0L)
+    sink(df(b2), 1L)
+    def state = graft.etl.BatchSnapshots.latest(spark, s"$dir/state",
+        Seq("_u", "session_start", "session_end", "n_events", "total"),
+        Sessions.emptyState(spark))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDecimal(4).toPlainString)).toSet
+    val drained = state
+    val want = Sessions.sessionsOf(df(b1 ++ b2), col("u"), col("ts"),
+        col("v"), 1800L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDecimal(4).toPlainString)).toSet
+    assert(drained == want, s"$drained vs $want")
+    // the bridge must have merged u1 into ONE session of 3 events
+    assert(drained.exists(t => t._1 == 1L && t._4 == 3L),
+      s"late bridge did not merge: $drained")
+    sink(df(b2), 1L)
+    assert(state == drained, "replay must rewrite the same snapshot")
+  }
 }
