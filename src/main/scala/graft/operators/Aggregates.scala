@@ -231,9 +231,11 @@ object Aggregates {
       .toDF("step", "step_idx", "entities")
   }
 
-  /** Epoch floor for the streaming sinks' first batch: nothing can be
-    * "late" before anything was folded. */
-  private val TsFloor = java.sql.Timestamp.valueOf("0001-01-01 00:00:00")
+  /** Watermark floor for the streaming sinks' first batch: nothing can be
+    * "late" before anything was folded. Post-1582 on purpose — an empty
+    * first micro-batch persists the floor, and Spark's parquet writer
+    * (datetimeRebaseModeInWrite = EXCEPTION) refuses ancient dates. */
+  private val TsFloor = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
 
   /** `foreachBatch` sink: LATE-AWARE incremental funnel — the streaming
     * member of the q196/q207 family. The pre-r13 gap this closes: a

@@ -539,6 +539,71 @@ object Rank {
       .agg(sum(col("n_edges_added")).as("n_edges"),
         sum(col("n_new_triangles")).as("n_triangles"))
 
+  /** Empty residual state: `(node, x, s, deg)`, all int64. */
+  def pageRankEmptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("x", LongType, nullable = false),
+        StructField("s", LongType, nullable = false),
+        StructField("deg", LongType, nullable = false))))
+  }
+
+  /** `foreachBatch` sink maintaining the RESIDUAL PageRank state — the
+    * rank sub-family's streaming member ([[pageRank]] batch,
+    * [[pageRankPushAdvance]] incremental). Two persisted halves under
+    * `stateDir`:
+    *   - `edges/bid=K` — the APPEND half: canonical-new edges first seen
+    *     in batch K (batch rows anti-joined against strictly-earlier
+    *     batches, so a redelivered edge never double-folds), written
+    *     src-sorted so the push rounds' pushed-isin lookups prune the
+    *     seen graph at row-group grain;
+    *   - `state/bid=K` — the SNAPSHOT half (the [[graft.etl.BatchSnapshots]]
+    *     discipline): the residual state after batch K, re-derived from
+    *     the snapshot STRICTLY below K, so an at-least-once replay
+    *     rewrites both partitions with identical content.
+    * First batch bootstraps `x` with `bootstrapIters` power rounds over
+    * the batch graph, then builds the exact in-sums ONCE; every later
+    * batch pays only [[pageRankPushAdvance]]'s delta-neighborhood fold +
+    * eps-drain push — never an O(E) recompute. The node universe is fixed
+    * up front (the q214 fixture contract; fresh delta endpoints still
+    * enter as rank-0 singletons). Returns `(batch_id, n_edges_added)`. */
+  def pageRankBatch(stateDir: String, nodes: DataFrame, eps: Long,
+                    pushRounds: Int, bootstrapIters: Int)
+                   (edges: DataFrame, batchId: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edgesDir = s"$stateDir/edges"
+    val cand = edges.select(col("src"), col("dst")).distinct()
+    val old = graft.etl.BatchSnapshots.allBelow(spark, edgesDir, batchId,
+      Seq("src", "dst"), cand.limit(0))
+    val delta = cand.join(old, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    val nAdded = delta.count()
+    delta.sortWithinPartitions("src").withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(edgesDir)
+    graft.etl.BatchSnapshots.advanceAndLand(spark, s"$stateDir/state",
+        batchId, Seq("node", "x", "s", "deg"), pageRankEmptyState(spark)) {
+      prior =>
+        if (prior.head(1).isEmpty)
+          pageRankResidualState(nodes, delta,
+            pageRank(nodes, delta, bootstrapIters))
+        else
+          pageRankPushAdvance(prior, old, delta, eps, pushRounds)
+    }
+    Seq((batchId, nAdded)).toDF("batch_id", "n_edges_added")
+  }
+
+  /** The latest persisted [[pageRankBatch]] residual snapshot — the empty
+    * state when the dir holds no snapshots yet. */
+  def pageRankStateFrom(spark: org.apache.spark.sql.SparkSession,
+                        stateDir: String): DataFrame =
+    graft.etl.BatchSnapshots.latest(spark, s"$stateDir/state",
+      Seq("node", "x", "s", "deg"), pageRankEmptyState(spark))
+
   /** Exact triangle count via DEGREE-ORDERED edge orientation — the
     * standard trick that makes the wedge join survive power-law graphs:
     * orient every undirected edge from its lower-(degree, id) endpoint to

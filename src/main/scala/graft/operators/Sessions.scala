@@ -164,7 +164,9 @@ object Sessions {
                    (batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val tsFloor = java.sql.Timestamp.valueOf("0001-01-01 00:00:00")
+    // post-1582 floor: an empty first micro-batch persists it, and the
+    // parquet writer refuses ancient dates (rebase EXCEPTION mode)
+    val tsFloor = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
     val b = batch.localCheckpoint()
     b.withColumn("bid", lit(batchId))
       .write.mode("overwrite")

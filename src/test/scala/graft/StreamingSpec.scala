@@ -220,6 +220,47 @@ class StreamingSpec extends SparkSpec {
     assert(tot.getLong(1) == recount)
   }
 
+  test("pageRankBatch sink: residual state per edge micro-batch; drained state equals bootstrap+push-advance; replay idempotent") {
+    import graft.operators.Rank
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_pr_sink").toString
+    val n = 40L
+    val nodes = spark.range(n).toDF("node")
+    val all = (0L until n).flatMap(i =>
+      Seq((i, (i * 7 + 3) % n), (i, (i * 13 + 5) % n)))
+      .filter { case (s, d) => s != d }.distinct
+    val (w1, w2) = all.partition { case (s, d) => (s + d) % 5 != 0 }
+    assert(w2.nonEmpty && w1.size > w2.size, "delta wave must be the small one")
+    val eps = math.max(1L, 1000000000000L / (n * 8L))
+    val sink = Rank.pageRankBatch(dir, nodes, eps, 6, 12) _
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDS().toDF("src", "dst").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(b, id); ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(w1: _*)
+    q.processAllAvailable()
+    input.addData(w2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def sset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = sset(Rank.pageRankStateFrom(spark, dir))
+    // the batch pipeline the drained state must equal: bootstrap on wave 1,
+    // delta-scoped push advance for wave 2 — exact integer arithmetic, so
+    // equality is set equality on (node, x, s, deg), not approximate
+    val b1 = w1.toDF("src", "dst")
+    val st1 = Rank.pageRankResidualState(nodes, b1, Rank.pageRank(nodes, b1, 12))
+    val want = sset(Rank.pageRankPushAdvance(st1, b1, w2.toDF("src", "dst"), eps, 6))
+    assert(got == want, "drained sink state must equal the batch pipeline")
+    // at-least-once replay of the last batch: re-derives from snapshot 0
+    // and the strictly-earlier edge partitions — rewrites identically
+    sink(w2.toDF("src", "dst"), 1L)
+    assert(sset(Rank.pageRankStateFrom(spark, dir)) == got,
+      "replay must rewrite the same snapshot")
+  }
+
   test("Trigger.AvailableNow drains a file backlog across micro-batches then stops (T1 catch-up)") {
     // the reference's scheduled 30-min DAG loop is "process whatever landed,
     // then exit" — AvailableNow is that contract on a streaming source
