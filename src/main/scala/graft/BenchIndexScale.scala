@@ -453,10 +453,14 @@ object BenchIndexScale {
           .write.mode("overwrite").parquet(peDir)
       }
       val pePq = spark.read.parquet(peDir)
+      // anti-join against the seen graph: pageRankPushAdvance's contract
+      // is delta = NEW edges, and the hashed targets can collide with an
+      // existing (src, dst) — a collided "delta" edge would double-fold
       val pDelta = docs.filter(col("doc_id") % 37 === 0)
         .select(col("doc_id").as("src"),
           pmod(graft.functions.PortableHash.mixpCol(col("doc_id") * 13 + 999),
             lit(nDocs)).as("dst"))
+        .join(pePq, Seq("src", "dst"), "left_anti")
         .localCheckpoint()
       val pEps = math.max(1L, 1000000000000L / (nDocs * 8L))
       val (bPushState, pushState) = time {
@@ -516,6 +520,15 @@ object BenchIndexScale {
         }._1
       }
       rows += (("dsirAdvanceRescore", k, seenSize, bDsir, median(dsirSecs)))
+
+      // reclaim this scale's parquet fixtures from tmpfs scratch before
+      // the next k — the k-scaled histories/edge tables would otherwise
+      // coexist in /dev/shm and compete with the very RAM being measured
+      Seq(histDir, peDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true); ()
+      }
     }
 
     rows.foreach { case (op, k, n, build, batchSec) =>

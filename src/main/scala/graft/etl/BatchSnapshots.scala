@@ -77,6 +77,57 @@ object BatchSnapshots {
       .select(cols.map(col): _*)
   }
 
+  /** Watermark floor for the late-aware sinks' first batch: nothing can
+    * be "late" before anything was folded. Post-1582 on purpose — an
+    * empty first micro-batch persists the floor, and Spark's parquet
+    * writer (datetimeRebaseModeInWrite = EXCEPTION) refuses ancient
+    * dates. */
+  val TsFloor: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
+
+  private def floorDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(TsFloor).toDF("wm")
+  }
+
+  /** The late-aware sinks' shared events + watermark read step (extracted
+    * at its second copy — the funnelBatch/sessionsBatch protocol must
+    * never drift apart): land the batch's raw rows under
+    * `stateDir/events/bid=batchId` FIRST (history reads filter
+    * `bid < K`, so a crash between this write and the state landing
+    * replays cleanly), then return the strictly-below-K history frame
+    * and the running-max watermark strictly below K (the floor when no
+    * batch has landed). The caller advances its state through a
+    * late-aware route against exactly these two, then calls
+    * [[advanceWatermark]]. */
+  def landEventsAndWatermark(spark: SparkSession, stateDir: String,
+                             batch: DataFrame, batchId: Long)
+      : (DataFrame, java.sql.Timestamp) = {
+    batch.withColumn("bid", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bid").parquet(s"$stateDir/events")
+    val wmPrior = latest(spark, s"$stateDir/wm", Seq("wm"),
+      floorDf(spark), belowBid = Some(batchId)).head().getTimestamp(0)
+    val history = allBelow(spark, s"$stateDir/events", batchId,
+      batch.columns.toSeq, batch.filter(lit(false)))
+    (history, wmPrior)
+  }
+
+  /** [[landEventsAndWatermark]]'s closing half: fold the batch's max
+    * event time into the 1-row watermark snapshot under
+    * `stateDir/wm/bid=batchId`. `batchTs` is the batch projected to one
+    * timestamp column (any name). */
+  def advanceWatermark(spark: SparkSession, stateDir: String,
+                       batchId: Long, batchTs: DataFrame): Unit = {
+    advanceAndLand(spark, s"$stateDir/wm", batchId, Seq("wm"),
+      floorDf(spark))(prior =>
+      prior.unionByName(batchTs.toDF("wm"))
+        .agg(max(col("wm")).as("wm"))
+        .select(coalesce(col("wm"), lit(TsFloor)).as("wm")))
+    ()
+  }
+
   /** One sink step: advance the latest-below-`batchId` snapshot with
     * `advance`, land the result under `dir/bid=batchId` via dynamic
     * partition overwrite, return the landed (checkpointed) state. */

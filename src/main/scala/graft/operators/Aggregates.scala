@@ -203,16 +203,17 @@ object Aggregates {
       // bigger sets broadcast-semi (stream the history, never shuffle it);
       // a backfill-sized set falls back to a shuffle semi rather than
       // building an unbounded driver-side broadcast
+      val lateIds = Joins.keyIdsIfSmall(lateE, nLate, maxPushdown)
       def sliceOf(df: DataFrame): DataFrame =
         Joins.keyedSlice(df, entity.cast("long"), lateE, nLate,
-          maxPushdown, maxBroadcast)
+          maxPushdown, maxBroadcast, lateIds)
       val affected = sliceOf(history).unionByName(sliceOf(batch))
       // fold-from-empty over one frame IS the recompute (the within-batch
       // cascade thresholds each step against the just-advanced previous)
       val recomputed = funnelAdvance(
         funnelEmptyState(spark, steps.length), affected, entity, ts, steps)
       Joins.keyedAntiSlice(folded, col("_e"), lateE, nLate,
-          maxPushdown, maxBroadcast)
+          maxPushdown, maxBroadcast, lateIds)
         .unionByName(recomputed)
     }
   }
@@ -230,12 +231,6 @@ object Aggregates {
       .map { case (n, i) => (n, i, row.getLong(i)) }
       .toDF("step", "step_idx", "entities")
   }
-
-  /** Watermark floor for the streaming sinks' first batch: nothing can be
-    * "late" before anything was folded. Post-1582 on purpose — an empty
-    * first micro-batch persists the floor, and Spark's parquet writer
-    * (datetimeRebaseModeInWrite = EXCEPTION) refuses ancient dates. */
-  private val TsFloor = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
 
   /** `foreachBatch` sink: LATE-AWARE incremental funnel — the streaming
     * member of the q196/q207 family. The pre-r13 gap this closes: a
@@ -260,28 +255,15 @@ object Aggregates {
     val spark = batch.sparkSession
     import spark.implicits._
     val b = batch.localCheckpoint() // foreachBatch inputs are not re-readable
-    // raw events land first: history reads filter bid < K, so a crash
-    // between this write and the state landing replays cleanly
-    b.withColumn("bid", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(s"$stateDir/events")
-    val wmPrior = graft.etl.BatchSnapshots.latest(spark, s"$stateDir/wm",
-        Seq("wm"), Seq(TsFloor).toDF("wm"), belowBid = Some(batchId))
-      .head().getTimestamp(0)
+    val (history, wmPrior) = graft.etl.BatchSnapshots
+      .landEventsAndWatermark(spark, stateDir, b, batchId)
     val cols = "_e" +: steps.indices.map(i => s"_t$i")
     val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
         s"$stateDir/state", batchId, cols,
         funnelEmptyState(spark, steps.length))(prior =>
-      funnelAdvanceLate(prior, b,
-        graft.etl.BatchSnapshots.allBelow(spark, s"$stateDir/events",
-          batchId, b.columns.toSeq, b.filter(lit(false))),
-        entity, ts, steps, wmPrior))
-    graft.etl.BatchSnapshots.advanceAndLand(spark, s"$stateDir/wm", batchId,
-      Seq("wm"), Seq(TsFloor).toDF("wm"))(prior =>
-      prior.unionByName(b.select(ts.as("wm")))
-        .agg(max(col("wm")).as("wm"))
-        .select(coalesce(col("wm"), lit(TsFloor)).as("wm")))
+      funnelAdvanceLate(prior, b, history, entity, ts, steps, wmPrior))
+    graft.etl.BatchSnapshots.advanceWatermark(spark, stateDir, batchId,
+      b.select(ts.as("wm")))
     Seq((batchId, next.count())).toDF("batch_id", "n_entities")
   }
 

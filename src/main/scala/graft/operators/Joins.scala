@@ -151,13 +151,25 @@ object Joins {
     *     not be collected or broadcast (an unbounded driver-side build is
     *     the OOM the 100 TB framing forbids).
     */
+  /** The pushdown tier's driver-side id list, collected ONCE — callers
+    * slicing several frames by the same keys (the late routes run two
+    * slices + one anti-slice per batch) pass the result to every call
+    * instead of paying one collect job each. `None` above the pushdown
+    * bound (the join tiers never need the ids). */
+  def keyIdsIfSmall(keys: DataFrame, nKeys: Long,
+                    maxPushdown: Int = 10000): Option[IndexedSeq[Any]] =
+    if (nKeys > 0L && nKeys <= maxPushdown)
+      Some(keys.collect().map(_.get(0)).toIndexedSeq)
+    else None
+
   def keyedSlice(df: DataFrame, key: Column, keys: DataFrame, nKeys: Long,
                  maxPushdown: Int = 10000,
-                 maxBroadcast: Long = 5000000L): DataFrame = {
+                 maxBroadcast: Long = 5000000L,
+                 precollected: Option[IndexedSeq[Any]] = None): DataFrame = {
     if (nKeys == 0L) return df.filter(lit(false))
     if (nKeys <= maxPushdown) {
-      val ids = keys.collect().map(_.get(0))
-      df.filter(key.isin(ids.toIndexedSeq: _*))
+      val ids = precollected.getOrElse(keys.collect().map(_.get(0)).toIndexedSeq)
+      df.filter(key.isin(ids: _*))
     } else {
       // the key frame's column gets an internal name so the join condition
       // can never be ambiguous against a same-named column of `df`
@@ -175,11 +187,12 @@ object Joins {
     * caller's state keys must be guarded ([[StateKeys.asLong]]). */
   def keyedAntiSlice(df: DataFrame, key: Column, keys: DataFrame,
                      nKeys: Long, maxPushdown: Int = 10000,
-                     maxBroadcast: Long = 5000000L): DataFrame = {
+                     maxBroadcast: Long = 5000000L,
+                     precollected: Option[IndexedSeq[Any]] = None): DataFrame = {
     if (nKeys == 0L) return df
     if (nKeys <= maxPushdown) {
-      val ids = keys.collect().map(_.get(0))
-      df.filter(!key.isin(ids.toIndexedSeq: _*))
+      val ids = precollected.getOrElse(keys.collect().map(_.get(0)).toIndexedSeq)
+      df.filter(!key.isin(ids: _*))
     } else {
       val k2 = keys.toDF("__slice_key")
       if (nKeys <= maxBroadcast)

@@ -341,9 +341,19 @@ object Layout {
         s"$dir/$SKIPINDEX is absent and no stats columns are recoverable " +
           "(pass colsIfAbsent or rebuild via writeSkipIndex)")
       val rebuilt = buildSkipIndexFiles(spark, live, cols).localCheckpoint()
-      if (persistHealed)
-        rebuilt.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/$SKIPINDEX")
+      if (persistHealed) {
+        // stage-then-rename even with no live index to displace: an
+        // in-place write would let a racing reader observe the dir
+        // mid-write (exists() true, footers partial) — the same reason
+        // the drift-heal branch below stages its swap
+        val stamp = java.util.UUID.randomUUID().toString.take(8)
+        val stageP = new Path(s"$dir/${SKIPINDEX}__stage-$stamp")
+        rebuilt.coalesce(1).write.mode("overwrite").parquet(stageP.toString)
+        if (!fsys.rename(stageP, new Path(s"$dir/$SKIPINDEX")))
+          throw new java.io.IOException(
+            s"skip-index rebuild failed: cannot land $stageP as " +
+              s"$dir/$SKIPINDEX")
+      }
       return rebuilt
     }
     val idx = readSkipIndex(spark, dir)

@@ -234,20 +234,30 @@ object Rank {
       val nH = heavy.count()
       if (nH == 0L) drained = true
       else {
+        // same tier rule as keyedSlice: a frame is only FORCED broadcast
+        // while its counted size sits under the bound — a backfill-sized
+        // frontier falls back to a plain join (Spark picks the build
+        // side), so no code path builds an unbounded driver-side table
+        def bc(df: DataFrame, n: Long): DataFrame =
+          if (n <= maxBroadcast) broadcast(df) else df
         // contribution deltas along H's out-edges (deg > 0 by membership
         // in the edge list's src side)
         val eH = Joins.keyedSlice(edges.select(col("src"), col("dst")),
           col("src"), heavy.select("node"), nH, maxPushdown, maxBroadcast)
         val dS = eH
-          .join(broadcast(heavy.withColumnRenamed("node", "src")), "src")
+          .join(bc(heavy.withColumnRenamed("node", "src"), nH), "src")
           .select(col("dst").as("node"),
             (call_function("div", col("x") + col("_r"), col("deg")) -
               call_function("div", col("x"), col("deg"))).as("_d"))
           .groupBy("node").agg(sum(col("_d")).as("_ds"))
+          .localCheckpoint()
+        // dS is H's touched out-neighborhood — hub fan-out can exceed nH,
+        // so it gets its own count before the forced broadcast
+        val nDs = dS.count()
         st = st
-          .join(broadcast(heavy.select(col("node"), col("_r"))),
+          .join(bc(heavy.select(col("node"), col("_r")), nH),
             Seq("node"), "left")
-          .join(broadcast(dS), Seq("node"), "left")
+          .join(bc(dS, nDs), Seq("node"), "left")
           .select(col("node"),
             (col("x") + coalesce(col("_r"), lit(0L))).as("x"),
             (col("s") + coalesce(col("_ds"), lit(0L))).as("s"),
@@ -295,27 +305,36 @@ object Rank {
     val dDeg = d.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("_dd")).localCheckpoint()
     val nSrc = dDeg.count()
+    // keyedSlice's tier rule, applied to every forced broadcast below: a
+    // backfill-sized delta falls back to plain joins instead of building
+    // an unbounded driver-side table
+    def bc(df: DataFrame, n: Long): DataFrame =
+      if (n <= maxBroadcast) broadcast(df) else df
     val srcState = Joins.keyedSlice(st0, col("node"), dDeg.select("node"),
         nSrc, maxPushdown, maxBroadcast)
-      .join(broadcast(dDeg), Seq("node"))
+      .join(bc(dDeg, nSrc), Seq("node"))
       .select(col("node").as("src"), col("x"), col("deg").as("_old"),
         (col("deg") + col("_dd")).as("_new"))
       .localCheckpoint()
     // in-sum deltas: old out-neighbors re-split, new out-neighbors gain
     val eOld = Joins.keyedSlice(edges.select(col("src"), col("dst")),
       col("src"), dDeg.select("node"), nSrc, maxPushdown, maxBroadcast)
-    val reSplit = eOld.join(broadcast(srcState), "src")
+    val reSplit = eOld.join(bc(srcState, nSrc), "src")
       .select(col("dst").as("node"),
         (call_function("div", col("x"), col("_new")) -
           call_function("div", col("x"), col("_old"))).as("_d"))
-    val gains = d.join(broadcast(srcState), "src")
+    val gains = d.join(bc(srcState, nSrc), "src")
       .select(col("dst").as("node"),
         call_function("div", col("x"), col("_new")).as("_d"))
     val dS = reSplit.unionByName(gains)
       .groupBy("node").agg(sum(col("_d")).as("_ds"))
+      .localCheckpoint()
+    // the delta sources' touched neighborhood — counted before the forced
+    // broadcast for the same reason (hub fan-out can exceed nSrc)
+    val nDs = dS.count()
     val advanced = st0
-      .join(broadcast(dDeg), Seq("node"), "left")
-      .join(broadcast(dS), Seq("node"), "left")
+      .join(bc(dDeg, nSrc), Seq("node"), "left")
+      .join(bc(dS, nDs), Seq("node"), "left")
       .select(col("node"), col("x"),
         (col("s") + coalesce(col("_ds"), lit(0L))).as("s"),
         (col("deg") + coalesce(col("_dd"), lit(0L))).as("deg"))

@@ -136,13 +136,14 @@ object Sessions {
       // pushed isin against a clustered history for the normal trickle,
       // broadcast semi for bigger sets, shuffle semi above the broadcast
       // bound — a backfill must never build an unbounded driver broadcast
+      val lateIds = Joins.keyIdsIfSmall(lateU, nLate, maxPushdown)
       def sliceOf(df: DataFrame): DataFrame =
         Joins.keyedSlice(df, user.cast("long"), lateU, nLate,
-          maxPushdown, maxBroadcast)
+          maxPushdown, maxBroadcast, lateIds)
       val recomputed = sessionsOf(
         sliceOf(history).unionByName(sliceOf(batch)), user, ts, value, gapSec)
       Joins.keyedAntiSlice(folded, col("_u"), lateU, nLate,
-          maxPushdown, maxBroadcast)
+          maxPushdown, maxBroadcast, lateIds)
         .unionByName(recomputed)
     }
   }
@@ -164,29 +165,15 @@ object Sessions {
                    (batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // post-1582 floor: an empty first micro-batch persists it, and the
-    // parquet writer refuses ancient dates (rebase EXCEPTION mode)
-    val tsFloor = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
     val b = batch.localCheckpoint()
-    b.withColumn("bid", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bid").parquet(s"$stateDir/events")
-    val wmPrior = graft.etl.BatchSnapshots.latest(spark, s"$stateDir/wm",
-        Seq("wm"), Seq(tsFloor).toDF("wm"), belowBid = Some(batchId))
-      .head().getTimestamp(0)
+    val (history, wmPrior) = graft.etl.BatchSnapshots
+      .landEventsAndWatermark(spark, stateDir, b, batchId)
     val cols = Seq("_u", "session_start", "session_end", "n_events", "total")
     val next = graft.etl.BatchSnapshots.advanceAndLand(spark,
         s"$stateDir/state", batchId, cols, emptyState(spark))(prior =>
-      advanceLate(prior, b,
-        graft.etl.BatchSnapshots.allBelow(spark, s"$stateDir/events",
-          batchId, b.columns.toSeq, b.filter(lit(false))),
-        user, ts, value, gapSec, wmPrior))
-    graft.etl.BatchSnapshots.advanceAndLand(spark, s"$stateDir/wm", batchId,
-      Seq("wm"), Seq(tsFloor).toDF("wm"))(prior =>
-      prior.unionByName(b.select(ts.as("wm")))
-        .agg(max(col("wm")).as("wm"))
-        .select(coalesce(col("wm"), lit(tsFloor)).as("wm")))
+      advanceLate(prior, b, history, user, ts, value, gapSec, wmPrior))
+    graft.etl.BatchSnapshots.advanceWatermark(spark, stateDir, batchId,
+      b.select(ts.as("wm")))
     Seq((batchId, next.count())).toDF("batch_id", "n_sessions")
   }
 

@@ -96,4 +96,22 @@ class StateKeysSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L, -7L, 0L))
   }
+
+  test("FRACTIONAL numeric ids raise: cast-truncation must not collapse 42.1 and 42.9 onto key 42") {
+    val e = intercept[Exception] {
+      Seq(42.1, 42.9).toDF("k")
+        .select(StateKeys.asLong(col("k")).as("k")).collect()
+    }
+    assert(raisesLoud(e), s"wrong failure: ${e.getMessage}")
+    // whole-valued doubles and huge longs still round-trip exactly
+    // (decimal compare, not double compare — no 2^53 precision hole)
+    val ok = Seq(42.0, -7.0).toDF("k")
+      .select(StateKeys.asLong(col("k")).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok == Seq(42L, -7L))
+    val big = Seq(Long.MaxValue, Long.MaxValue - 1).toDF("k")
+      .select(StateKeys.asLong(col("k")).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(big == Seq(Long.MaxValue, Long.MaxValue - 1))
+  }
 }
