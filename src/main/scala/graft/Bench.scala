@@ -32,12 +32,25 @@ object Bench {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Extra session confs from `SPARK_GRAFT_CONF` ("k=v;k=v") — the A/B
+    * instrument for configuration experiments (guide §1: measure each
+    * config change in isolation before adopting it as a code default). */
+  def extraConf(b: SparkSession.Builder): SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
+      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    }
+    b
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the full machine (the driver environment is local[32]);
     // SPARK_GRAFT_CPUS overrides for constrained local runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = extraConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,7 +60,7 @@ object Bench {
       // inflates every shuffle-heavy query ~10x; RAM-backed local dirs
       // reflect actual engine cost (sf0.1 shuffles are MBs, the box has
       // 128 GiB)
-      .config("spark.local.dir", Bench.scratchDir())
+      .config("spark.local.dir", Bench.scratchDir()))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -440,7 +440,17 @@ object Aggregates {
     * 1) — the conventional RFM orientation. */
   def rfmSegments(perEntity: DataFrame, entity: String, recency: String,
                   frequency: String, monetary: String): DataFrame = {
-    val n = perEntity.count()
+    // The entity-grain input and each quintile's output are MATERIALIZED:
+    // globalRowNumberOrdered runs two driver collects (bounds + bucket
+    // histogram) against its input, so the un-pinned nested composition
+    // re-evaluated the whole upstream DAG a multiplying number of times —
+    // the outermost quintile's bounds collect re-ran both inner quintiles'
+    // window chains, and the final aggregate re-ran everything again
+    // (measured on q199: 57 jobs, most of them repeated subtree evals).
+    // The frames pinned here are entity-grain (the operator's documented
+    // input bound), never order history.
+    val per = perEntity.localCheckpoint()
+    val n = per.count()
     def quintile(df: DataFrame, metric: Column, alias: String): DataFrame =
       Windows.globalRowNumberOrdered(df, metric, Seq(metric, col(entity)),
           "__rank")
@@ -448,9 +458,10 @@ object Aggregates {
           (call_function("div", (col("__rank") - 1L) * 5L, lit(n)) + 1L)
             .cast("int"))
         .drop("__rank")
+        .localCheckpoint()
     val cut = quintile(
       quintile(
-        quintile(perEntity, col(recency), "r_q"),
+        quintile(per, col(recency), "r_q"),
         -col(frequency), "f_q"),
       -col(monetary), "m_q")
     cut.groupBy("r_q", "f_q", "m_q")

@@ -261,7 +261,18 @@ object Dedup {
             greatest(col("id"), col("id2")).as("id_b"))
         blocked.unionByName(exactCand).distinct()
       }
+    // candidate ids HASH-SPREAD over the cluster before the texts attach:
+    // when the text joins broadcast (the small-corpus / well-pruned case),
+    // the banded-DP verify inherits the candidate frame's partitioning,
+    // and a narrow candidate frame would run every DP serially on one
+    // core (measured: q160-family ~4 s single-task at sf0.1). An id-pair
+    // exchange costs ~16 bytes/candidate at any scale — noise against the
+    // O(maxEdits·len) DP per pair it balances. When the text joins shuffle
+    // instead (corpus-scale sides), the join's own exchange spreads the
+    // DP and this repartition is a cheap no-op in comparison.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     cand
+      .repartition(par, col("id_a"), col("id_b"))
       .join(docs.select(col("id").as("id_a"), col("__t").as("__ta"),
         col("__len").as("__la")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("__t").as("__tb"),
@@ -306,13 +317,25 @@ object Dedup {
                               seenIndex: DataFrame, idCol: String,
                               textCol: String, maxEdits: Int): DataFrame = {
     require(maxEdits >= 0, s"maxEdits must be >= 0: $maxEdits")
-    val bsh = batch.select(col(idCol).as("batch_id"),
+    // the batch's shingle+hash explode is the probe's map-side kernel and
+    // feeds a BROADCAST build — on a narrow batch scan the whole explode
+    // ran in one task before the collect; spread it first (identity at
+    // corpus scale, Exec.spreadIfNarrow)
+    val bsh = Exec.spreadIfNarrow(batch.select(col(idCol), col(textCol)),
+        col(idCol))
+      .select(col(idCol).as("batch_id"),
         explode(array_distinct(shingles(col(textCol), 3))).as("__g"))
       .select(col("batch_id"), expr(polyHashSql("__g")).as("gh"))
     val cand = seenIndex.join(broadcast(bsh), Seq("gh"))
       .select(col("batch_id"), col("id").as("seen_id"))
       .distinct()
+    // candidate ids hash-spread before the texts attach — the
+    // [[editDistancePairs]] DP-balance rule (the probe join's output
+    // follows the index scan's partitioning, which can be one narrow
+    // task; the DP must not)
+    val par = batch.sparkSession.sparkContext.defaultParallelism
     cand
+      .repartition(par, col("batch_id"), col("seen_id"))
       .join(batch.select(col(idCol).as("batch_id"), col(textCol).as("__tb"),
         length(col(textCol)).as("__lb")), "batch_id")
       .join(seenDocs.select(col(idCol).as("seen_id"), col(textCol).as("__ts"),
@@ -518,10 +541,18 @@ object Dedup {
     // lineage per round — for fuzzyDedup that lineage is the LSH + exact
     // verification DAG (measured 13.9 s -> 3.4 s on q132, whose edges sit
     // behind TWO minhash pipelines)
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val (edges, nEdges) = Exec.materializeCounted(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct(),
+      "dup_edges")
+    // no edges → every node is its own cluster; skip the whole propagation
+    // loop (a zero tally is exact under retries — Exec contract). Common in
+    // the within-batch pass of the incremental dedups, where a mostly-fresh
+    // batch verifies zero pairs and the loop's first round was pure
+    // overhead.
+    if (nEdges == 0L)
+      return nodes.select(col(idCol), col(idCol).as("cluster_id"))
     val sc = nodes.sparkSession.sparkContext
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint()
@@ -692,7 +723,14 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val fams = hashFamily(numHashes, seed).toArray
-    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+    // the signature kernel is the corpus family's heaviest per-row scalar
+    // loop (shingles × numHashes mod-muls per doc) — spread a narrow scan
+    // before it runs so it parallelizes (Exec.spreadIfNarrow: identity
+    // when the input is already at cluster parallelism)
+    Exec.spreadIfNarrow(
+        df.select(col(idCol).cast("long").as("id"),
+          col(textCol).cast("string").as("t")),
+        col("id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text0) =>

@@ -71,19 +71,32 @@ object Rank {
     require(dampNum > 0 && dampNum < dampDen, "need 0 < damping < 1")
     val n = nodes.count()
     require(n > 0, "empty node set")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // The per-iteration plan pays O(E) by nature; what it must NOT pay is
+    // a per-iteration EXCHANGE of the O(E) side. Two invariants are pinned
+    // ONCE, outside the loop (guide §2.4 — establish a partitioning once
+    // and let every round reuse it; checkpointed plans keep their
+    // outputPartitioning):
+    //   - `ed` = edges PRE-JOINED with the out-degree (deg is loop-
+    //     invariant — joining it per round re-paid a join every iteration)
+    //     and hash-partitioned on src, so each round's contribution join
+    //     sees its layout already satisfied and only the node-sized rank
+    //     vector moves;
+    //   - `nd` = the node universe hash-partitioned on node, so the rank
+    //     refresh join re-exchanges only the aggregated sums.
+    val e0 = edges.select(col("src"), col("dst"))
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e0.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val nd = nodes.select(col("node")).repartition(col("node")).localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
-    var rank = nodes.join(init.select(col("node"), col("rank")),
+    var rank = nd.join(init.select(col("node"), col("rank")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("rank"), lit(0L)).as("rank"))
     for (_ <- 0 until iters) {
-      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+      val contrib = ed.join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           call_function("div", col("rank"), col("deg")).as("c"))
       val sums = contrib.groupBy("node").agg(sum(col("c")).as("s"))
-      rank = nodes.join(sums, Seq("node"), "left")
+      rank = nd.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + call_function("div",
             lit(dampNum) * coalesce(col("s"), lit(0L)), lit(dampDen)))
@@ -127,13 +140,16 @@ object Rank {
     val dl = st.select(col("node").as("u"), col("label").as("la"))
       .join(broadcast(d), "u")
       .select(col("v"), col("la")).localCheckpoint()
-    val labelPairs = st.select(col("node").as("v"), col("label").as("lb"))
-      .join(broadcast(dl), "v")
-      .filter(col("la") =!= col("lb"))
-      .select(col("la").as("id_a"), col("lb").as("id_b"))
-      .distinct()
-      .localCheckpoint()
-    if (labelPairs.isEmpty) return st
+    // materialization + emptiness tally in one action (the isEmpty probe
+    // was a second whole-frame job; a zero tally is exact under retries)
+    val (labelPairs, nLp) = Exec.materializeCounted(
+      st.select(col("node").as("v"), col("label").as("lb"))
+        .join(broadcast(dl), "v")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("id_a"), col("lb").as("id_b"))
+        .distinct(),
+      "components_label_pairs")
+    if (nLp == 0L) return st
     val labelNodes = labelPairs.select(col("id_a").as("lbl"))
       .unionAll(labelPairs.select(col("id_b").as("lbl"))).distinct()
     // the fixed point runs on the tiny label graph, not the data graph
@@ -169,7 +185,10 @@ object Rank {
   def pageRankResidualState(nodes: DataFrame, edges: DataFrame,
                             init: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deg is consumed twice (contribution divisor + the state's deg
+    // column) — materialize the #src-sized frame once instead of paying
+    // the O(E) count aggregate per consumer
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val x = nodes.join(init.select(col("node"), col("rank")), Seq("node"), "left")
       .select(col("node"), coalesce(col("rank"), lit(0L)).as("x"))
     val sums = e.join(x.withColumnRenamed("node", "src"), "src")
@@ -227,11 +246,15 @@ object Rank {
     var r = 0
     var drained = false
     while (r < maxRounds && !drained) {
-      val heavy = st.withColumn("_r", resCol)
-        .filter(abs(col("_r")) > eps)
-        .select(col("node"), col("x"), col("_r"), col("deg"))
-        .localCheckpoint()
-      val nH = heavy.count()
+      // materialization + row tally in ONE action (Exec.materializeCounted):
+      // the count only gates the drain check and the broadcast tier, both
+      // inflation-safe, so the fused accumulator replaces a second
+      // whole-frame count() job per round
+      val (heavy, nH) = Exec.materializeCounted(
+        st.withColumn("_r", resCol)
+          .filter(abs(col("_r")) > eps)
+          .select(col("node"), col("x"), col("_r"), col("deg")),
+        s"pr_push_heavy_r$r")
       if (nH == 0L) drained = true
       else {
         // same tier rule as keyedSlice: a frame is only FORCED broadcast
@@ -244,16 +267,16 @@ object Rank {
         // in the edge list's src side)
         val eH = Joins.keyedSlice(edges.select(col("src"), col("dst")),
           col("src"), heavy.select("node"), nH, maxPushdown, maxBroadcast)
-        val dS = eH
-          .join(bc(heavy.withColumnRenamed("node", "src"), nH), "src")
-          .select(col("dst").as("node"),
-            (call_function("div", col("x") + col("_r"), col("deg")) -
-              call_function("div", col("x"), col("deg"))).as("_d"))
-          .groupBy("node").agg(sum(col("_d")).as("_ds"))
-          .localCheckpoint()
         // dS is H's touched out-neighborhood — hub fan-out can exceed nH,
-        // so it gets its own count before the forced broadcast
-        val nDs = dS.count()
+        // so it gets its own tally (fused into the materialization) before
+        // the forced broadcast
+        val (dS, nDs) = Exec.materializeCounted(
+          eH.join(bc(heavy.withColumnRenamed("node", "src"), nH), "src")
+            .select(col("dst").as("node"),
+              (call_function("div", col("x") + col("_r"), col("deg")) -
+                call_function("div", col("x"), col("deg"))).as("_d"))
+            .groupBy("node").agg(sum(col("_d")).as("_ds")),
+          s"pr_push_ds_r$r")
         st = st
           .join(bc(heavy.select(col("node"), col("_r")), nH),
             Seq("node"), "left")
@@ -301,10 +324,11 @@ object Rank {
     val st0 = state.select(col("node"), col("x"), col("s"), col("deg"))
       .unionByName(fresh.select(col("node"), lit(0L).as("x"),
         lit(0L).as("s"), lit(0L).as("deg")))
-    // delta sources: old degree + delta out-count + current x
-    val dDeg = d.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("_dd")).localCheckpoint()
-    val nSrc = dDeg.count()
+    // delta sources: old degree + delta out-count + current x (tally fused
+    // into the materialization — the count gates broadcast tiers only)
+    val (dDeg, nSrc) = Exec.materializeCounted(
+      d.groupBy(col("src").as("node")).agg(count(lit(1)).as("_dd")),
+      "pr_adv_ddeg")
     // keyedSlice's tier rule, applied to every forced broadcast below: a
     // backfill-sized delta falls back to plain joins instead of building
     // an unbounded driver-side table
@@ -326,12 +350,12 @@ object Rank {
     val gains = d.join(bc(srcState, nSrc), "src")
       .select(col("dst").as("node"),
         call_function("div", col("x"), col("_new")).as("_d"))
-    val dS = reSplit.unionByName(gains)
-      .groupBy("node").agg(sum(col("_d")).as("_ds"))
-      .localCheckpoint()
-    // the delta sources' touched neighborhood — counted before the forced
+    // the delta sources' touched neighborhood — tallied before the forced
     // broadcast for the same reason (hub fan-out can exceed nSrc)
-    val nDs = dS.count()
+    val (dS, nDs) = Exec.materializeCounted(
+      reSplit.unionByName(gains)
+        .groupBy("node").agg(sum(col("_d")).as("_ds")),
+      "pr_adv_ds")
     val advanced = st0
       .join(bc(dDeg, nSrc), Seq("node"), "left")
       .join(bc(dS, nDs), Seq("node"), "left")
@@ -357,15 +381,20 @@ object Rank {
     import spark.implicits._
     var dist = Seq((source, 0L)).toDF("node", "dist")
     var frontier = dist
+    var nFrontier = 1L
     var r = 0
-    while (r < rounds && !frontier.isEmpty) {
-      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+    while (r < rounds && nFrontier > 0L) {
+      // frontier materialization + emptiness tally fused into one action
+      // (the separate isEmpty probe was one more job per round)
+      val (next, nNext) = Exec.materializeCounted(
+        e.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .groupBy("node").agg(min(col("dist")).as("dist")),
+        s"bfs_frontier_r$r")
       dist = dist.unionByName(next).localCheckpoint()
       frontier = next
+      nFrontier = nNext
       r += 1
     }
     dist
@@ -399,18 +428,21 @@ object Rank {
       .unionByName(delta.select(col("src"), col("dst")))
     var cur = dist.select(col("node"), col("dist")).localCheckpoint()
     // seed: relax every delta edge once from its settled source
-    var frontier = delta.select(col("src"), col("dst"))
-      .join(cur.withColumnRenamed("node", "src"), "src")
-      .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-      .filter(col("dist") <= rounds)
-      .groupBy("node").agg(min(col("dist")).as("dist"))
-      .join(cur.select(col("node"), col("dist").as("_old")),
-        Seq("node"), "left")
-      .filter(col("_old").isNull || col("dist") < col("_old"))
-      .select(col("node"), col("dist"))
-      .localCheckpoint()
+    // (materialization + emptiness tally fused — one action per round
+    // instead of checkpoint + isEmpty)
+    var (frontier, nFrontier) = Exec.materializeCounted(
+      delta.select(col("src"), col("dst"))
+        .join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .filter(col("dist") <= rounds)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .join(cur.select(col("node"), col("dist").as("_old")),
+          Seq("node"), "left")
+        .filter(col("_old").isNull || col("dist") < col("_old"))
+        .select(col("node"), col("dist")),
+      "bfs_adv_seed")
     var r = 0
-    while (r <= rounds && !frontier.isEmpty) {
+    while (r <= rounds && nFrontier > 0L) {
       // fold improvements in, then push them one hop along the union
       cur = cur.join(frontier.withColumnRenamed("dist", "_new"),
           Seq("node"), "full_outer")
@@ -419,15 +451,18 @@ object Rank {
             .when(col("_new").isNull, col("dist"))
             .otherwise(least(col("dist"), col("_new"))).as("dist"))
         .localCheckpoint()
-      frontier = all.join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-        .filter(col("dist") <= rounds)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .join(cur.select(col("node"), col("dist").as("_old")),
-          Seq("node"), "left")
-        .filter(col("_old").isNull || col("dist") < col("_old"))
-        .select(col("node"), col("dist"))
-        .localCheckpoint()
+      val (f2, n2) = Exec.materializeCounted(
+        all.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+          .filter(col("dist") <= rounds)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .join(cur.select(col("node"), col("dist").as("_old")),
+            Seq("node"), "left")
+          .filter(col("_old").isNull || col("dist") < col("_old"))
+          .select(col("node"), col("dist")),
+        s"bfs_adv_frontier_r$r")
+      frontier = f2
+      nFrontier = n2
       r += 1
     }
     cur
@@ -477,8 +512,10 @@ object Rank {
     * triangle count. */
   def triangleDeltaCount(old: DataFrame, delta: DataFrame,
                          broadcastDelta: Boolean = true): Long = {
-    val d = delta.select(col("u"), col("v")).localCheckpoint()
-    if (d.isEmpty) return 0L
+    // materialization + emptiness tally in one action (Exec contract)
+    val (d, nD) = Exec.materializeCounted(
+      delta.select(col("u"), col("v")), "tri_delta")
+    if (nD == 0L) return 0L
     def bc(df: DataFrame): DataFrame = if (broadcastDelta) broadcast(df) else df
     val tagged = old.select(col("u"), col("v"), lit(0).as("t"))
       .unionAll(d.select(col("u"), col("v"), lit(1).as("t")))

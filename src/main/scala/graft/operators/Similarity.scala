@@ -442,8 +442,19 @@ object Similarity {
   def cosineDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String,
                           threshold: Double,
                           maxRows: Long = MaxExactRows): DataFrame = {
+    // The stream side is HASH-SPREAD on the id before the broadcast
+    // nested-loop join: the O(n²·d) cosine kernel inherits the stream
+    // side's partitioning, and a narrow scan (one file, one task) would
+    // run the whole quadratic kernel serially on one core (measured: q44
+    // 3.6 s wall ≈ 4.4 s single-task time at sf0.1). The explicit
+    // repartition pins kernel spread at cluster parallelism at EVERY
+    // scale; its cost — one exchange of (id, vec, norm) rows — is linear
+    // and strictly dominated by the quadratic kernel it balances (it also
+    // guards the skew case where most input files are small, guide §2.5).
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      sqrt(dotNative(col(vecCol), col(vecCol))).as("__na"))
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("__na"))
+      .repartition(par, col("id_a"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("__nb"))
     requireExactScale(b, "corpus", maxRows, "cosineDupPairs")

@@ -384,6 +384,8 @@ object Vocab {
                              rounds: Int = 3): DataFrame = {
     require(seedSize > pruneN * rounds,
       s"seedSize $seedSize must exceed pruneN*rounds = ${pruneN * rounds}")
+    val spark = counts.sparkSession
+    import spark.implicits._
     val words = counts.localCheckpoint()
     val subs = words
       .select(explode(flatten(transform(sequence(lit(1), length(col("w"))), p =>
@@ -395,21 +397,31 @@ object Vocab {
     val topMulti = subs.orderBy(col("freq").desc, col("piece"))
       .limit(seedSize).select("piece")
     val chars = words.select(explode(charSyms(col("w"))).as("piece")).distinct()
-    var vocab = topMulti.unionByName(chars).localCheckpoint()
+    // The vocabulary is BOUNDED (seedSize + alphabet) and its pruned slice
+    // already crosses the driver once per round — hold the piece list
+    // driver-side and rebuild the vocab frame as a LOCAL RELATION per
+    // round: the per-round `filter(...).localCheckpoint()` job disappears
+    // and the segmentation's broadcast semi-join builds from a local
+    // relation (no distributed build stage). Content is identical — the
+    // driver list is exactly what the filter chain maintained.
+    var pieces: Seq[String] =
+      topMulti.unionByName(chars).collect().map(_.getString(0)).toSeq
     def usageUnder(v: DataFrame): DataFrame =
       unigramSegment(words, v, maxPieceLen)
         .join(words, "w")
         .select(explode(col("segs")).as("piece"), col("cnt"))
         .groupBy("piece").agg(sum(col("cnt")).as("usage"))
     for (_ <- 1 to rounds) {
+      val vocab = pieces.toDF("piece")
       val scored = vocab.join(usageUnder(vocab), Seq("piece"), "left")
         .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
       val pruned = scored.filter(length(col("piece")) >= 2)
         .orderBy(col("usage").asc, length(col("piece")).desc, col("piece").asc)
         .limit(pruneN)
-        .select("piece").collect().map(_.getString(0)).toSeq
-      vocab = vocab.filter(!col("piece").isin(pruned: _*)).localCheckpoint()
+        .select("piece").collect().map(_.getString(0)).toSet
+      pieces = pieces.filterNot(pruned)
     }
+    val vocab = pieces.toDF("piece")
     vocab.join(usageUnder(vocab), Seq("piece"), "left")
       .select(col("piece"), length(col("piece")).as("piece_len"),
         coalesce(col("usage"), lit(0L)).as("usage"))
