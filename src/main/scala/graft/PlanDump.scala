@@ -50,8 +50,13 @@ object PlanDump {
         // the operator that launched the stage)
         if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) {
           val si = sc.stageInfo
+          // the AQE-era stage NAME is an anonymous future frame; the graft
+          // frame in the long-form callsite (details) names the operator
+          val site = si.details.linesIterator
+            .find(l => l.contains("graft") && !l.contains("PlanDump"))
+            .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(100)
           println(f"STAGE ${si.taskMetrics.executorRunTime}%7d ms " +
-            f"${si.numTasks}%4d tasks  ${si.name.takeWhile(_ != '\n').take(90)}")
+            f"${si.numTasks}%4d tasks  $site")
         }
         ()
       }

@@ -123,7 +123,16 @@ object WebDataset {
       .map(i => lit(512L) +
         (((octet_length(col(s"__p$i")).cast("long") + 511L) / 512L).cast("long") * 512L))
       .reduce(_ + _)
-    val sized = sel.withColumn("__bytes", sizeExpr)
+    // PIN the sized batch once: the placement DAG references it from four
+    // branches (bucket totals, the offsets join, the shard-id distinct,
+    // the placed join), and un-pinned each branch re-evaluated the whole
+    // upstream source — for a container export whose input is itself a
+    // decode/transform DAG that is four extra source passes per call
+    // (measured: q167's writeShards at 3-9 s for a 10 MB batch, dominated
+    // by repeated media re-derivation). The batch is the write set — one
+    // batch-sized materialization is strictly cheaper than re-deriving it
+    // per branch at any scale.
+    val sized = sel.withColumn("__bytes", sizeExpr).localCheckpoint()
     val cum = Packing.bucketedCumSum(sized,
       orderCol = Packing.mix2(col("__id")),
       bucket = Packing.mix2(col("__id")) / lit(2097152L),
@@ -242,8 +251,18 @@ object WebDataset {
       sweepDeadAttempts()
       results.iterator
     }
+    // MATERIALIZE the manifest rows before the single-file json write:
+    // `coalesce(1)` extends down to the previous shuffle boundary, so
+    // applied directly it collapsed the post-repartition stage — the
+    // per-shard SORT and the tar-writing mapPartitions itself — into ONE
+    // task, serializing the whole container export on one core at every
+    // scale (measured: q167's writeShards 8.8 s cold / 3.2 s warm for a
+    // 10 MB corpus, the query's dominant cost). The checkpoint runs the
+    // export wide (one task per shard run); only the shard-count-sized
+    // manifest coalesces.
     val manifest = manifestRows.toDF(
       "shard", "n_samples", "n_members", "n_bytes", "payload_bytes")
+      .localCheckpoint()
     manifest.coalesce(1)
       .write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
     Jsonl.manifest(spark, dir)

@@ -306,6 +306,10 @@ class WebDatasetShardReader(files: Array[(String, Long)], cols: Array[String],
   private var curExt: String = _
   private var curSize: Long = _
   private var curContent: Array[Byte] = _
+  // scratch for read-and-discard of tar pad bytes (< 512 by construction):
+  // a seek on a checksummed/remote stream re-aligns per call (~ms), while a
+  // sub-block sequential read comes straight out of the stream buffer
+  private val padBuf = new Array[Byte](512)
 
   /** Advance to the next tar in the run; false when the run is done. */
   private def openNext(): Boolean = {
@@ -324,7 +328,16 @@ class WebDatasetShardReader(files: Array[(String, Long)], cols: Array[String],
   override def next(): Boolean = {
     while (true) {
       if (in == null && !openNext()) return false
-      in.readFully(off, header)
+      // SEQUENTIAL reads + forward-only seeks, never positioned reads: the
+      // tar walk is strictly monotone, and a positioned read
+      // (readFully(pos, buf)) on Hadoop input streams is a synchronized
+      // seek + read + seek-BACK — on the checksummed LocalFileSystem each
+      // call re-aligns the checksum chunk twice, which made the per-member
+      // header/payload pair cost ~ms each (measured: q167's scan stages at
+      // 6-22 s of task time for a 10 MB corpus; sequential streaming is
+      // also the right pattern on object stores, where positioned reads
+      // can reopen the connection)
+      in.readFully(header)
       if (header(0) == 0) { // terminator blocks: this tar is done
         in.close(); in = null
       } else {
@@ -342,13 +355,19 @@ class WebDatasetShardReader(files: Array[(String, Long)], cols: Array[String],
           curSize = size
           if (needContent) {
             curContent = new Array[Byte](size.toInt)
-            in.readFully(off + 512, curContent)
+            in.readFully(curContent)
             WebDatasetV2.payloadBytesRead.add(size)
-          } else curContent = null // pruned: never read, never counted
+            val pad = (entryEnd - 512L - size).toInt
+            if (pad > 0) in.readFully(padBuf, 0, pad) // sub-block: stay buffered
+          } else { // pruned: seek past the payload, never read, never counted
+            curContent = null
+            in.seek(off + entryEnd)
+          }
           off += entryEnd
           return true
         }
-        off += entryEnd // filtered out: seek past, payload untouched
+        in.seek(off + entryEnd) // filtered out: seek past, payload untouched
+        off += entryEnd
       }
     }
     false // unreachable
