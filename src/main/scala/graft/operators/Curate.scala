@@ -79,16 +79,16 @@ object Curate {
   def funnelPersisted(docs: DataFrame, idCol: String, textCol: String, langCol: String,
                       stopwords: Seq[String], evalPred: Column,
                       spanTokens: Int = 20, dupFlagAt: Double = 0.5,
-                      qualityCut: Double = 0.1): Funnel = {
-    val tallied = scala.collection.mutable.Map.empty[String, Long]
-    val f = build(docs, idCol, textCol, langCol, stopwords, evalPred,
-      spanTokens, dupFlagAt, qualityCut, (name, df) => {
-        val counted = df.localCheckpoint() // eager: materializes the stage
-        tallied(name) = counted.count()    // exactly-once, retry-safe
-        counted
-      })
-    f.copy(knownCounts = tallied.toMap)
-  }
+                      qualityCut: Double = 0.1): Funnel =
+    // Stages materialize eagerly; their counts come from [[Funnel.counts]]
+    // — ONE union-of-aggregates action over the checkpointed frames —
+    // instead of a per-stage `count()` job (4 extra actions per funnel
+    // that re-tallied rows the final counts plan aggregates anyway;
+    // aggregating a checkpointed stage is a column-pruned scan of
+    // materialized partitions, and an action's aggregate is exactly-once
+    // under retries, so the retired per-stage counts were pure overhead).
+    build(docs, idCol, textCol, langCol, stopwords, evalPred,
+      spanTokens, dupFlagAt, qualityCut, (_, df) => df.localCheckpoint())
 
   /** The funnel DAG with a `materialize` hook applied to each computed
     * stage (s1..s4) as it is built, so persisted and lazy forms share one
@@ -154,11 +154,21 @@ object Curate {
       * — the bucketed-table layout a production deployment stores, and
       * what keeps per-batch probe cost from growing an index-shuffle term
       * (BENCH_INDEXSCALE measures the curve). */
-    def materialized(): CurationIndex = copy(
-      fingerprints = fingerprints.repartition(col("fingerprint")).localCheckpoint(),
-      spanSet = spanSet.repartition(col("fp")).localCheckpoint(),
-      thresholds = thresholds.localCheckpoint(),
-      evalDocs = evalDocs.localCheckpoint())
+    def materialized(): CurationIndex = {
+      // an ALREADY-materialized frame (logical plan = LogicalRDD, i.e. a
+      // prior localCheckpoint) is returned as-is: the advanced index
+      // copies the frozen thresholds/evalDocs references unchanged, and
+      // re-checkpointing them per advance was one wasted action each
+      def pin(df: DataFrame, key: Option[Column]): DataFrame =
+        if (df.queryExecution.analyzed
+            .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
+        else key.fold(df)(df.repartition(_)).localCheckpoint()
+      copy(
+        fingerprints = pin(fingerprints, Some(col("fingerprint"))),
+        spanSet = pin(spanSet, Some(col("fp"))),
+        thresholds = pin(thresholds, None),
+        evalDocs = pin(evalDocs, None))
+    }
   }
 
   /** Per-language frozen quality floor: the MINIMUM 4dp quality score among
@@ -264,16 +274,10 @@ object Curate {
     * form. */
   def funnelIncrementalPersisted(batch: DataFrame, idCol: String, textCol: String,
                                  langCol: String, stopwords: Seq[String],
-                                 index: CurationIndex): IncrementalCuration = {
-    val tallied = scala.collection.mutable.Map.empty[String, Long]
-    val r = buildIncremental(batch, idCol, textCol, langCol, stopwords, index,
-      (name, df) => {
-        val counted = df.localCheckpoint() // eager: materializes the stage
-        tallied(name) = counted.count()    // exactly-once, retry-safe
-        counted
-      })
-    r.copy(funnel = r.funnel.copy(knownCounts = tallied.toMap))
-  }
+                                 index: CurationIndex): IncrementalCuration =
+    // same one-action counts discipline as [[funnelPersisted]]
+    buildIncremental(batch, idCol, textCol, langCol, stopwords, index,
+      (_, df) => df.localCheckpoint())
 
   private def buildIncremental(batch: DataFrame, idCol: String, textCol: String,
                                langCol: String, stopwords: Seq[String],

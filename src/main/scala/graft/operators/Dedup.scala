@@ -554,8 +554,11 @@ object Dedup {
     if (nEdges == 0L)
       return nodes.select(col(idCol), col(idCol).as("cluster_id"))
     val sc = nodes.sparkSession.sparkContext
+    // NOT checkpointed: a trivial projection of the caller's node frame —
+    // only round 1 reads it (twice), and after round 1 `labels` is the
+    // checkpointed `counted`; pinning the projection was one more action
+    // per call for nothing
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -807,10 +810,23 @@ object Dedup {
                                    rowsPerBand: Int = 4, seed: Long = 42L,
                                    maxBucketSize: Int = 1000): DataFrame = {
     val batchBanded = bandedSignatures(batch, idCol, textCol, shingleLen, bands, rowsPerBand, seed)
+    // Hub-bucket cap via a BUCKET-BLACKLIST anti-join instead of an
+    // index-wide window: the window form exchanged AND sorted the whole
+    // seen index per probe (an index-sized cost per batch — exactly what
+    // the incremental path exists to avoid). The oversized-bucket set is
+    // tiny (usually empty) and broadcasts; the seen index then STREAMS
+    // through the anti-join and the probe join with no full-index
+    // exchange. Kept rows are identical: a row survives iff its (band,
+    // bucket) count over the SEEN index is <= maxBucketSize, the same
+    // predicate the window evaluated. The count aggregate shuffles only
+    // (band, bucket) pairs — partial map-side aggregation shrinks it to
+    // distinct buckets per mapper (guide §2.3).
+    val over = seenBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select("band", "bucket")
     val keptSeen = seenBanded
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("__bsz") <= maxBucketSize)
+      .join(broadcast(over), Seq("band", "bucket"), "left_anti")
       .select(col("id").as("seen_id"), col("band"), col("bucket"))
     batchBanded.join(keptSeen, Seq("band", "bucket"))
       .select(col("id").as("batch_id"), col("seen_id"))

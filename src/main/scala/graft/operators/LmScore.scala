@@ -121,6 +121,10 @@ object LmScore {
   def knTrigramNll(docs: DataFrame, idCol: String, textCol: String,
                    discount: Double = 0.75): DataFrame = {
     val d = lit(discount)
+    // (measured, not kept: spreading this narrow scan before the trigram
+    // explode shipped the token ARRAYS through an exchange — 28 MB and 8x
+    // the task time for no wall win at sf0.1; array-typed carriers do not
+    // benefit from the Exec.spreadIfNarrow treatment the scalar kernels get)
     val toksArr = docs.select(col(idCol),
       graft.functions.Text.tokens(col(textCol)).as("__toks"))
     val tri = toksArr.select(col(idCol), posexplode(

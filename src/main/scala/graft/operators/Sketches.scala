@@ -199,7 +199,14 @@ object Sketches {
     * element-wise max — the q185 linearity story with max for sum. */
   def hllRegisters(df: DataFrame, groupCols: Seq[String],
                    key: Column): DataFrame = {
-    val h = graft.functions.PortableHash.mixpCol(key)
+    // project to (groups, key) FIRST, then spread a narrow input: the
+    // 24-step register-rank fold below is per-row map work that a
+    // one-partition scan would run serially (Exec.spreadIfNarrow is the
+    // identity on an already-wide input; the spread moves only the
+    // projected key rows)
+    val proj = Exec.spreadIfNarrow(
+      df.select((groupCols.map(col) :+ key.as("__k")): _*), col("__k"))
+    val h = graft.functions.PortableHash.mixpCol(col("__k"))
     val j = pmod(h, lit(HllM.toLong))
     val w = call_function("div", h, lit(HllM.toLong)) // 23 bits
     // rank = 24 - bit_length(w): highest set bit via an integer-only fold
@@ -208,7 +215,7 @@ object Sketches {
       (acc, i) =>
         when(call_function("shiftright", w, i) > 0, i + lit(1)).otherwise(acc))
     val rho = (lit(24) - bitLen).cast("int")
-    df.select((groupCols.map(col) :+ j.as("j") :+ rho.as("m")): _*)
+    proj.select((groupCols.map(col) :+ j.as("j") :+ rho.as("m")): _*)
       .groupBy((groupCols.map(col) :+ col("j")): _*)
       .agg(max(col("m")).as("m"))
   }
