@@ -65,9 +65,10 @@ object PlanDump {
       (jobs.get, stages.get, tasks.get, taskMs.get, shufB.get)
 
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
       spark.sparkContext.setJobDescription(name)
       try {
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new NoSuchElementException(s"unknown query: $name"))
         // warmup + plan capture (post-warmup so fixture caches are built)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

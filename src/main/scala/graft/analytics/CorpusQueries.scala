@@ -847,13 +847,18 @@ object CorpusQueries {
       val docs = Tables.documents(s, dir)
       val srcw = docs.select(col("source"),
         explode(Text.tokens(col("text"))).as("w"))
-      val merges = Vocab.bpeTrain(docs, "text", numMerges = 8)
+      // ONE corpus word-count pass shared by both trainers (bpeTrain and
+      // unigramTrain each derived it internally — a second full
+      // tokenize+count of the corpus for identical rows), and the distinct
+      // word table pinned once for its two segmenter consumers
+      val wc = Vocab.wordCounts(docs, "text").localCheckpoint()
+      val merges = Vocab.bpeTrainFromCounts(wc, numMerges = 8)
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val distinctW = srcw.select("w").distinct()
+      val distinctW = srcw.select("w").distinct().localCheckpoint()
       val bpeSegs = distinctW.select(col("w"),
         size(Vocab.bpeApply(Vocab.charSyms(col("w")), merges)).as("nseg"))
-      val uniVocab = Vocab.unigramTrain(docs, "text").select("piece")
+      val uniVocab = Vocab.unigramTrainFromCounts(wc).select("piece")
       val uniSegs = Vocab.unigramSegment(distinctW, uniVocab, 4)
         .select(col("w"), size(col("segs")).as("nseg"))
       def fert(segs: org.apache.spark.sql.DataFrame, tag: String) =

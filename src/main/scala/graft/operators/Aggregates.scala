@@ -451,6 +451,11 @@ object Aggregates {
     // input bound), never order history.
     val per = perEntity.localCheckpoint()
     val n = per.count()
+    // no per-quintile output checkpoint: globalRowNumberOrdered pins its
+    // bucketed frame internally now, so the nested collects no longer
+    // re-derive deep chains — a second pin here was one redundant action
+    // per metric (the residual cost is one window re-eval over pinned
+    // data per nesting level, cheaper than the extra materialization)
     def quintile(df: DataFrame, metric: Column, alias: String): DataFrame =
       Windows.globalRowNumberOrdered(df, metric, Seq(metric, col(entity)),
           "__rank")
@@ -458,7 +463,6 @@ object Aggregates {
           (call_function("div", (col("__rank") - 1L) * 5L, lit(n)) + 1L)
             .cast("int"))
         .drop("__rank")
-        .localCheckpoint()
     val cut = quintile(
       quintile(
         quintile(per, col(recency), "r_q"),

@@ -93,9 +93,16 @@ object Windows {
       return df.withColumn(alias, lit(null).cast(rankType))
     val lo = bounds.getDouble(0)
     val span = bounds.getDouble(1) - lo + 1.0
+    // PINNED: the bucketed frame feeds the histogram collect AND the final
+    // window — un-pinned, the whole upstream DAG evaluated once per
+    // consumer (plus once for the bounds collect above: three evaluations
+    // of inputs that are often deep rank chains, e.g. q135's
+    // perplexity-ordered curriculum). One materialization of the
+    // rank input replaces two extra upstream passes at any scale.
     val bucketed = df.withColumn("__bkt",
       least(floor((bucketKey.cast("double") - lit(lo)) * buckets / span).cast("int"),
         lit(buckets - 1)))
+      .localCheckpoint()
     val counts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until buckets)
