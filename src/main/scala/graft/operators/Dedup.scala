@@ -564,10 +564,18 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min(col("label")).as("nlabel"))
+      // NOT separately materialized (r14): the shortcut self-join below
+      // references this subtree twice WITHIN one action, and Spark's
+      // ReuseExchange dedups the identical inner exchanges (the edge⋈label
+      // shuffle + min-aggregate — the round's heavy part — is computed
+      // once); only the post-exchange left-join projection re-evaluates on
+      // the second reference. That trades a labels-sized projection re-eval
+      // for a whole materialization ACTION per round — one job per round
+      // instead of two, and lineage stays bounded because `counted` is
+      // still checkpointed at every round's end.
       val propagated = labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
-        .localCheckpoint() // materialized: the shortcut joins it with itself
       // pointer doubling: next ← next(next). Labels are node ids and every
       // node has a row, so the lookup is a self-join; l(l_v) ≤ l_v ≤ v is
       // invariant (min with self each round), so the result only decreases.

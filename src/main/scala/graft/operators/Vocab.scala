@@ -310,6 +310,71 @@ object Vocab {
     * defaults to 1 and the walk never sticks. */
   def unigramSegment(words: DataFrame, vocab: DataFrame,
                      maxPieceLen: Int): DataFrame = {
+    // The vocabulary is BOUNDED by this operator family's contract (a
+    // trained piece set: seed + alphabet, ~1e5-1e6 at production scale,
+    // dozens here) -- hold it driver-side and segment in ONE codegen
+    // projection (segsExpr): no position/length explode, no broadcast
+    // semi-join, no per-word aggregate, ZERO shuffles where the relational
+    // form ran two groupBys and two joins per call (guide §1.2: fix the
+    // algorithm before the stages). The cap guards the contract: an
+    // unbounded "vocab" falls back to the relational form instead of
+    // building a multi-million-literal expression.
+    val cap = 100000
+    val pieceRows = vocab.select("piece").limit(cap + 1).collect()
+    if (pieceRows.length > cap)
+      return unigramSegmentRelational(words, vocab, maxPieceLen)
+    val pieces = pieceRows.map(_.getString(0)).toSeq
+    words.select(col("w"), segsExpr(col("w"), pieces, maxPieceLen).as("segs"))
+  }
+
+  /** Greedy leftmost-longest segmentation of `w` under a DRIVER-HELD piece
+    * list, as one pure expression: per-position best match length via
+    * `isin` set membership (an InSet hash probe per length class), then the
+    * same position/segments fold the relational form always ran. The bls
+    * array and the fold are each wrapped in the single-element-transform
+    * barrier (the [[graft.operators.Dedup.shingles]] idiom): a lambda
+    * variable cannot be inlined into, so CollapseProject can never
+    * re-evaluate the O(len * vocab-probe) array once per fold step. */
+  private[graft] def segsExpr(w: Column, pieces: Seq[String],
+                              maxPieceLen: Int): Column = {
+    val byLen: Map[Int, Seq[String]] = pieces.filter(_.length >= 2)
+      .filter(_.length <= maxPieceLen).distinct.groupBy(_.length)
+    def bestLen(p: Column): Column =
+      (2 to maxPieceLen).foldLeft(lit(1): Column) { (acc, l) =>
+        byLen.get(l) match {
+          case None => acc
+          case Some(ps) =>
+            when((p + lit(l - 1) <= length(w)) &&
+              w.substr(p, lit(l)).isin(ps: _*), lit(l)).otherwise(acc)
+        }
+      }
+    val blsArr = transform(sequence(lit(1), length(w)), p => bestLen(p))
+    val Carrier = "\u001d"
+    def part(acc: Column, i: Int): Column =
+      call_function("split_part", acc, lit(Carrier), lit(i))
+    element_at(transform(array(blsArr), bls => {
+      val fold = aggregate(
+        transform(sequence(lit(1), length(w)), i => i.cast("string")),
+        lit("1" + Carrier),
+        (acc, x) => {
+          val pos = part(acc, 1).cast("int")
+          val segs = part(acc, 2)
+          val bl = element_at(bls, pos)
+          val piece = w.substr(pos, bl)
+          when(x.cast("int") =!= pos, acc)
+            .otherwise(concat((pos + bl).cast("string"), lit(Carrier),
+              when(segs === lit(""), piece)
+                .otherwise(concat(segs, lit(BpeSep), piece))))
+        })
+      split(part(fold, 2), java.util.regex.Pattern.quote(BpeSep))
+    }), 1)
+  }
+
+  /** The pre-r14 relational segmentation -- kept verbatim as the fallback
+    * for a vocab too large to hold driver-side (outside the trained-piece
+    * contract, but the operator stays total). */
+  private def unigramSegmentRelational(words: DataFrame, vocab: DataFrame,
+                                       maxPieceLen: Int): DataFrame = {
     val poss = words.select(col("w"),
       explode(sequence(lit(1), length(col("w")))).as("__p"))
     val best = poss
@@ -406,14 +471,20 @@ object Vocab {
     // driver list is exactly what the filter chain maintained.
     var pieces: Seq[String] =
       topMulti.unionByName(chars).collect().map(_.getString(0)).toSeq
-    def usageUnder(v: DataFrame): DataFrame =
-      unigramSegment(words, v, maxPieceLen)
-        .join(words, "w")
-        .select(explode(col("segs")).as("piece"), col("cnt"))
+    // usage under the driver-held piece list: [[segsExpr]] segments in one
+    // codegen projection over the word table (cnt carried through — the
+    // relational form re-joined words to re-attach it), so each round is
+    // exactly ONE piece-keyed aggregate + its pruned-slice collect. The
+    // r13 LocalRelation attempt failed because the segmentation still ran
+    // explode+join+two-aggregate plans per round; with the projection form
+    // the per-round job count drops to 1.
+    def usageUnder(ps: Seq[String]): DataFrame =
+      words.select(explode(segsExpr(col("w"), ps, maxPieceLen)).as("piece"),
+          col("cnt"))
         .groupBy("piece").agg(sum(col("cnt")).as("usage"))
     for (_ <- 1 to rounds) {
       val vocab = pieces.toDF("piece")
-      val scored = vocab.join(usageUnder(vocab), Seq("piece"), "left")
+      val scored = vocab.join(usageUnder(pieces), Seq("piece"), "left")
         .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
       val pruned = scored.filter(length(col("piece")) >= 2)
         .orderBy(col("usage").asc, length(col("piece")).desc, col("piece").asc)
@@ -422,7 +493,7 @@ object Vocab {
       pieces = pieces.filterNot(pruned)
     }
     val vocab = pieces.toDF("piece")
-    vocab.join(usageUnder(vocab), Seq("piece"), "left")
+    vocab.join(usageUnder(pieces), Seq("piece"), "left")
       .select(col("piece"), length(col("piece")).as("piece_len"),
         coalesce(col("usage"), lit(0L)).as("usage"))
   }

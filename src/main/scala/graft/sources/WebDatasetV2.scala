@@ -310,6 +310,27 @@ class WebDatasetShardReader(files: Array[(String, Long)], cols: Array[String],
   // a seek on a checksummed/remote stream re-aligns per call (~ms), while a
   // sub-block sequential read comes straight out of the stream buffer
   private val padBuf = new Array[Byte](512)
+  // skip-by-read bound (r14): skipping a PAYLOAD has the same trade as the
+  // pad bytes above — a seek discards the stream buffer and re-aligns the
+  // checksum chunk (or reopens the connection on an object store), while a
+  // small sequential drain comes straight out of the buffer. Payloads up to
+  // this bound are drained; only genuinely large payloads pay a seek.
+  private val SkipReadMax = 128 * 1024
+  private val skipBuf = new Array[Byte](64 * 1024)
+
+  /** Skip `gap` bytes forward from the current position: sequential drain
+    * for small gaps, seek for large ones (`target` = absolute end offset). */
+  private def skipPast(gap: Long, target: Long): Unit = {
+    if (gap <= SkipReadMax) {
+      var left = gap
+      while (left > 0) {
+        val n = in.read(skipBuf, 0, math.min(left, skipBuf.length.toLong).toInt)
+        if (n < 0) throw new java.io.EOFException(
+          s"truncated tar member: $left bytes short of the entry end")
+        left -= n
+      }
+    } else in.seek(target)
+  }
 
   /** Advance to the next tar in the run; false when the run is done. */
   private def openNext(): Boolean = {
@@ -319,7 +340,10 @@ class WebDatasetShardReader(files: Array[(String, Long)], cols: Array[String],
     val (file, n) = files(fileIdx)
     val p = new org.apache.hadoop.fs.Path(file)
     WebDatasetV2.tarFilesOpened.increment()
-    in = p.getFileSystem(conf).open(p)
+    // a 128 KiB stream buffer (vs the 4 KiB io.file.buffer.size default)
+    // amortizes the per-read syscall across ~256 header blocks — the
+    // metadata walk is hundreds of 512-byte reads per tar
+    in = p.getFileSystem(conf).open(p, 128 * 1024)
     shard = n
     off = 0L
     true
@@ -359,14 +383,17 @@ class WebDatasetShardReader(files: Array[(String, Long)], cols: Array[String],
             WebDatasetV2.payloadBytesRead.add(size)
             val pad = (entryEnd - 512L - size).toInt
             if (pad > 0) in.readFully(padBuf, 0, pad) // sub-block: stay buffered
-          } else { // pruned: seek past the payload, never read, never counted
+          } else { // pruned: skip past the payload, never materialized,
+            // never counted (drained small payloads stay out of
+            // payloadBytesRead — the metric counts MATERIALIZED bytes)
             curContent = null
-            in.seek(off + entryEnd)
+            skipPast(entryEnd - 512L, off + entryEnd)
           }
           off += entryEnd
           return true
         }
-        in.seek(off + entryEnd) // filtered out: seek past, payload untouched
+        // filtered out: skip past, payload never materialized
+        skipPast(entryEnd - 512L, off + entryEnd)
         off += entryEnd
       }
     }
