@@ -36,6 +36,24 @@ object LayoutQueries {
 
   def rowsOnly: Set[String] = Set.empty
 
+  /** Shared READ-ONLY z-clustered layout of the events projection — the
+    * fixture q177 (range-pruned read) and q180 (stats count) measure their
+    * reads against; q179 keys its own bloom-equipped variant. The layout is
+    * deterministic in the data and the pruned-read/stats paths never write
+    * (validatedSkipIndex heals only a stale/absent index, and a fresh build
+    * is valid in place — no copy, so the index's absolute paths stay
+    * live), so it builds once per suite (the q175/q178 cachedFixture
+    * rationale) and every warmup+run measures the READ the query exists
+    * for, not a repeated shuffle + z-sort + footer-index build. */
+  private def zLayoutFixture(s: SparkSession, dir: String, key: String,
+                             bloomCols: Seq[String]): String =
+    PrepQueries.cachedFixture(key, dir) { d =>
+      Layout.clusterByZOrder(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")),
+        "event_id", "user_id", d, Bits, CellBits, bloomCols = bloomCols)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Z-order vs single-column layout, measured at the cell grain: for a
@@ -109,10 +127,7 @@ object LayoutQueries {
     // pruned read returns exactly the full filter's rows. LayoutSpec pins
     // the other half (it really does open fewer files).
     "q177_skipindex_pruned_read" -> { (s, dir) =>
-      val out = PrepQueries.scratchTempDir("graft_q177_")
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Layout.clusterByZOrder(ev, "event_id", "user_id", out, Bits, CellBits)
+      val out = zLayoutFixture(s, dir, "zlayout_events", Nil)
       Layout.readPruned(s, out, "event_id", 100L, 499L)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
@@ -128,11 +143,7 @@ object LayoutQueries {
     // selective fixtures (events' five types appear in every cell, so
     // pruning is honest but unselective here).
     "q179_dict_pruned_read" -> { (s, dir) =>
-      val out = PrepQueries.scratchTempDir("graft_q179_")
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Layout.clusterByZOrder(ev, "event_id", "user_id", out, Bits, CellBits,
-        bloomCols = Seq("event_type"))
+      val out = zLayoutFixture(s, dir, "zlayout_events_bloom", Seq("event_type"))
       Layout.readPrunedEq(s, out, "event_type", "purchase")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
@@ -148,10 +159,7 @@ object LayoutQueries {
     // and cell grain coincide; exact_count is additionally just the plain
     // relational count, independent of any layout assumption.
     "q180_stats_count" -> { (s, dir) =>
-      val out = PrepQueries.scratchTempDir("graft_q180_")
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Layout.clusterByZOrder(ev, "event_id", "user_id", out, Bits, CellBits)
+      val out = zLayoutFixture(s, dir, "zlayout_events", Nil)
       val (bounds, _, _) = Layout.readZMeta(s, out)
       val span = bounds.aMax - bounds.aMin + 1
       Layout.statsCount(s, out, "event_id",

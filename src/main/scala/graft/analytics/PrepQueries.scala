@@ -98,6 +98,27 @@ object PrepQueries {
     dst
   }
 
+  /** Shared read-only container layout for the manifest queries (q169 +
+    * q173 build BYTE-IDENTICAL layouts: same media, same exts, same
+    * 131072 budget — writeShards is deterministic in the data alone).
+    * Built once per suite; the queries measure their SCANS, not a
+    * repeated export (the q175 fixture rationale). */
+  private def manifestLayout131k(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.sources.WebDataset
+    cachedFixture("manifest_layout_131k", dir) { o =>
+      val media = Tables.documents(s, dir).select("doc_id", "text")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
+        }).toDF("doc_id", "bmp", "text")
+      WebDataset.writeShards(media, o, col("doc_id"),
+        Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
+        maxBytesPerShard = 131072L)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic training-order shuffle: seeded mix2 permutation +
@@ -504,19 +525,25 @@ object PrepQueries {
       import s.implicits._
       import graft.operators.Multimodal
       import graft.sources.WebDataset
-      val raw = scratchTempDir("graft_q167_raw_")
       val dedup = scratchTempDir("graft_q167_dedup_")
       // crawl landing: one synthetic BMP per doc. Fresh seeds go to BATCH
       // items only (the q158 shape): the affine generator's aHash manifold
       // has only 256 points, so a fresh-seeded SEEN side would cover it
       // with hamming-1 balls and no batch item could survive at sf0.1.
-      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val seed = if (id % 3 != 0 && id % 7 == 3) 100000L + id else id % 37
-          (id, Multimodal.syntheticBmpGray8(seed, 8, 8))
-        }).toDF("doc_id", "bmp")
-      WebDataset.writeShards(media, raw, col("doc_id"),
-        Seq("bmp" -> col("bmp")), maxBytesPerShard = 65536L)
+      // The landing is the funnel's INPUT — deterministic and read-only
+      // under every downstream stage — so it builds once per suite
+      // (cachedFixture, the q175 rationale); every warmup+run measures the
+      // funnel itself: pruned read-back, decode, hash, dedup, survivor
+      // re-export (still per-run), manifest.
+      val raw = cachedFixture("q167_raw", dir) { o =>
+        val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val seed = if (id % 3 != 0 && id % 7 == 3) 100000L + id else id % 37
+            (id, Multimodal.syntheticBmpGray8(seed, 8, 8))
+          }).toDF("doc_id", "bmp")
+        WebDataset.writeShards(media, o, col("doc_id"),
+          Seq("bmp" -> col("bmp")), maxBytesPerShard = 65536L)
+      }
       // TWO pruned container scans, ZERO payload-sized caches — the 100 TB
       // posture, now code (it was a scaladoc caveat through r9): scan 1
       // reads (key, content) through the DSv2 source, decodes, and
@@ -615,18 +642,13 @@ object PrepQueries {
     // replays the mix2 layout, the 512-block tar entry arithmetic, and
     // the budget cut over variable sizes.
     "q169_webdataset_manifest" -> { (s, dir) =>
-      import s.implicits._
-      import graft.operators.Multimodal
-      import graft.sources.WebDataset
-      val out = scratchTempDir("graft_q169_")
-      val media = Tables.documents(s, dir).select("doc_id", "text")
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
-        }).toDF("doc_id", "bmp", "text")
-      WebDataset.writeShards(media, out, col("doc_id"),
-        Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
-        maxBytesPerShard = 131072L)
+      // The exported layout is deterministic in the data and READ-ONLY
+      // under the measured scan — it builds once per suite (cachedFixture,
+      // the q175/q178/q206 pattern) and every warmup+run measures the
+      // MANIFEST SCAN this query exists for, not a repeated export. q173
+      // reads the byte-identical layout (same media, exts, budget) — one
+      // shared fixture key.
+      val out = manifestLayout131k(s, dir)
       s.read.format("graft-webdataset").load(out)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_members"),
@@ -645,18 +667,10 @@ object PrepQueries {
     // numbers a storage bill or an rsync plan reads — sits inside the
     // correctness gate, not just the spec.
     "q173_manifest_fastpath" -> { (s, dir) =>
-      import s.implicits._
-      import graft.operators.Multimodal
       import graft.sources.WebDataset
-      val out = scratchTempDir("graft_q173_")
-      val media = Tables.documents(s, dir).select("doc_id", "text")
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
-        }).toDF("doc_id", "bmp", "text")
-      WebDataset.writeShards(media, out, col("doc_id"),
-        Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
-        maxBytesPerShard = 131072L)
+      // shared read-only layout fixture (see q169) — the measured work is
+      // the manifest fast path itself
+      val out = manifestLayout131k(s, dir)
       WebDataset.manifestStats(s, out)
         .select("shard", "n_samples", "n_members", "n_bytes", "payload_bytes")
         .orderBy("shard")
@@ -675,15 +689,18 @@ object PrepQueries {
       import s.implicits._
       import graft.operators.Multimodal
       import graft.sources.WebDataset
-      val out = scratchTempDir("graft_q174_")
-      val media = Tables.documents(s, dir).select("doc_id", "text")
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
-        }).toDF("doc_id", "bmp", "text")
-      WebDataset.writeShards(media, out, col("doc_id"),
-        Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
-        maxBytesPerShard = 65536L)
+      // read-only layout fixture (own 64 KiB-budget layout; see q169) —
+      // the measured work is the shard/ext-pruned scan itself
+      val out = cachedFixture("q174_layout", dir) { o =>
+        val media = Tables.documents(s, dir).select("doc_id", "text")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            (id, Multimodal.syntheticBmpGray8(id % 37, 8, 8), text)
+          }).toDF("doc_id", "bmp", "text")
+        WebDataset.writeShards(media, o, col("doc_id"),
+          Seq("bmp" -> col("bmp"), "txt" -> encode(col("text"), "UTF-8")),
+          maxBytesPerShard = 65536L)
+      }
       s.read.format("graft-webdataset").load(out)
         .filter(col("shard") >= 1L && col("shard") <= 2L && col("ext") === "txt")
         .groupBy("shard")
